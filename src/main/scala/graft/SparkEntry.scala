@@ -1,13 +1,407 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Cdc, Relational}
+import graft.sources.Tables
+
+/** Driver contract (see SURVEY.md §2 for the operator inventory each
+  * query covers).
+  *
+  * Oracle-parity rules used throughout (Spark vs DuckDB must hash-equal):
+  *   - money/quantity SUMs go through DECIMAL(18,2) casts (exact,
+  *     order-independent addition; double sums are not reproducible
+  *     across engines at sf0.1 magnitudes);
+  *   - AVGs/ratios stay double but are rounded;
+  *   - event timestamps are second-truncated TIMESTAMP_NTZ on both
+  *     sides (Spark reads micros, DuckDB nanos);
+  *   - every query ends in a total ORDER BY over a unique key set, and
+  *     output columns are identically aliased on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  private val D = DecimalType(18, 2)
+
+  /** Flagship: the reference's end-to-end enrichment pipeline
+    * (O1→O9) on the sf0.001 change feed. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Cdc.filterOps(Tables.events(spark, dir), Seq("signup", "purchase", "click", "view", "error"))
+    Cdc.enrich(Cdc.parseProps(ev), Cdc.dimension(spark, dir))
+      .select(col("event_id"), col("event_type"), col("k"), col("c_name"),
+        col("nation"), col("region"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ───────────────────────── CDC / ETL (reference surface) ─────────────────────────
+
+    "cdc_filter" -> ((s, d) => {
+      Cdc.filterOps(Tables.events(s, d), Seq("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_parse" -> ((s, d) => {
+      Cdc.parseProps(Tables.events(s, d))
+        .select(col("event_id"), col("k"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_project" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          upper(col("event_type")).as("etype"),
+          col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_enrich" -> ((s, d) => {
+      Cdc.enrich(Tables.events(s, d), Cdc.dimension(s, d))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("nation"), col("region"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_active_at" -> ((s, d) => {
+      Cdc.activeAt(Tables.events(s, d), "2024-01-03 12:00:00")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_active"))
+        .orderBy(col("event_type"))
+    }),
+
+    "cdc_occupancy_rate" -> ((s, d) => {
+      Cdc.occupancyRate(Tables.orders(s, d), Tables.customer(s, d))
+        .select(col("c_nationkey"), col("n_open"), col("n_orders"), col("open_rate"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "cdc_latest_by_key" -> ((s, d) => {
+      Relational.latestByKey(Tables.events(s, d),
+          keys = Seq(col("user_id")),
+          versionOrder = Seq(col("ts_sec"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"), col("ts"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ───────────────────────── Relational core ─────────────────────────
+
+    "rel_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "rel_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "rel_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          (sum(round(col("l_extendedprice") * 100).cast("long") * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "rel_semi_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "rel_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "rel_window_topn" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("price_d", col("o_totalprice").cast(D))
+      Relational.topNPerGroup(
+          o.withColumn("run_total",
+            sum(col("price_d")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("o_custkey"))
+                .orderBy(col("o_orderdate"), col("o_orderkey"))
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))),
+          partitionCols = Seq(col("o_custkey")),
+          orderCols = Seq(col("o_orderdate"), col("o_orderkey")), n = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_total").cast("double").as("run_total"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "rel_topk" -> ((s, d) => {
+      Relational.topK(Tables.orders(s, d),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    "rel_setops" -> ((s, d) => {
+      Relational.setCompare(
+          Tables.customer(s, d).select(col("c_nationkey").as("nationkey")),
+          Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")),
+          "nationkey", "customer_only", "supplier_only")
+        .orderBy(col("tag"), col("nationkey"))
+    }),
+
+    "rel_distinct_agg" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "rel_scalar_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+          length(col("p_name")).as("name_len"),
+          when(col("p_size") > 25, "L").when(col("p_size") > 10, "M").otherwise("S").as("size_class"),
+          round(col("p_retailprice"), 1).as("price_r"),
+          abs(col("p_size") - 25).as("size_dist"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "rel_rollup" -> ((s, d) => {
+      Tables.customer(s, d)
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    "rel_broadcast_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "rel_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = e.select(col("user_id"), col("ts_sec").as("a_sec"))
+      val b = e.select(col("user_id").as("b_user"), col("ts_sec").as("b_sec"))
+      a.join(b, col("user_id") === col("b_user")
+          && col("b_sec") > col("a_sec") && col("b_sec") <= col("a_sec") + 300)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    "rel_sessionize" -> ((s, d) => {
+      Relational.sessionize(Tables.events(s, d),
+          col("user_id"), col("ts_sec"), col("event_id"), gapSeconds = 6 * 3600)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "rel_window_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = ListMap(
+
+    "cdc_filter" ->
+      """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts
+        |FROM events WHERE event_type IN ('signup','purchase')
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_parse" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_project" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |       upper(event_type) AS etype, date_trunc('second', ts) AS ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_enrich" ->
+      """SELECT event_id, user_id, event_type, c_name, nation, region
+        |FROM events LEFT JOIN (
+        |  SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+        |  FROM customer
+        |  LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN region ON n_regionkey = r_regionkey) dim
+        |ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_active_at" ->
+      """SELECT event_type, count(*) AS n_active
+        |FROM events
+        |WHERE date_trunc('second', ts) <= TIMESTAMP '2024-01-03 12:00:00'
+        |  AND TIMESTAMP '2024-01-03 12:00:00'
+        |      < date_trunc('second', ts) + CAST(round(value) AS INTEGER) * INTERVAL '1 minute'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_occupancy_rate" ->
+      """SELECT c_nationkey,
+        |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |       count(*) AS n_orders,
+        |       round(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS open_rate
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "cdc_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value,
+        |       date_trunc('second', ts) AS ts
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0) AS sum_disc_price,
+        |       round(avg(l_quantity), 2) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "rel_join_agg" ->
+      """SELECT c_mktsegment,
+        |       count(DISTINCT o_orderkey) AS n_orders,
+        |       (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "rel_semi_join" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rel_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn, run_total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "rel_setops" ->
+      """SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier) a
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier) b
+        |UNION ALL
+        |SELECT 'supplier_only' AS tag, nationkey FROM (
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT SELECT c_nationkey FROM customer) c
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "rel_distinct_agg" ->
+      """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+        |       count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "rel_scalar_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_u,
+        |       lower(p_type) AS type_l,
+        |       substr(p_name, 1, 8) AS name8,
+        |       concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+        |       length(p_name) AS name_len,
+        |       CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
+        |       round(p_retailprice, 1) AS price_r,
+        |       abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "rel_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "rel_range_join" ->
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, epoch(date_trunc('second', ts)) AS a_sec FROM events) a
+        |JOIN (SELECT user_id AS b_user, epoch(date_trunc('second', ts)) AS b_sec FROM events) b
+        |  ON a.user_id = b_user AND b_sec > a_sec AND b_sec <= a_sec + 300
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "rel_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |         CASE WHEN lag(sec) OVER w IS NULL
+        |              OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM flags GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "rel_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.codec.CanalCodec
+
+/** Canal envelope decode/filter/project — fixtures are hand-written
+  * Canal flat-JSON in the documented public format (values as strings,
+  * SQL NULL as JSON null, `data` an array of row-maps).
+  */
+class CanalCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(table: String, typ: String, isDdl: Boolean, rows: String): String =
+    s"""{"data":$rows,"database":"mrbs","es":1700000000000,"id":7,"isDdl":$isDdl,
+       |"mysqlType":{"id":"int"},"old":null,"sql":"","sqlType":{"id":4},
+       |"table":"$table","ts":1700000000123,"type":"$typ"}""".stripMargin.replace("\n", "")
+
+  private val insert = env("t_meeting_info", "INSERT",
+    isDdl = false,
+    """[{"id":"11","meeting_code":"mc-1","address_id":"3",
+      |"mstart_date":"2024-05-01 09:00:00","mend_date":"2024-05-01 10:00:00"}]"""
+      .stripMargin.replace("\n", ""))
+  private val update = env("t_meeting_info", "UPDATE",
+    isDdl = false,
+    """[{"id":"11","meeting_code":"mc-1b","address_id":null,
+      |"mstart_date":"2024-05-01 09:30:00","mend_date":null}]"""
+      .stripMargin.replace("\n", ""))
+  private val ddl = env("t_meeting_info", "CREATE", isDdl = true, "null")
+  private val otherTable = env("t_other", "INSERT", isDdl = false, """[{"id":"1"}]""")
+  private val multiRow = env("t_meeting_info", "INSERT",
+    isDdl = false,
+    """[{"id":"21","meeting_code":"a,b","address_id":"5",
+      |"mstart_date":"2024-06-01 08:00:00","mend_date":"2024-06-01 09:00:00"},
+      |{"id":"22","meeting_code":"c","address_id":"6",
+      |"mstart_date":"2024-06-02 08:00:00","mend_date":"2024-06-02 09:00:00"}]"""
+      .stripMargin.replace("\n", ""))
+
+  private def raw = Seq(insert, update, ddl, otherTable, multiRow).toDF("value")
+
+  test("decode yields typed envelope columns") {
+    val env = CanalCodec.decode(raw)
+    assert(env.schema.fieldNames.toSet.contains("isDdl"))
+    assert(env.count() === 5)
+    assert(env.filter(col("isDdl")).count() === 1)
+  }
+
+  test("changes filters table, ddl and op set; INSERT+UPDATE parameterized") {
+    val ch = CanalCodec.changes(CanalCodec.decode(raw), "t_meeting_info", Set("INSERT", "UPDATE"))
+    assert(ch.count() === 3) // insert, update, multiRow — not ddl, not t_other
+    val insOnly = CanalCodec.changes(CanalCodec.decode(raw), "t_meeting_info", Set("INSERT"))
+    assert(insOnly.count() === 2)
+  }
+
+  test("rows explodes multi-row data arrays") {
+    val r = CanalCodec.rows(
+      CanalCodec.changes(CanalCodec.decode(raw), "t_meeting_info", Set("INSERT", "UPDATE")))
+    assert(r.count() === 4) // 1 + 1 + 2
+  }
+
+  test("meetingEvents types fields, survives commas in values and nulls") {
+    val ev = CanalCodec.meetingPipeline(raw).collect()
+    assert(ev.length === 4)
+    val byId = ev.map(r => r.getAs[Int]("meeting_id") -> r).toMap
+    // comma inside meeting_code survives (the reference's CSV split breaks here)
+    assert(byId(21).getAs[String]("meeting_code") === "a,b")
+    // JSON null → real SQL null (the reference produced the string "null")
+    assert(byId(11).getAs[Any]("address_id") == null || ev.count(_.getAs[Int]("meeting_id") == 11) == 2)
+    val upd = ev.filter(r => r.getAs[String]("op") == "UPDATE")
+    assert(upd.length === 1)
+    assert(upd.head.isNullAt(upd.head.fieldIndex("address_id")))
+    assert(upd.head.isNullAt(upd.head.fieldIndex("mend_date")))
+    // timestamps are typed
+    assert(byId(21).getAs[java.sql.Timestamp]("mstart_date").toString.startsWith("2024-06-01"))
+  }
+}
