@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Cdc, Relational}
+import graft.operators.{Cdc, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract (see SURVEY.md §2 for the operator inventory each
@@ -151,7 +151,7 @@ object SparkEntry {
                 .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))),
           partitionCols = Seq(col("o_custkey")),
           orderCols = Seq(col("o_orderdate"), col("o_orderkey")), n = 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("run_total").cast("double").as("run_total"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"), col("run_total").cast("double").as("run_total"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
@@ -184,7 +184,7 @@ object SparkEntry {
           lower(col("p_type")).as("type_l"),
           substring(col("p_name"), 1, 8).as("name8"),
           concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"),
           when(col("p_size") > 25, "L").when(col("p_size") > 10, "M").otherwise("S").as("size_class"),
           round(col("p_retailprice"), 1).as("price_r"),
           abs(col("p_size") - 25).as("size_dist"))
@@ -229,8 +229,121 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // ───────────────────────── LLM pipeline: dedup ─────────────────────────
+
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d)).orderBy(col("text_hash"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sig = Dedup.minhashSignature(Dedup.shingled(Tables.documents(s, d), k = 3), numHashes = 8)
+      Dedup.lshCandidatePairs(sig, numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), Seq("source", "lang"), thresholdPermille = 900)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }),
+
+    "dedup_embedding" -> ((s, d) => {
+      Similarity.nearDupPairs(Tables.embeddings(s, d), cellCol = "label", minCos = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ───────────────────────── LLM pipeline: similarity search ─────────────────────────
+
+    "sim_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, cellCol = "label")
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ───────────────────────── LLM pipeline: text analysis ─────────────────────────
+
+    "text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), profileSize = 20).orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ───────────────────────── LLM pipeline: multimodal ─────────────────────────
+
+    "mm_blob_meta" -> ((s, d) => {
+      Multimodal.asBlob(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_bytes"), col("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_frames" -> ((s, d) => {
+      Multimodal.frames(Tables.documents(s, d), frameSize = 32, maxFrames = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
+
+  /** DuckDB: element-wise double dot product over LIST(FLOAT) columns —
+    * mirrors Similarity.dot's evaluation exactly (64 dims). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private val tokSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def simhashOracle: String = {
+    val nibs = (0 until 4).map(c =>
+      s"  strpos('0123456789abcdef', substr(md5(t), ${c + 1}, 1)) - 1 AS nib$c").mkString(",\n")
+    val votes = (0 until 16).map(j =>
+      s"  sum(((nib${j / 4} >> ${j % 4}) & 1) * 2 - 1) AS s$j").mkString(",\n")
+    val hash = (0 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+       |nib AS (SELECT doc_id,
+       |$nibs
+       |FROM tk),
+       |votes AS (SELECT doc_id,
+       |$votes
+       |FROM nib GROUP BY doc_id)
+       |SELECT doc_id, $hash AS simhash16
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val hs = (0 until 8).map(i => s"  min(md5('$i|' || s)) AS h$i").mkString(",\n")
+    val bands = (0 until 4).map(b =>
+      s"  SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bv FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |shg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       |        FROM toks WHERE len(tk) >= 3),
+       |sig AS (SELECT doc_id,
+       |$hs
+       |FROM shg GROUP BY doc_id),
+       |bands AS (
+       |$bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = ListMap(
 
@@ -402,6 +515,121 @@ object SparkEntry {
     "rel_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracle,
+
+    "dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, sz - inter AS uni,
+         |       CAST(floor(inter * 1000 / (sz - inter)) AS BIGINT) AS jac_permille
+         |FROM p WHERE floor(inter * 1000 / (sz - inter)) >= 900
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" -> simhashOracle,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+         |       round(${dotSql("a.embedding", "b.embedding")} / sqrt(a.n2 * b.n2), 4) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2 FROM e WHERE vec_id < 10),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM q, e WHERE query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, label AS qlabel
+         |      FROM e WHERE vec_id < 10),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM q JOIN e ON qlabel = e.label AND query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+         |       CAST(length(text) AS BIGINT) AS n_chars_measured,
+         |       n_chars AS n_chars_meta
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'the' OR x = 'a' OR x = 'an' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS BIGINT) AS n_stop,
+         |    length(replace(text, ' ', '')) AS tok_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_distinct, n_stop,
+         |  CAST(floor(tok_chars * 1000 / n_tokens) AS BIGINT) AS mean_tok_len_permille,
+         |  CAST(floor(n_stop * 1000 / n_tokens) AS BIGINT) AS stop_permille,
+         |  CAST(floor(n_distinct * 1000 / n_tokens) AS BIGINT) AS distinct_permille,
+         |  CAST((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(tok_chars * 1000 / n_tokens) BETWEEN 3000 AND 9000 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 400 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 300 THEN 250 ELSE 0 END) AS BIGINT) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT lang, t, count(*) AS cnt FROM tok GROUP BY lang, t),
+         |prof AS (SELECT lang AS cand_lang, t FROM (
+         |    SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rn
+         |    FROM freq) x WHERE rn <= 20),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |         FROM (SELECT doc_id, t FROM tok) tk JOIN prof USING (t)
+         |         GROUP BY doc_id, cand_lang)
+         |SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+         |  SELECT doc_id, cand_lang, hits,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM hits) y
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS ts FROM documents)
+         |SELECT doc_id, md5(array_to_string(ts, ' ')) AS fp,
+         |       ts[1] AS tok_min, ts[-1] AS tok_max,
+         |       CAST(len(ts) AS BIGINT) AS n_distinct
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "mm_blob_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id, i AS frame_idx, md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+        |FROM documents, range(0, 4) t(i)
+        |WHERE i * 32 < length(text)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

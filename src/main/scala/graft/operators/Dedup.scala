@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design notes:
+  *  - shingling / hashing / signatures are all *narrow* (array
+  *    expressions inside whole-stage codegen, no shuffle until the
+  *    single groupBy per doc);
+  *  - candidate generation is a band-bucket equi-join (shuffle keyed on
+  *    the band hash — collision buckets only), never an all-pairs
+  *    product;
+  *  - exact Jaccard verification runs only on blocked/candidate pairs.
+  *  - hashes are md5-based (portable, deterministic across engines and
+  *    runs — no seed state on executors).
+  */
+object Dedup {
+
+  /** Whitespace tokens, empties dropped. Narrow expression. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * One hash-shuffle on the (hashed) text; at 100 TB you'd groupBy
+    * md5(text) rather than the full text to keep shuffle rows small —
+    * we group by the hash and keep min/count only. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(md5(col(textCol).cast("binary")).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-gram shingles as an array column (no shuffle, no explode
+    * until the consumer needs one). Documents shorter than k tokens are
+    * dropped (no shingle is defined for them). */
+  def shingled(docs: DataFrame, k: Int = 3): DataFrame = {
+    val items = (0 until k).map(j => s"element_at(__toks, i + $j)").mkString(", ")
+    docs.withColumn("__toks", tokens(col("text")))
+      .filter(size(col("__toks")) >= k)
+      .withColumn("shingles",
+        expr(s"transform(sequence(1, size(__toks) - ${k - 1}), i -> concat_ws(' ', $items))"))
+      .drop("__toks")
+  }
+
+  /** MinHash signature: `numHashes` independent permutations emulated
+    * with keyed md5; h_i(doc) = lexicographic min of md5("i|" + shingle).
+    * One explode + one groupBy(doc) with numHashes min-aggregates
+    * (map-side combinable). */
+  def minhashSignature(shingled: DataFrame, numHashes: Int = 8,
+                       idCol: String = "doc_id"): DataFrame = {
+    val ex = shingled.select(col(idCol), explode(col("shingles")).as("sh"))
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"h$i")
+    }
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded LSH: hash `rowsPerBand` consecutive signature rows per
+    * band, self-join on (band, bandHash) to produce candidate pairs
+    * (a < b). The join key is the band hash — only true bucket
+    * collisions meet, so the shuffle is proportional to docs×bands,
+    * not docs². */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
+                        idCol: String = "doc_id"): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("bv"))
+    }
+    val buckets = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol).as("doc"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val left = buckets.select(col("doc").as("doc_a"), col("band"), col("bv"))
+    val right = buckets.select(col("doc").as("doc_b"), col("band"), col("bv"))
+    left.join(right, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Blocked token-set Jaccard: self-join within blocking keys, exact
+    * Jaccard on distinct-token arrays, keep pairs ≥ threshold (permille
+    * — integer arithmetic end-to-end so results are engine-exact).
+    * Blocking bounds the pair count; at scale the block key should be
+    * an LSH band or (source, shard) — never unblocked. */
+  def jaccardPairs(docs: DataFrame, blockCols: Seq[String],
+                   thresholdPermille: Int, idCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .withColumn("tset", array_distinct(tokens(col("text"))))
+      .select((idCol +: "tset" +: blockCols).map(col): _*)
+    val a = base.select(col(idCol).as("doc_a") +: col("tset").as("ta") +:
+      blockCols.map(col): _*)
+    val b = base.select(col(idCol).as("doc_b") +: col("tset").as("tb") +:
+      blockCols.map(c => col(c).as(s"__b_$c")): _*)
+    val cond = blockCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _) &&
+      col("doc_a") < col("doc_b")
+    a.join(b, cond)
+      .withColumn("inter", size(filter(col("ta"), t => array_contains(col("tb"), t))).cast("long"))
+      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
+      .filter(col("jac_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac_permille"))
+  }
+
+  /** 16-bit SimHash over tokens: bit j of the hash is the sign of the
+    * token-count-weighted ±1 vote of bit j of md5(token) (first 16 of
+    * the 128 md5 bits). One explode + one groupBy(doc) with 16 integer
+    * sums — map-side combinable, portable across engines. */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(tokens(col("text"))).as("t"))
+      .withColumn("h4", substring(md5(col("t").cast("binary")), 1, 4))
+    val withNibs = (0 until 4).foldLeft(tok) { (d, c) =>
+      d.withColumn(s"nib$c",
+        expr(s"position(substring(h4, ${c + 1}, 1), '0123456789abcdef') - 1"))
+    }
+    val votes = (0 until 16).map { j =>
+      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$j")
+    }
+    val sig = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sig.select(col(idCol), hash.as("simhash16"))
+  }
+}

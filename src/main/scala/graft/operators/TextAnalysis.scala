@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, quality scoring, corpus-trained language ID, and document
+  * fingerprinting.
+  *
+  * All ratios are emitted as integer permille (⌊n·1000/m⌋) — exact
+  * integer arithmetic, so results are bit-stable across engines. All
+  * per-document features are narrow expressions; only langid shuffles
+  * (two aggregations + a broadcast profile join).
+  */
+object TextAnalysis {
+
+  import Dedup.tokens
+
+  /** Whitespace + regex ("BPE-ish": letter runs / digit runs / single
+    * other) token counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").cast("long").as("n_re_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      col("n_chars").as("n_chars_meta"))
+
+  private val StopWords = Seq("the", "a", "an", "of", "to", "and", "in")
+
+  /** Quality features + a composite integer score. Heuristics follow
+    * the usual corpus-quality recipes (length band, mean token length,
+    * stopword share, repetition). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(filter(split(text, ' '), x -> x <> ''), x -> x IN ($stopList)))").cast("long"))
+      .withColumn("mean_tok_len_permille",
+        floor(length(regexp_replace(col("text"), " ", "")) * 1000 / col("n_tokens")).cast("long"))
+      .withColumn("stop_permille", floor(col("n_stop") * 1000 / col("n_tokens")).cast("long"))
+      .withColumn("distinct_permille", floor(col("n_distinct") * 1000 / col("n_tokens")).cast("long"))
+      .withColumn("quality_score",
+        (when(col("n_tokens").between(20, 1000), lit(250)).otherwise(lit(0)) +
+         when(col("mean_tok_len_permille").between(3000, 9000), lit(250)).otherwise(lit(0)) +
+         when(col("stop_permille").between(10, 400), lit(250)).otherwise(lit(0)) +
+         when(col("distinct_permille") >= 300, lit(250)).otherwise(lit(0))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
+        col("mean_tok_len_permille"), col("stop_permille"), col("distinct_permille"),
+        col("quality_score"))
+  }
+
+  /** Corpus-trained language ID: build a top-`profileSize` token
+    * profile per labeled language (training pass: one aggregation +
+    * windowed top-N), then score every document by profile hits and
+    * predict the argmax (hits desc, lang asc tie-break).
+    *
+    * The profile is tiny (langs × profileSize) — broadcast; the
+    * scoring join therefore never shuffles the token table by
+    * profile key. */
+  def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val freq = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+    val profile = Relational.topNPerGroup(freq, Seq(col("lang")),
+        Seq(col("cnt").desc, col("t")), profileSize)
+      .select(col("lang").as("cand_lang"), col("t"))
+    val hits = tok.join(broadcast(profile), Seq("t"))
+      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("hits"))
+    Relational.topNPerGroup(hits, Seq(col("doc_id")),
+        Seq(col("hits").desc, col("cand_lang")), 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+  }
+
+  /** Deterministic document fingerprint: md5 over the sorted distinct
+    * token set (order-insensitive content hash) plus set extremes.
+    * Narrow — single expression per row. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val tset = array_sort(array_distinct(tokens(col("text"))))
+    docs.select(
+      col("doc_id"),
+      md5(array_join(tset, " ").cast("binary")).as("fp"),
+      element_at(tset, 1).as("tok_min"),
+      element_at(tset, -1).as("tok_max"),
+      size(tset).cast("long").as("n_distinct"))
+  }
+}

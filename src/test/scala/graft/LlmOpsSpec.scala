@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariant checks for the LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal). Cross-engine equality is covered by the
+  * DuckDB oracle; these pin semantic invariants.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("exact dedup partitions the corpus") {
+    val d = Dedup.exact(docs).agg(sum("n_copies")).as[Long].head()
+    assert(d === docs.count())
+  }
+
+  test("minhash signature has one row per shingled doc, hex-min per column") {
+    val sh = Dedup.shingled(docs, 3)
+    val sig = Dedup.minhashSignature(sh, 8)
+    assert(sig.count() === sh.count())
+    val r = sig.head()
+    (0 until 8).foreach { i =>
+      assert(r.getAs[String](s"h$i").matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("identical texts are LSH candidates") {
+    val twins = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignature(Dedup.shingled(twins, 3), 8))
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("jaccard of identical docs is 1000 permille; pairs respect blocking") {
+    val d = Seq((1L, "a b c d", "s1", "en"), (2L, "a b c d", "s1", "en"),
+      (3L, "a b c d", "s2", "en")).toDF("doc_id", "text", "source", "lang")
+    val pairs = Dedup.jaccardPairs(d, Seq("source", "lang"), 900).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("jac_permille") === 1000L)
+  }
+
+  test("simhash16 is within [0, 65535] and equal texts hash equal") {
+    val h = Dedup.simhash16(docs).agg(min("simhash16"), max("simhash16")).head()
+    assert(h.getLong(0) >= 0L && h.getLong(1) <= 65535L)
+    val d = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val hs = Dedup.simhash16(d).select("simhash16").as[Long].collect()
+    assert(hs(0) === hs(1))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = Similarity.nearDupPairs(
+      emb.limit(1).union(emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000)),
+      "label", 0.99)
+    val r = self.collect()
+    assert(r.length === 1 && math.abs(r.head.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val res = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, 4)
+    val byQuery = res.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery.values.forall(_ === 4L) && byQuery.size === 3)
+    val ranks = res.filter(col("query_id") === 0).orderBy(col("rank")).select("rank")
+      .as[Int].collect()
+    assert(ranks.sameElements(Array(1, 2, 3, 4)))
+  }
+
+  test("ivf candidates never leave the query's cell") {
+    val res = Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, 3, "label")
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    res.select("query_id", "cand_id").as[(Long, Long)].collect().foreach {
+      case (q, c) => assert(labels(q.toInt) === labels(c.toInt))
+    }
+  }
+
+  test("quality permilles are in range") {
+    TextAnalysis.qualityScore(docs).collect().foreach { r =>
+      assert(r.getAs[Long]("stop_permille") >= 0 && r.getAs[Long]("stop_permille") <= 1000)
+      assert(r.getAs[Long]("distinct_permille") > 0 && r.getAs[Long]("distinct_permille") <= 1000)
+      assert(Set(0L, 250L, 500L, 750L, 1000L).contains(r.getAs[Long]("quality_score")))
+    }
+  }
+
+  test("langid predicts a known language with positive hits") {
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    TextAnalysis.langId(docs).collect().foreach { r =>
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Long]("hits") > 0)
+    }
+  }
+
+  test("fingerprint is permutation-invariant") {
+    val d = Seq((1L, "b a c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(d).select("fp").as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("multimodal decode stub: schema, one row per blob, deterministic") {
+    val out = Multimodal.decodeStub(Multimodal.asBlob(docs.limit(50)))
+    assert(out.schema === Multimodal.decodedSchema)
+    val rows = out.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
+      assert(r.getAs[Int]("channels") === 3)
+      assert(r.getAs[Double]("mean_byte") > 0)
+    }
+    val again = Multimodal.decodeStub(Multimodal.asBlob(docs.limit(50))).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("frames cover payload prefix with correct hashes") {
+    val d = Seq((1L, "a" * 70)).toDF("doc_id", "text")
+    val fr = Multimodal.frames(d, 32, 4).orderBy("frame_idx").collect()
+    assert(fr.length === 3) // 70 bytes → frames at 0, 32, 64
+    assert(fr.map(_.getAs[Long]("frame_idx")).sameElements(Array(0L, 1L, 2L)))
+  }
+}
