@@ -252,6 +252,11 @@ object SparkEntry {
       Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
 
+    "dedup_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(Dedup.simhash16(Tables.documents(s, d)), maxDistance = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_embedding" -> ((s, d) => {
       Similarity.nearDupPairs(Tables.embeddings(s, d), cellCol = "label", minCos = 0.4)
         .orderBy(col("id_a"), col("id_b"))
@@ -308,7 +313,7 @@ object SparkEntry {
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  private def simhashOracle: String = {
+  private def simhashOracleBody: String = {
     val nibs = (0 until 4).map(c =>
       s"  strpos('0123456789abcdef', substr(md5(t), ${c + 1}, 1)) - 1 AS nib$c").mkString(",\n")
     val votes = (0 until 16).map(j =>
@@ -323,8 +328,10 @@ object SparkEntry {
        |$votes
        |FROM nib GROUP BY doc_id)
        |SELECT doc_id, $hash AS simhash16
-       |FROM votes ORDER BY doc_id""".stripMargin
+       |FROM votes""".stripMargin
   }
+
+  private def simhashOracle: String = simhashOracleBody + "\nORDER BY doc_id"
 
   private def minhashOracle: String = {
     val hs = (0 until 8).map(i => s"  min(md5('$i|' || s)) AS h$i").mkString(",\n")
@@ -536,6 +543,16 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH sig AS ($simhashOracleBody)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       a.simhash16 AS sig_a, b.simhash16 AS sig_b,
+         |       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b
+         |  ON (a.simhash16 >> 8) = (b.simhash16 >> 8) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,

@@ -126,4 +126,25 @@ object Dedup {
     }.reduce(_ + _)
     sig.select(col(idCol), hash.as("simhash16"))
   }
+
+  /** SimHash near-dup pairs: block on the signature's high byte (two
+    * docs within hamming distance ≤ 8 of each other on the high bits
+    * usually share it; a production sweep uses multiple bit-slices as
+    * blocks), then filter blocks by exact Hamming distance via the
+    * native codegen'd [[graft.functions.HammingDistance]] expression.
+    * The join is an equi-join on the block key — no all-pairs scan. */
+  def simhashPairs(sig: DataFrame, maxDistance: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HammingDistance.hamming64
+    graft.plans.GraftExtensions.register(sig.sparkSession)
+    val a = sig.select(col(idCol).as("doc_a"), col("simhash16").as("sig_a"),
+      shiftright(col("simhash16"), 8).as("block"))
+    val b = sig.select(col(idCol).as("doc_b"), col("simhash16").as("sig_b"),
+      shiftright(col("simhash16"), 8).as("block"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"), col("hamming"))
+  }
 }

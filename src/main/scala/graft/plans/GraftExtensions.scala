@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.HammingDistance
+
+/** SQL-surface registration for graft's native expressions:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) makes
+  * `hamming64(a, b)` available to plain SQL. The Column API
+  * ([[graft.functions.HammingDistance.hamming64]]) needs no
+  * registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.hamming64Descriptor)
+  }
+}
+
+object GraftExtensions {
+  val hamming64Descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming64"),
+    new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
+    (children: Seq[Expression]) => HammingDistance(children.head, children(1)))
+
+  /** Runtime registration on an existing session (the driver hands us
+    * sessions we didn't build). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    registry.registerFunction(hamming64Descriptor._1, hamming64Descriptor._2, hamming64Descriptor._3)
+  }
+}
