@@ -115,13 +115,21 @@ object SparkEntry {
     }),
 
     "rel_join_agg" -> ((s, d) => {
+      // Pre-aggregate lineitem to order grain: shrinks the join input
+      // 4x and turns countDistinct(o_orderkey) into a plain count(*)
+      // (no Expand in the plan). Same result as the naive 3-table
+      // join + distinct, which the oracle keeps.
       val c = Tables.customer(s, d); val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
+      val revE4 = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val perOrder = l.groupBy(col("l_orderkey")).agg(sum(revE4).as("rev_e4"))
+      perOrder
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          countDistinct(col("o_orderkey")).as("n_orders"),
-          (sum(round(col("l_extendedprice") * 100).cast("long") * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0).as("revenue"))
+          count(lit(1)).as("n_orders"),
+          (sum(col("rev_e4")) / 10000.0).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -334,7 +342,10 @@ object SparkEntry {
   private def simhashOracle: String = simhashOracleBody + "\nORDER BY doc_id"
 
   private def minhashOracle: String = {
-    val hs = (0 until 8).map(i => s"  min(md5('$i|' || s)) AS h$i").mkString(",\n")
+    val hs = (0 until 8).map { i =>
+      val digest = if (i < 4) "md5(s)" else "md5('8|' || s)"
+      s"  min(substr($digest, ${(i % 4) * 8 + 1}, 8)) AS h$i"
+    }.mkString(",\n")
     val bands = (0 until 4).map(b =>
       s"  SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bv FROM sig")
       .mkString("\n  UNION ALL\n")

@@ -33,27 +33,35 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-gram shingles as an array column (no shuffle, no explode
-    * until the consumer needs one). Documents shorter than k tokens are
-    * dropped (no shingle is defined for them). */
+  /** Word k-gram shingles as an array column via the native one-pass
+    * [[graft.functions.WordShingles]] expression (no shuffle; the
+    * higher-order-function formulation was ~20x slower and a window/
+    * lead formulation would shuffle the token stream). Documents
+    * shorter than k tokens get an empty array — explode drops them. */
   def shingled(docs: DataFrame, k: Int = 3): DataFrame = {
-    val items = (0 until k).map(j => s"element_at(__toks, i + $j)").mkString(", ")
-    docs.withColumn("__toks", tokens(col("text")))
-      .filter(size(col("__toks")) >= k)
-      .withColumn("shingles",
-        expr(s"transform(sequence(1, size(__toks) - ${k - 1}), i -> concat_ws(' ', $items))"))
-      .drop("__toks")
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    Partitioning.fanOut(docs)
+      .withColumn("shingles", word_shingles(col("text"), k))
   }
 
-  /** MinHash signature: `numHashes` independent permutations emulated
-    * with keyed md5; h_i(doc) = lexicographic min of md5("i|" + shingle).
-    * One explode + one groupBy(doc) with numHashes min-aggregates
-    * (map-side combinable). */
+  /** MinHash signature: 8 independent 32-bit permutations carved out
+    * of two md5 digests per shingle (md5(shingle) and md5("8|"+shingle),
+    * 4 × 8-hex-char slices each); h_i(doc) = lexicographic min of
+    * slice_i — equivalent to a numeric 32-bit minhash. Two digests per
+    * shingle instead of eight: the md5 calls dominate signature cost.
+    * One explode + one groupBy(doc) with 8 min-aggregates (map-side
+    * combinable). */
   def minhashSignature(shingled: DataFrame, numHashes: Int = 8,
                        idCol: String = "doc_id"): DataFrame = {
-    val ex = shingled.select(col(idCol), explode(col("shingles")).as("sh"))
+    require(numHashes == 8, "minhashSignature is tuned for 8 hashes (2 md5 digests)")
+    val ex = shingled
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .withColumn("m1", md5(col("sh").cast("binary")))
+      .withColumn("m2", md5(concat(lit("8|"), col("sh")).cast("binary")))
     val aggs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i|"), col("sh")).cast("binary"))).as(s"h$i")
+      val src = if (i < 4) "m1" else "m2"
+      min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"h$i")
     }
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -88,7 +96,7 @@ object Dedup {
     * an LSH band or (source, shard) — never unblocked. */
   def jaccardPairs(docs: DataFrame, blockCols: Seq[String],
                    thresholdPermille: Int, idCol: String = "doc_id"): DataFrame = {
-    val base = docs
+    val base = Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col("text"))))
       .select((idCol +: "tset" +: blockCols).map(col): _*)
     val a = base.select(col(idCol).as("doc_a") +: col("tset").as("ta") +:
@@ -98,7 +106,7 @@ object Dedup {
     val cond = blockCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _) &&
       col("doc_a") < col("doc_b")
     a.join(b, cond)
-      .withColumn("inter", size(filter(col("ta"), t => array_contains(col("tb"), t))).cast("long"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
@@ -110,7 +118,7 @@ object Dedup {
     * the 128 md5 bits). One explode + one groupBy(doc) with 16 integer
     * sums — map-side combinable, portable across engines. */
   def simhash16(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val tok = docs
+    val tok = Partitioning.fanOut(docs)
       .select(col(idCol), explode(tokens(col("text"))).as("t"))
       .withColumn("h4", substring(md5(col("t").cast("binary")), 1, 4))
     val withNibs = (0 until 4).foldLeft(tok) { (d, c) =>

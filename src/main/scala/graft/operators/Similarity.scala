@@ -19,18 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product over double-cast arrays — identical
-    * evaluation order (and thus bits) everywhere. */
+  /** Ascending-index dot product via the native codegen'd
+    * [[graft.functions.VectorDot]] expression — bit-identical to the
+    * interpreted fold and DuckDB's list_sum, but stays inside
+    * whole-stage codegen (higher-order functions are CodegenFallback
+    * and dominate pairwise-join cost). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorDot.vec_dot(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm2(a: Column): Column = dot(a, a)
 
   /** Candidate side with its squared norm precomputed (one pass). */
-  def withNorm(df: DataFrame, vecCol: String = "embedding"): DataFrame =
-    df.withColumn("__n2", norm2(col(vecCol)))
+  def withNorm(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    Partitioning.fanOut(df).withColumn("__n2", norm2(col(vecCol)))
+  }
 
   private def cosFromParts(dotCol: Column, n2a: Column, n2b: Column): Column =
     round(dotCol / sqrt(n2a * n2b), 4)

@@ -62,7 +62,8 @@ object TextAnalysis {
     * scoring join therefore never shuffles the token table by
     * profile key. */
   def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val tok = Partitioning.fanOut(docs)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
     val freq = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
     val profile = Relational.topNPerGroup(freq, Seq(col("lang")),
         Seq(col("cnt").desc, col("t")), profileSize)

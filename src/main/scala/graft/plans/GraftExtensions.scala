@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.HammingDistance
+import graft.functions.{HammingDistance, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -18,6 +18,8 @@ import graft.functions.HammingDistance
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hamming64Descriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
   }
 }
 
@@ -27,10 +29,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
     (children: Seq[Expression]) => HammingDistance(children.head, children(1)))
 
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => VectorDot(children.head, children(1)))
+
+  val wordShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    (children: Seq[Expression]) => WordShingles(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    registry.registerFunction(hamming64Descriptor._1, hamming64Descriptor._2, hamming64Descriptor._3)
+    Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor).foreach { d =>
+      registry.registerFunction(d._1, d._2, d._3)
+    }
   }
 }

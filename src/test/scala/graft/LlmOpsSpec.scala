@@ -20,13 +20,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(d === docs.count())
   }
 
-  test("minhash signature has one row per shingled doc, hex-min per column") {
+  test("minhash signature has one row per doc with shingles, hex-min per column") {
     val sh = Dedup.shingled(docs, 3)
     val sig = Dedup.minhashSignature(sh, 8)
-    assert(sig.count() === sh.count())
+    assert(sig.count() === sh.filter(size(col("shingles")) > 0).count())
     val r = sig.head()
     (0 until 8).foreach { i =>
-      assert(r.getAs[String](s"h$i").matches("[0-9a-f]{32}"))
+      assert(r.getAs[String](s"h$i").matches("[0-9a-f]{8}"))
     }
   }
 
