@@ -1,0 +1,49 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** The reference's remaining sink surface (O14 console, O16 append
+  * JDBC, O17 Kafka stub) plus the file sinks a batch engine needs.
+  * The upsert path lives in [[JdbcUpsertSink]].
+  */
+object Sinks {
+
+  /** Console debug sink (reference `stream.print()`, Main.java:134). */
+  def console(df: DataFrame, numRows: Int = 20): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("console").option("numRows", numRows)
+
+  /** Kafka producer sink (the reference's empty SinkToKafka stub, made
+    * real). `df` must have a `value` (and optionally `key`) column.
+    * Untestable in this environment (no broker) but standard wiring. */
+  def kafka(df: DataFrame, brokers: String, topic: String,
+            checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Streaming parquet append sink (exactly-once per file via the
+    * checkpoint + _spark_metadata commit log). */
+  def parquetStream(df: DataFrame, path: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Batch parquet write, partitioned — the at-rest layout choice that
+    * decides scan pruning at 100 TB. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Batch JDBC append (reference O16 SinkToGreenplum — at-least-once;
+    * prefer [[JdbcUpsertSink]] for exactly-once upsert). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+}

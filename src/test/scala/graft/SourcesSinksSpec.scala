@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files => JFiles}
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+import graft.sources.{Files, Jdbc, Tables}
+
+/** JDBC source (Derby round-trip incl. pushed-down query), file
+  * sources/sinks round-trips, and the temp-view registration surface.
+  */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jdbc source: pushed-down dimension pre-join runs in the database") {
+    val url = "jdbc:derby:memory:srcdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE rooms (id INT PRIMARY KEY, name VARCHAR(32), loc VARCHAR(16))")
+    conn.createStatement().execute(
+      "CREATE TABLE locs (code VARCHAR(16) PRIMARY KEY, city VARCHAR(32))")
+    conn.createStatement().execute("INSERT INTO rooms VALUES (1,'A','f1'),(2,'B','f2')")
+    conn.createStatement().execute("INSERT INTO locs VALUES ('f1','SH'),('f2','BJ')")
+    // the reference's pattern: 2-table dim join pushed into the DB
+    val dim = Jdbc.query(spark, url,
+      "SELECT r.id AS room_id, r.name AS room_name, l.city FROM rooms r LEFT JOIN locs l ON r.loc = l.code")
+    val rows = dim.orderBy("room_id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1, "A", "SH"), (2, "B", "BJ")))
+    // whole-table scan
+    assert(Jdbc.table(spark, url, "rooms").count() === 2)
+    conn.close()
+  }
+
+  test("jdbc append sink + source round-trip") {
+    val url = "jdbc:derby:memory:snkdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE sink_out (k INT, v VARCHAR(16))")
+    Sinks.jdbcAppend(Seq((1, "a"), (2, "b")).toDF("k", "v"), url, "sink_out")
+    assert(Jdbc.table(spark, url, "sink_out").count() === 2)
+    conn.close()
+  }
+
+  test("csv and json round-trip with explicit schema") {
+    val dir = JFiles.createTempDirectory("fmt").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+    val csvBack = Files.csv(spark, s"$dir/csv", Some(df.schema))
+    val jsonBack = Files.json(spark, s"$dir/json", Some(df.schema))
+    assert(csvBack.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    assert(jsonBack.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = JFiles.createTempDirectory("part").toString + "/t"
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "grp", "v")
+    Sinks.parquet(df, dir, partitionBy = Seq("grp"))
+    val pruned = Files.parquet(spark, dir).filter(col("grp") === "a")
+    assert(pruned.count() === 2)
+    // partition pruning visible in the scan: only grp=a directory read
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("grp"), scan)
+  }
+
+  test("registerAll exposes every table to spark.sql (O6/O8 surface)") {
+    Files.registerAll(spark, sf)
+    assert(spark.sql("SELECT * FROM region").count() === 5)
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").as[Long].head() > 0)
+    val j = spark.sql(
+      """SELECT r_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(j.count() === 5)
+  }
+
+  test("streaming parquet file source + parquet sink round-trip") {
+    val in = JFiles.createTempDirectory("sin").toString
+    val out = JFiles.createTempDirectory("sout").toString
+    val ckpt = JFiles.createTempDirectory("sckpt").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    df.write.mode("overwrite").parquet(in)
+    val stream = Files.parquetStream(spark, in, df.schema)
+    val q = Sinks.parquetStream(stream.withColumn("s2", upper(col("s"))), s"$out/t", ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val back = Files.parquet(spark, s"$out/t")
+    assert(back.count() === 2)
+    assert(back.filter(col("s2") === "A").count() === 1)
+  }
+}
