@@ -239,6 +239,24 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    "rel_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))
+      Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("day"))
+    }),
+
+    "rel_scalar_subquery" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .withColumn("__avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > lit(1.5) * col("__avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ───────────────────────── LLM pipeline: dedup ─────────────────────────
 
     "dedup_exact" -> ((s, d) => {
@@ -282,6 +300,13 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, cellCol = "label")
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
         .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -535,6 +560,22 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "rel_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "rel_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+        |                      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
@@ -595,6 +636,33 @@ object SparkEntry {
          |scored AS (SELECT query_id, e.vec_id AS cand_id,
          |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
          |           FROM q JOIN e ON qlabel = e.label AND query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT h, list_transform(range(1, 65),
+         |    d -> strpos('0123456789abcdef',
+         |           substr(md5(CAST(h AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 1)) - 8.5) AS p
+         |  FROM range(0, 16) t(h)),
+         |e AS (SELECT vec_id, embedding,
+         |        ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+         |           i -> embedding[i]::DOUBLE * p[i])) > 0
+         |         THEN (CAST(1 AS BIGINT) << h) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         |  FROM e, planes GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, e.n2 AS qn2, s.sig >> 8 AS qblock
+         |      FROM e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id < 10),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, e.n2 AS cn2, s.sig >> 8 AS cblock
+         |      FROM e JOIN sigs s ON e.vec_id = s.vec_id),
+         |scored AS (SELECT query_id, cand_id,
+         |             round(${dotSql("qv", "cv")} / sqrt(qn2 * cn2), 4) AS cos
+         |           FROM q JOIN c ON qblock = cblock AND query_id <> cand_id),
          |ranked AS (SELECT query_id, cand_id, cos,
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)

@@ -72,6 +72,55 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
   }
 
+  /** Deterministic random-hyperplane components: plane h, dim d ↦
+    * (first md5 nibble of "h,d") − 7.5 ∈ [−7.5, 7.5]. md5-derived so
+    * the DuckDB oracle can regenerate the identical planes — no RNG
+    * state, no seed shipping. */
+  private[graft] def rpPlane(h: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to dims).map { d =>
+      val hex = md.digest(s"$h,$d".getBytes("UTF-8"))
+      // first hex character = high nibble of byte 0
+      ((hex(0) >> 4) & 0xf) - 7.5
+    }.toArray
+  }
+
+  /** Sign-random-projection LSH signature: bit h = sign(v · plane_h).
+    * Narrow — `numPlanes` codegen'd vec_dot calls per row, no shuffle.
+    * Neighbors in cosine tend to share signature bits, so signature
+    * byte-blocks make a sub-linear ANN candidate generator (the scale
+    * path; brute-force is the baseline). */
+  def rpLshSignature(df: DataFrame, numPlanes: Int = 16, dims: Int = 64,
+                     vecCol: String = "embedding"): DataFrame = {
+    require(numPlanes <= 63, "signature packs into a long")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val sig = (0 until numPlanes).map { h =>
+      val plane = typedlit(rpPlane(h, dims).toSeq)
+      when(dot(col(vecCol), plane) > 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("lsh_sig", sig)
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's signature
+    * high-byte bucket, then exact cosine top-k inside the bucket. Same
+    * equi-join shape as [[ivfTopK]] with a data-independent quantizer.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = rpLshSignature(withNorm(queries, vecCol), vecCol = vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"),
+        shiftright(col("lsh_sig"), 8).as("__qblock"))
+    val c = rpLshSignature(withNorm(candidates, vecCol), vecCol = vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"),
+        shiftright(col("lsh_sig"), 8).as("__cblock"))
+    val scored = c.join(broadcast(q),
+        col("__qblock") === col("__cblock") && col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+  }
+
   /** Embedding near-duplicate pairs: block on the coarse cell, score
     * all intra-cell pairs, keep cos ≥ threshold. Blocking keeps the
     * pair count at cells×(cell_size²) instead of N². */

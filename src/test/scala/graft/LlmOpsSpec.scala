@@ -79,6 +79,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rp-lsh planes are deterministic and signatures stable") {
+    assert(Similarity.rpPlane(0, 64).sameElements(Similarity.rpPlane(0, 64)))
+    assert(!Similarity.rpPlane(0, 64).sameElements(Similarity.rpPlane(1, 64)))
+    assert(Similarity.rpPlane(3, 64).forall(v => v >= -7.5 && v <= 7.5))
+    val s1 = Similarity.rpLshSignature(emb.limit(20)).select("lsh_sig").as[Long].collect()
+    val s2 = Similarity.rpLshSignature(emb.limit(20)).select("lsh_sig").as[Long].collect()
+    assert(s1.sameElements(s2))
+    assert(s1.forall(s => s >= 0 && s < (1L << 16)))
+  }
+
+  test("lsh ann candidates share the query's signature block") {
+    val sigs = Similarity.rpLshSignature(emb)
+      .select(col("vec_id"), shiftright(col("lsh_sig"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .foreach { case (q, c) => assert(sigs(q) === sigs(c)) }
+  }
+
   test("quality permilles are in range") {
     TextAnalysis.qualityScore(docs).collect().foreach { r =>
       assert(r.getAs[Long]("stop_permille") >= 0 && r.getAs[Long]("stop_permille") <= 1000)
