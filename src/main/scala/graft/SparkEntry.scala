@@ -239,6 +239,19 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Sketch aggregates: HLL++ distinct and t-digest-style quantiles.
+    // No oracleSql on purpose — sketch algorithms differ per engine, so
+    // the driver records the weaker rows-only check for this one.
+    "rel_approx_sketches" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "rel_pivot" -> ((s, d) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val aggs = types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))

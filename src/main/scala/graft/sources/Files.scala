@@ -36,6 +36,11 @@ object Files {
   def jsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     Tables.normalize(spark).readStream.schema(schema).json(path)
 
+  /** Raw line stream (one string column `value`) — the file-drop stand-in
+    * for a Kafka topic of Canal flat-JSON. */
+  def textStream(spark: SparkSession, path: String): DataFrame =
+    Tables.normalize(spark).readStream.text(path)
+
   /** Register every harness table as a temp view so `spark.sql` works
     * directly (the reference's registerDataStream/scan surface, O6/O8).
     */
