@@ -88,6 +88,28 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "cdc_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probe = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_sec"))
+      val build = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_sec"))
+      Relational.asOfJoin(probe, build, key = "user_id", tsCol = "ts_sec",
+          tieCol = "event_id", buildPayload = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          col("asof_event_id").as("view_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "cdc_scd2" -> ((s, d) => {
+      Relational.scd2(
+          Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts_sec")),
+          key = "user_id", tsCol = "ts_sec", tieCol = "event_id")
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     // ───────────────────────── Relational core ─────────────────────────
 
     "rel_pricing_summary" -> ((s, d) => {
@@ -452,6 +474,28 @@ object SparkEntry {
         |    ORDER BY date_trunc('second', ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "cdc_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec, event_type
+        |           FROM events)
+        |SELECT p.event_id, p.user_id, p.ts_sec,
+        |       (SELECT arg_max(v.event_id, v.ts_sec * 10000000 + v.event_id)
+        |        FROM e v
+        |        WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |          AND v.ts_sec <= p.ts_sec) AS view_id
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        |           FROM events)
+        |SELECT user_id, event_id, ts_sec AS valid_from,
+        |       lead(ts_sec) OVER w AS valid_to,
+        |       lead(ts_sec) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

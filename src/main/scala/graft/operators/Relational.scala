@@ -50,6 +50,72 @@ object Relational {
       .select(col("tag"), col(keyCol))
   }
 
+  /** As-of join (temporal join): for each probe row, the build row
+    * with the same key and the greatest timestamp ≤ the probe's.
+    *
+    * Implementation is the scalable union + carry-forward form — tag
+    * both sides, sort within key by (ts, side, tie), carry the last
+    * non-null build payload forward with an unbounded-preceding
+    * window, keep probe rows. ONE shuffle on the key, no per-pair
+    * range scan (a range join would be O(probe×build) per key).
+    * Build rows sort before probes at equal ts (inclusive as-of).
+    *
+    * `buildPayload` columns are appended to the probe rows (null when
+    * no build row precedes). `tieCol` must order build versions at
+    * equal timestamps (e.g. an id); the greatest wins.
+    */
+  def asOfJoin(probe: DataFrame, build: DataFrame, key: String, tsCol: String,
+               tieCol: String, buildPayload: Seq[String]): DataFrame = {
+    val probeCols = probe.columns
+    val nulled = buildPayload.foldLeft(
+      probe.withColumn("__side", lit(1)))((d, c) =>
+        d.withColumn(s"__b_$c", lit(null).cast(build.schema(c).dataType)))
+    val tagged = buildPayload.foldLeft(
+      build.select((key +: tsCol +: tieCol +: buildPayload).distinct.map(col): _*)
+        .withColumn("__side", lit(0)))((d, c) => d.withColumn(s"__b_$c", col(c)))
+      .select((Seq(key, tsCol, tieCol, "__side") ++ buildPayload.map(c => s"__b_$c")).map(col): _*)
+    val unioned = nulled
+      .select((Seq(key, tsCol, tieCol, "__side") ++ buildPayload.map(c => s"__b_$c")
+        ++ probeCols.filterNot(Seq(key, tsCol, tieCol).contains)).map(col): _*)
+      .unionByName(tagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = buildPayload.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__b_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .drop("__side").drop(buildPayload.map(c => s"__b_$c"): _*)
+  }
+
+  /** SCD-2 interval builder: per key, order versions by (ts, tie) and
+    * derive [valid_from, valid_to) with `lead`; the open interval is
+    * the current version. One shuffle on the key. */
+  def scd2(df: DataFrame, key: String, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Skew-tolerant equi-join: salt the (potentially skewed) left side
+    * into `saltBuckets` sub-keys and replicate the right side once per
+    * bucket, so one hot key spreads over `saltBuckets` reducers.
+    * Deterministic (salt = hash of the whole left row), same result
+    * set as the plain join. AQE's skew handling covers sort-merge
+    * joins; explicit salting is the tool when the skew is in a
+    * broadcast-ineligible build side or a groupBy follows. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(struct(left.columns.map(col): _*)), lit(saltBuckets)))
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+        saltedLeft("__salt") === saltedRight("__salt"), joinType)
+      .drop("__salt")
+  }
+
   /** Gap-based sessionization over integer epoch seconds: flag
     * session-starts with `lag`, number sessions with a running sum.
     * Two stacked windows over the same (user, time) order = one shuffle

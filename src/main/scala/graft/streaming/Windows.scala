@@ -37,6 +37,22 @@ object Windows {
       .select(col(userCol), col("win.start").as("sess_start"),
         col("win.end").as("sess_end"), col("n_events"))
 
+  /** Stream–stream inner join: both sides watermarked, right rows
+    * match left rows with the same key within `[leftTs - within,
+    * leftTs]`. The time bound + watermarks let Spark expire join state
+    * on both sides — the genuinely stateful join the reference's gap
+    * map calls out for CDC'd dimensions (SURVEY.md §7.4). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       within: String, maxLateness: String): DataFrame =
+    left.withWatermark(leftTs, maxLateness)
+      .join(right.withWatermark(rightTs, maxLateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs),
+        "inner")
+
   /** Sliding-window rates (the dashboard "last N minutes" view). */
   def sliding(events: DataFrame, tsCol: String, keyCol: String,
               windowLen: String, slide: String, maxLateness: String): DataFrame =

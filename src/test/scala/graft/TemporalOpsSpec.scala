@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.streaming.Windows
+
+/** As-of join, SCD2, salted join, stream–stream join semantics. */
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("asOfJoin picks the latest build row at or before the probe") {
+    val probe = Seq((101L, 7L, 50L), (102L, 7L, 10L), (103L, 8L, 5L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val build = Seq((1L, 7L, 10L), (2L, 7L, 40L), (3L, 7L, 60L), (4L, 9L, 1L))
+      .toDF("event_id", "user_id", "ts_sec")
+    val got = Relational.asOfJoin(probe, build, "user_id", "ts_sec", "event_id", Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(101L) === Some(2L)) // build at 40 ≤ 50, not 60
+    assert(got(102L) === Some(1L)) // inclusive: build at 10 == probe 10
+    assert(got(103L) === None)     // no build rows for user 8
+  }
+
+  test("asOfJoin ties at equal ts resolve to the greatest tie id") {
+    val probe = Seq((100L, 1L, 20L)).toDF("event_id", "user_id", "ts_sec")
+    val build = Seq((5L, 1L, 20L), (6L, 1L, 20L)).toDF("event_id", "user_id", "ts_sec")
+    val got = Relational.asOfJoin(probe, build, "user_id", "ts_sec", "event_id", Seq("event_id"))
+      .select(col("asof_event_id")).as[Long].head()
+    assert(got === 6L)
+  }
+
+  test("scd2 builds adjacent intervals with one current version per key") {
+    val df = Seq((7L, 1L, 10L), (7L, 2L, 30L), (7L, 3L, 20L), (8L, 4L, 5L))
+      .toDF("user_id", "event_id", "ts_sec")
+    val got = Relational.scd2(df, "user_id", "ts_sec", "event_id")
+      .select(col("event_id"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 10L, Some(20L), false)))
+    assert(got(1) === ((2L, 30L, None, true)))
+    assert(got(2) === ((3L, 20L, Some(30L), false)))
+    assert(got(3) === ((4L, 5L, None, true)))
+  }
+
+  test("saltedJoin returns exactly the plain join's result") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val customer = graft.sources.Tables.customer(spark, sf)
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
+    val salted = Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", 4)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").as[(String, Long)].collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("stream-stream join matches within the time bound and key") {
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val purchases = MemoryStream[(Timestamp, Long, String)]
+    val v = views.toDF().toDF("v_ts", "v_user", "v_id")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "p_id")
+    val joined = Windows.streamStreamJoin(p, v, "p_user", "v_user",
+      "p_ts", "v_ts", within = "1 HOUR", maxLateness = "10 minutes")
+    val q = joined.select("p_id", "v_id").writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    views.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "v1"),
+      (Timestamp.valueOf("2024-01-01 08:00:00"), 7L, "v2"), // too old for p1
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 9L, "v3")) // other user
+    purchases.addData((Timestamp.valueOf("2024-01-01 10:45:00"), 7L, "p1"))
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").as[(String, String)].collect().toSet
+    assert(got === Set(("p1", "v1")))
+    q.stop()
+  }
+}
