@@ -185,6 +185,22 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    "rel_topn_agg" -> ((s, d) => {
+      // Bounded top-k per group via the custom TypedImperativeAggregate:
+      // map-side partials keep only k rows per group per partition, so
+      // the shuffle moves k x groups rows instead of every row (the
+      // window row_number form, kept as the oracle, shuffles all).
+      graft.plans.GraftExtensions.register(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKRows.topk_rows(
+          struct(col("o_orderdate"), col("o_orderkey")), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.o_orderkey").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     "rel_topk" -> ((s, d) => {
       Relational.topK(Tables.orders(s, d),
           Seq(col("o_totalprice").desc, col("o_orderkey")), 100)
@@ -544,6 +560,14 @@ object SparkEntry {
         |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rel_topn_agg" ->
+      """SELECT o_custkey, rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HammingDistance, VectorDot, WordShingles}
+import graft.functions.{HammingDistance, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hamming64Descriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.topkRowsDescriptor)
   }
 }
 
@@ -39,11 +40,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
     (children: Seq[Expression]) => WordShingles(children.head, children(1)))
 
+  val topkRowsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_rows"),
+    new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
+    (children: Seq[Expression]) => TopKRows(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor).foreach { d =>
+    Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor, topkRowsDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }
