@@ -118,17 +118,18 @@ object Dedup {
     * the 128 md5 bits). One explode + one groupBy(doc) with 16 integer
     * sums — map-side combinable, portable across engines. */
   def simhash16(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HexPrefix16.hex_prefix16
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val tok = Partitioning.fanOut(docs)
       .select(col(idCol), explode(tokens(col("text"))).as("t"))
-      .withColumn("h4", substring(md5(col("t").cast("binary")), 1, 4))
-    val withNibs = (0 until 4).foldLeft(tok) { (d, c) =>
-      d.withColumn(s"nib$c",
-        expr(s"position(substring(h4, ${c + 1}, 1), '0123456789abcdef') - 1"))
-    }
+      .withColumn("v16", hex_prefix16(md5(col("t").cast("binary"))))
+    // bit j of the oracle's nibble decomposition: nibble j/4 is hex
+    // digit j/4 (v16 bits 12-4*(j/4)..), bit j%4 within it
     val votes = (0 until 16).map { j =>
-      sum(shiftright(col(s"nib${j / 4}"), j % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$j")
+      val shift = 12 - 4 * (j / 4) + (j % 4)
+      sum(shiftright(col("v16"), shift).bitwiseAND(lit(1)) * 2 - 1).as(s"s$j")
     }
-    val sig = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val hash = (0 until 16).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

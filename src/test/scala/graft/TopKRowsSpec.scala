@@ -54,6 +54,35 @@ class TopKRowsSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("topk_rows works as a stateful streaming aggregate") {
+    GraftExtensions.register(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val agg = mem.toDF().toDF("g", "ord")
+      .groupBy(col("g"))
+      .agg(topk_rows(struct(col("ord")), 2).as("top"))
+      .select(col("g"), expr("transform(top, x -> x.ord)").as("o"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("topk_stream").start()
+    mem.addData((1L, 30L), (1L, 10L))
+    q.processAllAvailable()
+    mem.addData((1L, 5L)) // displaces 30
+    q.processAllAvailable()
+    val latest = spark.table("topk_stream").as[(Long, Seq[Long])]
+      .collect().last._2
+    assert(latest === Seq(5L, 10L))
+    q.stop()
+  }
+
+  test("hex_prefix16 matches the hex-digit decomposition") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT hex_prefix16('beef1234'), hex_prefix16(md5('x'))").head()
+    assert(got.getInt(0) === 0xbeef)
+    // md5('x') = 9dd4e461268c8034f5c8564e155c67a6 → 0x9dd4
+    assert(got.getInt(1) === 0x9dd4)
+  }
+
   test("partial aggregation appears below the shuffle in the plan") {
     GraftExtensions.register(spark)
     val df = graft.sources.Tables.orders(spark, sf)
