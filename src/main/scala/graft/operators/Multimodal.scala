@@ -54,6 +54,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Byte-histogram featurization: a fixed-length numeric feature
+    * vector (16 buckets over byte values) per blob — the stand-in for
+    * an embedding/feature-extraction stage (CLIP features, mel
+    * spectrogram stats, …), with the real contract: binary in,
+    * `array<double>` out, constant-memory per-partition iteration.
+    * Deterministic, so downstream similarity search over the features
+    * is testable; plugs straight into [[Similarity]] (vec_dot works on
+    * any array<double>). */
+  def featurize(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val hist = new Array[Double](16)
+        bytes.foreach(b => hist((b & 0xff) >> 4) += 1.0)
+        val n = math.max(bytes.length, 1).toDouble
+        Row(r.getLong(0), hist.map(_ / n).toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: cut the payload into fixed-size frames, keep the
     * first `maxFrames`, hash each — the shape of video frame-sample /
     * audio-chunk features. Narrow (sequence + substring per row). */
