@@ -417,21 +417,30 @@ object SparkEntry {
 
   private def simhashOracle: String = simhashOracleBody + "\nORDER BY doc_id"
 
+  /** DuckDB: 8 lowercase-hex chars of `m` starting at 1-based `start`,
+    * as an unsigned 32-bit value in a BIGINT — the nibble-sum twin of
+    * the Spark-side native `hex_slice_long` expression. */
+  private def hexSliceSql(m: String, start: Int): String =
+    (0 until 8).map { c =>
+      s"(CAST(strpos('0123456789abcdef', substr($m, ${start + c}, 1)) - 1 AS BIGINT) << ${4 * (7 - c)})"
+    }.mkString(" + ")
+
   private def minhashOracle: String = {
     val hs = (0 until 8).map { i =>
-      val digest = if (i < 4) "md5(s)" else "md5('8|' || s)"
-      s"  min(substr($digest, ${(i % 4) * 8 + 1}, 8)) AS h$i"
+      val digest = if (i < 4) "m1" else "m2"
+      s"  min(${hexSliceSql(digest, (i % 4) * 8 + 1)}) AS h$i"
     }.mkString(",\n")
     val bands = (0 until 4).map(b =>
-      s"  SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bv FROM sig")
+      s"  SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR AS bv FROM sig")
       .mkString("\n  UNION ALL\n")
     s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
        |shg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
        |        FROM toks WHERE len(tk) >= 3),
+       |dg AS (SELECT doc_id, md5(s) AS m1, md5('8|' || s) AS m2 FROM shg),
        |sig AS (SELECT doc_id,
        |$hs
-       |FROM shg GROUP BY doc_id),
+       |FROM dg GROUP BY doc_id),
        |bands AS (
        |$bands)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -40,31 +40,25 @@ object CurateCorpusJob {
     // 1. quality gate
     val scored = docs.join(
       TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score")), "doc_id")
-    val quality = scored.filter(col("quality_score") >= minQuality).drop("quality_score")
+    val quality = scored.filter(col("quality_score") >= minQuality)
+      .drop("quality_score").cache()
     val nQuality = quality.count()
 
-    // 2. exact dedup: keep each content hash's smallest doc_id
+    // 2. exact dedup: keep each content hash's smallest doc_id.
+    // exactDeduped feeds three downstream consumers (signatures, token
+    // sets, the anti-join) plus a count — cache it so the scan +
+    // quality gate + dedup join run once, not four times.
     val keepIds = Dedup.exact(quality).select(col("keep_id").as("doc_id"))
-    val exactDeduped = quality.join(keepIds, "doc_id")
+    val exactDeduped = quality.join(keepIds, "doc_id").cache()
     val nExact = exactDeduped.count()
 
     // 3. near-dedup: LSH candidates, Jaccard-verified, drop the
-    // greater id of each verified pair
+    // greater id of each verified pair (cluster representative =
+    // smallest id — the linear-pass approximation of connected
+    // components that curation pipelines use at scale)
     val sig = Dedup.minhashSignature(Dedup.shingled(exactDeduped, k = 3))
     val candidates = Dedup.lshCandidatePairs(sig)
-    val verified = Dedup.jaccardPairs(exactDeduped, Seq.empty, jaccardPermille) match {
-      case _ => // jaccard over candidate pairs, not blocks: join candidates back
-        val withSets = exactDeduped
-          .withColumn("tset", array_distinct(Dedup.tokens(col("text"))))
-          .select(col("doc_id"), col("tset"))
-        candidates
-          .join(withSets.select(col("doc_id").as("doc_a"), col("tset").as("ta")), "doc_a")
-          .join(withSets.select(col("doc_id").as("doc_b"), col("tset").as("tb")), "doc_b")
-          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-          .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
-          .filter(floor(col("inter") * 1000 / col("uni")) >= jaccardPermille)
-          .select(col("doc_a"), col("doc_b"))
-    }
+    val verified = Dedup.jaccardVerify(exactDeduped, candidates, jaccardPermille)
     val losers = verified.select(col("doc_b").as("doc_id")).distinct()
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val nKept = curated.count()

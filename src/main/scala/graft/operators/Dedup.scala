@@ -47,13 +47,18 @@ object Dedup {
 
   /** MinHash signature: 8 independent 32-bit permutations carved out
     * of two md5 digests per shingle (md5(shingle) and md5("8|"+shingle),
-    * 4 × 8-hex-char slices each); h_i(doc) = lexicographic min of
-    * slice_i — equivalent to a numeric 32-bit minhash. Two digests per
-    * shingle instead of eight: the md5 calls dominate signature cost.
+    * 4 × 32-bit slices each); h_i(doc) = numeric min of slice_i. Two
+    * digests per shingle instead of eight: the md5 calls dominate
+    * signature cost. Slices are parsed to LONG by the native
+    * [[graft.functions.HexSliceLong]] expression so the groupBy plans a
+    * HashAggregate (fixed-width buffers) — min over the raw hex STRING
+    * slice falls back to SortAggregate, a per-group sort at 100 TB.
     * One explode + one groupBy(doc) with 8 min-aggregates (map-side
     * combinable). */
   def minhashSignature(shingled: DataFrame, numHashes: Int = 8,
                        idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(shingled.sparkSession)
     require(numHashes == 8, "minhashSignature is tuned for 8 hashes (2 md5 digests)")
     val ex = shingled
       .select(col(idCol), explode(col("shingles")).as("sh"))
@@ -61,22 +66,25 @@ object Dedup {
       .withColumn("m2", md5(concat(lit("8|"), col("sh")).cast("binary")))
     val aggs = (0 until numHashes).map { i =>
       val src = if (i < 4) "m1" else "m2"
-      min(substring(col(src), (i % 4) * 8 + 1, 8)).as(s"h$i")
+      min(hex_slice_long(col(src), (i % 4) * 8)).as(s"h$i")
     }
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Banded LSH: hash `rowsPerBand` consecutive signature rows per
-    * band, self-join on (band, bandHash) to produce candidate pairs
-    * (a < b). The join key is the band hash — only true bucket
-    * collisions meet, so the shuffle is proportional to docs×bands,
-    * not docs². */
+  /** Banded LSH: band value = the `rowsPerBand` consecutive numeric
+    * signature rows joined as a decimal string, self-join on
+    * (band, bandValue) to produce candidate pairs (a < b). The join key
+    * is the band value — only true bucket collisions meet, so the
+    * shuffle is proportional to docs×bands, not docs². No hashing of
+    * the band value: the 32-bit minhash slices already are hashes, and
+    * a short concat key shuffles cheaper than an md5 over it. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
                         idCol: String = "doc_id"): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("bv"))
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
     }
     val buckets = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
@@ -96,6 +104,10 @@ object Dedup {
     * an LSH band or (source, shard) — never unblocked. */
   def jaccardPairs(docs: DataFrame, blockCols: Seq[String],
                    thresholdPermille: Int, idCol: String = "doc_id"): DataFrame = {
+    require(blockCols.nonEmpty,
+      "jaccardPairs needs at least one blocking column — an unblocked " +
+        "self-join is O(n²) and will not survive scale. For an explicit " +
+        "candidate-pair set (e.g. LSH candidates) use jaccardVerify.")
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col("text"))))
       .select((idCol +: "tset" +: blockCols).map(col): _*)
@@ -111,6 +123,27 @@ object Dedup {
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac_permille"))
+  }
+
+  /** Exact Jaccard verification over an explicit candidate-pair set
+    * (`doc_a`, `doc_b` — e.g. [[lshCandidatePairs]] output): join each
+    * side's distinct-token set onto the pair, keep pairs ≥ threshold.
+    * Two equi-joins keyed on the doc id — shuffle is proportional to
+    * |candidates| + |docs|, never all-pairs. Integer permille
+    * arithmetic end-to-end (engine-exact). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, thresholdPermille: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val withSets = Partitioning.fanOut(docs)
+      .withColumn("tset", array_distinct(tokens(col("text"))))
+      .select(col(idCol), col("tset"))
+    pairs
+      .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta")), "doc_a")
+      .join(withSets.select(col(idCol).as("doc_b"), col("tset").as("tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
+      .filter(col("jac_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("jac_permille"))
   }
 
   /** 16-bit SimHash over tokens: bit j of the hash is the sign of the

@@ -14,7 +14,15 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Streaming frames: `df.rdd` throws AnalysisException, and micro-batch
+    // parallelism already comes from the source (Kafka topic partitions,
+    // maxFilesPerTrigger) — an unconditional repartition would add a
+    // shuffle to EVERY micro-batch. Pass through unchanged so the dedup /
+    // similarity operators compose with readStream inputs.
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

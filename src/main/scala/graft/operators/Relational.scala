@@ -106,6 +106,17 @@ object Relational {
     * broadcast-ineligible build side or a groupBy follows. */
   def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    // Replicating the right side once per salt bucket preserves inner /
+    // left-ish semantics (each left row carries exactly one salt), but a
+    // right/full outer join would null-extend every unmatched right
+    // REPLICA — `saltBuckets` duplicate rows per unmatched right key.
+    // Refuse rather than silently corrupt; salt the other side instead.
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got '$joinType' — " +
+        "right/full outer would duplicate unmatched right rows per salt bucket " +
+        "(swap the sides, or use AQE skew handling for outer joins)")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(struct(left.columns.map(col): _*)), lit(saltBuckets)))
     val saltedRight = right

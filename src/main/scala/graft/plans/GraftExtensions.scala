@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HammingDistance, HexPrefix16, TopKRows, VectorDot, WordShingles}
+import graft.functions.{HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)
     ext.injectFunction(GraftExtensions.hexPrefix16Descriptor)
+    ext.injectFunction(GraftExtensions.hexSliceLongDescriptor)
   }
 }
 
@@ -51,11 +52,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HexPrefix16].getName, "hex_prefix16"),
     (children: Seq[Expression]) => HexPrefix16(children.head))
 
+  val hexSliceLongDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hex_slice_long"),
+    new ExpressionInfo(classOf[HexSliceLong].getName, "hex_slice_long"),
+    (children: Seq[Expression]) => HexSliceLong(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor, topkRowsDescriptor, hexPrefix16Descriptor).foreach { d =>
+    Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
+        topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -95,9 +95,8 @@ object JdbcUpsertSink {
              versionCol: Option[String] = None): (DataFrame, Long) => Unit =
     (batch, _) => {
       val compacted = versionCol match {
-        case Some(v) if keyCols.size == 1 =>
-          graft.streaming.Changelog.compactBatch(batch, keyCols.head, v)
-        case _ => batch
+        case Some(v) => graft.streaming.Changelog.compactBatch(batch, keyCols, v)
+        case None => batch
       }
       write(compacted, table, keyCols, valCols,
         () => DriverManager.getConnection(url), dialect, opCol)

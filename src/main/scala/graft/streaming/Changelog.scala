@@ -38,9 +38,14 @@ object Changelog {
       }
   }
 
-  /** Batch twin of [[compact]] for replay/backfill: one row per key,
-    * newest version wins (same semantics as Relational.latestByKey). */
-  def compactBatch(events: DataFrame, keyCol: String, versionCol: String): DataFrame =
+  /** Batch twin of [[compact]] for replay/backfill: one row per
+    * (possibly composite) key, newest version wins (same semantics as
+    * Relational.latestByKey). */
+  def compactBatch(events: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame =
     graft.operators.Relational.latestByKey(events,
-      Seq(col(keyCol)), Seq(col(versionCol)))
+      keyCols.map(col), Seq(col(versionCol)))
+
+  /** Single-key convenience form. */
+  def compactBatch(events: DataFrame, keyCol: String, versionCol: String): DataFrame =
+    compactBatch(events, Seq(keyCol), versionCol)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.CurateCorpusJob
+import graft.operators.Dedup
+
+/** End-to-end proof for the flagship curation pipeline: it must run to
+  * completion on real testdata and its stats must partition the input.
+  */
+class CurateCorpusJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate runs end-to-end on sf0.001 and stats partition the input") {
+    val (out, stats) = CurateCorpusJob.curate(spark, sf)
+    val n = out.count()
+    assert(stats.input > 0)
+    assert(n === stats.kept)
+    assert(stats.input === stats.lowQuality + stats.exactDups + stats.nearDups + stats.kept,
+      s"stats do not partition the input: $stats")
+    assert(stats.kept > 0 && stats.kept <= stats.input)
+    assert(out.columns.contains("fp"))
+    assert(out.select("doc_id").distinct().count() === n)
+  }
+
+  test("curated output contains no exact duplicate texts") {
+    val (out, _) = CurateCorpusJob.curate(spark, sf)
+    val dupGroups = out.groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupGroups === 0L)
+  }
+
+  test("jaccardPairs refuses empty blocking columns") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](Dedup.jaccardPairs(d, Seq.empty, 900))
+    assert(e.getMessage.contains("blocking"))
+  }
+
+  test("jaccardVerify scores an explicit candidate-pair set") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val v = Dedup.jaccardVerify(d, pairs, 900).collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[Long]("doc_a") === 1L && v.head.getAs[Long]("doc_b") === 2L)
+    assert(v.head.getAs[Long]("jac_permille") === 1000L)
+  }
+}

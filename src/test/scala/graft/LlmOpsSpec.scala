@@ -20,14 +20,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(d === docs.count())
   }
 
-  test("minhash signature has one row per doc with shingles, hex-min per column") {
+  test("minhash signature has one row per doc with shingles, u32 min per column") {
     val sh = Dedup.shingled(docs, 3)
     val sig = Dedup.minhashSignature(sh, 8)
     assert(sig.count() === sh.filter(size(col("shingles")) > 0).count())
     val r = sig.head()
     (0 until 8).foreach { i =>
-      assert(r.getAs[String](s"h$i").matches("[0-9a-f]{8}"))
+      val v = r.getAs[Long](s"h$i")
+      assert(v >= 0L && v < (1L << 32))
     }
+  }
+
+  test("numeric minhash signature plans HashAggregate, not SortAggregate") {
+    val sig = Dedup.minhashSignature(Dedup.shingled(docs, 3), 8)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("hex_slice_long matches the hex prefix semantics") {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(spark)
+    val r = Seq("00000001ffffffffcafebabe00000000").toDF("h")
+      .select(hex_slice_long(col("h"), 0).as("a"), hex_slice_long(col("h"), 8).as("b"),
+        hex_slice_long(col("h"), 16).as("c"))
+      .head()
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 0xffffffffL)
+    assert(r.getLong(2) === 0xcafebabeL)
   }
 
   test("identical texts are LSH candidates") {
