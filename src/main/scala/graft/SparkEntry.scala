@@ -387,6 +387,19 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => {
       Multimodal.frames(Tables.documents(s, d), frameSize = 32, maxFrames = 4)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Byte-histogram featurization (the deterministic stand-in for an
+    // embedding extractor): spot-check three of the 16 buckets as
+    // scalars. doc_id < 200 keeps the DuckDB side (per-byte list scan)
+    // cheap; the Spark side is a single mapPartitions pass either way.
+    "mm_featurize" -> ((s, d) => {
+      val blobs = Multimodal.asBlob(
+        Tables.documents(s, d).filter(col("doc_id") < 200 && length(col("text")) > 0))
+      Multimodal.featurize(blobs)
+        .select(col("doc_id") +:
+          Seq(0, 7, 15).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -816,6 +829,23 @@ object SparkEntry {
       """SELECT doc_id, i AS frame_idx, md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
         |FROM documents, range(0, 4) t(i)
         |WHERE i * 32 < length(text)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Byte-histogram buckets = high nibble of each UTF-8 byte. DuckDB:
+    // hex() the blob (uppercase), bucket b's count = occurrences of hex
+    // digit b at ODD positions (2i-1 = byte i's high nibble). Exact-int
+    // count / exact-int length → bit-identical double division.
+    "mm_featurize" -> {
+      val buckets = Seq(0, 7, 15).map { b =>
+        val digit = "0123456789ABCDEF".charAt(b)
+        s"""       CAST(len(list_filter(range(1, n + 1), i -> substr(hx, 2*i - 1, 1) = '$digit')) AS DOUBLE) / n AS f$b"""
+      }.mkString(",\n")
+      s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+         |             octet_length(CAST(text AS BLOB)) AS n
+         |           FROM documents WHERE doc_id < 200 AND length(text) > 0)
+         |SELECT doc_id,
+         |$buckets
+         |FROM h ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -28,22 +28,57 @@ object CanalCodec {
     * op-type set parameterized — the reference hard-codes INSERT only
     * (JsonFilter.java:16) although its own README requires
     * INSERT+UPDATE; we accept any subset of {INSERT,UPDATE,DELETE}.
+    * `database` closes a gap the reference shares: a multi-database
+    * Canal topic with same-named tables leaks rows across databases
+    * when filtering on table alone.
     */
   def changes(envelopes: DataFrame, table: String,
-              ops: Set[String] = Set("INSERT", "UPDATE", "DELETE")): DataFrame =
-    envelopes.filter(
+              ops: Set[String] = Set("INSERT", "UPDATE", "DELETE"),
+              database: Option[String] = None): DataFrame = {
+    val base =
       !coalesce(col("isDdl"), lit(false)) &&
       col("table") === table &&
-      col("type").isin(ops.toSeq: _*))
+      col("type").isin(ops.toSeq: _*)
+    envelopes.filter(database.fold(base)(db => base && col("database") === db))
+  }
 
   /** Flatten the `data` array: one output row per changed MySQL row,
-    * keeping the op type and binlog event-time (reference O4 without
-    * the CSV detour). */
+    * keeping the op type, binlog event-time, and the positionally
+    * aligned `old` entry (Canal puts the PRIOR values of the columns an
+    * UPDATE changed — and only those — in `old[i]` for `data[i]`,
+    * reference BinLogBean.java:22, README.md:599–611; the reference
+    * parsed and then ignored it). Reference O4 without the CSV detour. */
   def rows(changes: DataFrame): DataFrame =
-    changes.select(
-      col("type").as("op"),
-      col("es"),
-      explode(col("data")).as("row"))
+    changes
+      .select(
+        col("type").as("op"),
+        col("es"),
+        col("old"),
+        posexplode(col("data")).as(Seq("__pos", "row")))
+      .withColumn("old_row",
+        when(col("op") === "UPDATE", element_at(col("old"), col("__pos") + 1)))
+      .drop("old", "__pos")
+
+  /** The set of columns an UPDATE actually changed (= the keys of its
+    * aligned `old` entry); null for non-UPDATE rows and for streams
+    * where Canal's `old` capture is off. Narrow. */
+  def changedColumns(rows: DataFrame): DataFrame =
+    rows.withColumn("changed_cols",
+      when(col("op") === "UPDATE" && col("old_row").isNotNull,
+        map_keys(col("old_row"))))
+
+  /** Drop UPDATE events that touched none of the projected columns —
+    * the events that would otherwise churn the sink with identical
+    * rows (a real CDC user hits this daily: MySQL tables carry
+    * `update_time`-style columns the projection never reads). UPDATEs
+    * with no `old` capture are kept (conservative: unknown ≠ no-op);
+    * INSERT/DELETE always pass. Narrow filter, no shuffle. */
+  def dropNoOpUpdates(rows: DataFrame, projectedCols: Seq[String]): DataFrame =
+    rows.filter(
+      col("op") =!= "UPDATE" ||
+      col("old_row").isNull ||
+      arrays_overlap(map_keys(col("old_row")),
+        array(projectedCols.map(lit): _*)))
 
   private def f(name: String): Column = col("row").getItem(name)
 
@@ -61,8 +96,20 @@ object CanalCodec {
       col("op"),
       col("es"))
 
-  /** Full pipeline: raw Canal JSON → typed meeting change events. */
+  /** The meeting projection's source columns — UPDATEs touching none
+    * of these are no-ops for the sink. */
+  val meetingProjectedCols: Seq[String] =
+    Seq("id", "meeting_code", "address_id", "mstart_date", "mend_date")
+
+  /** Full pipeline: raw Canal JSON → typed meeting change events.
+    * `skipNoOpUpdates` applies [[dropNoOpUpdates]] over the meeting
+    * projection's columns. */
   def meetingPipeline(raw: DataFrame, jsonCol: String = "value",
-                      ops: Set[String] = Set("INSERT", "UPDATE")): DataFrame =
-    meetingEvents(rows(changes(decode(raw, jsonCol), "t_meeting_info", ops)))
+                      ops: Set[String] = Set("INSERT", "UPDATE"),
+                      database: Option[String] = None,
+                      skipNoOpUpdates: Boolean = false): DataFrame = {
+    val r = rows(changes(decode(raw, jsonCol), "t_meeting_info", ops, database))
+    val kept = if (skipNoOpUpdates) dropNoOpUpdates(r, meetingProjectedCols) else r
+    meetingEvents(kept)
+  }
 }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Changelog {
 
   final case class VersionedEvent(key: Long, version: Long, payload: String)
+  final case class TimedVersionedEvent(key: Long, version: Long, payload: String,
+                                       ts: java.sql.Timestamp)
   final case class KeyState(version: Long, payload: String)
 
   /** flatMapGroupsWithState worker: emit the event iff it advances the
@@ -34,6 +36,40 @@ object Changelog {
               state.update(KeyState(e.version, e.payload))
               Iterator.single(e)
             case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** [[compact]] with bounded state: each key's dedup state expires once
+    * the event-time watermark passes (last event time + `ttlMs`). At
+    * 100 TB of churning keys, NoTimeout state grows with every key ever
+    * seen — an event-time TTL caps it at the keys active within the TTL
+    * window. Trade-off: an event for a key arriving later than the TTL
+    * is re-emitted even if stale; choose `ttlMs` larger than the
+    * source's maximum disorder (the idempotent upsert sink keyed on a
+    * version column still converges downstream). */
+  def compactExpiring(events: Dataset[TimedVersionedEvent], watermarkDelay: String,
+                      ttlMs: Long): Dataset[TimedVersionedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TimedVersionedEvent], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = it.reduceOption((a, b) => if (b.version > a.version) b else a)
+            val out = newest match {
+              case Some(e) if !state.exists || e.version > state.get.version =>
+                state.update(KeyState(e.version, e.payload))
+                Iterator.single(e)
+              case _ => Iterator.empty
+            }
+            // any activity on the key pushes its expiry forward
+            newest.foreach(e => state.setTimeoutTimestamp(e.ts.getTime + ttlMs))
+            out
           }
       }
   }

@@ -58,6 +58,66 @@ class CanalCodecSpec extends SparkSpec {
     assert(r.count() === 4) // 1 + 1 + 2
   }
 
+  private def envOld(typ: String, rows: String, old: String, db: String = "mrbs"): String =
+    s"""{"data":$rows,"database":"$db","es":1700000000000,"id":7,"isDdl":false,
+       |"mysqlType":{"id":"int"},"old":$old,"sql":"","sqlType":{"id":4},
+       |"table":"t_meeting_info","ts":1700000000123,"type":"$typ"}"""
+      .stripMargin.replace("\n", "")
+
+  test("old rows align positionally with data rows") {
+    val multi = envOld("UPDATE",
+      """[{"id":"1","meeting_code":"a"},{"id":"2","meeting_code":"b"}]""",
+      """[{"meeting_code":"a0"},{"address_id":"9"}]""")
+    val r = CanalCodec.rows(CanalCodec.changes(
+      CanalCodec.decode(Seq(multi).toDF("value")), "t_meeting_info"))
+    val byId = r.collect().map(x =>
+      x.getAs[Map[String, String]]("row")("id") ->
+        x.getAs[Map[String, String]]("old_row")).toMap
+    assert(byId("1") === Map("meeting_code" -> "a0"))
+    assert(byId("2") === Map("address_id" -> "9"))
+  }
+
+  test("changedColumns exposes the UPDATE's changed set; null for INSERT and missing old") {
+    val upd = envOld("UPDATE", """[{"id":"1","meeting_code":"x"}]""",
+      """[{"meeting_code":"old-code"}]""")
+    val df = Seq(upd, insert, update).toDF("value")
+    val cc = CanalCodec.changedColumns(CanalCodec.rows(
+      CanalCodec.changes(CanalCodec.decode(df), "t_meeting_info"))).collect()
+    val withOld = cc.filter(r => !r.isNullAt(r.fieldIndex("changed_cols")))
+    assert(withOld.length === 1)
+    assert(withOld.head.getAs[Seq[String]]("changed_cols") === Seq("meeting_code"))
+  }
+
+  test("dropNoOpUpdates keeps only UPDATEs touching projected columns") {
+    val touching = envOld("UPDATE", """[{"id":"1","meeting_code":"x"}]""",
+      """[{"meeting_code":"was"}]""")
+    val noOp = envOld("UPDATE", """[{"id":"2","meeting_code":"y"}]""",
+      """[{"update_time":"2024-01-01 00:00:00"}]""")
+    val noCapture = update // old: null in the shared fixture
+    val ins = insert
+    val df = Seq(touching, noOp, noCapture, ins).toDF("value")
+    val kept = CanalCodec.dropNoOpUpdates(
+      CanalCodec.rows(CanalCodec.changes(CanalCodec.decode(df), "t_meeting_info")),
+      CanalCodec.meetingProjectedCols)
+    val got = kept.collect()
+    assert(got.length === 3) // noOp dropped; touching + null-old UPDATE + INSERT kept
+    val ids = got.map(_.getAs[Map[String, String]]("row")("id")).toSet
+    assert(ids === Set("1", "11")) // "2" (the no-op) is gone
+  }
+
+  test("database filter separates same-named tables across databases") {
+    val a = envOld("INSERT", """[{"id":"1"}]""", "null", db = "mrbs")
+    val b = envOld("INSERT", """[{"id":"2"}]""", "null", db = "other_db")
+    val df = Seq(a, b).toDF("value")
+    val all = CanalCodec.changes(CanalCodec.decode(df), "t_meeting_info")
+    assert(all.count() === 2)
+    val only = CanalCodec.changes(CanalCodec.decode(df), "t_meeting_info",
+      database = Some("mrbs"))
+    val rows = CanalCodec.rows(only).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Map[String, String]]("row")("id") === "1")
+  }
+
   test("meetingEvents types fields, survives commas in values and nulls") {
     val ev = CanalCodec.meetingPipeline(raw).collect()
     assert(ev.length === 4)

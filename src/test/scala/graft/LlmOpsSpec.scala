@@ -154,6 +154,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("featurize: 16 normalized buckets, sums to 1, deterministic") {
+    val f = Multimodal.featurize(Multimodal.asBlob(docs.limit(50))).collect()
+    assert(f.length === 50)
+    f.foreach { r =>
+      val h = r.getSeq[Double](1)
+      assert(h.length === 16)
+      assert(math.abs(h.sum - 1.0) < 1e-9)
+      assert(h.forall(v => v >= 0.0 && v <= 1.0))
+    }
+    val again = Multimodal.featurize(Multimodal.asBlob(docs.limit(50))).collect()
+    assert(f.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("blob → featurize → ANN e2e: ranked neighbors over extracted features") {
+    val feats = Multimodal.featurize(Multimodal.asBlob(docs))
+      .withColumnRenamed("features", "embedding")
+    val res = Similarity.bruteForceTopK(
+      feats.filter(col("doc_id") < 3), feats, 5, idCol = "doc_id")
+    val byQuery = res.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery.size === 3 && byQuery.values.forall(_ === 5L))
+    // exact duplicate texts have identical features → cosine 1 at rank 1
+    val twin = feats.limit(1)
+      .union(feats.limit(1).withColumn("doc_id", col("doc_id") + 1000000))
+    val self = Similarity.bruteForceTopK(twin.filter(col("doc_id") >= 1000000), twin, 1,
+      idCol = "doc_id")
+    assert(math.abs(self.select("cos").as[Double].head() - 1.0) < 1e-9)
+  }
+
   test("frames cover payload prefix with correct hashes") {
     val d = Seq((1L, "a" * 70)).toDF("doc_id", "text")
     val fr = Multimodal.frames(d, 32, 4).orderBy("frame_idx").collect()

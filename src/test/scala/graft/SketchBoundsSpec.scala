@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Error-bound validation for the sketch query (`rel_approx_sketches`),
+  * which has no cross-engine oracle by design: sketch internals differ
+  * per engine, but the DOCUMENTED error bounds can be asserted against
+  * the exact answers. Guards against a regression to garbage sketch
+  * values that the rows-only driver check would wave through.
+  */
+class SketchBoundsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct is within 3×rsd of the exact distinct count") {
+    val approx = SparkEntry.queries("rel_approx_sketches")(spark, dir)
+      .select("l_returnflag", "approx_parts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, nd) =>
+      val err = math.abs(approx(flag) - nd).toDouble / nd
+      assert(err <= 0.06, s"flag $flag: approx ${approx(flag)} vs exact $nd (err $err > 3×rsd)")
+    }
+  }
+
+  test("approx percentiles fall within the rank tolerance of the exact order statistics") {
+    val res = SparkEntry.queries("rel_approx_sketches")(spark, dir)
+      .select("l_returnflag", "p50_price", "p99_price")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sorted = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(sort_array(collect_list(col("l_extendedprice").cast("double"))).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((flag, (p50, p99)) <- res; ps = sorted(flag); n = ps.length) {
+      // percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
+      // allow 2× slack plus a floor for tiny groups
+      val tol = math.max(2, 2 * n / 1000)
+      def within(v: Double, p: Double): Boolean = {
+        val target = math.min(n - 1, math.max(0, math.ceil(p * n).toInt - 1))
+        val lo = ps(math.max(0, target - tol))
+        val hi = ps(math.min(n - 1, target + tol))
+        v >= lo && v <= hi
+      }
+      assert(within(p50, 0.5), s"flag $flag p50 $p50 outside rank tolerance")
+      assert(within(p99, 0.99), s"flag $flag p99 $p99 outside rank tolerance")
+    }
+  }
+}

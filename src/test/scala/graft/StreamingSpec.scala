@@ -122,6 +122,56 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("upsert sink compacts composite keys and replays idempotently") {
+    val url = "jdbc:derby:memory:compdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE kv2 (k1 INT NOT NULL, k2 VARCHAR(8) NOT NULL,
+        |v VARCHAR(16), ver BIGINT, PRIMARY KEY (k1, k2))""".stripMargin)
+    val w = JdbcUpsertSink.writer(url, "kv2", keyCols = Seq("k1", "k2"),
+      valCols = Seq("v", "ver"), versionCol = Some("ver"))
+    // two versions of the same composite key inside ONE batch: without
+    // compaction the second INSERT violates the PK / lands nondeterministically
+    val batch = Seq(
+      (1, "a", "old", 1L), (1, "a", "new", 2L),
+      (1, "b", "x", 1L), (2, "a", "y", 1L)
+    ).toDF("k1", "k2", "v", "ver")
+    w(batch, 0L)
+    w(batch, 1L) // micro-batch replay after a simulated failure
+    val rs = conn.createStatement().executeQuery("SELECT k1, k2, v FROM kv2 ORDER BY k1, k2")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2), r.getString(3))).toList
+    assert(got === List((1, "a", "new"), (1, "b", "x"), (2, "a", "y")))
+    conn.close()
+  }
+
+  test("expiring changelog state: key state is dropped after the event-time TTL") {
+    def ev(k: Long, v: Long, p: String, t: String) =
+      Changelog.TimedVersionedEvent(k, v, p, Timestamp.valueOf(t))
+    val mem = MemoryStream[Changelog.TimedVersionedEvent]
+    val q = Changelog.compactExpiring(mem.toDS(), "0 seconds", ttlMs = 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("exp_out").start()
+    mem.addData(ev(1, 10, "a", "2024-01-01 10:00:00"))
+    q.processAllAvailable()
+    // stale version within TTL: dropped by state
+    mem.addData(ev(1, 9, "stale", "2024-01-01 10:00:30"))
+    q.processAllAvailable()
+    // other-key traffic advances the watermark past key 1's expiry
+    mem.addData(ev(2, 1, "x", "2024-01-01 10:10:00"))
+    q.processAllAvailable()
+    mem.addData(ev(2, 2, "x2", "2024-01-01 10:10:01"))
+    q.processAllAvailable()
+    // key 1's state expired → the same stale version is now re-accepted,
+    // which is only possible if the TTL removed the state
+    mem.addData(ev(1, 9, "after-expiry", "2024-01-01 10:10:02"))
+    q.processAllAvailable()
+    val got = spark.table("exp_out").as[Changelog.TimedVersionedEvent]
+      .collect().map(e => (e.key, e.version, e.payload)).toSet
+    assert(got === Set((1L, 10L, "a"), (2L, 1L, "x"), (2L, 2L, "x2"),
+      (1L, 9L, "after-expiry")))
+    q.stop()
+  }
+
   test("changelog compaction emits only version advances") {
     val mem = MemoryStream[Changelog.VersionedEvent]
     val q = Changelog.compact(mem.toDS()).writeStream

@@ -58,6 +58,24 @@ class TemporalOpsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedJoin matches the plain join for every allowed join type; refuses outer") {
+    val orders = graft.sources.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    // halve the right side so left/semi/anti exercise unmatched left rows
+    val customer = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_mktsegment")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = orders.join(customer, col("o_custkey") === col("c_custkey"), jt)
+      val salted = Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", 4, jt)
+      assert(salted.count() === plain.count(), s"row count for $jt")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"multiset mismatch for $jt")
+    }
+    for (jt <- Seq("right", "full", "full_outer")) {
+      intercept[IllegalArgumentException](
+        Relational.saltedJoin(orders, customer, "o_custkey", "c_custkey", 4, jt))
+    }
+  }
+
   test("stream-stream join matches within the time bound and key") {
     val views = MemoryStream[(Timestamp, Long, String)]
     val purchases = MemoryStream[(Timestamp, Long, String)]
