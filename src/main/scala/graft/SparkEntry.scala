@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Cdc, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Corpus, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract (see SURVEY.md §2 for the operator inventory each
@@ -400,6 +400,42 @@ object SparkEntry {
         .select(col("doc_id") +:
           Seq(0, 7, 15).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // ──────────────────── corpus management (splits / sampling / QA) ────────────────────
+
+    "corpus_split" -> ((s, d) => {
+      Corpus.split(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_sample" -> ((s, d) => {
+      Corpus.stratifiedSample(Tables.documents(s, d), "source",
+        Map("src0" -> 300, "src1" -> 700), defaultPermille = 100)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      Corpus.repetition(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }),
+
+    // Synthetic PII injected per doc (the table itself carries none) so
+    // the count AND the full scrubbed-text hash are non-trivially
+    // cross-engine-checked.
+    "text_pii_scrub" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        concat(lit("contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555 000 1234 : "), col("text")))
+      Corpus.piiScrub(injected)
+        .withColumn("scrub_md5", md5(col("scrubbed").cast("binary")))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_vocab" -> ((s, d) => {
+      Corpus.vocabulary(Tables.documents(s, d), 100).orderBy(col("rank"))
     })
   )
 
@@ -846,6 +882,62 @@ object SparkEntry {
          |SELECT doc_id,
          |$buckets
          |FROM h ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "corpus_split" ->
+      s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id, (${hexSliceSql("m", 1)}) % 1000 AS bucket FROM h)
+         |SELECT doc_id, bucket,
+         |       CASE WHEN bucket < 900 THEN 'train'
+         |            WHEN bucket < 950 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |             md5('sample|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id, source, (${hexSliceSql("m", 1)}) % 1000 AS bucket FROM h)
+         |SELECT doc_id, source FROM b
+         |WHERE bucket < (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 700 ELSE 100 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |        CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         |        CAST(len(tk) - 1 AS BIGINT) AS n2_raw,
+         |        list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS grams
+         |      FROM f)
+         |SELECT doc_id, n_tokens, n_distinct_tokens,
+         |  CAST(CASE WHEN n2_raw > 0 THEN n2_raw ELSE 0 END AS BIGINT) AS n_2grams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_2grams,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN floor((n_tokens - n_distinct_tokens) * 1000 / n_tokens)
+         |       ELSE 0 END AS BIGINT) AS dup_token_permille,
+         |  CAST(CASE WHEN n2_raw > 0
+         |       THEN floor((n2_raw - len(list_distinct(grams))) * 1000 / n2_raw)
+         |       ELSE 0 END AS BIGINT) AS dup_2gram_permille
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555 000 1234 : ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\+?[0-9][0-9 -]{7,}[0-9]', '[PHONE]', 'g')) AS scrub_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+         |r AS (SELECT token, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+         |      FROM c)
+         |SELECT token, cnt, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: splits,
+  * sampling, repetition metrics, PII scrubbing, vocabulary.
+  *
+  * Scale design:
+  *  - splits and samples are pure narrow filters on a portable
+  *    md5-derived bucket — no shuffle, no RNG state on executors,
+  *    reproducible across engines and re-runs (the property a
+  *    train/test split must have: a doc's split NEVER changes when the
+  *    corpus grows);
+  *  - repetition and PII metrics are per-row array/regex expressions
+  *    inside whole-stage codegen;
+  *  - vocabulary is one hash-shuffle on the token plus a driver-merged
+  *    global top-k (TakeOrderedAndProject — never a full sort).
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, buckets): first 32 bits of
+    * md5(salt || id) mod buckets, via the codegen'd
+    * [[graft.functions.HexSliceLong]]. Engine-portable (DuckDB twin is
+    * the strpos nibble sum over the same digest). Different `salt`
+    * values give independent bucketings — split and sample decisions
+    * must not correlate. */
+  def hashBucket(id: Column, buckets: Int, salt: String = ""): Column = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    hex_slice_long(md5(concat(lit(salt), id.cast("string")).cast("binary")), 0) % buckets
+  }
+
+  /** Deterministic train/val/test split. A doc's assignment depends
+    * only on its id — stable under corpus growth, re-partitioning and
+    * re-runs, unlike `randomSplit` (which is seed- AND partition-
+    * dependent). Narrow. */
+  def split(docs: DataFrame, idCol: String = "doc_id",
+            trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "split permilles exceed 1000")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs
+      .withColumn("bucket", hashBucket(col(idCol), 1000, "split|"))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
+  /** Stratified deterministic sample: keep a row iff its hash bucket
+    * falls under its stratum's keep-rate (permille). The tool for
+    * corpus composition ("20% of crawl, 100% of books"): rates are
+    * data, the decision is a narrow filter, and the same doc is kept
+    * or dropped identically on every run and engine. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       ratesPermille: Map[String, Int], defaultPermille: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val rate = ratesPermille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), 1000, "sample|") < rate)
+  }
+
+  /** Gopher-style repetition metrics: duplicate-token and duplicate-
+    * 2-gram fractions (permille). High values flag boilerplate /
+    * degenerate documents. All-narrow: array expressions via the
+    * native word_shingles, no shuffle. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    Partitioning.fanOut(docs)
+      .select(col(idCol),
+        Dedup.tokens(col(textCol)).as("toks"),
+        word_shingles(col(textCol), 2).as("grams"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_2grams"))
+      .withColumn("dup_token_permille",
+        when(col("n_tokens") > 0,
+          floor((col("n_tokens") - col("n_distinct_tokens")) * 1000 / col("n_tokens")))
+          .otherwise(0L).cast("long"))
+      .withColumn("dup_2gram_permille",
+        when(col("n_2grams") > 0,
+          floor((col("n_2grams") - col("n_distinct_2grams")) * 1000 / col("n_2grams")))
+          .otherwise(0L).cast("long"))
+  }
+
+  /** Conservative char-class-only patterns: identical semantics under
+    * Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII scrub: count and redact email addresses and phone-like
+    * numbers. Redaction order is fixed (emails first) so the output is
+    * deterministic. Narrow per-row regex work. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]").as("scrubbed"))
+
+  /** Global top-k vocabulary: one hash-shuffle on the token (map-side
+    * combinable count), then TakeOrderedAndProject for the global
+    * top-k (per-partition partial top-k + k-row driver merge, never a
+    * full sort). Rank is a window over the k surviving rows only. */
+  def vocabulary(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val counts = Partitioning.fanOut(docs)
+      .select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val top = Relational.topK(counts, Seq(col("cnt").desc, col("token")), k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))).cast("long"))
+  }
+}

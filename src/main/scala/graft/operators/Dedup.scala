@@ -125,6 +125,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac_permille"))
   }
 
+  /** Streaming twin of [[exact]]: drop documents whose content hash was
+    * already emitted, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — at 100 TB/day of stream the
+    * dedup state holds only the hashes inside the watermark horizon,
+    * not the corpus history. Narrow except the implicit keyed state
+    * exchange on the hash. */
+  def exactStreaming(docs: DataFrame, tsCol: String, watermarkDelay: String,
+                     textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Exact Jaccard verification over an explicit candidate-pair set
     * (`doc_a`, `doc_b` — e.g. [[lshCandidatePairs]] output): join each
     * side's distinct-token set onto the pair, keep pairs ≥ threshold.

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup}
+import graft.sources.Tables
+
+/** Corpus-management operator invariants (splits, sampling, repetition,
+  * PII, vocabulary) + the streaming exact-dedup twin. Cross-engine
+  * equality is covered by the DuckDB oracle queries; these pin the
+  * semantic properties.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("split is a stable partition: every doc gets exactly one split, growth-invariant") {
+    val s1 = Corpus.split(docs).select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.size === docs.count())
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // the same doc keeps its split when the corpus shrinks/grows
+    val s2 = Corpus.split(docs.limit(100)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    s2.foreach { case (id, sp) => assert(s1(id) === sp) }
+    // permille targets are roughly honored (±10 points on 500 docs is generous)
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
+  }
+
+  test("split and sample bucketings are independent (different salts)") {
+    val b1 = Corpus.split(docs).select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = docs.select(col("doc_id"),
+        Corpus.hashBucket(col("doc_id"), 1000, "sample|").as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1.keySet === b2.keySet)
+    assert(b1.count { case (k, v) => b2(k) == v } < b1.size / 10)
+  }
+
+  test("stratifiedSample keeps a deterministic per-stratum subset") {
+    val rates = Map("src0" -> 1000, "src1" -> 0)
+    val kept = Corpus.stratifiedSample(docs, "source", rates, defaultPermille = 500)
+    val bySource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySource.getOrElse("src0", 0L) === total("src0")) // rate 1000 keeps all
+    assert(!bySource.contains("src1"))                       // rate 0 keeps none
+    // deterministic: same result on re-run
+    val again = Corpus.stratifiedSample(docs, "source", rates, 500)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("repetition: degenerate doc scores high, all-distinct doc scores zero") {
+    val d = Seq((1L, "spam spam spam spam spam"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = Corpus.repetition(d).collect().map(x =>
+      x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("dup_token_permille"), x.getAs[Long]("dup_2gram_permille"))).toMap
+    assert(r(1L) === ((800L, 750L))) // 5 tokens 1 distinct; 4 grams 1 distinct
+    assert(r(2L) === ((0L, 0L)))
+  }
+
+  test("piiScrub redacts emails and phones and counts them") {
+    val d = Seq((1L, "mail a.b@x.co and +1 234 567 8901 now"), (2L, "clean text"))
+      .toDF("doc_id", "text")
+    val r = Corpus.piiScrub(d).collect().map(x =>
+      x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") === 1L)
+    assert(r(1L).getAs[Long]("n_phones") === 1L)
+    val scrubbed = r(1L).getAs[String]("scrubbed")
+    assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[PHONE]"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("234"))
+    assert(r(2L).getAs[String]("scrubbed") === "clean text")
+  }
+
+  test("vocabulary returns the k most frequent tokens, ranked") {
+    val d = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
+    val v = Corpus.vocabulary(d, 2).orderBy("rank")
+      .select("token", "cnt", "rank").as[(String, Long, Long)].collect()
+    assert(v.toList === List(("x", 3L, 1L), ("y", 2L, 2L)))
+  }
+
+  test("streaming exact dedup drops in-horizon duplicates") {
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val out = Dedup.exactStreaming(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "same text"),
+      (Timestamp.valueOf("2024-01-01 10:00:01"), 2L, "same text"),
+      (Timestamp.valueOf("2024-01-01 10:00:02"), 3L, "other text"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-01-01 10:01:00"), 4L, "same text"))
+    q.processAllAvailable()
+    val ids = spark.table("sdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L)) // 2 and 4 are in-horizon duplicates
+    q.stop()
+  }
+}
