@@ -71,10 +71,14 @@ object CurateCorpusJob {
 
   def main(args: Array[String]): Unit = {
     val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("curate-corpus")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // default master only when launched outside spark-submit (which
+    // sets spark.master as a system property)
+    if (!new org.apache.spark.SparkConf().contains("spark.master"))
+      builder.master("local[*]")
+    val spark = builder.getOrCreate()
     val (out, stats) = curate(spark, a("--in"),
       a.getOrElse("--min-quality", "500").toLong,
       a.getOrElse("--jaccard-permille", "950").toInt)

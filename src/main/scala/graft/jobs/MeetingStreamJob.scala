@@ -27,10 +27,14 @@ object MeetingStreamJob {
 
   def main(args: Array[String]): Unit = {
     val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("meeting-stream-job")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // default master only when launched outside spark-submit (which
+    // sets spark.master as a system property)
+    if (!new org.apache.spark.SparkConf().contains("spark.master"))
+      builder.master("local[*]")
+    val spark = builder.getOrCreate()
 
     val raw = a("--events") match {
       case k if k.startsWith("kafka:") =>
