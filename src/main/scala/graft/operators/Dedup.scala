@@ -101,7 +101,13 @@ object Dedup {
     * Jaccard on distinct-token arrays, keep pairs ≥ threshold (permille
     * — integer arithmetic end-to-end so results are engine-exact).
     * Blocking bounds the pair count; at scale the block key should be
-    * an LSH band or (source, shard) — never unblocked. */
+    * an LSH band or (source, shard) — never unblocked.
+    *
+    * A PPJoin-style length filter runs BEFORE the intersection:
+    * J(A,B) ≥ t/1000 implies min(|A|,|B|)·1000 ≥ t·max(|A|,|B|)
+    * (inter ≤ min, union ≥ max), so length-incompatible pairs are
+    * pruned with two integer comparisons instead of an O(|A|+|B|)
+    * hash intersection — output provably unchanged. */
   def jaccardPairs(docs: DataFrame, blockCols: Seq[String],
                    thresholdPermille: Int, idCol: String = "doc_id"): DataFrame = {
     require(blockCols.nonEmpty,
@@ -110,16 +116,19 @@ object Dedup {
         "candidate-pair set (e.g. LSH candidates) use jaccardVerify.")
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col("text"))))
-      .select((idCol +: "tset" +: blockCols).map(col): _*)
+      .withColumn("tsz", size(col("tset")).cast("long"))
+      .select((idCol +: "tset" +: "tsz" +: blockCols).map(col): _*)
     val a = base.select(col(idCol).as("doc_a") +: col("tset").as("ta") +:
-      blockCols.map(col): _*)
+      col("tsz").as("sza") +: blockCols.map(col): _*)
     val b = base.select(col(idCol).as("doc_b") +: col("tset").as("tb") +:
-      blockCols.map(c => col(c).as(s"__b_$c")): _*)
+      col("tsz").as("szb") +: blockCols.map(c => col(c).as(s"__b_$c")): _*)
     val cond = blockCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _) &&
       col("doc_a") < col("doc_b")
     a.join(b, cond)
+      .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
+              col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac_permille"))
@@ -148,12 +157,18 @@ object Dedup {
                     idCol: String = "doc_id"): DataFrame = {
     val withSets = Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col("text"))))
-      .select(col(idCol), col("tset"))
+      .withColumn("tsz", size(col("tset")).cast("long"))
+      .select(col(idCol), col("tset"), col("tsz"))
     pairs
-      .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta")), "doc_a")
-      .join(withSets.select(col(idCol).as("doc_b"), col("tset").as("tb")), "doc_b")
+      .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta"),
+        col("tsz").as("sza")), "doc_a")
+      .join(withSets.select(col(idCol).as("doc_b"), col("tset").as("tb"),
+        col("tsz").as("szb")), "doc_b")
+      // PPJoin length filter: prune before the O(|A|+|B|) intersection
+      .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
+              col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast("long") - col("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
       .select(col("doc_a"), col("doc_b"), col("jac_permille"))
