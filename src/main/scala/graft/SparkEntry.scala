@@ -436,6 +436,12 @@ object SparkEntry {
 
     "text_vocab" -> ((s, d) => {
       Corpus.vocabulary(Tables.documents(s, d), 100).orderBy(col("rank"))
+    }),
+
+    "corpus_pack" -> ((s, d) => {
+      Corpus.pack(Tables.documents(s, d), budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -938,6 +944,17 @@ object SparkEntry {
          |r AS (SELECT token, cnt,
          |        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
          |      FROM c)
-         |SELECT token, cnt, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+         |SELECT token, cnt, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                            ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -106,6 +106,28 @@ object Corpus {
       regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]").as("scrubbed"))
 
+  /** Greedy contiguous sequence packing: assign docs (in id order
+    * within a shard) to fixed token-budget packs —
+    * `pack_id = ⌊tokens_before_this_doc / budget⌋`. The batch-composer
+    * step of a pretraining pipeline. One shuffle on the shard key;
+    * packing is inherently sequential WITHIN a shard, so the shard
+    * column is the scale unit (source, split, or a hash bucket at
+    * 100 TB). A doc longer than the budget overflows its pack rather
+    * than being split — the standard greedy trade-off. */
+  def pack(docs: DataFrame, budgetTokens: Long, shardCol: String = "source",
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", size(Dedup.tokens(col(textCol))).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_tokens")) / budgetTokens).cast("long"))
+      .drop("__cum")
+  }
+
   /** Global top-k vocabulary: one hash-shuffle on the token (map-side
     * combinable count), then TakeOrderedAndProject for the global
     * top-k (per-partition partial top-k + k-row driver merge, never a

@@ -84,6 +84,50 @@ class CorpusSpec extends SparkSpec {
     assert(v.toList === List(("x", 3L, 1L), ("y", 2L, 2L)))
   }
 
+  test("pack assigns contiguous docs to token-budget packs per shard") {
+    val d = Seq(
+      (1L, "s1", "a b c"),      // 3 tokens, cum_before 0 → pack 0
+      (2L, "s1", "d e f g"),    // 4 tokens, cum_before 3 → pack 0
+      (3L, "s1", "h i"),        // 2 tokens, cum_before 7 → pack 1
+      (4L, "s1", "j"),          // 1 token,  cum_before 9 → pack 1
+      (5L, "s2", "k l m n o p") // other shard restarts at pack 0
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.pack(d, budgetTokens = 5)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("pack ids are non-decreasing in id order and budget is honored at pack starts") {
+    val packed = Corpus.pack(docs, budgetTokens = 256)
+      .select("source", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    packed.groupBy(_._1).values.foreach { shard =>
+      val inOrder = shard.sortBy(_._2)
+      val ids = inOrder.map(_._4)
+      assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+      // tokens before each pack's first doc are exactly pack_id full budgets or more
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, p) =>
+        assert(p === cum / 256, s"doc with cum_before $cum in pack $p")
+        cum += n
+      }
+    }
+  }
+
+  test("simhash16 composes with a streaming source (fanOut is streaming-safe)") {
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.simhash16(mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("ssim_out").start()
+    mem.addData((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
+    q.processAllAvailable()
+    val got = spark.table("ssim_out").select("doc_id", "simhash16")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === got(2L)) // identical text → identical signature
+    q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val out = Dedup.exactStreaming(
