@@ -442,6 +442,20 @@ object SparkEntry {
       Corpus.pack(Tables.documents(s, d), budgetTokens = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Trained IVF coarse quantizer: deterministic quantized k-means
+    // (fixed-point integers → bit-identical across engines; seeds = k
+    // smallest ids, ties break toward the smaller cell).
+    "sim_ivf_train" -> ((s, d) => {
+      val cents = Similarity.ivfTrain(Tables.embeddings(s, d), k = 4, iters = 2)
+      Similarity.ivfCentroidRows(cents).orderBy(col("cell"), col("dim"))
+    }),
+
+    "sim_ivf_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
+      Similarity.ivfAssign(emb, cents).orderBy(col("vec_id"))
     })
   )
 
@@ -501,6 +515,35 @@ object SparkEntry {
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.ivfTrain: same quantization, seeds,
+    * Lloyd updates. DuckDB scores with the direct squared distance;
+    * Spark uses ‖c‖²−2v·c — the rankings are identical because the
+    * two differ by the per-vector constant ‖v‖² and all quantities
+    * are exact integers. */
+  private def ivfCtes(k: Int, iters: Int): String = {
+    val base = Seq(
+      s"""q AS (SELECT vec_id, list_transform(range(1, 65),
+         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings)""".stripMargin,
+      s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
+         |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
+    val rounds = (1 to iters).flatMap { it =>
+      Seq(
+        s"""a$it AS (SELECT vec_id, qv, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+           |  FROM (SELECT q.vec_id, q.qv, c.cell,
+           |          list_sum(list_transform(range(1, 65),
+           |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+           |        FROM q, c${it - 1} c) x)""".stripMargin,
+        s"""u$it AS (SELECT cell, i - 1 AS dim, CAST(floor(sum(v) / count(*)) AS BIGINT) AS cq
+           |  FROM (SELECT cell, i, qv[i] AS v
+           |        FROM (SELECT cell, qv FROM a$it WHERE rn = 1) m, range(1, 65) t(i)) e
+           |  GROUP BY cell, i)""".stripMargin,
+        s"""c$it AS (SELECT cell, list(cq ORDER BY dim) AS cv FROM u$it GROUP BY cell)""")
+    }
+    (base ++ rounds).mkString("WITH ", ",\n", "")
   }
 
   def oracleSql: Map[String, String] = ListMap(
@@ -955,6 +998,20 @@ object SparkEntry {
          |      FROM t)
          |SELECT doc_id, source, n_tokens,
          |       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sim_ivf_train" ->
+      s"""${ivfCtes(k = 4, iters = 2)}
+         |SELECT cell, dim, cq AS centroid_q FROM u2 ORDER BY cell, dim""".stripMargin,
+
+    "sim_ivf_assign" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x)
+         |SELECT vec_id, cell FROM afin WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

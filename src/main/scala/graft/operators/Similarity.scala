@@ -121,6 +121,88 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
   }
 
+  /** Fixed-point quantization for engine-exact k-means: 1e4 scale keeps
+    * every squared distance / dot product an exact integer below 2^53,
+    * so double arithmetic is lossless and results are bit-identical
+    * across engines and runs. Runs once per row at ingest (the
+    * higher-order `transform` is acceptable off the hot path). */
+  private[graft] def quantize(v: Column): Column =
+    transform(v.cast("array<double>"), x => floor(x * 10000d + 0.5d).cast("long"))
+
+  /** Deterministic quantized k-means (Lloyd) — trains the IVF coarse
+    * quantizer instead of borrowing a label column. No RNG: seeds are
+    * the k smallest ids; every quantity is an exact integer (see
+    * [[quantize]]); ties in assignment break toward the smaller cell.
+    *
+    * Scale shape per iteration: one broadcast of k centroids against
+    * the (never-shuffled) embedding scan, a map-side-combinable
+    * min(struct) per vector, then one (cell, dim) shuffle bounded by
+    * k×dims rows — the canonical distributed k-means. Empty cells
+    * drop out (deterministically on every engine).
+    *
+    * Returns (cell, cv: array<long>) centroids after `iters`
+    * assign+update rounds. */
+  def ivfTrain(emb: DataFrame, k: Int, iters: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // quantized vectors are read by every Lloyd round — cache across
+    // iterations (the MLlib pattern), release before returning
+    val q = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    val seeds = q.orderBy(col("__id")).limit(k)
+      .withColumn("cell", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1).cast("long"))
+      .select(col("cell"), col("qv").as("cv"))
+    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = assignCells(q, cents)
+      assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cq"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
+          x => x.getField("cq")).as("cv"))
+    }
+    // centroids are k×dims values — materialize on the driver (the
+    // k-means model IS driver-small by construction) so downstream
+    // broadcast reuse doesn't lazily replay the whole Lloyd lineage
+    val rows = trained.collect().toSeq
+    q.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+  }
+
+  /** Nearest-centroid assignment: argmin over k of ‖v−c‖² via the
+    * dot-product identity ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² — ‖v‖² is
+    * constant per vector, so the argmin needs only ‖c‖² − 2v·c
+    * (codegen'd vec_dot; all values exact integers in double).
+    * min(struct(score, cell, qv)) is map-side combinable — the
+    * embedding side never shuffles whole rows per centroid. */
+  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.withColumn("csq", dot(col("cv"), col("cv")))
+    q.crossJoin(broadcast(c))
+      .withColumn("s", col("csq") - lit(2d) * dot(col("qv"), col("cv")))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("s"), col("cell"), col("qv"))).as("m"))
+      .select(col("__id"), col("m.cell").as("cell"), col("m.qv").as("qv"))
+  }
+
+  /** Final cell assignment under trained centroids: (id, cell). */
+  def ivfAssign(emb: DataFrame, cents: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val q = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+    assignCells(q, cents).select(col("__id").as(idCol), col("cell"))
+  }
+
+  /** Centroids as (cell, dim, centroid_q) rows — the inspectable /
+    * oracle-comparable form. */
+  def ivfCentroidRows(cents: DataFrame): DataFrame =
+    cents.select(col("cell"), posexplode(col("cv")).as(Seq("dim", "cq")))
+      .select(col("cell"), col("dim").cast("long").as("dim"), col("cq").as("centroid_q"))
+
   /** Embedding near-duplicate pairs: block on the coarse cell, score
     * all intra-cell pairs, keep cos ≥ threshold. Blocking keeps the
     * pair count at cells×(cell_size²) instead of N². */

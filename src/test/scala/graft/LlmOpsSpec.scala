@@ -118,6 +118,36 @@ class LlmOpsSpec extends SparkSpec {
       .foreach { case (q, c) => assert(sigs(q) === sigs(c)) }
   }
 
+  test("ivfTrain: k-means converges to deterministic centroids; assignment is total") {
+    val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
+    val rows = Similarity.ivfCentroidRows(cents).collect()
+    val cells = rows.map(_.getAs[Long]("cell")).toSet
+    assert(cells.subsetOf(Set(0L, 1L, 2L, 3L)) && cells.nonEmpty)
+    assert(rows.length === cells.size * 64) // 64 dims per surviving cell
+    // deterministic across runs
+    val again = Similarity.ivfCentroidRows(Similarity.ivfTrain(emb, k = 4, iters = 2))
+      .collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // every vector gets exactly one cell
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("vec_id").distinct().count() === emb.count())
+    assert(assigned.select("cell").distinct().count().toInt <= 4)
+  }
+
+  test("ivfTrain iteration reduces (or keeps) total quantization error") {
+    def totalCost(iters: Int): Double = {
+      val cents = Similarity.ivfTrain(emb, k = 4, iters = iters)
+      val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      Similarity.ivfAssign(emb, cents).join(q, "vec_id").join(cents, "cell")
+        .withColumn("d2", Similarity.dot(col("qv"), col("qv"))
+          - lit(2d) * Similarity.dot(col("qv"), col("cv"))
+          + Similarity.dot(col("cv"), col("cv")))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    assert(totalCost(2) <= totalCost(1))
+  }
+
   test("quality permilles are in range") {
     TextAnalysis.qualityScore(docs).collect().foreach { r =>
       assert(r.getAs[Long]("stop_permille") >= 0 && r.getAs[Long]("stop_permille") <= 1000)
