@@ -37,11 +37,10 @@ object CurateCorpusJob {
     val docs = Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
-    // 1. quality gate
-    val scored = docs.join(
-      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality_score")), "doc_id")
-    val quality = scored.filter(col("quality_score") >= minQuality)
-      .drop("quality_score").cache()
+    // 1. quality gate — narrow expression filter, no self-join
+    val quality = TextAnalysis.withQualityScore(docs)
+      .filter(col("quality_score") >= minQuality)
+      .select(docs.columns.map(col): _*).cache()
     val nQuality = quality.count()
 
     // 2. exact dedup: keep each content hash's smallest doc_id.

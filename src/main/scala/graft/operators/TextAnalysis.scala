@@ -28,10 +28,11 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "an", "of", "to", "and", "in")
 
-  /** Quality features + a composite integer score. Heuristics follow
-    * the usual corpus-quality recipes (length band, mean token length,
-    * stopword share, repetition). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** Quality features + a composite integer score, appended to the
+    * input columns. Pure narrow expressions — composes with streaming
+    * sources (no join, no shuffle): the streaming quality gate is the
+    * same code path as the batch one. */
+  def withQualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
     docs
@@ -48,10 +49,16 @@ object TextAnalysis {
          when(col("mean_tok_len_permille").between(3000, 9000), lit(250)).otherwise(lit(0)) +
          when(col("stop_permille").between(10, 400), lit(250)).otherwise(lit(0)) +
          when(col("distinct_permille") >= 300, lit(250)).otherwise(lit(0))).cast("long"))
+  }
+
+  /** Quality features + a composite integer score. Heuristics follow
+    * the usual corpus-quality recipes (length band, mean token length,
+    * stopword share, repetition). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_stop"),
         col("mean_tok_len_permille"), col("stop_permille"), col("distinct_permille"),
         col("quality_score"))
-  }
 
   /** Corpus-trained language ID: build a top-`profileSize` token
     * profile per labeled language (training pass: one aggregation +
@@ -73,6 +80,14 @@ object TextAnalysis {
     Relational.topNPerGroup(hits, Seq(col("doc_id")),
         Seq(col("hits").desc, col("cand_lang")), 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+  }
+
+  /** Deterministic document fingerprint appended to the input columns
+    * (order-insensitive content hash over the sorted distinct token
+    * set). Narrow — streaming-safe. */
+  def withFingerprint(docs: DataFrame): DataFrame = {
+    val tset = array_sort(array_distinct(tokens(col("text"))))
+    docs.withColumn("fp", md5(array_join(tset, " ").cast("binary")))
   }
 
   /** Deterministic document fingerprint: md5 over the sorted distinct

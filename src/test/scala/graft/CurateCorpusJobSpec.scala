@@ -30,6 +30,28 @@ class CurateCorpusJobSpec extends SparkSpec {
     assert(dupGroups === 0L)
   }
 
+  test("streaming curation: quality gate + in-horizon dedup + fingerprints") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val goodText = ("the quick brown fox jumps over a lazy dog and then " * 4).trim
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = graft.jobs.CurateStreamJob.curated(docs, "ts", "10 minutes", minQuality = 500)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_stream_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    mem.addData(
+      (t0, 1L, goodText),          // passes gate
+      (t0, 2L, "a a a a a"),       // degenerate: fails every quality heuristic
+      (t0, 3L, goodText))          // duplicate of 1 within horizon
+    q.processAllAvailable()
+    val got = spark.table("curate_stream_out")
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+    assert(got.columns.contains("fp") && got.columns.contains("text_hash"))
+    q.stop()
+  }
+
   test("jaccardPairs refuses empty blocking columns") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](Dedup.jaccardPairs(d, Seq.empty, 900))
