@@ -197,6 +197,19 @@ object Similarity {
     assignCells(q, cents).select(col("__id").as(idCol), col("cell"))
   }
 
+  /** IVF ANN under TRAINED cells: assign both sides to their nearest
+    * trained centroid, then exact cosine top-k inside the cell — the
+    * full IVF pipeline (train → assign → prune → score) rather than a
+    * label-column stand-in. Same scale shape as [[ivfTopK]]: centroid
+    * assignment is a broadcast (k centroids), the cell equi-join is
+    * the only shuffle of the candidate side. */
+  def ivfTopKTrained(queries: DataFrame, candidates: DataFrame, k: Int, cents: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qc = queries.join(ivfAssign(queries, cents, idCol, vecCol), idCol)
+    val cc = candidates.join(ivfAssign(candidates, cents, idCol, vecCol), idCol)
+    ivfTopK(qc, cc, k, "cell", idCol, vecCol)
+  }
+
   /** Centroids as (cell, dim, centroid_q) rows — the inspectable /
     * oracle-comparable form. */
   def ivfCentroidRows(cents: DataFrame): DataFrame =
