@@ -30,9 +30,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Min of two runs per query: the first pays codegen compile and any
-    // host-steal burst (this box shows up to 12% CPU steal); the min is
-    // the reproducible plan cost.
+    // Min of two runs per query (the first pays codegen compile), plus
+    // an adaptive third run when the two disagree by >30% — this box
+    // shows bursty CPU steal (to 12%), and a burst during either run
+    // would otherwise be reported as plan cost.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
              name: String): Double = {
       val t0 = System.nanoTime()
@@ -43,7 +44,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(once(fn, name), once(fn, name))
+      val t1 = once(fn, name)
+      val t2 = once(fn, name)
+      val best = math.min(t1, t2)
+      name -> (if (math.abs(t1 - t2) > 0.3 * best) math.min(best, once(fn, name)) else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
