@@ -458,6 +458,19 @@ object SparkEntry {
       Similarity.ivfAssign(emb, cents).orderBy(col("vec_id"))
     }),
 
+    // Markup injected per doc so normalization is non-trivially checked
+    // (the synthetic corpus carries none); the md5 pins the whole
+    // normalized text, not just counts.
+    "text_normalize" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        concat(lit("<p>Start  HERE</p>\t"), col("text"), lit("  <br/>\nEnd ")))
+      Corpus.normalizeText(injected)
+        .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
+        .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))
+        .select(col("doc_id"), col("norm_md5"), col("n_norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Full IVF ANN: train → assign → cell-pruned exact top-k.
     "sim_ann_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1022,6 +1035,17 @@ object SparkEntry {
          |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
          |        FROM q, c2 c) x)
          |SELECT vec_id, cell FROM afin WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    '<p>Start  HERE</p>' || chr(9) || text || '  <br/>' || chr(10) || 'End ' AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(regexp_replace(t, '<[^>]*>', ' ', 'g')),
+        |         '[ \t\r\n]+', ' ', 'g')) AS nt
+        |  FROM d)
+        |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS BIGINT) AS n_norm_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "sim_ann_ivf_trained" ->
       s"""${ivfCtes(k = 4, iters = 2)},

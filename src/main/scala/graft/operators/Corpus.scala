@@ -88,6 +88,20 @@ object Corpus {
           .otherwise(0L).cast("long"))
   }
 
+  /** Text normalization: strip markup tags, lowercase, collapse runs
+    * of whitespace, trim — the standard pre-tokenization cleanup.
+    * Narrow per-row regex/string work (RE2-and-Java-compatible
+    * patterns); adds `norm_text` next to the original. */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    stripMarkup: Boolean = true, lowercase: Boolean = true,
+                    collapseWhitespace: Boolean = true): DataFrame = {
+    var c: Column = col(textCol)
+    if (stripMarkup) c = regexp_replace(c, "<[^>]*>", " ")
+    if (lowercase) c = lower(c)
+    if (collapseWhitespace) c = trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    docs.withColumn("norm_text", c)
+  }
+
   /** Conservative char-class-only patterns: identical semantics under
     * Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround. */
   val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -118,6 +118,24 @@ class CanalCodecSpec extends SparkSpec {
     assert(rows.head.getAs[Map[String, String]]("row")("id") === "1")
   }
 
+  test("meetingPipeline(skipNoOpUpdates) drops UPDATEs that touch no projected column") {
+    val touching = envOld("UPDATE",
+      """[{"id":"1","meeting_code":"x","address_id":"3",
+        |"mstart_date":"2024-05-01 09:00:00","mend_date":"2024-05-01 10:00:00"}]"""
+        .stripMargin.replace("\n", ""),
+      """[{"meeting_code":"was"}]""")
+    val noOp = envOld("UPDATE",
+      """[{"id":"2","meeting_code":"y","address_id":"3",
+        |"mstart_date":"2024-05-01 09:00:00","mend_date":"2024-05-01 10:00:00"}]"""
+        .stripMargin.replace("\n", ""),
+      """[{"update_time":"2024-01-01 00:00:00"}]""")
+    val df = Seq(touching, noOp).toDF("value")
+    val all = CanalCodec.meetingPipeline(df).collect()
+    assert(all.map(_.getAs[Int]("meeting_id")).toSet === Set(1, 2))
+    val filtered = CanalCodec.meetingPipeline(df, skipNoOpUpdates = true).collect()
+    assert(filtered.map(_.getAs[Int]("meeting_id")).toSet === Set(1))
+  }
+
   test("meetingEvents types fields, survives commas in values and nulls") {
     val ev = CanalCodec.meetingPipeline(raw).collect()
     assert(ev.length === 4)

@@ -77,6 +77,17 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L).getAs[String]("scrubbed") === "clean text")
   }
 
+  test("normalizeText strips markup, lowercases and collapses whitespace") {
+    val d = Seq((1L, "<div>Hello   <b>WORLD</b></div>\t\n mixed  Case "))
+      .toDF("doc_id", "text")
+    val n = Corpus.normalizeText(d).select("norm_text").as[String].head()
+    assert(n === "hello world mixed case")
+    // flags off → pass-through
+    val raw = Corpus.normalizeText(d, stripMarkup = false, lowercase = false,
+      collapseWhitespace = false).select("norm_text").as[String].head()
+    assert(raw === d.select("text").as[String].head())
+  }
+
   test("vocabulary returns the k most frequent tokens, ranked") {
     val d = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
     val v = Corpus.vocabulary(d, 2).orderBy("rank")
