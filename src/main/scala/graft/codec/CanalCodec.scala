@@ -20,9 +20,26 @@ import graft.model.CanalSchema
   */
 object CanalCodec {
 
-  /** Raw JSON strings → typed envelope columns. */
+  /** Raw JSON strings → typed envelope columns. Corrupt payloads
+    * decode to all-null envelopes (which the `changes` table filter
+    * then drops) — use [[decodeOrDeadLetter]] when they must be
+    * routed instead of lost. */
   def decode(raw: DataFrame, jsonCol: String = "value"): DataFrame =
     raw.select(from_json(col(jsonCol), CanalSchema.envelope).as("e")).select("e.*")
+
+  /** Decode with a dead-letter split: returns (envelopes, dead) where
+    * `dead` keeps the ORIGINAL raw payloads that failed to parse or
+    * carry no recognizable envelope (null table+type), for replay or
+    * inspection. Both frames derive from one narrow projection — on a
+    * stream this is two sinks over the same source, each side a pure
+    * filter (no shuffle, no state). */
+  def decodeOrDeadLetter(raw: DataFrame, jsonCol: String = "value"): (DataFrame, DataFrame) = {
+    val parsed = raw.withColumn("__e", from_json(col(jsonCol), CanalSchema.envelope))
+    val ok = col("__e").isNotNull &&
+      (col("__e.table").isNotNull || col("__e.type").isNotNull)
+    (parsed.filter(ok).select(col("__e.*")),
+     parsed.filter(!ok).drop("__e"))
+  }
 
   /** Change selection (reference O3, JsonFilter.java:23–26) with the
     * op-type set parameterized — the reference hard-codes INSERT only

@@ -105,6 +105,31 @@ class CanalCodecSpec extends SparkSpec {
     assert(ids === Set("1", "11")) // "2" (the no-op) is gone
   }
 
+  test("decodeOrDeadLetter routes corrupt and alien payloads, keeps good ones") {
+    val corrupt = """{"data": [unterminated"""
+    val alien = """{"some": "other json entirely"}"""
+    val df = Seq(insert, corrupt, alien).toDF("value")
+    val (good, dead) = CanalCodec.decodeOrDeadLetter(df)
+    assert(good.count() === 1)
+    assert(good.select("table").as[String].head() === "t_meeting_info")
+    val deadRows = dead.select("value").as[String].collect().toSet
+    assert(deadRows === Set(corrupt, alien)) // originals preserved verbatim
+  }
+
+  test("schema drift: unknown envelope fields and extra row columns are tolerated") {
+    val drifted =
+      """{"data":[{"id":"31","meeting_code":"mc-d","address_id":"3",
+        |"mstart_date":"2024-05-01 09:00:00","mend_date":"2024-05-01 10:00:00",
+        |"brand_new_column":"surprise"}],
+        |"database":"mrbs","es":1700000000000,"id":7,"isDdl":false,
+        |"newTopLevelField":{"nested":true},
+        |"mysqlType":{},"old":null,"sql":"","sqlType":{},
+        |"table":"t_meeting_info","ts":1,"type":"INSERT"}""".stripMargin.replace("\n", "")
+    val ev = CanalCodec.meetingPipeline(Seq(drifted).toDF("value")).collect()
+    assert(ev.length === 1)
+    assert(ev.head.getAs[Int]("meeting_id") === 31)
+  }
+
   test("database filter separates same-named tables across databases") {
     val a = envOld("INSERT", """[{"id":"1"}]""", "null", db = "mrbs")
     val b = envOld("INSERT", """[{"id":"2"}]""", "null", db = "other_db")
