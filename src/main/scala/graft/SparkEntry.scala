@@ -325,6 +325,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Exact duplicate clustering: transitive closure over the verified
+    // near-dup pairs; component = smallest reachable doc id.
+    "dedup_components" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
@@ -803,6 +811,26 @@ object SparkEntry {
          |       CAST(floor(inter * 1000 / (sz - inter)) AS BIGINT) AS jac_permille
          |FROM p WHERE floor(inter * 1000 / (sz - inter)) >= 900
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts
+         |                     FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE floor(inter * 1000 / (sz - inter)) >= 900),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,
 

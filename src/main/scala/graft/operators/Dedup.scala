@@ -197,6 +197,53 @@ object Dedup {
     sig.select(col(idCol), hash.as("simhash16"))
   }
 
+  /** Connected components over a near-duplicate pair set: each doc in
+    * any pair gets `component` = the smallest doc id reachable through
+    * pairs (transitive closure) — the exact cluster-representative
+    * rule, vs the linear "drop the greater of each pair" approximation
+    * the curation job defaults to.
+    *
+    * Min-label propagation with POINTER DOUBLING (each round a node
+    * takes the min of its own label, its neighbors' labels, and its
+    * label's label), so rounds are O(log diameter) — long chains
+    * converge in a handful of rounds, not diameter-many. Each round's
+    * result is `localCheckpoint`ed: an iterative DataFrame loop that
+    * keeps stacking lazy plans grows its lineage per round and
+    * eventually OOMs the PLANNER (caught by the long-chain spec) —
+    * lineage truncation per iteration is mandatory for driver-looped
+    * algorithms at any scale. Per round: one shuffle-join on the edge
+    * list + one map-side-combinable min per node. Singleton docs (no
+    * pairs) are not emitted — they represent themselves. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("v"), col("component").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nmin"))
+      val labelOfLabel = labels
+        .select(col("node").as("component"), col("component").as("ll"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .join(labelOfLabel, Seq("component"), "left")
+        .select(col("node"), least(
+          col("component"),
+          coalesce(col("nmin"), col("component")),
+          coalesce(col("ll"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("node"), col("component").as("old")), "node")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("component"))
+  }
+
   /** SimHash near-dup pairs: block on the signature's high byte (two
     * docs within hamming distance ≤ 8 of each other on the high bits
     * usually share it; a production sweep uses multiple bit-slices as

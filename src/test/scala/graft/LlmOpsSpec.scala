@@ -66,6 +66,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("jac_permille") === 1000L)
   }
 
+  test("connectedComponents resolves transitive chains to the minimum id") {
+    // chain 1-3-2 (1 and 2 never paired directly) + isolated pair 7-9
+    val pairs = Seq((1L, 3L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2)") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.length === 12)
+    assert(got.forall(_._2 == 1L))
+  }
+
   test("simhash16 is within [0, 65535] and equal texts hash equal") {
     val h = Dedup.simhash16(docs).agg(min("simhash16"), max("simhash16")).head()
     assert(h.getLong(0) >= 0L && h.getLong(1) <= 65535L)
