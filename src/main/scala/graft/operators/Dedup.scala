@@ -219,10 +219,16 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("component", col("node")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // round 0 fused into init: label = min(self, direct neighbors)
+    var labels = sym.groupBy(col("u").as("node")).agg(min(col("v")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("component"))
+      .localCheckpoint()
+    // convergence by the monotone label sum: labels only ever decrease,
+    // so an unchanged sum IS the fixpoint — one cheap agg per round
+    // instead of a join + filter + count
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var done = false
+    while (!done) {
       val neighborMin = sym
         .join(labels.select(col("node").as("v"), col("component").as("vl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nmin"))
@@ -236,9 +242,9 @@ object Dedup {
           coalesce(col("nmin"), col("component")),
           coalesce(col("ll"), col("component"))).as("component"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("node"), col("component").as("old")), "node")
-        .filter(col("component") =!= col("old")).count()
+      val s = next.agg(sum(col("component"))).head().getLong(0)
+      done = s == prevSum
+      prevSum = s
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("component"))
