@@ -32,8 +32,15 @@ object CurateCorpusJob {
   final case class Stats(input: Long, lowQuality: Long, exactDups: Long,
                          nearDups: Long, kept: Long)
 
+  /** @param exactComponents when true, near-dup clusters are resolved
+    *   by [[Dedup.connectedComponents]] (transitive closure — keep one
+    *   representative per cluster); when false (default), the linear
+    *   pass drops the greater id of each verified pair — cheaper (no
+    *   iteration) but can keep two docs that are only transitively
+    *   connected. */
   def curate(spark: SparkSession, sfDir: String,
-             minQuality: Long = 500, jaccardPermille: Int = 950): (DataFrame, Stats) = {
+             minQuality: Long = 500, jaccardPermille: Int = 950,
+             exactComponents: Boolean = false): (DataFrame, Stats) = {
     val docs = Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
@@ -58,7 +65,12 @@ object CurateCorpusJob {
     val sig = Dedup.minhashSignature(Dedup.shingled(exactDeduped, k = 3))
     val candidates = Dedup.lshCandidatePairs(sig)
     val verified = Dedup.jaccardVerify(exactDeduped, candidates, jaccardPermille)
-    val losers = verified.select(col("doc_b").as("doc_id")).distinct()
+    val losers =
+      if (exactComponents)
+        Dedup.connectedComponents(verified)
+          .filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+      else
+        verified.select(col("doc_b").as("doc_id")).distinct()
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val nKept = curated.count()
 
@@ -80,7 +92,8 @@ object CurateCorpusJob {
     val spark = builder.getOrCreate()
     val (out, stats) = curate(spark, a("--in"),
       a.getOrElse("--min-quality", "500").toLong,
-      a.getOrElse("--jaccard-permille", "950").toInt)
+      a.getOrElse("--jaccard-permille", "950").toInt,
+      a.getOrElse("--exact-components", "false").toBoolean)
     out.write.mode("overwrite").parquet(a("--out"))
     println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
       s""""exact_dups":${stats.exactDups},"near_dups":${stats.nearDups},"kept":${stats.kept}}""")

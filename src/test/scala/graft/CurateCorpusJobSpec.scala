@@ -30,6 +30,16 @@ class CurateCorpusJobSpec extends SparkSpec {
     assert(dupGroups === 0L)
   }
 
+  test("exact-components mode drops at least the linear pass's near-dups") {
+    val (_, linear) = CurateCorpusJob.curate(spark, sf)
+    val (outCc, cc) = CurateCorpusJob.curate(spark, sf, exactComponents = true)
+    // every pair's doc_b is a non-representative in its component, so
+    // CC-dropped ⊇ linear-dropped
+    assert(cc.nearDups >= linear.nearDups)
+    assert(cc.kept === outCc.count())
+    assert(cc.input === cc.lowQuality + cc.exactDups + cc.nearDups + cc.kept)
+  }
+
   test("streaming curation: quality gate + in-horizon dedup + fingerprints") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -50,6 +50,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 0xcafebabeL)
   }
 
+  test("hex_slice_long equals Long.parseLong of the hex slice (randomized)") {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val hexes = Seq.fill(200)(
+      Seq.fill(32)("0123456789abcdef"(rnd.nextInt(16))).mkString)
+    val df = hexes.toDF("h")
+    for (pos <- Seq(0, 8, 16, 24)) {
+      val got = df.select(hex_slice_long(col("h"), pos).as("v")).as[Long].collect()
+      val want = hexes.map(h => java.lang.Long.parseLong(h.substring(pos, pos + 8), 16))
+      assert(got.sameElements(want), s"pos $pos")
+    }
+  }
+
   test("identical texts are LSH candidates") {
     val twins = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
       (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
