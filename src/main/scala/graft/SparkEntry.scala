@@ -479,11 +479,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Full IVF ANN: train → assign → cell-pruned exact top-k.
+    // Full IVF ANN: train → assign → cell-pruned exact top-k. The query
+    // set is a subset of the candidates, so one assignment pass over
+    // the candidates serves both sides (ivfTopKTrained assigns each
+    // side independently for the general disjoint-sets case).
     "sim_ann_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
-      Similarity.ivfTopKTrained(emb.filter(col("vec_id") < 10), emb, k = 5, cents)
+      val assigned = emb.join(Similarity.ivfAssign(emb, cents), "vec_id")
+      Similarity.ivfTopK(assigned.filter(col("vec_id") < 10), assigned, k = 5, cellCol = "cell")
         .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
     })
