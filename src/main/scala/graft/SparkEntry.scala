@@ -270,6 +270,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // The STREAMING sliding-window operator run in batch mode (the
+    // watermark is a no-op there) — one code path, both modes, the
+    // batch side oracle-checked.
+    "rel_window_sliding" -> ((s, d) => {
+      graft.streaming.Windows.sliding(Tables.events(s, d), "ts", "event_type",
+        "1 hour", "30 minutes", "10 minutes")
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     "rel_window_tumbling" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
@@ -781,6 +790,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // Each event lands in exactly two 1h/30min sliding windows:
+    // starts floor1800(ts) and floor1800(ts) - 1800 (epoch-aligned,
+    // matching Spark's window() alignment).
+    "rel_window_sliding" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS f FROM events),
+        |w AS (SELECT event_type, f - k * 1800 AS s
+        |      FROM e, (VALUES (0), (1)) t(k))
+        |SELECT make_timestamp(s * 1000000) AS win_start,
+        |       make_timestamp((s + 3600) * 1000000) AS win_end,
+        |       event_type, count(*) AS n
+        |FROM w GROUP BY s, event_type ORDER BY win_start, event_type""".stripMargin,
 
     "rel_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
