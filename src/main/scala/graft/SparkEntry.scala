@@ -434,6 +434,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "corpus_sample_k" -> ((s, d) => {
+      Corpus.sampleKPerStratum(Tables.documents(s, d), "source", k = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, d) => {
       Corpus.repetition(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
@@ -1025,6 +1031,15 @@ object SparkEntry {
          |SELECT doc_id, source FROM b
          |WHERE bucket < (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 700 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_k" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |             md5('ksample|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id, source, (${hexSliceSql("m", 1)}) % 1000000 AS bk FROM h),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn
+         |      FROM b)
+         |SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH f AS (SELECT doc_id, $tokSql AS tk FROM documents),

@@ -61,6 +61,20 @@ object Corpus {
     docs.filter(hashBucket(col(idCol), 1000, "sample|") < rate)
   }
 
+  /** Fixed-SIZE stratified sample: exactly min(k, |stratum|) docs per
+    * stratum, chosen by the deterministic hash-bucket order (so the
+    * choice is stable under corpus growth for the docs that stay).
+    * The eval-set builder: "exactly 1000 docs per source". One shuffle
+    * on the stratum key; rows beyond k never leave the window filter. */
+  def sampleKPerStratum(docs: DataFrame, strataCol: String, k: Int,
+                        idCol: String = "doc_id"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    Relational.topNPerGroup(
+      docs.withColumn("__b", hashBucket(col(idCol), 1000000, "ksample|")),
+      Seq(col(strataCol)), Seq(col("__b"), col(idCol)), k, rankCol = "__rn")
+      .drop("__b", "__rn")
+  }
+
   /** Gopher-style repetition metrics: duplicate-token and duplicate-
     * 2-gram fractions (permille). High values flag boilerplate /
     * degenerate documents. All-narrow: array expressions via the

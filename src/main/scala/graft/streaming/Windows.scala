@@ -53,6 +53,22 @@ object Windows {
           col(rightTs) <= col(leftTs),
         "inner")
 
+  /** Stream–stream LEFT OUTER join: like [[streamStreamJoin]], but
+    * left rows with no match emit null-extended once the watermark
+    * passes their join window (Spark holds them in state exactly that
+    * long — the bound that makes outer stream joins feasible at
+    * scale). */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTs: String, rightTs: String,
+                           within: String, maxLateness: String): DataFrame =
+    left.withWatermark(leftTs, maxLateness)
+      .join(right.withWatermark(rightTs, maxLateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs),
+        "left_outer")
+
   /** Sliding-window rates (the dashboard "last N minutes" view). */
   def sliding(events: DataFrame, tsCol: String, keyCol: String,
               windowLen: String, slide: String, maxLateness: String): DataFrame =

@@ -77,6 +77,19 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L).getAs[String]("scrubbed") === "clean text")
   }
 
+  test("sampleKPerStratum returns exactly min(k, stratum size) per stratum, deterministically") {
+    val k = 7
+    val got = Corpus.sampleKPerStratum(docs, "source", k)
+    val perStratum = got.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, n) =>
+      assert(perStratum(src) === math.min(k.toLong, n), src)
+    }
+    val again = Corpus.sampleKPerStratum(docs, "source", k)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(got.select("doc_id").as[Long].collect().sorted))
+  }
+
   test("normalizeText strips markup, lowercases and collapses whitespace") {
     val d = Seq((1L, "<div>Hello   <b>WORLD</b></div>\t\n mixed  Case "))
       .toDF("doc_id", "text")

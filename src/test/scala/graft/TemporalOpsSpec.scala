@@ -76,6 +76,31 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream LEFT join emits unmatched rows after the watermark closes") {
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val purchases = MemoryStream[(Timestamp, Long, String)]
+    val v = views.toDF().toDF("v_ts", "v_user", "v_id")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "p_id")
+    val joined = Windows.streamStreamLeftJoin(p, v, "p_user", "v_user",
+      "p_ts", "v_ts", within = "1 HOUR", maxLateness = "1 minute")
+    val q = joined.select("p_id", "v_id").writeStream
+      .outputMode("append").format("memory").queryName("sslj_out").start()
+    views.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "v1"))
+    purchases.addData(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "p1"),   // matches v1
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "p2"))   // no view for user 8
+    q.processAllAvailable()
+    // advance both watermarks far past p2's join window so the
+    // unmatched left row is released as null-extended
+    views.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 99L, "vx"))
+    purchases.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 99L, "px"))
+    q.processAllAvailable()
+    val got = spark.table("sslj_out").as[(String, Option[String])].collect().toSet
+    assert(got.contains(("p1", Some("v1"))))
+    assert(got.contains(("p2", None)))
+    q.stop()
+  }
+
   test("stream-stream join matches within the time bound and key") {
     val views = MemoryStream[(Timestamp, Long, String)]
     val purchases = MemoryStream[(Timestamp, Long, String)]
