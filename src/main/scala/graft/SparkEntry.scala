@@ -461,6 +461,20 @@ object SparkEntry {
       Corpus.vocabulary(Tables.documents(s, d), 100).orderBy(col("rank"))
     }),
 
+    // Misra–Gries heavy hitters in the exact regime (k=50 ≥ the 31
+    // distinct tokens of this corpus, so estimates equal true counts
+    // and hash-match the exact oracle); the approximate regime is
+    // bounds-checked in SketchBoundsSpec.
+    "text_heavy_hitters" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("t"))
+        .agg(graft.functions.FreqTopK.freq_topk(col("t"), 50).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select(col("x.item").as("token"), col("x.est").as("cnt"))
+        .orderBy(col("token"))
+    }),
+
     "corpus_pack" -> ((s, d) => {
       Corpus.pack(Tables.documents(s, d), budgetTokens = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
@@ -1079,6 +1093,11 @@ object SparkEntry {
          |        CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
          |      FROM c)
          |SELECT token, cnt, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    "text_heavy_hitters" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+         |FROM (SELECT unnest($tokSql) AS token FROM documents)
+         |GROUP BY token ORDER BY token""".stripMargin,
 
     "corpus_pack" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
+import graft.functions.{FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)
     ext.injectFunction(GraftExtensions.hexPrefix16Descriptor)
     ext.injectFunction(GraftExtensions.hexSliceLongDescriptor)
+    ext.injectFunction(GraftExtensions.freqTopKDescriptor)
   }
 }
 
@@ -57,12 +58,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HexSliceLong].getName, "hex_slice_long"),
     (children: Seq[Expression]) => HexSliceLong(children.head, children(1)))
 
+  val freqTopKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_topk"),
+    new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+    (children: Seq[Expression]) => FreqTopK(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
-        topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor).foreach { d =>
+        topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
+        freqTopKDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -29,6 +29,33 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("freq_topk honors the Misra–Gries bounds in the approximate regime") {
+    import spark.implicits._
+    import graft.functions.FreqTopK.freq_topk
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    // Zipf-ish stream with 200 distinct items, k=16 ≪ 200
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(20000)(s"t${math.min(199, math.abs(rnd.nextGaussian() * 40).toInt)}")
+    val k = 16
+    val n = items.size.toLong
+    val err = n / (k + 1)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = items.toDF("t").repartition(8)
+      .agg(freq_topk(col("t"), k).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item"), col("x.est")).as[(String, Long)].collect().toMap
+    assert(est.size <= k)
+    est.foreach { case (item, e) =>
+      val t = truth(item)
+      assert(e <= t && e >= t - err, s"$item: est $e vs true $t (err bound $err)")
+    }
+    // every heavy item (true > n/(k+1)) must be present
+    truth.filter(_._2 > err).keys.foreach { heavy =>
+      assert(est.contains(heavy), s"heavy item $heavy missing")
+    }
+  }
+
   test("approx percentiles fall within the rank tolerance of the exact order statistics") {
     val res = SparkEntry.queries("rel_approx_sketches")(spark, dir)
       .select("l_returnflag", "p50_price", "p99_price")
