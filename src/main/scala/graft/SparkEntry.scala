@@ -244,6 +244,17 @@ object SparkEntry {
         .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"))
     }),
 
+    // CUBE = all grouping sets; grouping() distinguishes real NULLs
+    // from subtotal rows.
+    "rel_cube" -> ((s, d) => {
+      Tables.customer(s, d)
+        .cube(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (grouping(col("c_nationkey")) * 2 + grouping(col("c_mktsegment")))
+            .cast("long").as("gid"))
+        .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"), col("gid"))
+    }),
+
     "rel_broadcast_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
@@ -780,6 +791,12 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n
         |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
         |ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       CAST(grouping(c_nationkey) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+        |FROM customer GROUP BY CUBE (c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST, gid""".stripMargin,
 
     "rel_broadcast_join" ->
       """SELECT p_brand, count(*) AS n_items,

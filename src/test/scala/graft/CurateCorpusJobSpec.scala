@@ -62,6 +62,33 @@ class CurateCorpusJobSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming curation parquet sink survives restart without duplicates") {
+    // file source + checkpoint = the real restart contract (a
+    // MemoryStream is not replayable across restarts)
+    val goodText = ("the quick brown fox jumps over a lazy dog and then " * 4).trim
+    val inDir = java.nio.file.Files.createTempDirectory("curate_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("curate_out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("curate_ckpt").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def drop(id: Long, text: String): Unit =
+      Seq((t0, id, text)).toDF("ts", "doc_id", "text")
+        .write.mode("append").parquet(inDir)
+    def run(): Unit = {
+      val schema = spark.read.parquet(inDir).schema
+      val docs = spark.readStream.schema(schema).parquet(inDir)
+      val q = graft.jobs.CurateStreamJob.start(
+        graft.jobs.CurateStreamJob.curated(docs, "ts", "10 minutes", 500), outDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+    drop(1L, goodText + " one")
+    run()
+    drop(2L, goodText + " two")
+    run() // restart from the same checkpoint: batch 0 must not re-emit
+    val ids = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L)))
+  }
+
   test("jaccardPairs refuses empty blocking columns") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](Dedup.jaccardPairs(d, Seq.empty, 900))
