@@ -69,14 +69,20 @@ object TextAnalysis {
     * scoring join therefore never shuffles the token table by
     * profile key. */
   def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
-    val tok = Partitioning.fanOut(docs)
+    // per-(doc, token) counts computed ONCE serve both the profile
+    // build and the scoring join — the raw token stream is exploded
+    // and shuffled a single time, and everything downstream works on
+    // the (much smaller) doc-level term frequencies
+    val dtf = Partitioning.fanOut(docs)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-    val freq = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"), col("t")).agg(count(lit(1)).as("c"))
+      .cache() // read by profile build AND scoring join
+    val freq = dtf.groupBy(col("lang"), col("t")).agg(sum(col("c")).as("cnt"))
     val profile = Relational.topNPerGroup(freq, Seq(col("lang")),
         Seq(col("cnt").desc, col("t")), profileSize)
       .select(col("lang").as("cand_lang"), col("t"))
-    val hits = tok.join(broadcast(profile), Seq("t"))
-      .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("hits"))
+    val hits = dtf.join(broadcast(profile), Seq("t"))
+      .groupBy(col("doc_id"), col("cand_lang")).agg(sum(col("c")).as("hits"))
     Relational.topNPerGroup(hits, Seq(col("doc_id")),
         Seq(col("hits").desc, col("cand_lang")), 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
