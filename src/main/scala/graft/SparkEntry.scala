@@ -345,6 +345,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental (daily-delta) dedup: drop new docs (id ≥ 250) that
+    // duplicate the existing corpus (id < 250) exactly or nearly.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupeAgainst(docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250), thresholdPermille = 900)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Exact duplicate clustering: transitive closure over the verified
     // near-dup pairs; component = smallest reachable doc id.
     "dedup_components" -> ((s, d) => {
@@ -414,6 +423,13 @@ object SparkEntry {
 
     "mm_frames" -> ((s, d) => {
       Multimodal.frames(Tables.documents(s, d), frameSize = 32, maxFrames = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "mm_scene_changes" -> ((s, d) => {
+      Multimodal.sceneChanges(
+        Multimodal.frames(Tables.documents(s, d), frameSize = 32, maxFrames = 4))
+        .select(col("doc_id"), col("frame_idx"), col("is_cut"), col("scene_id"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -568,28 +584,36 @@ object SparkEntry {
       s"(CAST(strpos('0123456789abcdef', substr($m, ${start + c}, 1)) - 1 AS BIGINT) << ${4 * (7 - c)})"
     }.mkString(" + ")
 
-  private def minhashOracle: String = {
+  /** Shared minhash-signature CTE chain (toks → shingles → digests →
+    * sig with numeric h0..h7), reused by the self-join and incremental
+    * dedup oracles. */
+  private def minhashSigCtes: String = {
     val hs = (0 until 8).map { i =>
       val digest = if (i < 4) "m1" else "m2"
       s"  min(${hexSliceSql(digest, (i % 4) * 8 + 1)}) AS h$i"
     }.mkString(",\n")
-    val bands = (0 until 4).map(b =>
-      s"  SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR AS bv FROM sig")
-      .mkString("\n  UNION ALL\n")
-    s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
        |shg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
        |        FROM toks WHERE len(tk) >= 3),
        |dg AS (SELECT doc_id, md5(s) AS m1, md5('8|' || s) AS m2 FROM shg),
        |sig AS (SELECT doc_id,
        |$hs
-       |FROM dg GROUP BY doc_id),
+       |FROM dg GROUP BY doc_id)""".stripMargin
+  }
+
+  private def minhashBandSelect(where: String): String =
+    (0 until 4).map(b =>
+      s"  SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR AS bv FROM sig $where")
+      .mkString("\n  UNION ALL\n")
+
+  private def minhashOracle: String =
+    s"""WITH $minhashSigCtes,
        |bands AS (
-       |$bands)
+       |${minhashBandSelect("")})
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** DuckDB twin of Similarity.ivfTrain: same quantization, seeds,
     * Lloyd updates. DuckDB scores with the direct squared distance;
@@ -875,6 +899,31 @@ object SparkEntry {
          |FROM p WHERE floor(inter * 1000 / (sz - inter)) >= 900
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_incremental" ->
+      s"""WITH $minhashSigCtes,
+         |exdup AS (SELECT doc_id FROM documents
+         |          WHERE doc_id >= 250 AND md5(text) IN
+         |            (SELECT md5(text) FROM documents WHERE doc_id < 250)),
+         |surv AS (SELECT doc_id FROM documents
+         |         WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM exdup)),
+         |bn AS (
+         |${minhashBandSelect("WHERE doc_id IN (SELECT doc_id FROM surv)")}),
+         |bc AS (
+         |${minhashBandSelect("WHERE doc_id < 250")}),
+         |cand AS (SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+         |         FROM bn n JOIN bc c ON n.band = c.band AND n.bv = c.bv),
+         |d2 AS (SELECT doc_id, list_distinct($tokSql) AS ts FROM documents),
+         |ver AS (SELECT DISTINCT doc_a FROM (
+         |  SELECT cand.doc_a,
+         |         CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |         CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |  FROM cand JOIN d2 a ON a.doc_id = cand.doc_a
+         |            JOIN d2 b ON b.doc_id = cand.doc_b) v
+         |  WHERE floor(inter * 1000 / (sz - inter)) >= 900)
+         |SELECT doc_id FROM surv
+         |WHERE doc_id NOT IN (SELECT doc_a FROM ver)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts
          |                     FROM documents),
@@ -1028,6 +1077,22 @@ object SparkEntry {
         |FROM documents, range(0, 4) t(i)
         |WHERE i * 32 < length(text)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_scene_changes" ->
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |         md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+        |  FROM documents, range(0, 4) t(i)
+        |  WHERE i * 32 < length(text)),
+        |c AS (
+        |  SELECT doc_id, frame_idx, frame_md5,
+        |         CAST(CASE WHEN lag(frame_md5) OVER w IS NULL
+        |              OR lag(frame_md5) OVER w <> frame_md5 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, is_cut,
+        |       CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS scene_id
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Byte-histogram buckets = high nibble of each UTF-8 byte. DuckDB:
     // hex() the blob (uppercase), bucket b's count = occurrences of hex

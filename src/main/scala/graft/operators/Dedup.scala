@@ -80,15 +80,7 @@ object Dedup {
     * a short concat key shuffles cheaper than an md5 over it. */
   def lshCandidatePairs(sig: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2,
                         idCol: String = "doc_id"): DataFrame = {
-    val nBands = numHashes / rowsPerBand
-    val bandStructs = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand)
-        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
-    }
-    val buckets = sig
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol).as("doc"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val buckets = lshBuckets(sig, numHashes, rowsPerBand, idCol)
     val left = buckets.select(col("doc").as("doc_a"), col("band"), col("bv"))
     val right = buckets.select(col("doc").as("doc_b"), col("band"), col("bv"))
     left.join(right, Seq("band", "bv"))
@@ -146,6 +138,68 @@ object Dedup {
       .withColumn("text_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Shared band-bucket projection for LSH joins. */
+  private def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                         idCol: String): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol).as("doc"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  /** Cross-corpus LSH candidates: (doc_a from `sigNew`, doc_b from
+    * `sigCorpus`) sharing a band bucket. Same shuffle shape as the
+    * self-join form — keyed on the band value, never all-pairs. */
+  def lshCandidatePairsAcross(sigNew: DataFrame, sigCorpus: DataFrame,
+                              numHashes: Int = 8, rowsPerBand: Int = 2,
+                              idCol: String = "doc_id"): DataFrame = {
+    val a = lshBuckets(sigNew, numHashes, rowsPerBand, idCol)
+      .select(col("doc").as("doc_a"), col("band"), col("bv"))
+    val b = lshBuckets(sigCorpus, numHashes, rowsPerBand, idCol)
+      .select(col("doc").as("doc_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv")).select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
+    * duplicate the EXISTING `corpus`, exactly (content hash anti-join)
+    * or nearly (cross-corpus LSH candidates, Jaccard-verified).
+    * Returns the surviving new docs. At production scale the corpus
+    * side's hashes and minhash signatures are precomputed once and
+    * stored — every input here is a plain DataFrame, so the stored
+    * index drops straight in. New-vs-new duplicates are NOT handled
+    * here (run [[exact]]/[[lshCandidatePairs]] within the batch
+    * first); ids must be distinct across the two frames. */
+  def dedupeAgainst(newDocs: DataFrame, corpus: DataFrame, thresholdPermille: Int,
+                    k: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
+    val corpusHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("__h")).distinct()
+    val exactNew = newHashed.join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+    val cands = lshCandidatePairsAcross(
+      minhashSignature(shingled(exactNew, k), idCol = idCol),
+      minhashSignature(shingled(corpus, k), idCol = idCol), idCol = idCol)
+    val withSets = (df: DataFrame) => df
+      .withColumn("__ts", array_distinct(tokens(col(textCol))))
+      .select(col(idCol), col("__ts"), size(col("__ts")).cast("long").as("__sz"))
+    val verified = cands
+      .join(withSets(exactNew).select(col(idCol).as("doc_a"),
+        col("__ts").as("ta"), col("__sz").as("sza")), "doc_a")
+      .join(withSets(corpus).select(col(idCol).as("doc_b"),
+        col("__ts").as("tb"), col("__sz").as("szb")), "doc_b")
+      .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
+              col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(floor(col("inter") * 1000 / col("uni")) >= thresholdPermille)
+      .select(col("doc_a").as(idCol)).distinct()
+    exactNew.join(verified, Seq(idCol), "left_anti")
+  }
 
   /** Exact Jaccard verification over an explicit candidate-pair set
     * (`doc_a`, `doc_b` — e.g. [[lshCandidatePairs]] output): join each

@@ -78,6 +78,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** Scene-change detection over sampled frames: a frame is a "cut"
+    * when its content hash differs from the previous frame's (or it is
+    * the first frame). The video-segmentation shape — one window
+    * shuffle keyed on the doc, cuts numbered per doc so downstream can
+    * group frames into scenes. */
+  def sceneChanges(frames: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    frames
+      .withColumn("__prev", lag(col("frame_md5"), 1).over(w))
+      .withColumn("is_cut",
+        (col("__prev").isNull || col("__prev") =!= col("frame_md5")).cast("int").cast("long"))
+      .withColumn("scene_id", sum(col("is_cut")).over(wRun) - 1)
+      .drop("__prev")
+  }
+
   /** Frame sampling: cut the payload into fixed-size frames, keep the
     * first `maxFrames`, hash each — the shape of video frame-sample /
     * audio-chunk features. Narrow (sequence + substring per row). */

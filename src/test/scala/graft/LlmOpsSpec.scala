@@ -242,6 +242,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(self.select("cos").as[Double].head() - 1.0) < 1e-9)
   }
 
+  test("dedupeAgainst drops exact and near cross-corpus duplicates, keeps novel docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),          // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon eta"),           // near dup of 1
+      (12L, "completely different words entirely here now")) // novel
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupeAgainst(fresh, corpus, thresholdPermille = 700)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(10L), "exact dup must drop")
+    assert(!kept.contains(11L), "near dup must drop")
+    assert(kept.contains(12L), "novel doc must survive")
+  }
+
+  test("sceneChanges numbers scenes at hash boundaries") {
+    // 96 chars = 3 frames of 32; frames 0 and 1 identical, frame 2 differs
+    val text = ("x" * 64) + ("y" * 32)
+    val fr = Multimodal.frames(Seq((1L, text)).toDF("doc_id", "text"), 32, 4)
+    val got = Multimodal.sceneChanges(fr).orderBy("frame_idx")
+      .select("frame_idx", "is_cut", "scene_id").as[(Long, Long, Long)].collect()
+    assert(got.toList === List((0L, 1L, 0L), (1L, 0L, 0L), (2L, 1L, 1L)))
+  }
+
   test("frames cover payload prefix with correct hashes") {
     val d = Seq((1L, "a" * 70)).toDF("doc_id", "text")
     val fr = Multimodal.frames(d, 32, 4).orderBy("frame_idx").collect()
