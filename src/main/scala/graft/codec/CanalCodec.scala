@@ -73,7 +73,10 @@ object CanalCodec {
         col("old"),
         posexplode(col("data")).as(Seq("__pos", "row")))
       .withColumn("old_row",
-        when(col("op") === "UPDATE", element_at(col("old"), col("__pos") + 1)))
+        // try_element_at: a drifted producer may ship `old` shorter
+        // than `data`; under Spark's default ANSI mode a plain
+        // element_at would kill the stream on the first such envelope
+        when(col("op") === "UPDATE", try_element_at(col("old"), col("__pos") + 1)))
       .drop("old", "__pos")
 
   /** The set of columns an UPDATE actually changed (= the keys of its

@@ -32,14 +32,19 @@ case class HexSliceLong(left: Expression, right: Expression)
       s"hex_slice_long expects (STRING, INT), got ($l, $r)")
   }
   override def dataType: DataType = LongType
+  // null when the slice is out of range: the function is SQL-exposed,
+  // and an unchecked UTF8String.getByte past the buffer would read
+  // adjacent heap memory and return silent garbage
+  override def nullable: Boolean = true
 
   override def nullSafeEval(s: Any, p: Any): Any = {
     val str = s.asInstanceOf[UTF8String]
     val pos = p.asInstanceOf[Int]
+    if (pos < 0 || str.numBytes < pos + 8) return null
     var acc = 0L
     var i = 0
     while (i < 8) {
-      val c = str.getByte(pos + i).toInt
+      val c = str.getByte(pos + i).toInt | 0x20 // tolerate uppercase hex
       acc = (acc << 4) | (if (c <= '9') c - '0' else c - 'a' + 10)
       i += 1
     }
@@ -52,12 +57,16 @@ case class HexSliceLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
       s"""
-         |long $acc = 0L;
-         |for (int $i = 0; $i < 8; $i++) {
-         |  int $c = (int) $s.getByte($p + $i);
-         |  $acc = ($acc << 4) | ($c <= '9' ? $c - '0' : $c - 'a' + 10);
+         |if ($p < 0 || $s.numBytes() < $p + 8) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < 8; $i++) {
+         |    int $c = ((int) $s.getByte($p + $i)) | 0x20;
+         |    $acc = ($acc << 4) | ($c <= '9' ? $c - '0' : $c - 'a' + 10);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -57,6 +57,9 @@ object CurateCorpusJob {
     val keepIds = Dedup.exact(quality).select(col("keep_id").as("doc_id"))
     val exactDeduped = quality.join(keepIds, "doc_id").cache()
     val nExact = exactDeduped.count()
+    // everything downstream reads exactDeduped (now materialized) —
+    // the quality cache has served its purpose
+    quality.unpersist()
 
     // 3. near-dedup: LSH candidates, Jaccard-verified, drop the
     // greater id of each verified pair (cluster representative =

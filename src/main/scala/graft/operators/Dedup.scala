@@ -184,19 +184,11 @@ object Dedup {
     val cands = lshCandidatePairsAcross(
       minhashSignature(shingled(exactNew, k), idCol = idCol),
       minhashSignature(shingled(corpus, k), idCol = idCol), idCol = idCol)
-    val withSets = (df: DataFrame) => df
-      .withColumn("__ts", array_distinct(tokens(col(textCol))))
-      .select(col(idCol), col("__ts"), size(col("__ts")).cast("long").as("__sz"))
-    val verified = cands
-      .join(withSets(exactNew).select(col(idCol).as("doc_a"),
-        col("__ts").as("ta"), col("__sz").as("sza")), "doc_a")
-      .join(withSets(corpus).select(col(idCol).as("doc_b"),
-        col("__ts").as("tb"), col("__sz").as("szb")), "doc_b")
-      .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
-              col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
-      .withColumn("uni", col("sza") + col("szb") - col("inter"))
-      .filter(floor(col("inter") * 1000 / col("uni")) >= thresholdPermille)
+    // ids are distinct across the two frames (documented), so the
+    // shared verifier works over their union — one implementation of
+    // the PPJoin-filtered Jaccard check, not two
+    val verified = jaccardVerify(
+        exactNew.unionByName(corpus), cands, thresholdPermille, idCol, textCol)
       .select(col("doc_a").as(idCol)).distinct()
     exactNew.join(verified, Seq(idCol), "left_anti")
   }
@@ -208,9 +200,9 @@ object Dedup {
     * |candidates| + |docs|, never all-pairs. Integer permille
     * arithmetic end-to-end (engine-exact). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, thresholdPermille: Int,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val withSets = Partitioning.fanOut(docs)
-      .withColumn("tset", array_distinct(tokens(col("text"))))
+      .withColumn("tset", array_distinct(tokens(col(textCol))))
       .withColumn("tsz", size(col("tset")).cast("long"))
       .select(col(idCol), col("tset"), col("tsz"))
     pairs
@@ -279,8 +271,13 @@ object Dedup {
       .localCheckpoint()
     // convergence by the monotone label sum: labels only ever decrease,
     // so an unchanged sum IS the fixpoint — one cheap agg per round
-    // instead of a join + filter + count
-    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    // instead of a join + filter + count. sum over ZERO rows is SQL
+    // null — coalesce, or an empty pair set NPEs.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    if (labels.isEmpty)
+      return labels.select(col("node").as("doc_id"), col("component"))
     var done = false
     while (!done) {
       val neighborMin = sym
@@ -296,7 +293,7 @@ object Dedup {
           coalesce(col("nmin"), col("component")),
           coalesce(col("ll"), col("component"))).as("component"))
         .localCheckpoint()
-      val s = next.agg(sum(col("component"))).head().getLong(0)
+      val s = labelSum(next)
       done = s == prevSum
       prevSum = s
       labels = next

@@ -20,6 +20,7 @@ object Changelog {
   final case class TimedVersionedEvent(key: Long, version: Long, payload: String,
                                        ts: java.sql.Timestamp)
   final case class KeyState(version: Long, payload: String)
+  final case class ExpiringKeyState(version: Long, payload: String, maxTsMs: Long)
 
   /** flatMapGroupsWithState worker: emit the event iff it advances the
     * key's version (ties broken toward first-seen, matching
@@ -55,20 +56,37 @@ object Changelog {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, it: Iterator[TimedVersionedEvent], state: GroupState[KeyState]) =>
+        (_: Long, it: Iterator[TimedVersionedEvent], state: GroupState[ExpiringKeyState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            val newest = it.reduceOption((a, b) => if (b.version > a.version) b else a)
+            // one pass: newest by version (the compaction winner) AND
+            // max event time (the expiry anchor — tracked in state so a
+            // LATE event can never pull the expiry backward)
+            var newest: Option[TimedVersionedEvent] = None
+            var maxTs = if (state.exists) state.get.maxTsMs else Long.MinValue
+            it.foreach { e =>
+              if (newest.forall(_.version < e.version)) newest = Some(e)
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
             val out = newest match {
               case Some(e) if !state.exists || e.version > state.get.version =>
-                state.update(KeyState(e.version, e.payload))
+                state.update(ExpiringKeyState(e.version, e.payload, maxTs))
                 Iterator.single(e)
-              case _ => Iterator.empty
+              case Some(_) =>
+                // stale version, but still activity: refresh the anchor
+                state.update(state.get.copy(maxTsMs = maxTs))
+                Iterator.empty
+              case None => Iterator.empty
             }
-            // any activity on the key pushes its expiry forward
-            newest.foreach(e => state.setTimeoutTimestamp(e.ts.getTime + ttlMs))
+            // clamp to watermark+1: a fully-late batch whose ts+ttl is
+            // already behind the watermark would make
+            // setTimeoutTimestamp throw
+            if (newest.isDefined) {
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
             out
           }
       }

@@ -105,6 +105,19 @@ class CanalCodecSpec extends SparkSpec {
     assert(ids === Set("1", "11")) // "2" (the no-op) is gone
   }
 
+  test("misaligned old array (shorter than data) yields null old_row, not a crash") {
+    val misaligned = envOld("UPDATE",
+      """[{"id":"1","meeting_code":"a"},{"id":"2","meeting_code":"b"}]""",
+      """[{"meeting_code":"a0"}]""") // old has 1 entry for 2 data rows
+    val r = CanalCodec.rows(CanalCodec.changes(
+      CanalCodec.decode(Seq(misaligned).toDF("value")), "t_meeting_info")).collect()
+    assert(r.length === 2)
+    val byId = r.map(x => x.getAs[Map[String, String]]("row")("id") ->
+      Option(x.getAs[Map[String, String]]("old_row"))).toMap
+    assert(byId("1") === Some(Map("meeting_code" -> "a0")))
+    assert(byId("2") === None)
+  }
+
   test("decodeOrDeadLetter routes corrupt and alien payloads, keeps good ones") {
     val corrupt = """{"data": [unterminated"""
     val alien = """{"some": "other json entirely"}"""

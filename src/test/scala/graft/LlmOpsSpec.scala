@@ -88,6 +88,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connectedComponents of an empty pair set is empty (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+  }
+
+  test("hex_slice_long is null-safe out of range and tolerates uppercase hex") {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(spark)
+    val r = Seq(("abc", "CAFEBABE")).toDF("short", "up")
+      .select(hex_slice_long(col("short"), 0).as("a"),
+        hex_slice_long(col("up"), -1).as("b"),
+        hex_slice_long(col("up"), 0).as("c"))
+      .head()
+    assert(r.isNullAt(0)) // too short: null, not heap garbage
+    assert(r.isNullAt(1)) // negative pos: null
+    assert(r.getLong(2) === 0xcafebabeL)
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2)") {
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("doc_a", "doc_b")
