@@ -502,6 +502,15 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // Decontaminate training docs (id ≥ 50) against a fake eval set
+    // (id < 50) on 8-gram overlap.
+    "corpus_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.decontaminate(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), n = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "corpus_pack" -> ((s, d) => {
       Corpus.pack(Tables.documents(s, d), budgetTokens = 512)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
@@ -1180,6 +1189,21 @@ object SparkEntry {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
          |FROM (SELECT unnest($tokSql) AS token FROM documents)
          |GROUP BY token ORDER BY token""".stripMargin,
+
+    "corpus_decontaminate" -> {
+      val gram8 = {
+        val parts = (0 until 8).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+          .mkString(" || ' ' || ")
+        s"list_transform(range(1, len(tk) - 6), i -> $parts)"
+      }
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |eg AS (SELECT DISTINCT unnest($gram8) AS g FROM t WHERE doc_id < 50),
+         |tg AS (SELECT doc_id, unnest($gram8) AS g FROM t WHERE doc_id >= 50),
+         |hit AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "corpus_pack" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($tokSql) AS BIGINT) AS n_tokens

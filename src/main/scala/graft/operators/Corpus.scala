@@ -102,6 +102,28 @@ object Corpus {
           .otherwise(0L).cast("long"))
   }
 
+  /** Benchmark decontamination: drop every training doc that shares
+    * ANY word n-gram with the eval set — the strict membership rule
+    * (one leaked n-gram disqualifies the doc), which is a different
+    * predicate from near-dedup's whole-document similarity.
+    *
+    * Scale shape: the eval n-gram set is tiny relative to training
+    * data (benchmarks are small by definition) — broadcast it; the
+    * training-side n-gram stream then never shuffles, and the
+    * LEFT SEMI probe marks a doc on its first hit. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 13,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    val evalGrams = Partitioning.fanOut(eval)
+      .select(explode(word_shingles(col(textCol), n)).as("g")).distinct()
+    val contaminated = Partitioning.fanOut(train)
+      .select(col(idCol), explode(word_shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Text normalization: strip markup tags, lowercase, collapse runs
     * of whitespace, trim — the standard pre-tokenization cleanup.
     * Narrow per-row regex/string work (RE2-and-Java-compatible

@@ -90,6 +90,18 @@ class CorpusSpec extends SparkSpec {
     assert(again.sameElements(got.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("decontaminate drops docs sharing any n-gram with the eval set") {
+    val eval = Seq((100L, "secret bench phrase appears right here verbatim"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then secret bench phrase appears right here verbatim and more"),
+      (2L, "totally unrelated content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.decontaminate(train, eval, n = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L)) // doc 1 contains the eval 7-gram → dropped
+  }
+
   test("normalizeText strips markup, lowercases and collapses whitespace") {
     val d = Seq((1L, "<div>Hello   <b>WORLD</b></div>\t\n mixed  Case "))
       .toDF("doc_id", "text")
