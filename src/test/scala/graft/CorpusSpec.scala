@@ -164,6 +164,20 @@ class CorpusSpec extends SparkSpec {
     q.stop()
   }
 
+  test("corpus pipeline composes: curate → split → sample → pack") {
+    val (curated, stats) = graft.jobs.CurateCorpusJob.curate(spark, sf)
+    val train = Corpus.split(curated)
+      .filter(col("split") === "train").drop("bucket", "split")
+    val sampled = Corpus.stratifiedSample(train, "source",
+      Map.empty[String, Int], defaultPermille = 800)
+    val packed = Corpus.pack(sampled, budgetTokens = 512)
+    val n = packed.count()
+    assert(n === sampled.count())
+    assert(n > 0 && n <= stats.kept)
+    // every pack is within its shard and ids are present exactly once
+    assert(packed.select("doc_id").distinct().count() === n)
+  }
+
   test("streaming exact dedup drops in-horizon duplicates") {
     val mem = MemoryStream[(Timestamp, Long, String)]
     val out = Dedup.exactStreaming(
