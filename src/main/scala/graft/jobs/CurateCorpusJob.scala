@@ -32,6 +32,23 @@ object CurateCorpusJob {
   final case class Stats(input: Long, lowQuality: Long, exactDups: Long,
                          nearDups: Long, kept: Long)
 
+  /** Curation result + an explicit release path for the pipeline's
+    * retained executor state (the exact-dedup cache, and in
+    * exact-components mode the final connected-components checkpoint).
+    * `curate` is a library function returning a lazy frame built over
+    * that state — without this handle the caller could not release
+    * what it doesn't know about. Call [[release]] once `docs` has been
+    * consumed (counted/written): afterwards the frame recomputes from
+    * lineage in the default mode, but is NOT re-evaluable in
+    * exact-components mode (checkpoint lineage is truncated). */
+  final class Curated(val docs: DataFrame, val stats: Stats,
+                      caches: Seq[DataFrame], checkpointed: Seq[DataFrame]) {
+    def release(): Unit = {
+      caches.foreach(_.unpersist())
+      checkpointed.foreach(graft.operators.Caching.releaseLocalCheckpoints)
+    }
+  }
+
   /** @param exactComponents when true, near-dup clusters are resolved
     *   by [[Dedup.connectedComponents]] (transitive closure — keep one
     *   representative per cluster); when false (default), the linear
@@ -40,7 +57,7 @@ object CurateCorpusJob {
     *   connected. */
   def curate(spark: SparkSession, sfDir: String,
              minQuality: Long = 500, jaccardPermille: Int = 950,
-             exactComponents: Boolean = false): (DataFrame, Stats) = {
+             exactComponents: Boolean = false): Curated = {
     val docs = Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
@@ -68,19 +85,21 @@ object CurateCorpusJob {
     val sig = Dedup.minhashSignature(Dedup.shingled(exactDeduped, k = 3))
     val candidates = Dedup.lshCandidatePairs(sig)
     val verified = Dedup.jaccardVerify(exactDeduped, candidates, jaccardPermille)
-    val losers =
-      if (exactComponents)
-        Dedup.connectedComponents(verified)
-          .filter(col("component") =!= col("doc_id")).select(col("doc_id"))
-      else
-        verified.select(col("doc_b").as("doc_id")).distinct()
+    val (losers, checkpointed) =
+      if (exactComponents) {
+        val components = Dedup.connectedComponents(verified)
+        (components.filter(col("component") =!= col("doc_id")).select(col("doc_id")),
+          Seq(components))
+      } else
+        (verified.select(col("doc_b").as("doc_id")).distinct(), Seq.empty[DataFrame])
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val nKept = curated.count()
 
     // 4. fingerprints attached to the curated set
     val out = curated.join(
       TextAnalysis.fingerprint(curated).select(col("doc_id"), col("fp")), "doc_id")
-    (out, Stats(nInput, nInput - nQuality, nQuality - nExact, nExact - nKept, nKept))
+    new Curated(out, Stats(nInput, nInput - nQuality, nQuality - nExact, nExact - nKept, nKept),
+      caches = Seq(exactDeduped), checkpointed = checkpointed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,11 +112,13 @@ object CurateCorpusJob {
     if (!new org.apache.spark.SparkConf().contains("spark.master"))
       builder.master("local[*]")
     val spark = builder.getOrCreate()
-    val (out, stats) = curate(spark, a("--in"),
+    val result = curate(spark, a("--in"),
       a.getOrElse("--min-quality", "500").toLong,
       a.getOrElse("--jaccard-permille", "950").toInt,
       a.getOrElse("--exact-components", "false").toBoolean)
-    out.write.mode("overwrite").parquet(a("--out"))
+    result.docs.write.mode("overwrite").parquet(a("--out"))
+    result.release()
+    val stats = result.stats
     println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
       s""""exact_dups":${stats.exactDups},"near_dups":${stats.nearDups},"kept":${stats.kept}}""")
     spark.stop()

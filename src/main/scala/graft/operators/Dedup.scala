@@ -257,9 +257,15 @@ object Dedup {
     * keeps stacking lazy plans grows its lineage per round and
     * eventually OOMs the PLANNER (caught by the long-chain spec) —
     * lineage truncation per iteration is mandatory for driver-looped
-    * algorithms at any scale. Per round: one shuffle-join on the edge
-    * list + one map-side-combinable min per node. Singleton docs (no
-    * pairs) are not emitted — they represent themselves. */
+    * algorithms at any scale. Round k-1's checkpoint blocks are
+    * unpersisted as soon as round k materializes (and the symmetrized
+    * edge list after the loop) — at 100 TB a retained round is a full
+    * node-label copy in executor storage. Only the FINAL round's
+    * blocks back the returned frame; release them with
+    * [[Caching.releaseLocalCheckpoints]] once consumed. Per round: one
+    * shuffle-join on the edge list + one map-side-combinable min per
+    * node. Singleton docs (no pairs) are not emitted — they represent
+    * themselves. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b"): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
@@ -269,15 +275,18 @@ object Dedup {
     var labels = sym.groupBy(col("u").as("node")).agg(min(col("v")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("component"))
       .localCheckpoint()
+    if (labels.isEmpty) {
+      Caching.releaseLocalCheckpoints(sym)
+      return labels.select(col("node").as("doc_id"), col("component"))
+    }
     // convergence by the monotone label sum: labels only ever decrease,
     // so an unchanged sum IS the fixpoint — one cheap agg per round
     // instead of a join + filter + count. sum over ZERO rows is SQL
-    // null — coalesce, or an empty pair set NPEs.
+    // null — coalesce (the empty case above never reaches here, but
+    // keep the guard so labelSum is safe on any input).
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
-    if (labels.isEmpty)
-      return labels.select(col("node").as("doc_id"), col("component"))
     var done = false
     while (!done) {
       val neighborMin = sym
@@ -292,12 +301,14 @@ object Dedup {
           col("component"),
           coalesce(col("nmin"), col("component")),
           coalesce(col("ll"), col("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpoint() // eager — materialized before the release below
       val s = labelSum(next)
       done = s == prevSum
       prevSum = s
+      Caching.releaseLocalCheckpoints(labels)
       labels = next
     }
+    Caching.releaseLocalCheckpoints(sym)
     labels.select(col("node").as("doc_id"), col("component"))
   }
 

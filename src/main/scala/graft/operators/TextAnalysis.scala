@@ -65,22 +65,32 @@ object TextAnalysis {
     * windowed top-N), then score every document by profile hits and
     * predict the argmax (hits desc, lang asc tie-break).
     *
-    * The profile is tiny (langs × profileSize) — broadcast; the
-    * scoring join therefore never shuffles the token table by
-    * profile key. */
+    * The profile is tiny (langs × profileSize) — it is materialized on
+    * the driver (like the k-means centroids in
+    * [[Similarity.ivfTrain]]: legitimately model-small) and broadcast
+    * back into the scoring join, which therefore never shuffles the
+    * token table by profile key. The input is scanned twice (train +
+    * score), both passes narrow-until-agg; at 100 TB two passes beat
+    * retaining a corpus-sized (doc, token, count) cache in executor
+    * storage, and the returned frame is fully lazy with NO retained
+    * state — nothing for the caller to release. */
   def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
-    // per-(doc, token) counts computed ONCE serve both the profile
-    // build and the scoring join — the raw token stream is exploded
-    // and shuffled a single time, and everything downstream works on
-    // the (much smaller) doc-level term frequencies
-    val dtf = Partitioning.fanOut(docs)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("lang"), col("t")).agg(count(lit(1)).as("c"))
-      .cache() // read by profile build AND scoring join
-    val freq = dtf.groupBy(col("lang"), col("t")).agg(sum(col("c")).as("cnt"))
-    val profile = Relational.topNPerGroup(freq, Seq(col("lang")),
+    val spark = docs.sparkSession
+    // training pass (eager, aggregate-only): lang-level token counts →
+    // top-N per lang → langs × profileSize rows on the driver
+    val freq = Partitioning.fanOut(docs)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+    val profileRows = Relational.topNPerGroup(freq, Seq(col("lang")),
         Seq(col("cnt").desc, col("t")), profileSize)
-      .select(col("lang").as("cand_lang"), col("t"))
+      .select(col("lang"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val profile = profileRows.toDF("cand_lang", "t")
+    // scoring pass (lazy): doc-level term frequencies × broadcast profile
+    val dtf = Partitioning.fanOut(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
     val hits = dtf.join(broadcast(profile), Seq("t"))
       .groupBy(col("doc_id"), col("cand_lang")).agg(sum(col("c")).as("hits"))
     Relational.topNPerGroup(hits, Seq(col("doc_id")),

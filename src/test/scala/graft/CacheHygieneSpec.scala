@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.CurateCorpusJob
+import graft.operators.{Caching, Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** Executor-storage hygiene: iterative/caching operators must leave no
+  * persistent RDDs behind once their release path runs. At 100 TB a
+  * leaked round of connected components (or a corpus-sized token
+  * cache) is a full data copy pinned in executor storage for the rest
+  * of the session.
+  */
+class CacheHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Persistent-RDD ids NOT present before `body` ran but present
+    * after — i.e. what `body` leaked. */
+  private def leakedAfter(body: => Unit): Set[Int] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    body
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("connectedComponents retains only the final round until released") {
+    val pairs = (1L to 40L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b") // one 40-node chain → several doubling rounds
+    val leaked = leakedAfter {
+      val cc = Dedup.connectedComponents(pairs)
+      assert(cc.collect().forall(_.getLong(1) === 1L))
+      Caching.releaseLocalCheckpoints(cc)
+    }
+    assert(leaked.isEmpty, s"connectedComponents leaked persistent RDDs: $leaked")
+  }
+
+  test("connectedComponents on an empty pair set leaks nothing") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val leaked = leakedAfter {
+      val cc = Dedup.connectedComponents(empty)
+      assert(cc.count() === 0L)
+      Caching.releaseLocalCheckpoints(cc)
+    }
+    assert(leaked.isEmpty, s"empty-case connectedComponents leaked: $leaked")
+  }
+
+  test("langId retains no executor state after evaluation") {
+    val docs = Tables.documents(spark, sf)
+    val leaked = leakedAfter {
+      assert(TextAnalysis.langId(docs).count() > 0L)
+    }
+    assert(leaked.isEmpty, s"langId leaked persistent RDDs: $leaked")
+  }
+
+  test("curate releases its caches in both modes") {
+    for (exact <- Seq(false, true)) {
+      val leaked = leakedAfter {
+        val result = CurateCorpusJob.curate(spark, sf, exactComponents = exact)
+        assert(result.docs.count() === result.stats.kept)
+        result.release()
+      }
+      assert(leaked.isEmpty, s"curate(exactComponents=$exact) leaked: $leaked")
+    }
+  }
+}

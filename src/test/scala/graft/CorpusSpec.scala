@@ -165,7 +165,8 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("corpus pipeline composes: curate → split → sample → pack") {
-    val (curated, stats) = graft.jobs.CurateCorpusJob.curate(spark, sf)
+    val result = graft.jobs.CurateCorpusJob.curate(spark, sf)
+    val (curated, stats) = (result.docs, result.stats)
     val train = Corpus.split(curated)
       .filter(col("split") === "train").drop("bucket", "split")
     val sampled = Corpus.stratifiedSample(train, "source",

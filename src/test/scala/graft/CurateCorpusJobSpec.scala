@@ -12,7 +12,8 @@ class CurateCorpusJobSpec extends SparkSpec {
   import spark.implicits._
 
   test("curate runs end-to-end on sf0.001 and stats partition the input") {
-    val (out, stats) = CurateCorpusJob.curate(spark, sf)
+    val result = CurateCorpusJob.curate(spark, sf)
+    val (out, stats) = (result.docs, result.stats)
     val n = out.count()
     assert(stats.input > 0)
     assert(n === stats.kept)
@@ -24,15 +25,16 @@ class CurateCorpusJobSpec extends SparkSpec {
   }
 
   test("curated output contains no exact duplicate texts") {
-    val (out, _) = CurateCorpusJob.curate(spark, sf)
+    val out = CurateCorpusJob.curate(spark, sf).docs
     val dupGroups = out.groupBy(md5(col("text").cast("binary"))).count()
       .filter(col("count") > 1).count()
     assert(dupGroups === 0L)
   }
 
   test("exact-components mode drops at least the linear pass's near-dups") {
-    val (_, linear) = CurateCorpusJob.curate(spark, sf)
-    val (outCc, cc) = CurateCorpusJob.curate(spark, sf, exactComponents = true)
+    val linear = CurateCorpusJob.curate(spark, sf).stats
+    val ccResult = CurateCorpusJob.curate(spark, sf, exactComponents = true)
+    val (outCc, cc) = (ccResult.docs, ccResult.stats)
     // every pair's doc_b is a non-representative in its component, so
     // CC-dropped ⊇ linear-dropped
     assert(cc.nearDups >= linear.nearDups)
