@@ -20,9 +20,12 @@ import graft.operators.{Dedup, TextAnalysis}
   *     → parquet append sink, exactly-once via checkpointed offsets +
   *       idempotent file commits.
   *
-  * Near-dedup (MinHash/SimHash) stays batch-only by design: it needs a
-  * corpus-wide candidate join, which has no bounded-state streaming
-  * form — the standard lambda split for curation pipelines.
+  * Near-dedup WITHIN the watermark horizon runs in-stream (optional
+  * second output, [[nearDupPairs]] — an LSH band-keyed stream–stream
+  * self-join with bounded state); corpus-wide near-dedup stays
+  * batch-only (a corpus-wide candidate join has no bounded-state
+  * streaming form — the standard lambda split for curation pipelines,
+  * with the nightly batch run catching cross-horizon duplicates).
   *
   * {{{
   * spark-submit --class graft.jobs.CurateStreamJob <jar> \
@@ -42,6 +45,24 @@ object CurateStreamJob {
       .select(inputCols.map(col): _*)
     val deduped = Dedup.exactStreaming(gated, tsCol, watermark)
     TextAnalysis.withFingerprint(deduped)
+  }
+
+  /** Optional in-horizon near-dedup stage: verified near-duplicate
+    * pairs among quality-gated docs whose event times are within
+    * `within` of each other. Run as a SECOND streaming output (a
+    * quarantine/monitoring sink) — dropping the later doc of each pair
+    * in-stream would need a third stateful join, so the drop decision
+    * stays with the consumer (or the nightly batch job). Same quality
+    * gate as [[curated]] — pairs are computed over the docs that
+    * actually enter the corpus. */
+  def nearDupPairs(docs: DataFrame, tsCol: String, within: String,
+                   watermark: String, minQuality: Long,
+                   jaccardPermille: Int = 950): DataFrame = {
+    val inputCols = docs.columns
+    val gated = TextAnalysis.withQualityScore(docs)
+      .filter(col("quality_score") >= minQuality)
+      .select(inputCols.map(col): _*)
+    Dedup.nearDupPairsStreaming(gated, tsCol, within, watermark, jaccardPermille)
   }
 
   def start(curated: DataFrame, outDir: String, checkpoint: String,

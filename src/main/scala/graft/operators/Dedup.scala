@@ -139,6 +139,96 @@ object Dedup {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming near-duplicate detection within the watermark horizon —
+    * the bounded-state streaming form of [[lshCandidatePairs]] +
+    * [[jaccardVerify]]: emit verified near-dup pairs whose event times
+    * are within `within` of each other. (Batch-only near-dedup plus
+    * this stream closes the lambda split for in-horizon duplicates;
+    * cross-horizon duplicates remain the nightly batch job's.)
+    *
+    * Bounded-state design: the MinHash signature is computed PER ROW
+    * with array expressions (no explode+groupBy — a streaming
+    * aggregation upstream of a stream–stream join is unsupported, and
+    * would also hold doc-level state). Bands then explode (narrow,
+    * streaming-safe) and the stream self-joins on the (band, bandValue)
+    * key with a symmetric event-time bound — Spark expires both sides'
+    * join state as the watermark passes, so state holds only the
+    * horizon's band rows, never corpus history. Jaccard verification
+    * (PPJoin length prefilter + exact token-set intersection) runs
+    * narrowly on each matched pair in-stream.
+    *
+    * The per-row signature uses higher-order array functions (2 md5
+    * traversals + 8 cheap min-traversals per doc) — CodegenFallback,
+    * acceptable at stream rates; the batch path keeps the faster
+    * explode+HashAggregate form. Signatures are bit-identical to
+    * [[minhashSignature]] (same md5 slices, min over the same values),
+    * so batch-mode runs of this operator agree with the batch pipeline.
+    *
+    * A pair colliding in several bands emits once per band (`band` is
+    * in the output key; stream-side distinct would add another stateful
+    * operator). Docs shorter than `k` tokens have no shingles and are
+    * filtered out — they cannot collide in the batch form either.
+    *
+    * Note: the optimizer pushes the Jaccard verification filters into
+    * the join condition, and StreamingJoinHelper logs per-batch WARNs
+    * while probing those non-time conjuncts for state-value
+    * watermarks. Benign — the event-time range IS extracted and drives
+    * state expiry (spec asserts numRowsRemoved > 0). */
+  def nearDupPairsStreaming(docs: DataFrame, tsCol: String, within: String,
+                            maxLateness: String, thresholdPermille: Int,
+                            k: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    require(numHashes == 8, "per-row signature is tuned for 8 hashes (2 md5 digests)")
+    val nBands = numHashes / rowsPerBand
+    val prepped = docs
+      .select(col(tsCol), col(idCol), col(textCol))
+      .withColumn("shingles", word_shingles(col(textCol), k))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("m1s", transform(col("shingles"), s => md5(s.cast("binary"))))
+      .withColumn("m2s", transform(col("shingles"), s => md5(concat(lit("8|"), s).cast("binary"))))
+      .withColumn("tset", array_distinct(tokens(col(textCol))))
+      .withColumn("tsz", size(col("tset")).cast("long"))
+    val withSig = (0 until numHashes).foldLeft(prepped) { (df, i) =>
+      val src = if (i < 4) "m1s" else "m2s"
+      df.withColumn(s"h$i", array_min(transform(col(src), m => hex_slice_long(m, (i % 4) * 8))))
+    }
+    val bandStructs = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
+    }
+    val banded = withSig
+      .select(col(tsCol), col(idCol), col("tset"), col("tsz"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(tsCol), col(idCol), col("tset"), col("tsz"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = banded.select(col(tsCol).as("ts_a"), col(idCol).as("doc_a"),
+        col("tset").as("ta"), col("tsz").as("sza"), col("band"), col("bv"))
+      .withWatermark("ts_a", maxLateness)
+    val b = banded.select(col(tsCol).as("ts_b"), col(idCol).as("doc_b"),
+        col("tset").as("tb"), col("tsz").as("szb"),
+        col("band").as("band_b"), col("bv").as("bv_b"))
+      .withWatermark("ts_b", maxLateness)
+    a.join(b,
+        col("band") === col("band_b") && col("bv") === col("bv_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $within") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"),
+        "inner")
+      // PPJoin length filter before the O(|A|+|B|) intersection
+      .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
+              col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
+      .filter(col("jac_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("band"), col("jac_permille"),
+        col("ts_a"), col("ts_b"))
+  }
+
   /** Shared band-bucket projection for LSH joins. */
   private def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
                          idCol: String): DataFrame = {
@@ -165,30 +255,73 @@ object Dedup {
     a.join(b, Seq("band", "bv")).select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** A persistable near-dup index over a corpus: distinct content
+    * hashes (exact dedup), minhash signatures (LSH candidates), and
+    * distinct-token sets with sizes (Jaccard verification). This is
+    * what production stores between daily-delta runs — build once per
+    * corpus version, [[writeIndex]] to parquet, [[readIndex]] next
+    * run. Token sets are the largest part; a deployment that prefers
+    * not to store them can re-derive verification sets by joining the
+    * corpus store on `doc_id` — the frames here are plain DataFrames,
+    * so either source drops in. */
+  final case class DedupIndex(hashes: DataFrame, signatures: DataFrame,
+                              tokenSets: DataFrame)
+
+  /** Build the [[DedupIndex]] for `corpus` (all three parts lazy). */
+  def buildIndex(corpus: DataFrame, k: Int = 3, textCol: String = "text",
+                 idCol: String = "doc_id"): DedupIndex =
+    DedupIndex(
+      corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct(),
+      minhashSignature(shingled(corpus, k), idCol = idCol),
+      tokenSets(corpus, idCol, textCol))
+
+  def writeIndex(index: DedupIndex, dir: String): Unit = {
+    index.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
+    index.signatures.write.mode("overwrite").parquet(s"$dir/signatures")
+    index.tokenSets.write.mode("overwrite").parquet(s"$dir/token_sets")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex =
+    DedupIndex(
+      spark.read.parquet(s"$dir/hashes"),
+      spark.read.parquet(s"$dir/signatures"),
+      spark.read.parquet(s"$dir/token_sets"))
+
   /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
     * duplicate the EXISTING `corpus`, exactly (content hash anti-join)
     * or nearly (cross-corpus LSH candidates, Jaccard-verified).
-    * Returns the surviving new docs. At production scale the corpus
-    * side's hashes and minhash signatures are precomputed once and
-    * stored — every input here is a plain DataFrame, so the stored
-    * index drops straight in. New-vs-new duplicates are NOT handled
-    * here (run [[exact]]/[[lshCandidatePairs]] within the batch
-    * first); ids must be distinct across the two frames. */
+    * Returns the surviving new docs. New-vs-new duplicates are NOT
+    * handled here (run [[exact]]/[[lshCandidatePairs]] within the
+    * batch first); ids must be distinct across the two frames.
+    *
+    * This convenience form recomputes the corpus index per run; the
+    * production shape is [[dedupeAgainstIndex]] over a stored
+    * [[DedupIndex]] (same code path — this is a one-liner over it). */
   def dedupeAgainst(newDocs: DataFrame, corpus: DataFrame, thresholdPermille: Int,
                     k: Int = 3, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id"): DataFrame =
+    dedupeAgainstIndex(newDocs, buildIndex(corpus, k, textCol, idCol),
+      thresholdPermille, k, textCol, idCol)
+
+  /** [[dedupeAgainst]] against a prebuilt (typically parquet-stored)
+    * [[DedupIndex]] — the corpus is never rescanned: the delta's
+    * hashes anti-join the stored hash set, the delta's signatures
+    * LSH-join the stored signatures, and verification joins the stored
+    * token sets. Shuffle ∝ delta + collision candidates. */
+  def dedupeAgainstIndex(newDocs: DataFrame, index: DedupIndex,
+                         thresholdPermille: Int, k: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
-    val corpusHashes = corpus
-      .select(md5(col(textCol).cast("binary")).as("__h")).distinct()
-    val exactNew = newHashed.join(corpusHashes, Seq("__h"), "left_anti").drop("__h")
+    val exactNew = newHashed.join(index.hashes, Seq("__h"), "left_anti").drop("__h")
     val cands = lshCandidatePairsAcross(
       minhashSignature(shingled(exactNew, k), idCol = idCol),
-      minhashSignature(shingled(corpus, k), idCol = idCol), idCol = idCol)
-    // ids are distinct across the two frames (documented), so the
-    // shared verifier works over their union — one implementation of
-    // the PPJoin-filtered Jaccard check, not two
-    val verified = jaccardVerify(
-        exactNew.unionByName(corpus), cands, thresholdPermille, idCol, textCol)
+      index.signatures, idCol = idCol)
+    // ids are distinct across delta and corpus (documented), so the
+    // shared verifier works over the union of both sides' token sets —
+    // one implementation of the PPJoin-filtered Jaccard check, not two
+    val verified = jaccardVerifySets(
+        tokenSets(exactNew, idCol, textCol).unionByName(index.tokenSets),
+        cands, thresholdPermille)
       .select(col("doc_a").as(idCol)).distinct()
     exactNew.join(verified, Seq(idCol), "left_anti")
   }
@@ -200,11 +333,23 @@ object Dedup {
     * |candidates| + |docs|, never all-pairs. Integer permille
     * arithmetic end-to-end (engine-exact). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, thresholdPermille: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withSets = Partitioning.fanOut(docs)
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardVerifySets(tokenSets(docs, idCol, textCol), pairs, thresholdPermille,
+      idCol)
+
+  /** Distinct-token sets + sizes per doc — the verification features a
+    * [[DedupIndex]] stores. */
+  private def tokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col(textCol))))
       .withColumn("tsz", size(col("tset")).cast("long"))
       .select(col(idCol), col("tset"), col("tsz"))
+
+  /** [[jaccardVerify]] over precomputed token sets (`idCol`, tset,
+    * tsz) — the form a stored index uses directly. */
+  def jaccardVerifySets(withSets: DataFrame, pairs: DataFrame,
+                        thresholdPermille: Int,
+                        idCol: String = "doc_id"): DataFrame = {
     pairs
       .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta"),
         col("tsz").as("sza")), "doc_a")

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection within the watermark horizon:
+  * in-horizon near-dup pairs are detected, out-of-horizon duplicates
+  * pass (they are the nightly batch job's responsibility), and join
+  * state is expired by the watermark (bounded state).
+  */
+class StreamingNearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen green turtles " +
+      "slowly cross a wide sunny road carrying small wooden boxes full of ripe fruit"
+  private val nearDup = base.replace("ripe fruit", "ripe plums") // 1-token edit
+  private val unrelated =
+    "completely different content about distributed query engines shuffling " +
+      "partitioned columnar batches across executor memory pools under pressure"
+
+  test("in-horizon near-dup detected, out-of-horizon dup passes, state expires") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val pairs = Dedup.nearDupPairsStreaming(docs, "ts", within = "10 minutes",
+      maxLateness = "5 minutes", thresholdPermille = 900)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("near_dedup_out").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      def at(min: Int) = Timestamp.valueOf(s"2024-01-01 10:00:00").toInstant
+        .plusSeconds(min * 60L)
+      def ts(min: Int) = Timestamp.from(at(min))
+      mem.addData(
+        (t0, 1L, base),            // in-horizon near-dup of 2
+        (ts(2), 2L, nearDup),      //   "
+        (ts(180), 3L, base))       // textual dup of 1 but 3h away → passes
+      q.processAllAvailable()
+      // advance the watermark far past everything → state expiry
+      mem.addData((ts(360), 4L, unrelated))
+      q.processAllAvailable()
+      mem.addData((ts(400), 5L, unrelated + " again and again"))
+      q.processAllAvailable()
+
+      val got = spark.table("near_dedup_out")
+        .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)),
+        s"expected exactly the in-horizon near-dup pair, got $got")
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed > 0L, "watermark never expired any join state rows")
+    } finally q.stop()
+  }
+
+  test("batch-mode run agrees with the batch LSH + Jaccard pipeline") {
+    val docs = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, base),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, nearDup),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), 3L, unrelated),
+      (Timestamp.valueOf("2024-01-01 10:03:00"), 4L, base)
+    ).toDF("ts", "doc_id", "text")
+    val streamingForm = Dedup.nearDupPairsStreaming(docs, "ts", "1 hour", "5 minutes", 900)
+      .select("doc_a", "doc_b").distinct().as[(Long, Long)].collect().toSet
+    val sig = Dedup.minhashSignature(Dedup.shingled(docs, k = 3))
+    val batchForm = Dedup.jaccardVerify(docs, Dedup.lshCandidatePairs(sig), 900)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(streamingForm === batchForm)
+    assert(streamingForm === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+}
