@@ -15,13 +15,16 @@ object Sinks {
 
   /** Kafka producer sink (the reference's empty SinkToKafka stub, made
     * real). `df` must have a `value` (and optionally `key`) column.
-    * Untestable in this environment (no broker) but standard wiring. */
+    * Fail-fast when the spark-sql-kafka connector jar is absent (as in
+    * this build environment — see [[graft.sources.KafkaSupport]]). */
   def kafka(df: DataFrame, brokers: String, topic: String,
-            checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+            checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    graft.sources.KafkaSupport.requireConnector("Sinks.kafka")
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
+  }
 
   /** Streaming parquet append sink (exactly-once per file via the
     * checkpoint + _spark_metadata commit log). */

@@ -26,16 +26,21 @@ import graft.codec.CanalCodec
   */
 object CdcStreamJob {
 
-  /** Kafka source (reference O1, KafkaConfigUtil.java). Untestable in
-    * this environment (no broker/connector) but the standard wiring. */
+  /** Kafka source (reference O1, KafkaConfigUtil.java). Standard
+    * wiring, but fail-fast when the spark-sql-kafka connector jar is
+    * absent (as it is in this build environment — the tested ingestion
+    * contract is the file-drop/MemoryStream path; see
+    * [[graft.sources.KafkaSupport]]). */
   def fromKafka(spark: SparkSession, brokers: String, topic: String,
-                startingOffsets: String = "latest"): DataFrame =
+                startingOffsets: String = "latest"): DataFrame = {
+    graft.sources.KafkaSupport.requireConnector("CdcStreamJob.fromKafka")
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
       .select(col("value").cast("string").as("value"))
+  }
 
   /** Raw Canal JSON stream → enriched meeting rows. `dim` is a *batch*
     * DataFrame (JDBC/parquet snapshot) — the static side of the

@@ -92,4 +92,18 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.count() === 2)
     assert(back.filter(col("s2") === "A").count() === 1)
   }
+
+  test("kafka surface fails fast with an actionable error when the connector is absent") {
+    // this image ships no spark-sql-kafka jar (zero-egress) — the probe
+    // must catch that at wiring time, not at load()/start()
+    assert(!graft.sources.KafkaSupport.connectorPresent)
+    val src = intercept[IllegalStateException](
+      graft.streaming.CdcStreamJob.fromKafka(spark, "broker:9092", "topic"))
+    assert(src.getMessage.contains("spark-sql-kafka") &&
+      src.getMessage.contains("Files.textStream"))
+    val df = Seq(("k", "v")).toDF("key", "value")
+    val snk = intercept[IllegalStateException](
+      Sinks.kafka(df, "broker:9092", "topic", "/tmp/ckpt"))
+    assert(snk.getMessage.contains("spark-sql-kafka"))
+  }
 }
