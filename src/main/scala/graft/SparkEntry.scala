@@ -446,6 +446,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Real header decode round-trip: synthetic BMP/WAV blobs built
+    // from doc_id arithmetic, parsed back by the pure-JVM header
+    // parser. The oracle recomputes the encoded values analytically —
+    // a hash-match proves parseHeader read the right offsets back.
+    "mm_decode_headers" -> ((s, d) => {
+      Multimodal.decodeHeaders(Multimodal.syntheticBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────────────── corpus management (splits / sampling / QA) ────────────────────
 
     "corpus_split" -> ((s, d) => {
@@ -1119,6 +1135,18 @@ object SparkEntry {
          |$buckets
          |FROM h ORDER BY doc_id""".stripMargin
     },
+
+    "mm_decode_headers" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 32 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
+        |            ELSE CAST(1 + (doc_id // 2) % 2 AS BIGINT) END AS channels,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END AS sample_rate,
+        |       CASE WHEN doc_id % 2 = 1 THEN CAST(16 AS BIGINT) END AS bits_per_sample,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(54 AS BIGINT) ELSE CAST(44 AS BIGINT) END AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The pure-JVM BMP/WAV header parser against hand-built byte arrays
+  * — real fixed-offset decoding, not the stub — plus the stub
+  * fallback for unknown/truncated payloads and the distributed
+  * round-trip through synthetic blobs.
+  */
+class MultimodalHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  test("BMP header: width/height/channels from fixed offsets") {
+    val b = le(54)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(640).putInt(480).putShort(1).putShort(24)
+    assert(Multimodal.parseHeader(b.array()) === ("bmp", 640, 480, 3, null, null))
+  }
+
+  test("BMP top-down rows: negative height reads as absolute") {
+    val b = le(54)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(1920).putInt(-1080).putShort(1).putShort(32)
+    assert(Multimodal.parseHeader(b.array()) === ("bmp", 1920, 1080, 4, null, null))
+  }
+
+  test("WAV canonical PCM header: channels/rate/bits") {
+    val b = le(44)
+    b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(2).putInt(44100).putInt(44100 * 2 * 2).putShort(4).putShort(16)
+    b.put("data".getBytes).putInt(0)
+    assert(Multimodal.parseHeader(b.array()) === ("wav", null, null, 2, 44100, 16))
+  }
+
+  test("WAV with a leading JUNK chunk: the chunk walk still finds fmt") {
+    val b = le(56)
+    b.put("RIFF".getBytes).putInt(48).put("WAVE".getBytes)
+    b.put("JUNK".getBytes).putInt(4).putInt(0xdeadbeef)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    assert(Multimodal.parseHeader(b.array()) === ("wav", null, null, 1, 8000, 8))
+  }
+
+  test("unknown and truncated payloads fall back to the stub") {
+    val garbage = "not a media file at all".getBytes
+    val (fmt, w, h, ch, rate, bits) = Multimodal.parseHeader(garbage)
+    assert(fmt === "unknown" && ch === 3 && rate === null && bits === null)
+    assert(w === 64 + (garbage(0) & 0x3f) && h === 64 + (garbage(1) & 0x3f))
+    // a too-short "BM" prefix must not read past the buffer
+    assert(Multimodal.parseHeader("BM".getBytes)._1 === "unknown")
+    assert(Multimodal.parseHeader(Array.emptyByteArray)._1 === "unknown")
+    // RIFF/WAVE with no fmt chunk falls back too
+    val r = le(20); r.put("RIFF".getBytes).putInt(12).put("WAVE".getBytes).putInt(0)
+    assert(Multimodal.parseHeader(r.array())._1 === "unknown")
+  }
+
+  test("distributed round-trip: syntheticBlobs → decodeHeaders recovers encoded values") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val got = Multimodal.decodeHeaders(Multimodal.syntheticBlobs(docs))
+      .orderBy(col("doc_id")).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) === "bmp")
+        assert(r.getInt(2) === (1 + id % 64).toInt && r.getInt(3) === (1 + id % 32).toInt)
+        assert(r.getInt(4) === 3 && r.isNullAt(5) && r.isNullAt(6))
+      } else {
+        assert(r.getString(1) === "wav")
+        assert(r.isNullAt(2) && r.isNullAt(3))
+        assert(r.getInt(4) === (1 + (id / 2) % 2).toInt)
+        assert(r.getInt(5) === (8000 + (id % 8) * 1000).toInt && r.getInt(6) === 16)
+      }
+    }
+  }
+}
