@@ -78,4 +78,39 @@ class SketchBoundsSpec extends SparkSpec {
       assert(within(p99, 0.99), s"flag $flag p99 $p99 outside rank tolerance")
     }
   }
+
+  test("freq_topk Misra–Gries bounds hold over sf0.1 testdata with k ≪ distinct") {
+    import graft.functions.FreqTopK.freq_topk
+    import graft.operators.Dedup
+    graft.plans.GraftExtensions.register(spark)
+    // The synthetic corpus vocabulary is uniform (31 tokens, no natural
+    // Zipf), so impose a deterministic power-law skew over the REAL
+    // token stream: tokens starting with 's' weigh 64×. ~2.5M-row
+    // stream, k=8 ≪ 31 distinct — the genuine approximate regime
+    // (decrement + summary-merge paths) at bench scale, with exact
+    // counts computed in-Spark over the same stream.
+    val toks = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(explode(Dedup.tokens(col("text"))).as("t0"))
+      .select(explode(array_repeat(col("t0"),
+        when(col("t0").startsWith("s"), 64).otherwise(1))).as("t"))
+    val k = 8
+    val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val err = n / (k + 1)
+    assert(exact.size >= 3 * k, s"need k ≪ distinct (k=$k, distinct=${exact.size})")
+    val est = toks.repartition(8)
+      .agg(freq_topk(col("t"), k).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item"), col("x.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= k)
+    est.foreach { case (item, e) =>
+      val t = exact(item)
+      assert(e <= t && e >= t - err, s"$item: est $e vs exact $t (bound $err)")
+    }
+    val heavy = exact.filter(_._2 > err).keys
+    assert(heavy.nonEmpty, "skew construction produced no heavy items — test is vacuous")
+    heavy.foreach(h => assert(est.contains(h), s"guaranteed-present heavy item $h missing"))
+  }
 }
