@@ -255,6 +255,51 @@ object SparkEntry {
         .orderBy(asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"), col("gid"))
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube's fixed shapes): one
+    // Expand + one aggregation pass, not three scans.
+    "rel_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // Distribution windows: ntile quartiles + integer permille percent
+    // rank (exact long arithmetic — raw percent_rank doubles are not
+    // hash-comparable cross-engine). Rank ties broken by the unique
+    // order key.
+    "rel_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderstatus"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          rank().over(w).cast("long").as("rnk"),
+          count(lit(1)).over(wn).cast("long").as("__n"))
+        .withColumn("pct_permille",
+          when(col("__n") === 1, lit(0L))
+            .otherwise(floor((col("rnk") - 1) * 1000 / (col("__n") - 1)).cast("long")))
+        .drop("rnk", "__n")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Skew-safe two-stage aggregation: identical result to a direct
+    // groupBy (the oracle IS the direct form), but no reducer sees a
+    // hot key's full row stream.
+    "rel_salted_agg" -> ((s, d) => {
+      Relational.saltedAggregate(
+        Tables.lineitem(s, d)
+          .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long")),
+        Seq("l_returnflag"), col("l_orderkey"), col("qty_cents"), saltBuckets = 32)
+        .orderBy(col("l_returnflag"))
+    }),
+
     "rel_broadcast_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
@@ -481,6 +526,25 @@ object SparkEntry {
       Corpus.sampleKPerStratum(Tables.documents(s, d), "source", k = 10)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Training-mix upsampling: weights over 1000‰ duplicate docs
+    // (epoch-style), 0 drops the stratum, fractional tails are
+    // hash-bucketed per (doc, copy).
+    "corpus_mixture" -> ((s, d) => {
+      Corpus.upsample(Tables.documents(s, d), "source",
+        Map("src0" -> 2500, "src1" -> 800, "src2" -> 0), defaultPermille = 1000)
+        .select(col("doc_id"), col("copy_idx"), col("source"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // Duplication profile: how many clusters of each multiplicity the
+    // exact-dedup pass found (the corpus-health report a curation run
+    // logs).
+    "dedup_cluster_sizes" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d))
+        .groupBy(col("n_copies")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("n_copies"))
     }),
 
     "text_repetition" -> ((s, d) => {
@@ -753,6 +817,31 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "rel_ntile" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         ntile(4) OVER w AS quartile,
+        |         rank() OVER w AS rnk,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderkey, o_orderstatus, CAST(quartile AS BIGINT) AS quartile,
+        |       CAST(CASE WHEN n = 1 THEN 0 ELSE (rnk - 1) * 1000 // (n - 1) END AS BIGINT) AS pct_permille
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+
+    "rel_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_value,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "rel_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
@@ -1164,6 +1253,27 @@ object SparkEntry {
          |SELECT doc_id, source FROM b
          |WHERE bucket < (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 700 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_mixture" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |             CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 800
+         |                         WHEN 'src2' THEN 0 ELSE 1000 END AS w
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, w,
+         |        unnest(range(0, CAST((w + 999) // 1000 AS BIGINT))) AS copy_idx
+         |      FROM w WHERE w > 0),
+         |h AS (SELECT doc_id, source, w, copy_idx,
+         |        md5('mix|' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy_idx AS VARCHAR)) AS m
+         |      FROM c)
+         |SELECT doc_id, copy_idx, source FROM h
+         |WHERE (copy_idx + 1) * 1000 <= w OR (${hexSliceSql("m", 1)}) % 1000 < w % 1000
+         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "dedup_cluster_sizes" ->
+      """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies
+        |           FROM documents GROUP BY 1)
+        |SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM g GROUP BY n_copies ORDER BY n_copies""".stripMargin,
 
     "corpus_sample_k" ->
       s"""WITH h AS (SELECT doc_id, source,

@@ -61,6 +61,37 @@ object Corpus {
     docs.filter(hashBucket(col(idCol), 1000, "sample|") < rate)
   }
 
+  /** Epoch-style mixture upsampling for training mixes: per-stratum
+    * weight in PERMILLE where weights may exceed 1000 — weight 2500
+    * emits every doc of that stratum twice outright plus a
+    * deterministic 500‰ chance of a third copy. The fractional copy is
+    * hash-bucketed on (id, copy_idx), so the mixture is stable across
+    * runs, engines and corpus growth (same guarantees as
+    * [[stratifiedSample]], which this generalizes: weights ≤ 1000
+    * degrade to it with copy_idx ≡ 0). The "books × 2.5, crawl × 0.8"
+    * operator of LLM data recipes; `copy_idx` stays in the output so
+    * downstream shuffles and pack steps see distinct rows. Narrow:
+    * sequence + explode + filter, no shuffle. */
+  def upsample(docs: DataFrame, strataCol: String,
+               weightsPermille: Map[String, Int], defaultPermille: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    require(defaultPermille >= 0 && weightsPermille.values.forall(_ >= 0),
+      "mixture weights must be non-negative permille")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val w = weightsPermille.foldLeft(lit(defaultPermille)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .withColumn("__w", w.cast("long"))
+      .filter(col("__w") > 0)
+      .withColumn("copy_idx",
+        explode(sequence(lit(0L), floor((col("__w") + 999) / 1000) - 1)))
+      .filter((col("copy_idx") + 1) * 1000 <= col("__w") ||
+        hashBucket(concat_ws("#", col(idCol).cast("string"),
+          col("copy_idx").cast("string")), 1000, "mix|") < col("__w") % 1000)
+      .drop("__w")
+  }
+
   /** Fixed-SIZE stratified sample: exactly min(k, |stratum|) docs per
     * stratum, chosen by the deterministic hash-bucket order (so the
     * choice is stable under corpus growth for the docs that stay).
@@ -187,6 +218,9 @@ object Corpus {
       .select(explode(Dedup.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val top = Relational.topK(counts, Seq(col("cnt").desc, col("token")), k)
+    // unpartitioned window over k rows only (top-k already applied) —
+    // the WindowExec "No Partition Defined" warning is bounded by k,
+    // not data size
     top.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("token"))).cast("long"))

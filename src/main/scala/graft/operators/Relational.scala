@@ -127,6 +127,27 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Two-stage skew-safe aggregation: stage 1 pre-aggregates by
+    * (keys, salt) — map-side combine plus a `saltBuckets`-way spread of
+    * each hot key's rows across reducers — stage 2 merges the partials
+    * by the keys alone. For decomposable aggregates (sum/count here)
+    * the result is IDENTICAL to a direct groupBy; the win at 100 TB is
+    * that no single reducer materializes a hot key's full row stream
+    * (the aggregation twin of [[saltedJoin]]). The salt derives from
+    * `saltFrom` (any well-distributed column, e.g. the row's unique
+    * id) so stage 1's grouping is deterministic. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltFrom: Column,
+                      sumCol: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val partial = df
+      .withColumn("__salt", pmod(saltFrom, lit(saltBuckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(sumCol).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n"))
+  }
+
   /** Gap-based sessionization over integer epoch seconds: flag
     * session-starts with `lag`, number sessions with a running sum.
     * Two stacked windows over the same (user, time) order = one shuffle

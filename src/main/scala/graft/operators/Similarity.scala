@@ -152,6 +152,9 @@ object Similarity {
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
       .cache()
     val seeds = q.orderBy(col("__id")).limit(k)
+      // unpartitioned window over the k seed rows only (limit already
+      // applied) — WindowExec's single-partition warning is bounded by
+      // k, not data size
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1).cast("long"))
       .select(col("cell"), col("qv").as("cv"))

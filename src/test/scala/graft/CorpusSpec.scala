@@ -19,6 +19,40 @@ class CorpusSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("upsample: integer copies outright, fractional tail ~honored, 0 drops, stable") {
+    val up = Corpus.upsample(docs, "source",
+      Map("src0" -> 2500, "src1" -> 0), defaultPermille = 1000)
+    val bySrc = up.groupBy("source").count().as[(String, Long)].collect().toMap
+    val baseBySrc = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src1"))                       // weight 0 drops the stratum
+    bySrc.filterKeys(k => k != "src0").foreach { case (s, n) =>
+      assert(n === baseBySrc(s))                          // weight 1000 = identity
+    }
+    val n0 = baseBySrc("src0")
+    assert(bySrc("src0") >= 2 * n0 && bySrc("src0") <= 3 * n0) // 2 full + ~0.5
+    // every doc of a >=2000 stratum appears at copy_idx 0 and 1
+    val copies = up.filter(col("source") === "src0")
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(copies.forall(_._2 >= 2))
+    // deterministic: same rows on a re-run
+    val again = Corpus.upsample(docs, "source",
+      Map("src0" -> 2500, "src1" -> 0), defaultPermille = 1000)
+    assert(again.select("doc_id", "copy_idx").except(up.select("doc_id", "copy_idx")).isEmpty)
+  }
+
+  test("saltedAggregate equals the direct groupBy") {
+    import graft.operators.Relational
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
+    val salted = Relational.saltedAggregate(li, Seq("l_returnflag"),
+        col("l_orderkey"), col("qty_cents"), saltBuckets = 16)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("qty_cents")).as("sum_value"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted === direct)
+  }
+
   test("split is a stable partition: every doc gets exactly one split, growth-invariant") {
     val s1 = Corpus.split(docs).select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(s1.size === docs.count())
