@@ -390,6 +390,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Character 5-gram Jaccard: the char-level near-dup sweep (catches
+    // whitespace/punctuation edits word-level misses).
+    "dedup_char_ngram" -> ((s, d) => {
+      Dedup.charNgramPairs(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 800, k = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental (daily-delta) dedup: drop new docs (id ≥ 250) that
     // duplicate the existing corpus (id < 250) exactly or nearly.
     "dedup_incremental" -> ((s, d) => {
@@ -457,6 +465,11 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Bigram LM-ish fluency: mean corpus frequency of each doc's word
+    // bigrams, exact integer arithmetic.
+    "text_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramFluency(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // ───────────────────────── LLM pipeline: multimodal ─────────────────────────
 
@@ -589,6 +602,15 @@ object SparkEntry {
       Corpus.decontaminate(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50), n = 8)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Audit twin of decontaminate: per-doc leaked-gram counts +
+    // permille share, zero-hit docs included.
+    "corpus_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.contaminationReport(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), n = 8)
+        .orderBy(col("doc_id"))
     }),
 
     "corpus_pack" -> ((s, d) => {
@@ -1013,6 +1035,21 @@ object SparkEntry {
          |FROM p WHERE floor(inter * 1000 / (sz - inter)) >= 900
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_char_ngram" ->
+      s"""WITH d AS (SELECT doc_id, source, lang,
+         |             list_distinct(list_transform(range(1, length(text) - 3),
+         |                                          i -> substr(text, CAST(i AS INTEGER), 5))) AS ts
+         |           FROM documents WHERE length(text) >= 5),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, sz - inter AS uni,
+         |       CAST(floor(inter * 1000 / (sz - inter)) AS BIGINT) AS jac_permille
+         |FROM p WHERE floor(inter * 1000 / (sz - inter)) >= 800
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_incremental" ->
       s"""WITH $minhashSigCtes,
          |exdup AS (SELECT doc_id FROM documents
@@ -1173,6 +1210,18 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
          |  FROM hits) y
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |                                            i -> tk[i] || ' ' || tk[i+1])) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY b),
+         |s AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        sum(c.cnt) AS sc
+         |      FROM bg JOIN c USING (b) GROUP BY bg.doc_id)
+         |SELECT doc_id, n_bigrams, CAST(sc // n_bigrams AS BIGINT) AS mean_freq
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS ts FROM documents)
@@ -1341,6 +1390,29 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM hit)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_contamination_report" -> {
+      val gram8 = {
+        val parts = (0 until 8).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+          .mkString(" || ' ' || ")
+        s"list_transform(range(1, len(tk) - 6), i -> $parts)"
+      }
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |eg AS (SELECT DISTINCT unnest($gram8) AS g FROM t WHERE doc_id < 50),
+         |tg AS (SELECT DISTINCT doc_id, g
+         |       FROM (SELECT doc_id, unnest($gram8) AS g FROM t WHERE doc_id >= 50)),
+         |h AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        CAST(sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |      FROM tg LEFT JOIN eg ON tg.g = eg.g GROUP BY tg.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |       CAST(CASE WHEN COALESCE(h.n_grams, 0) = 0 THEN 0
+         |            ELSE COALESCE(h.n_contaminated, 0) * 1000 // h.n_grams END AS BIGINT)
+         |         AS contamination_permille
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |WHERE d.doc_id >= 50 ORDER BY d.doc_id""".stripMargin
     },
 
     "corpus_pack" ->

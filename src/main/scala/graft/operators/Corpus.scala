@@ -155,6 +155,38 @@ object Corpus {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the audit twin of [[decontaminate]]: per
+    * training doc, how many of its n-grams appear in the eval set
+    * (distinct grams, so a repeated leaked sentence counts once) and
+    * the contaminated share in permille. Zero-hit docs are included
+    * (left join) — the report covers the whole corpus, not just the
+    * flagged tail. Same scale shape as the drop form: eval grams
+    * broadcast, training grams never shuffle for the probe; one
+    * groupBy(doc) for the tally. */
+  def contaminationReport(train: DataFrame, eval: DataFrame, n: Int = 13,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    val evalGrams = Partitioning.fanOut(eval)
+      .select(explode(word_shingles(col(textCol), n)).as("g")).distinct()
+      .withColumn("__hit", lit(1L))
+    val perDoc = Partitioning.fanOut(train)
+      .select(col(idCol), explode(word_shingles(col(textCol), n)).as("g"))
+      .distinct() // count each leaked gram once per doc
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+    train.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_permille",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(floor(col("n_contaminated") * 1000 / col("n_grams"))).cast("long"))
+  }
+
   /** Text normalization: strip markup tags, lowercase, collapse runs
     * of whitespace, trim — the standard pre-tokenization cleanup.
     * Narrow per-row regex/string work (RE2-and-Java-compatible

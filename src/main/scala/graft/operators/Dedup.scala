@@ -101,13 +101,36 @@ object Dedup {
     * pruned with two integer comparisons instead of an O(|A|+|B|)
     * hash intersection — output provably unchanged. */
   def jaccardPairs(docs: DataFrame, blockCols: Seq[String],
-                   thresholdPermille: Int, idCol: String = "doc_id"): DataFrame = {
+                   thresholdPermille: Int, idCol: String = "doc_id"): DataFrame =
+    jaccardPairsOn(docs, array_distinct(tokens(col("text"))), blockCols,
+      thresholdPermille, idCol)
+
+  /** Character n-gram Jaccard pairs: [[jaccardPairs]] over distinct
+    * char k-gram sets instead of word-token sets — catches near-dups
+    * that word-level misses (punctuation/casing edits, inserted
+    * whitespace, agglutinative scripts with few "words"). Grams come
+    * from the native one-pass [[graft.functions.CharShingles]]
+    * expression; the pair-generation/verification machinery (block
+    * equi-join + PPJoin length prefilter + exact intersection) is the
+    * same code path. */
+  def charNgramPairs(docs: DataFrame, blockCols: Seq[String],
+                     thresholdPermille: Int, k: Int = 5,
+                     idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.CharShingles.char_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    jaccardPairsOn(docs, array_distinct(char_shingles(col("text"), k)), blockCols,
+      thresholdPermille, idCol)
+  }
+
+  private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
+                             blockCols: Seq[String], thresholdPermille: Int,
+                             idCol: String): DataFrame = {
     require(blockCols.nonEmpty,
       "jaccardPairs needs at least one blocking column — an unblocked " +
         "self-join is O(n²) and will not survive scale. For an explicit " +
         "candidate-pair set (e.g. LSH candidates) use jaccardVerify.")
     val base = Partitioning.fanOut(docs)
-      .withColumn("tset", array_distinct(tokens(col("text"))))
+      .withColumn("tset", tsetExpr)
       .withColumn("tsz", size(col("tset")).cast("long"))
       .select((idCol +: "tset" +: "tsz" +: blockCols).map(col): _*)
     val a = base.select(col(idCol).as("doc_a") +: col("tset").as("ta") +:

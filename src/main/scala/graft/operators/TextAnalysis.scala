@@ -98,6 +98,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
   }
 
+  /** Corpus-trained bigram fluency proxy: each document scored by the
+    * mean corpus frequency of its word bigrams — the integer-exact
+    * stand-in for an n-gram language-model log-probability (documents
+    * full of corpus-common transitions score high; garbled or
+    * boilerplate-unique text scores low). Training and scoring read
+    * the same exploded bigram stream shape: one groupBy(bigram) for
+    * the counts, one equi-join keyed on the bigram, one groupBy(doc) —
+    * all map-side combinable, no broadcast assumption (the bigram
+    * vocabulary grows with the corpus, unlike the langid profile).
+    * Docs with fewer than 2 tokens have no bigrams and are dropped —
+    * they have no transitions to score. */
+  def bigramFluency(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val bg = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(word_shingles(col("text"), 2)).as("b"))
+    val counts = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    bg.join(counts, "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("__s"))
+      // exact while Σcnt < 2^53 (true far beyond 100 TB of text)
+      .withColumn("mean_freq", floor(col("__s") / col("n_bigrams")).cast("long"))
+      .drop("__s")
+  }
+
   /** Deterministic document fingerprint appended to the input columns
     * (order-insensitive content hash over the sorted distinct token
     * set). Narrow — streaming-safe. */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
+import graft.functions.{CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hexPrefix16Descriptor)
     ext.injectFunction(GraftExtensions.hexSliceLongDescriptor)
     ext.injectFunction(GraftExtensions.freqTopKDescriptor)
+    ext.injectFunction(GraftExtensions.charShinglesDescriptor)
   }
 }
 
@@ -63,13 +64,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
     (children: Seq[Expression]) => FreqTopK(children.head, children(1)))
 
+  val charShinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_shingles"),
+    new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
+    (children: Seq[Expression]) => CharShingles(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
-        freqTopKDescriptor).foreach { d =>
+        freqTopKDescriptor, charShinglesDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+
+/** Semantics of the round-3 text operators: char shingles (code-point
+  * counted), char-ngram near-dup pairs, bigram fluency, contamination
+  * report. Cross-engine equality is covered by the oracle queries;
+  * these pin edge cases the oracle data doesn't hit.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("char_shingles: code-point counted, short text → empty") {
+    import graft.functions.CharShingles.char_shingles
+    graft.plans.GraftExtensions.register(spark)
+    val got = Seq(("abcd", 1L), ("ab", 2L), ("héllo", 3L)).toDF("t", "id")
+      .select(col("id"), char_shingles(col("t"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("abc", "bcd"))
+    assert(got(2L) === Seq.empty)            // shorter than k
+    assert(got(3L) === Seq("hél", "éll", "llo")) // chars, not bytes
+  }
+
+  test("charNgramPairs catches a punctuation edit word-level misses") {
+    val a = "the quick brown fox jumps over the lazy dog near a riverbank today"
+    val b = a.replace("dog near", "dog, near") // one comma inserted
+    val docs = Seq((1L, a, "s"), (2L, b, "s"), (3L, "completely different text here", "s"))
+      .toDF("doc_id", "text", "src")
+    val charPairs = Dedup.charNgramPairs(docs, Seq("src"), thresholdPermille = 800, k = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(charPairs === Set((1L, 2L)))
+    // word-level at the same bar: "dog," and "near" vs "dog" "near" differ
+    val wordPairs = Dedup.jaccardPairs(docs, Seq("src"), thresholdPermille = 950)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!wordPairs.contains((1L, 2L)))
+  }
+
+  test("bigramFluency: repeated transitions score high, unique ones low") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // transitions a-b / b-a dominate the corpus
+      (2L, "a b a b"),
+      (3L, "x y")            // unique transition → mean_freq 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs)
+      .select("doc_id", "mean_freq").as[(Long, Long)].collect().toMap
+    assert(got(3L) === 1L)
+    assert(got(1L) > got(3L) && got(2L) > got(3L))
+    // a one-token doc has no transitions and is absent
+    assert(!TextAnalysis.bigramFluency(Seq((9L, "solo")).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().contains(9L))
+  }
+
+  test("contaminationReport: permille math, zero-hit docs included, repeats count once") {
+    val evals = Seq((100L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "e1 e2 e3 w1 w2"),             // grams: e1e2e3(hit), e2e3w1, e3w1w2, w1w2? n=3: e1e2e3 hit of 3 grams
+      (2L, "clean text with no overlap"),
+      (3L, "e1 e2 e3 e1 e2 e3 e1 e2 e3")  // leaked gram repeated — distinct per doc
+    ).toDF("doc_id", "text")
+    val got = Corpus.contaminationReport(train, evals, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._1 === 3L && got(1L)._2 === 1L && got(1L)._3 === 333L)
+    assert(got(2L)._2 === 0L && got(2L)._3 === 0L)
+    // doc 3: grams {e1e2e3, e2e3e1, e3e1e2} distinct → 3 grams, 1 contaminated
+    assert(got(3L)._1 === 3L && got(3L)._2 === 1L && got(3L)._3 === 333L)
+  }
+}
