@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Relational}
+import graft.sources.Tables
+
+/** Plan-shape regression guards for the round-3 operators: the plans
+  * that make them scale-safe must stay that way (a planner fallback to
+  * a sort aggregate or a cartesian product passes correctness at test
+  * scale and dies at 100 TB).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  test("saltedAggregate plans two hash aggregation stages, no sort aggregate") {
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
+    val plan = Relational.saltedAggregate(li, Seq("l_returnflag"),
+        col("l_orderkey"), col("qty_cents"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("groupingSets plans one Expand, not one scan per set") {
+    val plan = Tables.lineitem(spark, sf)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length - 1 === 1, plan.take(2000))
+    assert(plan.split("Scan parquet").length - 1 === 1, plan.take(2000))
+  }
+
+  test("charNgramPairs joins on the block key — no cartesian product") {
+    val plan = Dedup.charNgramPairs(Tables.documents(spark, sf),
+        Seq("source", "lang"), 800, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("upsample stays narrow: no shuffle below the explode") {
+    val plan = Corpus.upsample(Tables.documents(spark, sf), "source",
+        Map("src0" -> 2500), defaultPermille = 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("contaminationReport broadcasts the eval grams") {
+    val docs = Tables.documents(spark, sf)
+    val plan = Corpus.contaminationReport(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
