@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Measured ANN quality on CLUSTERED vectors: the approximate paths
+  * must retrieve most of what brute force retrieves when neighbors
+  * actually cluster — an ANN variant can be hash-correct per its own
+  * oracle yet useless if its buckets don't catch true neighbors.
+  *
+  * The driver's `embeddings` testdata is uniform random (measured:
+  * same-label and cross-label mean cosine are both ≈ 0), where NO
+  * bucketing scheme can beat the probed-fraction baseline — recall
+  * there is a property of the data, not the index. So this spec builds
+  * deterministic clustered vectors (8 well-separated centers, small
+  * per-id perturbation, fixed-seed — no run-to-run variance) and
+  * measures recall@5 against brute force there.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64 // lshTopK's sign-RP planes are 64-dim
+  private val nClusters = 8
+  private val perCluster = 32
+
+  /** 8 orthogonal-ish unit centers + deterministic noise. */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nClusters, dims)(rnd.nextGaussian())
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(_ + 0.15 * rnd.nextGaussian())
+      ((c * perCluster + i).toLong, c.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  test("label-cell IVF, trained IVF and LSH recall@5 vs brute force on clustered data") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id") % 16 === 0) // 16 queries across clusters
+    val exact = topkSets(Similarity.bruteForceTopK(queries, emb, k = 5))
+    assert(exact.size === 16)
+
+    val ivf = topkSets(Similarity.ivfTopK(queries, emb, k = 5, cellCol = "label"))
+    val rIvf = recall(ivf, exact)
+    assert(rIvf >= 0.9, f"label-cell IVF recall@5 $rIvf%.2f below floor")
+
+    val cents = Similarity.ivfTrain(emb, k = nClusters, iters = 4)
+    val trained = topkSets(Similarity.ivfTopKTrained(queries, emb, k = 5, cents))
+    val rTrained = recall(trained, exact)
+    assert(rTrained >= 0.8, f"trained-IVF recall@5 $rTrained%.2f below floor")
+
+    val lsh = topkSets(Similarity.lshTopK(queries, emb, k = 5))
+    val rLsh = recall(lsh, exact)
+    // sign-RP with 8 planes: same-cluster vectors mostly share the
+    // signature; the coarsest variant gets a lower floor, but a
+    // bucketing bug (all-distinct / all-same signatures) still fails
+    assert(rLsh >= 0.5, f"LSH recall@5 $rLsh%.2f below floor")
+  }
+
+  test("uniform random data: recall ≈ probed fraction (negative control)") {
+    val rnd = new scala.util.Random(7)
+    val uni = (0L until 256L).map(i => (i, i % 8, Seq.fill(dims)(rnd.nextGaussian())))
+      .toDF("vec_id", "label", "embedding")
+    val queries = uni.filter(col("vec_id") < 8)
+    val exact = topkSets(Similarity.bruteForceTopK(queries, uni, k = 5))
+    val ivf = topkSets(Similarity.ivfTopK(queries, uni, k = 5, cellCol = "label"))
+    val r = recall(ivf, exact)
+    // probing 1 of 8 random cells can't recall much more than ~1/8 —
+    // documents WHY the driver's uniform embeddings table is not a
+    // recall benchmark (and guards the measurement itself)
+    assert(r <= 0.5, f"recall $r%.2f on uniform data suggests the measurement is broken")
+  }
+}

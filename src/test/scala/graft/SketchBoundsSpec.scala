@@ -113,4 +113,29 @@ class SketchBoundsSpec extends SparkSpec {
     assert(heavy.nonEmpty, "skew construction produced no heavy items — test is vacuous")
     heavy.foreach(h => assert(est.contains(h), s"guaranteed-present heavy item $h missing"))
   }
+
+  test("freq_topk runs as a streaming aggregation (complete mode, state = k counters)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.functions.FreqTopK.freq_topk
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("t")
+      .agg(freq_topk(col("t"), 4).as("hh"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mg_stream").start()
+    try {
+      mem.addData("a", "a", "b", "a", "c")
+      q.processAllAvailable()
+      mem.addData("a", "d", "a") // second batch merges into the MG state
+      q.processAllAvailable()
+      val got = spark.table("mg_stream")
+        .select(explode(col("hh")).as("x"))
+        .select(col("x.item"), col("x.est")).as[(String, Long)].collect().toMap
+      // k = distinct = 4 → the summary degrades to exact counts
+      assert(got === Map("a" -> 5L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    } finally q.stop()
+  }
 }
