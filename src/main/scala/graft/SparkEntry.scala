@@ -300,6 +300,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Event-time RANGE frame (trailing 5 minutes per user) — value-
+    // based frames, distinct from the ROWS frames elsewhere; integer
+    // cents keep the running sums hash-comparable.
+    "rel_window_range" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-300, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          sum(col("v_cents")).over(w).as("sum_5m_cents"),
+          count(lit(1)).over(w).cast("long").as("n_5m"))
+        .orderBy(col("event_id"))
+    }),
+
     "rel_broadcast_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
@@ -970,6 +985,19 @@ object SparkEntry {
         |JOIN (SELECT user_id AS b_user, epoch(date_trunc('second', ts)) AS b_sec FROM events) b
         |  ON a.user_id = b_user AND b_sec > a_sec AND b_sec <= a_sec + 300
         |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "rel_window_range" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec,
+        |             CAST(round(value * 100) AS BIGINT) AS v_cents
+        |           FROM events)
+        |SELECT event_id, user_id, ts_sec,
+        |       CAST(sum(v_cents) OVER w AS BIGINT) AS sum_5m_cents,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_5m
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "rel_sessionize" ->
       """WITH e AS (

@@ -69,6 +69,23 @@ object Windows {
           col(rightTs) <= col(leftTs),
         "left_outer")
 
+  /** Stream–stream FULL OUTER join — completes the join matrix
+    * (inner/left above): unmatched rows from EITHER side emit
+    * null-extended once the watermark passes their join window. Both
+    * sides' state is bounded by the time condition + watermark, same
+    * as the one-sided forms — the property that makes outer stream
+    * joins feasible at scale. */
+  def streamStreamFullJoin(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTs: String, rightTs: String,
+                           within: String, maxLateness: String): DataFrame =
+    left.withWatermark(leftTs, maxLateness)
+      .join(right.withWatermark(rightTs, maxLateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs),
+        "full_outer")
+
   /** Sliding-window rates (the dashboard "last N minutes" view). */
   def sliding(events: DataFrame, tsCol: String, keyCol: String,
               windowLen: String, slide: String, maxLateness: String): DataFrame =

@@ -101,6 +101,34 @@ class TemporalOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-extends unmatched rows from both sides") {
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val purchases = MemoryStream[(Timestamp, Long, String)]
+    val v = views.toDF().toDF("v_ts", "v_user", "v_id")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "p_id")
+    val joined = Windows.streamStreamFullJoin(p, v, "p_user", "v_user",
+      "p_ts", "v_ts", within = "1 HOUR", maxLateness = "1 minute")
+    val q = joined.select("p_id", "v_id").writeStream
+      .outputMode("append").format("memory").queryName("ssfj_out").start()
+    views.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "v1"),   // matches p1
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 9L, "v2"))   // no purchase for user 9
+    purchases.addData(
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "p1"),
+      (Timestamp.valueOf("2024-01-01 10:30:00"), 8L, "p2"))   // no view for user 8
+    q.processAllAvailable()
+    // push both watermarks past every join window → unmatched rows on
+    // BOTH sides release null-extended
+    views.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 99L, "vx"))
+    purchases.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 99L, "px"))
+    q.processAllAvailable()
+    val got = spark.table("ssfj_out").as[(Option[String], Option[String])].collect().toSet
+    assert(got.contains((Some("p1"), Some("v1"))))
+    assert(got.contains((Some("p2"), None)))   // unmatched left
+    assert(got.contains((None, Some("v2"))))   // unmatched right
+    q.stop()
+  }
+
   test("stream-stream join matches within the time bound and key") {
     val views = MemoryStream[(Timestamp, Long, String)]
     val purchases = MemoryStream[(Timestamp, Long, String)]
