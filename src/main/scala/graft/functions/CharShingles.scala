@@ -26,9 +26,14 @@ case class CharShingles(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+    // k must be a foldable positive int: the SQL surface accepts
+    // arbitrary literals (incl. NULL, which coerces to 0), and k ≤ 0
+    // would emit numChars+1 empty grams — every doc Jaccard-identical
+    case (StringType, IntegerType) if right.foldable &&
+      right.eval() != null && right.eval().asInstanceOf[Int] > 0 =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"char_shingles expects (STRING, foldable INT), got ($l, $r)")
+      s"char_shingles expects (STRING, foldable positive INT), got ($l, $r)")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -36,13 +41,28 @@ case class CharShingles(left: Expression, right: Expression)
 
   override def nullSafeEval(t: Any, kAny: Any): Any = {
     val s = t.asInstanceOf[UTF8String]
-    val n = s.numChars() - k + 1
+    val nChars = s.numChars()
+    val n = nChars - k + 1
     if (n <= 0) new GenericArrayData(Array.empty[Any])
     else {
+      // one forward scan over the bytes records every code-point
+      // boundary; grams are then direct byte slices. (substringSQL per
+      // gram re-scans from byte 0 each call — O(L²) per document, the
+      // exact regression this expression exists to avoid.)
+      val bytes = s.getBytes
+      val bounds = new Array[Int](nChars + 1)
+      var off = 0
+      var ci = 0
+      while (ci < nChars) {
+        bounds(ci) = off
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+        ci += 1
+      }
+      bounds(nChars) = bytes.length
       val out = new Array[Any](n)
       var i = 0
       while (i < n) {
-        out(i) = s.substringSQL(i + 1, k) // 1-based, char-counted
+        out(i) = UTF8String.fromBytes(bytes, bounds(i), bounds(i + k) - bounds(i))
         i += 1
       }
       new GenericArrayData(out)

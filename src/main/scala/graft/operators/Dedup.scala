@@ -288,27 +288,36 @@ object Dedup {
     * corpus store on `doc_id` — the frames here are plain DataFrames,
     * so either source drops in. */
   final case class DedupIndex(hashes: DataFrame, signatures: DataFrame,
-                              tokenSets: DataFrame)
+                              tokenSets: DataFrame, k: Int)
 
-  /** Build the [[DedupIndex]] for `corpus` (all three parts lazy). */
+  /** Build the [[DedupIndex]] for `corpus` (all three parts lazy).
+    * The shingle size `k` is RECORDED in the index: delta signatures
+    * must be built with the same k or LSH band values collide only at
+    * random and near-dups pass silently — [[dedupeAgainstIndex]] reads
+    * it from the index rather than trusting the caller to remember. */
   def buildIndex(corpus: DataFrame, k: Int = 3, textCol: String = "text",
                  idCol: String = "doc_id"): DedupIndex =
     DedupIndex(
       corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct(),
       minhashSignature(shingled(corpus, k), idCol = idCol),
-      tokenSets(corpus, idCol, textCol))
+      tokenSets(corpus, idCol, textCol),
+      k)
 
   def writeIndex(index: DedupIndex, dir: String): Unit = {
     index.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     index.signatures.write.mode("overwrite").parquet(s"$dir/signatures")
     index.tokenSets.write.mode("overwrite").parquet(s"$dir/token_sets")
+    val spark = index.hashes.sparkSession
+    import spark.implicits._
+    Seq(index.k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex =
     DedupIndex(
       spark.read.parquet(s"$dir/hashes"),
       spark.read.parquet(s"$dir/signatures"),
-      spark.read.parquet(s"$dir/token_sets"))
+      spark.read.parquet(s"$dir/token_sets"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
 
   /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
     * duplicate the EXISTING `corpus`, exactly (content hash anti-join)
@@ -324,20 +333,23 @@ object Dedup {
                     k: Int = 3, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame =
     dedupeAgainstIndex(newDocs, buildIndex(corpus, k, textCol, idCol),
-      thresholdPermille, k, textCol, idCol)
+      thresholdPermille, textCol, idCol)
 
   /** [[dedupeAgainst]] against a prebuilt (typically parquet-stored)
     * [[DedupIndex]] — the corpus is never rescanned: the delta's
     * hashes anti-join the stored hash set, the delta's signatures
     * LSH-join the stored signatures, and verification joins the stored
-    * token sets. Shuffle ∝ delta + collision candidates. */
+    * token sets. Shuffle ∝ delta + collision candidates. The delta's
+    * shingle size comes from the INDEX (`index.k`) — not a parameter,
+    * so it cannot silently diverge from what the stored signatures
+    * were built with. */
   def dedupeAgainstIndex(newDocs: DataFrame, index: DedupIndex,
-                         thresholdPermille: Int, k: Int = 3,
+                         thresholdPermille: Int,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
     val exactNew = newHashed.join(index.hashes, Seq("__h"), "left_anti").drop("__h")
     val cands = lshCandidatePairsAcross(
-      minhashSignature(shingled(exactNew, k), idCol = idCol),
+      minhashSignature(shingled(exactNew, index.k), idCol = idCol),
       index.signatures, idCol = idCol)
     // ids are distinct across delta and corpus (documented), so the
     // shared verifier works over the union of both sides' token sets —

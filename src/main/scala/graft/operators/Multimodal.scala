@@ -48,10 +48,9 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         // ??? real decoder goes here — deterministic fake below
-        val w = 64 + (if (bytes.nonEmpty) (bytes(0) & 0x3f) else 0)
-        val h = 64 + (if (bytes.length > 1) (bytes(1) & 0x3f) else 0)
+        // (same stub dims as parseHeader's unknown-format fallback)
         val mean = if (bytes.isEmpty) 0.0 else bytes.map(_ & 0xff).sum.toDouble / bytes.length
-        Row(id, w, h, 3, mean)
+        Row(id, stubW(bytes), stubH(bytes), 3, mean)
       }
     }(enc)
   }
@@ -87,25 +86,42 @@ object Multimodal {
     * header. Returns (format, width, height, channels, sampleRate,
     * bitsPerSample); unknown/truncated payloads → ("unknown", stub
     * dims) — the honest fallback for formats needing a real codec. */
-  private[graft] def parseHeader(bytes: Array[Byte])
+  private[graft] def parseHeader(bytes0: Array[Byte])
       : (String, Integer, Integer, Integer, Integer, Integer) = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
     if (bytes.length >= 30 && bytes(0) == 'B' && bytes(1) == 'M') {
-      val width = i32le(bytes, 18)
-      val height = math.abs(i32le(bytes, 22)) // negative = top-down rows
-      val bpp = u16le(bytes, 28)
-      ("bmp", width, height, math.max(1, bpp / 8), null, null)
+      // dispatch on the DIB header size at 14 — BITMAPINFOHEADER (40+)
+      // and the OS/2 BITMAPCOREHEADER (12) lay fields out differently;
+      // parsing one with the other's offsets emits confident garbage
+      i32le(bytes, 14) match {
+        case dib if dib >= 40 =>
+          val width = i32le(bytes, 18)
+          val height = math.abs(i32le(bytes, 22)) // negative = top-down rows
+          val bpp = u16le(bytes, 28)
+          ("bmp", width, height, math.max(1, bpp / 8), null, null)
+        case 12 if bytes.length >= 26 => // core: u16 fields, no top-down
+          ("bmp", u16le(bytes, 18), u16le(bytes, 20),
+            math.max(1, u16le(bytes, 24) / 8), null, null)
+        case _ => ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
+      }
     } else if (bytes.length >= 36 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
-      // chunk walk: [id:4][size:4][payload:size], first chunk at 12
-      var p = 12
-      while (p + 8 <= bytes.length) {
-        val size = i32le(bytes, p + 4)
-        if (tag(bytes, p) == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
-          val ch = u16le(bytes, p + 10)
-          val rate = i32le(bytes, p + 12)
-          val bits = u16le(bytes, p + 22)
+      // chunk walk: [id:4][size:4][payload:size], first chunk at 12.
+      // Sizes are attacker-controlled bytes: a negative or huge size
+      // must break to the fallback, not spin the walk or index out of
+      // bounds (one malformed file must not hang a 100 TB decode
+      // stage). Walk in Long so p never overflows.
+      var p = 12L
+      var fallback = false
+      while (!fallback && p + 8 <= bytes.length) {
+        val size = i32le(bytes, p.toInt + 4)
+        if (tag(bytes, p.toInt) == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
+          val ch = u16le(bytes, p.toInt + 10)
+          val rate = i32le(bytes, p.toInt + 12)
+          val bits = u16le(bytes, p.toInt + 22)
           return ("wav", null, null, ch, rate, bits)
         }
-        p += 8 + size + (size & 1) // chunks are word-aligned
+        if (size < 0) fallback = true
+        else p += 8L + size.toLong + (size & 1)
       }
       ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
     } else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
@@ -123,7 +139,9 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(headerSchema)
     blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
+        // null blobs (normal for nullable parquet columns) take the
+        // unknown/stub path like any other undecodable payload
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val (fmt, w, h, ch, rate, bits) = parseHeader(bytes)
         Row(r.getLong(0), fmt, w, h, ch, rate, bits, bytes.length.toLong)
       }

@@ -62,6 +62,46 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.parseHeader(r.array())._1 === "unknown")
   }
 
+  test("malformed RIFF chunk sizes fall back instead of spinning or crashing") {
+    // zero-advance chunk (size -8), negative-seek chunk, and a size
+    // near Int.MaxValue — each must terminate with the stub fallback
+    for (size <- Seq(-8, -9, -100, Int.MaxValue - 3)) {
+      val b = le(24)
+      b.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      b.put("XXXX".getBytes).putInt(size)
+      assert(Multimodal.parseHeader(b.array())._1 === "unknown", s"size=$size")
+    }
+  }
+
+  test("OS/2 BITMAPCOREHEADER parses with core offsets, not INFOHEADER's") {
+    val b = le(30)
+    b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    b.putInt(12)                      // BITMAPCOREHEADER size
+    b.putShort(320).putShort(200)     // u16 width/height
+    b.putShort(1).putShort(8)         // planes, bpp
+    assert(Multimodal.parseHeader(b.array()) === ("bmp", 320, 200, 1, null, null))
+    // an unrecognized DIB size must not be parsed with either layout
+    val v = le(34)
+    v.put('B'.toByte).put('M'.toByte).putInt(34).putInt(0).putInt(34)
+    v.putInt(16).putInt(640).putInt(480).putShort(1).putShort(24)
+    assert(Multimodal.parseHeader(v.array())._1 === "unknown")
+  }
+
+  test("null blobs take the stub path, not an NPE") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, "BM".getBytes))
+    val blobs = spark.createDataFrame(rows, schema)
+    val got = Multimodal.decodeHeaders(blobs).orderBy(col("doc_id")).collect()
+    assert(got(0).getString(1) === "unknown" && got(0).getLong(7) === 0L)
+    assert(got(1).getString(1) === "unknown")
+  }
+
   test("distributed round-trip: syntheticBlobs → decodeHeaders recovers encoded values") {
     val docs = (0L until 40L).toDF("doc_id")
     val got = Multimodal.decodeHeaders(Multimodal.syntheticBlobs(docs))

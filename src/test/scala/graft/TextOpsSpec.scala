@@ -23,6 +23,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) === Seq("hél", "éll", "llo")) // chars, not bytes
   }
 
+  test("char_shingles rejects non-positive and null k at analysis time") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq("abc").toDF("t")
+    for (bad <- Seq("0", "-1", "CAST(NULL AS INT)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        df.selectExpr(s"char_shingles(t, $bad)").collect())
+      assert(e.getMessage.contains("positive"), s"k=$bad: ${e.getMessage.take(200)}")
+    }
+  }
+
   test("charNgramPairs catches a punctuation edit word-level misses") {
     val a = "the quick brown fox jumps over the lazy dog near a riverbank today"
     val b = a.replace("dog near", "dog, near") // one comma inserted
