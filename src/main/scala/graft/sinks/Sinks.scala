@@ -44,6 +44,20 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Partition-level upsert into a partitioned parquet lake table:
+    * DYNAMIC partition overwrite rewrites only the partitions present
+    * in `df` and leaves every other partition's files untouched — the
+    * lake-side analog of the keyed JDBC upsert (and the standard
+    * no-Delta idiom for daily re-processing: recompute a day, overwrite
+    * that day, 100 TB of history never rewrites). Requires `df` to
+    * carry complete partitions (it replaces at partition grain, not
+    * row grain — row-grain upsert is [[JdbcUpsertSink]]'s job). */
+  def upsertPartitions(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "partition-level upsert needs partition columns")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+  }
+
   /** Batch JDBC append (reference O16 SinkToGreenplum — at-least-once;
     * prefer [[JdbcUpsertSink]] for exactly-once upsert). */
   def jdbcAppend(df: DataFrame, url: String, table: String,

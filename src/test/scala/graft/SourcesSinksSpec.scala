@@ -93,6 +93,26 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.filter(col("s2") === "A").count() === 1)
   }
 
+  test("dynamic partition overwrite rewrites only the delta's partitions") {
+    val dir = JFiles.createTempDirectory("dpo").toString + "/t"
+    Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"), (3L, "2024-01-03", "c"))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(dir)
+    val before = new java.io.File(s"$dir/day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // re-process day 2 only: new content, day 1 and 3 must survive untouched
+    Sinks.upsertPartitions(
+      Seq((20L, "2024-01-02", "b2"), (21L, "2024-01-02", "b3")).toDF("id", "day", "v"),
+      dir, Seq("day"))
+    val back = spark.read.parquet(dir).select("id", "day", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "2024-01-01", "a"), (20L, "2024-01-02", "b2"),
+      (21L, "2024-01-02", "b3"), (3L, "2024-01-03", "c")))
+    val after = new java.io.File(s"$dir/day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "untouched partition was rewritten")
+  }
+
   test("kafka surface fails fast with an actionable error when the connector is absent") {
     // this image ships no spark-sql-kafka jar (zero-egress) — the probe
     // must catch that at wiring time, not at load()/start()
