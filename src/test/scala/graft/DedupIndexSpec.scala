@@ -43,4 +43,43 @@ class DedupIndexSpec extends SparkSpec {
     assert(!direct.contains(9001L) && !direct.contains(9002L))
     assert(direct.contains(9003L))
   }
+
+  test("IncrementalDedupJob dedupes each batch against the whole history, across queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textB = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty " +
+      "twentyone twentytwo twentythree twentyfour" // long enough that a
+      // one-word edit stays above the 900-permille Jaccard bar (23/25)
+    def run(runId: String, rows: (Long, String)*): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.jobs.IncrementalDedupJob.start(
+        mem.toDF().toDF("doc_id", "text"), runId, indexDir, outDir, s"$base/$runId",
+        thresholdPermille = 900)
+      try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    // run 1: doc 2 duplicates doc 1's content in-batch → 1 (min id) + 3 kept
+    run("r1", (1L, textA), (2L, textA), (3L, textB))
+    val after1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(after1 === Set(1L, 3L))
+    // a SEPARATE run (own checkpoint + run id, e.g. the next day):
+    // exact dup of A, near-dup of B, one novel doc — history lives in
+    // the index, so the dups are caught beyond any watermark horizon,
+    // and run r1's partitions are untouched (no batch-id collision)
+    run("r2", (10L, textA), (11L, textB.replace("twelve", "dozen")),
+      (12L, "completely novel content nothing shares these transitions at all"))
+    val after2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    assert(after2 === Set(1L, 3L, 12L), s"got $after2")
+    // retry idempotency: re-running r2's batch 0 (same run id + batch
+    // id, as a checkpoint replay would) must not double-append
+    graft.jobs.IncrementalDedupJob.process(
+      Seq((12L, "completely novel content nothing shares these transitions at all"))
+        .toDF("doc_id", "text"), "r2", batchId = 0L, indexDir, outDir, 900, 3)
+    val after3 = spark.read.parquet(outDir).select("doc_id").as[Long].collect()
+    assert(after3.count(_ == 12L) === 1, "batch retry double-appended")
+    assert(after3.toSet === Set(1L, 3L, 12L))
+  }
 }
