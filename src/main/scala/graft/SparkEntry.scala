@@ -486,6 +486,22 @@ object SparkEntry {
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramFluency(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Vocabulary-coverage check: per-doc OOV share vs the corpus's own
+    // top-20 token vocab.
+    "text_oov" -> ((s, d) =>
+      TextAnalysis.oovRate(Tables.documents(s, d), vocabSize = 20)
+        .orderBy(col("doc_id"))),
+
+    // Per-source corpus health: doc counts, token mass, exact-dup docs.
+    "corpus_source_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"),
+          (count(lit(1)) - countDistinct(md5(col("text").cast("binary")))).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
     // ───────────────────────── LLM pipeline: multimodal ─────────────────────────
 
     "mm_blob_meta" -> ((s, d) => {
@@ -1250,6 +1266,23 @@ object SparkEntry {
          |      FROM bg JOIN c USING (b) GROUP BY bg.doc_id)
          |SELECT doc_id, n_bigrams, CAST(sc // n_bigrams AS BIGINT) AS mean_freq
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_oov" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
+         |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+         |v AS (SELECT t FROM c ORDER BY cnt DESC, t LIMIT 20),
+         |s AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |      FROM tok LEFT JOIN v ON tok.t = v.t GROUP BY tok.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       CAST(n_oov * 1000 // n_tokens AS BIGINT) AS oov_permille
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "corpus_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, list_sort(list_distinct($tokSql)) AS ts FROM documents)

@@ -98,6 +98,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
   }
 
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` token vocabulary — the coverage check run before
+    * committing to a tokenizer vocab ("what share of each doc falls
+    * outside the planned vocabulary"). The vocab is top-k (already
+    * TakeOrderedAndProject, never a full sort) and broadcast; the
+    * token stream shuffles once for the per-doc tally. */
+  def oovRate(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id"): DataFrame = {
+    val tok = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col("text"))).as("t"))
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val vocab = Relational.topK(counts, Seq(col("cnt").desc, col("t")), vocabSize)
+      .select(col("t")).withColumn("__in", lit(1L))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - coalesce(sum(col("__in")), lit(0L))).as("n_oov"))
+      .withColumn("oov_permille",
+        floor(col("n_oov") * 1000 / col("n_tokens")).cast("long"))
+  }
+
   /** Corpus-trained bigram fluency proxy: each document scored by the
     * mean corpus frequency of its word bigrams — the integer-exact
     * stand-in for an n-gram language-model log-probability (documents
