@@ -37,45 +37,91 @@ import graft.sinks.Sinks
   */
 object IncrementalDedupJob {
 
+  /** True iff `path` exists on whatever filesystem the path names —
+    * java.io.File would silently report false for hdfs://…/s3a://…
+    * paths and skip history dedup forever. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** First-ever batch: materialize an EMPTY index (three empty parquet
+    * dirs, then the meta sentinel LAST) before any data lands. After
+    * this, `meta` existing implies all three data dirs are readable —
+    * a crash mid-init just re-runs init, with no orphaned data rows. */
+  private def initIndex(spark: SparkSession, indexDir: String, k: Int,
+                        idCol: String, textCol: String): Unit = {
+    import spark.implicits._
+    val empty = Dedup.buildIndex(
+      Seq.empty[(Long, String)].toDF(idCol, textCol), k, textCol, idCol)
+    empty.hashes.write.mode("overwrite").parquet(s"$indexDir/hashes")
+    empty.signatures.write.mode("overwrite").parquet(s"$indexDir/signatures")
+    empty.tokenSets.write.mode("overwrite").parquet(s"$indexDir/token_sets")
+    Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
   /** One micro-batch (also the nightly-batch entry point — same code
-    * path both modes). Returns the surviving docs (already written). */
+    * path both modes). Writes the surviving docs and extends the
+    * index; `k` applies only when this call CREATES the index —
+    * afterwards the stored `index.k` governs every run (a mixed-k
+    * signature store would defeat LSH silently).
+    *
+    * Crash-recovery invariant: the index appends run signatures →
+    * token sets → hashes, with the HASH append last. The hash set is
+    * what step 3's anti-join consults, so a replayed batch recomputes
+    * the same survivors unless their hashes committed — and the hash
+    * append committing implies the other two already did. A crash
+    * between the corpus write and the index appends heals the same
+    * way: the streaming checkpoint only commits the batch after
+    * foreachBatch returns, so restart replays it and the partition
+    * overwrite makes the corpus write idempotent. */
   def process(batch: DataFrame, runId: String, batchId: Long,
               indexDir: String, outDir: String,
               thresholdPermille: Int, k: Int,
               idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    if (!pathExists(spark, s"$indexDir/meta"))
+      initIndex(spark, indexDir, k, idCol, textCol)
+    val index = Dedup.readIndex(spark, indexDir)
     // 1. in-batch exact dedup: keep each content hash's smallest id
     val keep = Dedup.exact(batch, textCol, idCol).select(col("keep_id").as(idCol))
     val exactDeduped = batch.join(keep, idCol).cache()
     // 2. in-batch near-dedup: linear pass drops the greater id of each
-    // verified pair (cluster representative = smallest id)
-    val sig = Dedup.minhashSignature(Dedup.shingled(exactDeduped, k), idCol = idCol)
+    // verified pair (cluster representative = smallest id); shingle
+    // size = the INDEX's k, so in-batch and vs-history agree
+    val sig = Dedup.minhashSignature(
+      Dedup.shingled(exactDeduped, index.k, textCol), idCol = idCol)
     val losers = Dedup.jaccardVerify(exactDeduped,
         Dedup.lshCandidatePairs(sig, idCol = idCol), thresholdPermille, idCol, textCol)
       .select(col("doc_b").as(idCol)).distinct()
     val batchClean = exactDeduped.join(losers, Seq(idCol), "left_anti")
-    // 3. history dedup against the persistent index (if one exists yet)
-    val hasIndex = new java.io.File(s"$indexDir/meta").exists()
-    val survivors = (if (hasIndex)
-        Dedup.dedupeAgainstIndex(batchClean,
-          Dedup.readIndex(spark, indexDir), thresholdPermille, textCol, idCol)
-      else batchClean).cache()
+    // 3. history dedup against the persistent index
+    val survivors = Dedup.dedupeAgainstIndex(batchClean, index,
+        thresholdPermille, textCol, idCol).cache()
     // 4. exactly-once corpus append: the batch owns its partition
     Sinks.upsertPartitions(
       survivors.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId)),
       outDir, Seq("run_id", "batch_id"))
-    // 5. extend the index with the accepted docs
-    val idx = Dedup.buildIndex(survivors, k, textCol, idCol)
-    idx.hashes.write.mode("append").parquet(s"$indexDir/hashes")
-    idx.signatures.write.mode("append").parquet(s"$indexDir/signatures")
-    idx.tokenSets.write.mode("append").parquet(s"$indexDir/token_sets")
-    if (!hasIndex) {
-      import spark.implicits._
-      Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    }
     survivors.unpersist()
     exactDeduped.unpersist()
+    // 5. extend the index with the accepted docs — hashes LAST (see
+    // crash-recovery invariant above). The delta is REBUILT FROM THE
+    // COMMITTED CORPUS PARTITION, not from `survivors`: survivors'
+    // lineage reads the index paths, and appending to a path
+    // invalidates every cached plan that reads it — the later appends
+    // would silently recompute survivors against an index containing
+    // the batch's own just-appended signatures (every doc self-matches
+    // as a near-dup → empty recompute → rows lost). Reading back the
+    // written partition also means the index describes exactly what
+    // the corpus committed.
+    val written = spark.read.parquet(outDir)
+      .filter(col("run_id") === runId && col("batch_id") === batchId)
+      .drop("run_id", "batch_id")
+    val idx = Dedup.buildIndex(written, index.k, textCol, idCol)
+    idx.signatures.write.mode("append").parquet(s"$indexDir/signatures")
+    idx.tokenSets.write.mode("append").parquet(s"$indexDir/token_sets")
+    idx.hashes.write.mode("append").parquet(s"$indexDir/hashes")
   }
 
   /** Streaming entry: foreachBatch over a document stream. `runId`

@@ -38,11 +38,11 @@ object Dedup {
     * higher-order-function formulation was ~20x slower and a window/
     * lead formulation would shuffle the token stream). Documents
     * shorter than k tokens get an empty array — explode drops them. */
-  def shingled(docs: DataFrame, k: Int = 3): DataFrame = {
+  def shingled(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     import graft.functions.WordShingles.word_shingles
     graft.plans.GraftExtensions.register(docs.sparkSession)
     Partitioning.fanOut(docs)
-      .withColumn("shingles", word_shingles(col("text"), k))
+      .withColumn("shingles", word_shingles(col(textCol), k))
   }
 
   /** MinHash signature: 8 independent 32-bit permutations carved out
@@ -299,7 +299,7 @@ object Dedup {
                  idCol: String = "doc_id"): DedupIndex =
     DedupIndex(
       corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct(),
-      minhashSignature(shingled(corpus, k), idCol = idCol),
+      minhashSignature(shingled(corpus, k, textCol), idCol = idCol),
       tokenSets(corpus, idCol, textCol),
       k)
 
@@ -349,7 +349,7 @@ object Dedup {
     val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
     val exactNew = newHashed.join(index.hashes, Seq("__h"), "left_anti").drop("__h")
     val cands = lshCandidatePairsAcross(
-      minhashSignature(shingled(exactNew, index.k), idCol = idCol),
+      minhashSignature(shingled(exactNew, index.k, textCol), idCol = idCol),
       index.signatures, idCol = idCol)
     // ids are distinct across delta and corpus (documented), so the
     // shared verifier works over the union of both sides' token sets —

@@ -54,8 +54,12 @@ object Sinks {
     * row grain — row-grain upsert is [[JdbcUpsertSink]]'s job). */
   def upsertPartitions(df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "partition-level upsert needs partition columns")
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
+    // per-write option, NOT a session conf mutation — flipping the
+    // session default would silently change every later partitioned
+    // overwrite in the session from truncate-and-replace to dynamic
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path)
   }
 
   /** Batch JDBC append (reference O16 SinkToGreenplum — at-least-once;
