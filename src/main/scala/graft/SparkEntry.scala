@@ -315,6 +315,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Window navigation functions: lag/lead + first/last/nth over an
+    // explicit unbounded frame, tie-broken total order.
+    "rel_window_nav" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price_cents"), col("o_orderkey"))
+      val wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_cents"),
+          lag(col("price_cents"), 1).over(w).as("prev_cents"),
+          lead(col("price_cents"), 1).over(w).as("next_cents"),
+          first(col("o_orderkey")).over(wf).as("cheapest_key"),
+          last(col("o_orderkey")).over(wf).as("dearest_key"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "rel_broadcast_join" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
@@ -1001,6 +1019,22 @@ object SparkEntry {
         |JOIN (SELECT user_id AS b_user, epoch(date_trunc('second', ts)) AS b_sec FROM events) b
         |  ON a.user_id = b_user AND b_sec > a_sec AND b_sec <= a_sec + 300
         |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
+
+    "rel_window_nav" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |           FROM orders)
+        |SELECT o_orderkey, o_orderstatus, price_cents,
+        |       lag(price_cents, 1) OVER w AS prev_cents,
+        |       lead(price_cents, 1) OVER w AS next_cents,
+        |       first_value(o_orderkey) OVER wf AS cheapest_key,
+        |       last_value(o_orderkey) OVER wf AS dearest_key,
+        |       nth_value(o_orderkey, 2) OVER wf AS second_key
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_cents, o_orderkey),
+        |       wf AS (PARTITION BY o_orderstatus ORDER BY price_cents, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_window_range" ->
       """WITH e AS (SELECT event_id, user_id,
