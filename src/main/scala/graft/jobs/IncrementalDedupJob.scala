@@ -45,20 +45,13 @@ object IncrementalDedupJob {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** First-ever batch: materialize an EMPTY index (three empty parquet
-    * dirs, then the meta sentinel LAST) before any data lands. After
-    * this, `meta` existing implies all three data dirs are readable —
-    * a crash mid-init just re-runs init, with no orphaned data rows. */
-  private def initIndex(spark: SparkSession, indexDir: String, k: Int,
-                        idCol: String, textCol: String): Unit = {
-    import spark.implicits._
-    val empty = Dedup.buildIndex(
-      Seq.empty[(Long, String)].toDF(idCol, textCol), k, textCol, idCol)
-    empty.hashes.write.mode("overwrite").parquet(s"$indexDir/hashes")
-    empty.signatures.write.mode("overwrite").parquet(s"$indexDir/signatures")
-    empty.tokenSets.write.mode("overwrite").parquet(s"$indexDir/token_sets")
-    Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-  }
+  // First-ever batch seeds an EMPTY index from the batch's own schema
+  // (limit 0) via Dedup.writeIndex — one place owns the index layout,
+  // and writeIndex writes the meta sentinel LAST, so `meta` existing
+  // implies all three data dirs are readable; a crash mid-init just
+  // re-runs init with no orphaned data rows. Seeding from the batch
+  // (not a hardcoded (Long, String) frame) keeps the seed parquet
+  // footers type-identical to every later append.
 
   /** One micro-batch (also the nightly-batch entry point — same code
     * path both modes). Writes the surviving docs and extends the
@@ -82,7 +75,9 @@ object IncrementalDedupJob {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     if (!pathExists(spark, s"$indexDir/meta"))
-      initIndex(spark, indexDir, k, idCol, textCol)
+      Dedup.writeIndex(
+        Dedup.buildIndex(batch.select(col(idCol), col(textCol)).limit(0),
+          k, textCol, idCol), indexDir)
     val index = Dedup.readIndex(spark, indexDir)
     // 1. in-batch exact dedup: keep each content hash's smallest id
     val keep = Dedup.exact(batch, textCol, idCol).select(col("keep_id").as(idCol))
