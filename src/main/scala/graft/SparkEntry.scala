@@ -613,6 +613,16 @@ object SparkEntry {
       Corpus.repetition(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
 
+    // CCNet-style boilerplate strip over 4-word segments: segments
+    // verbatim-repeated in >= 3 docs are removed everywhere; the full
+    // cleaned text is md5-checked cross-engine.
+    "dedup_boilerplate" -> ((s, d) => {
+      Corpus.stripBoilerplate(Tables.documents(s, d), segWords = 4, minDocs = 3)
+        .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Synthetic PII injected per doc (the table itself carries none) so
     // the count AND the full scrubbed-text hash are non-trivially
     // cross-engine-checked.
@@ -1446,6 +1456,25 @@ object SparkEntry {
          |       THEN floor((n2_raw - len(list_distinct(grams))) * 1000 / n2_raw)
          |       ELSE 0 END AS BIGINT) AS dup_2gram_permille
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |        unnest(list_transform(
+         |          range(0, greatest(CAST(ceil(len(tk) / 4.0) AS BIGINT), 1)),
+         |          i -> {'seg_idx': i,
+         |                'seg': array_to_string(tk[i*4+1 : i*4+4], ' ')}),
+         |          recursive := true)
+         |      FROM t),
+         |common AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM s)
+         |           GROUP BY seg HAVING count(*) >= 3)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN c.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  md5(coalesce(string_agg(CASE WHEN c.seg IS NULL THEN s.seg END,
+         |        ' ' ORDER BY s.seg_idx), '')) AS clean_md5
+         |FROM s LEFT JOIN common c ON s.seg = c.seg
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH d AS (SELECT doc_id,

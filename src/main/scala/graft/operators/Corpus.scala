@@ -241,6 +241,54 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** CCNet/RefinedWeb-style boilerplate removal, adapted to corpora
+    * without line structure: segment each document into consecutive
+    * `segWords`-word windows, count ACROSS the corpus how many
+    * distinct documents each segment occurs in, and strip every
+    * segment that appears in ≥ `minDocs` documents (navigation chrome,
+    * license headers, cookie banners — anything repeated verbatim).
+    * On newline-structured text, pass the line split as the segment
+    * unit instead; the counting/stripping shape is identical.
+    *
+    * Scale shape: one explode of the segment stream + one
+    * hash-shuffle on the segment for the document-frequency count
+    * (map-side combinable after the per-doc `distinct`); the common
+    * set is by definition the small tail of the frequency
+    * distribution, so it broadcasts and the corpus-sized segment
+    * stream never shuffles again for the probe. Reassembly is a
+    * per-doc sort of its own bounded segment list. Returns every
+    * input doc (fully-boilerplate docs come back with empty
+    * `clean_text` — dropping them is a separate quality-filter
+    * decision). */
+  def stripBoilerplate(docs: DataFrame, segWords: Int = 4, minDocs: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segWords > 0 && minDocs > 1, "segWords must be >0, minDocs >1")
+    val seg = Partitioning.fanOut(docs)
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), posexplode_outer(
+        transform(
+          sequence(lit(0), greatest(ceil(size(col("__tk")) / lit(segWords)), lit(1)) - 1),
+          i => concat_ws(" ", slice(col("__tk"), i * segWords + 1, lit(segWords)))))
+        .as(Seq("seg_idx", "seg")))
+    // document frequency per segment; `distinct` first so a segment
+    // repeated WITHIN one doc counts that doc once
+    val common = seg.select(col(idCol), col("seg")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .withColumn("__common", lit(1))
+    seg.join(broadcast(common.select(col("seg"), col("__common"))), Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        coalesce(sum(col("__common")), lit(0L)).cast("long").as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__common").isNull,
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("clean_text"))
+  }
+
   /** Global top-k vocabulary: one hash-shuffle on the token (map-side
     * combinable count), then TakeOrderedAndProject for the global
     * top-k (per-partition partial top-k + k-row driver merge, never a

@@ -230,4 +230,39 @@ class CorpusSpec extends SparkSpec {
     assert(ids === Set(1L, 3L)) // 2 and 4 are in-horizon duplicates
     q.stop()
   }
+
+  test("stripBoilerplate: repeated segments removed, within-doc repeats count once") {
+    // segWords=2, minDocs=2. "cookie banner" appears in docs 1,2,3 (twice
+    // in doc 1 — must count ONE doc-frequency each, i.e. df=3 not 4);
+    // doc 4 is pure boilerplate; doc 5 shares nothing.
+    val in = Seq(
+      (1L, "cookie banner cookie banner unique one"),
+      (2L, "cookie banner body two"),
+      (3L, "cookie banner body two tail"), // "body two" also df=2
+      (4L, "cookie banner"),
+      (5L, "totally fresh words here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(in, segWords = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // doc 1: 3 segments, both "cookie banner" dropped, "unique one" kept
+    assert(out(0) === ((1L, 3L, 2L, "unique one")))
+    // docs 2+3 share "body two" → dropped alongside "cookie banner"
+    assert(out(1) === ((2L, 2L, 2L, "")))
+    assert(out(2) === ((3L, 3L, 2L, "tail")))
+    // fully-boilerplate doc comes back with empty text, not dropped
+    assert(out(3) === ((4L, 1L, 1L, "")))
+    // untouched doc round-trips verbatim
+    assert(out(4) === ((5L, 2L, 0L, "totally fresh words here")))
+  }
+
+  test("stripBoilerplate: empty doc yields one empty segment and survives") {
+    val in = Seq((1L, ""), (2L, "a b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Corpus.stripBoilerplate(in, segWords = 2, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 1L, 0L, ""))) // single "" segment, df=1, kept
+    assert(out(1) === ((2L, 1L, 1L, "")))
+    assert(out(2) === ((3L, 1L, 1L, "")))
+  }
 }
