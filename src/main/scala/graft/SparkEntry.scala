@@ -716,6 +716,15 @@ object SparkEntry {
       Similarity.ivfTopK(assigned.filter(col("vec_id") < 10), assigned, k = 5, cellCol = "cell")
         .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // SemDeDup: paraphrase-level dedup — trained k-means cells as the
+    // blocking, intra-cell cosine >= 0.3, smallest id survives per
+    // near-dup relation.
+    "dedup_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
+      Similarity.semanticDedup(emb, cents, minCos = 0.3).orderBy(col("vec_id"))
     })
   )
 
@@ -1596,6 +1605,26 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
+         |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
+         |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
+         |losers AS (SELECT DISTINCT b.vec_id
+         |           FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |           WHERE round(${dotSql("a.embedding", "b.embedding")}
+         |                       / sqrt(a.n2 * b.n2), 4) >= 0.3)
+         |SELECT vec_id, cell FROM e
+         |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+         |ORDER BY vec_id""".stripMargin
   )
 }

@@ -234,4 +234,25 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cell"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    * every vector to its nearest TRAINED centroid ([[ivfAssign]]),
+    * generate intra-cell cosine pairs ([[nearDupPairs]]), and drop
+    * every vector that has a semantically-near neighbor with a smaller
+    * id — one deterministic representative survives per near-dup
+    * relation. Unlike text dedup this removes *paraphrase-level*
+    * duplicates: same meaning, different tokens.
+    *
+    * Scale shape: the clustering IS the blocking — pair cost is
+    * Σ cell_size², never N², and the cell equi-join is the only
+    * candidate-side shuffle (identical to the 100 TB IVF index
+    * layout). Returns survivors with their cell assignment. */
+  def semanticDedup(emb: DataFrame, cents: DataFrame, minCos: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = emb.join(ivfAssign(emb, cents, idCol, vecCol), idCol)
+    val losers = nearDupPairs(cells, "cell", minCos, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    cells.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }

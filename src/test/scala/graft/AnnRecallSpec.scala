@@ -85,4 +85,22 @@ class AnnRecallSpec extends SparkSpec {
     // recall benchmark (and guards the measurement itself)
     assert(r <= 0.5, f"recall $r%.2f on uniform data suggests the measurement is broken")
   }
+
+  test("semanticDedup: one representative per ε-ball, min id per cell survives") {
+    val cents = Similarity.ivfTrain(clustered, k = nClusters, iters = 2)
+    val surv = Similarity.semanticDedup(clustered, cents, minCos = 0.9)
+    val survRows = surv.as[(Long, Long)].collect()
+    // tight clusters at cos>=0.9 collapse hard — but never to nothing
+    assert(survRows.nonEmpty && survRows.length < nClusters * perCluster / 2)
+    // the smallest id of a cell has no smaller-id neighbor: always survives
+    val asg = Similarity.ivfAssign(clustered, cents).as[(Long, Long)].collect()
+    val survSet = survRows.map(_._1).toSet
+    asg.groupBy(_._2).foreach { case (_, xs) =>
+      assert(survSet.contains(xs.map(_._1).min))
+    }
+    // SemDeDup guarantee: no two survivors in one cell stay >= threshold
+    // (if cos(a,b) >= t with a < b, b was a loser by construction)
+    val joined = clustered.join(surv, "vec_id")
+    assert(Similarity.nearDupPairs(joined, "cell", 0.9).isEmpty)
+  }
 }
