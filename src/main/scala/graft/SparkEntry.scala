@@ -725,6 +725,25 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
       Similarity.semanticDedup(emb, cents, minCos = 0.3).orderBy(col("vec_id"))
+    }),
+
+    // Int8 scalar quantization of the embedding table: per-vector
+    // codes pinned by md5, scale + squared-norm exact integers.
+    "sim_quantize" -> ((s, d) => {
+      Similarity.sq8Quantize(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("amax"), col("csq"),
+          md5(concat_ws(",", col("codes").cast("array<string>")).cast("binary"))
+            .as("codes_md5"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN over the quantized codes (asymmetric distance): queries full
+    // precision, candidates int8 — the 1/4-memory scale path.
+    "sim_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
     })
   )
 
@@ -1625,6 +1644,50 @@ object SparkEntry {
          |                       / sqrt(a.n2 * b.n2), 4) >= 0.3)
          |SELECT vec_id, cell FROM e
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    "sim_quantize" ->
+      s"""WITH q0 AS (SELECT vec_id, list_transform(range(1, 65),
+         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings),
+         |mx AS (SELECT vec_id, qv,
+         |         list_max(list_transform(qv, x -> abs(x))) AS amax FROM q0),
+         |cd AS (SELECT vec_id, amax,
+         |         CASE WHEN amax = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(qv,
+         |                x -> CAST(floor(x * 127.0 / amax) AS BIGINT)) END AS codes
+         |       FROM mx)
+         |SELECT vec_id, amax,
+         |  CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS csq,
+         |  md5(array_to_string(codes, ',')) AS codes_md5
+         |FROM cd ORDER BY vec_id""".stripMargin,
+
+    "sim_ann_sq8" ->
+      s"""WITH q0 AS (SELECT vec_id, list_transform(range(1, 65),
+         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings),
+         |mx AS (SELECT vec_id, qv,
+         |         list_max(list_transform(qv, x -> abs(x))) AS amax FROM q0),
+         |cd AS (SELECT vec_id, amax,
+         |         CASE WHEN amax = 0 THEN list_transform(qv, x -> CAST(0 AS BIGINT))
+         |              ELSE list_transform(qv,
+         |                x -> CAST(floor(x * 127.0 / amax) AS BIGINT)) END AS codes
+         |       FROM mx),
+         |c AS (SELECT vec_id AS cand_id, codes,
+         |        list_sum(list_transform(codes, x -> x * x)) AS csq FROM cd),
+         |qq AS (SELECT vec_id AS query_id, qv,
+         |         list_sum(list_transform(qv, x -> x * x)) AS qn2
+         |       FROM q0 WHERE vec_id < 10),
+         |scored AS (SELECT query_id, cand_id,
+         |             round(list_sum(list_transform(range(1, 65),
+         |                     i -> qv[i] * codes[i]))
+         |                   / sqrt(csq::DOUBLE * qn2::DOUBLE), 4) AS cos
+         |           FROM qq JOIN c ON query_id <> cand_id
+         |           WHERE csq > 0 AND qn2 > 0),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -86,6 +86,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r <= 0.5, f"recall $r%.2f on uniform data suggests the measurement is broken")
   }
 
+  test("sq8: codes int8-bounded, max-|x| dim saturates, recall@5 ≈ brute force") {
+    val emb = clustered
+    val codes = Similarity.sq8Quantize(emb)
+      .select("codes", "amax").as[(Seq[Byte], Long)].collect()
+    codes.foreach { case (cs, amax) =>
+      assert(cs.forall(c => c >= -127 && c <= 127))
+      // the dimension holding amax maps to exactly ±127
+      if (amax > 0) assert(cs.exists(c => c == 127 || c == -127))
+    }
+    // int8 is a fine quantization — asymmetric scoring should agree
+    // with float brute force almost everywhere
+    val queries = emb.filter(col("vec_id") % 16 === 0)
+    val exact = topkSets(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val sq8 = topkSets(Similarity.sq8TopK(queries, emb, k = 5))
+    val r = recall(sq8, exact)
+    assert(r >= 0.9, f"sq8 recall@5 $r%.2f below floor")
+  }
+
   test("semanticDedup: one representative per ε-ball, min id per cell survives") {
     val cents = Similarity.ivfTrain(clustered, k = nClusters, iters = 2)
     val surv = Similarity.semanticDedup(clustered, cents, minCos = 0.9)
