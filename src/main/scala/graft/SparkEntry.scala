@@ -359,6 +359,16 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // The STREAMING session_window operator run in batch mode — the
+    // native dynamic-gap session store, one code path both modes,
+    // batch side oracle-checked (gaps-and-islands CTE twin). Sessions
+    // merge while consecutive events are < gap apart; end = last + gap.
+    "rel_window_session" -> ((s, d) => {
+      graft.streaming.Windows.sessions(Tables.events(s, d), "ts", "user_id",
+        "6 hours", "10 minutes")
+        .orderBy(col("user_id"), col("sess_start"))
+    }),
+
     // The STREAMING sliding-window operator run in batch mode (the
     // watermark is a no-op there) — one code path, both modes, the
     // batch side oracle-checked.
@@ -575,6 +585,14 @@ object SparkEntry {
       Corpus.split(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Reproducible epoch shuffle: hash-derived global training order,
+    // totally ordered by range partitioning (no global row_number).
+    "corpus_shuffle" -> ((s, d) => {
+      Corpus.shuffleOrder(Tables.documents(s, d), seed = "epoch0")
+        .select(col("doc_id"), col("shuf_key"))
+        .orderBy(col("shuf_key"), col("doc_id"))
     }),
 
     "corpus_sample" -> ((s, d) => {
@@ -1104,6 +1122,26 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    // session_window twin: a session breaks when the inter-event gap
+    // reaches 21600 s (event windows are [t, t+gap) — touching windows
+    // do NOT merge); session end = last event + gap.
+    "rel_window_session" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS t,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |f AS (SELECT user_id, t, sec,
+        |        CASE WHEN lag(sec) OVER w IS NULL
+        |             OR sec - lag(sec) OVER w >= 21600 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+        |s AS (SELECT user_id, t,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id, min(t) AS sess_start,
+        |       max(t) + INTERVAL 21600 SECOND AS sess_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
     // Each event lands in exactly two 1h/30min sliding windows:
     // starts floor1800(ts) and floor1800(ts) - 1800 (epoch-aligned,
     // matching Spark's window() alignment).
@@ -1427,6 +1465,12 @@ object SparkEntry {
          |            WHEN bucket < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5('shuf|epoch0|' || CAST(doc_id AS VARCHAR)) AS m FROM documents)
+         |SELECT doc_id, (${hexSliceSql("m", 1)}) AS shuf_key
+         |FROM h ORDER BY shuf_key, doc_id""".stripMargin,
 
     "corpus_sample" ->
       s"""WITH h AS (SELECT doc_id, source,

@@ -241,6 +241,29 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Reproducible global training order: every doc gets the
+    * deterministic pseudorandom sort key md5(seed‖id) — same
+    * hash-derived discipline as [[split]], so the epoch order is
+    * identical on every run, engine and cluster size, with zero
+    * driver/RNG state. The 100 TB shape: `repartitionByRange` on the
+    * key + `sortWithinPartitions` yields a TOTALLY ordered output
+    * across files (range partition i precedes i+1) without ever
+    * computing a global row number — a single-partition window for
+    * positions is exactly what this avoids. Different `seed` per epoch
+    * gives independent orders. */
+  def shuffleOrder(docs: DataFrame, seed: String,
+                   idCol: String = "doc_id", partitions: Int = 0): DataFrame = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val keyed = docs.withColumn("shuf_key",
+      hex_slice_long(md5(concat(lit(s"shuf|$seed|"),
+        col(idCol).cast("string")).cast("binary")), 0))
+    val n = if (partitions > 0) partitions
+            else docs.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("shuf_key"), col(idCol))
+      .sortWithinPartitions(col("shuf_key"), col(idCol))
+  }
+
   /** CCNet/RefinedWeb-style boilerplate removal, adapted to corpora
     * without line structure: segment each document into consecutive
     * `segWords`-word windows, count ACROSS the corpus how many

@@ -231,6 +231,29 @@ class CorpusSpec extends SparkSpec {
     q.stop()
   }
 
+  test("shuffleOrder: totally ordered across range partitions, seeded, deterministic") {
+    val ord = Corpus.shuffleOrder(docs, "e0", partitions = 4)
+    // within-partition sorted AND partition ranges ascending → reading
+    // partition files in order IS the global order (no global window)
+    val parts = ord.select("shuf_key").rdd.mapPartitionsWithIndex { (i, it) =>
+      val v = it.map(_.getLong(0)).toArray
+      if (v.isEmpty) Iterator.empty
+      else Iterator((i, v.head, v.last, (1 until v.length).forall(j => v(j - 1) <= v(j))))
+    }.collect().sortBy(_._1)
+    assert(parts.nonEmpty && parts.forall(_._4))
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2) // prev max <= next min
+      case _           =>
+    }
+    // deterministic across runs; a different seed permutes differently
+    def order(seed: String): Seq[Long] =
+      Corpus.shuffleOrder(docs, seed, partitions = 4)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(order("e0") === order("e0"))
+    assert(order("e0") !== order("e1"))
+    assert(order("e0").sorted === order("e1").sorted) // same docs, new order
+  }
+
   test("stripBoilerplate: repeated segments removed, within-doc repeats count once") {
     // segWords=2, minDocs=2. "cookie banner" appears in docs 1,2,3 (twice
     // in doc 1 — must count ONE doc-frequency each, i.e. df=3 not 4);

@@ -39,4 +39,33 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streaming === batch)
     assert(streaming.nonEmpty)
   }
+
+  test("streaming session_window over events parquet equals the batch sessions") {
+    val raw = Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("sessstream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Files.parquetStream(spark, dir.toString, raw.schema)
+      .withColumn("ts_evt", timestamp_seconds(floor(col("ts") / 1000000000L)).cast("timestamp"))
+    val agg = Windows.sessions(stream, "ts_evt", "user_id", "6 hours", "0 seconds")
+    // session_window aggregation forbids update mode; complete mode is
+    // fine here (the memory sink holds the final merged sessions)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_parity_out").start()
+    q.processAllAvailable(); q.stop()
+    val streaming = spark.table("sess_parity_out")
+      .select(col("user_id"), col("sess_start").cast("long"),
+        col("sess_end").cast("long"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = Windows.sessions(
+        Tables.events(spark, sf).withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "user_id", "6 hours", "0 seconds")
+      .select(col("user_id"), col("sess_start").cast("long"),
+        col("sess_end").cast("long"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
+  }
 }
