@@ -362,7 +362,8 @@ object SparkEntry {
     // The STREAMING session_window operator run in batch mode — the
     // native dynamic-gap session store, one code path both modes,
     // batch side oracle-checked (gaps-and-islands CTE twin). Sessions
-    // merge while consecutive events are < gap apart; end = last + gap.
+    // merge while consecutive events are <= gap apart (touching
+    // windows merge); end = last + gap.
     "rel_window_session" -> ((s, d) => {
       graft.streaming.Windows.sessions(Tables.events(s, d), "ts", "user_id",
         "6 hours", "10 minutes")
@@ -738,10 +739,12 @@ object SparkEntry {
 
     // SemDeDup: paraphrase-level dedup — trained k-means cells as the
     // blocking, intra-cell cosine >= 0.3, smallest id survives per
-    // near-dup relation.
+    // near-dup relation. k=16 cells (vs the ANN queries' k=4): the
+    // pair stage costs Σ cell_size², so the cell count must grow with
+    // the corpus — more cells = quadratically fewer pairs per cell.
     "dedup_semantic" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
+      val cents = Similarity.ivfTrain(emb, k = 16, iters = 2)
       Similarity.semanticDedup(emb, cents, minCos = 0.3).orderBy(col("vec_id"))
     }),
 
@@ -1122,16 +1125,18 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
-    // session_window twin: a session breaks when the inter-event gap
-    // reaches 21600 s (event windows are [t, t+gap) — touching windows
-    // do NOT merge); session end = last event + gap.
+    // session_window twin: a session breaks only when the inter-event
+    // gap EXCEEDS 21600 s — Spark merges touching windows (an event at
+    // exactly prev + gap extends the session; found empirically at
+    // sf0.1, where one event pair sits exactly one gap apart); session
+    // end = last event + gap.
     "rel_window_session" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS t,
         |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
         |           FROM events),
         |f AS (SELECT user_id, t, sec,
         |        CASE WHEN lag(sec) OVER w IS NULL
-        |             OR sec - lag(sec) OVER w >= 21600 THEN 1 ELSE 0 END AS is_new
+        |             OR sec - lag(sec) OVER w > 21600 THEN 1 ELSE 0 END AS is_new
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
         |s AS (SELECT user_id, t,
         |        sum(is_new) OVER (PARTITION BY user_id ORDER BY sec
@@ -1671,7 +1676,7 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin,
 
     "dedup_semantic" ->
-      s"""${ivfCtes(k = 4, iters = 2)},
+      s"""${ivfCtes(k = 16, iters = 2)},
          |afin AS (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
          |  FROM (SELECT q.vec_id, c.cell,

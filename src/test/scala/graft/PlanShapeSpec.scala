@@ -56,4 +56,31 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("stripBoilerplate broadcasts the common-segment set, never a cartesian") {
+    val plan = Corpus.stripBoilerplate(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("sq8TopK broadcasts the query side; candidates never shuffle before top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.operators.Similarity.sq8TopK(
+      emb.filter(col("vec_id") < 10), emb, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    // the only exchange is the per-query top-k rank partitioning
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 1, plan.take(3000))
+  }
+
+  test("shuffleOrder plans exactly one range exchange and no global window") {
+    val plan = Corpus.shuffleOrder(Tables.documents(spark, sf), "e0")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange rangepartitioning").length - 1 === 1, plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
