@@ -588,6 +588,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Synthetic crawl URLs injected per doc (the table carries none):
+    // mixed-case scheme/host, tracking params bracketing a real one,
+    // fragment — normalization must fix all of it.
+    "text_url_normalize" -> ((s, d) => {
+      Corpus.urlParts(withUrls(Tables.documents(s, d)))
+        .select(col("doc_id"), col("host"), col("domain"), col("url_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Anti-domination cap: at most 10 docs per registered domain,
+    // hash-order deterministic within the domain.
+    "corpus_domain_cap" -> ((s, d) => {
+      Corpus.capPerDomain(withUrls(Tables.documents(s, d)), k = 10)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Reproducible epoch shuffle: hash-derived global training order,
     // totally ordered by range partitioning (no global row_number).
     "corpus_shuffle" -> ((s, d) => {
@@ -798,6 +815,20 @@ object SparkEntry {
   /** DuckDB: 8 lowercase-hex chars of `m` starting at 1-based `start`,
     * as an unsigned 32-bit value in a BIGINT — the nibble-sum twin of
     * the Spark-side native `hex_slice_long` expression. */
+  /** Deterministic synthetic crawl URL per doc (37 domains), shared by
+    * the URL-curation queries and their oracles. */
+  private def withUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("url",
+      concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 37).cast("string"),
+        lit(".COM/Doc/"), col("doc_id").cast("string"),
+        lit("?utm_source=Feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=X#Frag")))
+
+  private val urlInjectSql: String =
+    """'HTTPS://WWW.Example' || CAST(doc_id % 37 AS VARCHAR) || '.COM/Doc/' ||
+      |      CAST(doc_id AS VARCHAR) || '?utm_source=Feed&id=' ||
+      |      CAST(doc_id AS VARCHAR) || '&utm_campaign=X#Frag'""".stripMargin
+
   private def hexSliceSql(m: String, start: Int): String =
     (0 until 8).map { c =>
       s"(CAST(strpos('0123456789abcdef', substr($m, ${start + c}, 1)) - 1 AS BIGINT) << ${4 * (7 - c)})"
@@ -1470,6 +1501,39 @@ object SparkEntry {
          |            WHEN bucket < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Corpus.normalizeUrl's fixed pass order; DuckDB backrefs
+    // are \1 where Spark's are $1 (same semantics).
+    "text_url_normalize" ->
+      s"""WITH d AS (SELECT doc_id, $urlInjectSql AS url FROM documents),
+         |n1 AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+)', 1)) ||
+         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+', '') AS u
+         |  FROM d),
+         |n2 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM n1),
+         |n3 AS (SELECT doc_id, regexp_replace(u, '\\?', '&', 'g') AS u FROM n2),
+         |n4 AS (SELECT doc_id,
+         |    regexp_replace(u, '&(utm_[A-Za-z]+|fbclid|gclid)=[^&]*', '', 'g') AS u FROM n3),
+         |n5 AS (SELECT doc_id, regexp_replace(u, '^([^&]*)&', '\\1?') AS u FROM n4),
+         |n6 AS (SELECT doc_id, regexp_replace(u, '[?&]$$', '') AS url_norm FROM n5),
+         |h AS (SELECT doc_id, url_norm,
+         |    regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([a-z0-9.-]+)', 1) AS host FROM n6)
+         |SELECT doc_id, host,
+         |       regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain, url_norm
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // The strata shortcut ('example{N}.com') is valid because
+    // text_url_normalize independently pins the extraction chain; this
+    // oracle checks the CAP semantics (hash-order k per domain).
+    "corpus_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             'example' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS domain,
+         |             md5('ksample|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id, domain, (${hexSliceSql("m", 1)}) % 1000000 AS bk FROM t),
+         |r AS (SELECT doc_id, domain,
+         |        row_number() OVER (PARTITION BY domain ORDER BY bk, doc_id) AS rn
+         |      FROM b)
+         |SELECT doc_id, domain FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "corpus_shuffle" ->
       s"""WITH h AS (SELECT doc_id,

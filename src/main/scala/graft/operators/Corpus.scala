@@ -219,6 +219,54 @@ object Corpus {
       regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]").as("scrubbed"))
 
+  /** Tracking query parameters stripped by [[normalizeUrl]] —
+    * char-class-only alternation (Java regex == RE2). */
+  val trackingParamPattern: String = "(utm_[A-Za-z]+|fbclid|gclid)"
+
+  /** Canonical URL form for web-corpus curation (the dedup key of a
+    * crawl pipeline): lowercase the scheme+host (path/query case is
+    * significant, host case is not), drop the fragment, drop tracking
+    * parameters wherever they sit in the query string, repair the
+    * separator chain. Pure narrow regex work, every pattern
+    * RE2-and-Java compatible, fixed pass order → deterministic and
+    * engine-portable. */
+  def normalizeUrl(u: Column): Column = {
+    // 1. lowercase scheme://host only
+    val lowered = concat(
+      lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+)", 1)),
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9.-]+", ""))
+    // 2. drop the fragment
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    // 3. unify separators to '&', drop tracking params anywhere in the
+    //    chain, restore the first separator to '?'
+    val amp = regexp_replace(noFrag, "\\?", "&")
+    val noTrack = regexp_replace(amp, s"&$trackingParamPattern=[^&]*", "")
+    val restoreQ = regexp_replace(noTrack, "^([^&]*)&", "$1?")
+    // 4. trailing empty separator
+    regexp_replace(restoreQ, "[?&]$", "")
+  }
+
+  /** Normalized URL + host + registered domain (last two host labels —
+    * the public-suffix list is a lookup-table refinement at
+    * production; the two-label rule is its deterministic stand-in).
+    * All narrow. */
+  def urlParts(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .withColumn("url_norm", normalizeUrl(col(urlCol)))
+      .withColumn("host",
+        regexp_extract(col("url_norm"), "^[a-z][a-z0-9+.-]*://([a-z0-9.-]+)", 1))
+      .withColumn("domain",
+        regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1))
+
+  /** Per-domain document cap — the anti-domination rule of web corpora
+    * ("no single site exceeds k docs"): deterministic hash-order
+    * selection within each registered domain, stable under corpus
+    * growth. One shuffle on the domain (WindowGroupLimit keeps ≤ k
+    * rows per group per partition before it). */
+  def capPerDomain(docs: DataFrame, k: Int, urlCol: String = "url",
+                   idCol: String = "doc_id"): DataFrame =
+    sampleKPerStratum(urlParts(docs, urlCol), "domain", k, idCol)
+
   /** Greedy contiguous sequence packing: assign docs (in id order
     * within a shard) to fixed token-budget packs —
     * `pack_id = ⌊tokens_before_this_doc / budget⌋`. The batch-composer

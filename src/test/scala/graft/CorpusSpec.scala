@@ -254,6 +254,26 @@ class CorpusSpec extends SparkSpec {
     assert(order("e0").sorted === order("e1").sorted) // same docs, new order
   }
 
+  test("normalizeUrl: host lowering, tracking strip, separator repair, edge shapes") {
+    val in = Seq(
+      (1L, "HTTPS://WWW.Ex.COM/Path?utm_source=a&id=5&gclid=z#frag"),
+      (2L, "http://ex.com/p?utm_campaign=only"), // tracking-only query
+      (3L, "Http://EX.com/CaseKept/Path"),       // path case preserved
+      (4L, "ex.com/no-scheme?fbclid=1&q=2"),     // schemeless
+      (5L, "https://ex.com/#justfrag")
+    ).toDF("doc_id", "url")
+    val out = Corpus.urlParts(in)
+      .select("doc_id", "url_norm", "host", "domain").orderBy("doc_id")
+      .as[(Long, String, String, String)].collect()
+    assert(out(0)._2 === "https://www.ex.com/Path?id=5")
+    assert(out(0)._3 === "www.ex.com" && out(0)._4 === "ex.com")
+    assert(out(1)._2 === "http://ex.com/p")
+    assert(out(2)._2 === "http://ex.com/CaseKept/Path")
+    assert(out(3)._2 === "ex.com/no-scheme?q=2")
+    assert(out(3)._3 === "") // no scheme → no host claim
+    assert(out(4)._2 === "https://ex.com/")
+  }
+
   test("stripBoilerplate: repeated segments removed, within-doc repeats count once") {
     // segWords=2, minDocs=2. "cookie banner" appears in docs 1,2,3 (twice
     // in doc 1 — must count ONE doc-frequency each, i.e. df=3 not 4);
