@@ -588,6 +588,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Linear quality model in basis-point integers: the trained-
+    // classifier slot of a curation pipeline, scoring form only.
+    "text_quality_model" -> ((s, d) => {
+      TextAnalysis.modelQualityScore(Tables.documents(s, d),
+          weightsBp = Map("n_tokens" -> 5L, "mean_tok_len_permille" -> -1L,
+            "stop_permille" -> 3L, "distinct_permille" -> 2L),
+          biasBp = -2000L)
+        .select(col("doc_id"), col("logit_bp"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking into 16-token sequences, stride 8 (50%
+    // overlap) — the doc→training-sequence step; chunk text md5-pinned.
+    "corpus_chunk" -> ((s, d) => {
+      Corpus.chunk(Tables.documents(s, d), chunkTokens = 16, strideTokens = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Synthetic crawl URLs injected per doc (the table carries none):
     // mixed-case scheme/host, tracking params bracketing a real one,
     // fragment — normalization must fix all of it.
@@ -1501,6 +1521,39 @@ object SparkEntry {
          |            WHEN bucket < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_quality_model" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'the' OR x = 'a' OR x = 'an' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS BIGINT) AS n_stop,
+         |    length(replace(text, ' ', '')) AS tok_chars
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    -2000 + 5 * n_tokens
+         |          - 1 * CAST(floor(tok_chars * 1000 / n_tokens) AS BIGINT)
+         |          + 3 * CAST(floor(n_stop * 1000 / n_tokens) AS BIGINT)
+         |          + 2 * CAST(floor(n_distinct * 1000 / n_tokens) AS BIGINT) AS logit_bp
+         |  FROM f)
+         |SELECT doc_id, CAST(logit_bp AS BIGINT) AS logit_bp,
+         |       CAST(CASE WHEN logit_bp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "corpus_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS ln,
+         |        CASE WHEN len(tk) = 0 THEN 0
+         |             ELSE (greatest(len(tk) - 16, 0) + 7) // 8 + 1 END AS nch
+         |      FROM t),
+         |s AS (SELECT doc_id, tk, ln,
+         |        unnest(list_transform(range(0, nch),
+         |          i -> {'chunk_idx': i, 'st': i * 8}), recursive := true)
+         |      FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(least(16, ln - st) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(tk[st+1 : st+16], ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Mirrors Corpus.normalizeUrl's fixed pass order; DuckDB backrefs
     // are \1 where Spark's are $1 (same semantics).

@@ -360,6 +360,36 @@ object Corpus {
           " ").as("clean_text"))
   }
 
+  /** Sliding-window sequence chunking: split each document's token
+    * stream into training sequences of `chunkTokens` tokens advancing
+    * by `strideTokens` (stride < chunk ⇒ overlap) — the doc→sequence
+    * step before packing. Chunk count = ⌈max(n−chunk,0)/stride⌉ + 1
+    * (computed in integer arithmetic: (x+stride−1) div stride — no
+    * float ceil), so the final partial chunk is kept and short docs
+    * yield exactly one chunk; empty docs yield none. Fully narrow:
+    * tokens → start offsets → posexplode → direct slices, no shuffle
+    * at any scale. */
+  def chunk(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      "need 0 < stride <= chunk")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val n = size(col("__tk"))
+    val nch = floor((greatest(n - chunkTokens, lit(0)) + (strideTokens - 1))
+      / lit(strideTokens)).cast("long") + 1
+    val starts = when(n === 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0L), nch - 1), i => i * strideTokens))
+    Partitioning.fanOut(docs)
+      .withColumn("__tk", Dedup.tokens(col(textCol)))
+      .select(col(idCol), col("__tk"),
+        posexplode(starts).as(Seq("chunk_idx", "__s")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens.toLong), size(col("__tk")) - col("__s")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__tk"), col("__s") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Global top-k vocabulary: one hash-shuffle on the token (map-side
     * combinable count), then TakeOrderedAndProject for the global
     * top-k (per-partition partial top-k + k-row driver merge, never a

@@ -60,6 +60,30 @@ object TextAnalysis {
         col("mean_tok_len_permille"), col("stop_permille"), col("distinct_permille"),
         col("quality_score"))
 
+  /** Model-based quality filtering — the linear-classifier slot of a
+    * CCNet/fastText-style pipeline reduced to its scoring form:
+    * logit_bp = bias + Σ w_f·x_f over the integer quality features of
+    * [[withQualityScore]]. Weights are basis-point INTEGERS (a trained
+    * model's float weights quantize into this form exactly like the
+    * k-means centroids in [[Similarity.ivfTrain]]), so the logit is
+    * exact, engine-portable, and the whole scorer is one narrow
+    * codegen'd projection — no UDF, no model server in the scan path.
+    * `keep` = logit ≥ threshold (kept as 0/1 for portability). */
+  def modelQualityScore(docs: DataFrame, weightsBp: Map[String, Long],
+                        biasBp: Long, keepThresholdBp: Long = 0L): DataFrame = {
+    val known = Set("n_tokens", "n_distinct", "n_stop",
+      "mean_tok_len_permille", "stop_permille", "distinct_permille")
+    require(weightsBp.nonEmpty && weightsBp.keySet.subsetOf(known),
+      s"unknown features: ${weightsBp.keySet -- known}")
+    val logit = weightsBp.toSeq.sortBy(_._1).foldLeft(lit(biasBp).cast("long")) {
+      case (acc, (f, w)) => acc + col(f) * lit(w)
+    }
+    withQualityScore(docs)
+      .withColumn("logit_bp", logit.cast("long"))
+      .withColumn("keep",
+        when(col("logit_bp") >= keepThresholdBp, 1L).otherwise(0L))
+  }
+
   /** Corpus-trained language ID: build a top-`profileSize` token
     * profile per labeled language (training pass: one aggregation +
     * windowed top-N), then score every document by profile hits and

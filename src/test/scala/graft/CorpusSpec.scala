@@ -254,6 +254,23 @@ class CorpusSpec extends SparkSpec {
     assert(order("e0").sorted === order("e1").sorted) // same docs, new order
   }
 
+  test("chunk: stride overlap, partial tail kept, short docs one chunk, empty none") {
+    val in = Seq(
+      (1L, (1 to 20).map("w" + _).mkString(" ")), // 20 toks → starts 0, 8
+      (2L, "a b c"),                              // short → one chunk
+      (3L, "")                                    // empty → none
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunk(in, chunkTokens = 16, strideTokens = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 0L, 16L), (1L, 1L, 12L), (2L, 0L, 3L)))
+    // 50% overlap: chunk 1 starts at token 9 and runs to the end
+    assert(out(0)._4 === (1 to 16).map("w" + _).mkString(" "))
+    assert(out(1)._4 === (9 to 20).map("w" + _).mkString(" "))
+    assert(out(2)._4 === "a b c")
+  }
+
   test("normalizeUrl: host lowering, tracking strip, separator repair, edge shapes") {
     val in = Seq(
       (1L, "HTTPS://WWW.Ex.COM/Path?utm_source=a&id=5&gclid=z#frag"),

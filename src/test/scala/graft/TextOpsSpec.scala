@@ -76,4 +76,24 @@ class TextOpsSpec extends SparkSpec {
     // doc 3: grams {e1e2e3, e2e3e1, e3e1e2} distinct → 3 grams, 1 contaminated
     assert(got(3L)._1 === 3L && got(3L)._2 === 1L && got(3L)._3 === 333L)
   }
+
+  test("modelQualityScore: exact integer logit, threshold keep, unknown feature rejected") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "the aa bb" → n_tokens=3, n_distinct=3, n_stop=1,
+    // mean_tok_len = floor(7*1000/3)=2333, stop=333, distinct=1000
+    val docs = Seq((1L, "the aa bb")).toDF("doc_id", "text")
+    val out = TextAnalysis.modelQualityScore(docs,
+        Map("n_tokens" -> 10L, "stop_permille" -> 2L), biasBp = -500L)
+      .select("logit_bp", "keep").as[(Long, Long)].collect().head
+    assert(out._1 === -500L + 10L * 3 + 2L * 333) // = 196
+    assert(out._2 === 1L)
+    val strict = TextAnalysis.modelQualityScore(docs,
+        Map("n_tokens" -> 10L), biasBp = -500L)
+      .select("logit_bp", "keep").as[(Long, Long)].collect().head
+    assert(strict._1 === -470L && strict._2 === 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.modelQualityScore(docs, Map("nope" -> 1L), 0L)
+    }
+  }
 }
