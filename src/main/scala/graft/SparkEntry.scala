@@ -774,6 +774,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Multi-probe IVF: each query probes its 2 nearest trained cells —
+    // the recall dial between ivf_trained (nprobe=1) and brute force.
+    "sim_ann_ivf_nprobe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfTrain(emb, k = 4, iters = 2)
+      Similarity.ivfTopKProbes(emb.filter(col("vec_id") < 10), emb, k = 5,
+          cents, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SemDeDup: paraphrase-level dedup — trained k-means cells as the
     // blocking, intra-cell cosine >= 0.3, smallest id survives per
     // near-dup relation. k=16 cells (vs the ANN queries' k=4): the
@@ -1783,6 +1794,31 @@ object SparkEntry {
          |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
          |qq AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cell AS qcell
          |       FROM e WHERE vec_id < 10),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_ann_ivf_nprobe" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
+         |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
+         |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
+         |probes AS (SELECT vec_id AS query_id, cell FROM afin
+         |           WHERE rn <= 2 AND vec_id < 10),
+         |qq AS (SELECT p.query_id, e.embedding AS qv, e.n2 AS qn2, p.cell AS qcell
+         |       FROM probes p JOIN e ON p.query_id = e.vec_id),
          |scored AS (SELECT query_id, e.vec_id AS cand_id,
          |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
          |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),

@@ -213,6 +213,47 @@ object Similarity {
     ivfTopK(qc, cc, k, "cell", idCol, vecCol)
   }
 
+  /** Multi-probe IVF ANN — the recall/cost dial of a production IVF
+    * index: candidates live in exactly ONE cell, but each query probes
+    * its `nprobe` NEAREST trained cells (nprobe=1 degrades to
+    * [[ivfTopKTrained]]; nprobe=#cells degrades to brute force).
+    * Probe selection ranks centroid distances in the same quantized
+    * space as [[ivfAssign]] (ties toward the smaller cell), so probe 1
+    * is always the query's own cell. Scale shape unchanged: centroids
+    * broadcast, the probe set is queries×nprobe rows (still
+    * broadcast-small), and the cell equi-join remains the only
+    * candidate-side shuffle — each candidate is scored at most once
+    * per query because cells are disjoint. */
+  def ivfTopKProbes(queries: DataFrame, candidates: DataFrame, k: Int,
+                    cents: DataFrame, nprobe: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val c = cents.withColumn("__csq", dot(col("cv"), col("cv")))
+    val probes = Partitioning.fanOut(queries)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__s", col("__csq") - lit(2d) * dot(col("__qqv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("__s"))
+    val probeSet = Relational.topNPerGroup(probes, Seq(col("query_id")),
+        Seq(col("__s"), col("cell")), nprobe, rankCol = "__rn")
+      .select(col("query_id"), col("cell"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"))
+      .join(probeSet, "query_id")
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell").as("__qcell"))
+    val cand = candidates.join(ivfAssign(candidates, cents, idCol, vecCol), idCol)
+    val cc = withNorm(cand, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"),
+        col("cell").as("__ccell"))
+    val scored = cc.join(broadcast(q),
+        col("__qcell") === col("__ccell") && col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+  }
+
   /** Centroids as (cell, dim, centroid_q) rows — the inspectable /
     * oracle-comparable form. */
   def ivfCentroidRows(cents: DataFrame): DataFrame =

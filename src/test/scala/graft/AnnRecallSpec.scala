@@ -86,6 +86,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(r <= 0.5, f"recall $r%.2f on uniform data suggests the measurement is broken")
   }
 
+  test("ivfTopKProbes: recall grows with nprobe; full probe equals brute force") {
+    val emb = clustered
+    val queries = emb.filter(col("vec_id") % 16 === 0)
+    val cents = Similarity.ivfTrain(emb, k = nClusters, iters = 4)
+    val exact = topkSets(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val r1 = recall(topkSets(Similarity.ivfTopKTrained(queries, emb, 5, cents)), exact)
+    val r2 = recall(topkSets(
+      Similarity.ivfTopKProbes(queries, emb, 5, cents, nprobe = 2)), exact)
+    assert(r2 >= r1, f"nprobe=2 recall $r2%.2f below nprobe=1 $r1%.2f")
+    // probing every cell scores every candidate exactly once = brute force
+    val rAll = topkSets(
+      Similarity.ivfTopKProbes(queries, emb, 5, cents, nprobe = nClusters))
+    assert(rAll === exact)
+  }
+
   test("sq8: codes int8-bounded, max-|x| dim saturates, recall@5 ≈ brute force") {
     val emb = clustered
     val codes = Similarity.sq8Quantize(emb)
