@@ -386,6 +386,27 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // One-pass ANALYZE-style profiling: per-column rows/nulls/exact
+    // distinct/min/max in a single aggregate (Expand per column — the
+    // cost of exactness; HLL swap documented in Relational.profile).
+    "rel_profile" -> ((s, d) => {
+      Relational.profile(
+          Tables.events(s, d).select("event_id", "user_id", "event_type", "props"),
+          Seq("event_id", "user_id", "event_type", "props"))
+        .orderBy(col("column"))
+    }),
+
+    // Z-order clustering key: morton-interleaved (partkey, suppkey) —
+    // the data-skipping layout; files cover rectangles in key space so
+    // min/max stats prune on either column.
+    "rel_zorder" -> ((s, d) => {
+      graft.operators.Partitioning.zorderBy(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zorder"))
+        .orderBy(col("zorder"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Sketch aggregates: HLL++ distinct and t-digest-style quantiles.
     // No oracleSql on purpose — sketch algorithms differ per engine, so
     // the driver records the weaker rows-only check for this one.
@@ -860,6 +881,20 @@ object SparkEntry {
       |      CAST(doc_id AS VARCHAR) || '?utm_source=Feed&id=' ||
       |      CAST(doc_id AS VARCHAR) || '&utm_campaign=X#Frag'""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Partitioning.mortonCode]]:
+    * shift/mask/add bit interleave (no XOR — shared operator surface). */
+  private def mortonSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       |       count(*) - count($c) AS n_nulls,
+       |       count(DISTINCT $c) AS n_distinct,
+       |       CAST(min($c) AS VARCHAR) AS min_str,
+       |       CAST(max($c) AS VARCHAR) AS max_str FROM events""".stripMargin
+
   private def hexSliceSql(m: String, start: Int): String =
     (0 until 8).map { c =>
       s"(CAST(strpos('0123456789abcdef', substr($m, ${start + c}, 1)) - 1 AS BIGINT) << ${4 * (7 - c)})"
@@ -1221,6 +1256,17 @@ object SparkEntry {
         |       make_timestamp((s + 3600) * 1000000) AS win_end,
         |       event_type, count(*) AS n
         |FROM w GROUP BY s, event_type ORDER BY win_start, event_type""".stripMargin,
+
+    "rel_profile" ->
+      Seq("event_id", "user_id", "event_type", "props")
+        .map(profileColSql).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY \"column\""),
+
+    "rel_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |       CAST(${mortonSql("l_partkey", "l_suppkey", 16)} AS BIGINT) AS zorder
+         |FROM lineitem
+         |ORDER BY zorder, l_orderkey, l_linenumber""".stripMargin,
 
     "rel_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,

@@ -164,4 +164,35 @@ object Relational {
       .withColumn("session_id", sum(col("__is_new")).over(wRun))
       .drop("__is_new")
   }
+
+  /** One-pass table profiling — the ANALYZE surface: per column,
+    * row/null counts, EXACT distinct count, min/max (stringified so
+    * heterogeneous columns stack into one frame). One global aggregate
+    * (all stats partial-aggregated map-side into a single row, then
+    * unpivoted driver-free via explode). The exact multi-column
+    * distinct is the one scale caveat: Spark plans it as an Expand —
+    * one scan branch per profiled column; the 100 TB routine swaps
+    * `countDistinct` for `approx_count_distinct` (HLL, no Expand,
+    * same shape otherwise), which is why sketch profiling exists as
+    * `rel_approx_sketches`. Avoid float columns in oracle-checked
+    * profiles (double→string formatting is engine-specific). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))
+    }
+    row.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
 }
