@@ -834,7 +834,61 @@ object SparkEntry {
       Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb, k = 5)
         .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
         .orderBy(col("query_id"), col("rnk"))
-    })
+    }),
+
+    // REAL sample-level PCM16 decode: per-frame energy / peak / zero
+    // crossings read back from actual WAV data-chunk bytes (the
+    // silence-detection primitive; PCM needs no codec).
+    "mm_audio_energy" -> ((s, d) =>
+      Multimodal.pcm16Frames(
+          Multimodal.syntheticAudio(Tables.documents(s, d)), frameSamples = 25)
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
+
+    // Per-doc top-5 characteristic terms by the integer-exact tf·idf
+    // surrogate (tf·1e6 DIV df). The df side is vocabulary-sized so the
+    // term join stays keyed, never broadcast.
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // BM25 retrieval (k1=1.2, b=0.75 in exact rational-integer form):
+    // top-20 documents for a fixed bag-of-words query. The query-term
+    // broadcast prunes the token stream before any shuffle.
+    "sim_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "filter", "join"), k = 20)),
+
+    // Exact-substring dedup report: maximal cross-doc repeated spans of
+    // ≥ 8 tokens, merged via gaps-and-islands (suffix-array recipe,
+    // re-expressed as gram equi-join — never all-pairs).
+    "dedup_substring" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), spanTokens = 8)
+        .orderBy(col("doc_id"))),
+
+    // The removal half of exact-substring dedup: non-canonical repeated
+    // spans stripped, text rebuilt (md5-pinned), every doc reported.
+    "dedup_substring_strip" -> ((s, d) =>
+      Dedup.stripRepeatedSpans(Tables.documents(s, d), spanTokens = 8)
+        .orderBy(col("doc_id"))),
+
+    // Ordered funnel over the event stream (view → click → purchase,
+    // strictly-after first-occurrence semantics): per-stage survivors
+    // and conversion permille. State = one row per surviving user.
+    "rel_funnel" -> ((s, d) =>
+      Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
+    // Key-skew diagnostics on a join key — the pre-flight measurement
+    // for saltedJoin/saltedAggregate. Aggregates only; no window.
+    "rel_skew_profile" -> ((s, d) =>
+      Relational.keySkewProfile(Tables.lineitem(s, d), "l_suppkey", topN = 10)),
+
+    // Exact per-source token-length order statistics (packing-budget
+    // audit): quantiles as order statistics, integer-exact.
+    "corpus_length_quantiles" -> ((s, d) =>
+      Corpus.lengthQuantiles(Tables.documents(s, d)).orderBy(col("source")))
   )
 
   /** DuckDB: element-wise double dot product over LIST(FLOAT) columns —
@@ -1936,6 +1990,157 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Recomputes the synthetic sawtooth analytically (the fixture is
+    // arithmetic in doc_id) — a hash-match proves the Spark side read
+    // the REAL PCM bytes back out of the data chunk.
+    "mm_audio_energy" ->
+      """WITH s AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, 64 + doc_id % 64),
+        |    i -> {'i': i, 'v': (doc_id * 31 + i * 17) % 2048 - 1024}),
+        |    recursive := true) FROM documents),
+        |f AS (SELECT doc_id, i // 25 AS frame_idx, v,
+        |        lag(v) OVER (PARTITION BY doc_id, i // 25 ORDER BY i) AS pv
+        |      FROM s)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) // CAST(count(*) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM f GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score_micro
+         |       FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score_micro DESC, term) AS BIGINT) AS "rank" FROM sc)
+         |SELECT doc_id, term, tf, df, score_micro, "rank" FROM r
+         |WHERE "rank" <= 5 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "sim_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |dl AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |q AS (SELECT unnest(['spark', 'filter', 'join']) AS term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok JOIN q USING (term) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.tf,
+         |        (1000 * (2 * (st.n_docs - df.df) + 1)) // (2 * df.df + 1) AS idf_milli,
+         |        (1000 * dl.dl * st.n_docs) // st.total_tokens AS len_ratio_milli
+         |      FROM tf JOIN df USING (term)
+         |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |s AS (SELECT doc_id,
+         |        CAST(sum((idf_milli * 22000 * tf)
+         |          // (10000 * tf + 3000 + 9 * len_ratio_milli)) AS BIGINT) AS score_milli,
+         |        CAST(count(*) AS BIGINT) AS n_hit_terms
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, score_milli, n_hit_terms FROM s
+         |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+
+    // 1-based positions here vs posexplode's 0-based on the Spark side:
+    // islands and span lengths use only position DIFFERENCES, so the
+    // offset cancels and never reaches the output.
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+         |        i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')}),
+         |        recursive := true) FROM t),
+         |sh AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |h AS (SELECT doc_id, pos FROM g JOIN sh USING (gram)),
+         |i AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM h),
+         |sp AS (SELECT doc_id, grp, min(pos) AS s, max(pos) AS e,
+         |         count(*) AS n_grams FROM i GROUP BY doc_id, grp),
+         |pd AS (SELECT doc_id, CAST(sum(n_grams) AS BIGINT) AS n_shared_grams,
+         |         CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(e - s + 8) AS BIGINT) AS covered_tokens,
+         |         CAST(max(e - s + 8) AS BIGINT) AS max_span_tokens
+         |       FROM sp GROUP BY doc_id),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
+         |SELECT pd.doc_id, n_shared_grams, n_spans, covered_tokens, max_span_tokens,
+         |       n_tokens, covered_tokens * 1000 // n_tokens AS repeated_permille
+         |FROM pd JOIN n USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
+
+    // Same 1-based-vs-0-based note as dedup_substring: only position
+    // DIFFERENCES and counts reach the output, so the offset cancels.
+    "dedup_substring_strip" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+         |        i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')}),
+         |        recursive := true) FROM t),
+         |gm AS (SELECT gram, min(doc_id) AS min_doc FROM g GROUP BY gram
+         |       HAVING count(DISTINCT doc_id) >= 2),
+         |rem AS (SELECT g.doc_id, g.pos FROM g JOIN gm USING (gram)
+         |        WHERE g.doc_id <> gm.min_doc),
+         |i AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM rem),
+         |sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e FROM i
+         |       GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, flatten(list(range(s, e + 8))) AS cv
+         |        FROM sp GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, tk, coalesce(cv, CAST([] AS BIGINT[])) AS cv
+         |      FROM t LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(cv) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(list_transform(
+         |    list_filter(list_transform(range(1, len(tk) + 1), j -> {'j': j, 'w': tk[j]}),
+         |      x -> NOT list_contains(cv, x.j)),
+         |    x -> x.w), ' '), '')) AS clean_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "rel_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |s1 AS (SELECT user_id, min(sec) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(sec) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(sec) AS t FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec > s2.t GROUP BY e.user_id),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS base FROM s1),
+        |u AS (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+        |             CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT stage, step, n_users,
+        |       CASE WHEN base > 0 THEN (n_users * 1000) // base END AS conv_permille
+        |FROM u CROSS JOIN b ORDER BY stage""".stripMargin,
+
+    "rel_skew_profile" ->
+      s"""WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM lineitem GROUP BY l_suppkey),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |        CAST(count(*) AS BIGINT) AS n_keys,
+         |        CAST(max(cnt) AS BIGINT) AS max_cnt FROM c),
+         |tp AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS topn_rows
+         |       FROM (SELECT cnt FROM c ORDER BY cnt DESC, l_suppkey LIMIT 10))
+         |SELECT n_rows, n_keys, max_cnt, n_rows // n_keys AS avg_cnt,
+         |       (max_cnt * n_keys * 1000) // n_rows AS skew_ratio_permille,
+         |       (max_cnt * 1000) // n_rows AS top1_permille,
+         |       (topn_rows * 1000) // n_rows AS topn_permille
+         |FROM t CROSS JOIN tp""".stripMargin,
+
+    "corpus_length_quantiles" ->
+      s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens
+         |            FROM documents),
+         |r AS (SELECT source, n_tokens, CAST(row_number() OVER (PARTITION BY source
+         |        ORDER BY n_tokens, doc_id) AS BIGINT) AS rn FROM dl),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM dl GROUP BY source)
+         |SELECT r.source, max(c.n_docs) AS n_docs, min(n_tokens) AS min_tokens,
+         |  max(CASE WHEN rn = ((n_docs - 1) * 50) // 100 + 1 THEN n_tokens END) AS p50_tokens,
+         |  max(CASE WHEN rn = ((n_docs - 1) * 90) // 100 + 1 THEN n_tokens END) AS p90_tokens,
+         |  max(CASE WHEN rn = ((n_docs - 1) * 99) // 100 + 1 THEN n_tokens END) AS p99_tokens,
+         |  max(n_tokens) AS max_tokens
+         |FROM r JOIN c USING (source) GROUP BY r.source ORDER BY r.source""".stripMargin
   )
 }

@@ -406,4 +406,35 @@ object Corpus {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("token"))).cast("long"))
   }
+
+  /** Exact per-stratum token-length order statistics (min / p50 / p90
+    * / p99 / max) — the length-distribution audit run per source
+    * before setting sequence-packing budgets. The p-th quantile is the
+    * ORDER STATISTIC at 1-based position ⌊(n−1)·p⌋+1 (no
+    * interpolation), so every reported value is an actual document
+    * length — integer-exact and engine-portable, unlike interpolated
+    * `percentile`.
+    *
+    * Cost: one window sort partitioned by the stratum (a per-source
+    * distributed sort — with billions of docs per source you'd switch
+    * to `percentile_approx`; the exact path is the oracle-checkable
+    * contract and right up to ~10⁸ docs per stratum) plus one count
+    * per stratum joined back broadcast (strata are few). */
+  def lengthQuantiles(docs: DataFrame, byCol: String = "source",
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col(byCol), col(idCol),
+      size(Dedup.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("n_tokens"), col(idCol))
+    val ranked = dl.withColumn("rn", row_number().over(w).cast("long"))
+    val cnts = dl.groupBy(col(byCol)).agg(count(lit(1)).as("n_docs"))
+    def at(p: Int): Column =
+      max(when(col("rn") === expr(s"((n_docs - 1) * $p) DIV 100 + 1"), col("n_tokens")))
+    ranked.join(broadcast(cnts), byCol)
+      .groupBy(col(byCol))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        at(50).as("p50_tokens"), at(90).as("p90_tokens"), at(99).as("p99_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
 }

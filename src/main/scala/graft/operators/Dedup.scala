@@ -512,4 +512,137 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"), col("hamming"))
   }
+
+  /** Cross-document repeated-SPAN detection — the distributed form of
+    * exact-substring training-data dedup (find every maximal run of
+    * ≥ `spanTokens` consecutive tokens that also appears verbatim in
+    * another document; suffix arrays do this single-node, the
+    * equi-join below does it on a cluster):
+    *
+    *  1. every document emits its `spanTokens`-grams WITH POSITION
+    *     (narrow: one `transform(sequence)` per row);
+    *  2. grams occurring in ≥ 2 DISTINCT docs survive (one two-phase
+    *     groupBy on the gram — self-repetition inside one doc is
+    *     excluded on purpose; [[graft.operators.Corpus.repetition]]
+    *     measures that);
+    *  3. surviving positions merge into maximal spans per doc by the
+    *     gaps-and-islands trick (`pos − row_number` keys an island;
+    *     consecutive shared grams = one span), so an N-token shared
+    *     passage reports once, not N−L+1 times.
+    *
+    * Shuffles: gram groupBy + gram-keyed survivor join (the honest
+    * cost — gram cardinality ~ token count), then a per-doc window
+    * whose partition is one document's shared grams (bounded by doc
+    * length). Returns one row per doc that shares ≥ 1 span:
+    * span/coverage counts + `repeated_permille` for gating. */
+  def repeatedSpans(docs: DataFrame, spanTokens: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val grams = Partitioning.fanOut(docs)
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(ts) - $L), i -> concat_ws(' ', slice(ts, i + 1, $L)))"))
+        .as(Seq("pos", "gram")))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select("gram")
+    val hits = grams.join(shared, "gram").select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_tokens", (col("e") - col("s") + lit(L)).cast("long"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sum(col("n_grams")).as("n_shared_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("covered_tokens"),
+        max(col("span_tokens")).as("max_span_tokens"))
+    val dl = docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    perDoc.join(dl, Seq(idCol))
+      .withColumn("repeated_permille", expr("covered_tokens * 1000 DIV n_tokens"))
+  }
+
+  /** The removal half of exact-substring dedup ([[repeatedSpans]] is
+    * the detection half): every maximal cross-doc repeated span keeps
+    * its CANONICAL occurrence — the one in the smallest doc_id
+    * containing the gram — and is stripped everywhere else, then each
+    * document's text is rebuilt from its surviving tokens (the
+    * "deduplicate training data" recipe: keep one copy of every long
+    * verbatim passage).
+    *
+    * Shape: the same gram equi-join + islands merge as
+    * [[repeatedSpans]]; the merged spans then come back to the
+    * document as ONE id-keyed join of a per-doc span list (bounded by
+    * doc length), and the rebuild is a narrow array expression —
+    * tokens never shuffle. Emits every doc (n_removed = 0 when
+    * untouched) with the md5 of the rebuilt text, so the output stays
+    * row-compact at any scale. */
+  def stripRepeatedSpans(docs: DataFrame, spanTokens: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val grams = Partitioning.fanOut(docs)
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= L)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(ts) - $L), i -> concat_ws(' ', slice(ts, i + 1, $L)))"))
+        .as(Seq("pos", "gram")))
+    val canon = grams.groupBy(col("gram"))
+      .agg(min(col(idCol)).as("min_doc"), countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select(col("gram"), col("min_doc"))
+    val rem = grams.join(canon, "gram")
+      .where(col(idCol) =!= col("min_doc")).select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = rem
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+    val spanList = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .join(spanList, Seq(idCol), "left")
+      // merged islands never overlap, so the flattened cover is distinct
+      .withColumn("__cov", coalesce(
+        flatten(expr(s"transform(__spans, sp -> sequence(sp.s, sp.e + ${L - 1}))")),
+        array().cast("array<int>")))
+      .withColumn("__kept", expr(
+        "filter(transform(__ts, (tok, i) -> struct(i AS i, tok AS tok)), " +
+          "x -> NOT array_contains(__cov, x.i))"))
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        md5(expr("concat_ws(' ', transform(__kept, x -> x.tok))").cast("binary"))
+          .as("clean_md5"))
+  }
+
+  /** Bloom-filter prefilter for delta-vs-corpus exact dedup: find the
+    * CORPUS rows whose text collides with a (small) delta batch
+    * without ever shuffling the corpus. The delta's md5 set trains a
+    * Bloom filter (driver-built — the filter is sized by the DELTA,
+    * the small side, never the corpus), which broadcasts into a
+    * narrow `mightContain` prune over the corpus scan; only the
+    * survivors (true matches + fpp false positives) pay the exact
+    * verify join. This is the UDF exception the no-UDF rule allows:
+    * Spark has no Bloom-membership builtin on the read path, the
+    * filter object is opaque, and the alternative is shuffling 100 TB
+    * to an equi-join the prune avoids. */
+  def bloomPrefilter(corpus: DataFrame, delta: DataFrame, fpp: Double = 0.01,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dh = delta.select(md5(col(textCol).cast("binary")).as("h"),
+      col(idCol).as("delta_id"))
+    val n = math.max(dh.count(), 1L)
+    val bf = dh.stat.bloomFilter("h", n, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((h: String) => bfB.value.mightContainString(h))
+    corpus.select(col(idCol), md5(col(textCol).cast("binary")).as("h"))
+      .where(might(col("h")))
+      .join(broadcast(dh), "h")
+      .select(col(idCol), col("delta_id"))
+  }
 }

@@ -179,6 +179,121 @@ object Multimodal {
     b.array()
   }
 
+  /** WAV bytes with a REAL PCM16 data chunk (RIFF + canonical fmt +
+    * the interleaved samples) — [[wavBytes]]' header-only sibling, for
+    * exercising sample-level decode. */
+  private[graft] def wavPcm16Bytes(channels: Int, sampleRate: Int,
+                                   samples: Array[Short]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1)                         // PCM
+    b.putShort(channels.toShort)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2)   // byte rate
+    b.putShort((channels * 2).toShort)    // block align
+    b.putShort(16)
+    b.put("data".getBytes).putInt(dataBytes)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false)))
+
+  /** REAL sample-level PCM16 decode → per-frame audio features
+    * (mean-square energy, peak amplitude, zero crossings) — the
+    * silence-detection / segmentation primitive of an audio training
+    * pipeline, with zero codec dependencies: PCM is raw int16, so the
+    * "decode" is the RIFF chunk walk plus little-endian reads. All
+    * features are exact integers (energy = Σs² DIV n).
+    *
+    * Execution contract matches [[decodeHeaders]]: constant-memory
+    * per-partition iteration; one blob in → ⌈samples/frame⌉ feature
+    * rows out, the last frame partial. Blobs that are not canonical
+    * PCM16 WAV emit nothing (the codec seam — compressed formats need
+    * a real decoder). Chunk sizes are untrusted bytes: malformed sizes
+    * break to skip, never spin or index out of bounds. */
+  def pcm16Frames(blobs: DataFrame, frameSamples: Int = 25): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        locatePcm16Data(bytes) match {
+          case None => Iterator.empty
+          case Some((off, nSamples)) =>
+            (0 until (nSamples + frameSamples - 1) / frameSamples).iterator.map { f =>
+              val s = f * frameSamples
+              val e = math.min(s + frameSamples, nSamples)
+              var i = s; var sumSq = 0L; var peak = 0L; var zc = 0L; var prev = 0
+              while (i < e) {
+                val v = (u16le(bytes, off + 2 * i) << 16) >> 16 // sign-extend
+                sumSq += v.toLong * v
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                if (i > s && prev * v < 0) zc += 1
+                prev = v; i += 1
+              }
+              val n = (e - s).toLong
+              Row(id, f.toLong, n, sumSq / n, peak, zc)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Find the PCM16 data payload: (byte offset of first sample, sample
+    * count). None unless the file is a RIFF/WAVE with a canonical
+    * PCM (format 1), 16-bit fmt chunk and an intact data chunk. */
+  private def locatePcm16Data(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var p = 12L
+    var pcm16 = false
+    while (p + 8 <= bytes.length) {
+      val size = i32le(bytes, p.toInt + 4)
+      if (size < 0) return None
+      val t = tag(bytes, p.toInt)
+      if (t == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
+        pcm16 = u16le(bytes, p.toInt + 8) == 1 && u16le(bytes, p.toInt + 22) == 16
+      } else if (t == "data") {
+        if (!pcm16 || p + 8 + size > bytes.length) return None
+        return Some(((p + 8).toInt, size / 2))
+      }
+      p += 8L + size.toLong + (size & 1)
+    }
+    None
+  }
+
+  /** Deterministic synthetic PCM16 audio blobs keyed on doc_id:
+    * 64 + id%64 mono samples of the sawtooth
+    * `s_i = (id·31 + i·17) mod 2048 − 1024` — arithmetic in doc_id, so
+    * the frame-feature oracle recomputes the samples analytically and
+    * a hash-match proves [[pcm16Frames]] read the REAL data-chunk
+    * bytes back (same fixture idea as [[syntheticBlobs]]). */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate(n)(i => ((id * 31 + i * 17) % 2048 - 1024).toShort)
+        Row(id, wavPcm16Bytes(1, (8000 + (id % 8) * 1000).toInt, samples))
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic media blobs keyed on doc_id (even → BMP,
     * odd → WAV; dims/rates are arithmetic in doc_id) — the fixture
     * generator that makes the header decode oracle-expressible: the

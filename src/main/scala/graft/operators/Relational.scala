@@ -195,4 +195,68 @@ object Relational {
     }
     row.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
+
+  /** Key-skew diagnostics for a prospective join/aggregation key — the
+    * measurement run BEFORE deciding whether [[saltedJoin]] /
+    * [[saltedAggregate]] is needed. One row: total rows, distinct
+    * keys, max/avg per-key counts, and the share of rows held by the
+    * hottest key and the hottest `topN` keys (permille, integer-exact).
+    * `skew_ratio_permille` = 1000·max/avg; 1000 means perfectly
+    * uniform, ≥ ~5000 means the hot key dominates its task and salting
+    * pays.
+    *
+    * Cost: one map-side-combinable groupBy on the key, then only
+    * key-cardinality rows flow into two tiny aggregates (one all-keys,
+    * one TakeOrderedAndProject top-N) — no window, no global sort, no
+    * driver materialization beyond two single-row frames. */
+  /** Ordered-funnel analysis: how many users performed step 1, then
+    * step 2 STRICTLY after their first step 1, then step 3 strictly
+    * after that, … First-occurrence semantics per stage (the standard
+    * product-analytics funnel): stage i's timestamp is the user's
+    * earliest step-i event after their stage-(i−1) time.
+    *
+    * Shape: one filtered groupBy per step plus one user-keyed
+    * equi-join per stage transition — state per stage is ONE ROW PER
+    * SURVIVING USER (never the event history), so the funnel scales
+    * with users, not events, and skips any per-user event-array
+    * materialization (a bot with 10⁸ events costs its groupBy, not
+    * memory). Stage counts are single-row aggregates unioned lazily —
+    * no driver action. `conv_permille` is vs stage 1. */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+             tsSecCol: String = "ts_sec", typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    def stageOne(step: String): DataFrame =
+      events.where(col(typeCol) === step)
+        .groupBy(col(userCol).as("user")).agg(min(col(tsSecCol)).as("t"))
+    val stages = steps.tail.scanLeft(stageOne(steps.head)) { (cur, step) =>
+      events.where(col(typeCol) === step)
+        .select(col(userCol).as("user"), col(tsSecCol).as("t2"))
+        .join(cur, "user")
+        .where(col("t2") > col("t"))
+        .groupBy(col("user")).agg(min(col("t2")).as("t"))
+    }
+    val base = broadcast(stages.head.agg(count(lit(1)).as("base_users")))
+    stages.zip(steps).zipWithIndex.map { case ((s, step), i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("stage"), lit(step).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+      .crossJoin(base)
+      .select(col("stage"), col("step"), col("n_users"),
+        when(col("base_users") > 0, expr("(n_users * 1000) DIV base_users"))
+          .as("conv_permille"))
+  }
+
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val top = topK(counts, Seq(col("cnt").desc, col(keyCol)), topN)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("topn_rows"))
+    totals.crossJoin(top).select(
+      col("n_rows"), col("n_keys"), col("max_cnt"),
+      expr("n_rows DIV n_keys").as("avg_cnt"),
+      expr("(max_cnt * n_keys * 1000) DIV n_rows").as("skew_ratio_permille"),
+      expr("(max_cnt * 1000) DIV n_rows").as("top1_permille"),
+      expr("(topn_rows * 1000) DIV n_rows").as("topn_permille"))
+  }
 }

@@ -167,6 +167,79 @@ object TextAnalysis {
       .drop("__s")
   }
 
+  /** Per-document top-`k` terms by an integer-exact TF·IDF surrogate:
+    * `score_micro = tf·1e6 DIV df` (term frequency over document
+    * frequency, scaled; monotone in tf/df so the per-doc ranking
+    * matches the classic tf·idf ordering for a fixed doc). Keeping the
+    * weight rational-integer makes it bit-stable across engines —
+    * same policy as the permille quality features.
+    *
+    * Shuffle shape: one groupBy on (doc, term) for tf, one groupBy on
+    * term for df, and one equi-join keyed on the term. The df side is
+    * vocabulary-sized — it grows with the corpus (Heaps' law), so it
+    * is NOT broadcast (same reasoning as [[bigramFluency]]); the
+    * per-doc top-k is a bounded WindowGroupLimit, never a full sort. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    val tok = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score_micro", expr("tf * 1000000 DIV df"))
+    Relational.topNPerGroup(scored, Seq(col(idCol)),
+        Seq(col("score_micro").desc, col("term")), k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score_micro"),
+        col("rn").cast("long").as("rank"))
+  }
+
+  /** BM25 retrieval: top-`k` documents for a bag-of-words query, with
+    * the standard k1=1.2, b=0.75 saturation/length normalization kept
+    * in EXACT integer arithmetic so scores are engine-portable:
+    *
+    *   idf_milli     = ⌊1000·(2(N−df)+1)/(2df+1)⌋   (the Robertson
+    *                   odds ratio without the log — same monotone
+    *                   order in df, integer-exact)
+    *   len_ratio     = ⌊1000·dl·N/T⌋                (dl/avgdl, scaled)
+    *   contrib_milli = ⌊idf·22000·tf/(10000·tf + 3000 + 9·len_ratio)⌋
+    *                   (the exact rational form of
+    *                   tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)))
+    *
+    * Scale shape: the query-term list broadcasts into the token
+    * stream FIRST, so everything downstream is proportional to the
+    * postings of the query terms, not the corpus: tf is one
+    * (doc, term) groupBy over matching tokens only, per-term df and
+    * the corpus stats (N, T) are single-row/handful-of-rows frames
+    * broadcast back, and the final top-k is TakeOrderedAndProject.
+    * All integer division is DIV (never double `/`) — exact past
+    * 2^53. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val dl = docs.select(col(idCol), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(q), "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli",
+        expr("(1000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)"))
+      .withColumn("len_ratio_milli", expr("(1000 * dl * n_docs) DIV total_tokens"))
+      .withColumn("contrib_milli",
+        expr("(idf_milli * 22000 * tf) DIV (10000 * tf + 3000 + 9 * len_ratio_milli)"))
+    val perDoc = contrib.groupBy(col(idCol))
+      .agg(sum(col("contrib_milli")).as("score_milli"),
+        count(lit(1)).as("n_hit_terms"))
+    Relational.topK(perDoc, Seq(col("score_milli").desc, col(idCol)), k)
+  }
+
   /** Deterministic document fingerprint appended to the input columns
     * (order-insensitive content hash over the sorted distinct token
     * set). Narrow — streaming-safe. */

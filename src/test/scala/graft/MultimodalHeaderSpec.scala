@@ -120,4 +120,43 @@ class MultimodalHeaderSpec extends SparkSpec {
       }
     }
   }
+
+  test("pcm16Frames: exact energy/peak/zero-crossings from real data bytes") {
+    // 7 samples, frame=4 → frames [3,-3,0,4] and [-5,12,-1]
+    val samples = Array[Short](3, -3, 0, 4, -5, 12, -1)
+    val blobs = Seq((1L, Multimodal.wavPcm16Bytes(1, 8000, samples)))
+      .toDF("doc_id", "blob")
+    val got = Multimodal.pcm16Frames(blobs, frameSamples = 4)
+      .select("frame_idx", "n_samples", "energy", "peak", "zero_crossings")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // frame 0: Σs² = 9+9+0+16 = 34 → 34/4 = 8; zc: 3→-3 only (0 breaks runs)
+    assert(got(0) === ((0L, 4L, 8L, 4L, 1L)))
+    // frame 1 (partial): Σs² = 25+144+1 = 170 → 170/3 = 56; zc: -5→12, 12→-1
+    assert(got(1) === ((1L, 3L, 56L, 12L, 2L)))
+  }
+
+  test("pcm16Frames skips non-PCM16 and malformed payloads, never crashes") {
+    val nonPcm = {
+      // header-only WAV (no data chunk) and an 8-bit fmt
+      Seq((1L, Multimodal.wavBytes(1, 8000, 16)),
+        (2L, Multimodal.wavBytes(1, 8000, 8)),
+        (3L, "not riff at all".getBytes),
+        (4L, Array.emptyByteArray))
+    }.toDF("doc_id", "blob")
+    assert(Multimodal.pcm16Frames(nonPcm).count() === 0L)
+    // a data chunk whose declared size overruns the file → skipped
+    val lying = Multimodal.wavPcm16Bytes(1, 8000, Array[Short](1, 2, 3))
+    lying(43) = 100 // data size byte: claims 100+ bytes, file has 6
+    assert(Multimodal.pcm16Frames(Seq((5L, lying)).toDF("doc_id", "blob")).count() === 0L)
+  }
+
+  test("syntheticAudio round-trips through the real decoder at the sawtooth values") {
+    val docs = Seq(0L, 1L, 65L).toDF("doc_id")
+    val got = Multimodal.pcm16Frames(Multimodal.syntheticAudio(docs), frameSamples = 25)
+      .select("doc_id", "frame_idx", "n_samples")
+      .as[(Long, Long, Long)].collect()
+    // doc 0 and 1: 64+id samples → 3 frames (25/25/14+id); doc 65: 65 tokens? 64+1=65
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDoc(0L) === 64L && byDoc(1L) === 65L && byDoc(65L) === 65L)
+  }
 }

@@ -83,4 +83,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("Exchange rangepartitioning").length - 1 === 1, plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("tfIdfTopTerms: hash aggregates, keyed term join, no cartesian") {
+    val plan = graft.operators.TextAnalysis
+      .tfIdfTopTerms(Tables.documents(spark, sf), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bm25TopK: query terms broadcast before any shuffle; top-k never a full sort") {
+    val plan = graft.operators.TextAnalysis
+      .bm25TopK(Tables.documents(spark, sf), Seq("spark", "filter", "join"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("repeatedSpans: gram-keyed survivor join, never all-pairs") {
+    val plan = Dedup.repeatedSpans(Tables.documents(spark, sf), spanTokens = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("keySkewProfile: aggregates + top-k only — no window, no full sort") {
+    val plan = Relational.keySkewProfile(Tables.lineitem(spark, sf), "l_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
+  test("bloomPrefilter prunes the corpus scan narrowly — no corpus-side exchange " +
+    "before the verify join") {
+    val corpus = Tables.documents(spark, sf)
+    val delta = Tables.documents(spark, sf).filter(col("doc_id") < 5)
+    val plan = Dedup.bloomPrefilter(corpus, delta)
+      .queryExecution.executedPlan.toString
+    // the verify join broadcasts the delta; the corpus side must carry
+    // zero hash exchanges (the bloom filter is a narrow Filter)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
 }

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Relational, TextAnalysis}
+
+/** Semantics of the retrieval / span-dedup / diagnostics operators:
+  * tf·idf term ranking, integer BM25, cross-doc repeated spans,
+  * key-skew profile, exact length quantiles, Bloom prefilter.
+  * Cross-engine equality is covered by the oracle queries; these pin
+  * the hand-computable cases and edge behavior.
+  */
+class RetrievalSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfIdfTopTerms: rare term outranks common term, integer weights exact") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6)).toMap
+    // d1: apple tf=2 df=1 → 2e6; banana tf=1 df=2 → 5e5
+    assert(got(1L).map(r => (r._2, r._5)) === Seq(("apple", 2000000L), ("banana", 500000L)))
+    // d3: cherry tf=3 df=2 → 1.5e6
+    assert(got(3L).head._2 === "cherry" && got(3L).head._5 === 1500000L)
+  }
+
+  test("bm25TopK: exact integer scores; higher tf of a rare term wins") {
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare rare other other")).toDF("doc_id", "text")
+    // N=3, T=12, df(rare)=2 → idf_milli = 1000*3/5 = 600;
+    // dl=4 for all → len_ratio_milli = 1000
+    val got = TextAnalysis.bm25TopK(docs, Seq("rare"), k = 10)
+      .select("doc_id", "score_milli", "n_hit_terms")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L, 1L)) // d2 has no hit → absent
+    val byDoc = got.map(r => r._1 -> r._2).toMap
+    assert(byDoc(3L) === 825L) // 600*22000*2 DIV (20000+3000+9000)
+    assert(byDoc(1L) === 600L) // 600*22000*1 DIV (10000+3000+9000)
+  }
+
+  test("bm25TopK rejects an empty query") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextAnalysis.bm25TopK(docs, Seq.empty, 5))
+  }
+
+  test("repeatedSpans: overlapping grams merge; self-repeat excluded") {
+    val c9 = (1 to 9).map("c" + _).mkString(" ")     // 9-token shared run
+    val e8 = (1 to 8).map("e" + _).mkString(" ")     // 8-token shared run
+    val docs = Seq(
+      (1L, s"$c9 a1 a2 a3 $e8"),                     // 20 tokens, two spans
+      (2L, s"$c9 b1 b2 b3 b4 b5"),                   // one span
+      (3L, s"x1 x2 $e8"),                            // one span
+      (4L, { val s8 = (1 to 8).map("s" + _).mkString(" "); s"$s8 $s8" }) // self-repeat only
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(docs, spanTokens = 8)
+      .select("doc_id", "n_shared_grams", "n_spans", "covered_tokens",
+        "max_span_tokens", "n_tokens", "repeated_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc1: c-run grams at pos 0,1 (one island, span 9) + e-run at pos 12
+    assert(got(1L) === ((1L, 3L, 2L, 17L, 9L, 20L, 850L)))
+    assert(got(2L)._3 === 1L && got(2L)._5 === 9L)   // one 9-token span
+    assert(got(3L)._3 === 1L && got(3L)._5 === 8L)
+    assert(!got.contains(4L))                        // same-doc repeat ≠ cross-doc
+  }
+
+  test("stripRepeatedSpans: canonical doc keeps the span, later docs lose it") {
+    val c9 = (1 to 9).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, s"$c9 a1 a2 a3"),          // canonical (min doc_id) — untouched
+      (2L, s"b1 $c9 b2"),             // loses the 9 shared tokens
+      (3L, "u1 u2 u3")                // no shared spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(docs, spanTokens = 8)
+      .select("doc_id", "n_tokens", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got.size === 3)                       // every doc reported
+    assert(got(1L)._3 === 0L)                    // canonical untouched
+    assert(got(2L) === ((2L, 11L, 9L, md5Of("b1 b2"))))
+    assert(got(3L)._3 === 0L && got(3L)._4 === md5Of("u1 u2 u3"))
+    // canonical text unchanged: md5 equals the original
+    assert(got(1L)._4 === md5Of(s"$c9 a1 a2 a3"))
+  }
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("repeatedSpans: docs shorter than the span never emit and never crash") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, spanTokens = 8).count() === 0L)
+  }
+
+  test("funnel: strictly-after first-occurrence semantics per stage") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // full funnel
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "click", 5L),    // click@1 too early
+      (3L, "click", 3L), (3L, "view", 5L),                       // click only BEFORE view
+      (4L, "click", 1L)                                          // never viewed
+    ).toDF("user_id", "event_type", "ts_sec")
+    val got = Relational.funnel(ev, Seq("view", "click", "purchase"))
+      .select("stage", "step", "n_users", "conv_permille")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, "view", 3L, 1000L), (2L, "click", 2L, 666L),
+      (3L, "purchase", 1L, 333L)))
+  }
+
+  test("keySkewProfile: exact counts and permilles on a skewed key") {
+    val df = (Seq.fill(8)("hot") ++ Seq("k2", "k3")).toDF("k")
+    val got = Relational.keySkewProfile(df, "k", topN = 2)
+      .select("n_rows", "n_keys", "max_cnt", "avg_cnt",
+        "skew_ratio_permille", "top1_permille", "topn_permille")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((10L, 3L, 8L, 3L, 2400L, 800L, 900L))) // top2 = 8+1
+  }
+
+  test("lengthQuantiles: order statistics at the exact positions") {
+    val docs = (1 to 10).map(n => (n.toLong, "s", ("w " * n).trim))
+      .toDF("doc_id", "source", "text")
+      .select(col("source"), col("doc_id"), col("text"))
+    val got = Corpus.lengthQuantiles(docs)
+      .select("source", "n_docs", "min_tokens", "p50_tokens", "p90_tokens",
+        "p99_tokens", "max_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // positions over n=10: p50→⌊9·.5⌋+1=5, p90→⌊9·.9⌋+1=9, p99→⌊9·.99⌋+1=9
+    assert(got === (("s", 10L, 1L, 5L, 9L, 9L, 10L)))
+  }
+
+  test("bloomPrefilter finds exactly the exact-match collisions") {
+    val corpus = (0 until 200).map(i => (i.toLong, s"corpus text number $i"))
+      .toDF("doc_id", "text")
+    val delta = Seq((1000L, "corpus text number 3"),
+      (1001L, "corpus text number 150"),
+      (1002L, "not present anywhere")).toDF("doc_id", "text")
+    val got = Dedup.bloomPrefilter(corpus, delta)
+      .select("doc_id", "delta_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((3L, 1000L), (150L, 1001L)))
+    val disjoint = Seq((1L, "zzz")).toDF("doc_id", "text")
+    assert(Dedup.bloomPrefilter(corpus, disjoint).count() === 0L)
+  }
+}
