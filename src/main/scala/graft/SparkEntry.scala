@@ -844,6 +844,15 @@ object SparkEntry {
           Multimodal.syntheticAudio(Tables.documents(s, d)), frameSamples = 25)
         .orderBy(col("doc_id"), col("frame_idx"))),
 
+    // Silence segmentation over the decoded frames: maximal low-energy
+    // frame runs per blob (trim/split cut points).
+    "mm_audio_silence" -> ((s, d) =>
+      Multimodal.silenceSegments(
+          Multimodal.pcm16Frames(
+            Multimodal.syntheticAudio(Tables.documents(s, d)), frameSamples = 25),
+          maxEnergy = 250000L)
+        .orderBy(col("doc_id"), col("seg_start"))),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -879,6 +888,12 @@ object SparkEntry {
     "rel_funnel" -> ((s, d) =>
       Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
+
+    // Daily cohort retention over the event stream: distinct (user,
+    // day) activity → first-day cohort → offset counts + permille.
+    "rel_retention" -> ((s, d) =>
+      Relational.retention(Tables.events(s, d), periodSec = 86400L)
+        .orderBy(col("cohort"), col("offset"))),
 
     // Key-skew diagnostics on a join key — the pre-flight measurement
     // for saltedJoin/saltedAggregate. Aggregates only; no window.
@@ -2011,6 +2026,24 @@ object SparkEntry {
         |    AS zero_crossings
         |FROM f GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "mm_audio_silence" ->
+      """WITH s AS (SELECT doc_id,
+        |  unnest(list_transform(range(0, 64 + doc_id % 64),
+        |    i -> {'i': i, 'v': (doc_id * 31 + i * 17) % 2048 - 1024}),
+        |    recursive := true) FROM documents),
+        |f AS (SELECT doc_id, i // 25 AS frame_idx, v FROM s),
+        |e AS (SELECT doc_id, frame_idx,
+        |        CAST(sum(v * v) AS BIGINT) // CAST(count(*) AS BIGINT) AS energy
+        |      FROM f GROUP BY doc_id, frame_idx),
+        |q AS (SELECT doc_id, frame_idx,
+        |        frame_idx - row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY frame_idx) AS grp
+        |      FROM e WHERE energy <= 250000)
+        |SELECT doc_id, CAST(min(frame_idx) AS BIGINT) AS seg_start,
+        |       CAST(max(frame_idx) AS BIGINT) AS seg_end,
+        |       CAST(count(*) AS BIGINT) AS n_frames
+        |FROM q GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin,
+
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -2061,7 +2094,8 @@ object SparkEntry {
          |         count(*) AS n_grams FROM i GROUP BY doc_id, grp),
          |pd AS (SELECT doc_id, CAST(sum(n_grams) AS BIGINT) AS n_shared_grams,
          |         CAST(count(*) AS BIGINT) AS n_spans,
-         |         CAST(sum(e - s + 8) AS BIGINT) AS covered_tokens,
+         |         CAST(len(list_distinct(flatten(list(range(s, e + 8)))))
+         |           AS BIGINT) AS covered_tokens,
          |         CAST(max(e - s + 8) AS BIGINT) AS max_span_tokens
          |       FROM sp GROUP BY doc_id),
          |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM t)
@@ -2085,7 +2119,7 @@ object SparkEntry {
          |      FROM rem),
          |sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e FROM i
          |       GROUP BY doc_id, grp),
-         |cov AS (SELECT doc_id, flatten(list(range(s, e + 8))) AS cv
+         |cov AS (SELECT doc_id, list_distinct(flatten(list(range(s, e + 8)))) AS cv
          |        FROM sp GROUP BY doc_id),
          |k AS (SELECT t.doc_id, tk, coalesce(cv, CAST([] AS BIGINT[])) AS cv
          |      FROM t LEFT JOIN cov USING (doc_id))
@@ -2115,6 +2149,19 @@ object SparkEntry {
         |SELECT stage, step, n_users,
         |       CASE WHEN base > 0 THEN (n_users * 1000) // base END AS conv_permille
         |FROM u CROSS JOIN b ORDER BY stage""".stripMargin,
+
+    "rel_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS period
+        |           FROM events),
+        |c AS (SELECT user_id, min(period) AS cohort FROM a GROUP BY user_id),
+        |n AS (SELECT cohort, a.period - cohort AS "offset",
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM a JOIN c USING (user_id) GROUP BY cohort, a.period - cohort),
+        |b AS (SELECT cohort, n_users AS base_users FROM n WHERE "offset" = 0)
+        |SELECT n.cohort, "offset", n.n_users,
+        |       (n.n_users * 1000) // base_users AS retained_permille
+        |FROM n JOIN b USING (cohort) ORDER BY n.cohort, "offset"""".stripMargin,
 
     "rel_skew_profile" ->
       s"""WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt

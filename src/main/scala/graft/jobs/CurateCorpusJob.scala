@@ -54,10 +54,16 @@ object CurateCorpusJob {
     *   representative per cluster); when false (default), the linear
     *   pass drops the greater id of each verified pair — cheaper (no
     *   iteration) but can keep two docs that are only transitively
-    *   connected. */
+    *   connected.
+    * @param stripSpanTokens when > 0, a final exact-substring pass
+    *   removes non-canonical cross-doc repeated spans of at least this
+    *   many tokens from the kept docs' text
+    *   ([[Dedup.stripRepeatedSpansText]]) — doc-level dedup first,
+    *   then passage-level, the standard pipeline order. */
   def curate(spark: SparkSession, sfDir: String,
              minQuality: Long = 500, jaccardPermille: Int = 950,
-             exactComponents: Boolean = false): Curated = {
+             exactComponents: Boolean = false,
+             stripSpanTokens: Int = 0): Curated = {
     val docs = Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
@@ -95,9 +101,16 @@ object CurateCorpusJob {
     val curated = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val nKept = curated.count()
 
+    // 3.5 optional passage-level dedup on the survivors
+    val deduped =
+      if (stripSpanTokens > 0)
+        Dedup.stripRepeatedSpansText(curated, stripSpanTokens)
+          .drop("span_tokens_removed")
+      else curated
+
     // 4. fingerprints attached to the curated set
-    val out = curated.join(
-      TextAnalysis.fingerprint(curated).select(col("doc_id"), col("fp")), "doc_id")
+    val out = deduped.join(
+      TextAnalysis.fingerprint(deduped).select(col("doc_id"), col("fp")), "doc_id")
     new Curated(out, Stats(nInput, nInput - nQuality, nQuality - nExact, nExact - nKept, nKept),
       caches = Seq(exactDeduped), checkpointed = checkpointed)
   }
@@ -115,7 +128,8 @@ object CurateCorpusJob {
     val result = curate(spark, a("--in"),
       a.getOrElse("--min-quality", "500").toLong,
       a.getOrElse("--jaccard-permille", "950").toInt,
-      a.getOrElse("--exact-components", "false").toBoolean)
+      a.getOrElse("--exact-components", "false").toBoolean,
+      a.getOrElse("--strip-span-tokens", "0").toInt)
     result.docs.write.mode("overwrite").parquet(a("--out"))
     result.release()
     val stats = result.stats

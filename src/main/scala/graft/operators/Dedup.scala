@@ -556,14 +556,23 @@ object Dedup {
       .groupBy(col(idCol), col("grp"))
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"),
         count(lit(1)).as("n_grams"))
-      .withColumn("span_tokens", (col("e") - col("s") + lit(L)).cast("long"))
+    // covered_tokens must count DISTINCT positions: two separate gram
+    // runs with a gap < L still overlap in token coverage (a span is
+    // maximal in gram space, its ±L−1 token footprint is not)
     val perDoc = spans.groupBy(col(idCol))
       .agg(sum(col("n_grams")).as("n_shared_grams"),
         count(lit(1)).as("n_spans"),
-        sum(col("span_tokens")).as("covered_tokens"),
-        max(col("span_tokens")).as("max_span_tokens"))
+        max(col("e") - col("s") + lit(L)).cast("long").as("max_span_tokens"),
+        collect_list(struct(col("s"), col("e"))).as("__spans"))
+      .withColumn("covered_tokens",
+        size(array_distinct(flatten(expr(
+          s"transform(__spans, sp -> sequence(sp.s, sp.e + ${L - 1}))"))))
+          .cast("long"))
+      .drop("__spans")
     val dl = docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
     perDoc.join(dl, Seq(idCol))
+      .select(col(idCol), col("n_shared_grams"), col("n_spans"),
+        col("covered_tokens"), col("max_span_tokens"), col("n_tokens"))
       .withColumn("repeated_permille", expr("covered_tokens * 1000 DIV n_tokens"))
   }
 
@@ -583,7 +592,31 @@ object Dedup {
     * untouched) with the md5 of the rebuilt text, so the output stays
     * row-compact at any scale. */
   def stripRepeatedSpans(docs: DataFrame, spanTokens: Int = 8,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withSpanCover(docs, spanTokens, idCol, textCol)
+      .select(col(idCol),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        md5(expr("concat_ws(' ', transform(__kept, x -> x.tok))").cast("binary"))
+          .as("clean_md5"))
+
+  /** [[stripRepeatedSpans]] that returns the full input rows with
+    * `textCol` REBUILT (non-canonical repeated spans removed) plus a
+    * `span_tokens_removed` count — the form a curation pipeline wires
+    * in-line. Same plan shape; the rebuilt text rides the one id-keyed
+    * span-list join. */
+  def stripRepeatedSpansText(docs: DataFrame, spanTokens: Int = 8,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val others = docs.columns.filterNot(c => c == idCol || c == textCol)
+    withSpanCover(docs, spanTokens, idCol, textCol)
+      .withColumn(textCol, expr("concat_ws(' ', transform(__kept, x -> x.tok))"))
+      .withColumn("span_tokens_removed", size(col("__cov")).cast("long"))
+      .select((Seq(col(idCol), col(textCol)) ++ others.map(col) :+
+        col("span_tokens_removed")): _*)
+  }
+
+  private def withSpanCover(docs: DataFrame, spanTokens: Int,
+                            idCol: String, textCol: String): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     import org.apache.spark.sql.expressions.Window
     val L = spanTokens
@@ -605,20 +638,15 @@ object Dedup {
       .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
     val spanList = spans.groupBy(col(idCol))
       .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
-    docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    docs.withColumn("__ts", tokens(col(textCol)))
       .join(spanList, Seq(idCol), "left")
-      // merged islands never overlap, so the flattened cover is distinct
-      .withColumn("__cov", coalesce(
+      // distinct: gram runs separated by a gap < L overlap in coverage
+      .withColumn("__cov", array_distinct(coalesce(
         flatten(expr(s"transform(__spans, sp -> sequence(sp.s, sp.e + ${L - 1}))")),
-        array().cast("array<int>")))
+        array().cast("array<int>"))))
       .withColumn("__kept", expr(
         "filter(transform(__ts, (tok, i) -> struct(i AS i, tok AS tok)), " +
           "x -> NOT array_contains(__cov, x.i))"))
-      .select(col(idCol),
-        size(col("__ts")).cast("long").as("n_tokens"),
-        size(col("__cov")).cast("long").as("n_removed"),
-        md5(expr("concat_ws(' ', transform(__kept, x -> x.tok))").cast("binary"))
-          .as("clean_md5"))
   }
 
   /** Bloom-filter prefilter for delta-vs-corpus exact dedup: find the

@@ -250,6 +250,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Silence segmentation over [[pcm16Frames]] output: maximal runs of
+    * consecutive frames at-or-below `maxEnergy` (mean-square), per
+    * blob — the cut-point generator for trimming silence / splitting
+    * audio at pauses. Gaps-and-islands on the frame index; the window
+    * partition is one blob's frames (bounded by blob length), the rest
+    * is one groupBy. */
+  def silenceSegments(frames: DataFrame, maxEnergy: Long,
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frames.where(col("energy") <= maxEnergy)
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("frame_idx")).as("seg_start"),
+        max(col("frame_idx")).as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .select(col(idCol), col("seg_start"), col("seg_end"), col("n_frames"))
+  }
+
   /** Find the PCM16 data payload: (byte offset of first sample, sample
     * count). None unless the file is a RIFF/WAVE with a canonical
     * PCM (format 1), 16-bit fmt chunk and an intact data chunk. */

@@ -246,6 +246,33 @@ object Relational {
           .as("conv_permille"))
   }
 
+  /** Cohort retention: users bucketed by their first-activity period
+    * (cohort), counted again in every later period they return.
+    * Output: (cohort, offset, n_users, retained_permille vs offset 0).
+    *
+    * Shape: one distinct over (user, period) — the only corpus-sized
+    * shuffle — then a min-per-user cohort (map-side combinable), a
+    * user-keyed join of one row per user, and a final small groupBy on
+    * (cohort, offset). Distinct activity is bounded by users × periods
+    * regardless of raw event volume. */
+  def retention(events: DataFrame, periodSec: Long, userCol: String = "user_id",
+                tsSecCol: String = "ts_sec"): DataFrame = {
+    require(periodSec > 0, s"periodSec must be positive, got $periodSec")
+    val act = events
+      .select(col(userCol).as("user"),
+        expr(s"$tsSecCol DIV $periodSec").as("period"))
+      .distinct()
+    val cohort = act.groupBy(col("user")).agg(min(col("period")).as("cohort"))
+    val counts = act.join(cohort, "user")
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.where(col("offset") === 0)
+      .select(col("cohort"), col("n_users").as("base_users"))
+    counts.join(base, "cohort")
+      .select(col("cohort"), col("offset"), col("n_users"),
+        expr("(n_users * 1000) DIV base_users").as("retained_permille"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n_rows"),

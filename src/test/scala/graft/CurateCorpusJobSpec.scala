@@ -31,6 +31,19 @@ class CurateCorpusJobSpec extends SparkSpec {
     assert(dupGroups === 0L)
   }
 
+  test("span-strip mode removes cross-doc repeated passages from kept docs") {
+    val plain = CurateCorpusJob.curate(spark, sf)
+    val stripped = CurateCorpusJob.curate(spark, sf, stripSpanTokens = 8)
+    // same docs survive (strip follows the keep/drop decisions)...
+    assert(stripped.stats === plain.stats)
+    assert(stripped.docs.columns.sorted === plain.docs.columns.sorted)
+    // ...but no cross-doc repeated 8-token span remains in the output
+    val remaining = Dedup.repeatedSpans(
+      stripped.docs.select("doc_id", "text"), spanTokens = 8).count()
+    assert(remaining === 0L,
+      s"$remaining docs still share an 8-token span after strip")
+  }
+
   test("exact-components mode drops at least the linear pass's near-dups") {
     val linear = CurateCorpusJob.curate(spark, sf).stats
     val ccResult = CurateCorpusJob.curate(spark, sf, exactComponents = true)

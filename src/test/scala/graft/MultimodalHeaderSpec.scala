@@ -150,6 +150,18 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.pcm16Frames(Seq((5L, lying)).toDF("doc_id", "blob")).count() === 0L)
   }
 
+  test("silenceSegments: consecutive quiet frames merge, loud frames split") {
+    val frames = Seq(
+      (1L, 0L, 10L), (1L, 1L, 5L), (1L, 2L, 900L),  // quiet,quiet | loud
+      (1L, 3L, 7L),                                  // quiet again → new segment
+      (2L, 0L, 999L)                                 // all loud → absent
+    ).toDF("doc_id", "frame_idx", "energy")
+    val got = Multimodal.silenceSegments(frames, maxEnergy = 100L)
+      .select("doc_id", "seg_start", "seg_end", "n_frames")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Seq((1L, 0L, 1L, 2L), (1L, 3L, 3L, 1L)))
+  }
+
   test("syntheticAudio round-trips through the real decoder at the sawtooth values") {
     val docs = Seq(0L, 1L, 65L).toDF("doc_id")
     val got = Multimodal.pcm16Frames(Multimodal.syntheticAudio(docs), frameSamples = 25)

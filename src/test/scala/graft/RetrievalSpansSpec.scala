@@ -111,6 +111,71 @@ class RetrievalSpansSpec extends SparkSpec {
       (3L, "purchase", 1L, 333L)))
   }
 
+  test("retention: cohort = first period, offsets counted per distinct period") {
+    val ev = Seq(
+      (1L, 0L), (1L, 5L), (1L, 86400L), (1L, 86401L),   // user1: days 0,1
+      (2L, 10L), (2L, 2 * 86400L),                      // user2: days 0,2
+      (3L, 86400L + 3L)                                 // user3: cohort day 1
+    ).toDF("user_id", "ts_sec")
+    val got = Relational.retention(ev, periodSec = 86400L)
+      .select("cohort", "offset", "n_users", "retained_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Seq(
+      (0L, 0L, 2L, 1000L), (0L, 1L, 1L, 500L), (0L, 2L, 1L, 500L),
+      (1L, 0L, 1L, 1000L)))
+  }
+
+  test("repeatedSpans and stripRepeatedSpans match a brute-force reference " +
+    "on random small corpora") {
+    val L = 4
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    for (round <- 1 to 12) {
+      val corpus: Map[Long, Array[String]] = (0L until 8L).map { id =>
+        id -> Array.fill(rnd.nextInt(28))(vocab(rnd.nextInt(vocab.length)))
+      }.toMap
+      // brute force: shared grams, per-doc islands, canonical strip
+      val occ = corpus.toSeq.flatMap { case (id, ts) =>
+        (0 to ts.length - L).map(p => (ts.slice(p, p + L).mkString(" "), id, p))
+      }
+      val shared = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      def islands(ps: Seq[Int]): Seq[(Int, Int)] =
+        ps.sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: tl, p) if p == e + 1 => (s, p) :: tl
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+      val expDetect = shared.values.flatten.groupBy(_._2).map { case (id, os) =>
+        val ps = os.map(_._3).toSeq
+        val isl = islands(ps)
+        val cov = ps.flatMap(p => p until p + L).toSet
+        id -> ((ps.size.toLong, isl.size.toLong, cov.size.toLong,
+          isl.map { case (s, e) => e - s + L }.max.toLong,
+          corpus(id).length.toLong, cov.size.toLong * 1000 / corpus(id).length))
+      }
+      val minDoc = shared.map { case (g, os) => g -> os.map(_._2).min }
+      val expStrip = corpus.map { case (id, ts) =>
+        val cov = shared.values.flatten
+          .filter(o => o._2 == id && minDoc(o._1) != id)
+          .flatMap(o => o._3 until o._3 + L).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !cov.contains(i) => t }
+        id -> ((ts.length.toLong, cov.size.toLong, md5Of(kept.mkString(" "))))
+      }
+      val docs = corpus.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val gotDetect = Dedup.repeatedSpans(docs, L)
+        .select("doc_id", "n_shared_grams", "n_spans", "covered_tokens",
+          "max_span_tokens", "n_tokens", "repeated_permille")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      assert(gotDetect === expDetect, s"detect mismatch, round $round")
+      val gotStrip = Dedup.stripRepeatedSpans(docs, L)
+        .select("doc_id", "n_tokens", "n_removed", "clean_md5")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotStrip === expStrip, s"strip mismatch, round $round")
+    }
+  }
+
   test("keySkewProfile: exact counts and permilles on a skewed key") {
     val df = (Seq.fill(8)("hot") ++ Seq("k2", "k3")).toDF("k")
     val got = Relational.keySkewProfile(df, "k", topN = 2)
