@@ -853,6 +853,23 @@ object SparkEntry {
           maxEnergy = 250000L)
         .orderBy(col("doc_id"), col("seg_start"))),
 
+    // BPE tokenizer training: the first 3 merge steps, engine-exact
+    // (total-ordered pair selection; the corpus is scanned once, the
+    // merge loop runs on the vocabulary).
+    "text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), merges = 3)
+        .orderBy(col("merge_rank"))),
+
+    // Apply the learned merges back to the corpus: per-doc BPE token
+    // counts + compression vs raw chars (tokenizer fertility check).
+    // Train (3 merges) + apply in one lazy plan; apply is one narrow
+    // scan with the k-row merge table constant-folded in.
+    "text_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -888,6 +905,20 @@ object SparkEntry {
     "rel_funnel" -> ((s, d) =>
       Relational.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
+
+    // Referential-integrity audit across the star schema: per FK edge,
+    // child rows / NULL FKs / orphans (anti-join on the key).
+    "rel_fk_audit" -> ((s, d) =>
+      Relational.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+        .orderBy(col("relation"))),
 
     // Daily cohort retention over the event stream: distinct (user,
     // day) activity → first-day cohort → offset counts + permille.
@@ -2044,6 +2075,75 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_frames
         |FROM q GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin,
 
+    // NB DuckDB list slicing is INCLUSIVE at negative ends (acc[:-1]
+    // keeps the last element) — all-but-last must be acc[:len(acc)-1].
+    "text_bpe_merges" -> {
+      def iter(i: Int): String =
+        s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+           |       FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |               j -> {'l': syms[j], 'r': syms[j+1]}), recursive := true)
+           |             FROM w${i - 1} WHERE len(syms) >= 2)
+           |       GROUP BY l, r),
+           |m$i AS (SELECT l, r, pair_cnt FROM p$i
+           |        ORDER BY pair_cnt DESC, l, r LIMIT 1),
+           |w$i AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+           |         (acc, x) -> CASE WHEN acc[-1] = l AND x[1] = r
+           |                     THEN list_append(acc[:len(acc)-1], l || r)
+           |                     ELSE list_concat(acc, x) END) AS syms
+           |       FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+      s"""WITH tok AS (SELECT unnest($tokSql) AS word FROM documents),
+         |w0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+         |       FROM tok GROUP BY word),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |u AS (SELECT CAST(1 AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+         |             l || r AS merged, pair_cnt AS cnt FROM m1
+         |      UNION ALL SELECT 2, l, r, l || r, pair_cnt FROM m2
+         |      UNION ALL SELECT 3, l, r, l || r, pair_cnt FROM m3)
+         |SELECT * FROM u ORDER BY merge_rank""".stripMargin
+    },
+
+    "text_bpe_encode" -> {
+      def iter(i: Int): String =
+        s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+           |       FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |               j -> {'l': syms[j], 'r': syms[j+1]}), recursive := true)
+           |             FROM w${i - 1} WHERE len(syms) >= 2)
+           |       GROUP BY l, r),
+           |m$i AS (SELECT l AS l$i, r AS r$i FROM p$i
+           |        ORDER BY pair_cnt DESC, l, r LIMIT 1),
+           |w$i AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+           |         (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
+           |                     THEN list_append(acc[:len(acc)-1], l$i || r$i)
+           |                     ELSE list_concat(acc, x) END) AS syms
+           |       FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+      def app(inner: String, i: Int): String =
+        s"""list_reduce(list_transform($inner, s -> [s]),
+           |  (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
+           |              THEN list_append(acc[:len(acc)-1], l$i || r$i)
+           |              ELSE list_concat(acc, x) END)""".stripMargin
+      val enc = app(app(app("list_transform(range(1, len(w)+1), i -> w[i:i])", 1), 2), 3)
+      s"""WITH tok AS (SELECT unnest($tokSql) AS word FROM documents),
+         |w0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+         |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+         |       FROM tok GROUP BY word),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |d AS (SELECT doc_id, $tokSql AS tk, text FROM documents),
+         |e AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+         |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |        CAST(coalesce(list_sum(list_transform(tk, w -> len($enc))), 0)
+         |          AS BIGINT) AS n_bpe_tokens
+         |      FROM d CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+         |SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+         |  CASE WHEN n_bpe_tokens > 0 THEN (n_chars * 1000) // n_bpe_tokens
+         |       ELSE 0 END AS compression_permille
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -2149,6 +2249,23 @@ object SparkEntry {
         |SELECT stage, step, n_users,
         |       CASE WHEN base > 0 THEN (n_users * 1000) // base END AS conv_permille
         |FROM u CROSS JOIN b ORDER BY stage""".stripMargin,
+
+    "rel_fk_audit" -> {
+      def edge(name: String, child: String, fk: String, parent: String,
+               pk: String): String =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(count(*) - count($fk) AS BIGINT) FROM $child) AS n_null_fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |   WHERE $fk IS NOT NULL
+           |     AND $fk NOT IN (SELECT $pk FROM $parent)) AS n_orphans""".stripMargin
+      Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
 
     "rel_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,

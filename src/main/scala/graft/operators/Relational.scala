@@ -273,6 +273,28 @@ object Relational {
         expr("(n_users * 1000) DIV base_users").as("retained_permille"))
   }
 
+  /** Referential-integrity audit across a set of FK edges: for each
+    * (child, fkCol) → (parent, pkCol) relation, the child row count
+    * and how many child rows point at no parent (orphans; NULL FKs
+    * counted separately). The lake QA check run before trusting a
+    * join. Each edge is one LEFT ANTI join on the key — Catalyst
+    * broadcasts the parent when small; orphan counting never shuffles
+    * more than the child's keys. */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "fkAudit needs at least one FK edge")
+    edges.map { case (name, child, fkCol, parent, pkCol) =>
+      val total = child.agg(count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(fkCol))).as("n_null_fk"))
+      val orphans = child.where(col(fkCol).isNotNull)
+        .join(parent.select(col(pkCol)).distinct(),
+          col(fkCol) === col(pkCol), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_rows"), col("n_null_fk"),
+          col("n_orphans"))
+    }.reduce(_ unionAll _)
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n_rows"),

@@ -240,6 +240,122 @@ object TextAnalysis {
     Relational.topK(perDoc, Seq(col("score_milli").desc, col(idCol)), k)
   }
 
+  /** BPE tokenizer training — the first `merges` merge steps of
+    * byte-pair encoding over the corpus vocabulary, ENGINE-EXACT:
+    * symbol-pair counts are exact integers weighted by word frequency,
+    * and the winning pair per step is selected with a total ordering
+    * (count desc, left asc, right asc), so the learned merge table is
+    * bit-stable across engines and runs. (No end-of-word marker — the
+    * plain-corpus form; a marker is one extra `concat` at the split.)
+    *
+    * Scale shape — the reason BPE trains fine on a cluster: the corpus
+    * is touched ONCE (token explode → word-frequency groupBy into a
+    * CACHED vocabulary-sized frame, released before return). Every
+    * merge step then runs on the VOCABULARY: the prior merges applied
+    * as chained narrow folds (`aggregate` HOF — the classic greedy
+    * left-to-right BPE rewrite: carry the array, merge when
+    * (last, next) equals the winning pair), adjacent-pair explode
+    * weighted by word count, one map-side-combinable groupBy, and a
+    * 1-ROW argmax materialized on the driver — the merge table is
+    * model-small, exactly the k-means-centroid precedent in
+    * [[Similarity.ivfTrain]]. Returns a local k-row frame
+    * (merge_rank, left, right, merged, cnt) that downstream apply
+    * ([[bpeEncode]]) constant-folds into its scan. */
+  def bpeMerges(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+    require(merges >= 1 && merges <= 8,
+      s"merges must be in [1, 8] (statically unrolled folds), got $merges")
+    import graft.functions.CharShingles.char_shingles
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val vocab = Partitioning.fanOut(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), char_shingles(col("word"), 1).as("syms"))
+      .cache()
+    try {
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var folds = List.empty[(String, String)]
+      var exhausted = false
+      for (rank <- 1 to merges if !exhausted) {
+        val syms = folds.reverse.foldLeft("syms") {
+          case (inner, (l, r)) => foldMergeSql(inner, l, r)
+        }
+        val top = vocab
+          .select(col("cnt"), expr(syms).as("syms"))
+          .where(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // vocabulary fully merged
+        else {
+          val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          out += ((rank.toLong, l, r, l + r, cnt))
+          folds ::= (l, r)
+        }
+      }
+      import spark.implicits._
+      out.result().toDF("merge_rank", "left", "right", "merged", "cnt")
+    } finally vocab.unpersist()
+  }
+
+  /** Greedy non-overlapping left-to-right merge of the literal pair
+    * (`l`, `r`) over the array<string> SQL expression `inner`. */
+  private def foldMergeSql(inner: String, l: String, r: String): String = {
+    val (ql, qr) = (sqlStr(l), sqlStr(r))
+    s"aggregate($inner, CAST(array() AS array<string>), (acc, s) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $ql AND s = $qr " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array(concat($ql, $qr))) " +
+      s"ELSE concat(acc, array(s)) END)"
+  }
+
+  /** Apply a learned BPE merge table ([[bpeMerges]] output) to the
+    * corpus: every word's character sequence is folded through the
+    * merges IN RANK ORDER (the standard apply rule), yielding per-doc
+    * BPE token counts and the compression ratio vs raw characters —
+    * the fertility check run before committing to a tokenizer.
+    *
+    * The merge table is model-small (k rows) and constant-folded into
+    * the fold expression. The k chained folds are interpreted (HOF
+    * lambdas don't codegen), so they run once per DISTINCT word —
+    * Zipf's law makes the vocabulary orders of magnitude smaller than
+    * the token stream — and the per-word BPE lengths join back keyed
+    * on the word (vocabulary-sized side: keyed, not broadcast — the
+    * [[bigramFluency]]/[[tfIdfTopTerms]] reasoning). Shuffles: one
+    * (doc, word) groupBy, one word-keyed join, one per-doc sum. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val ranked = merges.select(col("merge_rank"), col("left"), col("right"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = ranked.foldLeft("char_shingles(word, 1)") {
+      case (inner, (l, r)) => foldMergeSql(inner, l, r)
+    }
+    val dw = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    val wordLen = dw.select(col("word")).distinct()
+      .withColumn("bpe_len", expr(s"size($encoded)").cast("long"))
+    val perDoc = dw.join(wordLen, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("bpe_len")).as("n_bpe_tokens"))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+      .withColumn("compression_permille",
+        when(col("n_bpe_tokens") > 0,
+          expr("(n_chars * 1000) DIV n_bpe_tokens")).otherwise(lit(0L)))
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Deterministic document fingerprint appended to the input columns
     * (order-insensitive content hash over the sorted distinct token
     * set). Narrow — streaming-safe. */

@@ -44,6 +44,28 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Small-file compaction for a parquet directory — the OPTIMIZE-style
+    * maintenance pass: streaming sinks and partition upserts accrete
+    * small files, and at 100 TB scan cost is dominated by file-open
+    * overhead and lost row-group statistics. Reads `inDir`, sizes the
+    * output at ⌈input bytes / targetBytes⌉ files, and rewrites to
+    * `outDir` (write-then-swap is the caller's move — compacting
+    * in-place while readers stream the same files is a race).
+    * `repartition` (not `coalesce`) so output files are even-sized:
+    * coalesce concatenates input partitions and reproduces the skew
+    * compaction exists to fix. Returns the output file count. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Partition-level upsert into a partitioned parquet lake table:
     * DYNAMIC partition overwrite rewrites only the partitions present
     * in `df` and leaves every other partition's files untouched — the

@@ -34,6 +34,19 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"connectedComponents leaked persistent RDDs: $leaked")
   }
 
+  test("bpeMerges releases its vocabulary cache (and on empty input)") {
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val leaked = leakedAfter {
+      assert(TextAnalysis.bpeMerges(docs, merges = 3).count() === 2L)
+    }
+    assert(leaked.isEmpty, s"bpeMerges leaked persistent RDDs: $leaked")
+    val leakedEmpty = leakedAfter {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      assert(TextAnalysis.bpeMerges(empty, merges = 2).count() === 0L)
+    }
+    assert(leakedEmpty.isEmpty, s"bpeMerges (empty) leaked: $leakedEmpty")
+  }
+
   test("connectedComponents on an empty pair set leaks nothing") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     val leaked = leakedAfter {

@@ -117,6 +117,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 
+  test("retention: the only event-volume shuffle is the (user, period) distinct") {
+    val ev = Tables.events(spark, sf)
+    val plan = Relational.retention(ev, periodSec = 86400L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("stripRepeatedSpansText: rebuild is narrow — exactly one id-keyed join " +
+    "of the span list onto the corpus") {
+    val plan = Dedup.stripRepeatedSpansText(Tables.documents(spark, sf), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("runtime bloom-filter join pruning injects might_contain on the probe side") {
+    // the engine-level twin of Dedup.bloomPrefilter: for a selective
+    // shuffle join, Catalyst builds a bloom filter on the small side
+    // and pushes might_contain into the big side's scan — rows that
+    // can't match never reach the exchange. Thresholds are tuned so
+    // the optimization (on by default at scale) triggers at test size.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val pt = Tables.part(spark, sf).filter(col("p_size") === 1)
+      val plan = li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloomPrefilter prunes the corpus scan narrowly — no corpus-side exchange " +
     "before the verify join") {
     val corpus = Tables.documents(spark, sf)

@@ -176,6 +176,78 @@ class RetrievalSpansSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges: greedy non-overlapping merges with total-order tie-breaks") {
+    // corpus: "abab abab ab" ×1 → words: abab ×2, ab ×1
+    // step 1 pairs: (a,b)=2·2+1=5, (b,a)=2·1=2 → merge (a,b)→ab
+    // step 2: abab→[ab,ab]×2, ab→[ab] → (ab,ab)=2 → merge → abab
+    // step 3: abab→[abab]×2, ab→[ab] → no pairs left → no row
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, merges = 3)
+      .select("merge_rank", "left", "right", "merged", "cnt")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, "a", "b", "ab", 5L), (2L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("bpeMerges: aaaa merges non-overlapping (greedy left-to-right)") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, merges = 2)
+      .select("merge_rank", "merged", "cnt").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    // step 1: (a,a)=3 → aaaa→[aa,aa]; step 2: (aa,aa)=1 → [aaaa]
+    assert(got === Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
+  }
+
+  test("bpeEncode: learned merges applied in rank order; exact counts") {
+    val docs = Seq((1L, "abab abab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+      .select("doc_id", "n_words", "n_chars", "n_bpe_tokens", "compression_permille")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // merges: (a,b)→ab then (ab,ab)→abab; encode: [abab],[abab],[ab] = 3 tokens
+    assert(got === ((1L, 3L, 10L, 3L, 3333L)))
+  }
+
+  test("fkAudit: orphans and NULL FKs counted separately") {
+    val child = Seq((1L, Option(10L)), (2L, Option(99L)), (3L, Option.empty[Long]))
+      .toDF("id", "fk")
+    val parent = Seq(Tuple1(10L)).toDF("pk")
+    val got = Relational.fkAudit(Seq(("c->p", child, "fk", parent, "pk")))
+      .select("relation", "n_rows", "n_null_fk", "n_orphans")
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("c->p", 3L, 1L, 1L)))
+  }
+
+  test("funnel matches a per-user brute force on random event sets") {
+    val rnd = new scala.util.Random(424242L)
+    val steps = Seq("view", "click", "purchase")
+    for (round <- 1 to 8) {
+      val events = (1 to 30).flatMap { u =>
+        Seq.fill(rnd.nextInt(12))((u.toLong, steps(rnd.nextInt(3)), rnd.nextInt(40).toLong))
+      }
+      val exp = {
+        val byUser = events.groupBy(_._1)
+        def stageTimes(prev: Map[Long, Long], step: String): Map[Long, Long] =
+          prev.flatMap { case (u, t) =>
+            byUser(u).collect { case (_, s, ts) if s == step && ts > t => ts }
+              .minOption.map(u -> _)
+          }
+        val s1 = byUser.flatMap { case (u, es) =>
+          es.collect { case (_, s, ts) if s == "view" => ts }.minOption.map(u -> _)
+        }
+        val s2 = stageTimes(s1, "click")
+        val s3 = stageTimes(s2, "purchase")
+        Seq(s1, s2, s3).map(_.size.toLong).zipWithIndex.map { case (n, i) =>
+          (i + 1L, steps(i), n,
+            if (s1.nonEmpty) n * 1000 / s1.size else 0L)
+        }.filter(_ => s1.nonEmpty)
+      }
+      val got = Relational.funnel(
+          events.toDF("user_id", "event_type", "ts_sec"), steps)
+        .select("stage", "step", "n_users", "conv_permille")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === exp, s"round $round")
+    }
+  }
+
   test("keySkewProfile: exact counts and permilles on a skewed key") {
     val df = (Seq.fill(8)("hot") ++ Seq("k2", "k3")).toDF("k")
     val got = Relational.keySkewProfile(df, "k", topN = 2)

@@ -126,4 +126,22 @@ class SourcesSinksSpec extends SparkSpec {
       Sinks.kafka(df, "broker:9092", "topic", "/tmp/ckpt"))
     assert(snk.getMessage.contains("spark-sql-kafka"))
   }
+
+  test("compactTo merges many small files into few, content preserved") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("compact_out").toString + "/out"
+    // 20 tiny files
+    (1 to 20).foreach(i =>
+      Seq((i.toLong, s"row $i")).toDF("id", "v").write.mode("append").parquet(inDir))
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles((_, n) => n.endsWith(".parquet"))
+    assert(parquetFiles(inDir).length === 20)
+    val n = Sinks.compactTo(spark, inDir, outDir, targetBytes = 1L << 30)
+    assert(n === 1 && parquetFiles(outDir).length === 1)
+    // content identical (multiset)
+    val a = spark.read.parquet(inDir).as[(Long, String)].collect().sorted
+    val b = spark.read.parquet(outDir).as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+  }
 }
