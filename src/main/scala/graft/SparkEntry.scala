@@ -528,6 +528,15 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), profileSize = 20).orderBy(col("doc_id"))),
 
+    // Classifier eval: langid predictions vs labeled language.
+    "text_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, d), profileSize = 20)
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // Gopher-style published quality rules, integer permille form.
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -1577,6 +1586,51 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
          |  FROM hits) y
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_langid_confusion" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT lang, t, count(*) AS cnt FROM tok GROUP BY lang, t),
+         |prof AS (SELECT lang AS cand_lang, t FROM (
+         |    SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rn
+         |    FROM freq) x WHERE rn <= 20),
+         |hits AS (SELECT doc_id, cand_lang, count(*) AS hits
+         |         FROM (SELECT doc_id, t FROM tok) tk JOIN prof USING (t)
+         |         GROUP BY doc_id, cand_lang),
+         |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+         |  SELECT doc_id, cand_lang,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM hits) y WHERE rn = 1)
+         |SELECT d.lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, pred_lang ORDER BY d.lang, pred_lang""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+         |    CAST(len(regexp_extract_all(text, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN (n_alpha_chars * 1000) // n_words
+         |         ELSE 0 END AS mean_word_len_permille,
+         |    CASE WHEN n_words > 0 THEN (n_sym * 1000) // n_words
+         |         ELSE 0 END AS symbol_permille,
+         |    CASE WHEN n_words > 0 THEN (n_alpha_words * 1000) // n_words
+         |         ELSE 0 END AS alpha_word_permille,
+         |    n_stop
+         |  FROM f)
+         |SELECT doc_id, n_words, mean_word_len_permille, symbol_permille,
+         |  alpha_word_permille, n_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |        AND mean_word_len_permille BETWEEN 3000 AND 10000
+         |        AND symbol_permille <= 100
+         |        AND alpha_word_permille >= 800
+         |        AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),

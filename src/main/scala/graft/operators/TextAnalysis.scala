@@ -356,6 +356,55 @@ object TextAnalysis {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Language-ID confusion matrix: the [[langId]] predictions tallied
+    * against the labeled language — the eval run before trusting a
+    * classifier at corpus scale. Docs with zero profile hits have no
+    * prediction and are (deliberately) absent. One id-keyed join +
+    * one small groupBy on (lang, pred_lang). */
+  def langIdConfusion(docs: DataFrame, profileSize: Int = 20): DataFrame =
+    langId(docs, profileSize)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, the published
+    * web-corpus quality rules, in exact integer permille form): word
+    * count band, mean word length band, symbol-to-word ratio
+    * ('#'/'…'), alphabetic-word share, and a minimum stop-word count.
+    * Pure narrow expressions — composes with streaming sources like
+    * [[withQualityScore]]; `keep` = every rule passes. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len_permille",
+        when(col("n_words") > 0,
+          expr(s"(length(replace($textCol, ' ', '')) * 1000) DIV n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("symbol_permille",
+        when(col("n_words") > 0,
+          expr(s"(size(regexp_extract_all($textCol, '#|[.][.][.]', 0)) * 1000) " +
+            "DIV n_words")).otherwise(lit(0L)))
+      .withColumn("alpha_word_permille",
+        when(col("n_words") > 0,
+          expr(s"(size(filter(filter(split($textCol, ' '), w -> w <> ''), " +
+            "w -> w rlike '[A-Za-z]')) * 1000) DIV n_words")).otherwise(lit(0L)))
+      .withColumn("n_stop",
+        expr(s"size(filter(filter(split($textCol, ' '), w -> w <> ''), " +
+          s"w -> w IN ($stopList)))").cast("long"))
+      .withColumn("keep",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_permille").between(3000L, 10000L) &&
+          col("symbol_permille") <= 100L &&
+          col("alpha_word_permille") >= 800L &&
+          col("n_stop") >= 2L).cast("long"))
+      .select(col(idCol), col("n_words"), col("mean_word_len_permille"),
+        col("symbol_permille"), col("alpha_word_permille"), col("n_stop"),
+        col("keep"))
+  }
+
   /** Deterministic document fingerprint appended to the input columns
     * (order-insensitive content hash over the sorted distinct token
     * set). Narrow — streaming-safe. */
