@@ -480,6 +480,15 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // Keep-best dedup: collapse each near-dup cluster to its highest-
+    // token-count member (ties → smallest id); singletons survive.
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, Seq("source", "lang"), thresholdPermille = 900)
+      Dedup.keepBest(docs, pairs, size(Dedup.tokens(col("text"))))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
@@ -627,6 +636,18 @@ object SparkEntry {
           biasBp = -2000L)
         .select(col("doc_id"), col("logit_bp"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Closed-form least-squares fit of token count from (char length,
+    // punctuation count): one sufficient-statistics pass + exact
+    // wide-integer Cramer solve; weights as exact rationals.
+    "text_linear_fit" -> ((s, d) => {
+      TextAnalysis.fitLinear(Tables.documents(s, d),
+          yCol = size(Dedup.tokens(col("text"))),
+          x1 = length(col("text")),
+          x2 = length(regexp_replace(col("text"), "[^.!?,;:]", "")),
+          names = ("intercept", "char_len", "punct"))
+        .orderBy(col("feature"))
     }),
 
     // Sliding-window chunking into 16-token sequences, stride 8 (50%
@@ -1471,6 +1492,33 @@ object SparkEntry {
          |SELECT node AS doc_id, min(label) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts
+         |                     FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE floor(inter * 1000 / (sz - inter)) >= 900),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component
+         |         FROM reach GROUP BY node),
+         |sc AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS score FROM documents),
+         |lab AS (SELECT sc.doc_id, coalesce(c.component, sc.doc_id) AS component, sc.score
+         |        FROM sc LEFT JOIN comp c ON c.doc_id = sc.doc_id),
+         |win AS (SELECT doc_id, row_number() OVER
+         |          (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rn
+         |        FROM lab)
+         |SELECT doc_id FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" -> simhashOracle,
 
     "dedup_simhash_pairs" ->
@@ -1750,6 +1798,31 @@ object SparkEntry {
          |SELECT doc_id, CAST(logit_bp AS BIGINT) AS logit_bp,
          |       CAST(CASE WHEN logit_bp >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Same Cramer formula TEXT as the Spark side (TextAnalysis.cramer3Sql),
+    // evaluated over HUGEINT instead of DECIMAL(38,0).
+    "text_linear_fit" -> {
+      val f = operators.TextAnalysis.cramer3Sql(c => s"CAST($c AS HUGEINT)")
+      s"""WITH f AS (SELECT CAST(len($tokSql) AS BIGINT) AS y,
+         |             CAST(length(text) AS BIGINT) AS x1,
+         |             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS x2
+         |           FROM documents),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        sum(x1) AS s1, sum(x2) AS s2,
+         |        sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |        sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y FROM f),
+         |dt AS (SELECT ${f("det")} AS det, ${f("det0")} AS det0,
+         |         ${f("det1")} AS det1, ${f("det2")} AS det2 FROM s),
+         |nm AS (SELECT
+         |    CAST(CASE WHEN det < 0 THEN -det0 ELSE det0 END AS VARCHAR) AS w0,
+         |    CAST(CASE WHEN det < 0 THEN -det1 ELSE det1 END AS VARCHAR) AS w1,
+         |    CAST(CASE WHEN det < 0 THEN -det2 ELSE det2 END AS VARCHAR) AS w2,
+         |    CAST(abs(det) AS VARCHAR) AS w_den FROM dt)
+         |SELECT 'intercept' AS feature, w0 AS w_num, w_den FROM nm
+         |UNION ALL SELECT 'char_len', w1, w_den FROM nm
+         |UNION ALL SELECT 'punct', w2, w_den FROM nm
+         |ORDER BY feature""".stripMargin
+    },
 
     "corpus_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),

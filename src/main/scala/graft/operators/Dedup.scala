@@ -345,9 +345,22 @@ object Dedup {
     * were built with. */
   def dedupeAgainstIndex(newDocs: DataFrame, index: DedupIndex,
                          thresholdPermille: Int,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id",
+                         bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
-    val exactNew = newHashed.join(index.hashes, Seq("__h"), "left_anti").drop("__h")
+    // With a stored 100 TB-corpus index, the delta-vs-hashes anti-join
+    // would shuffle the INDEX side. A Bloom filter of the (small)
+    // delta's hashes broadcast into a narrow prune drops every index
+    // hash that cannot match first — sound for LEFT ANTI because Bloom
+    // has no false negatives: every real match survives the prune, so
+    // exactly the same delta rows are eliminated. `bloomFpp = None`
+    // restores the fully-lazy plan (the prune pays two delta-sized
+    // driver jobs up front).
+    val hashSide = bloomFpp match {
+      case Some(fpp) => bloomPruned(index.hashes, newHashed.select(col("__h")), "__h", fpp)
+      case None => index.hashes
+    }
+    val exactNew = newHashed.join(hashSide, Seq("__h"), "left_anti").drop("__h")
     val cands = lshCandidatePairsAcross(
       minhashSignature(shingled(exactNew, index.k, textCol), idCol = idCol),
       index.signatures, idCol = idCol)
@@ -490,6 +503,36 @@ object Dedup {
     }
     Caching.releaseLocalCheckpoints(sym)
     labels.select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** Keep-best dedup: collapse each near-duplicate cluster to its
+    * HIGHEST-QUALITY member instead of the smallest id — the form
+    * curation actually wants ("of these five near-copies, keep the one
+    * with the best quality score, not the one crawled first").
+    * `scoreCol` is any integer-valued quality expression over `docs`
+    * (e.g. `size(tokens(col("text")))` or the composite score of
+    * [[TextAnalysis.withQualityScore]]); ties break to the smallest
+    * id, so the winner is total-ordered and deterministic.
+    *
+    * Shape: [[connectedComponents]] over the pair set (O(log diameter)
+    * rounds), a left join to attach labels (singletons — docs in no
+    * pair — represent themselves via coalesce), one map-side-
+    * combinable max(struct(score, -id)) per component, and a semi-join
+    * back onto the corpus. No window over the corpus, no all-pairs
+    * work beyond the pair set itself. Returns the surviving docs with
+    * all input columns intact. */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val labeled = docs
+      .select(col(idCol), scoreCol.cast("long").as("__score"))
+      .join(comps.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val winners = labeled
+      .groupBy(col("component"))
+      .agg(max(struct(col("__score").as("s"), (-col(idCol)).as("nid"))).as("b"))
+      .select((-col("b.nid")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
   }
 
   /** SimHash near-dup pairs: block on the signature's high byte (two
@@ -664,13 +707,22 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dh = delta.select(md5(col(textCol).cast("binary")).as("h"),
       col(idCol).as("delta_id"))
-    val n = math.max(dh.count(), 1L)
-    val bf = dh.stat.bloomFilter("h", n, fpp)
-    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((h: String) => bfB.value.mightContainString(h))
-    corpus.select(col(idCol), md5(col(textCol).cast("binary")).as("h"))
-      .where(might(col("h")))
+    bloomPruned(
+        corpus.select(col(idCol), md5(col(textCol).cast("binary")).as("h")),
+        dh.select(col("h")), "h", fpp)
       .join(broadcast(dh), "h")
       .select(col(idCol), col("delta_id"))
+  }
+
+  /** Narrow Bloom prune of `big` by the key set of `keys` (the small
+    * side, driver-built filter, broadcast). No false negatives: every
+    * `big` row whose key appears in `keys` survives. */
+  private def bloomPruned(big: DataFrame, keys: DataFrame, keyCol: String,
+                          fpp: Double): DataFrame = {
+    val n = math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bfB = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((h: String) => bfB.value.mightContainString(h))
+    big.where(might(col(keyCol)))
   }
 }

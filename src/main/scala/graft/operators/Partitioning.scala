@@ -55,4 +55,44 @@ object Partitioning {
     keyed.repartitionByRange(n, col("zorder"))
       .sortWithinPartitions(col("zorder"))
   }
+
+  /** Per-FILE min/max statistics index over `cols` — the manifest a
+    * table format (Iceberg/Delta) would keep, built with one scan and
+    * one aggregation on `input_file_name()`. The index has one row per
+    * data file (thousands of rows for a 100 TB table — metadata-sized,
+    * not data-sized); persist it next to the data and rebuild
+    * incrementally on append. Pays off when the layout clusters the
+    * indexed columns ([[zorderBy]], `repartitionByRange` + sort):
+    * random layout makes every file's [min, max] span everything and
+    * nothing prunes. */
+  def fileStatsIndex(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "index needs at least one column")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** File-level data skipping without a table format: keep only the
+    * files whose stats row satisfies `keep` (written over the index's
+    * `min_*` / `max_*` columns — for "id between lo and hi" that is
+    * `max_id >= lo AND min_id <= hi`), then scan just those. The file
+    * list materializes on the driver — legitimate, it is the index,
+    * not the data (same class as broadcast k-means centroids). Stats
+    * are file-granular, so the caller re-applies the row-level filter
+    * after the read; [[SourcesSinksSpec]] proves pruned ≡ full-scan
+    * results with strictly fewer input files. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, index: DataFrame,
+                 keep: Column): DataFrame = {
+    val files = index.filter(keep).select(col("file"))
+      .collect().map(_.getString(0))
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // nothing survives the prune: empty frame, but with the DATA
+      // schema (read any indexed file, keep zero rows) so downstream
+      // filters still resolve
+      val any = index.select(col("file")).limit(1).collect().map(_.getString(0))
+      if (any.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(any: _*).limit(0)
+    }
+  }
 }

@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Attach named metrics to a frame via the Observation API: the
+    * aggregates are computed accumulator-style WHILE the next action
+    * runs — no extra job, no second scan of the input. This is how a
+    * 100 TB pipeline gets its per-stage row counts and quality tallies
+    * for free, vs the `.count()`-per-stage pattern which re-runs (or
+    * forces caching of) every stage. Read `observation.get` after the
+    * first action on the returned frame. */
+  def observed(df: DataFrame, name: String,
+               metrics: (String, Column)*): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed needs at least one metric")
+    val obs = org.apache.spark.sql.Observation(name)
+    val named = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, named.head, named.tail: _*), obs)
+  }
+
   /** Top-N rows per group without a global sort: window `row_number`
     * over (part, order) then filter — one shuffle on the partition
     * keys, no driver involvement, scales with #groups. */

@@ -84,6 +84,71 @@ object TextAnalysis {
         when(col("logit_bp") >= keepThresholdBp, 1L).otherwise(0L))
   }
 
+  /** Distributed closed-form least squares — the TRAINING counterpart
+    * of [[modelQualityScore]]: fit `y ≈ w0 + w1·x1 + w2·x2` over
+    * integer features by one aggregation pass of sufficient statistics
+    * (Σx, Σx², Σxy — nine numbers total), then solve the 3×3 normal
+    * equations by Cramer's rule in exact wide-integer arithmetic.
+    * This is the canonical "train on 100 TB" shape: the data is
+    * touched ONCE by a map-side-combinable aggregate whose state is
+    * O(d²) regardless of row count — no gradient loop, no driver
+    * materialization beyond one row.
+    *
+    * Exactness: per-row products are computed in long (safe for
+    * |feature| < ~3·10⁹), the sums accumulate in DECIMAL(38,0) (safe
+    * to ~10³⁸ — a long sum would already overflow at trillion-row ×
+    * 10⁸-magnitude scale), and the Cramer determinants stay in
+    * DECIMAL(38,0). Weights are emitted as exact integer RATIONALS
+    * `w_num / w_den` rendered as strings — no float anywhere, so the
+    * fit is bit-identical on any engine (the DuckDB twin runs the
+    * same formula text over HUGEINT — see [[cramer3Sql]]). The
+    * denominator is sign-normalized positive; ties in the data cannot
+    * occur (the solution is unique iff `w_den != 0`; a singular
+    * system — collinear features — yields `w_den = 0` rows rather
+    * than a wrong answer). */
+  def fitLinear(df: DataFrame, yCol: Column, x1: Column, x2: Column,
+                names: (String, String, String) = ("intercept", "x1", "x2")): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = df
+      .select(yCol.cast("long").as("y"), x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+      .agg(
+        sum(dec(lit(1L))).as("n"),
+        sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+        sum(dec(col("x1") * col("x1"))).as("s11"),
+        sum(dec(col("x1") * col("x2"))).as("s12"),
+        sum(dec(col("x2") * col("x2"))).as("s22"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x1") * col("y"))).as("s1y"),
+        sum(dec(col("x2") * col("y"))).as("s2y"))
+    val f = cramer3Sql(c => s"CAST($c AS DECIMAL(38,0))")
+    val dets = sums.selectExpr("*", s"${f("det")} AS det",
+      s"${f("det0")} AS det0", s"${f("det1")} AS det1", s"${f("det2")} AS det2")
+    val norm = dets.selectExpr(
+      "CAST(CASE WHEN det < 0 THEN -det0 ELSE det0 END AS STRING) AS w0_num",
+      "CAST(CASE WHEN det < 0 THEN -det1 ELSE det1 END AS STRING) AS w1_num",
+      "CAST(CASE WHEN det < 0 THEN -det2 ELSE det2 END AS STRING) AS w2_num",
+      "CAST(abs(det) AS STRING) AS w_den")
+    norm.selectExpr(
+      s"stack(3, '${names._1}', w0_num, '${names._2}', w1_num, '${names._3}', w2_num) AS (feature, w_num)",
+      "w_den")
+  }
+
+  /** The Cramer-rule formula TEXT for the 3×3 normal equations over
+    * sufficient-statistic columns `n s1 s2 s11 s12 s22 sy s1y s2y`,
+    * parameterized by the wide-integer cast (`DECIMAL(38,0)` on
+    * Spark, `HUGEINT` on DuckDB) so both engines run literally the
+    * same arithmetic. Keys: `det` (system determinant) and `det0..2`
+    * (numerators for intercept, x1, x2). */
+  def cramer3Sql(cast: String => String): Map[String, String] = {
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y").map(cast)
+    Map(
+      "det" -> s"($n*($s11*$s22 - $s12*$s12) - $s1*($s1*$s22 - $s12*$s2) + $s2*($s1*$s12 - $s11*$s2))",
+      "det0" -> s"($sy*($s11*$s22 - $s12*$s12) - $s1*($s1y*$s22 - $s12*$s2y) + $s2*($s1y*$s12 - $s11*$s2y))",
+      "det1" -> s"($n*($s1y*$s22 - $s12*$s2y) - $sy*($s1*$s22 - $s12*$s2) + $s2*($s1*$s2y - $s1y*$s2))",
+      "det2" -> s"($n*($s11*$s2y - $s1y*$s12) - $s1*($s1*$s2y - $s1y*$s2) + $sy*($s1*$s12 - $s11*$s2))")
+  }
+
   /** Corpus-trained language ID: build a top-`profileSize` token
     * profile per labeled language (training pass: one aggregation +
     * windowed top-N), then score every document by profile hits and

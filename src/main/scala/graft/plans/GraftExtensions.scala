@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hexSliceLongDescriptor)
     ext.injectFunction(GraftExtensions.freqTopKDescriptor)
     ext.injectFunction(GraftExtensions.charShinglesDescriptor)
+    // strict mode: reject condition-free inner/cross joins at analysis
+    // time (no-op unless spark.graft.failOnCartesian=true)
+    ext.injectCheckRule(session => new CartesianGuard(session))
   }
 }
 

@@ -3,10 +3,11 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** File-format sources (SURVEY.md §2.1 gap map): parquet / csv / json,
-  * batch and streaming, always with explicit schemas on semi-structured
-  * input — never `inferSchema` on a feed whose column order and types
-  * must stay stable (the CDC lesson from the reference).
+/** File-format sources (SURVEY.md §2.1 gap map): parquet / orc / csv /
+  * json, batch and streaming, always with explicit schemas on
+  * semi-structured input — never `inferSchema` on a feed whose column
+  * order and types must stay stable (the CDC lesson from the
+  * reference).
   */
 object Files {
 
@@ -17,6 +18,12 @@ object Files {
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     reader(spark, None).parquet(path)
+
+  /** ORC — the other columnar format with predicate pushdown and
+    * column pruning at the scan (same `PushedFilters` contract as
+    * parquet; round-trip + pushdown proven in `SourcesSinksSpec`). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    reader(spark, None).orc(path)
 
   def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
           header: Boolean = true, delimiter: String = ","): DataFrame =

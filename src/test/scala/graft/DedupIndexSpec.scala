@@ -44,6 +44,18 @@ class DedupIndexSpec extends SparkSpec {
     assert(direct.contains(9003L))
   }
 
+  test("bloom-pruned exact stage is result-identical to the unpruned plan") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300).select(col("doc_id"), col("text"))
+    val index = Dedup.buildIndex(corpus)
+    val pruned = Dedup.dedupeAgainstIndex(delta, index, 900, bloomFpp = Some(0.01))
+      .select("doc_id").as[Long].collect().sorted
+    val plain = Dedup.dedupeAgainstIndex(delta, index, 900, bloomFpp = None)
+      .select("doc_id").as[Long].collect().sorted
+    assert(pruned.sameElements(plain))
+  }
+
   test("IncrementalDedupJob dedupes each batch against the whole history, across queries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -114,6 +114,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("keepBest keeps the highest-score member per cluster; ties to min id; singletons survive") {
+    // cluster {1,2,3} (chain: 1-2, 2-3) → 2 wins on score;
+    // 4 is a singleton → survives; {5,6} tie on score → 5 (min id) wins
+    val sdocs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(sdocs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L, 5L))
+  }
+
   test("simhash16 is within [0, 65535] and equal texts hash equal") {
     val h = Dedup.simhash16(docs).agg(min("simhash16"), max("simhash16")).head()
     assert(h.getLong(0) >= 0L && h.getLong(1) <= 65535L)

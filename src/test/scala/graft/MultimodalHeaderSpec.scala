@@ -162,6 +162,22 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 1L, 2L), (1L, 3L, 3L, 1L)))
   }
 
+  test("pcm16Frames: 500 random byte blobs never crash the chunk walk") {
+    val rnd = new scala.util.Random(8080808L)
+    val blobs = (1 to 500).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      // bias some towards RIFF prefixes so the walk paths get exercised
+      if (i % 5 == 0 && b.length >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0); "WAVE".getBytes.copyToArray(b, 8)
+      }
+      (i.toLong, b)
+    }.toDF("doc_id", "blob")
+    // must evaluate without throwing; frame rows only from valid PCM
+    val n = Multimodal.pcm16Frames(blobs).count()
+    assert(n >= 0L)
+  }
+
   test("syntheticAudio round-trips through the real decoder at the sawtooth values") {
     val docs = Seq(0L, 1L, 65L).toDF("doc_id")
     val got = Multimodal.pcm16Frames(Multimodal.syntheticAudio(docs), frameSamples = 25)

@@ -134,6 +134,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("PlanLint: flags cartesians and sort-aggregates, budgets exchanges") {
+    import spark.implicits._
+    import graft.plans.PlanLint
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq((1, "y")).toDF("id", "w")
+    // clean equi-join passes every rule
+    assert(PlanLint.violations(a.join(b, Seq("id")), maxExchanges = 3,
+      allowSortAggregate = false) === Seq.empty)
+    // cartesian flagged
+    assert(PlanLint.violations(a.crossJoin(b)).exists(_.startsWith("cartesian")))
+    // exchange budget: a groupBy needs one exchange; budget 0 trips
+    val agg = Tables.documents(spark, sf).groupBy("source").count()
+    assert(PlanLint.violations(agg, maxExchanges = 0).exists(_.startsWith("exchanges")))
+    assert(PlanLint.violations(agg, maxExchanges = 1) === Seq.empty)
+    intercept[IllegalArgumentException](PlanLint.assertClean(a.crossJoin(b)))
+  }
+
+  test("CartesianGuard rejects condition-free inner joins only when enabled; equi and range joins pass") {
+    import spark.implicits._
+    val guard = new graft.plans.CartesianGuard(spark)
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq((1, "y")).toDF("id", "w")
+    // disabled (default): everything passes
+    guard(a.crossJoin(b).queryExecution.analyzed)
+    spark.conf.set(graft.plans.CartesianGuard.Flag, "true")
+    try {
+      guard(a.join(b, Seq("id")).queryExecution.analyzed) // equi: legal
+      guard(a.join(b, a("id") < b("id")).queryExecution.analyzed) // range: legal
+      val e = intercept[IllegalStateException](
+        guard(a.crossJoin(b).queryExecution.analyzed))
+      assert(e.getMessage.contains("condition-free"))
+    } finally spark.conf.unset(graft.plans.CartesianGuard.Flag)
+  }
+
+  test("gopherRules stays narrow: no exchange, streaming-composable") {
+    val plan = graft.operators.TextAnalysis
+      .gopherRules(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("runtime bloom-filter join pruning injects might_contain on the probe side") {
     // the engine-level twin of Dedup.bloomPrefilter: for a selective
     // shuffle join, Catalyst builds a bloom filter on the small side

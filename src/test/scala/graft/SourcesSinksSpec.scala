@@ -127,6 +127,64 @@ class SourcesSinksSpec extends SparkSpec {
     assert(snk.getMessage.contains("spark-sql-kafka"))
   }
 
+  test("fileStatsIndex + readPruned skip files outside the predicate range, results identical") {
+    import spark.implicits._
+    import graft.operators.Partitioning
+    val dir = java.nio.file.Files.createTempDirectory("skip_idx").toString + "/t"
+    // range-clustered layout: 8 files, each a disjoint id range
+    (0L until 800L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(8, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val nFiles = full.inputFiles.length
+    assert(nFiles >= 4, s"layout produced only $nFiles files")
+    val index = Partitioning.fileStatsIndex(full, Seq("id"))
+    assert(index.count() === nFiles)
+    // prune to a range covering ~2 of the 8 disjoint file ranges
+    val pruned = Partitioning.readPruned(spark, index,
+      col("max_id") >= 100L && col("min_id") <= 250L)
+    assert(pruned.inputFiles.length < nFiles)
+    val got = pruned.filter(col("id").between(100L, 250L))
+      .as[(Long, String)].collect().sorted
+    val want = full.filter(col("id").between(100L, 250L))
+      .as[(Long, String)].collect().sorted
+    assert(got.sameElements(want) && got.length === 151)
+    // empty prune keeps the data schema (filters still resolve)
+    val none = Partitioning.readPruned(spark, index, lit(false))
+    assert(none.filter(col("id") > 0L).count() === 0L)
+  }
+
+  test("orc round-trips and pushes filters down to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/docs"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").orc(dir)
+    val back = graft.sources.Files.orc(spark, dir)
+    assert(back.count() === docs.count())
+    val q = back.filter(col("doc_id") < 100).select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    // same scan contract as parquet: predicate reaches the ORC reader,
+    // projection prunes to the two read columns
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"), plan.take(2000))
+    assert(q.count() === docs.filter(col("doc_id") < 100).count())
+  }
+
+  test("observed metrics ride along with the action — no second scan, correct totals") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val (obsDf, obs) = graft.operators.Relational.observed(docs, "curate_in",
+      "n_docs" -> count(lit(1)),
+      "total_chars" -> sum(length(col("text"))),
+      "n_long" -> sum(when(col("n_chars") > 100, 1L).otherwise(0L)))
+    // one action drives both the query result and the metrics
+    val kept = obsDf.filter(col("n_chars") > 100).count()
+    val m = obs.get
+    assert(m("n_docs") === docs.count())
+    assert(m("total_chars") ===
+      docs.agg(sum(length(col("text")))).head().getLong(0))
+    assert(m("n_long") === kept)
+  }
+
   test("compactTo merges many small files into few, content preserved") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("compact_in").toString

@@ -12,6 +12,27 @@ import graft.operators.{Corpus, Dedup, TextAnalysis}
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fitLinear recovers an exact linear relation as exact rationals") {
+    // y = 3 + 2·x1 + 5·x2 exactly, non-collinear points → unique exact
+    // solution: each numerator must be weight × denominator, as BigInt
+    val pts = Seq((3L, 0L, 0L), (5L, 1L, 0L), (8L, 0L, 1L), (22L, 2L, 3L))
+      .toDF("y", "x1", "x2")
+    val m = TextAnalysis.fitLinear(pts, col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getString(0) -> (BigInt(r.getString(1)), BigInt(r.getString(2))))
+      .toMap
+    assert(m("intercept")._2 > 0)
+    assert(m("intercept")._1 === m("intercept")._2 * 3)
+    assert(m("x1")._1 === m("x1")._2 * 2)
+    assert(m("x2")._1 === m("x2")._2 * 5)
+  }
+
+  test("fitLinear on collinear features yields w_den = 0, not a wrong answer") {
+    val pts = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L)).toDF("y", "x1", "x2")
+    val dens = TextAnalysis.fitLinear(pts, col("y"), col("x1"), col("x2"))
+      .select("w_den").as[String].collect()
+    assert(dens.forall(_ == "0"))
+  }
+
   test("char_shingles: code-point counted, short text → empty") {
     import graft.functions.CharShingles.char_shingles
     graft.plans.GraftExtensions.register(spark)
