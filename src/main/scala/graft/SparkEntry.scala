@@ -639,15 +639,26 @@ object SparkEntry {
     }),
 
     // Closed-form least-squares fit of token count from (char length,
-    // punctuation count): one sufficient-statistics pass + exact
+    // vowel count; the synthetic texts carry no punctuation): one
+    // sufficient-statistics pass + exact
     // wide-integer Cramer solve; weights as exact rationals.
     "text_linear_fit" -> ((s, d) => {
       TextAnalysis.fitLinear(Tables.documents(s, d),
           yCol = size(Dedup.tokens(col("text"))),
           x1 = length(col("text")),
-          x2 = length(regexp_replace(col("text"), "[^.!?,;:]", "")),
-          names = ("intercept", "char_len", "punct"))
+          x2 = length(regexp_replace(col("text"), "[^aeiou]", "")),
+          names = ("intercept", "char_len", "vowels"))
         .orderBy(col("feature"))
+    }),
+
+    // Train→apply in one pipeline: the fitted model (4 wide integers)
+    // inlined as literals, per-doc residual r = den·(y − ŷ) exactly.
+    "text_linear_residuals" -> ((s, d) => {
+      TextAnalysis.linearResiduals(Tables.documents(s, d),
+          yCol = size(Dedup.tokens(col("text"))),
+          x1 = length(col("text")),
+          x2 = length(regexp_replace(col("text"), "[^aeiou]", "")))
+        .orderBy(col("doc_id"))
     }),
 
     // Sliding-window chunking into 16-token sequences, stride 8 (50%
@@ -1805,7 +1816,7 @@ object SparkEntry {
       val f = operators.TextAnalysis.cramer3Sql(c => s"CAST($c AS HUGEINT)")
       s"""WITH f AS (SELECT CAST(len($tokSql) AS BIGINT) AS y,
          |             CAST(length(text) AS BIGINT) AS x1,
-         |             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS x2
+         |             CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS x2
          |           FROM documents),
          |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
          |        sum(x1) AS s1, sum(x2) AS s2,
@@ -1820,8 +1831,29 @@ object SparkEntry {
          |    CAST(abs(det) AS VARCHAR) AS w_den FROM dt)
          |SELECT 'intercept' AS feature, w0 AS w_num, w_den FROM nm
          |UNION ALL SELECT 'char_len', w1, w_den FROM nm
-         |UNION ALL SELECT 'punct', w2, w_den FROM nm
+         |UNION ALL SELECT 'vowels', w2, w_den FROM nm
          |ORDER BY feature""".stripMargin
+    },
+
+    "text_linear_residuals" -> {
+      val f = operators.TextAnalysis.cramer3Sql(c => s"CAST($c AS HUGEINT)")
+      s"""WITH f AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS y,
+         |             CAST(length(text) AS BIGINT) AS x1,
+         |             CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS x2
+         |           FROM documents),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        sum(x1) AS s1, sum(x2) AS s2,
+         |        sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         |        sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y FROM f),
+         |dt AS (SELECT ${f("det")} AS det, ${f("det0")} AS det0,
+         |         ${f("det1")} AS det1, ${f("det2")} AS det2 FROM s),
+         |nm AS (SELECT CASE WHEN det < 0 THEN -det0 ELSE det0 END AS n0,
+         |         CASE WHEN det < 0 THEN -det1 ELSE det1 END AS n1,
+         |         CASE WHEN det < 0 THEN -det2 ELSE det2 END AS n2,
+         |         abs(det) AS den FROM dt)
+         |SELECT doc_id,
+         |  CAST(CAST(y AS HUGEINT)*den - (n0 + n1*CAST(x1 AS HUGEINT) + n2*CAST(x2 AS HUGEINT)) AS VARCHAR) AS resid
+         |FROM f, nm ORDER BY doc_id""".stripMargin
     },
 
     "corpus_chunk" ->

@@ -108,6 +108,21 @@ object TextAnalysis {
     * than a wrong answer). */
   def fitLinear(df: DataFrame, yCol: Column, x1: Column, x2: Column,
                 names: (String, String, String) = ("intercept", "x1", "x2")): DataFrame = {
+    val norm = fitDeterminants(df, yCol, x1, x2).selectExpr(
+      "CAST(CASE WHEN det < 0 THEN -det0 ELSE det0 END AS STRING) AS w0_num",
+      "CAST(CASE WHEN det < 0 THEN -det1 ELSE det1 END AS STRING) AS w1_num",
+      "CAST(CASE WHEN det < 0 THEN -det2 ELSE det2 END AS STRING) AS w2_num",
+      "CAST(abs(det) AS STRING) AS w_den")
+    norm.selectExpr(
+      s"stack(3, '${names._1}', w0_num, '${names._2}', w1_num, '${names._3}', w2_num) AS (feature, w_num)",
+      "w_den")
+  }
+
+  /** The one-pass sufficient-statistics aggregate + Cramer
+    * determinants behind [[fitLinear]] / [[linearResiduals]]: one row,
+    * columns `det det0 det1 det2` (DECIMAL(38,0)). */
+  private def fitDeterminants(df: DataFrame, yCol: Column, x1: Column,
+                              x2: Column): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val sums = df
       .select(yCol.cast("long").as("y"), x1.cast("long").as("x1"), x2.cast("long").as("x2"))
@@ -121,16 +136,35 @@ object TextAnalysis {
         sum(dec(col("x1") * col("y"))).as("s1y"),
         sum(dec(col("x2") * col("y"))).as("s2y"))
     val f = cramer3Sql(c => s"CAST($c AS DECIMAL(38,0))")
-    val dets = sums.selectExpr("*", s"${f("det")} AS det",
+    sums.selectExpr("*", s"${f("det")} AS det",
       s"${f("det0")} AS det0", s"${f("det1")} AS det1", s"${f("det2")} AS det2")
-    val norm = dets.selectExpr(
-      "CAST(CASE WHEN det < 0 THEN -det0 ELSE det0 END AS STRING) AS w0_num",
-      "CAST(CASE WHEN det < 0 THEN -det1 ELSE det1 END AS STRING) AS w1_num",
-      "CAST(CASE WHEN det < 0 THEN -det2 ELSE det2 END AS STRING) AS w2_num",
-      "CAST(abs(det) AS STRING) AS w_den")
-    norm.selectExpr(
-      s"stack(3, '${names._1}', w0_num, '${names._2}', w1_num, '${names._3}', w2_num) AS (feature, w_num)",
-      "w_den")
+  }
+
+  /** Apply the fitted model back to every row, exactly: residual
+    * `r = y·den − (n0 + n1·x1 + n2·x2)` with den sign-normalized
+    * positive, i.e. den·(y − ŷ) — same ORDERING as the float residual
+    * but exact, engine-portable integers. The model (four DECIMAL(38)
+    * values) is materialized on the driver and inlined as LITERALS —
+    * the k-means-centroid pattern: model-small by construction, and it
+    * keeps scoring a pure narrow projection (no join, not even a
+    * broadcast, in the scan path — composes with streaming). Train on
+    * 100 TB, score at wire speed. */
+  def linearResiduals(df: DataFrame, yCol: Column, x1: Column, x2: Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    val r = fitDeterminants(df, yCol, x1, x2)
+      .select(col("det"), col("det0"), col("det1"), col("det2")).head()
+    val s = if (r.getDecimal(0).signum >= 0) 1 else -1
+    require(r.getDecimal(0).signum != 0, "singular system: collinear features")
+    val Seq(den, n0, n1, n2) = (0 to 3).map(i =>
+      if (s < 0) r.getDecimal(i).negate else r.getDecimal(i))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(idCol), yCol.cast("long").as("y"),
+        x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+      .withColumn("resid",
+        (dec(col("y")) * lit(den) -
+          (lit(n0) + lit(n1) * dec(col("x1")) + lit(n2) * dec(col("x2"))))
+          .cast("string"))
+      .select(col(idCol), col("resid"))
   }
 
   /** The Cramer-rule formula TEXT for the 3×3 normal equations over

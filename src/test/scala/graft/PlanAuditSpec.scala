@@ -1,0 +1,47 @@
+package graft
+
+/** Whole-surface plan audit over `SparkEntry.queries`:
+  *
+  *  - `CartesianProduct` (a non-broadcast |L|×|R| shuffle product) is
+  *    banned EVERYWHERE — always an outage at 100 TB;
+  *  - `BroadcastNestedLoopJoin` is allowed only for queries on the
+  *    whitelist below, where the broadcast side is model-small BY
+  *    CONSTRUCTION (k-means centroids, a handful of ANN query
+  *    vectors, single-row corpus statistics) — the loop is
+  *    O(|data| · |model|), which is linear, not quadratic;
+  *  - any NEW query slipping in with either shape fails here with its
+  *    name, before a round driver or a cluster ever sees it.
+  *
+  * Individual shape budgets (exchange counts, broadcast sides,
+  * aggregate strategies) live in `PlanShapeSpec`.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** BNLJ-with-a-reason: every entry is a broadcast of a model-sized
+    * side, not data×data. */
+  private val bnljWhitelist: Map[String, String] = Map(
+    "sim_ann_brute" -> "broadcast query vectors × candidates: the brute-force baseline by definition",
+    "sim_ann_ivf_nprobe" -> "broadcast trained centroids for cell assignment (k×dims)",
+    "sim_ann_ivf_trained" -> "broadcast trained centroids for cell assignment (k×dims)",
+    "sim_ann_sq8" -> "broadcast query vectors × int8 candidate codes",
+    "sim_ivf_assign" -> "broadcast centroids; min-distance assignment per vector",
+    "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",
+    "sim_bm25" -> "single-row corpus stats (N, avgdl) joined under every scored doc",
+    "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
+    "rel_fk_audit" -> "single-row per-edge aggregates unioned into the report",
+    "rel_funnel" -> "single-row per-stage counts chained into conversion rates")
+
+  test("no query plans a CartesianProduct; BNLJ only with a model-small broadcast reason") {
+    // building the frame runs the eager parts of iterative queries
+    // (k-means training, component propagation) at sf0.001 — cheap,
+    // and exactly what the audit should see
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name → CartesianProduct") else Nil
+      val bnlj = if (plan.contains("BroadcastNestedLoopJoin") && !bnljWhitelist.contains(name))
+        Seq(s"$name → unexplained BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(bad.isEmpty, s"${bad.size} violations:\n${bad.mkString("\n")}")
+  }
+}

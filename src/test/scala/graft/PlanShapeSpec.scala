@@ -168,6 +168,39 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.CartesianGuard.Flag)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~50k rows vs 100 cold keys: without AQE
+      // skew handling one task owns the hot partition end-to-end
+      val left = ((1 to 50000).map(i => (0L, i.toLong)) ++
+        (1 to 100).map(i => (i.toLong, i.toLong))).toDF("k", "v")
+      val right = (0 to 100).flatMap(k => (1 to 5).map(j => (k.toLong, j.toLong)))
+        .toDF("k", "w")
+      // global agg, not groupBy(k): an agg keyed on the join key would
+      // REQUIRE the join's hash partitioning, and AQE declines to
+      // split skewed partitions when that breaks a required
+      // distribution (unless forced)
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      joined.collect() // AQE re-plans during execution
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("gopherRules stays narrow: no exchange, streaming-composable") {
     val plan = graft.operators.TextAnalysis
       .gopherRules(Tables.documents(spark, sf))

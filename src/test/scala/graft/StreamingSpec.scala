@@ -201,6 +201,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("an_out").count() === 3L)
   }
 
+  test("freq_topk heavy hitters run inside a watermarked streaming window agg") {
+    // the O(k)-state sketch composes with Structured Streaming's
+    // windowed aggregation: partials per micro-batch, MG-merged across
+    // batches by the state store — same code path as batch
+    import graft.functions.FreqTopK.freq_topk
+    graft.plans.GraftExtensions.register(spark)
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = mem.toDF().toDF("ts", "page")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(freq_topk(col("page"), 3).as("hh"))
+    // complete mode: the memory table holds only the LATEST state per
+    // window, so the assertion reads final merged counters directly
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("hh_stream").start()
+    val t = Timestamp.valueOf("2026-01-01 10:30:00")
+    mem.addData((t, "a"), (t, "a"), (t, "b"))
+    q.processAllAvailable()
+    mem.addData((t, "a"), (t, "b"), (t, "c")) // merges into the SAME window's state
+    q.processAllAvailable()
+    val hh = spark.table("hh_stream")
+      .selectExpr("explode(hh) AS x").select("x.item", "x.est")
+      .as[(String, Long)].collect().toMap
+    // k=3 ≥ distinct=3 → exact across both micro-batches
+    assert(hh === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    q.stop()
+  }
+
   test("expiring changelog state: key state is dropped after the event-time TTL") {
     def ev(k: Long, v: Long, p: String, t: String) =
       Changelog.TimedVersionedEvent(k, v, p, Timestamp.valueOf(t))

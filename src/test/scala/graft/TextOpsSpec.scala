@@ -33,6 +33,20 @@ class TextOpsSpec extends SparkSpec {
     assert(dens.forall(_ == "0"))
   }
 
+  test("linearResiduals: zero on an exact relation, flags an injected outlier") {
+    val exact = Seq((1L, 3L, 0L, 0L), (2L, 5L, 1L, 0L), (3L, 8L, 0L, 1L), (4L, 22L, 2L, 3L))
+      .toDF("doc_id", "y", "x1", "x2")
+    val r0 = TextAnalysis.linearResiduals(exact, col("y"), col("x1"), col("x2"))
+      .select("resid").as[String].collect()
+    assert(r0.forall(_ == "0"))
+    // an outlier makes SOME residual nonzero, and its own |resid| the largest
+    val noisy = exact.union(Seq((5L, 1000L, 1L, 1L)).toDF("doc_id", "y", "x1", "x2"))
+    val r1 = TextAnalysis.linearResiduals(noisy, col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getLong(0) -> BigInt(r.getString(1)).abs).toMap
+    assert(r1.values.exists(_ > 0))
+    assert(r1.maxBy(_._2)._1 === 5L)
+  }
+
   test("char_shingles: code-point counted, short text → empty") {
     import graft.functions.CharShingles.char_shingles
     graft.plans.GraftExtensions.register(spark)
