@@ -651,6 +651,18 @@ object SparkEntry {
         .orderBy(col("feature"))
     }),
 
+    // Encoding-corruption signal. The corpus is clean, so mojibake is
+    // injected deterministically by doc_id (as with text_pii_scrub):
+    // UTF-8-as-Latin-1 digraphs and U+FFFD replacement chars.
+    "text_mojibake" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("cafÃ© "), col("text")))
+          .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("��bytes "), col("text")))
+          .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit("itâs "), col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.mojibake(injected).orderBy(col("doc_id"))
+    }),
+
     // Train→apply in one pipeline: the fitted model (4 wide integers)
     // inlined as literals, per-doc residual r = den·(y − ŷ) exactly.
     "text_linear_residuals" -> ((s, d) => {
@@ -1834,6 +1846,22 @@ object SparkEntry {
          |UNION ALL SELECT 'vowels', w2, w_den FROM nm
          |ORDER BY feature""".stripMargin
     },
+
+    "text_mojibake" ->
+      s"""WITH inj AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'cafÃ© ' || text
+         |         WHEN doc_id % 4 = 1 THEN '��bytes ' || text
+         |         WHEN doc_id % 4 = 2 THEN 'itâs ' || text
+         |         ELSE text END AS text
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(text, '[^�]', '', 'g')) AS BIGINT) AS n_replacement,
+         |    CAST(length(regexp_replace(text, '[^ÃÂâ]', '', 'g')) AS BIGINT) AS n_latin1_markers
+         |  FROM inj)
+         |SELECT doc_id, n_chars, n_replacement, n_latin1_markers,
+         |  CAST(CASE WHEN n_chars = 0 THEN 0
+         |       ELSE (n_replacement + n_latin1_markers) * 1000 // n_chars END AS BIGINT) AS mojibake_permille
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_linear_residuals" -> {
       val f = operators.TextAnalysis.cramer3Sql(c => s"CAST($c AS HUGEINT)")

@@ -72,6 +72,21 @@ object Partitioning {
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental maintenance of a [[fileStatsIndex]] on append: stats
+    * are computed ONLY for files not yet indexed (data files are
+    * immutable once written — the parquet/lakehouse contract), so the
+    * cost of keeping the index current is proportional to the delta,
+    * not the table. File identity is compared on the URI path (the
+    * listing and `input_file_name()` render the scheme differently). */
+  def indexAppend(spark: org.apache.spark.sql.SparkSession, index: DataFrame,
+                  dir: String, cols: Seq[String]): DataFrame = {
+    def path(s: String): String = new java.net.URI(s).getPath
+    val known = index.select(col("file")).collect().map(r => path(r.getString(0))).toSet
+    val fresh = spark.read.parquet(dir).inputFiles.filterNot(f => known(path(f)))
+    if (fresh.isEmpty) index
+    else index.unionByName(fileStatsIndex(spark.read.parquet(fresh.toSeq: _*), cols))
+  }
+
   /** File-level data skipping without a table format: keep only the
     * files whose stats row satisfies `keep` (written over the index's
     * `min_*` / `max_*` columns — for "id between lo and hi" that is

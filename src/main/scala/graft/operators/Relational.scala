@@ -142,6 +142,29 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Measure-then-salt: profile the left key distribution
+    * ([[keySkewProfile]] — one aggregate pass, the measurement a
+    * production job would persist alongside the table) and only pay
+    * the salted-join replication when the measured max/avg skew ratio
+    * crosses `minSkewRatioPermille`; the salt factor is the measured
+    * ratio itself (⌈max/avg⌉, capped), so a 40×-skewed key gets ~40
+    * buckets, not a guessed constant. Below the threshold this is a
+    * plain equi-join — no replication cost for uniform data. */
+  def saltedJoinAuto(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     joinType: String = "inner",
+                     minSkewRatioPermille: Long = 4000,
+                     maxSalt: Int = 64): DataFrame = {
+    val ratio = keySkewProfile(left, leftKey).head()
+      .getAs[Long]("skew_ratio_permille")
+    if (ratio < minSkewRatioPermille)
+      left.join(right, left(leftKey) === right(rightKey), joinType)
+    else {
+      val salt = math.min(maxSalt.toLong, math.max(2L, (ratio + 999) / 1000)).toInt
+      saltedJoin(left, right, leftKey, rightKey, salt, joinType)
+    }
+  }
+
   /** Two-stage skew-safe aggregation: stage 1 pre-aggregates by
     * (keys, salt) — map-side combine plus a `saltBuckets`-way spread of
     * each hot key's rows across reducers — stage 2 merges the partials

@@ -183,6 +183,31 @@ object TextAnalysis {
       "det2" -> s"($n*($s11*$s2y - $s1y*$s12) - $s1*($s1*$s2y - $s1y*$s2) + $sy*($s1*$s12 - $s11*$s2))")
   }
 
+  /** Encoding-corruption (mojibake) signal — the quality gate that
+    * catches double-decoded UTF-8 and lossy transcodes before they
+    * poison a training mix: per doc, counts of U+FFFD replacement
+    * characters (a decoder already gave up) and of the classic
+    * UTF-8-read-as-Latin-1 marker characters (Ã, Â, â — the lead
+    * bytes 0xC3/0xC2/0xE2 shown as Latin-1), plus a combined permille
+    * of characters. Pure narrow char-class regex counting (RE2-safe,
+    * engine-portable), codegen'd, streaming-composable like the other
+    * quality gates. */
+  def mojibake(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    def countOf(cls: String) =
+      length(regexp_replace(col(textCol), s"[^$cls]", "")).cast("long")
+    docs
+      .withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      .withColumn("n_replacement", countOf("�"))
+      .withColumn("n_latin1_markers", countOf("ÃÂâ"))
+      .withColumn("mojibake_permille",
+        when(col("n_chars_m") === 0, 0L).otherwise(
+          floor((col("n_replacement") + col("n_latin1_markers")) * 1000 /
+            col("n_chars_m")).cast("long")))
+      .select(col(idCol), col("n_chars_m").as("n_chars"),
+        col("n_replacement"), col("n_latin1_markers"), col("mojibake_permille"))
+  }
+
   /** Corpus-trained language ID: build a top-`profileSize` token
     * profile per labeled language (training pass: one aggregation +
     * windowed top-N), then score every document by profile hits and

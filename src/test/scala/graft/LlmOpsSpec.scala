@@ -125,6 +125,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Array(2L, 4L, 5L))
   }
 
+  test("keepBest differential: random graphs match a driver-side union-find argmax") {
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val ids = (1L to n.toLong).toSeq
+      val scores = ids.map(i => i -> rnd.nextInt(5).toLong).toMap // narrow range forces ties
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter(p => p._1 != p._2)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = ids.groupBy(find).values
+        .map(members => members.maxBy(i => (scores(i), -i))).toSet
+      val got = Dedup.keepBest(
+          ids.map(i => (i, scores(i))).toDF("doc_id", "score"),
+          pairs.toDF("doc_a", "doc_b"), col("score"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === expected, s"trial $trial: pairs=$pairs scores=$scores")
+    }
+  }
+
   test("simhash16 is within [0, 65535] and equal texts hash equal") {
     val h = Dedup.simhash16(docs).agg(min("simhash16"), max("simhash16")).head()
     assert(h.getLong(0) >= 0L && h.getLong(1) <= 65535L)

@@ -201,6 +201,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("identical aggregation subtrees reuse one exchange (ReusedExchange)") {
+    // the diamond shape every self-comparison query has: aggregate
+    // once, join the aggregate with itself — the second subtree's
+    // shuffle must be a ReusedExchange, not a recomputation
+    val agg = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    val j = agg.join(agg.withColumnRenamed("q", "q2"), "l_orderkey")
+    j.collect() // AQE finalizes reuse at runtime
+    assert(j.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      j.queryExecution.executedPlan.toString.take(3000))
+  }
+
   test("gopherRules stays narrow: no exchange, streaming-composable") {
     val plan = graft.operators.TextAnalysis
       .gopherRules(Tables.documents(spark, sf))

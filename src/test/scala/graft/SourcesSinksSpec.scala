@@ -154,6 +154,29 @@ class SourcesSinksSpec extends SparkSpec {
     assert(none.filter(col("id") > 0L).count() === 0L)
   }
 
+  test("indexAppend computes stats only for new files and equals a full rebuild") {
+    import spark.implicits._
+    import graft.operators.Partitioning
+    val dir = java.nio.file.Files.createTempDirectory("skip_app").toString + "/t"
+    (0L until 200L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.mode("overwrite").parquet(dir)
+    val index0 = Partitioning.fileStatsIndex(spark.read.parquet(dir), Seq("id"))
+      .cache() // freeze the original index contents before the append
+    assert(index0.count() === 4)
+    (200L until 400L).map(i => (i, i * 2)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.mode("append").parquet(dir)
+    val appended = Partitioning.indexAppend(spark, index0, dir, Seq("id"))
+    val rebuilt = Partitioning.fileStatsIndex(spark.read.parquet(dir), Seq("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "rows", "min_id", "max_id")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(appended).sameElements(rows(rebuilt)))
+    assert(appended.count() === 8)
+    // no new files → the index comes back unchanged
+    assert(Partitioning.indexAppend(spark, appended, dir, Seq("id")).count() === 8)
+    index0.unpersist()
+  }
+
   test("orc round-trips and pushes filters down to the scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString + "/docs"

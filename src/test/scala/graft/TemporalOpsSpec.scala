@@ -76,6 +76,25 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoinAuto salts when measured skew crosses the threshold, stays plain when uniform") {
+    // 5000 rows on one hot key + 50 cold keys → max/avg ≈ 99×
+    val skewed = ((1 to 5000).map(_ => (0L, 1L)) ++ (1 to 50).map(i => (i.toLong, 1L)))
+      .toDF("k", "v")
+    val dim = (0 to 50).map(i => (i.toLong, s"d$i")).toDF("k2", "w")
+    val auto = Relational.saltedJoinAuto(skewed, dim, "k", "k2")
+    val plain = skewed.join(dim, col("k") === col("k2"))
+    assert(auto.count() === plain.count())
+    // the salt replication (explode over sequence) is in the plan
+    assert(auto.queryExecution.executedPlan.toString.contains("__salt"),
+      "expected the salted path for 99x skew")
+    // uniform keys: measured ratio under threshold → plain equi-join
+    val uniform = (1 to 1000).map(i => (i.toLong % 50, 1L)).toDF("k", "v")
+    val autoU = Relational.saltedJoinAuto(uniform, dim, "k", "k2")
+    assert(!autoU.queryExecution.executedPlan.toString.contains("__salt"),
+      "uniform data must not pay the replication")
+    assert(autoU.count() === uniform.join(dim, col("k") === col("k2")).count())
+  }
+
   test("stream-stream LEFT join emits unmatched rows after the watermark closes") {
     val views = MemoryStream[(Timestamp, Long, String)]
     val purchases = MemoryStream[(Timestamp, Long, String)]

@@ -47,6 +47,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r1.maxBy(_._2)._1 === 5L)
   }
 
+  test("mojibake counts replacement and Latin-1 marker chars; clean text scores zero") {
+    val df = Seq(
+      (1L, "cafÃ© normal"),   // the UTF-8 é read as Latin-1: one Ã marker
+      (2L, "plain ascii"),
+      (3L, "��"),             // decoder gave up twice
+      (4L, "")                // zero-length guard
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.mojibake(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((12L, 0L, 1L, 83L)))   // floor(1000/12)
+    assert(m(2L) === ((11L, 0L, 0L, 0L)))
+    assert(m(3L) === ((2L, 2L, 0L, 1000L)))
+    assert(m(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("char_shingles: code-point counted, short text → empty") {
     import graft.functions.CharShingles.char_shingles
     graft.plans.GraftExtensions.register(spark)
