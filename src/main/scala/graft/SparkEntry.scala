@@ -822,6 +822,45 @@ object SparkEntry {
       Similarity.ivfAssign(emb, cents).orderBy(col("vec_id"))
     }),
 
+    // Product quantization (faiss PQ): m=4 subspace codebooks of k=4
+    // centroids over the 64-dim embeddings, engine-exact like ivfTrain.
+    "sim_pq_train" -> ((s, d) => {
+      Similarity.pqTrain(Tables.embeddings(s, d), m = 4, k = 4, iters = 2)
+        .select(col("sub"), col("cell"), posexplode(col("cv")).as(Seq("dim", "centroid_q")))
+        .select(col("sub"), col("cell"), col("dim").cast("long").as("dim"),
+          col("centroid_q"))
+        .orderBy(col("sub"), col("cell"), col("dim"))
+    }),
+
+    "sim_pq_codes" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val book = Similarity.pqTrain(emb, m = 4, k = 4, iters = 2)
+      Similarity.pqEncode(emb, book, m = 4)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // ADC retrieval: candidates scored from their codes alone (the
+    // vectors are never read on the candidate side).
+    "sim_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val book = Similarity.pqTrain(emb, m = 4, k = 4, iters = 2)
+      val codes = Similarity.pqEncode(emb, book, m = 4)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), codes, book, m = 4, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // IVF-ADC composite (faiss IVFPQ): coarse trained cells prune the
+    // candidate set to the query's cell; PQ codes score inside it.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val coarse = Similarity.ivfTrain(emb, k = 4, iters = 2)
+      val book = Similarity.pqTrain(emb, m = 4, k = 4, iters = 2)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, coarse, book, m = 4, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Markup injected per doc so normalization is non-trivially checked
     // (the synthetic corpus carries none); the md5 pins the whole
     // normalized text, not just counts.
@@ -1089,11 +1128,17 @@ object SparkEntry {
     * Spark uses ‖c‖²−2v·c — the rankings are identical because the
     * two differ by the per-vector constant ‖v‖² and all quantities
     * are exact integers. */
-  private def ivfCtes(k: Int, iters: Int): String = {
+  /** The shared quantized-embedding CTE (`q`). */
+  private val qCte: String =
+    s"""q AS (SELECT vec_id, list_transform(range(1, 65),
+       |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+       |      FROM embeddings)""".stripMargin
+
+  /** The IVF k-means chain (c0..c{iters}) WITHOUT the `WITH` keyword
+    * or the `q` CTE — composable with [[pqCtes]] (which already emits
+    * `q`) for the IVF-ADC oracle. */
+  private def ivfChain(k: Int, iters: Int): String = {
     val base = Seq(
-      s"""q AS (SELECT vec_id, list_transform(range(1, 65),
-         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
-         |      FROM embeddings)""".stripMargin,
       s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
          |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
     val rounds = (1 to iters).flatMap { it =>
@@ -1110,7 +1155,52 @@ object SparkEntry {
            |  GROUP BY cell, i)""".stripMargin,
         s"""c$it AS (SELECT cell, list(cq ORDER BY dim) AS cv FROM u$it GROUP BY cell)""")
     }
-    (base ++ rounds).mkString("WITH ", ",\n", "")
+    (base ++ rounds).mkString(",\n")
+  }
+
+  private def ivfCtes(k: Int, iters: Int): String =
+    s"WITH $qCte,\n${ivfChain(k, iters)}"
+
+  /** PQ twin of [[ivfCtes]]: m per-subspace k-means chains sharing one
+    * CTE pipeline; final codebook CTE is `p{iters}`, its flat
+    * (sub, cell, dim) form `pu{iters}`, and `pf` the final assignment. */
+  private def pqCtes(m: Int, k: Int, iters: Int, dims: Int = 64): String = {
+    val sd = dims / m
+    val base = Seq(
+      s"""q AS (SELECT vec_id, list_transform(range(1, ${dims + 1}),
+         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings)""".stripMargin,
+      s"""sq AS (SELECT vec_id, s, list_transform(range(1, ${sd + 1}),
+         |         i -> qv[s * $sd + i]) AS sqv
+         |       FROM q, range(0, $m) t(s))""".stripMargin,
+      s"""s0 AS (SELECT vec_id, s, sqv,
+         |         row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM sq)""".stripMargin,
+      s"""p0 AS (SELECT s, CAST(rn - 1 AS BIGINT) AS cell, sqv AS cv
+         |       FROM s0 WHERE rn <= $k)""".stripMargin)
+    val rounds = (1 to iters).flatMap { it =>
+      Seq(
+        s"""pa$it AS (SELECT vec_id, s, sqv, cell,
+           |    row_number() OVER (PARTITION BY vec_id, s ORDER BY ss, cell) AS rn
+           |  FROM (SELECT sq.vec_id, sq.s, sq.sqv, c.cell,
+           |          list_sum(list_transform(range(1, ${sd + 1}),
+           |            i -> (sq.sqv[i] - c.cv[i]) * (sq.sqv[i] - c.cv[i]))) AS ss
+           |        FROM sq JOIN p${it - 1} c ON sq.s = c.s) x)""".stripMargin,
+        s"""pu$it AS (SELECT s, cell, CAST(i - 1 AS BIGINT) AS dim,
+           |    CAST(floor(sum(v) / count(*)) AS BIGINT) AS cq
+           |  FROM (SELECT s, cell, i, sqv[i] AS v
+           |        FROM (SELECT s, cell, sqv FROM pa$it WHERE rn = 1) mm,
+           |             range(1, ${sd + 1}) t(i)) e
+           |  GROUP BY s, cell, i)""".stripMargin,
+        s"""p$it AS (SELECT s, cell, list(cq ORDER BY dim) AS cv FROM pu$it GROUP BY s, cell)""")
+    }
+    val fin =
+      s"""pf AS (SELECT vec_id, s, cell,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY ss, cell) AS rn
+         |  FROM (SELECT sq.vec_id, sq.s, c.cell,
+         |          list_sum(list_transform(range(1, ${sd + 1}),
+         |            i -> (sq.sqv[i] - c.cv[i]) * (sq.sqv[i] - c.cv[i]))) AS ss
+         |        FROM sq JOIN p$iters c ON sq.s = c.s) x)""".stripMargin
+    (base ++ rounds :+ fin).mkString("WITH ", ",\n", "")
   }
 
   def oracleSql: Map[String, String] = ListMap(
@@ -2091,6 +2181,62 @@ object SparkEntry {
     "sim_ivf_train" ->
       s"""${ivfCtes(k = 4, iters = 2)}
          |SELECT cell, dim, cq AS centroid_q FROM u2 ORDER BY cell, dim""".stripMargin,
+
+    "sim_ann_ivfpq" ->
+      s"""${pqCtes(m = 4, k = 4, iters = 2)},
+         |${ivfChain(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |dt AS (SELECT qx.vec_id AS query_id, c.s, c.cell,
+         |         list_sum(list_transform(range(1, 17),
+         |           i -> (qx.sqv[i] - c.cv[i]) * (qx.sqv[i] - c.cv[i]))) AS d
+         |       FROM (SELECT * FROM sq WHERE vec_id < 10) qx
+         |       JOIN p2 c ON qx.s = c.s),
+         |cd AS (SELECT vec_id AS cand_id, s, cell AS code FROM pf WHERE rn = 1),
+         |sc AS (SELECT dt.query_id, cd.cand_id, CAST(sum(dt.d) AS BIGINT) AS adc
+         |       FROM cd JOIN dt ON cd.s = dt.s AND cd.code = dt.cell
+         |       JOIN cellof qa ON qa.vec_id = dt.query_id
+         |       JOIN cellof ca ON ca.vec_id = cd.cand_id
+         |       WHERE qa.cell = ca.cell AND dt.query_id <> cd.cand_id
+         |       GROUP BY dt.query_id, cd.cand_id),
+         |rk AS (SELECT query_id, cand_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_pq_train" ->
+      s"""${pqCtes(m = 4, k = 4, iters = 2)}
+         |SELECT s AS sub, cell, dim, cq AS centroid_q FROM pu2
+         |ORDER BY sub, cell, dim""".stripMargin,
+
+    "sim_pq_codes" ->
+      s"""${pqCtes(m = 4, k = 4, iters = 2)}
+         |SELECT vec_id, s AS sub, cell AS code FROM pf WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    "sim_ann_pq" ->
+      s"""${pqCtes(m = 4, k = 4, iters = 2)},
+         |dt AS (SELECT qx.vec_id AS query_id, c.s, c.cell,
+         |         list_sum(list_transform(range(1, 17),
+         |           i -> (qx.sqv[i] - c.cv[i]) * (qx.sqv[i] - c.cv[i]))) AS d
+         |       FROM (SELECT * FROM sq WHERE vec_id < 10) qx
+         |       JOIN p2 c ON qx.s = c.s),
+         |cd AS (SELECT vec_id AS cand_id, s, cell AS code FROM pf WHERE rn = 1),
+         |sc AS (SELECT dt.query_id, cd.cand_id, CAST(sum(dt.d) AS BIGINT) AS adc
+         |       FROM cd JOIN dt ON cd.s = dt.s AND cd.code = dt.cell
+         |       WHERE dt.query_id <> cd.cand_id
+         |       GROUP BY dt.query_id, cd.cand_id),
+         |rk AS (SELECT query_id, cand_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""${ivfCtes(k = 4, iters = 2)},

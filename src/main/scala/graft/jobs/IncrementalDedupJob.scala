@@ -71,17 +71,35 @@ object IncrementalDedupJob {
   def process(batch: DataFrame, runId: String, batchId: Long,
               indexDir: String, outDir: String,
               thresholdPermille: Int, k: Int,
-              idCol: String = "doc_id", textCol: String = "text"): Unit = {
+              idCol: String = "doc_id", textCol: String = "text",
+              minQuality: Long = 0L,
+              maxMojibakePermille: Long = 1000L): Map[String, Long] = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
+    if (batch.isEmpty) return Map.empty
     if (!pathExists(spark, s"$indexDir/meta"))
       Dedup.writeIndex(
         Dedup.buildIndex(batch.select(col(idCol), col(textCol)).limit(0),
           k, textCol, idCol), indexDir)
     val index = Dedup.readIndex(spark, indexDir)
+    val nIn = batch.count()
+    // 0. quality gate (off by default): composite-score floor +
+    // encoding-corruption ceiling — the same narrow gates the batch
+    // curation job applies, here per ingestion delta. Applied BEFORE
+    // any dedup work so junk never pays shingling cost.
+    require(minQuality <= 0L || textCol == "text",
+      "the quality gate's feature extractor reads the 'text' column")
+    val gated =
+      if (minQuality <= 0L && maxMojibakePermille >= 1000L) batch
+      else graft.operators.TextAnalysis.withQualityScore(batch)
+        .filter(col("quality_score") >= minQuality &&
+          graft.operators.TextAnalysis.mojibakePermille(col(textCol)) <= maxMojibakePermille)
+        .select(batch.columns.map(col): _*)
+    val gatedC = gated.cache()
+    val nGated = gatedC.count()
     // 1. in-batch exact dedup: keep each content hash's smallest id
-    val keep = Dedup.exact(batch, textCol, idCol).select(col("keep_id").as(idCol))
-    val exactDeduped = batch.join(keep, idCol).cache()
+    val keep = Dedup.exact(gatedC, textCol, idCol).select(col("keep_id").as(idCol))
+    val exactDeduped = gatedC.join(keep, idCol).cache()
+    val nExact = exactDeduped.count()
     // 2. in-batch near-dedup: linear pass drops the greater id of each
     // verified pair (cluster representative = smallest id); shingle
     // size = the INDEX's k, so in-batch and vs-history agree
@@ -91,15 +109,18 @@ object IncrementalDedupJob {
         Dedup.lshCandidatePairs(sig, idCol = idCol), thresholdPermille, idCol, textCol)
       .select(col("doc_b").as(idCol)).distinct()
     val batchClean = exactDeduped.join(losers, Seq(idCol), "left_anti")
+    val nClean = batchClean.count()
     // 3. history dedup against the persistent index
     val survivors = Dedup.dedupeAgainstIndex(batchClean, index,
         thresholdPermille, textCol, idCol).cache()
+    val nSurvivors = survivors.count()
     // 4. exactly-once corpus append: the batch owns its partition
     Sinks.upsertPartitions(
       survivors.withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId)),
       outDir, Seq("run_id", "batch_id"))
     survivors.unpersist()
     exactDeduped.unpersist()
+    gatedC.unpersist()
     // 5. extend the index with the accepted docs — hashes LAST (see
     // crash-recovery invariant above). The delta is REBUILT FROM THE
     // COMMITTED CORPUS PARTITION, not from `survivors`: survivors'
@@ -117,6 +138,15 @@ object IncrementalDedupJob {
     idx.signatures.write.mode("append").parquet(s"$indexDir/signatures")
     idx.tokenSets.write.mode("append").parquet(s"$indexDir/token_sets")
     idx.hashes.write.mode("append").parquet(s"$indexDir/hashes")
+    // per-batch funnel for monitoring/alerting: each stage's survivor
+    // count, in pipeline order (counts ride the cached frames the
+    // stages materialize anyway)
+    Map(
+      "docs_in" -> nIn,
+      "after_quality_gate" -> nGated,
+      "after_exact_dedup" -> nExact,
+      "after_near_dedup" -> nClean,
+      "after_history_dedup" -> nSurvivors)
   }
 
   /** Streaming entry: foreachBatch over a document stream. `runId`
@@ -124,10 +154,15 @@ object IncrementalDedupJob {
     * checkpoint) and distinct between different runs sharing `outDir`. */
   def start(docs: DataFrame, runId: String, indexDir: String, outDir: String,
             checkpoint: String,
-            thresholdPermille: Int = 950, k: Int = 3): StreamingQuery =
+            thresholdPermille: Int = 950, k: Int = 3,
+            minQuality: Long = 0L, maxMojibakePermille: Long = 1000L,
+            onStats: (Long, Map[String, Long]) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        process(batch, runId, batchId, indexDir, outDir, thresholdPermille, k)
+        val stats = process(batch, runId, batchId, indexDir, outDir,
+          thresholdPermille, k,
+          minQuality = minQuality, maxMojibakePermille = maxMojibakePermille)
+        onStats(batchId, stats)
       }
       .option("checkpointLocation", checkpoint)
       .start()

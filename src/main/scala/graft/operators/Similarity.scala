@@ -342,4 +342,145 @@ object Similarity {
     cells.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
+
+  // ───────────── Product quantization (the faiss PQ path) ─────────────
+
+  /** Per-vector quantized subvectors: one row per (id, subspace),
+    * subspaces are contiguous `dims/m` slices. The frame every PQ
+    * stage shares. */
+  private def subvectors(emb: DataFrame, m: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val q0 = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+    val dims = q0.select(size(col("qv"))).head().getInt(0)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sd = dims / m
+    q0.select(col("__id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("qv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
+      .select(col("__id"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+  }
+
+  /** (id, sub) → nearest codebook cell within its subspace. Codebook
+    * (m×k rows) broadcasts; score is csq − 2·dot (monotone-equal to
+    * the squared distance, exact integers in doubles), ties toward the
+    * smaller cell — identical to [[assignCells]] per subspace. */
+  private def assignPq(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val c = codebook.withColumn("csq", dot(col("cv"), col("cv")))
+    sub.join(broadcast(c), "sub")
+      .withColumn("s", col("csq") - lit(2d) * dot(col("sqv"), col("cv")))
+      .groupBy(col("__id"), col("sub"))
+      .agg(min(struct(col("s"), col("cell"), col("sqv"))).as("m"))
+      .select(col("__id"), col("sub"), col("m.cell").as("cell"), col("m.sqv").as("sqv"))
+  }
+
+  /** Product-quantization codebook: `m` INDEPENDENT quantized k-means
+    * (one per contiguous dim subspace) trained as a single frame keyed
+    * by subspace — every Lloyd round is one broadcast of the m×k
+    * codebook, a map-side-combinable min per (vector, subspace), and a
+    * (sub, cell, dim) shuffle bounded by m×k×(dims/m) = k×dims rows.
+    * Same determinism contract as [[ivfTrain]] (no RNG: seeds are the
+    * k smallest ids per subspace; all arithmetic exact fixed-point).
+    * Returns (sub, cell, cv); the codebook is m×k×(dims/m) values —
+    * driver-materialized like the k-means centroids. */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val sub = subvectors(emb, m, idCol, vecCol).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("__id"))
+    val seeds = sub.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).cast("long").as("cell"), col("sqv").as("cv"))
+    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
+      assignPq(sub, cents)
+        .select(col("sub"), col("cell"), posexplode(col("sqv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cell"), col("dim").cast("long").as("dim"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cq"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
+          x => x.getField("cq")).as("cv"))
+    }
+    val rows = trained.collect().toSeq
+    sub.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+  }
+
+  /** PQ codes per vector: `codes[s]` = nearest cell in subspace s.
+    * dims×8 bytes of float become m small ints — the compression that
+    * keeps a 100 TB ANN index in memory. */
+  def pqEncode(emb: DataFrame, codebook: DataFrame,
+               m: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    assignPq(subvectors(emb, m, idCol, vecCol), codebook)
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell")).as("codes"))
+      .select(col("__id").as(idCol), col("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * a (sub, cell) → partial-squared-distance table against the
+    * codebook (queries×m×k rows — broadcast), candidates are scored by
+    * LOOKUP on their m codes and one sum — candidate vectors are never
+    * read, only their codes. Distances are exact integers (quantized
+    * query vs quantized centroids), so ranking is engine-stable. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+             m: Int, k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cexp = codes.select(col(idCol).as("cand_id"),
+      posexplode(col("codes")).as(Seq("csub", "code")))
+    val scored = cexp
+      .join(broadcast(adcTable(queries, codebook, m, idCol, vecCol)),
+        col("csub").cast("long") === col("sub") && col("code") === col("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
+  }
+
+  /** Per-query ADC distance table: (query_id, sub, cell) → partial
+    * squared distance. queries×m×k rows — always broadcast-sized. */
+  private def adcTable(queries: DataFrame, codebook: DataFrame, m: Int,
+                       idCol: String, vecCol: String): DataFrame =
+    subvectors(queries, m, idCol, vecCol)
+      .select(col("__id").as("query_id"), col("sub"), col("sqv"))
+      .join(broadcast(codebook), "sub")
+      .withColumn("d",
+        (dot(col("sqv"), col("sqv")) - lit(2d) * dot(col("sqv"), col("cv")) +
+          dot(col("cv"), col("cv"))).cast("long"))
+      .select(col("query_id"), col("sub"), col("cell"), col("d"))
+
+  /** IVF-ADC — the faiss IVFPQ composite, the actual layout of a
+    * production trillion-vector index: a coarse quantizer prunes
+    * candidates to the query's cell, and WITHIN the cell candidates
+    * are scored by ADC over their PQ codes. Both models broadcast
+    * (coarse k×dims centroids; PQ m×k codebook; per-query distance
+    * tables); the candidate side is touched twice — once to encode
+    * (amortized: codes are stored in production), once through the
+    * cell+code equi-join — and its full vectors are never read at
+    * query time. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+                coarse: DataFrame, codebook: DataFrame, m: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qcells = ivfAssign(queries, coarse, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("cell").as("qcell"))
+    val dt = adcTable(queries, codebook, m, idCol, vecCol)
+      .join(qcells, "query_id") // adds qcell; still queries×m×k rows
+    val cand = ivfAssign(candidates, coarse, idCol, vecCol)
+      .join(pqEncode(candidates, codebook, m, idCol, vecCol), idCol)
+    val cexp = cand.select(col(idCol).as("cand_id"), col("cell").as("ccell"),
+      posexplode(col("codes")).as(Seq("csub", "code")))
+    val scored = cexp.join(broadcast(dt),
+        col("csub").cast("long") === col("sub") && col("code") === col("cell") &&
+          col("ccell") === col("qcell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
+  }
 }

@@ -192,6 +192,16 @@ object TextAnalysis {
     * of characters. Pure narrow char-class regex counting (RE2-safe,
     * engine-portable), codegen'd, streaming-composable like the other
     * quality gates. */
+  /** The combined [[mojibake]] score as a standalone narrow column —
+    * for inline gating (`filter(mojibakePermille($"text") <= cap)`)
+    * without the metrics projection or a self-join. */
+  def mojibakePermille(text: Column): Column = {
+    val bad = length(regexp_replace(text, "[^�]", "")) +
+      length(regexp_replace(text, "[^ÃÂâ]", ""))
+    when(length(text) === 0, lit(0L))
+      .otherwise(floor(bad * 1000 / length(text))).cast("long")
+  }
+
   def mojibake(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     def countOf(cls: String) =

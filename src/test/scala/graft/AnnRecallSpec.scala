@@ -72,6 +72,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(rLsh >= 0.5, f"LSH recall@5 $rLsh%.2f below floor")
   }
 
+  test("pq: codebook shaped m×k, codes bounded, ADC top-k stays in the query's cluster") {
+    import graft.operators.Similarity
+    val m = 4; val k = 8
+    val book = Similarity.pqTrain(clustered, m, k, iters = 3)
+    val shape = book.select("sub", "cell").as[(Long, Long)].collect()
+    assert(shape.forall { case (s, c) => s >= 0 && s < m && c >= 0 && c < k })
+    assert(shape.map(_._1).toSet.size === m, "every subspace trained")
+    val codes = Similarity.pqEncode(clustered, book, m)
+    val codeRows = codes.select("codes").as[Seq[Long]].collect()
+    assert(codeRows.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < k)))
+    // 8-bit-per-vector codes are COARSE: within a cluster ADC ties, so
+    // exact-neighbor recall is not the contract — cluster FIDELITY is:
+    // the top-5 of a cluster-0 query must come from cluster 0 (ids<32)
+    val top = Similarity.pqTopK(clustered.filter(col("vec_id") < 10), codes, book, m, k = 5)
+      .select("cand_id").as[Long].collect()
+    val purity = top.count(_ < perCluster).toDouble / top.length
+    assert(purity >= 0.9, f"ADC top-k cluster purity $purity%.2f below floor")
+  }
+
   test("uniform random data: recall ≈ probed fraction (negative control)") {
     val rnd = new scala.util.Random(7)
     val uni = (0L until 256L).map(i => (i, i % 8, Seq.fill(dims)(rnd.nextGaussian())))

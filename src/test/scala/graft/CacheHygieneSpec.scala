@@ -57,6 +57,18 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"empty-case connectedComponents leaked: $leaked")
   }
 
+  test("pqTrain releases its subvector cache; ivfTrain its quantized cache") {
+    val emb = Tables.embeddings(spark, sf)
+    val leaked = leakedAfter {
+      assert(graft.operators.Similarity.pqTrain(emb, m = 4, k = 4, iters = 1).count() > 0L)
+    }
+    assert(leaked.isEmpty, s"pqTrain leaked persistent RDDs: $leaked")
+    val leakedIvf = leakedAfter {
+      assert(graft.operators.Similarity.ivfTrain(emb, k = 4, iters = 1).count() > 0L)
+    }
+    assert(leakedIvf.isEmpty, s"ivfTrain leaked persistent RDDs: $leakedIvf")
+  }
+
   test("langId retains no executor state after evaluation") {
     val docs = Tables.documents(spark, sf)
     val leaked = leakedAfter {

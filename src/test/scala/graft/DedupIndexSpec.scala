@@ -56,6 +56,38 @@ class DedupIndexSpec extends SparkSpec {
     assert(pruned.sameElements(plain))
   }
 
+  test("process applies quality+mojibake gates and reports the per-stage funnel") {
+    import graft.jobs.IncrementalDedupJob
+    val base = java.nio.file.Files.createTempDirectory("funnel").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    // 25 distinct ~5-char tokens: quality 750 (length + token-len +
+    // distinct bands), zero mojibake
+    val goodText = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val batch1 = Seq(
+      (1L, goodText),
+      (2L, goodText),                          // exact dup of 1
+      (3L, goodText.replace("tok1 ", "tokX ")), // near dup of 1 (token jaccard 923)
+      (4L, "aa aa aa"),                        // low quality → gate
+      (5L, ("� " * 40) + goodText)             // mojibake → gate
+    ).toDF("doc_id", "text")
+    val s1 = IncrementalDedupJob.process(batch1, "r", 0L, indexDir, outDir,
+      thresholdPermille = 900, k = 3, minQuality = 500, maxMojibakePermille = 100)
+    assert(s1 === Map("docs_in" -> 5L, "after_quality_gate" -> 3L,
+      "after_exact_dedup" -> 2L, "after_near_dedup" -> 1L,
+      "after_history_dedup" -> 1L))
+    val batch2 = Seq(
+      (10L, goodText),                                   // history dup → dropped
+      (11L, (1 to 25).map(i => s"new$i").mkString(" "))  // novel → survives
+    ).toDF("doc_id", "text")
+    val s2 = IncrementalDedupJob.process(batch2, "r", 1L, indexDir, outDir,
+      thresholdPermille = 900, k = 3, minQuality = 500, maxMojibakePermille = 100)
+    assert(s2 === Map("docs_in" -> 2L, "after_quality_gate" -> 2L,
+      "after_exact_dedup" -> 2L, "after_near_dedup" -> 2L,
+      "after_history_dedup" -> 1L))
+    val kept = spark.read.parquet(outDir).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 11L))
+  }
+
   test("IncrementalDedupJob dedupes each batch against the whole history, across queries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
