@@ -520,7 +520,12 @@ object Dedup {
     * combinable max(struct(score, -id)) per component, and a semi-join
     * back onto the corpus. No window over the corpus, no all-pairs
     * work beyond the pair set itself. Returns the surviving docs with
-    * all input columns intact. */
+    * all input columns intact.
+    *
+    * Like [[connectedComponents]], the returned frame is backed by the
+    * FINAL propagation round's localCheckpoint blocks — release them
+    * with [[Caching.releaseLocalCheckpoints]] (it walks the join plan)
+    * once consumed (`CacheHygieneSpec` proves the path). */
   def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
                idCol: String = "doc_id"): DataFrame = {
     val comps = connectedComponents(pairs)

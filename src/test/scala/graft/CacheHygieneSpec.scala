@@ -57,6 +57,18 @@ class CacheHygieneSpec extends SparkSpec {
     assert(leaked.isEmpty, s"empty-case connectedComponents leaked: $leaked")
   }
 
+  test("keepBest's release path reaches the checkpoint blocks through the joins") {
+    val docs = (1L to 10L).map(i => (i, i)).toDF("doc_id", "score")
+    val pairs = (1L to 10L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b") // one chain → one cluster; score=id → 10 wins
+    val leaked = leakedAfter {
+      val kept = Dedup.keepBest(docs, pairs, col("score"))
+      assert(kept.select("doc_id").as[Long].collect() === Array(10L))
+      Caching.releaseLocalCheckpoints(kept)
+    }
+    assert(leaked.isEmpty, s"keepBest leaked persistent RDDs: $leaked")
+  }
+
   test("pqTrain releases its subvector cache; ivfTrain its quantized cache") {
     val emb = Tables.embeddings(spark, sf)
     val leaked = leakedAfter {
