@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Cdc, Corpus, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Corpus, Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract (see SURVEY.md §2 for the operator inventory each
@@ -487,6 +487,20 @@ object SparkEntry {
       val pairs = Dedup.jaccardPairs(docs, Seq("source", "lang"), thresholdPermille = 900)
       Dedup.keepBest(docs, pairs, size(Dedup.tokens(col("text"))))
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Link analysis over the near-dup graph: degrees (hub detection)
+    // and fixed-point PageRank (canonical-copy ranking within mirrors).
+    "graph_degrees" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.degrees(pairs).orderBy(col("doc_id"))
+    }),
+
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.pageRank(pairs, iters = 3).orderBy(col("doc_id"))
     }),
 
     "dedup_simhash" -> ((s, d) => {
@@ -1604,6 +1618,46 @@ object SparkEntry {
          |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node)
          |SELECT node AS doc_id, min(label) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "graph_degrees" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE floor(inter * 1000 / (sz - inter)) >= 900),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs)
+         |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM edges GROUP BY u ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      val rounds = (1 to 3).map { it =>
+        s"""pr$it AS (SELECT n.node, CAST(1500 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v, sum(p.pr // dg.deg) AS s
+           |    FROM edges e JOIN pr${it - 1} p ON p.node = e.u
+           |                 JOIN deg dg ON dg.u = e.u
+           |    GROUP BY e.v) s ON s.v = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts FROM documents),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |      FROM d a JOIN d b
+         |        ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p
+         |          WHERE floor(inter * 1000 / (sz - inter)) >= 900),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |pr0 AS (SELECT node, CAST(10000 AS BIGINT) AS pr FROM nodes),
+         |$rounds
+         |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, source, lang, list_distinct($tokSql) AS ts
