@@ -319,6 +319,38 @@ object Dedup {
       spark.read.parquet(s"$dir/token_sets"),
       spark.read.parquet(s"$dir/meta").head().getInt(0))
 
+  /** OFFLINE maintenance for a stored index that has accumulated
+    * per-batch appends ([[graft.jobs.IncrementalDedupJob]] writes a
+    * few files per micro-batch — the classic small-file problem: a
+    * year of 5-minute batches is ~10⁵ tiny files per part, and the
+    * exact-stage anti-join pays an open() per file). Each part is
+    * rewritten at ⌈bytes/targetBytes⌉ files and DEDUPLICATED
+    * (at-least-once index appends may retry identical rows — harmless
+    * for correctness, wasteful at scan), then swapped in via rename
+    * with a `.bak` kept until the swap completes. NOT safe
+    * concurrently with a running ingestion — run between jobs (crash
+    * mid-swap leaves either `.bak` or the compacted dir; both carry
+    * the full data). `meta` is untouched. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    for (part <- Seq("hashes", "signatures", "token_sets")) {
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$part")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.${part}_compact")
+      val bak = new org.apache.hadoop.fs.Path(s"$dir/.${part}_bak")
+      val fs = cur.getFileSystem(conf)
+      fs.delete(tmp, true); fs.delete(bak, true) // stale leftovers
+      val bytes = fs.getContentSummary(cur).getLength
+      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(cur.toString).distinct()
+        .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+      fs.rename(cur, bak)
+      fs.rename(tmp, cur)
+      fs.delete(bak, true)
+    }
+  }
+
   /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
     * duplicate the EXISTING `corpus`, exactly (content hash anti-join)
     * or nearly (cross-corpus LSH candidates, Jaccard-verified).

@@ -56,6 +56,47 @@ class DedupIndexSpec extends SparkSpec {
     assert(pruned.sameElements(plain))
   }
 
+  test("compactIndex shrinks file counts, dedupes retried appends, preserves results") {
+    import graft.jobs.IncrementalDedupJob
+    val base = java.nio.file.Files.createTempDirectory("compact_idx").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val mk = (lo: Int) => (lo until lo + 20)
+      .map(i => (i.toLong, (1 to 25).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // three batches → per-batch appends
+    IncrementalDedupJob.process(mk(0), "r", 0L, indexDir, outDir, 900, 3)
+    IncrementalDedupJob.process(mk(100), "r", 1L, indexDir, outDir, 900, 3)
+    IncrementalDedupJob.process(mk(200), "r", 2L, indexDir, outDir, 900, 3)
+    // simulate an at-least-once index-append RETRY: re-append a copy of
+    // the existing hash rows (materialized first — never read-while-
+    // writing the same dir)
+    val hPath = s"$indexDir/hashes"
+    val dupRows = spark.read.parquet(hPath).collect().toSeq
+    val dupSchema = spark.read.parquet(hPath).schema
+    spark.createDataFrame(spark.sparkContext.parallelize(dupRows, 1), dupSchema)
+      .write.mode("append").parquet(hPath)
+    val distinctHashes = spark.read.parquet(hPath).distinct().count()
+    assert(spark.read.parquet(hPath).count() === distinctHashes * 2)
+    val delta = mk(300).unionByName(mk(100).limit(3)) // 3 known history dups
+    def surviving(): Array[Long] = {
+      val idx = Dedup.readIndex(spark, indexDir)
+      Dedup.dedupeAgainstIndex(delta, idx, 900)
+        .select("doc_id").as[Long].collect().sorted
+    }
+    def files(part: String): Int =
+      new java.io.File(s"$indexDir/$part").listFiles((_, n) => n.endsWith(".parquet")).length
+    val before = surviving()
+    assert(before.length === 20 && before.forall(_ >= 300L))
+    val filesBefore = files("hashes")
+    assert(filesBefore >= 4, s"expected per-batch appends, got $filesBefore files")
+    Dedup.compactIndex(spark, indexDir, targetBytes = 1L << 30)
+    assert(files("hashes") === 1 && files("signatures") === 1 && files("token_sets") === 1)
+    // the retried duplicate rows are gone, nothing else is
+    assert(spark.read.parquet(hPath).count() === distinctHashes)
+    assert(Dedup.readIndex(spark, indexDir).k === 3) // meta untouched
+    assert(surviving().sameElements(before))
+  }
+
   test("process applies quality+mojibake gates and reports the per-stage funnel") {
     import graft.jobs.IncrementalDedupJob
     val base = java.nio.file.Files.createTempDirectory("funnel").toString
