@@ -721,6 +721,16 @@ object SparkEntry {
         .orderBy(col("shuf_key"), col("doc_id"))
     }),
 
+    // Short-to-long curriculum: 50-token length bands ascending,
+    // hash-shuffled within each band.
+    "corpus_curriculum" -> ((s, d) => {
+      Corpus.curriculum(Tables.documents(s, d),
+          bandCol = floor(size(Dedup.tokens(col("text"))) / 50),
+          seed = "epoch0")
+        .select(col("doc_id"), col("band"), col("shuf_key"))
+        .orderBy(col("band"), col("shuf_key"), col("doc_id"))
+    }),
+
     "corpus_sample" -> ((s, d) => {
       Corpus.stratifiedSample(Tables.documents(s, d), "source",
         Map("src0" -> 300, "src1" -> 700), defaultPermille = 100)
@@ -2075,6 +2085,13 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY domain ORDER BY bk, doc_id) AS rn
          |      FROM b)
          |SELECT doc_id, domain FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    "corpus_curriculum" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             CAST(len($tokSql) // 50 AS BIGINT) AS band,
+         |             md5('curr|epoch0|' || CAST(doc_id AS VARCHAR)) AS m FROM documents)
+         |SELECT doc_id, band, (${hexSliceSql("m", 1)}) AS shuf_key
+         |FROM h ORDER BY band, shuf_key, doc_id""".stripMargin,
 
     "corpus_shuffle" ->
       s"""WITH h AS (SELECT doc_id,

@@ -312,6 +312,29 @@ object Corpus {
       .sortWithinPartitions(col("shuf_key"), col(idCol))
   }
 
+  /** Curriculum ordering for training: deterministic global order by
+    * (difficulty band ASC, epoch-shuffle hash) — easy-to-hard ACROSS
+    * bands, reproducibly shuffled WITHIN each band. Same guarantees
+    * and shape as [[shuffleOrder]] (one range exchange, no global
+    * window): a new seed per epoch re-shuffles within bands while the
+    * curriculum itself stays fixed. `bandCol` is any integer
+    * difficulty signal (token-length decile, inverted quality band,
+    * a model-scored loss bucket). */
+  def curriculum(docs: DataFrame, bandCol: Column, seed: String,
+                 idCol: String = "doc_id", partitions: Int = 0): DataFrame = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val keyed = docs
+      .withColumn("band", bandCol.cast("long"))
+      .withColumn("shuf_key",
+        hex_slice_long(md5(concat(lit(s"curr|$seed|"),
+          col(idCol).cast("string")).cast("binary")), 0))
+    val n = if (partitions > 0) partitions
+            else docs.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("band"), col("shuf_key"), col(idCol))
+      .sortWithinPartitions(col("band"), col("shuf_key"), col(idCol))
+  }
+
   /** CCNet/RefinedWeb-style boilerplate removal, adapted to corpora
     * without line structure: segment each document into consecutive
     * `segWords`-word windows, count ACROSS the corpus how many
