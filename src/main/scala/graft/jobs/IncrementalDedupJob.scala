@@ -90,6 +90,14 @@ object IncrementalDedupJob {
       "the quality gate's feature extractor reads the 'text' column")
     val gated =
       if (minQuality <= 0L && maxMojibakePermille >= 1000L) batch
+      else if (minQuality <= 0L)
+        // mojibake ceiling alone: the permille expression is
+        // textCol-parameterized and the composite score (which hard-codes
+        // 'text', hence the require above) is never computed — a
+        // mojibake-only gate neither pays the score pass nor restricts
+        // the column name.
+        batch.filter(
+          graft.operators.TextAnalysis.mojibakePermille(col(textCol)) <= maxMojibakePermille)
       else graft.operators.TextAnalysis.withQualityScore(batch)
         .filter(col("quality_score") >= minQuality &&
           graft.operators.TextAnalysis.mojibakePermille(col(textCol)) <= maxMojibakePermille)

@@ -122,6 +122,71 @@ object Dedup {
       thresholdPermille, idCol)
   }
 
+  /** [[jaccardPairs]] with a SCALE-CORRECT block key: a candidate pair
+    * must share `strataCols` AND collide in at least one MinHash LSH
+    * band computed over the very set whose Jaccard is verified.
+    *
+    * Why this exists: blocking on fixed strata alone (e.g.
+    * (source, lang) with a fixed 20×5 cross) means block population
+    * grows LINEARLY with the corpus and intra-block pair work
+    * QUADRATICALLY — correct on a test SF, an outage at 100 TB. Adding
+    * the band bucket makes block size governed by hash-collision
+    * probability (buckets hold near-dups plus O(1) random collisions
+    * regardless of corpus size), so pair-generation cost scales with
+    * the true near-dup density, not the stratum census. `strataCols`
+    * may be empty for a pure-LSH sweep.
+    *
+    * Semantics become MinHash-LSH candidate generation + exact
+    * verification (the standard near-dedup recipe): a pair at true
+    * Jaccard s survives banding with probability 1−(1−s^r)^b — with
+    * the default 4 bands × 2 rows that is 99.87% at s = 0.9 and 98.3%
+    * at s = 0.8. `LshBlockingSpec` measures realized recall against
+    * the exhaustive stratum form and proves the block-size bound. */
+  def jaccardPairsBanded(docs: DataFrame, strataCols: Seq[String],
+                         thresholdPermille: Int, idCol: String = "doc_id"): DataFrame =
+    bandedPairsOn(docs, array_distinct(tokens(col("text"))), strataCols,
+      thresholdPermille, idCol)
+
+  /** [[charNgramPairs]] with the [[jaccardPairsBanded]] block key —
+    * the minhash runs over the char k-gram set itself, so banding
+    * recall tracks the char-gram similarity being verified. */
+  def charNgramPairsBanded(docs: DataFrame, strataCols: Seq[String],
+                           thresholdPermille: Int, k: Int = 5,
+                           idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.CharShingles.char_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    bandedPairsOn(docs, array_distinct(char_shingles(col("text"), k)), strataCols,
+      thresholdPermille, idCol)
+  }
+
+  private def bandedPairsOn(docs: DataFrame, tsetExpr: Column,
+                            strataCols: Seq[String], thresholdPermille: Int,
+                            idCol: String): DataFrame = {
+    val base = Partitioning.fanOut(docs)
+      .withColumn("tset", tsetExpr)
+      .withColumn("tsz", size(col("tset")).cast("long"))
+      .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
+    // signature over the verification set itself (docs with an empty
+    // set produce no signature rows — they cannot pair in the
+    // exhaustive form either)
+    val sig = minhashSignature(
+      base.select(col(idCol), col("tset").as("shingles")), idCol = idCol)
+    val buckets = lshBuckets(sig, numHashes = 8, rowsPerBand = 2, idCol)
+      .join(base.select(col(idCol).as("doc") +: strataCols.map(col): _*), "doc")
+    val a = buckets.select(col("doc").as("doc_a") +: col("band") +: col("bv") +:
+      strataCols.map(col): _*)
+    val b = buckets.select(col("doc").as("doc_b") +: col("band").as("band_b") +:
+      col("bv").as("bv_b") +: strataCols.map(c => col(c).as(s"__b_$c")): _*)
+    val cond = (Seq(col("band") === col("band_b"), col("bv") === col("bv_b")) ++
+      strataCols.map(c => col(c) === col(s"__b_$c"))).reduce(_ && _) &&
+      col("doc_a") < col("doc_b")
+    // distinct BEFORE the token-set joins: a pair colliding in several
+    // bands must pay verification once, not once per band
+    val cands = a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerifySetsFull(base.select(col(idCol), col("tset"), col("tsz")),
+      cands, thresholdPermille, idCol)
+  }
+
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
                              blockCols: Seq[String], thresholdPermille: Int,
                              idCol: String): DataFrame = {
@@ -252,9 +317,10 @@ object Dedup {
         col("ts_a"), col("ts_b"))
   }
 
-  /** Shared band-bucket projection for LSH joins. */
-  private def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
-                         idCol: String): DataFrame = {
+  /** Shared band-bucket projection for LSH joins. Package-visible so
+    * specs can assert bucket-size bounds directly. */
+  private[graft] def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+                                idCol: String): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand)
@@ -345,8 +411,16 @@ object Dedup {
       val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       spark.read.parquet(cur.toString).distinct()
         .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-      fs.rename(cur, bak)
-      fs.rename(tmp, cur)
+      // rename returns false instead of throwing on several filesystems;
+      // an unchecked failure here is silent data damage — HDFS rename
+      // into an EXISTING dir moves the source INSIDE it, so a failed
+      // (cur → bak) followed by (tmp → cur) would nest the compacted
+      // data under the live index and leave the old files in place.
+      // Abort loudly and keep tmp/bak on disk for inspection.
+      require(fs.rename(cur, bak), s"compactIndex: rename $cur -> $bak failed; " +
+        s"compacted data left at $tmp, index unchanged")
+      require(fs.rename(tmp, cur), s"compactIndex: rename $tmp -> $cur failed; " +
+        s"original data preserved at $bak — restore by renaming it back")
       fs.delete(bak, true)
     }
   }
@@ -363,9 +437,10 @@ object Dedup {
     * [[DedupIndex]] (same code path — this is a one-liner over it). */
   def dedupeAgainst(newDocs: DataFrame, corpus: DataFrame, thresholdPermille: Int,
                     k: Int = 3, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame =
+                    idCol: String = "doc_id",
+                    bloomFpp: Option[Double] = Some(0.01)): DataFrame =
     dedupeAgainstIndex(newDocs, buildIndex(corpus, k, textCol, idCol),
-      thresholdPermille, textCol, idCol)
+      thresholdPermille, textCol, idCol, bloomFpp)
 
   /** [[dedupeAgainst]] against a prebuilt (typically parquet-stored)
     * [[DedupIndex]] — the corpus is never rescanned: the delta's
@@ -429,7 +504,15 @@ object Dedup {
     * tsz) — the form a stored index uses directly. */
   def jaccardVerifySets(withSets: DataFrame, pairs: DataFrame,
                         thresholdPermille: Int,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id"): DataFrame =
+    jaccardVerifySetsFull(withSets, pairs, thresholdPermille, idCol)
+      .select(col("doc_a"), col("doc_b"), col("jac_permille"))
+
+  /** [[jaccardVerifySets]] keeping `inter`/`uni` — the schema the
+    * blocked-pair operators emit. */
+  private def jaccardVerifySetsFull(withSets: DataFrame, pairs: DataFrame,
+                                    thresholdPermille: Int,
+                                    idCol: String = "doc_id"): DataFrame = {
     pairs
       .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta"),
         col("tsz").as("sza")), "doc_a")
@@ -442,7 +525,7 @@ object Dedup {
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
-      .select(col("doc_a"), col("doc_b"), col("jac_permille"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jac_permille"))
   }
 
   /** 16-bit SimHash over tokens: bit j of the hash is the sign of the

@@ -64,6 +64,14 @@ object Multimodal {
   // ffmpeg/soundfile slot in for pixel/sample decode).
   // ---------------------------------------------------------------
 
+  private val PngSignature: Array[Int] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  private def isPngSignature(b: Array[Byte]): Boolean =
+    b.length >= 8 && (0 until 8).forall(i => (b(i) & 0xff) == PngSignature(i))
+  private def i32be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def i32le(b: Array[Byte], off: Int): Int =
@@ -82,10 +90,12 @@ object Multimodal {
     StructField("bits_per_sample", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Parse a BMP (BITMAPINFOHEADER) or WAV (RIFF/fmt chunk walk)
-    * header. Returns (format, width, height, channels, sampleRate,
-    * bitsPerSample); unknown/truncated payloads → ("unknown", stub
-    * dims) — the honest fallback for formats needing a real codec. */
+  /** Parse a BMP (BITMAPINFOHEADER), PNG (signature + IHDR chunk) or
+    * WAV (RIFF/fmt chunk walk) header. Returns (format, width, height,
+    * channels, sampleRate, bitsPerSample) — for PNG, bitsPerSample is
+    * the IHDR bit depth per channel; unknown/truncated payloads →
+    * ("unknown", stub dims) — the honest fallback for formats needing
+    * a real codec. */
   private[graft] def parseHeader(bytes0: Array[Byte])
       : (String, Integer, Integer, Integer, Integer, Integer) = {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
@@ -104,6 +114,30 @@ object Multimodal {
             math.max(1, u16le(bytes, 24) / 8), null, null)
         case _ => ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
       }
+    } else if (bytes.length >= 26 && isPngSignature(bytes)) {
+      // PNG: 8-byte signature, then the IHDR chunk MUST come first
+      // (spec: [len:4 BE][,"IHDR"][width:4 BE][height:4 BE][bit
+      // depth:1][color type:1]...) — width at 16, height at 20, depth
+      // at 24, color type at 25. Header-only parse: the IHDR CRC is
+      // not validated (that is the pixel decoder's job). A width or
+      // height with the high bit set is out of the PNG domain
+      // (unsigned 31-bit) → malformed, fall back.
+      if (tag(bytes, 12) == "IHDR") {
+        val width = i32be(bytes, 16)
+        val height = i32be(bytes, 20)
+        val depth = bytes(24) & 0xff
+        val channels = (bytes(25) & 0xff) match {
+          case 0 => 1 // greyscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette index
+          case 4 => 2 // grey + alpha
+          case 6 => 4 // truecolor + alpha
+          case _ => -1
+        }
+        if (width > 0 && height > 0 && channels > 0)
+          ("png", width, height, channels, null, depth)
+        else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
+      } else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
     } else if (bytes.length >= 36 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
       // chunk walk: [id:4][size:4][payload:size], first chunk at 12.
       // Sizes are attacker-controlled bytes: a negative or huge size
@@ -160,6 +194,25 @@ object Multimodal {
     b.putInt(width).putInt(height)
     b.putShort(1)           // planes
     b.putShort(bpp.toShort)
+    b.array()
+  }
+
+  /** Minimal valid PNG bytes: the 8-byte signature + a complete IHDR
+    * chunk (13-byte payload, zeroed CRC — [[parseHeader]] reads
+    * fields, not checksums). `colorType` per the PNG spec: 0 grey,
+    * 2 truecolor, 3 palette, 4 grey+alpha, 6 truecolor+alpha. */
+  private[graft] def pngBytes(width: Int, height: Int, bitDepth: Int,
+                              colorType: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+    PngSignature.foreach(x => b.put(x.toByte))
+    b.putInt(13)                  // IHDR payload length
+    b.put("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.putInt(width).putInt(height)
+    b.put(bitDepth.toByte).put(colorType.toByte)
+    b.put(0.toByte)               // compression
+    b.put(0.toByte)               // filter
+    b.put(0.toByte)               // interlace
+    // 4 CRC bytes left zeroed
     b.array()
   }
 
@@ -329,8 +382,11 @@ object Multimodal {
         val bytes =
           if (id % 2 == 0)
             bmpBytes((1 + id % 64).toInt, (1 + id % 32).toInt, 24)
-          else
+          else if (id % 4 == 1)
             wavBytes((1 + (id / 2) % 2).toInt, (8000 + (id % 8) * 1000).toInt, 16)
+          else // id % 4 == 3: PNG, color type cycling grey/RGB/RGBA
+            pngBytes((1 + id % 128).toInt, (1 + id % 64).toInt, 8,
+              Array(0, 2, 6)(((id / 4) % 3).toInt))
         Row(id, bytes)
       }
     }(enc)

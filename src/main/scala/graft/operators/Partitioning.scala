@@ -97,17 +97,23 @@ object Partitioning {
     * after the read; [[SourcesSinksSpec]] proves pruned ≡ full-scan
     * results with strictly fewer input files. */
   def readPruned(spark: org.apache.spark.sql.SparkSession, index: DataFrame,
-                 keep: Column): DataFrame = {
+                 keep: Column, basePath: Option[String] = None): DataFrame = {
+    // An explicit file list drops Hive partition-directory columns
+    // unless the reader is told where the partition tree is rooted —
+    // pass `basePath = Some(tableDir)` for a partitioned layout or the
+    // pruned schema silently loses the partition columns the full-dir
+    // scan had. Unpartitioned layouts need no basePath.
+    def reader = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
     val files = index.filter(keep).select(col("file"))
       .collect().map(_.getString(0))
-    if (files.nonEmpty) spark.read.parquet(files: _*)
+    if (files.nonEmpty) reader.parquet(files: _*)
     else {
       // nothing survives the prune: empty frame, but with the DATA
       // schema (read any indexed file, keep zero rows) so downstream
       // filters still resolve
       val any = index.select(col("file")).limit(1).collect().map(_.getString(0))
       if (any.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(any: _*).limit(0)
+      else reader.parquet(any: _*).limit(0)
     }
   }
 }

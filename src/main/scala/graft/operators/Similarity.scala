@@ -483,4 +483,47 @@ object Similarity {
       Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
       .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
   }
+
+  /** A persistable trained-ANN model set — coarse IVF centroids
+    * (k×dims) + PQ codebook (m×k×(dims/m)): a few KB of parquet that
+    * turn query serving into pure broadcast-lookup joins. This is the
+    * production IVFPQ shape: training runs once per corpus version
+    * ([[writeAnnModel]]), queries [[readAnnModel]] and never pay Lloyd
+    * iterations again. Mirrors [[Dedup.DedupIndex]]'s parquet
+    * round-trip; `m` is RECORDED in the model like `DedupIndex.k` —
+    * encoding with a different subspace count than the codebook was
+    * trained with would silently score garbage, so consumers read it
+    * from the model instead of remembering it. */
+  final case class AnnModel(coarse: DataFrame, codebook: DataFrame, m: Int)
+
+  /** Train both quantizers. Coarse `k` cells must grow with the corpus
+    * (√n is the usual rule) — see PERF.md's Σcell² discussion. */
+  def annTrain(emb: DataFrame, coarseK: Int, m: Int, pqK: Int, iters: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): AnnModel =
+    AnnModel(ivfTrain(emb, coarseK, iters, idCol, vecCol),
+      pqTrain(emb, m, pqK, iters, idCol, vecCol), m)
+
+  def writeAnnModel(model: AnnModel, dir: String): Unit = {
+    model.coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    model.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val spark = model.coarse.sparkSession
+    import spark.implicits._
+    // meta LAST: its existence implies the model dirs are complete
+    Seq(model.m).toDF("m").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readAnnModel(spark: org.apache.spark.sql.SparkSession, dir: String): AnnModel =
+    AnnModel(
+      spark.read.parquet(s"$dir/coarse"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/meta").head().getInt(0))
+
+  /** [[ivfPqTopK]] against a STORED model — the serving path: zero
+    * training, query cost is the assignment broadcasts + the
+    * (cell, code) equi-joins. */
+  def ivfPqTopKStored(queries: DataFrame, candidates: DataFrame,
+                      model: AnnModel, k: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqTopK(queries, candidates, model.coarse, model.codebook, model.m, k,
+      idCol, vecCol)
 }

@@ -437,6 +437,59 @@ object TextAnalysis {
     } finally vocab.unpersist()
   }
 
+  /** [[bpeMerges]] at PRODUCTION merge counts: the unrolled form nests
+    * one fold expression per learned rank (analysis cost and
+    * re-applied work grow with k², hence its k ≤ 8 cap); this form
+    * MATERIALIZES the folded vocabulary each round (`localCheckpoint`,
+    * previous round released — the [[Dedup.connectedComponents]]
+    * discipline), so every round applies exactly ONE fold to an
+    * already-merged symbol table. Per-round cost is a vocabulary-local
+    * pass + a pair-count aggregate + a 1-row argmax collect; the
+    * CORPUS is scanned once, to build the word-count vocabulary —
+    * Zipf's law keeps that table orders of magnitude smaller than the
+    * token stream, which is what makes k ≈ 100+ merges near-linear in
+    * k (`BpeScaleSpec` measures it). Identical output to
+    * [[bpeMerges]] for any k both accept. */
+  def bpeMergesIter(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    import graft.functions.CharShingles.char_shingles
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // the single corpus scan
+    var vocab = Partitioning.fanOut(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), char_shingles(col("word"), 1).as("syms"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to merges if !exhausted) {
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // vocabulary fully merged
+      else {
+        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        out += ((rank.toLong, l, r, l + r, cnt))
+        val next = vocab
+          .select(col("cnt"), expr(foldMergeSql("syms", l, r)).as("syms"))
+          .localCheckpoint() // eager — materialized before the release
+        Caching.releaseLocalCheckpoints(vocab)
+        vocab = next
+      }
+    }
+    Caching.releaseLocalCheckpoints(vocab)
+    import spark.implicits._
+    out.result().toDF("merge_rank", "left", "right", "merged", "cnt")
+  }
+
   /** Greedy non-overlapping left-to-right merge of the literal pair
     * (`l`, `r`) over the array<string> SQL expression `inner`. */
   private def foldMergeSql(inner: String, l: String, r: String): String = {

@@ -32,8 +32,16 @@ object PlanLint {
       b += "cartesian: CartesianProduct/BroadcastNestedLoopJoin in plan"
     if (!allowSortAggregate && plan.contains("SortAggregate"))
       b += "sort-aggregate: SortAggregate on a path expected to hash-aggregate"
+    // Only SHUFFLE exchanges count against the budget: a
+    // BroadcastExchange is the cheap alternative we WANT plans to pick,
+    // and charging it would pad budgets until a real shuffle regression
+    // hides inside the slack. Shuffle nodes render as
+    // "Exchange hashpartitioning/rangepartitioning/SinglePartition/…";
+    // broadcast nodes as "BroadcastExchange"; reused ones as
+    // "ReusedExchange".
     val exchanges = plan.linesIterator
-      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange ") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
     if (exchanges > maxExchanges)
       b += s"exchanges: $exchanges shuffle exchanges, budget $maxExchanges"
     b.result()

@@ -155,4 +155,21 @@ class AnnRecallSpec extends SparkSpec {
     val joined = clustered.join(surv, "vec_id")
     assert(Similarity.nearDupPairs(joined, "cell", 0.9).isEmpty)
   }
+
+  test("stored AnnModel round-trips: parquet-served IVFPQ ≡ fresh-trained") {
+    val model = Similarity.annTrain(clustered, coarseK = nClusters, m = 4, pqK = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_model_spec").toString
+    Similarity.writeAnnModel(model, dir)
+    val back = Similarity.readAnnModel(spark, dir)
+    assert(back.m === 4, "m must survive the round-trip (DedupIndex.k precedent)")
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk"))
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("adc"))
+        .collect().toSeq
+    val fresh = rows(Similarity.ivfPqTopK(queries, clustered,
+      model.coarse, model.codebook, m = 4, k = 5))
+    val stored = rows(Similarity.ivfPqTopKStored(queries, clustered, back, k = 5))
+    assert(stored === fresh, "stored-model serving must be bit-identical to fresh training")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 
-/** The pure-JVM BMP/WAV header parser against hand-built byte arrays
+/** The pure-JVM BMP/PNG/WAV header parser against hand-built byte arrays
   * — real fixed-offset decoding, not the stub — plus the stub
   * fallback for unknown/truncated payloads and the distributed
   * round-trip through synthetic blobs.
@@ -102,6 +102,32 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(got(1).getString(1) === "unknown")
   }
 
+  test("PNG IHDR: width/height/channels/bit-depth from fixed offsets") {
+    assert(Multimodal.parseHeader(Multimodal.pngBytes(800, 600, 8, 2)) ===
+      ("png", 800, 600, 3, null, 8))
+    // every spec color type → channel count
+    for ((ct, ch) <- Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4))
+      assert(Multimodal.parseHeader(Multimodal.pngBytes(17, 9, 16, ct)) ===
+        ("png", 17, 9, ch, null, 16), s"colorType=$ct")
+  }
+
+  test("malformed PNGs fall back to the stub, never parse as png") {
+    // signature but truncated before the IHDR payload
+    assert(Multimodal.parseHeader(
+      Multimodal.pngBytes(4, 4, 8, 0).take(20))._1 === "unknown")
+    // signature with a non-IHDR first chunk (spec violation)
+    val wrongChunk = Multimodal.pngBytes(4, 4, 8, 0)
+    "IDAT".getBytes.copyToArray(wrongChunk, 12)
+    assert(Multimodal.parseHeader(wrongChunk)._1 === "unknown")
+    // width with the high bit set (out of PNG's unsigned-31-bit domain)
+    val negWidth = Multimodal.pngBytes(4, 4, 8, 0)
+    negWidth(16) = 0x80.toByte
+    assert(Multimodal.parseHeader(negWidth)._1 === "unknown")
+    // zero height and an unknown color type
+    assert(Multimodal.parseHeader(Multimodal.pngBytes(4, 0, 8, 0))._1 === "unknown")
+    assert(Multimodal.parseHeader(Multimodal.pngBytes(4, 4, 8, 5))._1 === "unknown")
+  }
+
   test("distributed round-trip: syntheticBlobs → decodeHeaders recovers encoded values") {
     val docs = (0L until 40L).toDF("doc_id")
     val got = Multimodal.decodeHeaders(Multimodal.syntheticBlobs(docs))
@@ -112,11 +138,16 @@ class MultimodalHeaderSpec extends SparkSpec {
         assert(r.getString(1) === "bmp")
         assert(r.getInt(2) === (1 + id % 64).toInt && r.getInt(3) === (1 + id % 32).toInt)
         assert(r.getInt(4) === 3 && r.isNullAt(5) && r.isNullAt(6))
-      } else {
+      } else if (id % 4 == 1) {
         assert(r.getString(1) === "wav")
         assert(r.isNullAt(2) && r.isNullAt(3))
         assert(r.getInt(4) === (1 + (id / 2) % 2).toInt)
         assert(r.getInt(5) === (8000 + (id % 8) * 1000).toInt && r.getInt(6) === 16)
+      } else {
+        assert(r.getString(1) === "png")
+        assert(r.getInt(2) === (1 + id % 128).toInt && r.getInt(3) === (1 + id % 64).toInt)
+        assert(r.getInt(4) === Array(1, 3, 4)(((id / 4) % 3).toInt))
+        assert(r.isNullAt(5) && r.getInt(6) === 8)
       }
     }
   }

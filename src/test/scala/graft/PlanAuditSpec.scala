@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_sq8" -> "broadcast query vectors × int8 candidate codes",
     "sim_ivf_assign" -> "broadcast centroids; min-distance assignment per vector",
     "sim_ann_ivfpq" -> "broadcast coarse centroids for cell assignment (k×dims)",
+    "sim_ann_ivfpq_stored" -> "broadcast STORED coarse centroids for cell assignment (k×dims)",
     "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",
     "sim_bm25" -> "single-row corpus stats (N, avgdl) joined under every scored doc",
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",

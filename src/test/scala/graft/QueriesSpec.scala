@@ -8,7 +8,11 @@ package graft
 class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("rel_approx_sketches") // sketch algs differ per engine
+    val rowsOnly = Set(
+      "rel_approx_sketches", // sketch algs differ per engine
+      "text_bpe_merges100")  // 100 chained greedy folds aren't SQL-expressible;
+                             // parity with the oracle-checked k≤8 form is
+                             // spec-pinned in BpeScaleSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
