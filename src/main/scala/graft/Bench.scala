@@ -103,55 +103,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val steadyMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "steady") != "min2"
-    var extraRuns = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val gc0 = gcMs
-      var flags = List.empty[String]
-      // runs(0) is the newest measurement
-      var runs = List(once(fn, name))
-      runs ::= once(fn, name)
-      def best: Double = runs.min
-      if (steadyMode || math.abs(runs.head - runs.last) > 0.3 * best)
-        runs ::= once(fn, name)
-      if (steadyMode) {
-        // the hot (3rd+) run should never be 5x the best run of the
-        // same JVM — that is a steal burst landing on it, re-measure
-        var tries = 0
-        while (runs.head > 5.0 * best && tries < 2) {
-          runs ::= once(fn, name); extraRuns += 1; tries += 1
-        }
-        if (tries > 0) flags ::= "steady_remeasured"
-        if (runs.head > 5.0 * best) flags ::= "steady_outlier_unresolved"
-      }
-      ref.get(name).foreach { prior =>
-        if (best > 5.0 * prior) {
-          runs ::= once(fn, name); extraRuns += 1
-          flags ::= (if (best > 5.0 * prior) "exceeds_5x_prior_steady"
-                     else "prior_ref_remeasured")
-        }
-      }
-      // value = least-contaminated estimate of plan cost (min over all
-      // runs); steady = best hot run (3rd onward), so a quiet host
-      // reports the classic third-run number.
-      val hot = runs.dropRight(2)
-      val steady = if (steadyMode && hot.nonEmpty) Some(hot.min) else None
-      val gcSec = (gcMs - gc0) / 1000.0
-      name -> ((best, steady, gcSec, flags.reverse))
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
+    // diagnosis of a single regression without paying the full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
     }
+    // The measurement schedule and outlier defense live in
+    // BenchPolicy.measure (pure, unit-tested in BenchPolicySpec).
+    val results = selected.map { case (name, fn) =>
+      val gc0 = gcMs
+      val m = BenchPolicy.measure(() => once(fn, name), steadyMode, ref.get(name))
+      val gcSec = (gcMs - gc0) / 1000.0
+      name -> ((m, gcSec))
+    }
+    val extraRuns = results.values.map(_._1.extraRuns).sum
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val qs = fmt(results.map { case (k, (v, _, _, _)) => k -> v })
-    val total = results.values.map(_._1).sum
+    val qs = fmt(results.map { case (k, (m, _)) => k -> m.value })
+    val total = results.values.map(_._1.value).sum
     val steadyPart = if (steadyMode) {
-      val sq = results.collect { case (k, (_, Some(s), _, _)) => k -> s }
+      val sq = results.collect { case (k, (m, _)) if m.steady.isDefined => k -> m.steady.get }
       f""","value_steady":${sq.values.sum}%.3f,"queries_steady":${fmt(sq)}"""
     } else ""
-    val gcTotal = results.values.map(_._3).sum
-    val gcPart = f""","gc_sec":$gcTotal%.3f,"queries_gc":${fmt(results.map { case (k, (_, _, g, _)) => k -> g })}"""
-    val flagged = results.collect { case (k, (_, _, _, f)) if f.nonEmpty =>
-      "\"" + k + "\":\"" + f.mkString("+") + "\"" }
-    val degraded = flagged.size >= math.max(3, results.size / 5) ||
-      extraRuns >= math.max(5, results.size / 4)
+    val gcTotal = results.values.map(_._2).sum
+    val gcPart = f""","gc_sec":$gcTotal%.3f,"queries_gc":${fmt(results.map { case (k, (_, g)) => k -> g })}"""
+    val flagged = results.collect { case (k, (m, _)) if m.flags.nonEmpty =>
+      "\"" + k + "\":\"" + m.flags.mkString("+") + "\"" }
+    val degraded = BenchPolicy.degradedHost(results.size, flagged.size, extraRuns)
     if (degraded)
       System.err.println("[bench] DEGRADED_HOST: " +
         s"${flagged.size} queries flagged, $extraRuns defensive re-runs — " +

@@ -1,0 +1,68 @@
+package graft
+
+/** The bench's measurement policy as a PURE function of scripted run
+  * results — extracted from [[Bench]] so the self-defense logic (the
+  * part that exists because a past round recorded 135 s for a 2.7 s
+  * query) is unit-testable without a SparkSession or a wall clock
+  * (`BenchPolicySpec`).
+  */
+object BenchPolicy {
+
+  /** One query's verdict: `value` = min over all runs (the least-
+    * contaminated estimate of plan cost), `steady` = best hot (3rd+)
+    * run, `extraRuns` = defensive re-measurements beyond the standard
+    * schedule, `flags` in occurrence order. */
+  final case class Measurement(value: Double, steady: Option[Double],
+                               extraRuns: Int, flags: List[String])
+
+  /** Measure one query by invoking `once` per the schedule:
+    *
+    *  1. two runs always (run 1 pays codegen compile); a third when
+    *     they disagree by >30% or `steadyMode` is on;
+    *  2. in steady mode, a hot run exceeding 5x the same-JVM best is a
+    *     steal burst, not plan cost — re-measure up to twice
+    *     (`steady_remeasured`; `steady_outlier_unresolved` if the last
+    *     hot run STILL exceeds 5x);
+    *  3. if even the best run exceeds 5x the committed prior-round
+    *     steady value, re-measure once more; flag
+    *     `exceeds_5x_prior_steady` if the excess persists, else
+    *     `prior_ref_remeasured`.
+    */
+  def measure(once: () => Double, steadyMode: Boolean,
+              priorSteady: Option[Double]): Measurement = {
+    var extra = 0
+    var flags = List.empty[String]
+    // runs(0) is the newest measurement
+    var runs = List(once())
+    runs ::= once()
+    def best: Double = runs.min
+    if (steadyMode || math.abs(runs.head - runs.last) > 0.3 * best)
+      runs ::= once()
+    if (steadyMode) {
+      var tries = 0
+      while (runs.head > 5.0 * best && tries < 2) {
+        runs ::= once(); extra += 1; tries += 1
+      }
+      if (tries > 0) flags ::= "steady_remeasured"
+      if (runs.head > 5.0 * best) flags ::= "steady_outlier_unresolved"
+    }
+    priorSteady.foreach { prior =>
+      if (best > 5.0 * prior) {
+        runs ::= once(); extra += 1
+        // best now includes the re-measurement
+        flags ::= (if (best > 5.0 * prior) "exceeds_5x_prior_steady"
+                   else "prior_ref_remeasured")
+      }
+    }
+    // hot = every run after the first two
+    val hot = runs.dropRight(2)
+    val steady = if (steadyMode && hot.nonEmpty) Some(hot.min) else None
+    Measurement(best, steady, extra, flags.reverse)
+  }
+
+  /** Session-level verdict: the artifact should be distrusted when
+    * defensive work piled up across many queries. */
+  def degradedHost(nQueries: Int, nFlagged: Int, extraRuns: Int): Boolean =
+    nFlagged >= math.max(3, nQueries / 5) ||
+      extraRuns >= math.max(5, nQueries / 4)
+}

@@ -908,14 +908,17 @@ object SparkEntry {
     }),
 
     // The SERVING shape of IVFPQ: the first call per (JVM, sf dir)
-    // trains and parquets the model (the offline index build); every
-    // later call — bench re-runs, the steady measurement — reads the
-    // stored centroids/codebook and pays only the broadcast-lookup
-    // query cost. Same deterministic result as sim_ann_ivfpq.
+    // builds and parquets the FULL index — trained centroids, PQ
+    // codebook AND the corpus's cell/code table (faiss's on-disk
+    // layout); every later call — bench re-runs, the steady
+    // measurement — serves from the stored index and never touches
+    // the corpus embeddings: query cost is the query-side broadcasts
+    // + one (cell, code) equi-join. Same deterministic result as
+    // sim_ann_ivfpq.
     "sim_ann_ivfpq_stored" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val model = Similarity.readAnnModel(s, storedAnnModelDir(s, d))
-      Similarity.ivfPqTopKStored(emb.filter(col("vec_id") < 10), emb, model, k = 5)
+      val idx = Similarity.readAnnIndex(s, storedAnnIndexDir(s, d))
+      Similarity.ivfPqTopKIndexed(
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), idx, k = 5)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1241,22 +1244,24 @@ object SparkEntry {
        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
-  /** Train-once cache for the stored-model ANN query: first call per
-    * (JVM, sf dir) trains and writes the [[Similarity.AnnModel]]; the
-    * parquet also survives across processes of a round (the data under
-    * an sf dir never changes), so Verify and Bench both serve from the
-    * stored model after one build. Training params are part of the dir
-    * name — changing them invalidates rather than reuses. */
-  private val annModelDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def storedAnnModelDir(s: SparkSession, d: String): String =
-    annModelDirs.computeIfAbsent(d, _ => {
+  /** Build-once cache for the stored-index ANN query: first call per
+    * (JVM, sf dir) trains the models, encodes the corpus and writes
+    * the [[Similarity.AnnIndex]]; the parquet also survives across
+    * processes of a round (the data under an sf dir never changes), so
+    * Verify and Bench both serve from the stored index after one
+    * build. Build params are part of the dir name — changing them
+    * invalidates rather than reuses. */
+  private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storedAnnIndexDir(s: SparkSession, d: String): String =
+    annIndexDirs.computeIfAbsent(d, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ann_c4_m4_k4_i2_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+        "graft_annidx_c4_m4_k4_i2_" + Integer.toHexString(d.hashCode)).getAbsolutePath
       val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
       val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(meta))
-        Similarity.writeAnnModel(
-          Similarity.annTrain(Tables.embeddings(s, d), coarseK = 4, m = 4, pqK = 4, iters = 2),
+        Similarity.writeAnnIndex(
+          Similarity.annIndexBuild(Tables.embeddings(s, d),
+            coarseK = 4, m = 4, pqK = 4, iters = 2),
           dir)
       dir
     })

@@ -464,14 +464,25 @@ object Similarity {
     * query time. */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
                 coarse: DataFrame, codebook: DataFrame, m: Int, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqScore(queries,
+      ivfAssign(candidates, coarse, idCol, vecCol)
+        .join(pqEncode(candidates, codebook, m, idCol, vecCol), idCol),
+      coarse, codebook, m, k, idCol, vecCol)
+
+  /** The query-time half of IVF-ADC: score `queries` against an
+    * ALREADY-ENCODED candidate frame (`idCol`, cell, codes) — what a
+    * stored index serves. Only the query side touches raw vectors
+    * (assignment + ADC tables, both broadcast-small); candidates
+    * contribute their codes through one (cell, code) equi-join. */
+  def ivfPqScore(queries: DataFrame, encodedCands: DataFrame,
+                 coarse: DataFrame, codebook: DataFrame, m: Int, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val qcells = ivfAssign(queries, coarse, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("cell").as("qcell"))
     val dt = adcTable(queries, codebook, m, idCol, vecCol)
       .join(qcells, "query_id") // adds qcell; still queries×m×k rows
-    val cand = ivfAssign(candidates, coarse, idCol, vecCol)
-      .join(pqEncode(candidates, codebook, m, idCol, vecCol), idCol)
-    val cexp = cand.select(col(idCol).as("cand_id"), col("cell").as("ccell"),
+    val cexp = encodedCands.select(col(idCol).as("cand_id"), col("cell").as("ccell"),
       posexplode(col("codes")).as(Seq("csub", "code")))
     val scored = cexp.join(broadcast(dt),
         col("csub").cast("long") === col("sub") && col("code") === col("cell") &&
@@ -520,10 +531,47 @@ object Similarity {
 
   /** [[ivfPqTopK]] against a STORED model — the serving path: zero
     * training, query cost is the assignment broadcasts + the
-    * (cell, code) equi-joins. */
+    * (cell, code) equi-joins (the candidate corpus is still encoded
+    * per call; [[AnnIndex]] stores the codes too). */
   def ivfPqTopKStored(queries: DataFrame, candidates: DataFrame,
                       model: AnnModel, k: Int,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfPqTopK(queries, candidates, model.coarse, model.codebook, model.m, k,
       idCol, vecCol)
+
+  /** The FULL stored IVFPQ index — faiss's on-disk layout: the trained
+    * [[AnnModel]] plus the corpus's coarse-cell assignments and PQ
+    * codes (`idCol`, cell, codes — m small ints per vector instead of
+    * 4·dims bytes). Serving a query never touches the corpus
+    * embeddings at all: cost is the query-side broadcasts + one
+    * (cell, code) equi-join over the code table. */
+  final case class AnnIndex(model: AnnModel, encoded: DataFrame)
+
+  /** Train both quantizers AND encode the corpus. */
+  def annIndexBuild(emb: DataFrame, coarseK: Int, m: Int, pqK: Int, iters: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex = {
+    val model = annTrain(emb, coarseK, m, pqK, iters, idCol, vecCol)
+    AnnIndex(model,
+      ivfAssign(emb, model.coarse, idCol, vecCol)
+        .join(pqEncode(emb, model.codebook, model.m, idCol, vecCol), idCol))
+  }
+
+  /** Parquet round-trip for the full index. The code table is written
+    * BEFORE the model (whose `meta` lands last), so meta existing
+    * implies every part is complete — the [[Dedup.writeIndex]]
+    * crash-ordering discipline. */
+  def writeAnnIndex(index: AnnIndex, dir: String): Unit = {
+    index.encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+    writeAnnModel(index.model, dir)
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex =
+    AnnIndex(readAnnModel(spark, dir), spark.read.parquet(s"$dir/encoded"))
+
+  /** Serve top-k from a stored [[AnnIndex]]: zero training, zero
+    * corpus reads — [[ivfPqScore]] over the stored code table. */
+  def ivfPqTopKIndexed(queries: DataFrame, index: AnnIndex, k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqScore(queries, index.encoded, index.model.coarse, index.model.codebook,
+      index.model.m, k, idCol, vecCol)
 }

@@ -172,4 +172,27 @@ class AnnRecallSpec extends SparkSpec {
     val stored = rows(Similarity.ivfPqTopKStored(queries, clustered, back, k = 5))
     assert(stored === fresh, "stored-model serving must be bit-identical to fresh training")
   }
+
+  test("stored AnnIndex (model + corpus codes) serves identically, corpus never re-read") {
+    val index = Similarity.annIndexBuild(clustered, coarseK = nClusters,
+      m = 4, pqK = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_index_spec").toString
+    Similarity.writeAnnIndex(index, dir)
+    val back = Similarity.readAnnIndex(spark, dir)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk"))
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("adc"))
+        .collect().toSeq
+    val fresh = rows(Similarity.ivfPqTopK(queries, clustered,
+      index.model.coarse, index.model.codebook, m = 4, k = 5))
+    val served = rows(Similarity.ivfPqTopKIndexed(queries, back, k = 5))
+    assert(served === fresh, "indexed serving must be bit-identical to fresh training")
+    // the serving plan reads the stored code table, not the corpus:
+    // its scan set contains the index dir and nothing needs `embedding`
+    // from the candidate side (query side legitimately reads it)
+    val plan = Similarity.ivfPqTopKIndexed(queries, back, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("encoded"), "serving must scan the stored code table")
+  }
 }

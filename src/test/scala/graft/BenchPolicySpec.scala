@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench self-defense policy against scripted run sequences — the
+  * logic exists because BENCH_r03 recorded 135 s for a query whose
+  * steady cost is ~2.7 s (every run landed in a host CPU-steal burst
+  * and nothing questioned the number), so it gets real tests: no
+  * SparkSession, no wall clock, just the decision rules.
+  */
+class BenchPolicySpec extends AnyFunSuite {
+
+  /** Scripted runner: returns the next value per call; fails the test
+    * if the policy asks for more runs than scripted. */
+  private def scripted(vals: Double*): () => Double = {
+    val it = vals.iterator
+    () => { assert(it.hasNext, "policy requested more runs than scripted"); it.next() }
+  }
+
+  test("quiet host: 3 runs, no flags, steady = hot run") {
+    val m = BenchPolicy.measure(scripted(2.5, 2.0, 2.1), steadyMode = true, None)
+    assert(m.value === 2.0 && m.steady === Some(2.1))
+    assert(m.extraRuns === 0 && m.flags.isEmpty)
+  }
+
+  test("min2 mode with agreeing runs: exactly 2 runs, no steady") {
+    val m = BenchPolicy.measure(scripted(2.0, 2.2), steadyMode = false, None)
+    assert(m.value === 2.0 && m.steady === None && m.flags.isEmpty)
+  }
+
+  test("min2 mode re-runs on >30% disagreement") {
+    val m = BenchPolicy.measure(scripted(2.0, 4.0, 2.1), steadyMode = false, None)
+    assert(m.value === 2.0 && m.steady === None)
+  }
+
+  test("a steal burst on the steady run is re-measured and flagged, value unharmed") {
+    // runs 1-2 quiet, run 3 contaminated 12x, re-measure recovers
+    val m = BenchPolicy.measure(scripted(2.0, 2.0, 24.0, 2.1), steadyMode = true, None)
+    assert(m.value === 2.0 && m.steady === Some(2.1))
+    assert(m.extraRuns === 1 && m.flags === List("steady_remeasured"))
+  }
+
+  test("persistent steady outlier is flagged unresolved after two re-measures") {
+    val m = BenchPolicy.measure(scripted(2.0, 2.0, 24.0, 30.0, 28.0), steadyMode = true, None)
+    assert(m.value === 2.0)
+    assert(m.extraRuns === 2)
+    assert(m.flags === List("steady_remeasured", "steady_outlier_unresolved"))
+    // steady reports the LEAST contaminated hot run, still visibly bad
+    assert(m.steady === Some(24.0))
+  }
+
+  test("the BENCH_r03 scenario: every run contaminated, prior-round reference catches it") {
+    // true steady 2.7 s (prior round); every run this session ~135 s
+    val m = BenchPolicy.measure(scripted(135.2, 133.0, 134.5, 136.0),
+      steadyMode = true, priorSteady = Some(2.7))
+    assert(m.value === 133.0)
+    assert(m.extraRuns === 1)
+    assert(m.flags.contains("exceeds_5x_prior_steady"),
+      s"the 49x-contaminated number must be flagged, got ${m.flags}")
+  }
+
+  test("prior-reference re-measure that recovers is flagged as remeasured, not exceeded") {
+    // first three runs in a burst, the defensive re-run lands quiet
+    val m = BenchPolicy.measure(scripted(20.0, 21.0, 20.5, 2.6),
+      steadyMode = true, priorSteady = Some(2.7))
+    assert(m.value === 2.6)
+    assert(m.flags.contains("prior_ref_remeasured") &&
+      !m.flags.contains("exceeds_5x_prior_steady"))
+  }
+
+  test("an honestly slower query (<5x prior) is NOT flagged") {
+    val m = BenchPolicy.measure(scripted(8.0, 8.2, 8.1), steadyMode = true,
+      priorSteady = Some(2.7))
+    assert(m.extraRuns === 0 && m.flags.isEmpty)
+  }
+
+  test("degradedHost thresholds") {
+    assert(!BenchPolicy.degradedHost(nQueries = 117, nFlagged = 2, extraRuns = 4))
+    assert(BenchPolicy.degradedHost(nQueries = 117, nFlagged = 24, extraRuns = 0))
+    assert(BenchPolicy.degradedHost(nQueries = 117, nFlagged = 0, extraRuns = 30))
+    // small suites keep absolute floors
+    assert(!BenchPolicy.degradedHost(nQueries = 5, nFlagged = 2, extraRuns = 4))
+    assert(BenchPolicy.degradedHost(nQueries = 5, nFlagged = 3, extraRuns = 0))
+  }
+}

@@ -42,6 +42,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("banded pairs: equi-joins only, signatures hash-aggregate, no sort-aggregate") {
+    val plan = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
+        Seq("source", "lang"), 900)
+      .queryExecution.executedPlan.toString
+    // candidate generation must be keyed joins (band+strata), never a product
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the minhash mins aggregate over numeric slices → HashAggregate;
+    // SortAggregate here would re-sort the exploded token stream per doc
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
   test("upsample stays narrow: no shuffle below the explode") {
     val plan = Corpus.upsample(Tables.documents(spark, sf), "source",
         Map("src0" -> 2500), defaultPermille = 1000)
