@@ -141,7 +141,17 @@ object Dedup {
     * Jaccard s survives banding with probability 1−(1−s^r)^b — with
     * the default 4 bands × 2 rows that is 99.87% at s = 0.9 and 98.3%
     * at s = 0.8. `LshBlockingSpec` measures realized recall against
-    * the exhaustive stratum form and proves the block-size bound. */
+    * the exhaustive stratum form, proves the block-size bound, and
+    * differentially checks the whole pipeline against a driver-side
+    * reference implementation.
+    *
+    * Hot-bucket caveat: IDENTICAL texts share every band, so a corpus
+    * with massive exact duplication concentrates one bucket per clone
+    * set and pays quadratic verification there — that cost is
+    * output-bound (the pairs ARE all near-dups) but still wasteful.
+    * Run [[exact]] dedup first (the curation jobs do): clone sets
+    * collapse to one representative and bucket heat is then governed
+    * by genuine near-dup density. */
   def jaccardPairsBanded(docs: DataFrame, strataCols: Seq[String],
                          thresholdPermille: Int, idCol: String = "doc_id"): DataFrame =
     bandedPairsOn(docs, array_distinct(tokens(col("text"))), strataCols,

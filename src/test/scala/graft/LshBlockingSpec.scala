@@ -113,6 +113,75 @@ class LshBlockingSpec extends SparkSpec {
     assert(bigBucket <= 8, s"band bucket grew to $bigBucket on 1600 distinct docs")
   }
 
+  // Independent driver-side reference of the ENTIRE banded pipeline —
+  // md5 via MessageDigest, hex slicing, per-doc minima, 4x2 banding,
+  // strata+band candidates, exact Jaccard — so a silent divergence
+  // anywhere in the Spark expression chain (slice offsets, digest
+  // prefixes, band composition, PPJoin filter) fails against plain
+  // Scala, not just against a DuckDB twin that might share the bug's
+  // shape. Randomized over seeds with a small vocabulary to force
+  // genuine near-dups and bucket collisions.
+  private def referenceBanded(rows: Seq[(Long, String, String)],
+                              threshold: Int): Set[(Long, Long, Long, Long, Long)] = {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    def slice(hex: String, start: Int): Long =
+      java.lang.Long.parseLong(hex.substring(start, start + 8), 16)
+    final case class D(id: Long, strata: String, tset: Set[String],
+                       sig: IndexedSeq[Long])
+    val docs = rows.map { case (id, strata, text) =>
+      val tset = text.split(" ").filter(_.nonEmpty).toSet
+      val sig = (0 until 8).map { i =>
+        tset.map { t =>
+          val digest = if (i < 4) md5hex(t) else md5hex("8|" + t)
+          slice(digest, (i % 4) * 8)
+        }.min
+      }
+      D(id, strata, tset, sig)
+    }
+    val out = for {
+      a <- docs; b <- docs
+      if a.id < b.id && a.strata == b.strata
+      if (0 until 4).exists(band =>
+        a.sig(2 * band) == b.sig(2 * band) && a.sig(2 * band + 1) == b.sig(2 * band + 1))
+      inter = (a.tset & b.tset).size.toLong
+      uni = (a.tset | b.tset).size.toLong
+      jac = inter * 1000 / uni
+      if jac >= threshold
+    } yield (a.id, b.id, inter, uni, jac)
+    out.toSet
+  }
+
+  test("banded pipeline ≡ independent driver-side reference (randomized)") {
+    for (seed <- Seq(7, 99, 2024)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array.tabulate(30)(i => s"t$i")
+      // base docs + mutated near-copies: tiny vocab forces real
+      // overlap, mutations land above and below the threshold
+      val base = (0 until 40).map { i =>
+        val len = 8 + rnd.nextInt(10)
+        (i.toLong, s"s${i % 2}", Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val mutated = (0 until 20).map { i =>
+        val (id, st, text) = base(rnd.nextInt(base.length))
+        val toks = text.split(" ").toBuffer
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+        (1000L + i, st, toks.mkString(" "))
+      }
+      val rows = base ++ mutated
+      val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+        .withColumn("lang", lit("xx"))
+      val got = Dedup.jaccardPairsBanded(df, Seq("source", "lang"), 700)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = referenceBanded(rows, 700)
+      assert(got === want,
+        s"seed=$seed: spark-vs-reference diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+      assert(want.nonEmpty, s"seed=$seed produced no pairs — generator too weak")
+    }
+  }
+
   test("banding still finds planted near-dups in the growing stratum") {
     // plant 20 near-dup pairs (1 token of ~60 edited ⇒ J ≈ 0.97) in a
     // 1600-doc single stratum; banding at t=900 must recover ≥ 95%
