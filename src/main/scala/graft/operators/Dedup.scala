@@ -56,19 +56,23 @@ object Dedup {
     * One explode + one groupBy(doc) with 8 min-aggregates (map-side
     * combinable). */
   def minhashSignature(shingled: DataFrame, numHashes: Int = 8,
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.HexSliceLong.hex_slice_long
     graft.plans.GraftExtensions.register(shingled.sparkSession)
     require(numHashes == 8, "minhashSignature is tuned for 8 hashes (2 md5 digests)")
+    // carryCols ride the per-doc aggregation (id-functional columns
+    // like blocking strata) — carrying them here costs nothing in the
+    // hash map and saves the caller an id-keyed join-back
     val ex = shingled
-      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .select(col(idCol) +: explode(col("shingles")).as("sh") +: carryCols.map(col): _*)
       .withColumn("m1", md5(col("sh").cast("binary")))
       .withColumn("m2", md5(concat(lit("8|"), col("sh")).cast("binary")))
     val aggs = (0 until numHashes).map { i =>
       val src = if (i < 4) "m1" else "m2"
       min(hex_slice_long(col(src), (i % 4) * 8)).as(s"h$i")
     }
-    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    ex.groupBy((idCol +: carryCols).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded LSH: band value = the `rowsPerBand` consecutive numeric
@@ -178,11 +182,13 @@ object Dedup {
       .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
     // signature over the verification set itself (docs with an empty
     // set produce no signature rows — they cannot pair in the
-    // exhaustive form either)
+    // exhaustive form either); strata ride the signature aggregation
+    // so candidate generation needs no join-back
     val sig = minhashSignature(
-      base.select(col(idCol), col("tset").as("shingles")), idCol = idCol)
-    val buckets = lshBuckets(sig, numHashes = 8, rowsPerBand = 2, idCol)
-      .join(base.select(col(idCol).as("doc") +: strataCols.map(col): _*), "doc")
+      base.select(col(idCol) +: col("tset").as("shingles") +: strataCols.map(col): _*),
+      idCol = idCol, carryCols = strataCols)
+    val buckets = lshBuckets(sig, numHashes = 8, rowsPerBand = 2, idCol,
+      keepCols = strataCols)
     val a = buckets.select(col("doc").as("doc_a") +: col("band") +: col("bv") +:
       strataCols.map(col): _*)
     val b = buckets.select(col("doc").as("doc_b") +: col("band").as("band_b") +:
@@ -328,17 +334,21 @@ object Dedup {
   }
 
   /** Shared band-bucket projection for LSH joins. Package-visible so
-    * specs can assert bucket-size bounds directly. */
+    * specs can assert bucket-size bounds directly. `keepCols` are
+    * carried through (narrow) for callers whose join key includes
+    * strata. */
   private[graft] def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
-                                idCol: String): DataFrame = {
+                                idCol: String,
+                                keepCols: Seq[String] = Nil): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), concat_ws("|", parts: _*).as("bv"))
     }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol).as("doc"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    sig.select(col(idCol) +: explode(array(bandStructs: _*)).as("bk") +: keepCols.map(col): _*)
+      .select(col(idCol).as("doc") +: col("bk.band").as("band") +:
+        col("bk.bv").as("bv") +: keepCols.map(col): _*)
   }
 
   /** Cross-corpus LSH candidates: (doc_a from `sigNew`, doc_b from
