@@ -582,6 +582,13 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Operating-point sweep: confusion counts + precision/recall of
+    // the composite quality score at each threshold, judged against
+    // the Gopher keep decision — the cutoff-picking table, one pass.
+    "text_quality_sweep" -> ((s, d) =>
+      TextAnalysis.qualityThresholdSweep(Tables.documents(s, d))
+        .orderBy(col("threshold"))),
+
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
@@ -1254,10 +1261,26 @@ object SparkEntry {
   private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def storedAnnIndexDir(s: SparkSession, d: String): String =
     annIndexDirs.computeIfAbsent(d, _ => {
+      // the cache key is a CONTENT fingerprint of the embeddings
+      // parquet (file name + length + mtime), not the directory path:
+      // a regenerated testdata dir at the same path must invalidate
+      // the stored index, or serving would hash-diverge from an
+      // oracle that reads the current data
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val sfs = src.getFileSystem(conf)
+      val stat = sfs.getFileStatus(src)
+      val parts =
+        if (stat.isDirectory)
+          sfs.listStatus(src).map(f =>
+            s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").sorted.mkString("|")
+        else s"${stat.getLen}:${stat.getModificationTime}"
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|$parts".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_annidx_c4_m4_k4_i2_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+        s"graft_annidx_c4_m4_k4_i2_$fp").getAbsolutePath
       val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
-      val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = meta.getFileSystem(conf)
       if (!fs.exists(meta))
         Similarity.writeAnnIndex(
           Similarity.annIndexBuild(Tables.embeddings(s, d),
@@ -1895,6 +1918,50 @@ object SparkEntry {
          |       (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 400 THEN 250 ELSE 0 END) +
          |       (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 300 THEN 250 ELSE 0 END) AS BIGINT) AS quality_score
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_quality_sweep" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS n_distinct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'the' OR x = 'a' OR x = 'an' OR x = 'of' OR x = 'to' OR x = 'and' OR x = 'in')) AS BIGINT) AS n_stop,
+         |    length(replace(text, ' ', '')) AS tok_chars
+         |  FROM documents),
+         |qs AS (SELECT doc_id,
+         |  CAST((CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(tok_chars * 1000 / n_tokens) BETWEEN 3000 AND 9000 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 400 THEN 250 ELSE 0 END) +
+         |       (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 300 THEN 250 ELSE 0 END) AS BIGINT) AS quality_score
+         |  FROM q),
+         |gf AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+         |    CAST(len(regexp_extract_all(text, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |gk AS (SELECT doc_id,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |        AND (CASE WHEN n_words > 0 THEN (n_alpha_chars * 1000) // n_words ELSE 0 END) BETWEEN 3000 AND 10000
+         |        AND (CASE WHEN n_words > 0 THEN (n_sym * 1000) // n_words ELSE 0 END) <= 100
+         |        AND (CASE WHEN n_words > 0 THEN (n_alpha_words * 1000) // n_words ELSE 0 END) >= 800
+         |        AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |  FROM gf),
+         |j AS (SELECT qs.quality_score, gk.keep
+         |      FROM qs JOIN gk ON qs.doc_id = gk.doc_id),
+         |th AS (SELECT unnest([250, 500, 750, 1000]) AS threshold),
+         |c AS (SELECT CAST(th.threshold AS BIGINT) AS threshold,
+         |        CAST(sum(CASE WHEN quality_score >= th.threshold AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(sum(CASE WHEN quality_score >= th.threshold AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |        CAST(sum(CASE WHEN quality_score <  th.threshold AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |        CAST(sum(CASE WHEN quality_score <  th.threshold AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |      FROM j CROSS JOIN th GROUP BY th.threshold)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000) // (tp + fp) ELSE 0 END AS BIGINT) AS precision_permille,
+         |  CAST(CASE WHEN tp + fn > 0 THEN (tp * 1000) // (tp + fn) ELSE 0 END AS BIGINT) AS recall_permille
+         |FROM c ORDER BY threshold""".stripMargin,
 
     "text_langid" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS t FROM documents),

@@ -561,10 +561,14 @@ object TextAnalysis {
     * Pure narrow expressions — composes with streaming sources like
     * [[withQualityScore]]; `keep` = every rule passes. */
   def gopherRules(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text"): DataFrame =
+    gopherRulesOn(docs, idCol, textCol, keepInput = false)
+
+  private def gopherRulesOn(docs: DataFrame, idCol: String,
+                            textCol: String, keepInput: Boolean): DataFrame = {
     val toks = tokens(col(textCol))
     val stopList = StopWords.map(w => s"'$w'").mkString(", ")
-    docs
+    val withKeep = docs
       .withColumn("n_words", size(toks).cast("long"))
       .withColumn("mean_word_len_permille",
         when(col("n_words") > 0,
@@ -587,9 +591,42 @@ object TextAnalysis {
           col("symbol_permille") <= 100L &&
           col("alpha_word_permille") >= 800L &&
           col("n_stop") >= 2L).cast("long"))
-      .select(col(idCol), col("n_words"), col("mean_word_len_permille"),
-        col("symbol_permille"), col("alpha_word_permille"), col("n_stop"),
-        col("keep"))
+    if (keepInput) withKeep // all input columns + features + keep
+    else withKeep.select(col(idCol), col("n_words"), col("mean_word_len_permille"),
+      col("symbol_permille"), col("alpha_word_permille"), col("n_stop"),
+      col("keep"))
+  }
+
+  /** Operating-point sweep for the composite quality gate: confusion
+    * counts and precision/recall (permille) of `quality_score >= t`
+    * against the Gopher-rules keep decision as reference label — one
+    * row per threshold. This is how a 100 TB gate's cutoff gets
+    * picked: ONE narrow corpus pass extracts both feature sets
+    * (no self-join — the gopher expressions chain onto the scored
+    * frame), each doc explodes into |thresholds| two-int rows, and one
+    * map-side-combinable aggregate yields the sweep table. */
+  def qualityThresholdSweep(docs: DataFrame,
+                            thresholds: Seq[Int] = Seq(250, 500, 750, 1000)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val labeled = gopherRulesOn(withQualityScore(docs), "doc_id", "text",
+        keepInput = true)
+      .select(col("quality_score"), col("keep"))
+    labeled
+      .select(col("quality_score"), col("keep"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+      .withColumn("pred", (col("quality_score") >= col("threshold")).cast("long"))
+      .groupBy(col("threshold").cast("long").as("threshold"))
+      .agg(
+        sum(col("pred") * col("keep")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("keep"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("keep")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("keep"))).as("tn"))
+      .withColumn("precision_permille",
+        when(col("tp") + col("fp") > 0, expr("(tp * 1000) DIV (tp + fp)"))
+          .otherwise(lit(0L)))
+      .withColumn("recall_permille",
+        when(col("tp") + col("fn") > 0, expr("(tp * 1000) DIV (tp + fn)"))
+          .otherwise(lit(0L)))
   }
 
   /** Deterministic document fingerprint appended to the input columns
