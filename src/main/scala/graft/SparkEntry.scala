@@ -1027,8 +1027,14 @@ object SparkEntry {
     // reasonably SQL-expressible — driver records the rows-only check;
     // determinism + parity with the oracle-checked k≤8 form are
     // spec-pinned.
+    // loopPartitions=4: the sf0.1 vocabulary is ~10^4 words — size the
+    // loop frame to the vocabulary, not the corpus scan. (Measured
+    // cost here is dominated by the per-round interpreted fold over
+    // the vocabulary, not task count — the knob matters on busy
+    // clusters, not this benchmark.)
     "text_bpe_merges100" -> ((s, d) =>
-      TextAnalysis.bpeMergesIter(Tables.documents(s, d), merges = 100)
+      TextAnalysis.bpeMergesIter(Tables.documents(s, d), merges = 100,
+        loopPartitions = 4)
         .orderBy(col("merge_rank"))),
 
     // Apply the learned merges back to the corpus: per-doc BPE token

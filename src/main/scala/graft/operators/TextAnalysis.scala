@@ -450,16 +450,24 @@ object TextAnalysis {
     * token stream, which is what makes k ≈ 100+ merges near-linear in
     * k (`BpeScaleSpec` measures it). Identical output to
     * [[bpeMerges]] for any k both accept. */
-  def bpeMergesIter(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+  def bpeMergesIter(docs: DataFrame, merges: Int, textCol: String = "text",
+                    loopPartitions: Int = 0): DataFrame = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     import graft.functions.CharShingles.char_shingles
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
-    // the single corpus scan
-    var vocab = Partitioning.fanOut(docs)
+    // the single corpus scan. `loopPartitions` sizes the per-round
+    // vocabulary frame: the merge loop launches 2 jobs per rank, and a
+    // Zipf vocabulary is orders of magnitude smaller than the corpus,
+    // so inheriting the corpus partition count pays k×partitions empty
+    // task overheads — pick ⌈|vocab| / a few hundred thousand rows⌉
+    // (0 = inherit; results are partition-count independent: the
+    // argmax tie-break is a total order).
+    val built = Partitioning.fanOut(docs)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), char_shingles(col("word"), 1).as("syms"))
+    var vocab = (if (loopPartitions > 0) built.repartition(loopPartitions) else built)
       .localCheckpoint()
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
