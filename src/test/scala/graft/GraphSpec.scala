@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Caching, Graph}
+import graft.operators.{Caching, Dedup, Graph}
 
 /** Degree and PageRank semantics on hand-built graphs; hand-computed
   * fixed-point expectations pin the exact integer recurrence (the
@@ -42,5 +42,59 @@ class GraphSpec extends SparkSpec {
     Caching.releaseLocalCheckpoints(pr)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"pageRank leaked persistent RDDs: $leaked")
+  }
+
+  // Randomized differential: pointer-doubled min-label propagation vs a
+  // classic driver-side union-find, over graphs chosen to stress the
+  // loop — sparse (many components), dense (one giant component), and
+  // long chains (max diameter, the pointer-doubling worst case).
+  private def unionFindComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((u, v) <- edges) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // normalize: label = min id of the set (roots are minimal by the
+    // union rule above, but path compression can lag — re-find all)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents ≡ union-find on random sparse/dense/chain graphs") {
+    for ((seed, nEdges, maxNode) <- Seq((11, 40, 100L), (12, 400, 100L), (13, 60, 60L))) {
+      val rnd = new scala.util.Random(seed)
+      val edges =
+        if (seed == 13) // chain with shuffled edge order: diameter = n-1
+          rnd.shuffle((0L until maxNode - 1).map(i => (i, i + 1)).toList)
+        else Seq.fill(nEdges)((rnd.nextLong(maxNode), rnd.nextLong(maxNode)))
+          .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(pairs)
+      val gotMap = got.as[(Long, Long)].collect().toMap
+      Caching.releaseLocalCheckpoints(got)
+      assert(gotMap === unionFindComponents(edges),
+        s"seed=$seed: component labeling diverged from union-find")
+    }
+  }
+
+  test("keepBest ≡ reference argmax over union-find clusters (randomized)") {
+    val rnd = new scala.util.Random(77)
+    val n = 80L
+    val docs = (0L until n).map(i => (i, 1L + rnd.nextInt(50)))
+      .toDF("doc_id", "score")
+    val edges = Seq.fill(60)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val got = Dedup.keepBest(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    val comp = unionFindComponents(edges)
+    val scoreMap = docs.as[(Long, Long)].collect().toMap
+    val byCluster = (0L until n).groupBy(i => comp.getOrElse(i, i))
+    val want = byCluster.values.map(ids =>
+      ids.maxBy(i => (scoreMap(i), -i))).toSet
+    assert(got === want, s"keepBest winners diverged from reference argmax")
   }
 }
