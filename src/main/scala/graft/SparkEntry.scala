@@ -929,6 +929,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Multi-probe serving on the stored index: each query ADC-scores
+    // its 2 nearest coarse cells — the recall dial turned one notch,
+    // still zero training and zero corpus-embedding reads.
+    "sim_ann_ivfpq_nprobe" -> ((s, d) => {
+      val idx = Similarity.readAnnIndex(s, storedAnnIndexDir(s, d))
+      Similarity.ivfPqTopKIndexedProbes(
+          Tables.embeddings(s, d).filter(col("vec_id") < 10), idx, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Markup injected per doc so normalization is non-trivially checked
     // (the synthetic corpus carries none); the md5 pins the whole
     // normalized text, not just counts.
@@ -1227,9 +1237,10 @@ object SparkEntry {
        |WHERE doc_id NOT IN (SELECT doc_a FROM ver)
        |ORDER BY doc_id""".stripMargin
 
-  /** Shared oracle for sim_ann_ivfpq and its stored-model twin (same
-    * deterministic training + ADC scoring). */
-  private lazy val ivfPqOracle: String =
+  /** Shared oracle for the IVFPQ family (same deterministic training +
+    * ADC scoring); `nprobe` = how many nearest coarse cells the QUERY
+    * side probes (candidates always live in their rn=1 cell). */
+  private def ivfPqOracleProbes(nprobe: Int): String =
     s"""${pqCtes(m = 4, k = 4, iters = 2)},
        |${ivfChain(k = 4, iters = 2)},
        |afin AS (SELECT vec_id, cell,
@@ -1239,6 +1250,7 @@ object SparkEntry {
        |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
        |        FROM q, c2 c) x),
        |cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       |probeof AS (SELECT vec_id, cell FROM afin WHERE rn <= $nprobe),
        |dt AS (SELECT qx.vec_id AS query_id, c.s, c.cell,
        |         list_sum(list_transform(range(1, 17),
        |           i -> (qx.sqv[i] - c.cv[i]) * (qx.sqv[i] - c.cv[i]))) AS d
@@ -1247,7 +1259,7 @@ object SparkEntry {
        |cd AS (SELECT vec_id AS cand_id, s, cell AS code FROM pf WHERE rn = 1),
        |sc AS (SELECT dt.query_id, cd.cand_id, CAST(sum(dt.d) AS BIGINT) AS adc
        |       FROM cd JOIN dt ON cd.s = dt.s AND cd.code = dt.cell
-       |       JOIN cellof qa ON qa.vec_id = dt.query_id
+       |       JOIN probeof qa ON qa.vec_id = dt.query_id
        |       JOIN cellof ca ON ca.vec_id = cd.cand_id
        |       WHERE qa.cell = ca.cell AND dt.query_id <> cd.cand_id
        |       GROUP BY dt.query_id, cd.cand_id),
@@ -1256,6 +1268,8 @@ object SparkEntry {
        |       FROM sc)
        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  private lazy val ivfPqOracle: String = ivfPqOracleProbes(1)
 
   /** Build-once cache for the stored-index ANN query: first call per
     * (JVM, sf dir) trains the models, encodes the corpus and writes
@@ -2443,6 +2457,9 @@ object SparkEntry {
     // model parquet round-trip changes WHERE the centroids come from,
     // not what they are.
     "sim_ann_ivfpq_stored" -> ivfPqOracle,
+
+    // Multi-probe serving: query side probes its 2 nearest cells.
+    "sim_ann_ivfpq_nprobe" -> ivfPqOracleProbes(2),
 
     "sim_pq_train" ->
       s"""${pqCtes(m = 4, k = 4, iters = 2)}

@@ -574,4 +574,43 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfPqScore(queries, index.encoded, index.model.coarse, index.model.codebook,
       index.model.m, k, idCol, vecCol)
+
+  /** Multi-probe serving — the recall/cost dial of production IVFPQ
+    * ([[ivfTopKProbes]]' composite sibling): each query probes its
+    * `nprobe` NEAREST coarse cells and ADC-scores the stored codes in
+    * all of them. nprobe = 1 degrades to [[ivfPqTopKIndexed]];
+    * nprobe = #cells recovers exhaustive PQ ADC ([[pqTopK]]) — proven
+    * in `AnnRecallSpec`. Probe selection ranks centroid distances with
+    * the [[ivfAssign]] tie-break (probe 1 is always the query's own
+    * cell); the probe set is queries×nprobe rows, the ADC tables
+    * queries×m×k×nprobe — all broadcast-small; each candidate scores
+    * at most once per query because cells are disjoint. */
+  def ivfPqTopKIndexedProbes(queries: DataFrame, index: AnnIndex, k: Int,
+                             nprobe: Int, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val c = index.model.coarse.withColumn("__csq", dot(col("cv"), col("cv")))
+    val probes = Partitioning.fanOut(queries)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__s", col("__csq") - lit(2d) * dot(col("__qqv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("__s"))
+    val probeSet = Relational.topNPerGroup(probes, Seq(col("query_id")),
+        Seq(col("__s"), col("cell")), nprobe, rankCol = "__rn")
+      .select(col("query_id"), col("cell").as("qcell"))
+    val dt = adcTable(queries, index.model.codebook, index.model.m, idCol, vecCol)
+      .join(probeSet, "query_id") // ×nprobe; still broadcast-small
+    val cexp = index.encoded.select(col(idCol).as("cand_id"),
+      col("cell").as("ccell"), posexplode(col("codes")).as(Seq("csub", "code")))
+    val scored = cexp.join(broadcast(dt),
+        col("csub").cast("long") === col("sub") && col("code") === col("cell") &&
+          col("ccell") === col("qcell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
+  }
 }

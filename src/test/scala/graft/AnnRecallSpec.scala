@@ -188,6 +188,16 @@ class AnnRecallSpec extends SparkSpec {
       index.model.coarse, index.model.codebook, m = 4, k = 5))
     val served = rows(Similarity.ivfPqTopKIndexed(queries, back, k = 5))
     assert(served === fresh, "indexed serving must be bit-identical to fresh training")
+    // multi-probe: nprobe=1 degrades to single-cell serving; probing
+    // every cell recovers exhaustive PQ ADC (pqTopK over all codes)
+    val one = rows(Similarity.ivfPqTopKIndexedProbes(queries, back, k = 5, nprobe = 1))
+    assert(one === served, "nprobe=1 must equal single-cell serving")
+    val full = rows(Similarity.ivfPqTopKIndexedProbes(queries, back, k = 5,
+      nprobe = nClusters))
+    val exhaustive = rows(Similarity.pqTopK(queries,
+      Similarity.pqEncode(clustered, index.model.codebook, m = 4),
+      index.model.codebook, m = 4, k = 5))
+    assert(full === exhaustive, "nprobe=#cells must recover exhaustive PQ ADC")
     // the serving plan reads the stored code table, not the corpus:
     // its scan set contains the index dir and nothing needs `embedding`
     // from the candidate side (query side legitimately reads it)

@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivf_assign" -> "broadcast centroids; min-distance assignment per vector",
     "sim_ann_ivfpq" -> "broadcast coarse centroids for cell assignment (k×dims)",
     "sim_ann_ivfpq_stored" -> "broadcast STORED coarse centroids for cell assignment (k×dims)",
+    "sim_ann_ivfpq_nprobe" -> "broadcast STORED coarse centroids for probe ranking (k×dims)",
     "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",
     "sim_bm25" -> "single-row corpus stats (N, avgdl) joined under every scored doc",
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
