@@ -1038,10 +1038,10 @@ object SparkEntry {
     // determinism + parity with the oracle-checked k≤8 form are
     // spec-pinned.
     // loopPartitions=4: the sf0.1 vocabulary is ~10^4 words — size the
-    // loop frame to the vocabulary, not the corpus scan. (Measured
-    // cost here is dominated by the per-round interpreted fold over
-    // the vocabulary, not task count — the knob matters on busy
-    // clusters, not this benchmark.)
+    // loop frame to the vocabulary, not the corpus scan. (Per-round
+    // cost is the native merge_pair rewrite + pair-count aggregate
+    // over the vocabulary — the knob matters on busy clusters, not
+    // this benchmark.)
     "text_bpe_merges100" -> ((s, d) =>
       TextAnalysis.bpeMergesIter(Tables.documents(s, d), merges = 100,
         loopPartitions = 4)

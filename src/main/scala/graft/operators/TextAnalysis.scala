@@ -411,11 +411,12 @@ object TextAnalysis {
       var folds = List.empty[(String, String)]
       var exhausted = false
       for (rank <- 1 to merges if !exhausted) {
-        val syms = folds.reverse.foldLeft("syms") {
-          case (inner, (l, r)) => foldMergeSql(inner, l, r)
+        import graft.functions.MergePair.merge_pair
+        val syms = folds.reverse.foldLeft(col("syms")) {
+          case (inner, (l, r)) => merge_pair(inner, l, r)
         }
         val top = vocab
-          .select(col("cnt"), expr(syms).as("syms"))
+          .select(col("cnt"), syms.as("syms"))
           .where(size(col("syms")) >= 2)
           .select(col("cnt"), explode(expr(
             "transform(sequence(1, size(syms) - 1), " +
@@ -487,7 +488,8 @@ object TextAnalysis {
           top.head.getLong(2))
         out += ((rank.toLong, l, r, l + r, cnt))
         val next = vocab
-          .select(col("cnt"), expr(foldMergeSql("syms", l, r)).as("syms"))
+          .select(col("cnt"),
+            graft.functions.MergePair.merge_pair(col("syms"), l, r).as("syms"))
           .localCheckpoint() // eager — materialized before the release
         Caching.releaseLocalCheckpoints(vocab)
         vocab = next
@@ -498,16 +500,6 @@ object TextAnalysis {
     out.result().toDF("merge_rank", "left", "right", "merged", "cnt")
   }
 
-  /** Greedy non-overlapping left-to-right merge of the literal pair
-    * (`l`, `r`) over the array<string> SQL expression `inner`. */
-  private def foldMergeSql(inner: String, l: String, r: String): String = {
-    val (ql, qr) = (sqlStr(l), sqlStr(r))
-    s"aggregate($inner, CAST(array() AS array<string>), (acc, s) -> " +
-      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $ql AND s = $qr " +
-      s"THEN concat(slice(acc, 1, size(acc) - 1), array(concat($ql, $qr))) " +
-      s"ELSE concat(acc, array(s)) END)"
-  }
-
   /** Apply a learned BPE merge table ([[bpeMerges]] output) to the
     * corpus: every word's character sequence is folded through the
     * merges IN RANK ORDER (the standard apply rule), yielding per-doc
@@ -515,8 +507,10 @@ object TextAnalysis {
     * the fertility check run before committing to a tokenizer.
     *
     * The merge table is model-small (k rows) and constant-folded into
-    * the fold expression. The k chained folds are interpreted (HOF
-    * lambdas don't codegen), so they run once per DISTINCT word —
+    * the fold expression. The k chained folds run through the native
+    * one-pass [[graft.functions.MergePair]] expression (the
+    * aggregate-lambda HOF form allocates per element) once per
+    * DISTINCT word —
     * Zipf's law makes the vocabulary orders of magnitude smaller than
     * the token stream — and the per-word BPE lengths join back keyed
     * on the word (vocabulary-sized side: keyed, not broadcast — the
@@ -528,14 +522,16 @@ object TextAnalysis {
     val ranked = merges.select(col("merge_rank"), col("left"), col("right"))
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2)))
-    val encoded = ranked.foldLeft("char_shingles(word, 1)") {
-      case (inner, (l, r)) => foldMergeSql(inner, l, r)
+    import graft.functions.CharShingles.char_shingles
+    import graft.functions.MergePair.merge_pair
+    val encoded = ranked.foldLeft(char_shingles(col("word"), 1)) {
+      case (inner, (l, r)) => merge_pair(inner, l, r)
     }
     val dw = Partitioning.fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
     val wordLen = dw.select(col("word")).distinct()
-      .withColumn("bpe_len", expr(s"size($encoded)").cast("long"))
+      .withColumn("bpe_len", size(encoded).cast("long"))
     val perDoc = dw.join(wordLen, "word")
       .groupBy(col(idCol))
       .agg(sum(col("n") * col("bpe_len")).as("n_bpe_tokens"))
@@ -548,8 +544,6 @@ object TextAnalysis {
         when(col("n_bpe_tokens") > 0,
           expr("(n_chars * 1000) DIV n_bpe_tokens")).otherwise(lit(0L)))
   }
-
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Language-ID confusion matrix: the [[langId]] predictions tallied
     * against the labeled language — the eval run before trusting a

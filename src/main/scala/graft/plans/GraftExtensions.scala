@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, TopKRows, VectorDot, WordShingles}
+import graft.functions.{CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, MergePair, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hexSliceLongDescriptor)
     ext.injectFunction(GraftExtensions.freqTopKDescriptor)
     ext.injectFunction(GraftExtensions.charShinglesDescriptor)
+    ext.injectFunction(GraftExtensions.mergePairDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -72,13 +73,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CharShingles].getName, "char_shingles"),
     (children: Seq[Expression]) => CharShingles(children.head, children(1)))
 
+  val mergePairDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("merge_pair"),
+    new ExpressionInfo(classOf[MergePair].getName, "merge_pair"),
+    (children: Seq[Expression]) => MergePair(children.head, children(1), children(2)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
-        freqTopKDescriptor, charShinglesDescriptor).foreach { d =>
+        freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }

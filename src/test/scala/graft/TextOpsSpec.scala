@@ -146,4 +146,44 @@ class TextOpsSpec extends SparkSpec {
       TextAnalysis.modelQualityScore(docs, Map("nope" -> 1L), 0L)
     }
   }
+
+  test("merge_pair ≡ the aggregate-lambda SQL form (hand cases + randomized)") {
+    import graft.functions.MergePair.merge_pair
+    graft.plans.GraftExtensions.register(spark)
+    def sqlForm(l: String, r: String): String = {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"aggregate(syms, CAST(array() AS array<string>), (acc, s) -> " +
+        s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${q(l)} AND s = ${q(r)} " +
+        s"THEN concat(slice(acc, 1, size(acc) - 1), array(concat(${q(l)}, ${q(r)}))) " +
+        s"ELSE concat(acc, array(s)) END)"
+    }
+    // hand cases: cascade re-eligibility, overlap greediness, no-op
+    val hand = Seq(
+      (Seq("a", "a", "a"), "a", "a", Seq("aa", "a")),
+      (Seq("a", "a", "a", "a"), "a", "a", Seq("aa", "aa")),
+      (Seq("aa", "a"), "aa", "a", Seq("aaa")),
+      (Seq("x", "y", "x", "y"), "x", "y", Seq("xy", "xy")),
+      (Seq("x"), "x", "x", Seq("x")),
+      (Seq.empty[String], "x", "y", Seq.empty[String]))
+    for ((in, l, r, want) <- hand) {
+      val got = Seq(Tuple1(in)).toDF("syms")
+        .select(merge_pair(col("syms"), l, r).as("m"))
+        .as[Seq[String]].head()
+      assert(got === want, s"in=$in l=$l r=$r")
+    }
+    // randomized differential vs the SQL lambda over a 3-symbol
+    // alphabet (forces adjacent collisions), incl. quote-bearing syms
+    val rnd = new scala.util.Random(4041)
+    val alphabet = Seq("a", "b", "a'b")
+    val rows = Seq.fill(300)(Seq.fill(2 + rnd.nextInt(10))(
+      alphabet(rnd.nextInt(alphabet.length))))
+    for (l <- alphabet; r <- alphabet) {
+      val df = rows.map(Tuple1(_)).toDF("syms")
+      val native = df.select(merge_pair(col("syms"), l, r).as("m"))
+        .as[Seq[String]].collect().toSeq
+      val viaSql = df.select(expr(sqlForm(l, r)).as("m"))
+        .as[Seq[String]].collect().toSeq
+      assert(native === viaSql, s"l=$l r=$r")
+    }
+  }
 }
