@@ -444,6 +444,22 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, d)).orderBy(col("text_hash"))
     }),
 
+    // Dedup-rate monitoring: exact-duplicate share per source — the
+    // per-feed health table an ingestion dashboard polls (a feed whose
+    // dup share jumps is re-crawling or replaying). One groupBy on
+    // (source, hash) + one per-source rollup.
+    "dedup_rate_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          (sum(col("n")) - count(lit(1))).as("n_dups"))
+        .withColumn("dup_permille", expr("n_dups * 1000 DIV n_docs"))
+        .orderBy(col("source"))
+    }),
+
     "dedup_minhash_lsh" -> ((s, d) => {
       val sig = Dedup.minhashSignature(Dedup.shingled(Tables.documents(s, d), k = 3), numHashes = 8)
       Dedup.lshCandidatePairs(sig, numHashes = 8, rowsPerBand = 2)
@@ -1762,6 +1778,15 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "dedup_rate_by_source" ->
+      """WITH h AS (SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY source, md5(text))
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_unique,
+        |       CAST(sum(n) - count(*) AS BIGINT) AS n_dups,
+        |       CAST((sum(n) - count(*)) * 1000 // sum(n) AS BIGINT) AS dup_permille
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracle,
 
