@@ -42,6 +42,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("banded pairs: shuffle-exchange budget holds (signature agg, bucket join, verify joins)") {
+    // expected shuffles: fan-out repartition, the (id, strata)
+    // signature aggregate, the band-bucket self-join sides, the
+    // candidate distinct, and the two verify-side token-set joins —
+    // a regression that adds an exchange (e.g. the strata join-back
+    // this budget was tightened after removing) fails here
+    val df = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
+      Seq("source", "lang"), 900)
+    val v = graft.plans.PlanLint.violations(df, maxExchanges = 9)
+    assert(v.isEmpty, v.mkString("; "))
+  }
+
   test("banded pairs: equi-joins only, signatures hash-aggregate, no sort-aggregate") {
     val plan = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
         Seq("source", "lang"), 900)
