@@ -485,6 +485,32 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The hot-bucket governor made observable: LSH buckets whose
+    // population exceeds the cap are DROPPED from candidate
+    // generation and surfaced as accounting — this query runs the
+    // accounting side at a cap (8) low enough that real testdata
+    // buckets trip it, proving the governor's population math
+    // cross-engine. (The oracle-checked dedup_jaccard family runs at
+    // the 1000 default, far above testdata bucket sizes — no drops.)
+    "dedup_hot_buckets" -> ((s, d) => {
+      Dedup.jaccardPairsBandedAccounted(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900, maxBucket = 8).droppedBuckets
+        .select(col("band").cast("long").as("band"), col("bv"),
+          col("source"), col("lang"), col("bucket_docs"))
+        .orderBy(col("band"), col("bv"), col("source"), col("lang"))
+    }),
+
+    // dedup_jaccard with the governor ENGAGED (cap 8): pairs whose
+    // every band collision lands in a hot bucket disappear; pairs with
+    // at least one cold collision survive — the degraded-loudly
+    // semantics, hash-checked against an oracle that replays the
+    // bucket-population filter.
+    "dedup_jaccard_capped" -> ((s, d) => {
+      Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900, maxBucket = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Incremental (daily-delta) dedup: drop new docs (id ≥ 250) that
     // duplicate the existing corpus (id < 250) exactly or nearly.
     // Runs the production path INCLUDING the Bloom prune of the index
@@ -1359,6 +1385,33 @@ object SparkEntry {
        |          FROM pv WHERE floor(inter * 1000 / (sz - inter)) >= $threshold)""".stripMargin
   }
 
+  /** Strata-aware twin of [[bandedPairsCtes]]'s bucket stage for the
+    * hot-bucket-governor queries: `sbands` carries (source, lang) on
+    * every band row — the bucket key the Spark operator counts on —
+    * and `bsz` is the per-bucket population. */
+  private def bandedBucketCtes(setSql: String, fromWhere: String): String = {
+    val hs = (0 until 8).map { i =>
+      val digest = if (i < 4) "m1" else "m2"
+      s"  min(${hexSliceSql(digest, (i % 4) * 8 + 1)}) AS h$i"
+    }.mkString(",\n")
+    val bands = (0 until 4).map(b =>
+      s"  SELECT doc_id, source, lang, $b AS band, " +
+        s"h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR AS bv FROM sigst")
+      .mkString("\n  UNION ALL\n")
+    s"""d AS (SELECT doc_id, source, lang, list_distinct($setSql) AS ts
+       |      FROM documents$fromWhere),
+       |el AS (SELECT doc_id, unnest(ts) AS s FROM d),
+       |dgb AS (SELECT doc_id, md5(s) AS m1, md5('8|' || s) AS m2 FROM el),
+       |sig AS (SELECT doc_id,
+       |$hs
+       |FROM dgb GROUP BY doc_id),
+       |sigst AS (SELECT sig.*, d.source, d.lang FROM sig JOIN d USING (doc_id)),
+       |sbands AS (
+       |$bands),
+       |bsz AS (SELECT band, bv, source, lang, CAST(count(*) AS BIGINT) AS bucket_docs
+       |        FROM sbands GROUP BY band, bv, source, lang)""".stripMargin
+  }
+
   /** Char k-gram (k=5) set, the DuckDB twin of CharShingles. */
   private val charGramSql: String =
     "list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))"
@@ -1798,6 +1851,35 @@ object SparkEntry {
     "dedup_char_ngram" ->
       s"""WITH ${bandedPairsCtes(charGramSql, " WHERE length(text) >= 5", 800)}
          |SELECT doc_a, doc_b, inter, uni, jac_permille FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_hot_buckets" ->
+      s"""WITH ${bandedBucketCtes(tokSql, "")}
+         |SELECT CAST(band AS BIGINT) AS band, bv, source, lang, bucket_docs
+         |FROM bsz WHERE bucket_docs > 8
+         |ORDER BY band, bv, source, lang""".stripMargin,
+
+    // the capped pair set: candidates may only meet in buckets whose
+    // population is within the cap; verification is unchanged
+    "dedup_jaccard_capped" ->
+      s"""WITH ${bandedBucketCtes(tokSql, "")},
+         |cold AS (SELECT band, bv, source, lang FROM bsz WHERE bucket_docs <= 8),
+         |cb AS (SELECT s.* FROM sbands s JOIN cold c
+         |         ON s.band = c.band AND s.bv = c.bv
+         |        AND s.source = c.source AND s.lang = c.lang),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cb a JOIN cb b
+         |           ON a.band = b.band AND a.bv = b.bv
+         |          AND a.source = b.source AND a.lang = b.lang
+         |          AND a.doc_id < b.doc_id),
+         |pv AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |         CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
+         |       FROM cand c JOIN d a ON a.doc_id = c.doc_a
+         |                   JOIN d b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, inter, sz - inter AS uni,
+         |       CAST(floor(inter * 1000 / (sz - inter)) AS BIGINT) AS jac_permille
+         |FROM pv WHERE floor(inter * 1000 / (sz - inter)) >= 900
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_incremental" -> incrementalDedupOracle,

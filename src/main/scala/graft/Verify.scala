@@ -18,7 +18,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceKBoundedWindowWarnings() // k-bounded windows, see Bench
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the dump to named
+    // queries (local single-query oracle iteration — the driver's
+    // full gate never sets it); oracle_sql.json still carries every
+    // oracle so verify_local.py can pair whatever was dumped.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

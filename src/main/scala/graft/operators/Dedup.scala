@@ -45,32 +45,51 @@ object Dedup {
       .withColumn("shingles", word_shingles(col(textCol), k))
   }
 
-  /** MinHash signature: 8 independent 32-bit permutations carved out
-    * of two md5 digests per shingle (md5(shingle) and md5("8|"+shingle),
-    * 4 × 32-bit slices each); h_i(doc) = numeric min of slice_i. Two
-    * digests per shingle instead of eight: the md5 calls dominate
-    * signature cost. Slices are parsed to LONG by the native
-    * [[graft.functions.HexSliceLong]] expression so the groupBy plans a
-    * HashAggregate (fixed-width buffers) — min over the raw hex STRING
-    * slice falls back to SortAggregate, a per-group sort at 100 TB.
-    * One explode + one groupBy(doc) with 8 min-aggregates (map-side
-    * combinable). */
+  /** MinHash signature: `numHashes` independent 32-bit permutations
+    * carved out of ⌈numHashes/4⌉ md5 digests per shingle — digest 0 is
+    * md5(shingle), digest d ≥ 1 is md5("4(d+1)|" + shingle) (so the
+    * 8-hash default uses md5(shingle) and md5("8|"+shingle)), 4 ×
+    * 32-bit slices each; h_i(doc) = numeric min of slice_{i mod 4} of
+    * digest_{i div 4}. One digest per FOUR hashes instead of one per
+    * hash: the md5 calls dominate signature cost. Slices are parsed to
+    * LONG by the native [[graft.functions.HexSliceLong]] expression so
+    * the groupBy plans a HashAggregate (fixed-width buffers) — min
+    * over the raw hex STRING slice falls back to SortAggregate, a
+    * per-group sort at 100 TB. One explode + one groupBy(doc) with
+    * `numHashes` min-aggregates (map-side combinable).
+    *
+    * @param numHashes signature width; a positive multiple of 4 (each
+    *   md5 digest yields exactly four 32-bit slices). More hashes buy
+    *   banding recall at lower similarity — see [[jaccardPairsBanded]].
+    * @param carryCols columns riding the per-doc aggregation. INVARIANT:
+    *   every carry column must be FUNCTIONALLY DEPENDENT on `idCol`
+    *   (one value per doc — e.g. blocking strata of the doc). The
+    *   groupBy keys on (id, carry*): a non-id-functional column splits
+    *   one document's shingles across several groups and silently
+    *   produces wrong per-band minima. Carrying id-functional columns
+    *   here costs nothing in the hash map and saves the caller an
+    *   id-keyed join-back. */
   def minhashSignature(shingled: DataFrame, numHashes: Int = 8,
                        idCol: String = "doc_id",
                        carryCols: Seq[String] = Nil): DataFrame = {
     import graft.functions.HexSliceLong.hex_slice_long
     graft.plans.GraftExtensions.register(shingled.sparkSession)
-    require(numHashes == 8, "minhashSignature is tuned for 8 hashes (2 md5 digests)")
-    // carryCols ride the per-doc aggregation (id-functional columns
-    // like blocking strata) — carrying them here costs nothing in the
-    // hash map and saves the caller an id-keyed join-back
-    val ex = shingled
-      .select(col(idCol) +: explode(col("shingles")).as("sh") +: carryCols.map(col): _*)
-      .withColumn("m1", md5(col("sh").cast("binary")))
-      .withColumn("m2", md5(concat(lit("8|"), col("sh")).cast("binary")))
+    require(numHashes >= 4 && numHashes % 4 == 0,
+      s"numHashes must be a positive multiple of 4 (one md5 digest per 4 slices), got $numHashes")
+    val nDigests = numHashes / 4
+    val ex = (0 until nDigests).foldLeft(
+      shingled.select(col(idCol) +: explode(col("shingles")).as("sh") +: carryCols.map(col): _*)
+    ) { (df, d) =>
+      // digest 0 unprefixed, digest d salted with "4(d+1)|" — the
+      // 8-hash prefix chain ("8|") predates the generalization and is
+      // pinned by the DuckDB oracles, so the formula extends it
+      // ("12|", "16|", …) rather than renumbering
+      val dig = if (d == 0) md5(col("sh").cast("binary"))
+                else md5(concat(lit(s"${4 * (d + 1)}|"), col("sh")).cast("binary"))
+      df.withColumn(s"m$d", dig)
+    }
     val aggs = (0 until numHashes).map { i =>
-      val src = if (i < 4) "m1" else "m2"
-      min(hex_slice_long(col(src), (i % 4) * 8)).as(s"h$i")
+      min(hex_slice_long(col(s"m${i / 4}"), (i % 4) * 8)).as(s"h$i")
     }
     ex.groupBy((idCol +: carryCols).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -149,33 +168,87 @@ object Dedup {
     * differentially checks the whole pipeline against a driver-side
     * reference implementation.
     *
-    * Hot-bucket caveat: IDENTICAL texts share every band, so a corpus
+    * Hot-bucket cap: IDENTICAL texts share every band, so a corpus
     * with massive exact duplication concentrates one bucket per clone
-    * set and pays quadratic verification there — that cost is
-    * output-bound (the pairs ARE all near-dups) but still wasteful.
-    * Run [[exact]] dedup first (the curation jobs do): clone sets
-    * collapse to one representative and bucket heat is then governed
-    * by genuine near-dup density. */
+    * set and would pay quadratic verification there. The operator now
+    * ENFORCES a population cap (`maxBucket`): buckets above it are
+    * dropped from candidate generation entirely and surfaced as
+    * accounting (see [[jaccardPairsBandedAccounted]] /
+    * [[BandedPairs.droppedBuckets]]) — the operator degrades LOUDLY,
+    * not quadratically, when handed an un-exact-deduped corpus. A pair
+    * also colliding in a cold bucket still survives; only pairs whose
+    * EVERY collision is hot are lost, and those are precisely the
+    * clone sets [[exact]] dedup collapses (run it first — the curation
+    * jobs do).
+    *
+    * @param numHashes / @param rowsPerBand the banding geometry —
+    *   bands = numHashes/rowsPerBand, survival at true Jaccard s is
+    *   1−(1−s^rows)^bands. The 8×2 default puts the s-curve knee near
+    *   0.85; recall at lower similarity needs more bands (e.g. 16
+    *   hashes × 2 rows = 8 bands: 99.5% at s = 0.7 where the default
+    *   gives 93%) — `LshBlockingSpec` measures both operating points.
+    * @param maxBucket bucket-population cap. A kept bucket pays at
+    *   most C(maxBucket, 2) candidate pairs; buckets above it are
+    *   dropped and accounted. Default 1000 (≤ ~500k verify pairs per
+    *   hot bucket). */
   def jaccardPairsBanded(docs: DataFrame, strataCols: Seq[String],
-                         thresholdPermille: Int, idCol: String = "doc_id"): DataFrame =
+                         thresholdPermille: Int, idCol: String = "doc_id",
+                         numHashes: Int = 8, rowsPerBand: Int = 2,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccardPairsBandedAccounted(docs, strataCols, thresholdPermille, idCol,
+      numHashes, rowsPerBand, maxBucket).pairs
+
+  /** [[jaccardPairsBanded]] returning the drop accounting alongside
+    * the pairs. */
+  def jaccardPairsBandedAccounted(docs: DataFrame, strataCols: Seq[String],
+                                  thresholdPermille: Int, idCol: String = "doc_id",
+                                  numHashes: Int = 8, rowsPerBand: Int = 2,
+                                  maxBucket: Int = DefaultMaxBucket): BandedPairs =
     bandedPairsOn(docs, array_distinct(tokens(col("text"))), strataCols,
-      thresholdPermille, idCol)
+      thresholdPermille, idCol, numHashes, rowsPerBand, maxBucket)
 
   /** [[charNgramPairs]] with the [[jaccardPairsBanded]] block key —
     * the minhash runs over the char k-gram set itself, so banding
-    * recall tracks the char-gram similarity being verified. */
+    * recall tracks the char-gram similarity being verified. Same
+    * geometry/cap knobs as [[jaccardPairsBanded]]. */
   def charNgramPairsBanded(docs: DataFrame, strataCols: Seq[String],
                            thresholdPermille: Int, k: Int = 5,
-                           idCol: String = "doc_id"): DataFrame = {
+                           idCol: String = "doc_id",
+                           numHashes: Int = 8, rowsPerBand: Int = 2,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame =
+    charNgramPairsBandedAccounted(docs, strataCols, thresholdPermille, k, idCol,
+      numHashes, rowsPerBand, maxBucket).pairs
+
+  /** [[charNgramPairsBanded]] returning the drop accounting. */
+  def charNgramPairsBandedAccounted(docs: DataFrame, strataCols: Seq[String],
+                                    thresholdPermille: Int, k: Int = 5,
+                                    idCol: String = "doc_id",
+                                    numHashes: Int = 8, rowsPerBand: Int = 2,
+                                    maxBucket: Int = DefaultMaxBucket): BandedPairs = {
     import graft.functions.CharShingles.char_shingles
     graft.plans.GraftExtensions.register(docs.sparkSession)
     bandedPairsOn(docs, array_distinct(char_shingles(col("text"), k)), strataCols,
-      thresholdPermille, idCol)
+      thresholdPermille, idCol, numHashes, rowsPerBand, maxBucket)
   }
+
+  /** Default [[jaccardPairsBanded]] bucket cap — see its scaladoc. */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Banded near-dup pairs plus the hot-bucket drop accounting:
+    * `pairs` is the verified pair set; `droppedBuckets` has one row
+    * per LSH bucket whose population exceeded the cap —
+    * (band, bv, strata…, bucket_docs) — so a caller (or monitoring)
+    * sees exactly which clone mass was excluded and how many docs it
+    * held, instead of the operator silently absorbing quadratic work.
+    * Both frames are lazy; materializing `droppedBuckets` costs one
+    * pass over the signature buckets. */
+  final case class BandedPairs(pairs: DataFrame, droppedBuckets: DataFrame)
 
   private def bandedPairsOn(docs: DataFrame, tsetExpr: Column,
                             strataCols: Seq[String], thresholdPermille: Int,
-                            idCol: String): DataFrame = {
+                            idCol: String, numHashes: Int, rowsPerBand: Int,
+                            maxBucket: Int): BandedPairs = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (a bucket of 2 is one pair), got $maxBucket")
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", tsetExpr)
       .withColumn("tsz", size(col("tset")).cast("long"))
@@ -186,12 +259,25 @@ object Dedup {
     // so candidate generation needs no join-back
     val sig = minhashSignature(
       base.select(col(idCol) +: col("tset").as("shingles") +: strataCols.map(col): _*),
-      idCol = idCol, carryCols = strataCols)
-    val buckets = lshBuckets(sig, numHashes = 8, rowsPerBand = 2, idCol,
+      numHashes = numHashes, idCol = idCol, carryCols = strataCols)
+    val buckets = lshBuckets(sig, numHashes, rowsPerBand, idCol,
       keepCols = strataCols)
-    val a = buckets.select(col("doc").as("doc_a") +: col("band") +: col("bv") +:
+    // Hot-bucket cap: population per (band, bv, strata) bucket first —
+    // the same key the self-join shuffles on, and the signature
+    // aggregate beneath is one exchange reused by both passes. Hot
+    // buckets are FEW by construction (each holds ≥ maxBucket docs, so
+    // ≤ n·bands/maxBucket of them exist), so the exclusion join
+    // broadcasts the hot key set and stays narrow on the bucket
+    // stream — no sort, no second shuffle of the buckets.
+    val bucketKey = "band" +: "bv" +: strataCols
+    val hot = buckets.groupBy(bucketKey.map(col): _*)
+      .agg(count(lit(1)).as("bucket_docs"))
+      .filter(col("bucket_docs") > maxBucket)
+    val kept = buckets.join(broadcast(hot.select(bucketKey.map(col): _*)),
+      bucketKey, "left_anti")
+    val a = kept.select(col("doc").as("doc_a") +: col("band") +: col("bv") +:
       strataCols.map(col): _*)
-    val b = buckets.select(col("doc").as("doc_b") +: col("band").as("band_b") +:
+    val b = kept.select(col("doc").as("doc_b") +: col("band").as("band_b") +:
       col("bv").as("bv_b") +: strataCols.map(c => col(c).as(s"__b_$c")): _*)
     val cond = (Seq(col("band") === col("band_b"), col("bv") === col("bv_b")) ++
       strataCols.map(c => col(c) === col(s"__b_$c"))).reduce(_ && _) &&
@@ -199,8 +285,10 @@ object Dedup {
     // distinct BEFORE the token-set joins: a pair colliding in several
     // bands must pay verification once, not once per band
     val cands = a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
-    jaccardVerifySetsFull(base.select(col(idCol), col("tset"), col("tsz")),
-      cands, thresholdPermille, idCol)
+    BandedPairs(
+      jaccardVerifySetsFull(base.select(col(idCol), col("tset"), col("tsz")),
+        cands, thresholdPermille, idCol),
+      hot)
   }
 
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
@@ -340,6 +428,8 @@ object Dedup {
   private[graft] def lshBuckets(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
                                 idCol: String,
                                 keepCols: Seq[String] = Nil): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into rows-per-band ($rowsPerBand) bands")
     val nBands = numHashes / rowsPerBand
     val bandStructs = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand)

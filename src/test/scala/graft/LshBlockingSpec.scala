@@ -122,7 +122,8 @@ class LshBlockingSpec extends SparkSpec {
   // shape. Randomized over seeds with a small vocabulary to force
   // genuine near-dups and bucket collisions.
   private def referenceBanded(rows: Seq[(Long, String, String)],
-                              threshold: Int): Set[(Long, Long, Long, Long, Long)] = {
+                              threshold: Int,
+                              numHashes: Int = 8): Set[(Long, Long, Long, Long, Long)] = {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -130,11 +131,15 @@ class LshBlockingSpec extends SparkSpec {
       java.lang.Long.parseLong(hex.substring(start, start + 8), 16)
     final case class D(id: Long, strata: String, tset: Set[String],
                        sig: IndexedSeq[Long])
+    val nBands = numHashes / 2
     val docs = rows.map { case (id, strata, text) =>
       val tset = text.split(" ").filter(_.nonEmpty).toSet
-      val sig = (0 until 8).map { i =>
+      val sig = (0 until numHashes).map { i =>
         tset.map { t =>
-          val digest = if (i < 4) md5hex(t) else md5hex("8|" + t)
+          // digest d: unprefixed for d=0, salted "4(d+1)|" after —
+          // the minhashSignature prefix chain ("8|", "12|", "16|", …)
+          val d = i / 4
+          val digest = if (d == 0) md5hex(t) else md5hex(s"${4 * (d + 1)}|" + t)
           slice(digest, (i % 4) * 8)
         }.min
       }
@@ -143,7 +148,7 @@ class LshBlockingSpec extends SparkSpec {
     val out = for {
       a <- docs; b <- docs
       if a.id < b.id && a.strata == b.strata
-      if (0 until 4).exists(band =>
+      if (0 until nBands).exists(band =>
         a.sig(2 * band) == b.sig(2 * band) && a.sig(2 * band + 1) == b.sig(2 * band + 1))
       inter = (a.tset & b.tset).size.toLong
       uni = (a.tset | b.tset).size.toLong
@@ -180,6 +185,112 @@ class LshBlockingSpec extends SparkSpec {
         s"seed=$seed: spark-vs-reference diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
       assert(want.nonEmpty, s"seed=$seed produced no pairs — generator too weak")
     }
+  }
+
+  test("banded pipeline ≡ driver-side reference at the 16×8×2 operating point too") {
+    // pins the digest-prefix derivation ("12|", "16|") the generalized
+    // minhashSignature uses beyond the 8-hash default
+    val rnd = new scala.util.Random(404)
+    val vocab = Array.tabulate(30)(i => s"t$i")
+    val base = (0 until 40).map { i =>
+      val len = 8 + rnd.nextInt(10)
+      (i.toLong, s"s${i % 2}", Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val mutated = (0 until 20).map { i =>
+      val (_, st, text) = base(rnd.nextInt(base.length))
+      val toks = text.split(" ").toBuffer
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.length))
+      (1000L + i, st, toks.mkString(" "))
+    }
+    val rows = base ++ mutated
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("xx"))
+    val got = Dedup.jaccardPairsBanded(df, Seq("source", "lang"), 700,
+        numHashes = 16, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val want = referenceBanded(rows, 700, numHashes = 16)
+    assert(got === want,
+      s"spark-vs-reference diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    assert(want.nonEmpty, "generator produced no pairs at 16 hashes")
+  }
+
+  test("16×8×2 geometry buys recall at s≈0.6 over the 8×4×2 default (the dial works)") {
+    // planted pairs at J ≈ 0.54–0.74 (the default geometry's weak
+    // zone): 20-token docs with 3–6 tokens swapped. Exhaustive pairs
+    // via the fixed-stratum form at t=500 are ground truth; measured
+    // recall per geometry must track 1−(1−s^2)^bands.
+    val rnd = new scala.util.Random(1717)
+    val rows = (0 until 60).flatMap { i =>
+      // disjoint per-doc vocabularies so only planted pairs collide
+      val toks = Array.tabulate(20)(j => s"w${i}_$j")
+      val k = 3 + rnd.nextInt(4) // 3..6 swaps → J = (20−k)/(20+k)
+      val edited = toks.clone()
+      (0 until k).foreach(j => edited(j) = s"x${i}_$j")
+      Seq((i.toLong * 2, toks.mkString(" ")), (i.toLong * 2 + 1, edited.mkString(" ")))
+    }
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+    val exhaustive = pairSet(Dedup.jaccardPairs(df, Seq("source", "lang"), 500))
+    assert(exhaustive.size === 60, s"every planted pair is above t=500: $exhaustive")
+    val got8 = pairSet(Dedup.jaccardPairsBanded(df, Seq("source", "lang"), 500))
+    val got16 = pairSet(Dedup.jaccardPairsBanded(df, Seq("source", "lang"), 500,
+      numHashes = 16, rowsPerBand = 2))
+    assert(got8.subsetOf(exhaustive) && got16.subsetOf(exhaustive))
+    val (r8, r16) = (got8.size / 60.0, got16.size / 60.0)
+    // measured-vs-theoretical: J∈[0.538, 0.739] → survival 0.57–0.84
+    // (4 bands) vs 0.82–0.97 (8 bands); pooled expectation ≈ 0.72 vs
+    // 0.91 across the k-mix
+    info(f"recall at s≈0.6: 8×4×2 = $r8%.3f (theory ≈ 0.72), 16×8×2 = $r16%.3f (theory ≈ 0.91)")
+    assert(r16 > r8, f"more bands must not lower recall: $r16%.3f vs $r8%.3f")
+    assert(r16 >= 0.80, f"16-hash recall $r16%.3f far below the ≈0.91 theory")
+  }
+
+  test("hot-bucket cap: a clone-heavy corpus degrades loudly, not quadratically") {
+    // 200 exact clones (the un-exact-deduped pathological input) + one
+    // genuine near-dup pair + filler. Clones share EVERY band, so each
+    // band holds one 200-doc bucket; with the cap at 50 all four are
+    // dropped and ACCOUNTED, clone-clone pairs vanish (bounded work),
+    // and the cold-bucket near-dup pair still comes out.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = clone.replace("upsilon", "omega") // J = 19/21 ≈ 0.905
+    val filler = (0 until 30).map(i =>
+      (5000L + i, Array.tabulate(20)(j => s"f${i}_$j").mkString(" ")))
+    val rows = (0 until 200).map(i => (i.toLong, clone)) ++
+      Seq((3000L, near)) ++ filler
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+    val r = Dedup.jaccardPairsBandedAccounted(df, Seq("source", "lang"), 900,
+      maxBucket = 50)
+    val pairs = pairSet(r.pairs)
+    val clonePairs = pairs.filter { case (a, b) => a < 200 && b < 200 }
+    assert(clonePairs.isEmpty,
+      s"capped buckets must not emit clone-clone pairs, got ${clonePairs.size}")
+    // the near-dup of the clone set pairs with clones THROUGH the hot
+    // buckets only (identical minus one token still collides in every
+    // band the clones own) — so with the clone mass dropped, no pairs
+    // remain at all; what matters is the accounting below says WHY
+    val acct = r.droppedBuckets.collect()
+    assert(acct.length === 4, s"expected one dropped bucket per band, got ${acct.length}")
+    val docsPerBucket = acct.map(_.getAs[Long]("bucket_docs")).toSet
+    // the near-dup doc collides into some of the clone set's buckets
+    // (19 of its 20 tokens are clone tokens), so buckets hold the 200
+    // clones plus possibly doc 3000
+    assert(docsPerBucket.subsetOf(Set(200L, 201L)),
+      s"each dropped bucket should hold the clone mass, got $docsPerBucket")
+    // same corpus WITHOUT the cap: the clone set pays C(200,2)+ pairs —
+    // the work the cap bounds away
+    val uncapped = pairSet(Dedup.jaccardPairsBanded(df, Seq("source", "lang"), 900,
+      maxBucket = 100000))
+    assert(uncapped.size >= 200L * 199 / 2,
+      s"uncapped clone corpus should emit the full quadratic pair set, got ${uncapped.size}")
+    // and CORRECTNESS-critical: at the default cap, testdata-scale
+    // buckets are untouched — the oracle-checked queries see no drops
+    val defaultAcct = Dedup.jaccardPairsBandedAccounted(
+      Tables.documents(spark, sf), Seq("source", "lang"), 900).droppedBuckets
+    assert(defaultAcct.isEmpty,
+      "default cap must sit above real testdata bucket sizes")
   }
 
   test("banding still finds planted near-dups in the growing stratum") {

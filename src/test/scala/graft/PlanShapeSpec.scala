@@ -45,13 +45,34 @@ class PlanShapeSpec extends SparkSpec {
   test("banded pairs: shuffle-exchange budget holds (signature agg, bucket join, verify joins)") {
     // expected shuffles: fan-out repartition, the (id, strata)
     // signature aggregate, the band-bucket self-join sides, the
-    // candidate distinct, and the two verify-side token-set joins —
-    // a regression that adds an exchange (e.g. the strata join-back
-    // this budget was tightened after removing) fails here
+    // candidate distinct, and the two verify-side token-set joins (9
+    // through round 4) + the hot-bucket-cap count aggregate, which
+    // STATICALLY re-plans the fan-out + signature subtree under the
+    // population count (9 → 13); at runtime AQE collapses the repeats
+    // into ReusedExchange (asserted below), and the count itself is
+    // map-side combinable so a pathological clone mass never shuffles
+    // on the cap path. A regression that adds an exchange (e.g. the
+    // strata join-back this budget was tightened after removing) fails
+    // here.
     val df = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
       Seq("source", "lang"), 900)
-    val v = graft.plans.PlanLint.violations(df, maxExchanges = 9)
+    val v = graft.plans.PlanLint.violations(df, maxExchanges = 13)
     assert(v.isEmpty, v.mkString("; "))
+  }
+
+  test("banded pairs: AQE reuses the duplicated signature exchange at runtime") {
+    // the static plan pays the hot-bucket count's copy of the
+    // signature subtree; prove the runtime plan dedups it
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
+        Seq("source", "lang"), 900)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+        finalPlan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("banded pairs: equi-joins only, signatures hash-aggregate, no sort-aggregate") {
