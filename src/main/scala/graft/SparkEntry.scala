@@ -1079,14 +1079,13 @@ object SparkEntry {
     // reasonably SQL-expressible — driver records the rows-only check;
     // determinism + parity with the oracle-checked k≤8 form are
     // spec-pinned.
-    // loopPartitions=4: the sf0.1 vocabulary is ~10^4 words — size the
-    // loop frame to the vocabulary, not the corpus scan. (Per-round
-    // cost is the native merge_pair rewrite + pair-count aggregate
-    // over the vocabulary — the knob matters on busy clusters, not
-    // this benchmark.)
+    // loopPartitions defaults to auto: bpeMergesIter sizes the loop
+    // frame from the vocabulary count (⌈|vocab|/200k⌉ — 1 partition
+    // for the ~10^4-word sf0.1 vocab), so the 200 per-merge jobs never
+    // inherit the corpus scan's partition count. Results are
+    // partition-count independent (total-ordered argmax; BpeScaleSpec).
     "text_bpe_merges100" -> ((s, d) =>
-      TextAnalysis.bpeMergesIter(Tables.documents(s, d), merges = 100,
-        loopPartitions = 4)
+      TextAnalysis.bpeMergesIter(Tables.documents(s, d), merges = 100)
         .orderBy(col("merge_rank"))),
 
     // Apply the learned merges back to the corpus: per-doc BPE token

@@ -38,7 +38,14 @@ case class MergePair(first: Expression, second: Expression, third: Expression)
         s"merge_pair expects (ARRAY<STRING>, foldable STRING, foldable STRING), got ($a, $b, $c)")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull tracks the INPUT array's: null elements pass through
+  // unmatched (below), so the output can hold one iff the input can —
+  // claiming containsNull=false over a nullable input would let the
+  // optimizer miscompile downstream null checks
+  override def dataType: DataType = first.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   private lazy val l: UTF8String = second.eval().asInstanceOf[UTF8String]
   private lazy val r: UTF8String = third.eval().asInstanceOf[UTF8String]
@@ -51,8 +58,11 @@ case class MergePair(first: Expression, second: Expression, third: Expression)
     var m = 0
     var i = 0
     while (i < n) {
-      val cur = arr.getUTF8String(i)
-      if (m > 0 && cur.equals(r) && out(m - 1).asInstanceOf[UTF8String].equals(l)) {
+      // a null ELEMENT (SQL callers can hand array('a', NULL)) is a
+      // non-matching pass-through — it never equals l or r and breaks
+      // any straddle, exactly like an unrelated symbol
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && m > 0 && cur.equals(r) && l.equals(out(m - 1))) {
         out(m - 1) = lr
       } else {
         out(m) = cur

@@ -461,41 +461,62 @@ object TextAnalysis {
     // vocabulary frame: the merge loop launches 2 jobs per rank, and a
     // Zipf vocabulary is orders of magnitude smaller than the corpus,
     // so inheriting the corpus partition count pays k×partitions empty
-    // task overheads — pick ⌈|vocab| / a few hundred thousand rows⌉
-    // (0 = inherit; results are partition-count independent: the
-    // argmax tie-break is a total order).
+    // task overheads. 0 (the default) AUTO-SIZES from the vocabulary:
+    // max(⌈|vocab| / 200k rows⌉, min(defaultParallelism, 4)) — the
+    // rows term governs genuinely large vocabularies, the small floor
+    // keeps the per-round pair-explode CPU-parallel (1 partition
+    // measured ~13% slower than 4 on the sf0.1 corpus). The count runs
+    // on the checkpointed first materialization (a vocab-sized job,
+    // paid once) and applies as a narrow coalesce — no shuffle, and
+    // every later round's checkpoint inherits the small count.
+    // Explicit values override; results are partition-count
+    // independent either way (the argmax tie-break is a total order).
     val built = Partitioning.fanOut(docs)
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), char_shingles(col("word"), 1).as("syms"))
     var vocab = (if (loopPartitions > 0) built.repartition(loopPartitions) else built)
       .localCheckpoint()
+    if (loopPartitions == 0) {
+      val parts = vocab.rdd.getNumPartitions
+      val byRows = (vocab.count() + 199999L) / 200000L
+      val floor = math.min(spark.sparkContext.defaultParallelism, 4).toLong
+      val target = math.max(byRows, floor).toInt
+      // lazy narrow view — no re-materialization: round 1's checkpoint
+      // lands at the small count, and the release walk still reaches
+      // the original blocks through the coalesce
+      if (target < parts) vocab = vocab.coalesce(target)
+    }
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
-    for (rank <- 1 to merges if !exhausted) {
-      val top = vocab
-        .where(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("pair_cnt"))
-        .orderBy(col("pair_cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // vocabulary fully merged
-      else {
-        val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        out += ((rank.toLong, l, r, l + r, cnt))
-        val next = vocab
-          .select(col("cnt"),
-            graft.functions.MergePair.merge_pair(col("syms"), l, r).as("syms"))
-          .localCheckpoint() // eager — materialized before the release
-        Caching.releaseLocalCheckpoints(vocab)
-        vocab = next
+    // try/finally: a per-round collect()/localCheckpoint() failure
+    // mid-loop must not leak the live round's checkpoint blocks for
+    // the session lifetime (bpeMerges' cached-vocab discipline)
+    try {
+      for (rank <- 1 to merges if !exhausted) {
+        val top = vocab
+          .where(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pair_cnt"))
+          .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // vocabulary fully merged
+        else {
+          val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2))
+          out += ((rank.toLong, l, r, l + r, cnt))
+          val next = vocab
+            .select(col("cnt"),
+              graft.functions.MergePair.merge_pair(col("syms"), l, r).as("syms"))
+            .localCheckpoint() // eager — materialized before the release
+          Caching.releaseLocalCheckpoints(vocab)
+          vocab = next
+        }
       }
-    }
-    Caching.releaseLocalCheckpoints(vocab)
+    } finally Caching.releaseLocalCheckpoints(vocab)
     import spark.implicits._
     out.result().toDF("merge_rank", "left", "right", "merged", "cnt")
   }

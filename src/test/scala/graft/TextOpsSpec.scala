@@ -186,4 +186,20 @@ class TextOpsSpec extends SparkSpec {
       assert(native === viaSql, s"l=$l r=$r")
     }
   }
+
+  test("merge_pair: null array elements pass through unmatched, no NPE") {
+    graft.plans.GraftExtensions.register(spark)
+    // SQL callers can hand array('a', NULL, ...): a null element must
+    // behave like an unrelated symbol (break any straddle, survive in
+    // place), not crash the executor scan loop
+    val got = spark.sql(
+      "SELECT merge_pair(array('a', NULL, 'a', 'a', NULL), 'a', 'a') AS m")
+      .head().getSeq[String](0)
+    assert(got === Seq("a", null, "aa", null), s"got $got")
+    // null must not bridge an (l, r) pair across itself
+    val split = spark.sql(
+      "SELECT merge_pair(array('x', NULL, 'y'), 'x', 'y') AS m")
+      .head().getSeq[String](0)
+    assert(split === Seq("x", null, "y"), s"got $split")
+  }
 }
