@@ -132,14 +132,32 @@ object Bench {
     val gcPart = f""","gc_sec":$gcTotal%.3f,"queries_gc":${fmt(results.map { case (k, (_, g)) => k -> g })}"""
     val flagged = results.collect { case (k, (m, _)) if m.flags.nonEmpty =>
       "\"" + k + "\":\"" + m.flags.mkString("+") + "\"" }
+    // a disputed entry carries its numbers (re-measured best vs the
+    // committed prior steady) next to the flag
+    val flagDetails = results.collect { case (k, (m, _)) if m.flagDetail.isDefined =>
+      "\"" + k + "\":\"" + m.flagDetail.get + "\"" }
     val degraded = BenchPolicy.degradedHost(results.size, flagged.size, extraRuns)
     if (degraded)
       System.err.println("[bench] DEGRADED_HOST: " +
         s"${flagged.size} queries flagged, $extraRuns defensive re-runs — " +
         "host contention corrupted this session; re-take the numbers.")
     val defendPart =
-      s""","remeasured":$extraRuns,"degraded_host":$degraded,"flags":${flagged.mkString("{", ",", "}")}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$steadyPart$gcPart$defendPart,"sf":"$sfDir"}""")
+      s""","remeasured":$extraRuns,"degraded_host":$degraded,"flags":${flagged.mkString("{", ",", "}")}""" +
+        s""","flag_detail":${flagDetails.mkString("{", ",", "}")}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$steadyPart$gcPart$defendPart,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line is the driver contract, but both BENCH_r03 and
+    // BENCH_r04 show the driver's capture truncating it mid-JSON
+    // ("parsed": null) — persist the full artifact to a file so the
+    // per-query map always survives parseable. Overwritten per run;
+    // tools/refresh_steady_ref.py derives bench_steady_ref.json from
+    // it in one step.
+    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(lastPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $lastPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -11,9 +11,13 @@ object BenchPolicy {
   /** One query's verdict: `value` = min over all runs (the least-
     * contaminated estimate of plan cost), `steady` = best hot (3rd+)
     * run, `extraRuns` = defensive re-measurements beyond the standard
-    * schedule, `flags` in occurrence order. */
+    * schedule, `flags` in occurrence order. `flagDetail` carries the
+    * numbers behind a disputed entry (e.g. the re-measured best vs the
+    * committed prior steady when `exceeds_5x_prior_steady` fires) so a
+    * reader of the artifact sees BOTH values, not just the flag. */
   final case class Measurement(value: Double, steady: Option[Double],
-                               extraRuns: Int, flags: List[String])
+                               extraRuns: Int, flags: List[String],
+                               flagDetail: Option[String] = None)
 
   /** Measure one query by invoking `once` per the schedule:
     *
@@ -46,18 +50,23 @@ object BenchPolicy {
       if (tries > 0) flags ::= "steady_remeasured"
       if (runs.head > 5.0 * best) flags ::= "steady_outlier_unresolved"
     }
+    var detail: Option[String] = None
     priorSteady.foreach { prior =>
       if (best > 5.0 * prior) {
         runs ::= once(); extra += 1
-        // best now includes the re-measurement
-        flags ::= (if (best > 5.0 * prior) "exceeds_5x_prior_steady"
-                   else "prior_ref_remeasured")
+        // best now includes the re-measurement; a persisting excess is
+        // flagged WITH both numbers so the disputed entry is
+        // self-contained in the artifact
+        if (best > 5.0 * prior) {
+          flags ::= "exceeds_5x_prior_steady"
+          detail = Some(f"best=$best%.3f,prior_steady=$prior%.3f")
+        } else flags ::= "prior_ref_remeasured"
       }
     }
     // hot = every run after the first two
     val hot = runs.dropRight(2)
     val steady = if (steadyMode && hot.nonEmpty) Some(hot.min) else None
-    Measurement(best, steady, extra, flags.reverse)
+    Measurement(best, steady, extra, flags.reverse, detail)
   }
 
   /** Session-level verdict: the artifact should be distrusted when

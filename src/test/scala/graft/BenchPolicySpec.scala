@@ -57,6 +57,9 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(m.extraRuns === 1)
     assert(m.flags.contains("exceeds_5x_prior_steady"),
       s"the 49x-contaminated number must be flagged, got ${m.flags}")
+    // the disputed entry carries BOTH numbers, not just the flag
+    assert(m.flagDetail === Some("best=133.000,prior_steady=2.700"),
+      s"flag detail must name the re-measured best and the prior, got ${m.flagDetail}")
   }
 
   test("prior-reference re-measure that recovers is flagged as remeasured, not exceeded") {
@@ -66,6 +69,7 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(m.value === 2.6)
     assert(m.flags.contains("prior_ref_remeasured") &&
       !m.flags.contains("exceeds_5x_prior_steady"))
+    assert(m.flagDetail === None, "a recovered entry is not disputed — no detail")
   }
 
   test("an honestly slower query (<5x prior) is NOT flagged") {
