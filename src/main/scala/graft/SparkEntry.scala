@@ -981,6 +981,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Incremental index ingestion: encode ONLY a delta against the
+    // FROZEN stored model — annIndexAppend's core, priced as a bench
+    // entry. Cost is the model broadcasts + one narrow pass over the
+    // 25 delta vectors; the corpus embeddings and the stored code
+    // table are never read (vs sim_ann_ivfpq_stored, which scans the
+    // full code table to serve queries). The append≡rebuild proof and
+    // the actual dir append/compact live in AnnRecallSpec.
+    "sim_ann_index_append" -> ((s, d) => {
+      val idx = Similarity.readAnnIndex(s, storedAnnIndexDir(s, d))
+      Similarity.annEncode(
+          Tables.embeddings(s, d).filter(col("vec_id") < 25), idx.model)
+        .select(col("vec_id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("cell"), col("sub").cast("long").as("sub"),
+          col("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
     // Markup injected per doc so normalization is non-trivially checked
     // (the synthetic corpus carries none); the md5 pins the whole
     // normalized text, not just counts.
@@ -1320,35 +1338,56 @@ object SparkEntry {
     * build. Build params are part of the dir name — changing them
     * invalidates rather than reuses. */
   private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def storedAnnIndexDir(s: SparkSession, d: String): String =
-    annIndexDirs.computeIfAbsent(d, _ => {
-      // the cache key is a CONTENT fingerprint of the embeddings
-      // parquet (file name + length + mtime), not the directory path:
-      // a regenerated testdata dir at the same path must invalidate
-      // the stored index, or serving would hash-diverge from an
-      // oracle that reads the current data
-      val conf = s.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val sfs = src.getFileSystem(conf)
-      val stat = sfs.getFileStatus(src)
-      val parts =
-        if (stat.isDirectory)
-          sfs.listStatus(src).map(f =>
-            s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").sorted.mkString("|")
-        else s"${stat.getLen}:${stat.getModificationTime}"
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|$parts".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  private def storedAnnIndexDir(s: SparkSession, d: String): String = {
+    // the cache key is a CONTENT fingerprint of the embeddings parquet
+    // (file name + length + mtime), recomputed PER CALL (a cheap FS
+    // stat): testdata regenerated at the same path invalidates the
+    // stored index both across processes AND within one JVM — keying
+    // the memo by the directory path would serve a stale index to the
+    // second read and hash-diverge from an oracle on the current data
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val sfs = src.getFileSystem(conf)
+    val stat = sfs.getFileStatus(src)
+    val parts =
+      if (stat.isDirectory)
+        sfs.listStatus(src).map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}").sorted.mkString("|")
+      else s"${stat.getLen}:${stat.getModificationTime}"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|$parts".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    annIndexDirs.computeIfAbsent(fp, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_annidx_c4_m4_k4_i2_$fp").getAbsolutePath
       val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
       val fs = meta.getFileSystem(conf)
-      if (!fs.exists(meta))
+      if (!fs.exists(meta)) {
+        // build into a private temp dir, PUBLISH with one atomic
+        // rename: two processes racing !exists(meta) each build their
+        // own copy and exactly one move wins — meta-last write
+        // ordering protects against crashes, not concurrent writers
+        // interleaving parquet files in a shared dir. The loser
+        // discards its copy (identical content — same data, same
+        // deterministic training).
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          s".graft_annidx_${fp}_${java.util.UUID.randomUUID().toString.take(8)}")
+          .getAbsolutePath
         Similarity.writeAnnIndex(
           Similarity.annIndexBuild(Tables.embeddings(s, d),
             coarseK = 4, m = 4, pqK = 4, iters = 2),
-          dir)
+          tmp)
+        try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(dir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          // lost the publish race (or a prior run completed meanwhile)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          require(fs.exists(meta), s"ANN index publish failed and $dir is incomplete")
+        }
+      }
       dir
     })
+  }
 
   /** Oracle chain for the BANDED Jaccard family (twin of
     * Dedup.jaccardPairsBanded / charNgramPairsBanded): minhash over the
@@ -2563,6 +2602,24 @@ object SparkEntry {
     // model parquet round-trip changes WHERE the centroids come from,
     // not what they are.
     "sim_ann_ivfpq_stored" -> ivfPqOracle,
+
+    // delta encode against the frozen full-corpus model: coarse cell =
+    // nearest trained centroid, codes = per-subspace nearest codebook
+    // cell — the same deterministic chains the other IVFPQ oracles
+    // replay, emitted for the 25 delta vectors only
+    "sim_ann_index_append" ->
+      s"""${pqCtes(m = 4, k = 4, iters = 2)},
+         |${ivfChain(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x)
+         |SELECT f.vec_id, a.cell, f.s AS sub, f.cell AS code
+         |FROM pf f JOIN (SELECT vec_id, cell FROM afin WHERE rn = 1) a USING (vec_id)
+         |WHERE f.rn = 1 AND f.vec_id < 25
+         |ORDER BY vec_id, sub""".stripMargin,
 
     // Multi-probe serving: query side probes its 2 nearest cells.
     "sim_ann_ivfpq_nprobe" -> ivfPqOracleProbes(2),

@@ -508,32 +508,9 @@ object Dedup {
     * mid-swap leaves either `.bak` or the compacted dir; both carry
     * the full data). `meta` is untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val conf = spark.sessionState.newHadoopConf()
-    for (part <- Seq("hashes", "signatures", "token_sets")) {
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$part")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.${part}_compact")
-      val bak = new org.apache.hadoop.fs.Path(s"$dir/.${part}_bak")
-      val fs = cur.getFileSystem(conf)
-      fs.delete(tmp, true); fs.delete(bak, true) // stale leftovers
-      val bytes = fs.getContentSummary(cur).getLength
-      val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      spark.read.parquet(cur.toString).distinct()
-        .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-      // rename returns false instead of throwing on several filesystems;
-      // an unchecked failure here is silent data damage — HDFS rename
-      // into an EXISTING dir moves the source INSIDE it, so a failed
-      // (cur → bak) followed by (tmp → cur) would nest the compacted
-      // data under the live index and leave the old files in place.
-      // Abort loudly and keep tmp/bak on disk for inspection.
-      require(fs.rename(cur, bak), s"compactIndex: rename $cur -> $bak failed; " +
-        s"compacted data left at $tmp, index unchanged")
-      require(fs.rename(tmp, cur), s"compactIndex: rename $tmp -> $cur failed; " +
-        s"original data preserved at $bak — restore by renaming it back")
-      fs.delete(bak, true)
-    }
-  }
+                   targetBytes: Long = 128L << 20): Unit =
+    for (part <- Seq("hashes", "signatures", "token_sets"))
+      Partitioning.compactParquetDir(spark, s"$dir/$part", targetBytes)
 
   /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
     * duplicate the EXISTING `corpus`, exactly (content hash anti-join)

@@ -547,13 +547,21 @@ object Similarity {
     * (cell, code) equi-join over the code table. */
   final case class AnnIndex(model: AnnModel, encoded: DataFrame)
 
+  /** Encode vectors against a FROZEN model: coarse-cell assignment +
+    * PQ codes, joined on the id — the (id, cell, codes) row shape the
+    * stored code table holds. Cost is model broadcasts + one narrow
+    * pass over `emb`; used by the full build (over the corpus) and by
+    * incremental appends (over a delta only). */
+  def annEncode(emb: DataFrame, model: AnnModel,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssign(emb, model.coarse, idCol, vecCol)
+      .join(pqEncode(emb, model.codebook, model.m, idCol, vecCol), idCol)
+
   /** Train both quantizers AND encode the corpus. */
   def annIndexBuild(emb: DataFrame, coarseK: Int, m: Int, pqK: Int, iters: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): AnnIndex = {
     val model = annTrain(emb, coarseK, m, pqK, iters, idCol, vecCol)
-    AnnIndex(model,
-      ivfAssign(emb, model.coarse, idCol, vecCol)
-        .join(pqEncode(emb, model.codebook, model.m, idCol, vecCol), idCol))
+    AnnIndex(model, annEncode(emb, model, idCol, vecCol))
   }
 
   /** Parquet round-trip for the full index. The code table is written
@@ -567,6 +575,41 @@ object Similarity {
 
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String): AnnIndex =
     AnnIndex(readAnnModel(spark, dir), spark.read.parquet(s"$dir/encoded"))
+
+  /** Incremental ingestion for a stored [[AnnIndex]] — the
+    * [[graft.operators.Dedup.DedupIndex]] append discipline applied to
+    * ANN serving: encode ONLY `newEmb` against the FROZEN stored model
+    * and append their (id, cell, codes) rows to `dir/encoded`. Cost
+    * scales with the DELTA (model broadcast + one narrow pass over the
+    * new vectors); the corpus embeddings and the existing code table
+    * are never read, let alone re-encoded. Ids must be new to the
+    * index — the code table is append-only and serving assumes one row
+    * per id (a retried at-least-once append of the SAME rows is
+    * harmless for top-k: duplicate rows score identically and
+    * [[compactAnnIndex]] removes them offline).
+    *
+    * RETRAIN TRIGGER (the knob this API deliberately does not hide):
+    * appends quantize new vectors with centroids trained on the OLD
+    * distribution. Monitor cell-size drift — when the hottest cell's
+    * share grows to a few multiples of 1/k (cells started √n-balanced
+    * by construction), or ADC recall on a held-out probe set sags, the
+    * distribution has moved: re-run [[annIndexBuild]] and swap dirs.
+    * Until then appended vectors serve at full fidelity — assignment
+    * and codes come from the same frozen quantizers the corpus used. */
+  def annIndexAppend(newEmb: DataFrame, dir: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    annEncode(newEmb, readAnnModel(newEmb.sparkSession, dir), idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/encoded")
+
+  /** OFFLINE maintenance for an appended code table — the
+    * [[graft.operators.Dedup.compactIndex]] discipline on
+    * `dir/encoded`: rewrite at ⌈bytes/targetBytes⌉ files, dedup
+    * retried appends, swap via rename. NOT safe concurrently with a
+    * running ingestion; model dirs (`coarse`/`codebook`/`meta`) are
+    * untouched. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      targetBytes: Long = 128L << 20): Unit =
+    Partitioning.compactParquetDir(spark, s"$dir/encoded", targetBytes)
 
   /** Serve top-k from a stored [[AnnIndex]]: zero training, zero
     * corpus reads — [[ivfPqScore]] over the stored code table. */

@@ -205,4 +205,64 @@ class AnnRecallSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("encoded"), "serving must scan the stored code table")
   }
+
+  test("annIndexAppend: append ≡ rebuild under the frozen model; serving sees the delta") {
+    // index built on 3/4 of the corpus; every 4th vector arrives as a
+    // delta (IN-distribution — spread across all clusters, the regime
+    // appends are for; held-out whole clusters would quantize garbage
+    // under the frozen codebook, which is the documented RETRAIN
+    // trigger, not the append path) and is appended against the frozen
+    // model. The stored code table must equal encoding the full corpus
+    // with that SAME model — the honest comparison: a full rebuild
+    // would retrain on the union and converge to different centroids.
+    val head = clustered.filter(col("vec_id") % 4 =!= 3)
+    val delta = clustered.filter(col("vec_id") % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_append_spec").toString
+    Similarity.writeAnnIndex(Similarity.annIndexBuild(head,
+      coarseK = nClusters, m = 4, pqK = 4, iters = 2), dir)
+    Similarity.annIndexAppend(delta, dir)
+    val appended = Similarity.readAnnIndex(spark, dir)
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("codes").cast("array<long>"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val frozen = Similarity.readAnnModel(spark, dir)
+    assert(codeRows(appended.encoded) ===
+      codeRows(Similarity.annEncode(clustered, frozen)),
+      "appended code table must equal one-shot encoding of the union under the frozen model")
+    // appended vectors are REACHABLE: across 16 queries, same-cluster
+    // delta members (1/4 of every cell) show up in served top-5s
+    val queries = clustered.filter(col("vec_id") % 16 === 0)
+    val got = Similarity.ivfPqTopKIndexed(queries, appended, k = 5)
+      .select(col("cand_id")).as[Long].collect().toSet
+    assert(got.exists(_ % 4 === 3),
+      s"serving after append must reach delta vectors, got $got")
+  }
+
+  test("compactAnnIndex dedups retried appends, shrinks files, preserves serving") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_compact_spec").toString
+    Similarity.writeAnnIndex(Similarity.annIndexBuild(clustered,
+      coarseK = nClusters, m = 4, pqK = 4, iters = 2), dir)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(idx: Similarity.AnnIndex) =
+      Similarity.ivfPqTopKIndexed(queries, idx, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("adc"))
+        .collect().toSeq
+    val before = rows(Similarity.readAnnIndex(spark, dir))
+    // an at-least-once RETRY: the same delta appended twice
+    val delta = clustered.filter(col("vec_id") >= 250)
+    // simulate retried appends of rows already present
+    Similarity.annIndexAppend(delta, dir)
+    def fileCount = new java.io.File(s"$dir/encoded").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = fileCount
+    Similarity.compactAnnIndex(spark, dir)
+    val after = Similarity.readAnnIndex(spark, dir)
+    assert(fileCount < filesBefore, "compaction must shrink the file count")
+    val ids = after.encoded.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1)
+    assert(ids.isEmpty, "compaction must dedup retried append rows")
+    assert(rows(after) === before,
+      "serving results must be identical across compaction")
+  }
 }
