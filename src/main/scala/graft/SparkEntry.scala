@@ -688,10 +688,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Real header decode round-trip: synthetic BMP/WAV blobs built
-    // from doc_id arithmetic, parsed back by the pure-JVM header
-    // parser. The oracle recomputes the encoded values analytically —
-    // a hash-match proves parseHeader read the right offsets back.
+    // Real header decode round-trip: synthetic BMP/WAV/PNG/JPEG blobs
+    // built from doc_id arithmetic, parsed back by the pure-JVM header
+    // parser (JPEG = SOI marker walk to SOF0). The oracle recomputes
+    // the encoded values analytically — a hash-match proves
+    // parseHeader read the right offsets back.
     "mm_decode_headers" -> ((s, d) => {
       Multimodal.decodeHeaders(Multimodal.syntheticBlobs(Tables.documents(s, d)))
         .select(col("doc_id"), col("format"),
@@ -2270,26 +2271,34 @@ object SparkEntry {
 
     // The oracle recomputes the synthetic-blob generator's formulas
     // analytically — a hash match proves the decoder read the actual
-    // header bytes (bmp: even ids; wav: id%4==1; png: id%4==3 with
-    // color type cycling grey/RGB/RGBA → channels 1/3/4).
+    // header bytes (bmp: even ids; wav: id%4==1; png: id%8==3 with
+    // color type cycling grey/RGB/RGBA → channels 1/3/4; jpeg:
+    // id%8==7 with components cycling grey/YCbCr → channels 1/3,
+    // n_bytes 32+3·ch).
     "mm_decode_headers" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'bmp'
-        |            WHEN doc_id % 4 = 1 THEN 'wav' ELSE 'png' END AS format,
+        |            WHEN doc_id % 4 = 1 THEN 'wav'
+        |            WHEN doc_id % 8 = 3 THEN 'png' ELSE 'jpeg' END AS format,
         |       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS BIGINT)
-        |            WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 128 AS BIGINT) END AS width,
+        |            WHEN doc_id % 8 = 3 THEN CAST(1 + doc_id % 128 AS BIGINT)
+        |            WHEN doc_id % 8 = 7 THEN CAST(1 + doc_id % 96 AS BIGINT) END AS width,
         |       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 32 AS BIGINT)
-        |            WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 64 AS BIGINT) END AS height,
+        |            WHEN doc_id % 8 = 3 THEN CAST(1 + doc_id % 64 AS BIGINT)
+        |            WHEN doc_id % 8 = 7 THEN CAST(1 + doc_id % 48 AS BIGINT) END AS height,
         |       CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
         |            WHEN doc_id % 4 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT)
-        |            ELSE CAST(CASE (doc_id // 4) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT)
+        |            WHEN doc_id % 8 = 3 THEN CAST(CASE (doc_id // 4) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT)
+        |            ELSE CAST(CASE (doc_id // 8) % 2 WHEN 0 THEN 1 ELSE 3 END AS BIGINT)
         |       END AS channels,
         |       CASE WHEN doc_id % 4 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END AS sample_rate,
         |       CASE WHEN doc_id % 4 = 1 THEN CAST(16 AS BIGINT)
         |            WHEN doc_id % 4 = 3 THEN CAST(8 AS BIGINT) END AS bits_per_sample,
         |       CASE WHEN doc_id % 2 = 0 THEN CAST(54 AS BIGINT)
         |            WHEN doc_id % 4 = 1 THEN CAST(44 AS BIGINT)
-        |            ELSE CAST(33 AS BIGINT) END AS n_bytes
+        |            WHEN doc_id % 8 = 3 THEN CAST(33 AS BIGINT)
+        |            ELSE CAST(32 + 3 * (CASE (doc_id // 8) % 2 WHEN 0 THEN 1 ELSE 3 END) AS BIGINT)
+        |       END AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->

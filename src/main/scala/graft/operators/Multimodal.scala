@@ -72,6 +72,9 @@ object Multimodal {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
+  private def i16be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
   private def i32le(b: Array[Byte], off: Int): Int =
@@ -90,12 +93,13 @@ object Multimodal {
     StructField("bits_per_sample", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
-  /** Parse a BMP (BITMAPINFOHEADER), PNG (signature + IHDR chunk) or
-    * WAV (RIFF/fmt chunk walk) header. Returns (format, width, height,
-    * channels, sampleRate, bitsPerSample) — for PNG, bitsPerSample is
-    * the IHDR bit depth per channel; unknown/truncated payloads →
-    * ("unknown", stub dims) — the honest fallback for formats needing
-    * a real codec. */
+  /** Parse a BMP (BITMAPINFOHEADER), PNG (signature + IHDR chunk),
+    * JPEG (SOI + marker walk to SOF0/1/2) or WAV (RIFF/fmt chunk walk)
+    * header. Returns (format, width, height, channels, sampleRate,
+    * bitsPerSample) — for PNG bitsPerSample is the IHDR bit depth per
+    * channel, for JPEG the SOF sample precision; unknown/truncated
+    * payloads → ("unknown", stub dims) — the honest fallback for
+    * formats needing a real codec. */
   private[graft] def parseHeader(bytes0: Array[Byte])
       : (String, Integer, Integer, Integer, Integer, Integer) = {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
@@ -138,6 +142,53 @@ object Multimodal {
           ("png", width, height, channels, null, depth)
         else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
       } else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      // JPEG: SOI then a marker walk — [0xFF][code][len:2 BE incl.
+      // itself][payload] per segment (fill 0xFF bytes before a code
+      // are legal padding; RST0-7/TEM are standalone, no length).
+      // Dimensions live in the frame header SOFn: [len][precision:1]
+      // [height:2 BE][width:2 BE][ncomp:1] — SOF0 baseline, SOF1
+      // extended, SOF2 progressive all share the layout. Sizes are
+      // attacker-controlled: len < 2 or out-of-bounds breaks to the
+      // fallback, never spins (the WAV chunk-walk discipline); the
+      // walk stops at SOS (entropy-coded data follows) or EOI.
+      var p = 2L
+      var res: (String, Integer, Integer, Integer, Integer, Integer) = null
+      var fallback = false
+      while (res == null && !fallback && p + 1 < bytes.length) {
+        if ((bytes(p.toInt) & 0xff) != 0xff) fallback = true
+        else {
+          var q = p + 1 // skip fill bytes: 0xFF padding before the code
+          while (q < bytes.length && (bytes(q.toInt) & 0xff) == 0xff) q += 1
+          if (q >= bytes.length) fallback = true
+          else (bytes(q.toInt) & 0xff) match {
+            case 0xd9 | 0xda => fallback = true // EOI / SOS: no SOF seen
+            case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+              p = q + 1 // standalone marker, no length field
+            case m =>
+              if (q + 3 > bytes.length) fallback = true
+              else {
+                val len = ((bytes(q.toInt + 1) & 0xff) << 8) | (bytes(q.toInt + 2) & 0xff)
+                if (len < 2 || q + 1 + len > bytes.length) fallback = true
+                else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+                  // SOF payload: precision, height, width, ncomp
+                  if (len < 8) fallback = true
+                  else {
+                    val precision = bytes(q.toInt + 3) & 0xff
+                    val height = i16be(bytes, q.toInt + 4)
+                    val width = i16be(bytes, q.toInt + 6)
+                    val ncomp = bytes(q.toInt + 8) & 0xff
+                    if (width > 0 && height > 0 && ncomp > 0)
+                      res = ("jpeg", width, height, ncomp, null, precision)
+                    else fallback = true
+                  }
+                } else p = q + 1 + len
+              }
+          }
+        }
+      }
+      if (res != null) res
+      else ("unknown", stubW(bytes), stubH(bytes), 3, null, null)
     } else if (bytes.length >= 36 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
       // chunk walk: [id:4][size:4][payload:size], first chunk at 12.
       // Sizes are attacker-controlled bytes: a negative or huge size
@@ -213,6 +264,36 @@ object Multimodal {
     b.put(0.toByte)               // filter
     b.put(0.toByte)               // interlace
     // 4 CRC bytes left zeroed
+    b.array()
+  }
+
+  /** Minimal valid JPEG bytes: SOI + APP0/JFIF + SOF0 frame header +
+    * EOI (no entropy-coded data — header-only, which is exactly what
+    * [[parseHeader]] walks). Total length 32 + 3·channels. */
+  private[graft] def jpegBytes(width: Int, height: Int, channels: Int,
+                               precision: Int = 8): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32 + 3 * channels)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(0xff.toByte).put(0xd8.toByte) // SOI
+    b.put(0xff.toByte).put(0xe0.toByte) // APP0
+    b.putShort(16)
+    b.put("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.put(0.toByte)                     // terminator
+    b.putShort(0x0101.toShort)          // version 1.1
+    b.put(0.toByte)                     // density units
+    b.putShort(1).putShort(1)           // x/y density
+    b.put(0.toByte).put(0.toByte)       // thumbnail dims
+    b.put(0xff.toByte).put(0xc0.toByte) // SOF0 (baseline)
+    b.putShort((8 + 3 * channels).toShort)
+    b.put(precision.toByte)
+    b.putShort(height.toShort).putShort(width.toShort)
+    b.put(channels.toByte)
+    for (c <- 1 to channels) {
+      b.put(c.toByte)                   // component id
+      b.put(0x11.toByte)                // 1x1 sampling
+      b.put(0.toByte)                   // quant table
+    }
+    b.put(0xff.toByte).put(0xd9.toByte) // EOI
     b.array()
   }
 
@@ -366,11 +447,12 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic synthetic media blobs keyed on doc_id (even → BMP,
-    * odd → WAV; dims/rates are arithmetic in doc_id) — the fixture
-    * generator that makes the header decode oracle-expressible: the
-    * oracle recomputes the encoded values analytically, so a
-    * hash-match proves [[parseHeader]] read the right offsets back. */
+  /** Deterministic synthetic media blobs keyed on doc_id (even → BMP;
+    * id%4==1 → WAV; id%8==3 → PNG; id%8==7 → JPEG; dims/rates are
+    * arithmetic in doc_id) — the fixture generator that makes the
+    * header decode oracle-expressible: the oracle recomputes the
+    * encoded values analytically, so a hash-match proves
+    * [[parseHeader]] read the right offsets back. */
   def syntheticBlobs(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -384,9 +466,12 @@ object Multimodal {
             bmpBytes((1 + id % 64).toInt, (1 + id % 32).toInt, 24)
           else if (id % 4 == 1)
             wavBytes((1 + (id / 2) % 2).toInt, (8000 + (id % 8) * 1000).toInt, 16)
-          else // id % 4 == 3: PNG, color type cycling grey/RGB/RGBA
+          else if (id % 8 == 3) // PNG, color type cycling grey/RGB/RGBA
             pngBytes((1 + id % 128).toInt, (1 + id % 64).toInt, 8,
               Array(0, 2, 6)(((id / 4) % 3).toInt))
+          else // id % 8 == 7: JPEG, components cycling grey/YCbCr
+            jpegBytes((1 + id % 96).toInt, (1 + id % 48).toInt,
+              if ((id / 8) % 2 == 0) 1 else 3)
         Row(id, bytes)
       }
     }(enc)

@@ -128,6 +128,53 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.parseHeader(Multimodal.pngBytes(4, 4, 8, 5))._1 === "unknown")
   }
 
+  test("JPEG SOF: dimensions/components from the marker walk") {
+    assert(Multimodal.parseHeader(Multimodal.jpegBytes(640, 480, 3)) ===
+      ("jpeg", 640, 480, 3, null, 8))
+    assert(Multimodal.parseHeader(Multimodal.jpegBytes(17, 9, 1, precision = 12)) ===
+      ("jpeg", 17, 9, 1, null, 12))
+    // progressive (SOF2) and extended (SOF1) share the payload layout
+    for (sof <- Seq(0xc1, 0xc2)) {
+      val b = Multimodal.jpegBytes(33, 21, 3)
+      b(21) = sof.toByte // the SOF marker code byte (after the 18-byte APP0)
+      assert(Multimodal.parseHeader(b) === ("jpeg", 33, 21, 3, null, 8), f"SOF=$sof%02x")
+    }
+    // fill bytes before a marker code are legal padding
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Multimodal.jpegBytes(12, 7, 1).drop(2)
+    assert(Multimodal.parseHeader(padded) === ("jpeg", 12, 7, 1, null, 8))
+  }
+
+  test("malformed JPEGs fall back to the stub, never spin or crash") {
+    // truncated before the SOF payload completes
+    assert(Multimodal.parseHeader(Multimodal.jpegBytes(8, 8, 3).take(25))._1 === "unknown")
+    // segment length < 2 (self-inclusive length cannot be smaller)
+    val badLen = Multimodal.jpegBytes(8, 8, 1)
+    badLen(4) = 0; badLen(5) = 1 // APP0 len = 1
+    assert(Multimodal.parseHeader(badLen)._1 === "unknown")
+    // segment length pointing past the buffer
+    val overLen = Multimodal.jpegBytes(8, 8, 1)
+    overLen(4) = 0x7f.toByte
+    assert(Multimodal.parseHeader(overLen)._1 === "unknown")
+    // SOS before any SOF (dimensions unrecoverable without decode)
+    val sosFirst = Multimodal.jpegBytes(8, 8, 1)
+    sosFirst(21) = 0xda.toByte
+    assert(Multimodal.parseHeader(sosFirst)._1 === "unknown")
+    // zero-dimension SOF
+    assert(Multimodal.parseHeader(Multimodal.jpegBytes(0, 8, 1))._1 === "unknown")
+    // a non-marker byte where a segment must start
+    val junk = Multimodal.jpegBytes(8, 8, 1)
+    junk(2) = 0x00
+    assert(Multimodal.parseHeader(junk)._1 === "unknown")
+    // 500 random byte blobs behind an SOI prefix: never crash, never spin
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 500) {
+      val b = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+      Multimodal.parseHeader(b) // must return, value unconstrained
+    }
+  }
+
   test("distributed round-trip: syntheticBlobs → decodeHeaders recovers encoded values") {
     val docs = (0L until 40L).toDF("doc_id")
     val got = Multimodal.decodeHeaders(Multimodal.syntheticBlobs(docs))
@@ -143,11 +190,17 @@ class MultimodalHeaderSpec extends SparkSpec {
         assert(r.isNullAt(2) && r.isNullAt(3))
         assert(r.getInt(4) === (1 + (id / 2) % 2).toInt)
         assert(r.getInt(5) === (8000 + (id % 8) * 1000).toInt && r.getInt(6) === 16)
-      } else {
+      } else if (id % 8 == 3) {
         assert(r.getString(1) === "png")
         assert(r.getInt(2) === (1 + id % 128).toInt && r.getInt(3) === (1 + id % 64).toInt)
         assert(r.getInt(4) === Array(1, 3, 4)(((id / 4) % 3).toInt))
         assert(r.isNullAt(5) && r.getInt(6) === 8)
+      } else {
+        assert(r.getString(1) === "jpeg")
+        assert(r.getInt(2) === (1 + id % 96).toInt && r.getInt(3) === (1 + id % 48).toInt)
+        assert(r.getInt(4) === (if ((id / 8) % 2 == 0) 1 else 3))
+        assert(r.isNullAt(5) && r.getInt(6) === 8)
+        assert(r.getLong(7) === 32L + 3 * r.getInt(4))
       }
     }
   }
