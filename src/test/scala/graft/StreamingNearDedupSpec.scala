@@ -71,4 +71,56 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(streamingForm === batchForm)
     assert(streamingForm === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("index probe: duplicates of PRE-INDEXED docs are caught in-stream, " +
+    "exactly-once across restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idx_probe").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    // history corpus indexed BEFORE the stream starts — `base` is far
+    // outside any watermark horizon by the time duplicates arrive
+    val history = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    Dedup.writeIndex(Dedup.buildIndex(history, k = 3), indexDir)
+    def verdicts(): Map[Long, String] =
+      spark.read.parquet(outDir).select("doc_id", "verdict")
+        .as[(Long, String)].collect().toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.IndexProbeDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "r1", indexDir, outDir,
+      s"$dir/ckpt", thresholdPermille = 900)
+    try {
+      mem.addData((1L, base),      // exact clone of indexed 100
+        (2L, nearDup),             // 1-token edit of indexed 100
+        (3L, "entirely novel words about nothing indexed before today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(verdicts() === Map(1L -> "dup_exact_index", 2L -> "dup_near_index",
+      3L -> "unique"), s"got ${verdicts()}")
+    // exactly-once: a replay of the SAME (run, batch) — what a
+    // post-crash checkpoint restart does — overwrites its own
+    // partition instead of double-appending
+    graft.streaming.IndexProbeDedup.process(
+      Seq((1L, base), (2L, nearDup),
+        (3L, "entirely novel words about nothing indexed before today"))
+        .toDF("doc_id", "text"),
+      "r1", batchId = 0L, indexDir, outDir, thresholdPermille = 900)
+    val rows = spark.read.parquet(outDir).select("doc_id").as[Long].collect()
+    assert(rows.length === 3 && rows.toSet === Set(1L, 2L, 3L),
+      s"replayed batch must not double-append, got ${rows.toSeq.sorted}")
+    // restart the stream from the same checkpoint with NEW data: old
+    // verdicts intact, the new batch probes the same index
+    val mem2 = MemoryStream[(Long, String)]
+    // (a fresh source after restart gets its own run id — batch ids
+    // restart at 0 per checkpoint, the partition key disambiguates)
+    val q2 = graft.streaming.IndexProbeDedup.start(
+      mem2.toDF().toDF("doc_id", "text"), "r2", indexDir, outDir,
+      s"$dir/ckpt2", thresholdPermille = 900)
+    try {
+      mem2.addData((10L, unrelated)) // exact clone of indexed 101
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = verdicts()
+    assert(all(10L) === "dup_exact_index" && all.size === 4, s"got $all")
+  }
 }
