@@ -1000,6 +1000,19 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("sub"))
     }),
 
+    // Residual IVFPQ — faiss's by_residual=true default: the PQ
+    // codebook is trained on (vector − assigned centroid) residuals,
+    // so its k codes encode within-cell displacement instead of
+    // re-coding the cell position the coarse index already knows;
+    // ADC runs in residual space per probed cell. Same deterministic
+    // Lloyd chains as sim_ann_ivfpq.
+    "sim_ann_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Similarity.annTrainResidual(emb, coarseK = 4, m = 4, pqK = 4, iters = 2)
+      Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 10), emb, model, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Markup injected per doc so normalization is non-trivially checked
     // (the synthetic corpus carries none); the md5 pins the whole
     // normalized text, not just counts.
@@ -1512,9 +1525,19 @@ object SparkEntry {
          |      FROM embeddings)""".stripMargin,
       s"""sq AS (SELECT vec_id, s, list_transform(range(1, ${sd + 1}),
          |         i -> qv[s * $sd + i]) AS sqv
-         |       FROM q, range(0, $m) t(s))""".stripMargin,
+         |       FROM q, range(0, $m) t(s))""".stripMargin)
+    (base ++ Seq(pqChain("sq", k, iters, sd))).mkString("WITH ", ",\n", "")
+  }
+
+  /** The per-subspace Lloyd chain of [[pqCtes]] (seeds s0/p0, rounds
+    * pa/pu/p, final assignment `pf`) reading subvectors from `src`
+    * (vec_id, s, sqv) — WITHOUT the WITH keyword, so the raw path
+    * (src=sq) and the residual path (src=rsq) replay the identical
+    * deterministic chain. */
+  private def pqChain(src: String, k: Int, iters: Int, sd: Int): String = {
+    val base = Seq(
       s"""s0 AS (SELECT vec_id, s, sqv,
-         |         row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM sq)""".stripMargin,
+         |         row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn FROM $src)""".stripMargin,
       s"""p0 AS (SELECT s, CAST(rn - 1 AS BIGINT) AS cell, sqv AS cv
          |       FROM s0 WHERE rn <= $k)""".stripMargin)
     val rounds = (1 to iters).flatMap { it =>
@@ -1524,7 +1547,7 @@ object SparkEntry {
            |  FROM (SELECT sq.vec_id, sq.s, sq.sqv, c.cell,
            |          list_sum(list_transform(range(1, ${sd + 1}),
            |            i -> (sq.sqv[i] - c.cv[i]) * (sq.sqv[i] - c.cv[i]))) AS ss
-           |        FROM sq JOIN p${it - 1} c ON sq.s = c.s) x)""".stripMargin,
+           |        FROM $src sq JOIN p${it - 1} c ON sq.s = c.s) x)""".stripMargin,
         s"""pu$it AS (SELECT s, cell, CAST(i - 1 AS BIGINT) AS dim,
            |    CAST(floor(sum(v) / count(*)) AS BIGINT) AS cq
            |  FROM (SELECT s, cell, i, sqv[i] AS v
@@ -1539,8 +1562,8 @@ object SparkEntry {
          |  FROM (SELECT sq.vec_id, sq.s, c.cell,
          |          list_sum(list_transform(range(1, ${sd + 1}),
          |            i -> (sq.sqv[i] - c.cv[i]) * (sq.sqv[i] - c.cv[i]))) AS ss
-         |        FROM sq JOIN p$iters c ON sq.s = c.s) x)""".stripMargin
-    (base ++ rounds :+ fin).mkString("WITH ", ",\n", "")
+         |        FROM $src sq JOIN p$iters c ON sq.s = c.s) x)""".stripMargin
+    (base ++ rounds :+ fin).mkString(",\n")
   }
 
   def oracleSql: Map[String, String] = ListMap(
@@ -2632,6 +2655,45 @@ object SparkEntry {
 
     // Multi-probe serving: query side probes its 2 nearest cells.
     "sim_ann_ivfpq_nprobe" -> ivfPqOracleProbes(2),
+
+    // Residual IVFPQ (faiss by_residual): the PQ chain replays over
+    // rv = qv − assigned-centroid residuals instead of raw vectors;
+    // queries ADC-score their OWN residual (nprobe=1 probes the
+    // query's cell) against the residual codes, same-cell gated.
+    "sim_ann_ivfpq_residual" ->
+      s"""WITH $qCte,
+         |${ivfChain(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |rq AS (SELECT q.vec_id, a.cell,
+         |         list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rv
+         |       FROM q JOIN cellof a USING (vec_id) JOIN c2 c ON a.cell = c.cell),
+         |rsq AS (SELECT vec_id, s, list_transform(range(1, 17),
+         |          i -> rv[s * 16 + i]) AS sqv
+         |        FROM rq, range(0, 4) t(s)),
+         |${pqChain("rsq", k = 4, iters = 2, sd = 16)},
+         |dt AS (SELECT sq.vec_id AS query_id, c.s, c.cell,
+         |         list_sum(list_transform(range(1, 17),
+         |           i -> (sq.sqv[i] - c.cv[i]) * (sq.sqv[i] - c.cv[i]))) AS d
+         |       FROM rsq sq JOIN p2 c ON sq.s = c.s
+         |       WHERE sq.vec_id < 10),
+         |cd AS (SELECT vec_id AS cand_id, s, cell AS code FROM pf WHERE rn = 1),
+         |sc AS (SELECT dt.query_id, cd.cand_id, CAST(sum(dt.d) AS BIGINT) AS adc
+         |       FROM cd JOIN dt ON cd.s = dt.s AND cd.code = dt.cell
+         |       JOIN cellof qa ON qa.vec_id = dt.query_id
+         |       JOIN cellof ca ON ca.vec_id = cd.cand_id
+         |       WHERE qa.cell = ca.cell AND dt.query_id <> cd.cand_id
+         |       GROUP BY dt.query_id, cd.cand_id),
+         |rk AS (SELECT query_id, cand_id, adc,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
+         |       FROM sc)
+         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "sim_pq_train" ->
       s"""${pqCtes(m = 4, k = 4, iters = 2)}

@@ -349,9 +349,15 @@ object Similarity {
     * subspaces are contiguous `dims/m` slices. The frame every PQ
     * stage shares. */
   private def subvectors(emb: DataFrame, m: Int,
-                         idCol: String, vecCol: String): DataFrame = {
-    val q0 = Partitioning.fanOut(emb)
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+                         idCol: String, vecCol: String): DataFrame =
+    subvectorsOf(Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv")), m)
+
+  /** [[subvectors]] over an ALREADY-quantized `(__id, qv)` frame — the
+    * entry point residual PQ uses (residuals are exact long
+    * differences of quantized values; re-quantizing would scale them
+    * a second time). */
+  private def subvectorsOf(q0: DataFrame, m: Int): DataFrame = {
     val dims = q0.select(size(col("qv"))).head().getInt(0)
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val sd = dims / m
@@ -386,9 +392,15 @@ object Similarity {
     * driver-materialized like the k-means centroids. */
   def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    graft.plans.GraftExtensions.register(spark)
-    val sub = subvectors(emb, m, idCol, vecCol).cache()
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    pqTrainSub(subvectors(emb, m, idCol, vecCol), k, iters)
+  }
+
+  /** The Lloyd chain of [[pqTrain]] over a prepared `(__id, sub, sqv)`
+    * subvector frame — shared by the raw path and the residual path. */
+  private def pqTrainSub(subIn: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = subIn.sparkSession
+    val sub = subIn.cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub")).orderBy(col("__id"))
     val seeds = sub.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -413,11 +425,17 @@ object Similarity {
   def pqEncode(emb: DataFrame, codebook: DataFrame,
                m: Int, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame =
-    assignPq(subvectors(emb, m, idCol, vecCol), codebook)
+    pqEncodeSub(subvectors(emb, m, idCol, vecCol), codebook)
+      .withColumnRenamed("__id", idCol)
+
+  /** Code assembly of [[pqEncode]] over a prepared subvector frame:
+    * `(__id, codes)` — shared by the raw and residual paths. */
+  private def pqEncodeSub(sub: DataFrame, codebook: DataFrame): DataFrame =
+    assignPq(sub, codebook)
       .groupBy(col("__id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
         x => x.getField("cell")).as("codes"))
-      .select(col("__id").as(idCol), col("codes"))
+      .select(col("__id"), col("codes"))
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
     * a (sub, cell) → partial-squared-distance table against the
@@ -656,4 +674,114 @@ object Similarity {
       Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
       .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
   }
+
+  // ──────────── Residual IVFPQ (faiss's by_residual default) ────────────
+
+  /** Residual vectors under a trained coarse quantizer: each vector
+    * minus its assigned centroid, as exact long differences of
+    * quantized values. Residuals concentrate around 0 regardless of
+    * where the cell sits in space, so one SHARED PQ codebook spends
+    * its k codes on the within-cell displacement instead of re-coding
+    * the cell position the coarse index already knows — faiss's
+    * `by_residual=true` default for IndexIVFPQ, and the reason a
+    * 4-bit-per-subquantizer production index holds recall. Returns
+    * `(__id, cell, qv)` with `qv` the residual, ready for
+    * [[subvectorsOf]]. One broadcast assignment pass; the embedding
+    * side never shuffles. */
+  private def residuals(emb: DataFrame, coarse: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val q = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+    assignCells(q, coarse)
+      .join(broadcast(coarse.select(col("cell"), col("cv"))), "cell")
+      .select(col("__id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qv"))
+  }
+
+  /** Train the residual-encoded [[AnnModel]]: coarse quantizer over
+    * the raw vectors, PQ codebook over the RESIDUALS (vector −
+    * assigned centroid). Same determinism contract and scale shape as
+    * [[annTrain]] — the only extra work is one broadcast assignment
+    * pass to form the residual frame before the PQ Lloyd rounds. */
+  def annTrainResidual(emb: DataFrame, coarseK: Int, m: Int, pqK: Int, iters: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): AnnModel = {
+    val coarse = ivfTrain(emb, coarseK, iters, idCol, vecCol)
+    val r = residuals(emb, coarse, idCol, vecCol)
+    AnnModel(coarse, pqTrainSub(subvectorsOf(r.select(col("__id"), col("qv")), m),
+      pqK, iters), m)
+  }
+
+  /** Encode vectors against a FROZEN residual model: coarse cell +
+    * PQ codes of the residual — the `(id, cell, codes)` row shape
+    * [[AnnIndex]] stores, so a residual index round-trips through
+    * [[writeAnnIndex]]/[[readAnnIndex]] unchanged. The codes of a
+    * residual model are meaningless to the raw scorers (and vice
+    * versa) — serve a residual index with [[ivfPqResidualScore]]. */
+  def annEncodeResidual(emb: DataFrame, model: AnnModel,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val r = residuals(emb, model.coarse, idCol, vecCol)
+    r.select(col("__id"), col("cell"))
+      .join(pqEncodeSub(subvectorsOf(r.select(col("__id"), col("qv")), model.m),
+        model.codebook), "__id")
+      .select(col("__id").as(idCol), col("cell"), col("codes"))
+  }
+
+  /** Query-time ADC over a residual-encoded candidate frame. Each
+    * query probes its `nprobe` nearest coarse cells; within a probed
+    * cell the query's OWN residual against THAT cell's centroid is
+    * ADC-scored against the stored residual codes — the residual twin
+    * of [[ivfPqScore]]/[[ivfPqTopKIndexedProbes]]. The per-(query,
+    * probe) distance tables are queries×nprobe×m×k rows (broadcast);
+    * candidates contribute one (cell, code) equi-join, and each
+    * candidate scores at most once per query because cells are
+    * disjoint. */
+  def ivfPqResidualScore(queries: DataFrame, encodedCands: DataFrame,
+                         model: AnnModel, k: Int, nprobe: Int = 1,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val m = model.m
+    val sd = model.codebook.select(size(col("cv"))).head().getInt(0)
+    val c = model.coarse.withColumn("__csq", dot(col("cv"), col("cv")))
+    val probes = Partitioning.fanOut(queries)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__s", col("__csq") - lit(2d) * dot(col("__qqv"), col("cv")))
+    // per probed cell, the query re-residualizes against THAT centroid
+    val pr = Relational.topNPerGroup(probes, Seq(col("query_id")),
+        Seq(col("__s"), col("cell")), nprobe, rankCol = "__rn")
+      .select(col("query_id"), col("cell").as("qcell"),
+        zip_with(col("__qqv"), col("cv"), (a, b) => a - b).as("__qr"))
+    val dt = pr.select(col("query_id"), col("qcell"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("__qr"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
+      .select(col("query_id"), col("qcell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+      .join(broadcast(model.codebook), "sub")
+      .withColumn("d",
+        (dot(col("sqv"), col("sqv")) - lit(2d) * dot(col("sqv"), col("cv")) +
+          dot(col("cv"), col("cv"))).cast("long"))
+      .select(col("query_id"), col("qcell"), col("sub"), col("cell"), col("d"))
+    val cexp = encodedCands.select(col(idCol).as("cand_id"), col("cell").as("ccell"),
+      posexplode(col("codes")).as(Seq("csub", "code")))
+    val scored = cexp.join(broadcast(dt),
+        col("csub").cast("long") === col("sub") && col("code") === col("cell") &&
+          col("ccell") === col("qcell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adc"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("adc"), col("cand_id")), k, rankCol = "rnk")
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
+  }
+
+  /** Train-encode-serve composite for residual IVFPQ — the residual
+    * twin of [[ivfPqTopK]] (production callers store the model and
+    * codes via [[AnnIndex]] and call [[ivfPqResidualScore]]). */
+  def ivfPqResidualTopK(queries: DataFrame, candidates: DataFrame,
+                        model: AnnModel, k: Int, nprobe: Int = 1,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqResidualScore(queries, annEncodeResidual(candidates, model, idCol, vecCol),
+      model, k, nprobe, idCol, vecCol)
 }

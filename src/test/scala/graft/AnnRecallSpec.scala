@@ -206,6 +206,53 @@ class AnnRecallSpec extends SparkSpec {
     assert(plan.contains("encoded"), "serving must scan the stored code table")
   }
 
+  test("residual IVFPQ: stored-index round-trip is exact; recall beats raw codes at equal budget") {
+    val model = Similarity.annTrainResidual(clustered, coarseK = nClusters,
+      m = 4, pqK = 4, iters = 2)
+    val encoded = Similarity.annEncodeResidual(clustered, model)
+    // a residual index round-trips through the UNCHANGED AnnIndex layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_resid_spec").toString
+    Similarity.writeAnnIndex(Similarity.AnnIndex(model, encoded), dir)
+    val back = Similarity.readAnnIndex(spark, dir)
+    val queries = clustered.filter(col("vec_id") % 16 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk"))
+        .select(col("query_id"), col("cand_id"), col("rnk"), col("adc"))
+        .collect().toSeq
+    val fresh = Similarity.ivfPqResidualTopK(queries, clustered, model, k = 5)
+    val served = Similarity.ivfPqResidualScore(queries, back.encoded, back.model, k = 5)
+    assert(rows(served) === rows(fresh),
+      "stored residual index must serve bit-identically to fresh encoding")
+    // equal (m, pqK) budget: the residual codebook spends its codes on
+    // within-cell displacement, the raw codebook on absolute position —
+    // residual recall must not fall below raw on cell-concentrated data
+    val exact = topkSets(Similarity.bruteForceTopK(queries, clustered, k = 5))
+    val raw = Similarity.annTrain(clustered, coarseK = nClusters, m = 4, pqK = 4, iters = 2)
+    val rRaw = recall(topkSets(Similarity.ivfPqTopK(queries, clustered,
+      raw.coarse, raw.codebook, m = 4, k = 5)), exact)
+    val rRes = recall(topkSets(fresh), exact)
+    info(f"recall@5 at m=4 pqK=4: raw=$rRaw%.2f residual=$rRes%.2f")
+    assert(rRes >= rRaw,
+      f"residual recall $rRes%.2f fell below raw-code recall $rRaw%.2f at equal budget")
+    // the recall dial still works in residual space
+    val r2 = recall(topkSets(Similarity.ivfPqResidualScore(queries, back.encoded,
+      back.model, k = 5, nprobe = 2)), exact)
+    assert(r2 >= rRes, f"nprobe=2 recall $r2%.2f below nprobe=1 $rRes%.2f")
+    // at a production-ish code budget the gap opens: raw codes are
+    // dominated by the cell position (within one cell most candidates
+    // share a code and ADC ties), residual codes resolve displacement
+    val raw16 = Similarity.annTrain(clustered, coarseK = nClusters, m = 4, pqK = 16, iters = 2)
+    val res16 = Similarity.annTrainResidual(clustered, coarseK = nClusters,
+      m = 4, pqK = 16, iters = 2)
+    val rRaw16 = recall(topkSets(Similarity.ivfPqTopK(queries, clustered,
+      raw16.coarse, raw16.codebook, m = 4, k = 5)), exact)
+    val rRes16 = recall(topkSets(Similarity.ivfPqResidualTopK(queries, clustered,
+      res16, k = 5)), exact)
+    info(f"recall@5 at m=4 pqK=16: raw=$rRaw16%.2f residual=$rRes16%.2f")
+    assert(rRes16 >= rRaw16,
+      f"residual recall $rRes16%.2f below raw $rRaw16%.2f at pqK=16")
+  }
+
   test("annIndexAppend: append ≡ rebuild under the frozen model; serving sees the delta") {
     // index built on 3/4 of the corpus; every 4th vector arrives as a
     // delta (IN-distribution — spread across all clusters, the regime

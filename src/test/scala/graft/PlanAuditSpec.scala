@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivfpq_stored" -> "broadcast STORED coarse centroids for cell assignment (k×dims)",
     "sim_ann_ivfpq_nprobe" -> "broadcast STORED coarse centroids for probe ranking (k×dims)",
     "sim_ann_index_append" -> "broadcast STORED model (centroids + codebook) against the delta being encoded",
+    "sim_ann_ivfpq_residual" -> "broadcast coarse centroids for assignment/probe ranking and residual formation (k×dims)",
     "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",
     "sim_bm25" -> "single-row corpus stats (N, avgdl) joined under every scored doc",
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
