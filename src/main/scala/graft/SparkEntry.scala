@@ -476,6 +476,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Weighted (multiset) Jaccard: Σmin/Σmax over token BAGS — the
+    // repetition-aware near-dup measure set-Jaccard collapses (a doc
+    // repeating one paragraph 10× is set-identical to one copy).
+    // Candidates from the same set-LSH banding; verification per-pair
+    // in-row via the native token_counts + bag_overlap merge scan.
+    "dedup_weighted_jaccard" -> ((s, d) => {
+      Dedup.weightedJaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 500).pairs
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Character 5-gram Jaccard: the char-level near-dup sweep (catches
     // whitespace/punctuation edits word-level misses). Banded like
     // dedup_jaccard — the minhash runs over the char-gram set itself.
@@ -1409,7 +1420,10 @@ object SparkEntry {
     * band collision, then (source, lang) strata equality + exact
     * Jaccard ≥ threshold. Ends in
     * `pairs`(doc_a, doc_b, inter, uni, jac_permille). */
-  private def bandedPairsCtes(setSql: String, fromWhere: String, threshold: Int): String = {
+  /** The candidate half of [[bandedPairsCtes]] (d → el → dgb → sig →
+    * bands → cand) — shared with the weighted-Jaccard oracle, whose
+    * verification stage differs. */
+  private def bandedCandCtes(setSql: String, fromWhere: String): String = {
     val hs = (0 until 8).map { i =>
       val digest = if (i < 4) "m1" else "m2"
       s"  min(${hexSliceSql(digest, (i % 4) * 8 + 1)}) AS h$i"
@@ -1425,7 +1439,11 @@ object SparkEntry {
        |${minhashBandSelect("")}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def bandedPairsCtes(setSql: String, fromWhere: String, threshold: Int): String =
+    s"""${bandedCandCtes(setSql, fromWhere)},
        |pv AS (SELECT c.doc_a, c.doc_b,
        |         CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
        |         CAST(len(a.ts) + len(b.ts) AS BIGINT) AS sz
@@ -1435,7 +1453,6 @@ object SparkEntry {
        |pairs AS (SELECT doc_a, doc_b, inter, sz - inter AS uni,
        |            CAST(floor(inter * 1000 / (sz - inter)) AS BIGINT) AS jac_permille
        |          FROM pv WHERE floor(inter * 1000 / (sz - inter)) >= $threshold)""".stripMargin
-  }
 
   /** Strata-aware twin of [[bandedPairsCtes]]'s bucket stage for the
     * hot-bucket-governor queries: `sbands` carries (source, lang) on
@@ -1913,6 +1930,31 @@ object SparkEntry {
     "dedup_char_ngram" ->
       s"""WITH ${bandedPairsCtes(charGramSql, " WHERE length(text) >= 5", 800)}
          |SELECT doc_a, doc_b, inter, uni, jac_permille FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // weighted verification over the same banded candidates: Σmin via
+    // a token-grain join (independent of Spark's in-row merge scan),
+    // Σmax = |A| + |B| − Σmin from raw token totals
+    "dedup_weighted_jaccard" ->
+      s"""WITH ${bandedCandCtes(tokSql, "")},
+         |bag AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM (SELECT doc_id, unnest($tokSql) AS token FROM documents)
+         |        GROUP BY doc_id, token),
+         |tt AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS tot FROM documents),
+         |mn AS (SELECT c.doc_a, c.doc_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS min_sum
+         |       FROM cand c JOIN bag a ON a.doc_id = c.doc_a
+         |                   JOIN bag b ON b.doc_id = c.doc_b AND a.token = b.token
+         |       GROUP BY c.doc_a, c.doc_b),
+         |pv AS (SELECT c.doc_a, c.doc_b, coalesce(m.min_sum, 0) AS min_sum,
+         |         ta.tot + tb.tot - coalesce(m.min_sum, 0) AS max_sum
+         |       FROM cand c
+         |       JOIN d da ON da.doc_id = c.doc_a JOIN d db ON db.doc_id = c.doc_b
+         |       JOIN tt ta ON ta.doc_id = c.doc_a JOIN tt tb ON tb.doc_id = c.doc_b
+         |       LEFT JOIN mn m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+         |       WHERE da.source = db.source AND da.lang = db.lang)
+         |SELECT doc_a, doc_b, min_sum, max_sum,
+         |       CAST(floor(min_sum * 1000 / max_sum) AS BIGINT) AS wjac_permille
+         |FROM pv WHERE floor(min_sum * 1000 / max_sum) >= 500
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_hot_buckets" ->

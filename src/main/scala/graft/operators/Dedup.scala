@@ -248,11 +248,29 @@ object Dedup {
                             strataCols: Seq[String], thresholdPermille: Int,
                             idCol: String, numHashes: Int, rowsPerBand: Int,
                             maxBucket: Int): BandedPairs = {
-    require(maxBucket >= 2, s"maxBucket must be >= 2 (a bucket of 2 is one pair), got $maxBucket")
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", tsetExpr)
       .withColumn("tsz", size(col("tset")).cast("long"))
       .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
+    val (cands, hot) = bandedCandidatesOn(base, strataCols, idCol,
+      numHashes, rowsPerBand, maxBucket)
+    BandedPairs(
+      jaccardVerifySetsFull(base.select(col(idCol), col("tset"), col("tsz")),
+        cands, thresholdPermille, idCol),
+      hot)
+  }
+
+  /** Candidate generation shared by the set-Jaccard and weighted-
+    * Jaccard banded families: minhash signature over `tset` (strata
+    * riding the aggregation), band buckets, hot-bucket cap, strata ∧
+    * band self-join, distinct. `base` must carry (`idCol`, `tset`,
+    * strata…); extra columns ride through untouched for the caller's
+    * verification stage. Returns (candidate pairs, dropped-bucket
+    * accounting). */
+  private def bandedCandidatesOn(base: DataFrame, strataCols: Seq[String],
+                                 idCol: String, numHashes: Int, rowsPerBand: Int,
+                                 maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2 (a bucket of 2 is one pair), got $maxBucket")
     // signature over the verification set itself (docs with an empty
     // set produce no signature rows — they cannot pair in the
     // exhaustive form either); strata ride the signature aggregation
@@ -284,11 +302,62 @@ object Dedup {
       col("doc_a") < col("doc_b")
     // distinct BEFORE the token-set joins: a pair colliding in several
     // bands must pay verification once, not once per band
-    val cands = a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct()
-    BandedPairs(
-      jaccardVerifySetsFull(base.select(col(idCol), col("tset"), col("tsz")),
-        cands, thresholdPermille, idCol),
-      hot)
+    (a.join(b, cond).select(col("doc_a"), col("doc_b")).distinct(), hot)
+  }
+
+  /** Weighted (multiset) Jaccard near-dup pairs:
+    * J_w(A,B) = Σ_t min(a_t,b_t) / Σ_t max(a_t,b_t) over token BAGS —
+    * the generalized Jaccard that set-Jaccard collapses: a doc that
+    * repeats one paragraph 10× and a doc containing it once are
+    * set-identical but bag-dissimilar, and spam/template corpora are
+    * where that distinction pays. Σmax is never materialized:
+    * Σmax = |A| + |B| − Σmin over raw token totals.
+    *
+    * Scale shape: candidates come from the SAME set-LSH banding as
+    * [[jaccardPairsBanded]] (minhash over distinct tokens — the
+    * standard recipe: candidate on set similarity, verify the
+    * weighted measure; J_w ≤ J_set on token sets is NOT generally
+    * true, but near-dup bags share near-identical supports, so
+    * set-band recall carries). Verification is per-pair in-row: bags
+    * are built once per doc by the native one-pass `token_counts`
+    * (no token-grain shuffle) and Σmin is the native `bag_overlap`
+    * two-pointer merge — O(|A|+|B|) per candidate, zero allocation.
+    * The PPJoin length prefilter holds with multiplicity totals
+    * (Σmin ≤ min(|A|,|B|), Σmax ≥ max(|A|,|B|)). Same hot-bucket
+    * governor; drop accounting via the returned [[BandedPairs]]. */
+  def weightedJaccardPairsBanded(docs: DataFrame, strataCols: Seq[String],
+                                 thresholdPermille: Int, idCol: String = "doc_id",
+                                 numHashes: Int = 8, rowsPerBand: Int = 2,
+                                 maxBucket: Int = DefaultMaxBucket): BandedPairs = {
+    require(thresholdPermille >= 1, "thresholdPermille must be >= 1")
+    import graft.functions.BagFunctions.{bag_overlap, token_counts}
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val base = Partitioning.fanOut(docs)
+      .withColumn("__tk", tokens(col("text")))
+      .withColumn("tset", array_distinct(col("__tk")))
+      .withColumn("bag", token_counts(col("__tk")))
+      .withColumn("tot", size(col("__tk")).cast("long"))
+      .select(col(idCol) +: col("tset") +: col("bag") +: col("tot") +:
+        strataCols.map(col): _*)
+    val (cands, hot) = bandedCandidatesOn(base, strataCols, idCol,
+      numHashes, rowsPerBand, maxBucket)
+    val verified = cands
+      .join(base.select(col(idCol).as("doc_a"), col("bag").as("ba"),
+        col("tot").as("tota")), "doc_a")
+      .join(base.select(col(idCol).as("doc_b"), col("bag").as("bb"),
+        col("tot").as("totb")), "doc_b")
+      // PPJoin length filter on multiplicity totals — prune before the
+      // O(|A|+|B|) merge scan
+      .filter(col("tota") * 1000 >= lit(thresholdPermille) * col("totb") &&
+              col("totb") * 1000 >= lit(thresholdPermille) * col("tota"))
+      .withColumn("min_sum", bag_overlap(col("ba"), col("bb")))
+      .withColumn("max_sum", col("tota") + col("totb") - col("min_sum"))
+      .withColumn("wjac_permille",
+        floor(col("min_sum") * 1000 / col("max_sum")).cast("long"))
+      .filter(col("wjac_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("min_sum"), col("max_sum"),
+        col("wjac_permille"))
+    BandedPairs(verified, hot)
   }
 
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, MergePair, TopKRows, VectorDot, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.freqTopKDescriptor)
     ext.injectFunction(GraftExtensions.charShinglesDescriptor)
     ext.injectFunction(GraftExtensions.mergePairDescriptor)
+    ext.injectFunction(GraftExtensions.tokenCountsDescriptor)
+    ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -78,13 +80,24 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MergePair].getName, "merge_pair"),
     (children: Seq[Expression]) => MergePair(children.head, children(1), children(2)))
 
+  val tokenCountsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("token_counts"),
+    new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+    (children: Seq[Expression]) => TokenCounts(children.head))
+
+  val bagOverlapDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bag_overlap"),
+    new ExpressionInfo(classOf[BagOverlap].getName, "bag_overlap"),
+    (children: Seq[Expression]) => BagOverlap(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
-        freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor).foreach { d =>
+        freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
+        tokenCountsDescriptor, bagOverlapDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }
