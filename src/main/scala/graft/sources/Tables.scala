@@ -43,16 +43,44 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events` with the raw nano clock kept as `ts_ns` (long) plus two
+  /** `events` with the raw clock kept as `ts_ns` (long nanos) plus two
     * derived columns every operator downstream uses:
     *   - `ts_sec` — integer epoch seconds (stable across engines; used
     *     for arithmetic like session gaps),
     *   - `ts` — second-truncated TIMESTAMP_NTZ (the precision that is
-    *     bit-stable between Spark's micros and DuckDB's nanos).
-    */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_sec", floor(col("ts_ns") / 1000000000L).cast("long"))
-      .withColumn("ts", timestamp_seconds(col("ts_sec")).cast("timestamp_ntz"))
+    *     bit-stable between Spark and DuckDB regardless of the file's
+    *     unit).
+    *
+    * The loader accepts BOTH physical encodings the harness has
+    * shipped: INT64 TIMESTAMP(NANOS) (read as LongType nanos under
+    * `nanosAsLong`) and plain TIMESTAMP micros (read as
+    * TIMESTAMP/TIMESTAMP_NTZ — with the session pinned to UTC the
+    * NTZ→LTZ cast is wall-clock exact). The micros path derives
+    * `ts_sec` with `unix_seconds` — integer truncation, no float in
+    * the epoch math. */
+  /** Second-truncated TIMESTAMP from a raw `ts` of either physical
+    * encoding (LongType nanos under `nanosAsLong`, or a timestamp
+    * column) — the shared shim for code reading the events parquet
+    * directly, e.g. through a streaming file source. */
+  def secondTimestamp(ts: org.apache.spark.sql.Column,
+                      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(floor(ts / 1000000000L).cast("long"))
+      case _ => timestamp_seconds(unix_seconds(ts.cast("timestamp")))
+    }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    val withNs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_sec", floor(col("ts_ns") / 1000000000L).cast("long"))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts_sec", unix_seconds(col("ts").cast("timestamp")))
+          .drop("ts")
+    }
+    withNs.withColumn("ts", timestamp_seconds(col("ts_sec")).cast("timestamp_ntz"))
+  }
 }

@@ -14,13 +14,14 @@ class StreamBatchParitySpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming tumbling window over events parquet equals the batch aggregate") {
-    val raw = Tables.table(spark, sf, "events") // ts as nanos long
+    val raw = Tables.table(spark, sf, "events") // ts: nanos long OR timestamp
     // the streaming file source wants a directory of files
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = Files.parquetStream(spark, dir.toString, raw.schema)
-      .withColumn("ts_evt", timestamp_seconds(floor(col("ts") / 1000000000L)).cast("timestamp"))
+      .withColumn("ts_evt",
+        Tables.secondTimestamp(col("ts"), raw.schema("ts").dataType).cast("timestamp"))
     val agg = Windows.tumbling(stream, "ts_evt", "event_type", "1 hour", "0 seconds")
     val q = agg.writeStream.outputMode("update").format("memory")
       .queryName("parity_out").start()
@@ -46,7 +47,8 @@ class StreamBatchParitySpec extends SparkSpec {
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     val stream = Files.parquetStream(spark, dir.toString, raw.schema)
-      .withColumn("ts_evt", timestamp_seconds(floor(col("ts") / 1000000000L)).cast("timestamp"))
+      .withColumn("ts_evt",
+        Tables.secondTimestamp(col("ts"), raw.schema("ts").dataType).cast("timestamp"))
     val agg = Windows.sessions(stream, "ts_evt", "user_id", "6 hours", "0 seconds")
     // session_window aggregation forbids update mode; complete mode is
     // fine here (the memory sink holds the final merged sessions)
