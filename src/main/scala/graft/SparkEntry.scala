@@ -645,6 +645,19 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Lexical diversity: type–token ratio + Shannon word entropy per
+    // doc — the repetition-vs-prose quality axis. Fully narrow (no
+    // shuffle); the entropy fold runs over the sorted count multiset
+    // so the one float is bit-reproducible cross-engine.
+    "text_entropy" -> ((s, d) =>
+      TextAnalysis.lexicalStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Self-trained add-one bigram LM scored back over the corpus:
+    // per-doc mean negative log-prob + perplexity (the KenLM-style
+    // fluency-filter slot of CCNet/Gopher pipelines).
+    "text_perplexity" -> ((s, d) =>
+      TextAnalysis.bigramPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // Bigram LM-ish fluency: mean corpus frequency of each doc's word
     // bigrams, exact integer arithmetic.
     "text_bigram_lm" -> ((s, d) =>
@@ -836,6 +849,19 @@ object SparkEntry {
         .select(col("doc_id"), col("copy_idx"), col("source"))
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
+
+    // DSIR importance weights (hashed-unigram log-likelihood ratio)
+    // toward the English subcorpus as the target domain —
+    // resample-ready pretraining-data targeting.
+    "corpus_dsir_weights" -> ((s, d) =>
+      Corpus.dsirWeights(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id"))),
+
+    // mT5-style temperature-scaled mixture weights over sources at
+    // α = ½ (inside IEEE-exact sqrt): the low-resource upsampling
+    // table a multilingual mix is drawn from.
+    "corpus_temperature" -> ((s, d) =>
+      Corpus.temperatureMixture(Tables.documents(s, d)).orderBy(col("source"))),
 
     // Duplication profile: how many clusters of each multiplicity the
     // exact-dedup pass found (the corpus-health report a curation run
@@ -2290,6 +2316,51 @@ object SparkEntry {
          |       CAST(len(ts) AS BIGINT) AS n_distinct
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // Twin of TextAnalysis.lexicalStats: the Σ c·ln c fold runs over
+    // the SORTED count multiset via transform-then-reduce with a 0.0
+    // seed — the identical float-op sequence as Spark's aggregate().
+    "text_entropy" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |c AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+         |        list_sort(list_transform(list_distinct(tk),
+         |          u -> CAST(len(list_filter(tk, x -> x = u)) AS DOUBLE))) AS cnts
+         |      FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, n_tokens, n_types,
+         |       n_types * 1000 // n_tokens AS ttr_permille,
+         |       round(ln(CAST(n_tokens AS DOUBLE)) -
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(cnts, y -> y * ln(y))), (a,b) -> a + b) / n_tokens,
+         |         4) AS entropy_q4
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Twin of TextAnalysis.bigramPerplexity: same add-one bigram LM
+    // (V from its own unigram CTE = Spark's inlined literal), per-doc
+    // fold over struct-sorted (c12, c1) pairs, ln over integer
+    // arguments only.
+    "text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |         i -> tk[i] || ' ' || tk[i+1])) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
+         |tokx AS (SELECT unnest(tk) AS w FROM t),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tokx GROUP BY w),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+         |j AS (SELECT bg.doc_id, c.c12, u.c1, v.v
+         |      FROM bg JOIN c USING (b) JOIN u ON u.w = string_split(bg.b, ' ')[1], v),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(v) AS v,
+         |        list_sort(list({'c12': c12, 'c1': c1})) AS ps
+         |      FROM j GROUP BY doc_id),
+         |s AS (SELECT doc_id, n_bigrams,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
+         |          p -> ln(CAST(p.c1 + v AS DOUBLE)) - ln(CAST(p.c12 + 1 AS DOUBLE)))),
+         |          (a,b) -> a + b) / n_bigrams AS nll
+         |      FROM g)
+         |SELECT doc_id, n_bigrams, round(nll, 4) AS nll_q4,
+         |       round(exp(nll), 4) AS ppl_q4
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     "mm_blob_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       md5(text) AS digest
@@ -2538,6 +2609,49 @@ object SparkEntry {
          |SELECT doc_id, copy_idx, source FROM h
          |WHERE (copy_idx + 1) * 1000 <= w OR (${hexSliceSql("m", 1)}) % 1000 < w % 1000
          |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // Twin of Corpus.dsirWeights (target = lang 'en'): engine-portable
+    // md5 hash buckets, integer-argument ln only, per-doc fold over
+    // bucket-id-sorted structs — Spark's exact float-op sequence.
+    "corpus_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS t, unnest($tokSql) AS w FROM documents),
+         |h AS (SELECT doc_id, t, md5('dsir|' || w) AS m FROM tk),
+         |fx AS (SELECT doc_id, t, (${hexSliceSql("m", 1)}) % 64 AS f FROM h),
+         |pd AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c FROM fx GROUP BY doc_id, f),
+         |g AS (SELECT f, CAST(count(*) AS BIGINT) AS cr,
+         |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM fx GROUP BY f),
+         |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM g),
+         |j AS (SELECT pd.doc_id, pd.f, pd.c, g.ct, g.cr, tt.tr, tt.tt
+         |      FROM pd JOIN g USING (f), tt),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, max(tr) AS tr, max(tt) AS tt,
+         |        list_sort(list({'f': f, 'c': c, 'ct': ct, 'cr': cr})) AS bs
+         |      FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_feats,
+         |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(bs,
+         |           p -> CAST(p.c AS DOUBLE) * (ln(CAST(p.ct + 1 AS DOUBLE)) - ln(CAST(tt + 64 AS DOUBLE))
+         |                 - ln(CAST(p.cr + 1 AS DOUBLE)) + ln(CAST(tr + 64 AS DOUBLE))))),
+         |         (a,b) -> a + b), 4) AS dsir_logw_q4
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Twin of Corpus.temperatureMixture: α = ½ inside IEEE-exact
+    // sqrt; the Σ√p normalizer folds in sorted stratum order.
+    "corpus_temperature" ->
+      s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |             FROM documents GROUP BY source),
+         |one AS (SELECT list_sort(list({'source': source, 'n_docs': n_docs,
+         |                               'n_tokens': n_tokens})) AS s FROM per),
+         |t2 AS (SELECT s, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(s, p -> p.n_tokens)), (a,b) -> a + b) AS tot FROM one),
+         |t3 AS (SELECT s, tot, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |         list_transform(s, p -> sqrt(CAST(p.n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)))),
+         |         (a,b) -> a + b) AS z FROM t2),
+         |u AS (SELECT unnest(s) AS p, tot, z FROM t3)
+         |SELECT p.source AS source, p.n_docs AS n_docs, p.n_tokens AS n_tokens,
+         |       round(CAST(p.n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS share_q4,
+         |       round(sqrt(CAST(p.n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) / z, 4)
+         |         AS temp_share_q4
+         |FROM u ORDER BY source""".stripMargin,
 
     "dedup_cluster_sizes" ->
       """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies

@@ -460,4 +460,98 @@ object Corpus {
         at(50).as("p50_tokens"), at(90).as("p90_tokens"), at(99).as("p99_tokens"),
         max(col("n_tokens")).as("max_tokens"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc
+    * by how much more likely its hashed-unigram features are under a
+    * TARGET domain than under the raw corpus,
+    * `log w(x) = Σ_f c_f(x) · (ln p̂_target(f) − ln p̂_raw(f))`, with
+    * add-one-smoothed bucket distributions over `buckets` hashed
+    * features. Resampling the raw corpus ∝ w reshapes it toward the
+    * target domain — the standard pretraining-data targeting move.
+    *
+    * `isTarget` marks the target-domain exemplar docs (they stay in
+    * the raw estimate too, as in the paper's raw = full-corpus
+    * denominator).
+    *
+    * Scale shape: one explode + groupBy(doc, bucket) for the per-doc
+    * feature counts (map-side combinable, the only corpus-sized
+    * shuffle); the two global bucket tables are `buckets` rows —
+    * broadcast, never shuffled; scoring is a broadcast join + narrow
+    * fold. The global totals ride the broadcast table (max over a
+    * 64-row side), not a driver collect.
+    *
+    * Determinism: `ln` arguments are integers only (counts + 1,
+    * totals + buckets — ratios decomposed as ln differences), the
+    * per-doc fold runs over buckets SORTED by bucket id, and the
+    * result is pinned at 4 decimals ([[TextAnalysis.lexicalStats]]
+    * policy). Feature hashing uses the engine-portable
+    * [[hashBucket]]. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 64,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val tok = Partitioning.fanOut(docs)
+      .select(col(idCol), isTarget.as("__t"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("__t"), hashBucket(col("w"), buckets, "dsir|").as("f"))
+    val perDoc = tok.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
+    val global = tok.groupBy(col("f"))
+      .agg(count(lit(1)).as("cr"), sum(col("__t").cast("long")).as("ct"))
+    import org.apache.spark.sql.expressions.Window
+    val totals = global
+      .withColumn("tr", sum(col("cr")).over(Window.partitionBy()))
+      .withColumn("tt", sum(col("ct")).over(Window.partitionBy()))
+    perDoc
+      .join(broadcast(totals), "f")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"), max(col("tr")).as("__tr"),
+        max(col("tt")).as("__tt"),
+        sort_array(collect_list(struct(col("f"), col("c"), col("ct"), col("cr"))))
+          .as("__b"))
+      .withColumn("dsir_logw_q4", round(
+        aggregate(col("__b"), lit(0.0), (a, p) =>
+          a + p.getField("c").cast("double") *
+            (log((p.getField("ct") + lit(1L)).cast("double")) -
+              log((col("__tt") + lit(buckets.toLong)).cast("double")) -
+              log((p.getField("cr") + lit(1L)).cast("double")) +
+              log((col("__tr") + lit(buckets.toLong)).cast("double")))), 4))
+      .select(col(idCol), col("n_feats"), col("dsir_logw_q4"))
+  }
+
+  /** Temperature-scaled multinomial mixture weights over strata — the
+    * mT5/XLM-R low-resource-upsampling rule `w_i ∝ p_i^α` at α = ½,
+    * where p_i is stratum i's share of corpus tokens. α = ½ keeps the
+    * exponent inside IEEE-exact `sqrt` (correctly rounded on every
+    * engine, unlike a general `pow`), so the whole table is
+    * bit-reproducible; raw and tempered shares are pinned at 4
+    * decimals.
+    *
+    * Scale shape: one groupBy(stratum) over the corpus (map-side
+    * combinable), then all arithmetic on the STRATA-CARDINALITY table
+    * — the single-row collect_list fold is over |strata| structs, not
+    * data. The Σ√p normalizer folds in sorted stratum order — one
+    * canonical float summation order per engine. */
+  def temperatureMixture(docs: DataFrame, strataCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val per = Partitioning.fanOut(docs)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    per
+      .agg(sort_array(collect_list(
+        struct(col(strataCol), col("n_docs"), col("n_tokens")))).as("__s"))
+      .withColumn("__tot",
+        aggregate(col("__s"), lit(0L), (a, p) => a + p.getField("n_tokens")))
+      .withColumn("__z",
+        aggregate(col("__s"), lit(0.0), (a, p) =>
+          a + sqrt(p.getField("n_tokens").cast("double") / col("__tot").cast("double"))))
+      .select(explode(col("__s")).as("p"), col("__tot"), col("__z"))
+      .select(col("p").getField(strataCol).as(strataCol),
+        col("p").getField("n_docs").as("n_docs"),
+        col("p").getField("n_tokens").as("n_tokens"),
+        round(col("p").getField("n_tokens").cast("double") /
+          col("__tot").cast("double"), 4).as("share_q4"),
+        round(sqrt(col("p").getField("n_tokens").cast("double") /
+          col("__tot").cast("double")) / col("__z"), 4).as("temp_share_q4"))
+  }
 }

@@ -672,4 +672,96 @@ object TextAnalysis {
       element_at(tset, -1).as("tok_max"),
       size(tset).cast("long").as("n_distinct"))
   }
+
+  /** Per-document lexical-diversity signals: token/type counts,
+    * type–token ratio, and Shannon word entropy (nats) — the standard
+    * "is this natural prose or key-smash/boilerplate" axis that the
+    * permille quality features don't capture (a doc repeating one
+    * token 40 times and a doc of 40 distinct tokens have the same
+    * n_tokens but entropies 0 and ln 40).
+    *
+    * Entirely NARROW — a per-row expression, no shuffle, no state:
+    * entropy is a per-document property, so at 100 TB it's a
+    * wire-speed scan like the other quality columns.
+    *
+    * Cross-engine determinism for the one float in the tree: with
+    * per-type counts c and n = Σc, H = ln n − (Σ c·ln c)/n. The counts
+    * are exact integers, `ln` over doubles is bit-identical on JVM and
+    * DuckDB (both correctly rounded; verified bit-level on integer
+    * arguments), and the Σ c·ln c fold runs over the SORTED count
+    * multiset — one canonical summation order on every engine — so
+    * the double is reproducible bit-for-bit before the final
+    * `round(·, 4)` pins it for hashing. */
+  def lexicalStats(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val cnts = sort_array(transform(array_distinct(tk),
+      t => size(filter(tk, x => x === t)).cast("double")))
+    docs
+      .select(col(idCol), size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_types"), cnts.as("__c"))
+      .where(col("n_tokens") > 0)
+      .withColumn("ttr_permille",
+        floor(col("n_types") * 1000 / col("n_tokens")).cast("long"))
+      .withColumn("entropy_q4", round(
+        log(col("n_tokens").cast("double")) -
+          aggregate(col("__c"), lit(0.0), (a, c) => a + c * log(c)) /
+            col("n_tokens").cast("double"), 4))
+      .drop("__c")
+  }
+
+  /** Per-document perplexity under an add-one-smoothed bigram LM
+    * trained on the corpus itself — the KenLM-style fluency filter of
+    * CCNet/Gopher pipelines, self-trained so it needs no external
+    * model: p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). Output per doc: bigram
+    * count, mean negative log-prob (nats) and its exp (perplexity),
+    * both pinned at 4 decimals. Docs with < 2 tokens have no
+    * transitions and are dropped ([[bigramFluency]] policy).
+    *
+    * Shuffle shape (the honest LM-score shape, same class as
+    * [[tfIdfTopTerms]]): one groupBy(bigram) and one groupBy(token)
+    * for the counts, the two equi-joins keyed on bigram/token, one
+    * groupBy(doc) for the fold. Neither count table is broadcast —
+    * both grow with the corpus (Heaps' law). At 100 TB you'd
+    * Zipf-truncate the LM to its top-K n-grams and broadcast THAT
+    * (the backoff mass is a constant); the exact-join form here is
+    * the oracle-checkable reference semantics.
+    *
+    * Determinism: all `ln` arguments are integers (c₁₂+1, c₁+V — the
+    * ratio is decomposed as ln a − ln b so no float division feeds
+    * `ln`), and the per-doc fold runs over the count pairs SORTED as
+    * structs — one canonical order on every engine ([[lexicalStats]]
+    * policy). */
+  def bigramPerplexity(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val fanned = Partitioning.fanOut(docs)
+    val bg = fanned
+      .select(col(idCol), explode(word_shingles(col("text"), 2)).as("b"))
+    val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    val uniCounts = fanned
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // vocabulary size: one scalar off the already-aggregated unigram
+    // table, inlined as a literal (the k-means-centroid pattern —
+    // model-small by construction)
+    val v = uniCounts.count()
+    bg
+      .join(bgCounts, "b")
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .join(uniCounts, col("w1") === col("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("c12"), col("c1")))).as("__p"))
+      .withColumn("__nll",
+        // parenthesized so the fold is a + (ln·−ln·): the identical
+        // float-op order as the oracle's transform-then-reduce twin
+        aggregate(col("__p"), lit(0.0), (a, p) =>
+          a + (log((p.getField("c1") + lit(v)).cast("double")) -
+            log((p.getField("c12") + lit(1L)).cast("double")))) /
+          col("n_bigrams").cast("double"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__nll"), 4).as("nll_q4"),
+        round(exp(col("__nll")), 4).as("ppl_q4"))
+  }
 }

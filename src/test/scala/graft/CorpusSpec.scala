@@ -325,4 +325,36 @@ class CorpusSpec extends SparkSpec {
     assert(out(1) === ((2L, 1L, 1L, "")))
     assert(out(2) === ((3L, 1L, 1L, "")))
   }
+
+  test("temperatureMixture: α=½ flattens shares toward uniform, Σw = 1") {
+    // token mass 90 vs 10 → raw shares .9/.1, tempered 3/(3+1)=.75/.25
+    val in = Seq(
+      (1L, "big", ("w " * 90).trim),
+      (2L, "small", ("w " * 10).trim)
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.temperatureMixture(in).orderBy("source")
+      .as[(String, Long, Long, Double, Double)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("big") === (("big", 1L, 90L, 0.9, 0.75)))
+    assert(m("small") === (("small", 1L, 10L, 0.1, 0.25)))
+    // tempered is strictly flatter than raw on both ends
+    assert(m("big")._5 < m("big")._4 && m("small")._5 > m("small")._4)
+  }
+
+  test("dsirWeights: target-like docs score above raw-common docs") {
+    // target domain (is_target) speaks 'tgt'; the raw bulk speaks
+    // 'bulk'. A candidate full of 'tgt' must outweigh one full of
+    // 'bulk'; a mixed doc lands between them.
+    val rows =
+      (1L to 5L).map(i => (i, true, ("tgt " * 20).trim)) ++
+      (6L to 25L).map(i => (i, false, ("bulk " * 20).trim)) ++
+      Seq((26L, false, ("tgt " * 10 + "bulk " * 10).trim))
+    val in = rows.toDF("doc_id", "is_target", "text")
+    val w = Corpus.dsirWeights(in, col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(26L) && w(26L) > w(6L))
+    assert(w(1L) > 0 && w(6L) < 0) // LLR sign: toward target vs away
+    // same text ⇒ identical weight regardless of the target flag
+    assert(w(6L) === w(25L))
+  }
 }

@@ -202,4 +202,39 @@ class TextOpsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(split === Seq("x", null, "y"), s"got $split")
   }
+
+  test("lexicalStats: entropy 0 for one repeated token, ln n for all-distinct") {
+    val df = Seq(
+      (1L, "a a a a"),     // one type → H = 0
+      (2L, "a b c d"),     // uniform over 4 → H = ln 4
+      (3L, "a a b b"),     // uniform over 2 → H = ln 2
+      (4L, "")             // empty → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalStats(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out(0) === ((1L, 4L, 1L, 250L, 0.0)))
+    assert(out(1) === ((2L, 4L, 4L, 1000L, math.rint(math.log(4) * 1e4) / 1e4)))
+    assert(out(2) === ((3L, 4L, 2L, 500L, math.rint(math.log(2) * 1e4) / 1e4)))
+  }
+
+  test("bigramPerplexity: add-one bigram LM matches hand computation") {
+    // corpus: "a b", "a b", "a c", "z" — unigrams a:3 b:2 c:1 z:1 → V=4
+    // bigram counts: (a b):2, (a c):1
+    // doc 1/2 "a b": nll = ln(c1(a)+V) − ln(c12+1) = ln 7 − ln 3
+    // doc 3  "a c": ln 7 − ln 2; doc 4 "z" has no bigrams → dropped
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(df).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    def q4(x: Double) = math.rint(x * 1e4) / 1e4
+    val nllAB = math.log(7) - math.log(3)
+    val nllAC = math.log(7) - math.log(2)
+    assert(out(0)._2 === 1L && out(0)._3 === q4(nllAB) && out(0)._4 === q4(math.exp(nllAB)))
+    assert(out(1)._3 === q4(nllAB))
+    assert(out(2)._3 === q4(nllAC) && out(2)._4 === q4(math.exp(nllAC)))
+    // higher-probability transition ⇒ lower perplexity
+    assert(out(0)._4 < out(2)._4)
+  }
 }
