@@ -784,4 +784,84 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     ivfPqResidualScore(queries, annEncodeResidual(candidates, model, idCol, vecCol),
       model, k, nprobe, idCol, vecCol)
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily pick the candidate maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈picked} sim(c,s)` — the rerank that
+    * keeps a retrieval page from returning k near-copies of one
+    * document (near-dup corpora make plain top-k degenerate).
+    *
+    * Two-stage production shape: a cheap recall stage supplies a
+    * per-query SHORTLIST (here [[bruteForceTopK]]; any ANN variant
+    * composes), and the greedy rerank runs on shortlist-bounded
+    * frames only — per round one anti-join + one pairwise-max + one
+    * bounded window over |queries|·`shortlist` rows, never the
+    * corpus. The corpus is touched exactly once, by the vector fetch
+    * for shortlist members (a semi-join-shaped hash join). `picked`
+    * stays `localCheckpoint`ed per round (driver-looped iteration
+    * discipline).
+    *
+    * Engine-exact by integer fixed-point: cosines are pinned at 4
+    * decimals, scaled to integer ten-thousandths (`rel_m`, `sim_m`),
+    * and the MMR objective `λ‰·rel_m − (1000−λ‰)·max sim_m` is pure
+    * integer arithmetic with a (score, cand_id) tie-break — the
+    * DuckDB oracle unrolls the same k rounds bit-identically.
+    *
+    * The returned frame is backed by the final round's
+    * `localCheckpoint` — release with
+    * [[Caching.releaseLocalCheckpoints]] once consumed (the
+    * [[Dedup.connectedComponents]] contract). */
+  def mmrTopK(queries: DataFrame, candidates: DataFrame, k: Int, shortlist: Int,
+              lambdaPermille: Int = 700, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got k=$k, shortlist=$shortlist")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000, "lambdaPermille in [0,1000]")
+    val sl = bruteForceTopK(queries, candidates, shortlist, idCol, vecCol)
+      .withColumn("rel_m", round(col("cos") * 10000).cast("long"))
+      .select(col("query_id"), col("cand_id"), col("rel_m"))
+    // vectors for shortlist members only: the one corpus-sized join
+    val vecs = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"))
+    val slv = broadcast(sl).join(vecs, "cand_id")
+    // pairwise sims within each query's shortlist (|q|·S² rows, bounded)
+    val a = slv.select(col("query_id"), col("cand_id").as("a"),
+      col("cv").as("av"), col("cn2").as("an2"))
+    val b = slv.select(col("query_id").as("qb"), col("cand_id").as("b"),
+      col("cv").as("bv"), col("cn2").as("bn2"))
+    val pairs = a.join(b, col("query_id") === col("qb") && col("a") =!= col("b"))
+      .withColumn("sim_m",
+        round(cosFromParts(dot(col("av"), col("bv")), col("an2"), col("bn2")) * 10000)
+          .cast("long"))
+      .select(col("query_id"), col("a"), col("b"), col("sim_m"))
+      .localCheckpoint()
+    val slc = sl.localCheckpoint()
+    // round 1: pure relevance
+    var picked = Relational.topNPerGroup(slc, Seq(col("query_id")),
+        Seq(col("rel_m").desc, col("cand_id")), 1, rankCol = "__rn")
+      .select(col("query_id"), col("cand_id"), col("rel_m"), lit(1L).as("rnk"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val sel = picked.select(col("query_id").as("sq"), col("cand_id").as("sc"))
+      val cand = slc
+        .join(sel, col("query_id") === col("sq") && col("cand_id") === col("sc"),
+          "left_anti")
+        .join(pairs.as("p"),
+          col("p.query_id") === slc("query_id") && col("p.a") === slc("cand_id"))
+        .join(sel, col("p.query_id") === col("sq") && col("p.b") === col("sc"))
+        .groupBy(slc("query_id"), slc("cand_id"), col("rel_m"))
+        .agg(max(col("sim_m")).as("msim"))
+        .withColumn("score_m",
+          lit(lambdaPermille.toLong) * col("rel_m") -
+            lit((1000 - lambdaPermille).toLong) * col("msim"))
+      val next = Relational.topNPerGroup(cand, Seq(col("query_id")),
+          Seq(col("score_m").desc, col("cand_id")), 1, rankCol = "__rn")
+        .select(col("query_id"), col("cand_id"), col("rel_m"), lit(r.toLong).as("rnk"))
+      val grown = picked.union(next).localCheckpoint()
+      Caching.releaseLocalCheckpoints(picked)
+      picked = grown
+    }
+    val out = picked
+    Seq(pairs, slc).foreach(Caching.releaseLocalCheckpoints(_))
+    out
+  }
 }
