@@ -615,6 +615,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // MMR diversified rerank over a brute-force shortlist: greedy
+    // λ·rel − (1−λ)·max-sim-to-picked in integer ten-thousandths, so
+    // the DuckDB twin unrolls the same k rounds bit-identically.
+    "sim_mmr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrTopK(emb.filter(col("vec_id") < 5), emb, k = 3, shortlist = 8,
+          lambdaPermille = 700)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ───────────────────────── LLM pipeline: text analysis ─────────────────────────
 
     "text_tokens" -> ((s, d) =>
@@ -2148,6 +2158,61 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Unrolls mmrTopK's k=3 greedy rounds: shortlist by raw cosine,
+    // pairwise sims within the shortlist, then per round argmax of
+    // 700·rel_m − 300·max-sim-to-picked (pure BIGINT arithmetic,
+    // cand_id tie-break) — the same integer fixed-point the Spark
+    // side computes.
+    "sim_mmr" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2 FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM q, e WHERE query_id <> e.vec_id),
+         |sl AS (SELECT query_id, cand_id, CAST(round(cos * 10000) AS BIGINT) AS rel_m
+         |       FROM (SELECT query_id, cand_id, cos,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+         |             FROM scored) WHERE rn <= 8),
+         |pr AS (SELECT a.query_id, a.cand_id AS pa, b.cand_id AS pb,
+         |         CAST(round(round(${dotSql("ea.embedding", "eb.embedding")}
+         |           / sqrt(ea.n2 * eb.n2), 4) * 10000) AS BIGINT) AS sim_m
+         |       FROM sl a JOIN sl b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |       JOIN e ea ON ea.vec_id = a.cand_id JOIN e eb ON eb.vec_id = b.cand_id),
+         |r1 AS (SELECT query_id, cand_id, rel_m, CAST(1 AS BIGINT) AS rnk
+         |       FROM (SELECT query_id, cand_id, rel_m,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY rel_m DESC, cand_id) AS rn
+         |             FROM sl) WHERE rn = 1),
+         |c2 AS (SELECT s.query_id, s.cand_id, s.rel_m, max(p.sim_m) AS msim
+         |       FROM sl s
+         |       JOIN pr p ON p.query_id = s.query_id AND p.pa = s.cand_id
+         |       JOIN r1 ON r1.query_id = p.query_id AND r1.cand_id = p.pb
+         |       WHERE NOT EXISTS (SELECT 1 FROM r1 x
+         |                         WHERE x.query_id = s.query_id AND x.cand_id = s.cand_id)
+         |       GROUP BY s.query_id, s.cand_id, s.rel_m),
+         |r2 AS (SELECT query_id, cand_id, rel_m, CAST(2 AS BIGINT) AS rnk
+         |       FROM (SELECT query_id, cand_id, rel_m,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY 700 * rel_m - 300 * msim DESC, cand_id) AS rn
+         |             FROM c2) WHERE rn = 1),
+         |p2 AS (SELECT query_id, cand_id FROM r1 UNION ALL SELECT query_id, cand_id FROM r2),
+         |c3 AS (SELECT s.query_id, s.cand_id, s.rel_m, max(p.sim_m) AS msim
+         |       FROM sl s
+         |       JOIN pr p ON p.query_id = s.query_id AND p.pa = s.cand_id
+         |       JOIN p2 ON p2.query_id = p.query_id AND p2.cand_id = p.pb
+         |       WHERE NOT EXISTS (SELECT 1 FROM p2 x
+         |                         WHERE x.query_id = s.query_id AND x.cand_id = s.cand_id)
+         |       GROUP BY s.query_id, s.cand_id, s.rel_m),
+         |r3 AS (SELECT query_id, cand_id, rel_m, CAST(3 AS BIGINT) AS rnk
+         |       FROM (SELECT query_id, cand_id, rel_m,
+         |               row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY 700 * rel_m - 300 * msim DESC, cand_id) AS rn
+         |             FROM c3) WHERE rn = 1)
+         |SELECT query_id, cand_id, rel_m, rnk FROM r1
+         |UNION ALL SELECT query_id, cand_id, rel_m, rnk FROM r2
+         |UNION ALL SELECT query_id, cand_id, rel_m, rnk FROM r3
          |ORDER BY query_id, rnk""".stripMargin,
 
     "text_tokens" ->

@@ -444,12 +444,22 @@ object TextAnalysis {
     * MATERIALIZES the folded vocabulary each round (`localCheckpoint`,
     * previous round released — the [[Dedup.connectedComponents]]
     * discipline), so every round applies exactly ONE fold to an
-    * already-merged symbol table. Per-round cost is a vocabulary-local
-    * pass + a pair-count aggregate + a 1-row argmax collect; the
-    * CORPUS is scanned once, to build the word-count vocabulary —
+    * already-merged symbol table.
+    *
+    * Pair counts are maintained INCREMENTALLY (the real-tokenizer
+    * trick): merging (l,r) only changes counts of pairs adjacent to
+    * its occurrences, so each round diffs the pair multisets of just
+    * the words the merge actually rewrote (−cnt for their old pairs,
+    * +cnt for their new ones) and folds the delta into a materialized
+    * pair-count frame — the full vocabulary-wide pair explode +
+    * shuffle happens ONCE, up front, not once per rank. Per-round
+    * cost: a 1-row argmax collect off the pair frame, a
+    * rewritten-words-only delta aggregate, and the vocabulary fold;
+    * the CORPUS is scanned once, to build the word-count vocabulary —
     * Zipf's law keeps that table orders of magnitude smaller than the
-    * token stream, which is what makes k ≈ 100+ merges near-linear in
-    * k (`BpeScaleSpec` measures it). Identical output to
+    * token stream (`BpeScaleSpec` measures the near-linear-in-k
+    * claim). The delta is exact integer arithmetic over the same
+    * multisets a recount would see, so output is identical to
     * [[bpeMerges]] for any k both accept. */
   def bpeMergesIter(docs: DataFrame, merges: Int, textCol: String = "text",
                     loopPartitions: Int = 0): DataFrame = {
@@ -487,33 +497,106 @@ object TextAnalysis {
       // the original blocks through the coalesce
       if (target < parts) vocab = vocab.coalesce(target)
     }
+    // signed adjacent-pair multiset of a symbol array. The size guard
+    // matters: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not
+    // an empty array, so a fully-merged single-symbol word would index
+    // syms[-1] without it.
+    def pairD(symsCol: String, sign: String): String =
+      s"CASE WHEN size($symsCol) >= 2 THEN " +
+        s"transform(sequence(1, size($symsCol) - 1), " +
+        s"i -> struct($symsCol[i - 1] AS l, $symsCol[i] AS r, CAST($sign AS BIGINT) AS d)) " +
+        "ELSE CAST(array() AS array<struct<l:string,r:string,d:bigint>>) END"
+    // Pair counts live on the DRIVER — the real-tokenizer architecture
+    // (HF tokenizers / SentencePiece hold candidate-merge counts in
+    // memory): the table is MODEL-scale — one entry per distinct
+    // adjacent symbol pair, i.e. the candidate vocabulary — not
+    // corpus-scale, so this is the same bounded-driver-state contract
+    // as the collected merge table itself. One full pair aggregate
+    // seeds it; each round folds in the rewritten-words-only delta.
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .collect()
+      .foreach(row => pairCnt((row.getString(0), row.getString(1))) = row.getLong(2))
+    // argmax tie-break must replicate the engines' collation: Spark's
+    // UTF8String and DuckDB both compare strings as unsigned UTF-8
+    // bytes (code-point order); Java's String.compareTo is UTF-16
+    // code-unit order, which DISAGREES above the BMP — compare bytes.
+    def utf8Compare(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def better(a: (String, String, Long), b: (String, String, Long)): Boolean =
+      if (a._3 != b._3) a._3 > b._3
+      else {
+        val cl = utf8Compare(a._1, b._1)
+        if (cl != 0) cl < 0 else utf8Compare(a._2, b._2) < 0
+      }
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     var exhausted = false
+    // Merges are applied to the checkpointed vocabulary LAZILY, in
+    // batches: `pending` holds merges picked but not yet folded into a
+    // materialization. Each round's delta job applies the ≤
+    // CheckpointEvery pending folds on the fly (the same nesting depth
+    // bpeMerges tolerates for ALL its ranks); every CheckpointEvery-th
+    // round folds them in for real and re-checkpoints. This cuts the
+    // dominant per-round cost — a full vocabulary write — by the batch
+    // factor while keeping expression depth bounded.
+    val CheckpointEvery = 8
+    var pending = List.empty[(String, String)] // in application order
+    def applyPending(c: Column): Column =
+      pending.foldLeft(c) { case (acc, (pl, pr)) =>
+        graft.functions.MergePair.merge_pair(acc, pl, pr)
+      }
     // try/finally: a per-round collect()/localCheckpoint() failure
     // mid-loop must not leak the live round's checkpoint blocks for
     // the session lifetime (bpeMerges' cached-vocab discipline)
     try {
       for (rank <- 1 to merges if !exhausted) {
-        val top = vocab
-          .where(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("pair_cnt"))
-          .orderBy(col("pair_cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true // vocabulary fully merged
+        if (pairCnt.isEmpty) exhausted = true // vocabulary fully merged
         else {
-          val (l, r, cnt) = (top.head.getString(0), top.head.getString(1),
-            top.head.getLong(2))
+          var bst: (String, String, Long) = null
+          pairCnt.foreach { case ((pl, pr), c) =>
+            val cand = (pl, pr, c)
+            if (bst == null || better(cand, bst)) bst = cand
+          }
+          val (l, r, cnt) = bst
           out += ((rank.toLong, l, r, l + r, cnt))
-          val next = vocab
-            .select(col("cnt"),
-              graft.functions.MergePair.merge_pair(col("syms"), l, r).as("syms"))
-            .localCheckpoint() // eager — materialized before the release
-          Caching.releaseLocalCheckpoints(vocab)
-          vocab = next
+          // pair-count delta from ONLY the words this merge rewrites:
+          // their old pairs leave with −cnt, their new pairs (around
+          // the merged symbol) enter with +cnt — exact integer diff of
+          // the same multisets a full recount would aggregate, folded
+          // into the driver table. The collect is delta-sized
+          // (distinct pairs touched this round), not vocabulary-sized.
+          val cur = applyPending(col("syms"))
+          vocab
+            .select(col("cnt"), cur.as("syms"),
+              graft.functions.MergePair.merge_pair(cur, l, r).as("msyms"))
+            .where(col("syms") =!= col("msyms"))
+            .select(explode(expr(
+              s"concat(${pairD("syms", "-cnt")}, ${pairD("msyms", "cnt")})")).as("e"))
+            .groupBy(col("e.l").as("l"), col("e.r").as("r"))
+            .agg(sum(col("e.d")).as("d"))
+            .collect()
+            .foreach { row =>
+              val key = (row.getString(0), row.getString(1))
+              val v = pairCnt.getOrElse(key, 0L) + row.getLong(2)
+              if (v > 0) pairCnt(key) = v else pairCnt.remove(key)
+            }
+          pending = pending :+ ((l, r))
+          if (pending.size >= CheckpointEvery) {
+            val next = vocab
+              .select(col("cnt"), applyPending(col("syms")).as("syms"))
+              .localCheckpoint() // eager — materialized before the release
+            Caching.releaseLocalCheckpoints(vocab)
+            vocab = next
+            pending = Nil
+          }
         }
       }
     } finally Caching.releaseLocalCheckpoints(vocab)
@@ -682,7 +765,12 @@ object TextAnalysis {
     *
     * Entirely NARROW — a per-row expression, no shuffle, no state:
     * entropy is a per-document property, so at 100 TB it's a
-    * wire-speed scan like the other quality columns.
+    * wire-speed scan like the other quality columns. Per-type counts
+    * come from run-length boundaries on the SORTED token array
+    * (filter over index positions, O(1) `element_at` probes), so the
+    * per-row cost is O(n log n) in document length — not the
+    * O(types × tokens) of the naive count-each-distinct-type shape,
+    * which degrades quadratically on high-diversity documents.
     *
     * Cross-engine determinism for the one float in the tree: with
     * per-type counts c and n = Σc, H = ln n − (Σ c·ln c)/n. The counts
@@ -695,19 +783,33 @@ object TextAnalysis {
   def lexicalStats(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val tk = tokens(col(textCol))
-    val cnts = sort_array(transform(array_distinct(tk),
-      t => size(filter(tk, x => x === t)).cast("double")))
     docs
       .select(col(idCol), size(tk).cast("long").as("n_tokens"),
-        size(array_distinct(tk)).cast("long").as("n_types"), cnts.as("__c"))
+        size(array_distinct(tk)).cast("long").as("n_types"),
+        array_sort(tk).as("__s"))
       .where(col("n_tokens") > 0)
+      // run ends: 1-based positions i where sorted(i) != sorted(i+1)
+      // (plus the final position). `when` guards the i+1 probe so the
+      // last element never indexes out of range.
+      .withColumn("__ends",
+        filter(sequence(lit(1), col("n_tokens").cast("int")), i =>
+          when(i === col("n_tokens").cast("int"), lit(true))
+            .otherwise(element_at(col("__s"), i) =!= element_at(col("__s"), i + 1))))
+      // run lengths = pairwise differences of boundary positions —
+      // the same per-type count multiset as counting each distinct
+      // type, sorted identically, so the entropy fold below is
+      // bit-identical to the DuckDB twin's.
+      .withColumn("__c", sort_array(zip_with(
+        col("__ends"),
+        concat(array(lit(0)), slice(col("__ends"), lit(1), size(col("__ends")) - 1)),
+        (e, st) => (e - st).cast("double"))))
       .withColumn("ttr_permille",
         floor(col("n_types") * 1000 / col("n_tokens")).cast("long"))
       .withColumn("entropy_q4", round(
         log(col("n_tokens").cast("double")) -
           aggregate(col("__c"), lit(0.0), (a, c) => a + c * log(c)) /
             col("n_tokens").cast("double"), 4))
-      .drop("__c")
+      .drop("__s", "__ends", "__c")
   }
 
   /** Per-document perplexity under an add-one-smoothed bigram LM

@@ -43,6 +43,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Floor-division of long epoch nanos to epoch seconds in EXACT
+    * integer arithmetic. `floor(ts / 1e9)` would route through double
+    * division, and epoch nanos (~1.7e18) exceed 2^53 — the operand
+    * rounds by up to ~256 ns, so a timestamp within that distance of a
+    * second boundary could truncate to the wrong second. Subtracting
+    * `pmod` first makes the dividend an exact multiple of 1e9 (and
+    * floors toward -inf for negative ts, matching floor-division);
+    * multiples of 1e9 are divisible by 2^9, hence exactly
+    * representable as doubles up to 2^61 (epoch nanos through year
+    * 2042), and the quotient (~1.7e9) is far below 2^53, so the
+    * division is correctly rounded to the exact integer. */
+  private def nanosToSec(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((ts - pmod(ts, lit(1000000000L))) / lit(1000000000L)).cast("long")
+
+  /** Second-truncated TIMESTAMP from a raw `ts` of either physical
+    * encoding (LongType nanos under `nanosAsLong`, or a timestamp
+    * column) — the shared shim for code reading the events parquet
+    * directly, e.g. through a streaming file source. */
+  def secondTimestamp(ts: org.apache.spark.sql.Column,
+                      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_seconds(nanosToSec(ts))
+      case _ => timestamp_seconds(unix_seconds(ts.cast("timestamp")))
+    }
+
   /** `events` with the raw clock kept as `ts_ns` (long nanos) plus two
     * derived columns every operator downstream uses:
     *   - `ts_sec` — integer epoch seconds (stable across engines; used
@@ -56,31 +82,24 @@ object Tables {
     * `nanosAsLong`) and plain TIMESTAMP micros (read as
     * TIMESTAMP/TIMESTAMP_NTZ — with the session pinned to UTC the
     * NTZ→LTZ cast is wall-clock exact). The micros path derives
-    * `ts_sec` with `unix_seconds` — integer truncation, no float in
-    * the epoch math. */
-  /** Second-truncated TIMESTAMP from a raw `ts` of either physical
-    * encoding (LongType nanos under `nanosAsLong`, or a timestamp
-    * column) — the shared shim for code reading the events parquet
-    * directly, e.g. through a streaming file source. */
-  def secondTimestamp(ts: org.apache.spark.sql.Column,
-                      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
-    dt match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_seconds(floor(ts / 1000000000L).cast("long"))
-      case _ => timestamp_seconds(unix_seconds(ts.cast("timestamp")))
-    }
-
+    * `ts_sec` with `unix_seconds`, the nanos path with exact integer
+    * floor-division — no float anywhere in the epoch math. Ends with
+    * an explicit select so BOTH encodings yield the same column order
+    * (raw columns minus `ts`, then `ts_ns`, `ts_sec`, `ts`). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
     val withNs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts_sec", floor(col("ts_ns") / 1000000000L).cast("long"))
+          .withColumn("ts_sec", nanosToSec(col("ts_ns")))
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
           .withColumn("ts_sec", unix_seconds(col("ts").cast("timestamp")))
           .drop("ts")
     }
-    withNs.withColumn("ts", timestamp_seconds(col("ts_sec")).cast("timestamp_ntz"))
+    val canonical = raw.columns.filterNot(_ == "ts") ++ Seq("ts_ns", "ts_sec", "ts")
+    withNs
+      .withColumn("ts", timestamp_seconds(col("ts_sec")).cast("timestamp_ntz"))
+      .select(canonical.map(col).toIndexedSeq: _*)
   }
 }

@@ -312,4 +312,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows(after) === before,
       "serving results must be identical across compaction")
   }
+
+  test("mmrTopK trades relevance for diversity on a hand-checkable greedy trace") {
+    // q=[1,0]; c1=[1,0] (cos 1.0), c2=[.8,.6] (cos .8), c3=[.6,.8]
+    // (cos .6); sim(c1,c2)=.8, sim(c1,c3)=.6, sim(c2,c3)=.96.
+    // λ=300‰: round 1 picks c1 (pure relevance). Round 2 scores
+    //   c2: 300·8000 − 700·8000 = −3,200,000
+    //   c3: 300·6000 − 700·6000 = −2,400,000  → c3 (diverse) wins
+    // even though plain top-2 would pick c2. Round 3 takes the
+    // remaining c2.
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.8, 0.6)),
+      (3L, Seq(0.6, 0.8))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(q, cands, k = 3, shortlist = 3, lambdaPermille = 300)
+      .orderBy("rnk")
+      .select("query_id", "cand_id", "rel_m", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L, 10000L, 1L), (0L, 3L, 6000L, 2L), (0L, 2L, 8000L, 3L)))
+    // plain top-2 relevance for contrast: c1 then c2
+    val plain = Similarity.bruteForceTopK(q, cands, k = 2)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L))
+  }
 }
