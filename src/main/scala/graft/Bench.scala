@@ -18,11 +18,16 @@ import org.apache.spark.sql.SparkSession
   *  - a steady run that exceeds 5× the query's best run is re-measured
   *    (up to twice) — a plan does not get 5× slower between run 2 and
   *    run 3 of the same JVM, so the gap IS contamination;
-  *  - if even the BEST run exceeds 5× the committed prior-round steady
-  *    value (tools/bench_steady_ref.json, sf-matched), the query is
-  *    re-measured once more and flagged `exceeds_5x_prior_steady` if
-  *    the excess persists — a reader of the JSON sees the number is
-  *    disputed instead of trusting it;
+  *  - if even the BEST run exceeds 2.5× the committed prior-round
+  *    steady value (tools/bench_steady_ref.json, sf-matched), the
+  *    query is re-measured once more and flagged
+  *    `exceeds_prior_steady` if the excess persists — a reader of the
+  *    JSON sees the number is disputed instead of trusting it;
+  *  - the STEADY candidate is cross-checked against the committed
+  *    prior the same way (`steady_exceeds_prior`): a session whose
+  *    every hot run sat in a burst below the 5× within-session bar
+  *    can no longer push a contaminated steady into the artifact
+  *    unflagged (round 5's dedup_char_ngram, 9.1× prior);
   *  - when many queries needed defensive re-runs the whole line carries
   *    `"degraded_host":true` and a loud DEGRADED_HOST marker goes to
   *    stderr: the round's numbers should be re-taken, not graded.

@@ -19,6 +19,12 @@ object BenchPolicy {
                                extraRuns: Int, flags: List[String],
                                flagDetail: Option[String] = None)
 
+  /** Ratio over the committed prior-round steady above which a number
+    * is suspect. Round 5 taught that 5x is too lax: dedup_char_ngram
+    * recorded a 3.7x-contaminated min (and a 9.1x steady) that sailed
+    * into the artifact unflagged. */
+  val PriorRatio = 2.5
+
   /** Measure one query by invoking `once` per the schedule:
     *
     *  1. two runs always (run 1 pays codegen compile); a third when
@@ -27,10 +33,16 @@ object BenchPolicy {
     *     steal burst, not plan cost — re-measure up to twice
     *     (`steady_remeasured`; `steady_outlier_unresolved` if the last
     *     hot run STILL exceeds 5x);
-    *  3. if even the best run exceeds 5x the committed prior-round
-    *     steady value, re-measure once more; flag
-    *     `exceeds_5x_prior_steady` if the excess persists, else
-    *     `prior_ref_remeasured`.
+    *  3. if even the best run exceeds [[PriorRatio]]x the committed
+    *     prior-round steady value, re-measure once more; flag
+    *     `exceeds_prior_steady` if the excess persists, else
+    *     `prior_ref_remeasured`;
+    *  4. when the best run is clean vs the prior but the steady
+    *     candidate is not (a session whose EVERY hot run sat in a
+    *     burst below the 5x within-session bar — round 5's
+    *     dedup_char_ngram), re-measure up to twice; flag
+    *     `steady_exceeds_prior` if the excess persists, else
+    *     `steady_prior_remeasured`.
     */
   def measure(once: () => Double, steadyMode: Boolean,
               priorSteady: Option[Double]): Measurement = {
@@ -51,21 +63,36 @@ object BenchPolicy {
       if (runs.head > 5.0 * best) flags ::= "steady_outlier_unresolved"
     }
     var detail: Option[String] = None
+    // hot = every run after the first two (cold) runs
+    def hot = runs.dropRight(2)
     priorSteady.foreach { prior =>
-      if (best > 5.0 * prior) {
+      if (best > PriorRatio * prior) {
         runs ::= once(); extra += 1
         // best now includes the re-measurement; a persisting excess is
         // flagged WITH both numbers so the disputed entry is
         // self-contained in the artifact
-        if (best > 5.0 * prior) {
-          flags ::= "exceeds_5x_prior_steady"
+        if (best > PriorRatio * prior) {
+          flags ::= "exceeds_prior_steady"
           detail = Some(f"best=$best%.3f,prior_steady=$prior%.3f")
         } else flags ::= "prior_ref_remeasured"
+      } else if (steadyMode) {
+        // best is clean vs the prior — cross-check the steady
+        // candidate against the committed prior too, not only the
+        // session best
+        var tries = 0
+        while (hot.nonEmpty && hot.min > PriorRatio * prior && tries < 2) {
+          runs ::= once(); extra += 1; tries += 1
+        }
+        if (tries > 0) {
+          if (hot.min > PriorRatio * prior) {
+            flags ::= "steady_exceeds_prior"
+            detail = Some(f"steady=${hot.min}%.3f,prior_steady=$prior%.3f")
+          } else flags ::= "steady_prior_remeasured"
+        }
       }
     }
-    // hot = every run after the first two
-    val hot = runs.dropRight(2)
-    val steady = if (steadyMode && hot.nonEmpty) Some(hot.min) else None
+    val hotFinal = hot
+    val steady = if (steadyMode && hotFinal.nonEmpty) Some(hotFinal.min) else None
     Measurement(best, steady, extra, flags.reverse, detail)
   }
 

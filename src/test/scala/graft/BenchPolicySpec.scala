@@ -55,11 +55,20 @@ class BenchPolicySpec extends AnyFunSuite {
       steadyMode = true, priorSteady = Some(2.7))
     assert(m.value === 133.0)
     assert(m.extraRuns === 1)
-    assert(m.flags.contains("exceeds_5x_prior_steady"),
+    assert(m.flags.contains("exceeds_prior_steady"),
       s"the 49x-contaminated number must be flagged, got ${m.flags}")
     // the disputed entry carries BOTH numbers, not just the flag
     assert(m.flagDetail === Some("best=133.000,prior_steady=2.700"),
       s"flag detail must name the re-measured best and the prior, got ${m.flagDetail}")
+  }
+
+  test("the round-5 dedup_char_ngram scenario: 3.7x-contaminated min is now flagged") {
+    // committed steady 1.70 s; this session's min 6.36 s — under the
+    // old 5x rule this sailed through unflagged
+    val m = BenchPolicy.measure(scripted(6.36, 6.5, 6.4, 6.45),
+      steadyMode = true, priorSteady = Some(1.70))
+    assert(m.flags.contains("exceeds_prior_steady"),
+      s"a 3.7x excess over the committed prior must be flagged, got ${m.flags}")
   }
 
   test("prior-reference re-measure that recovers is flagged as remeasured, not exceeded") {
@@ -68,14 +77,36 @@ class BenchPolicySpec extends AnyFunSuite {
       steadyMode = true, priorSteady = Some(2.7))
     assert(m.value === 2.6)
     assert(m.flags.contains("prior_ref_remeasured") &&
-      !m.flags.contains("exceeds_5x_prior_steady"))
+      !m.flags.contains("exceeds_prior_steady"))
     assert(m.flagDetail === None, "a recovered entry is not disputed — no detail")
   }
 
-  test("an honestly slower query (<5x prior) is NOT flagged") {
-    val m = BenchPolicy.measure(scripted(8.0, 8.2, 8.1), steadyMode = true,
+  test("an honestly slower query (<2.5x prior) is NOT flagged") {
+    val m = BenchPolicy.measure(scripted(5.0, 5.2, 5.1), steadyMode = true,
       priorSteady = Some(2.7))
     assert(m.extraRuns === 0 && m.flags.isEmpty)
+  }
+
+  test("clean min but contaminated steady: steady is cross-checked against the prior") {
+    // round 5's dedup_char_ngram steady shape: cold runs land clean,
+    // every hot run sits in a burst below the 5x within-session bar
+    val m = BenchPolicy.measure(scripted(1.7, 1.75, 5.9, 5.8, 6.0),
+      steadyMode = true, priorSteady = Some(1.7))
+    assert(m.value === 1.7)
+    assert(m.extraRuns === 2)
+    assert(m.flags === List("steady_exceeds_prior"),
+      s"a steady 3.4x over the committed prior must be flagged, got ${m.flags}")
+    assert(m.flagDetail === Some("steady=5.800,prior_steady=1.700"))
+    assert(m.steady === Some(5.8), "steady still reports the least contaminated hot run")
+  }
+
+  test("steady-vs-prior re-measure that recovers is flagged as remeasured only") {
+    val m = BenchPolicy.measure(scripted(1.7, 1.75, 5.9, 1.8),
+      steadyMode = true, priorSteady = Some(1.7))
+    assert(m.value === 1.7 && m.steady === Some(1.8))
+    assert(m.extraRuns === 1)
+    assert(m.flags === List("steady_prior_remeasured"))
+    assert(m.flagDetail === None)
   }
 
   test("degradedHost thresholds") {

@@ -75,6 +75,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("char-ngram banded pairs: AQE reuses the census's signature exchange at runtime") {
+    // the round-5 hot-bucket census re-plans the shingle + signature
+    // subtree statically; the ~30-40% cost question from the round-5
+    // bench dispute hinges on the runtime plan actually deduplicating
+    // it — assert the reuse, so a regression that breaks it (e.g. a
+    // non-deterministic expression splitting the subtrees) fails here
+    // rather than surfacing as a silent bench drift
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Dedup.charNgramPairsBanded(Tables.documents(spark, sf),
+        Seq("source", "lang"), 800)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
+        finalPlan.take(3000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("banded pairs: equi-joins only, signatures hash-aggregate, no sort-aggregate") {
     val plan = Dedup.jaccardPairsBanded(Tables.documents(spark, sf),
         Seq("source", "lang"), 900)
