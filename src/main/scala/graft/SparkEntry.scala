@@ -511,6 +511,37 @@ object SparkEntry {
         .orderBy(col("band"), col("bv"), col("source"), col("lang"))
     }),
 
+    // The governor at ADVERSARIAL scale: a synthetic sf-independent
+    // clone corpus — 100k exact clones of one text (every band bucket
+    // a 100k-population hot key) + 1000 fully-distinct docs. Without
+    // the cap this is ~4·10¹⁰ candidate pairs; with it, candidate
+    // generation must finish in bucket-census time and return ONLY
+    // the drop accounting. Expected output is analytic (4 bands ×
+    // 100k clones dropped, zero pairs — distinct docs share no
+    // shingles), so the oracle pins the exact verdict while the bench
+    // entry prices the census + broadcast-anti-join curve per round
+    // (PERF.md tracks it against the 1600-clone spec point).
+    "dedup_governor_clones" -> ((s, d) => {
+      val clones = 100000L
+      val clone = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val docs = s.range(clones)
+        .select(col("id").as("doc_id"), lit(clone).as("text"),
+          lit("src").as("source"), lit("en").as("lang"))
+        .unionByName(s.range(clones, clones + 1000)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", concat(lit("wa"), col("id")), concat(lit("wb"), col("id")),
+              concat(lit("wc"), col("id")), concat(lit("wd"), col("id")),
+              concat(lit("we"), col("id"))).as("text"),
+            lit("src").as("source"), lit("en").as("lang")))
+      val bp = Dedup.jaccardPairsBandedAccounted(docs, Seq("source", "lang"),
+        thresholdPermille = 900)
+      bp.pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(
+        bp.droppedBuckets.agg(
+          count(lit(1)).as("n_hot_buckets"),
+          coalesce(sum(col("bucket_docs")), lit(0L)).as("hot_docs")))
+    }),
+
     // dedup_jaccard with the governor ENGAGED (cap 8): pairs whose
     // every band collision lands in a hot bucket disappear; pairs with
     // at least one cold collision survive — the degraded-loudly
@@ -736,6 +767,22 @@ object SparkEntry {
           col("sample_rate").cast("long").as("sample_rate"),
           col("bits_per_sample").cast("long").as("bits_per_sample"),
           col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL pixel decode: complete uncompressed BMPs (24 bpp even ids /
+    // 32 bpp odd, 4-byte-padded strides, pixel bytes arithmetic in
+    // (id, x, row)) decoded back to per-channel byte sums pure-JVM.
+    // The oracle re-enumerates the same pixel grid in SQL — a
+    // hash-match proves the decoder walked the right strides, skipped
+    // the padding, and read BGR(A) channel order.
+    "mm_decode_pixels" -> ((s, d) => {
+      Multimodal.decodePixels(Multimodal.syntheticPixelBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_b"), col("sum_g"), col("sum_r"), col("sum_a"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1026,6 +1073,19 @@ object SparkEntry {
       val idx = Similarity.readAnnIndex(s, storedAnnIndexDir(s, d))
       Similarity.ivfPqTopKIndexedProbes(
           Tables.embeddings(s, d).filter(col("vec_id") < 10), idx, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // Exact re-rank refine on the stored index — faiss
+    // IndexRefineFlat: ADC top-(5·4) shortlist from the code table,
+    // re-scored exactly against the original vectors (a
+    // broadcast-shortlist delta read, never a corpus scan), final
+    // top-5 by true cosine.
+    "sim_ann_ivfpq_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.readAnnIndex(s, storedAnnIndexDir(s, d))
+      Similarity.ivfPqTopKRefined(
+          emb.filter(col("vec_id") < 10), idx, emb, k = 5, refine = 4)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1359,8 +1419,10 @@ object SparkEntry {
 
   /** Shared oracle for the IVFPQ family (same deterministic training +
     * ADC scoring); `nprobe` = how many nearest coarse cells the QUERY
-    * side probes (candidates always live in their rn=1 cell). */
-  private def ivfPqOracleProbes(nprobe: Int): String =
+    * side probes (candidates always live in their rn=1 cell). The
+    * chain ends at ADC rank rows `rk` so the refine oracle can widen
+    * the shortlist and re-rank exactly. */
+  private def ivfPqChainCtes(nprobe: Int): String =
     s"""${pqCtes(m = 4, k = 4, iters = 2)},
        |${ivfChain(k = 4, iters = 2)},
        |afin AS (SELECT vec_id, cell,
@@ -1385,9 +1447,31 @@ object SparkEntry {
        |       GROUP BY dt.query_id, cd.cand_id),
        |rk AS (SELECT query_id, cand_id, adc,
        |         row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
-       |       FROM sc)
+       |       FROM sc)""".stripMargin
+
+  private def ivfPqOracleProbes(nprobe: Int): String =
+    s"""${ivfPqChainCtes(nprobe)}
        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Refine oracle (faiss IndexRefineFlat): ADC top-(5·4) shortlist
+    * from the same stored-index chain, re-scored by EXACT cosine over
+    * the raw embeddings, final top-5 by (cos DESC, cand_id). */
+  private lazy val ivfPqOracleRefine: String =
+    s"""${ivfPqChainCtes(1)},
+       |short AS (SELECT query_id, cand_id FROM rk WHERE rnk <= 20),
+       |en AS (SELECT vec_id, embedding,
+       |         ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+       |ex AS (SELECT s.query_id, s.cand_id,
+       |         round(${dotSql("qe.embedding", "ce.embedding")}
+       |           / sqrt(qe.n2 * ce.n2), 4) AS cos
+       |       FROM short s JOIN en qe ON qe.vec_id = s.query_id
+       |                    JOIN en ce ON ce.vec_id = s.cand_id),
+       |fr AS (SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |       FROM ex)
+       |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cos
+       |FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   private lazy val ivfPqOracle: String = ivfPqOracleProbes(1)
 
@@ -1999,6 +2083,17 @@ object SparkEntry {
          |FROM bsz WHERE bucket_docs > 8
          |ORDER BY band, bv, source, lang""".stripMargin,
 
+    // Analytic verdict for the synthetic clone corpus (the input is
+    // generated in-query, not from the tables): 100k identical docs
+    // share one minhash signature → one hot bucket per band (8 hashes
+    // / 2 rows per band = 4 bands) of population 100k, all over the
+    // 1000 cap → dropped; the 1000 distinct docs share no shingles →
+    // no candidates → zero verified pairs.
+    "dedup_governor_clones" ->
+      """SELECT CAST(0 AS BIGINT) AS n_pairs,
+        |       CAST(4 AS BIGINT) AS n_hot_buckets,
+        |       CAST(400000 AS BIGINT) AS hot_docs""".stripMargin,
+
     // the capped pair set: candidates may only meet in buckets whose
     // population is within the cap; verification is unchanged
     "dedup_jaccard_capped" ->
@@ -2502,6 +2597,28 @@ object SparkEntry {
         |       END AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Re-enumerates the generator's pixel grid: dims from doc_id
+    // parity, x over [0, w), file row r over [0, h), channel bytes
+    // B=(id+2x+3r)%256 G=(id+5x+r)%256 R=(id+x+7r)%256 A=(id+x+r)%256
+    // (A only at 32 bpp / odd ids).
+    "mm_decode_pixels" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 1 + doc_id % 12 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 ELSE 1 + doc_id % 6 END AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((doc_id + 2 * x + 3 * r) % 256) AS BIGINT) AS sum_b,
+        |       CAST(sum((doc_id + 5 * x + r) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + x + 7 * r) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
          |b AS (SELECT doc_id, (${hexSliceSql("m", 1)}) % 1000 AS bucket FROM h)
@@ -2876,6 +2993,8 @@ object SparkEntry {
 
     // Multi-probe serving: query side probes its 2 nearest cells.
     "sim_ann_ivfpq_nprobe" -> ivfPqOracleProbes(2),
+
+    "sim_ann_ivfpq_refine" -> ivfPqOracleRefine,
 
     // Residual IVFPQ (faiss by_residual): the PQ chain replays over
     // rv = qv − assigned-centroid residuals instead of raw vectors;

@@ -341,10 +341,27 @@ object Dedup {
         strataCols.map(col): _*)
     val (cands, hot) = bandedCandidatesOn(base, strataCols, idCol,
       numHashes, rowsPerBand, maxBucket)
-    val verified = cands
-      .join(base.select(col(idCol).as("doc_a"), col("bag").as("ba"),
+    BandedPairs(
+      weightedVerifyBags(base.select(col(idCol), col("bag"), col("tot")),
+        cands, thresholdPermille, idCol),
+      hot)
+  }
+
+  /** Weighted (multiset) Jaccard verification over an explicit
+    * candidate-pair set and precomputed bags (`idCol`, bag, tot) —
+    * the bag-measure twin of [[jaccardVerifySets]], shared by the
+    * batch banded operator and the stored-index probes. Per-pair
+    * in-row: Σmin is the native `bag_overlap` two-pointer merge,
+    * Σmax = totA + totB − Σmin; PPJoin length filter on multiplicity
+    * totals prunes before the O(|A|+|B|) merge scan. */
+  def weightedVerifyBags(withBags: DataFrame, pairs: DataFrame,
+                         thresholdPermille: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.BagFunctions.bag_overlap
+    pairs
+      .join(withBags.select(col(idCol).as("doc_a"), col("bag").as("ba"),
         col("tot").as("tota")), "doc_a")
-      .join(base.select(col(idCol).as("doc_b"), col("bag").as("bb"),
+      .join(withBags.select(col(idCol).as("doc_b"), col("bag").as("bb"),
         col("tot").as("totb")), "doc_b")
       // PPJoin length filter on multiplicity totals — prune before the
       // O(|A|+|B|) merge scan
@@ -357,7 +374,6 @@ object Dedup {
       .filter(col("wjac_permille") >= thresholdPermille)
       .select(col("doc_a"), col("doc_b"), col("min_sum"), col("max_sum"),
         col("wjac_permille"))
-    BandedPairs(verified, hot)
   }
 
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
@@ -524,18 +540,33 @@ object Dedup {
   }
 
   /** A persistable near-dup index over a corpus: distinct content
-    * hashes (exact dedup), minhash signatures (LSH candidates), and
-    * distinct-token sets with sizes (Jaccard verification). This is
-    * what production stores between daily-delta runs — build once per
-    * corpus version, [[writeIndex]] to parquet, [[readIndex]] next
-    * run. Token sets are the largest part; a deployment that prefers
-    * not to store them can re-derive verification sets by joining the
-    * corpus store on `doc_id` — the frames here are plain DataFrames,
-    * so either source drops in. */
+    * hashes (exact dedup), minhash signatures (LSH candidates),
+    * distinct-token sets with sizes (Jaccard verification), and token
+    * BAGS with totals (weighted/multiset-Jaccard verification —
+    * optional for compatibility with indexes stored before bags
+    * existed). This is what production stores between daily-delta
+    * runs — build once per corpus version, [[writeIndex]] to parquet,
+    * [[readIndex]] next run. Token sets/bags are the largest parts; a
+    * deployment that prefers not to store them can re-derive
+    * verification features by joining the corpus store on `doc_id` —
+    * the frames here are plain DataFrames, so either source drops
+    * in. */
   final case class DedupIndex(hashes: DataFrame, signatures: DataFrame,
-                              tokenSets: DataFrame, k: Int)
+                              tokenSets: DataFrame, k: Int,
+                              bags: Option[DataFrame] = None)
 
-  /** Build the [[DedupIndex]] for `corpus` (all three parts lazy).
+  /** Token bags + multiplicity totals per doc — the verification
+    * features the weighted measure needs ([[weightedVerifyBags]]). */
+  private def tokenBags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.BagFunctions.token_counts
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    Partitioning.fanOut(docs)
+      .withColumn("__tk", tokens(col(textCol)))
+      .select(col(idCol), token_counts(col("__tk")).as("bag"),
+        size(col("__tk")).cast("long").as("tot"))
+  }
+
+  /** Build the [[DedupIndex]] for `corpus` (all parts lazy).
     * The shingle size `k` is RECORDED in the index: delta signatures
     * must be built with the same k or LSH band values collide only at
     * random and near-dups pass silently — [[dedupeAgainstIndex]] reads
@@ -546,23 +577,31 @@ object Dedup {
       corpus.select(md5(col(textCol).cast("binary")).as("__h")).distinct(),
       minhashSignature(shingled(corpus, k, textCol), idCol = idCol),
       tokenSets(corpus, idCol, textCol),
-      k)
+      k,
+      Some(tokenBags(corpus, idCol, textCol)))
 
   def writeIndex(index: DedupIndex, dir: String): Unit = {
     index.hashes.write.mode("overwrite").parquet(s"$dir/hashes")
     index.signatures.write.mode("overwrite").parquet(s"$dir/signatures")
     index.tokenSets.write.mode("overwrite").parquet(s"$dir/token_sets")
+    index.bags.foreach(_.write.mode("overwrite").parquet(s"$dir/bags"))
     val spark = index.hashes.sparkSession
     import spark.implicits._
     Seq(index.k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex =
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DedupIndex = {
+    // bags are optional on disk (indexes stored before the weighted
+    // measure existed stay readable; set-based probing never needs them)
+    val bagsPath = new org.apache.hadoop.fs.Path(s"$dir/bags")
+    val fs = bagsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     DedupIndex(
       spark.read.parquet(s"$dir/hashes"),
       spark.read.parquet(s"$dir/signatures"),
       spark.read.parquet(s"$dir/token_sets"),
-      spark.read.parquet(s"$dir/meta").head().getInt(0))
+      spark.read.parquet(s"$dir/meta").head().getInt(0),
+      if (fs.exists(bagsPath)) Some(spark.read.parquet(s"$dir/bags")) else None)
+  }
 
   /** OFFLINE maintenance for a stored index that has accumulated
     * per-batch appends ([[graft.jobs.IncrementalDedupJob]] writes a
@@ -578,8 +617,12 @@ object Dedup {
     * the full data). `meta` is untouched. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    targetBytes: Long = 128L << 20): Unit =
-    for (part <- Seq("hashes", "signatures", "token_sets"))
-      Partitioning.compactParquetDir(spark, s"$dir/$part", targetBytes)
+    for (part <- Seq("hashes", "signatures", "token_sets", "bags")) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$part")
+      // bags are optional on disk (pre-weighted-measure indexes)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Partitioning.compactParquetDir(spark, s"$dir/$part", targetBytes)
+    }
 
   /** Incremental dedup — the daily-delta workflow: drop `newDocs` that
     * duplicate the EXISTING `corpus`, exactly (content hash anti-join)
@@ -633,6 +676,41 @@ object Dedup {
     val verified = jaccardVerifySets(
         tokenSets(exactNew, idCol, textCol).unionByName(index.tokenSets),
         cands, thresholdPermille)
+      .select(col("doc_a").as(idCol)).distinct()
+    exactNew.join(verified, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupeAgainstIndex]] with WEIGHTED (multiset) Jaccard
+    * verification — the [[weightedJaccardPairsBanded]] measure served
+    * from the persistent index: candidates still come from the stored
+    * set-LSH signatures (the standard recipe: candidate on set
+    * similarity, verify the weighted measure), but the verdict joins
+    * the stored token BAGS and scores Σmin/Σmax with multiplicities,
+    * so a doc that repeats an indexed paragraph 10× is judged on the
+    * repetition-aware similarity, not the collapsed set one. Requires
+    * an index built since bags were added ([[buildIndex]] stores them;
+    * older stored indexes fail fast here rather than silently serving
+    * the set measure). Same scale shape as the set probe: Bloom-pruned
+    * exact stage, shuffle ∝ delta + collision candidates. */
+  def dedupeAgainstIndexWeighted(newDocs: DataFrame, index: DedupIndex,
+                                 thresholdPermille: Int,
+                                 textCol: String = "text", idCol: String = "doc_id",
+                                 bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
+    val indexBags = index.bags.getOrElse(throw new IllegalArgumentException(
+      "this stored index has no bags part — rebuild it with buildIndex " +
+        "(weighted verification needs token multiplicities)"))
+    val newHashed = newDocs.withColumn("__h", md5(col(textCol).cast("binary")))
+    val hashSide = bloomFpp match {
+      case Some(fpp) => bloomPruned(index.hashes, newHashed.select(col("__h")), "__h", fpp)
+      case None => index.hashes
+    }
+    val exactNew = newHashed.join(hashSide, Seq("__h"), "left_anti").drop("__h")
+    val cands = lshCandidatePairsAcross(
+      minhashSignature(shingled(exactNew, index.k, textCol), idCol = idCol),
+      index.signatures, idCol = idCol)
+    val verified = weightedVerifyBags(
+        tokenBags(exactNew, idCol, textCol).unionByName(indexBags),
+        cands, thresholdPermille, idCol)
       .select(col("doc_a").as(idCol)).distinct()
     exactNew.join(verified, Seq(idCol), "left_anti")
   }

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
   * metadata, partition-wise decode, and frame sampling.
   *
   * Header decode is REAL for BMP and WAV ([[decodeHeaders]] — pure-JVM
-  * fixed-offset parsing, no codec deps); pixel/sample decode for other
-  * formats remains STUBBED ([[decodeStub]], a deterministic fake —
-  * `ImageIO.read` / ffmpeg / soundfile slot in there). The Spark-side
+  * fixed-offset parsing, no codec deps); PIXEL decode is real for
+  * uncompressed 24/32-bit BMP ([[decodePixels]] — fixed-stride
+  * little-endian rows, no codec needed) and sample decode for PCM16
+  * WAV ([[pcm16Frames]]); decode of COMPRESSED codecs remains STUBBED
+  * ([[decodeStub]], a deterministic fake — `ImageIO.read` / ffmpeg /
+  * soundfile slot in there). The Spark-side
   * contract is real throughout: binary columns, explicit output
   * schema, `mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`), lazy per-partition iteration so a 100 TB blob
@@ -233,6 +236,74 @@ object Multimodal {
     }(enc)
   }
 
+  val pixelDecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_a", LongType, nullable = false)))
+
+  /** REAL pixel decode for uncompressed 24/32-bit BMP (BI_RGB,
+    * BITMAPINFOHEADER): pixel rows are fixed-stride little-endian
+    * BGR(A) — `stride = ⌈width·bytesPerPixel / 4⌉·4` — so per-channel
+    * byte sums come out of a pure-JVM pass with no codec dependency.
+    * Sums are orientation-invariant, so top-down (negative height)
+    * bitmaps decode identically. Untrusted-length hardening: header
+    * fields are bounds-checked against the actual payload before any
+    * pixel read; compressed/paletted/foreign payloads yield `None`
+    * (the stub seam keeps carrying those). */
+  private[graft] def decodeBmpPixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (i32le(bytes, 14) < 40) return None // need INFOHEADER's compression field
+    val off = i32le(bytes, 10)
+    val width = i32le(bytes, 18)
+    val height = math.abs(i32le(bytes, 22)) // negative = top-down rows
+    val bpp = u16le(bytes, 28)
+    if (i32le(bytes, 30) != 0 || (bpp != 24 && bpp != 32)) return None // BI_RGB only
+    if (width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20)) return None
+    val bpx = bpp / 8
+    val stride = ((width.toLong * bpx + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride * height > bytes.length) return None
+    var sb = 0L; var sg = 0L; var sr = 0L; var sa = 0L
+    var row = 0
+    while (row < height) {
+      var p = off + (row * stride).toInt
+      var x = 0
+      while (x < width) {
+        sb += bytes(p) & 0xff
+        sg += bytes(p + 1) & 0xff
+        sr += bytes(p + 2) & 0xff
+        if (bpx == 4) sa += bytes(p + 3) & 0xff
+        p += bpx
+        x += 1
+      }
+      row += 1
+    }
+    Some((width, height, bpx, width.toLong * height, sb, sg, sr, sa))
+  }
+
+  /** [[decodeBmpPixels]] at scale: constant-memory per-partition
+    * iteration; rows whose payload is not an uncompressed 24/32-bit
+    * BMP are dropped (decode what is decodable without a codec — the
+    * documented stub seam still carries compressed formats). */
+  def decodePixels(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pixelDecodedSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmpPixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sb, sg, sr, sa) =>
+            Row(r.getLong(0), w, h, ch, np, sb, sg, sr, sa)
+        }
+      }
+    }(enc)
+  }
+
   /** Minimal valid BMP bytes (BITMAPINFOHEADER, no pixel payload —
     * header-only, which is exactly what [[parseHeader]] reads). */
   private[graft] def bmpBytes(width: Int, height: Int, bpp: Int): Array[Byte] = {
@@ -246,6 +317,70 @@ object Multimodal {
     b.putShort(1)           // planes
     b.putShort(bpp.toShort)
     b.array()
+  }
+
+  /** A COMPLETE uncompressed BMP (BITMAPINFOHEADER + BI_RGB pixel
+    * array, rows 4-byte padded, bottom-up): pixel bytes are arithmetic
+    * in (id, x, file-row r) — B=(id+2x+3r)%256, G=(id+5x+r)%256,
+    * R=(id+x+7r)%256, A=(id+x+r)%256 for 32 bpp — so the decode
+    * oracle re-derives every channel sum analytically. */
+  private[graft] def bmpPixelBytes(id: Long, width: Int, height: Int,
+                                   bpp: Int): Array[Byte] = {
+    val bpx = bpp / 8
+    val stride = ((width * bpx + 3) / 4) * 4
+    val size = 54 + stride * height
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)
+    b.putInt(0)             // reserved
+    b.putInt(54)            // pixel-data offset
+    b.putInt(40)            // DIB header size
+    b.putInt(width).putInt(height)
+    b.putShort(1)           // planes
+    b.putShort(bpp.toShort)
+    b.putInt(0)             // compression = BI_RGB
+    b.putInt(stride * height)
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(0).putInt(0)   // palette
+    var r = 0
+    while (r < height) {
+      var x = 0
+      while (x < width) {
+        b.put(((id + 2 * x + 3 * r) % 256).toByte)
+        b.put(((id + 5 * x + r) % 256).toByte)
+        b.put(((id + x + 7 * r) % 256).toByte)
+        if (bpx == 4) b.put(((id + x + r) % 256).toByte)
+        x += 1
+      }
+      var pad = width * bpx
+      while (pad < stride) { b.put(0.toByte); pad += 1 }
+      r += 1
+    }
+    b.array()
+  }
+
+  /** Deterministic BMPs WITH pixel payloads keyed on doc_id (even →
+    * 24 bpp, odd → 32 bpp; dims arithmetic in doc_id) — the fixture
+    * generator for [[decodePixels]]' oracle: the oracle re-enumerates
+    * the same (x, row) grid in SQL and recomputes each channel sum, so
+    * a hash-match proves the decoder read the right strides, offsets
+    * and channel order back. */
+  def syntheticPixelBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (id % 2 == 0)
+            bmpPixelBytes(id, (1 + id % 16).toInt, (1 + id % 8).toInt, 24)
+          else
+            bmpPixelBytes(id, (1 + id % 12).toInt, (1 + id % 6).toInt, 32)
+        Row(id, bytes)
+      }
+    }(enc)
   }
 
   /** Minimal valid PNG bytes: the 8-byte signature + a complete IHDR

@@ -675,6 +675,41 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("adc"))
   }
 
+  /** Exact re-rank refine stage over stored-index serving — faiss's
+    * `IndexRefineFlat`: the ADC top-(k·`refine`) shortlist from the
+    * code table is re-scored EXACTLY against the original vectors and
+    * the final top-k ranked by true cosine. The standard recall
+    * rescue when codes saturate: ADC distances order a 4-bit-ish code
+    * budget only approximately, but the true neighbors it does catch
+    * anywhere in the widened shortlist get re-ranked to the top by
+    * the exact pass (`AnnRecallSpec` measures refined ≥ raw serving).
+    *
+    * Scale shape: the shortlist is |queries|·k·refine rows —
+    * broadcast-small — so the exact-vector fetch is a broadcast hash
+    * join the CORPUS side streams through (a delta read of shortlist
+    * members only: no corpus shuffle, no full-corpus scoring, and the
+    * stored index still answers candidate generation without touching
+    * embeddings). Exact scoring cost is |queries|·k·refine dot
+    * products. */
+  def ivfPqTopKRefined(queries: DataFrame, index: AnnIndex, candidates: DataFrame,
+                       k: Int, refine: Int = 4, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && refine >= 1, s"need k >= 1 and refine >= 1, got k=$k, refine=$refine")
+    val shortlist = ivfPqTopKIndexed(queries, index, k * refine, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    val cv = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"))
+    val qv = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"))
+    val scored = broadcast(shortlist).join(cv, "cand_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("cand_id")), k, rankCol = "rnk")
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"), col("cos"))
+  }
+
   // ──────────── Residual IVFPQ (faiss's by_residual default) ────────────
 
   /** Residual vectors under a trained coarse quantizer: each vector

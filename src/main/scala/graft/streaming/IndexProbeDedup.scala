@@ -44,10 +44,14 @@ object IndexProbeDedup {
 
   /** One micro-batch (usable directly as the nightly-batch entry
     * point): write per-doc verdicts for `batch` against the index at
-    * `indexDir`, returning the verdict counts for monitoring. */
+    * `indexDir`, returning the verdict counts for monitoring.
+    * `weighted = true` verifies candidates with the repetition-aware
+    * multiset-Jaccard measure against the index's stored bags
+    * ([[Dedup.dedupeAgainstIndexWeighted]]) instead of set Jaccard. */
   def process(batch: DataFrame, runId: String, batchId: Long,
               indexDir: String, outDir: String, thresholdPermille: Int,
-              idCol: String = "doc_id", textCol: String = "text"): Map[String, Long] = {
+              idCol: String = "doc_id", textCol: String = "text",
+              weighted: Boolean = false): Map[String, Long] = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return Map.empty
     val index = Dedup.readIndex(spark, indexDir)
@@ -59,8 +63,12 @@ object IndexProbeDedup {
       .withColumn("__h", md5(col(textCol).cast("binary")))
       .join(index.hashes, Seq("__h"), "left_semi")
       .select(col(idCol)).withColumn("__v", lit("dup_exact_index"))
-    val unique = Dedup.dedupeAgainstIndex(batch, index, thresholdPermille,
+    val survivors =
+      if (weighted) Dedup.dedupeAgainstIndexWeighted(batch, index,
+        thresholdPermille, textCol, idCol)
+      else Dedup.dedupeAgainstIndex(batch, index, thresholdPermille,
         textCol, idCol)
+    val unique = survivors
       .select(col(idCol)).withColumn("__v", lit("unique"))
     val verdicts = batch.select(col(idCol))
       .join(exact.unionByName(unique), Seq(idCol), "left")
@@ -81,11 +89,12 @@ object IndexProbeDedup {
   def start(docs: DataFrame, runId: String, indexDir: String, outDir: String,
             checkpoint: String, thresholdPermille: Int = 900,
             idCol: String = "doc_id", textCol: String = "text",
+            weighted: Boolean = false,
             onStats: (Long, Map[String, Long]) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onStats(batchId, process(batch, runId, batchId, indexDir, outDir,
-          thresholdPermille, idCol, textCol))
+          thresholdPermille, idCol, textCol, weighted))
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -313,6 +313,34 @@ class AnnRecallSpec extends SparkSpec {
       "serving results must be identical across compaction")
   }
 
+  test("refine (exact re-rank) recall >= raw stored-index serving at equal k") {
+    val index = Similarity.annIndexBuild(clustered, coarseK = nClusters,
+      m = 4, pqK = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_refine_spec").toString
+    Similarity.writeAnnIndex(index, dir)
+    val back = Similarity.readAnnIndex(spark, dir)
+    val queries = clustered.filter(col("vec_id") % 16 === 0)
+    val exact = topkSets(Similarity.bruteForceTopK(queries, clustered, k = 5))
+    val raw = recall(topkSets(
+      Similarity.ivfPqTopKIndexed(queries, back, k = 5)), exact)
+    val refined = recall(topkSets(
+      Similarity.ivfPqTopKRefined(queries, back, clustered, k = 5, refine = 4)), exact)
+    info(f"recall@5: raw stored serving=$raw%.2f refined(4x)=$refined%.2f")
+    // the exact pass can only promote true neighbors already caught in
+    // the widened ADC shortlist — recall must not fall below raw
+    assert(refined >= raw,
+      f"refined recall $refined%.2f fell below raw serving $raw%.2f")
+    // refined output ranks by TRUE cosine: each query's scores are
+    // non-increasing in rank
+    import org.apache.spark.sql.Row
+    Similarity.ivfPqTopKRefined(queries, back, clustered, k = 5, refine = 4)
+      .orderBy(col("query_id"), col("rnk")).collect()
+      .groupBy { case Row(q, _, _, _) => q }.values.foreach { rows =>
+        val cs = rows.map(_.getAs[Double]("cos"))
+        assert(cs.sameElements(cs.sortBy(-_)), s"cos not sorted: ${cs.toSeq}")
+      }
+  }
+
   test("mmrTopK trades relevance for diversity on a hand-checkable greedy trace") {
     // q=[1,0]; c1=[1,0] (cos 1.0), c2=[.8,.6] (cos .8), c3=[.6,.8]
     // (cos .6); sim(c1,c2)=.8, sim(c1,c3)=.6, sim(c2,c3)=.96.

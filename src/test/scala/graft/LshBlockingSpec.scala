@@ -293,6 +293,49 @@ class LshBlockingSpec extends SparkSpec {
       "default cap must sit above real testdata bucket sizes")
   }
 
+  test("governor cost curve: census stays near-linear from 10^3 to 10^5 clones") {
+    // the adversarial-scale point the 200-clone test can't see: when
+    // the hot mass is 100k docs, candidate generation must cost a
+    // bucket census (map-side combinable → 4 surviving rows) plus a
+    // broadcast anti-join — NOT the ~5·10^9 pairs the uncapped path
+    // would explode. Measured curve goes to PERF.md.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def corpus(n: Long) = spark.range(n)
+      .select(col("id").as("doc_id"), lit(clone).as("text"),
+        lit("s0").as("source"), lit("en").as("lang"))
+      .unionByName(spark.range(n, n + 500)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 5).map(j =>
+            concat(lit(s"w$j"), col("id"))): _*).as("text"),
+          lit("s0").as("source"), lit("en").as("lang")))
+    def timedRun(n: Long): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val r = Dedup.jaccardPairsBandedAccounted(corpus(n), Seq("source", "lang"), 900)
+      val nPairs = r.pairs.count()
+      val dropped = r.droppedBuckets.agg(coalesce(sum("bucket_docs"), lit(0L)))
+        .head().getLong(0)
+      ((System.nanoTime() - t0) / 1e9, nPairs, dropped)
+    }
+    // (points sit ABOVE the 1000 default cap — at exactly 1000 the
+    // bucket is not hot and the quadratic path legitimately runs)
+    timedRun(2000) // warm-up: codegen + shuffle-machinery compile
+    val pts = Seq(2000L, 10000L, 100000L).map { n =>
+      val (t, p, d) = timedRun(n)
+      info(f"clones=$n%7d: ${t}%5.1f s, pairs=$p, dropped_docs=$d")
+      assert(p === 0L, s"clone mass must not emit pairs at n=$n")
+      assert(d === 4 * n, s"accounting must report all 4 bands × $n clones, got $d")
+      (n, t)
+    }
+    // near-linear: per-clone cost at 100k within 5x of the 10k point
+    // (a quadratic explosion would be ~10x the work per clone; the
+    // generous bound absorbs host noise, not algorithmic regressions)
+    val per10k = pts(1)._2 / pts(1)._1
+    val per100k = pts(2)._2 / pts(2)._1
+    assert(per100k <= per10k * 5,
+      f"per-clone census cost grew ${per100k / per10k}%.1fx from 10k to 100k clones")
+  }
+
   test("banding still finds planted near-dups in the growing stratum") {
     // plant 20 near-dup pairs (1 token of ~60 edited ⇒ J ≈ 0.97) in a
     // 1600-doc single stratum; banding at t=900 must recover ≥ 95%

@@ -262,6 +262,74 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(n >= 0L)
   }
 
+  test("decodeBmpPixels: exact channel sums, stride padding skipped, 24/32 bpp") {
+    // hand-checkable 2×2 at id=0, 24 bpp: stride = ceil(6/4)*4 = 8,
+    // B(x,r)=(2x+3r)%256 → 0,2,3,5; G=(5x+r)%256 → 0,5,1,6; R=(x+7r)%256 → 0,1,7,8
+    val got = Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(0L, 2, 2, 24))
+    assert(got === Some((2, 2, 3, 4L, 10L, 12L, 16L, 0L)))
+    // 32 bpp carries alpha: id=1, 1×1 → B=1, G=1, R=1, A=1
+    assert(Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(1L, 1, 1, 32)) ===
+      Some((1, 1, 4, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("decodeBmpPixels: top-down (negative height) sums equal bottom-up") {
+    val up = Multimodal.bmpPixelBytes(7L, 5, 3, 24)
+    val down = up.clone()
+    // flip the height field at offset 22 to -3 (top-down marker)
+    val bb = java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    assert(Multimodal.decodeBmpPixels(down) === Multimodal.decodeBmpPixels(up))
+  }
+
+  test("decodeBmpPixels: compressed, truncated, and foreign payloads yield None") {
+    val ok = Multimodal.bmpPixelBytes(3L, 4, 4, 24)
+    assert(Multimodal.decodeBmpPixels(ok).isDefined)
+    // BI_RLE8 compression flag at offset 30 → refuse, don't misread
+    val rle = ok.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+    assert(Multimodal.decodeBmpPixels(rle) === None)
+    // pixel array truncated mid-row → refuse, don't overrun
+    assert(Multimodal.decodeBmpPixels(ok.dropRight(5)) === None)
+    // header-only fixture (no pixel payload at the declared offset)
+    assert(Multimodal.decodeBmpPixels(Multimodal.bmpBytes(4, 4, 24)) === None)
+    // lying width: bounds check fires before any pixel read
+    val lie = ok.clone()
+    java.nio.ByteBuffer.wrap(lie).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 1 << 28)
+    assert(Multimodal.decodeBmpPixels(lie) === None)
+    assert(Multimodal.decodeBmpPixels(null) === None)
+    assert(Multimodal.decodeBmpPixels("not a bmp at all".getBytes) === None)
+    // 500 random blobs: never crash, never return garbage dims
+    val rnd = new scala.util.Random(11)
+    (1 to 500).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodeBmpPixels(junk).foreach { case (w, h, _, _, _, _, _, _) =>
+        assert(w > 0 && h > 0)
+      }
+    }
+  }
+
+  test("distributed round-trip: syntheticPixelBlobs → decodePixels recovers every doc") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val out = Multimodal.decodePixels(Multimodal.syntheticPixelBlobs(docs))
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 50, "every synthetic BMP must decode (none dropped)")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, ch) =
+        if (id % 2 == 0) ((1 + id % 16).toInt, (1 + id % 8).toInt, 3)
+        else ((1 + id % 12).toInt, (1 + id % 6).toInt, 4)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === ch)
+      assert(r.getLong(4) === w.toLong * h)
+      // analytic channel sums over the same (x, row) grid
+      def s(f: (Long, Long) => Long): Long =
+        (for (x <- 0L until w; rr <- 0L until h) yield f(x, rr)).sum
+      assert(r.getLong(5) === s((x, rr) => (id + 2 * x + 3 * rr) % 256), s"sum_b id=$id")
+      assert(r.getLong(6) === s((x, rr) => (id + 5 * x + rr) % 256), s"sum_g id=$id")
+      assert(r.getLong(7) === s((x, rr) => (id + x + 7 * rr) % 256), s"sum_r id=$id")
+      assert(r.getLong(8) === (if (ch == 4) s((x, rr) => (id + x + rr) % 256) else 0L))
+    }
+  }
+
   test("syntheticAudio round-trips through the real decoder at the sawtooth values") {
     val docs = Seq(0L, 1L, 65L).toDF("doc_id")
     val got = Multimodal.pcm16Frames(Multimodal.syntheticAudio(docs), frameSamples = 25)

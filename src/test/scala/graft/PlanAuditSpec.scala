@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivfpq" -> "broadcast coarse centroids for cell assignment (k×dims)",
     "sim_ann_ivfpq_stored" -> "broadcast STORED coarse centroids for cell assignment (k×dims)",
     "sim_ann_ivfpq_nprobe" -> "broadcast STORED coarse centroids for probe ranking (k×dims)",
+    "sim_ann_ivfpq_refine" -> "broadcast STORED coarse centroids for cell assignment (inherited from indexed serving); the refine stage itself is equi-joins on a broadcast-small shortlist",
+    "dedup_governor_clones" -> "single-row pairs-count × single-row drop-accounting crossJoin (two scalar aggregates)",
     "sim_ann_index_append" -> "broadcast STORED model (centroids + codebook) against the delta being encoded",
     "sim_ann_ivfpq_residual" -> "broadcast coarse centroids for assignment/probe ranking and residual formation (k×dims)",
     "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",

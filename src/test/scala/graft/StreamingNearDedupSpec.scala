@@ -123,4 +123,52 @@ class StreamingNearDedupSpec extends SparkSpec {
     val all = verdicts()
     assert(all(10L) === "dup_exact_index" && all.size === 4, s"got $all")
   }
+
+  test("weighted index probe: repetition-aware verdicts in-stream, parity with the batch operator") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("idx_probe_w").toString
+    val (indexDir, outW, outS) = (s"$dir/index", s"$dir/out_w", s"$dir/out_s")
+    val history = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    Dedup.writeIndex(Dedup.buildIndex(history, k = 3), indexDir)
+    // same token SET as indexed 100, wildly different multiplicities:
+    // the set measure calls it a dup (J_set = 1000), the bag measure
+    // does not (Σmin ≈ |base| ≪ Σmax ≈ 6·|base|)
+    val repeated = (1 to 6).map(_ => base).mkString(" ")
+    val delta = Seq(
+      (1L, base),     // exact clone → dup_exact_index under both measures
+      (2L, repeated), // set-dup, bag-unique — the discriminating row
+      (3L, nearDup))  // near under both (1-token edit barely moves either)
+    // streaming pass with the WEIGHTED measure
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.IndexProbeDedup.start(
+      mem.toDF().toDF("doc_id", "text"), "rw", indexDir, outW,
+      s"$dir/ckpt_w", thresholdPermille = 600, weighted = true)
+    try { mem.addData(delta: _*); q.processAllAvailable() } finally q.stop()
+    val wStream = spark.read.parquet(outW).select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    assert(wStream === Map(1L -> "dup_exact_index", 2L -> "unique",
+      3L -> "dup_near_index"), s"weighted streaming verdicts: $wStream")
+    // the SET probe on identical input calls the repeated doc a dup —
+    // proving the weighted path actually consulted the stored bags
+    graft.streaming.IndexProbeDedup.process(delta.toDF("doc_id", "text"),
+      "rs", 0L, indexDir, outS, thresholdPermille = 600)
+    val setV = spark.read.parquet(outS).select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    assert(setV(2L) === "dup_near_index",
+      s"set probe must collapse multiplicities and flag the repeated doc, got $setV")
+    // parity: the streaming weighted survivors equal the batch
+    // operator's survivors on the same delta + stored index
+    val batchSurvivors = Dedup.dedupeAgainstIndexWeighted(
+        delta.toDF("doc_id", "text"), Dedup.readIndex(spark, indexDir),
+        thresholdPermille = 600)
+      .select("doc_id").as[Long].collect().toSet
+    assert(wStream.filter(_._2 == "unique").keySet === batchSurvivors,
+      s"stream unique=${wStream.filter(_._2 == "unique").keySet} batch=$batchSurvivors")
+    // an index stored WITHOUT bags fails fast on the weighted probe
+    val old = Dedup.readIndex(spark, indexDir).copy(bags = None)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupeAgainstIndexWeighted(delta.toDF("doc_id", "text"), old, 600).collect()
+    }
+    assert(e.getMessage.contains("bags"))
+  }
 }
