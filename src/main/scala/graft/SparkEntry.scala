@@ -786,11 +786,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL compressed-codec decode: complete valid PNGs (grey/RGB/RGBA
+    // by id%3, every row forward-filtered with a different PNG filter,
+    // zlib stream split across two IDAT chunks) inflated pure-JVM
+    // (java.util.zip carries zlib) and unfiltered back to per-channel
+    // sums. The oracle re-enumerates the analytic pixel grid — a
+    // hash-match proves inflate + all five filter reconstructions +
+    // IDAT concatenation read every byte back.
+    "mm_decode_png" -> ((s, d) => {
+      Multimodal.decodePng(Multimodal.syntheticPngBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────────────── corpus management (splits / sampling / QA) ────────────────────
 
     "corpus_split" -> ((s, d) => {
       Corpus.split(Tables.documents(s, d))
         .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leakage-safe split: the hash decision rides the near-dup CLUSTER
+    // representative (min doc_id via connected components over banded
+    // Jaccard pairs), so near-copies can never straddle train/test;
+    // docs with no near-dup hash identically to corpus_split.
+    "corpus_split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairsBanded(docs, Seq("source", "lang"),
+        thresholdPermille = 900)
+      Corpus.leakageSafeSplit(docs, pairs)
+        .select(col("doc_id"), col("component"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1003,6 +1033,17 @@ object SparkEntry {
     // smallest ids, ties break toward the smaller cell).
     "sim_ivf_train" -> ((s, d) => {
       val cents = Similarity.ivfTrain(Tables.embeddings(s, d), k = 4, iters = 2)
+      Similarity.ivfCentroidRows(cents).orderBy(col("cell"), col("dim"))
+    }),
+
+    // k-means|| initialization (Bahmani et al., VLDB 2012) + Lloyd:
+    // md5-coin oversampling (exact-integer probability test evaluated
+    // in DECIMAL(38)/HUGEINT), assignment-count weighting, greedy
+    // top-k reduction — the scalable seeding path; the oracle replays
+    // every candidate round, the weighting, and both Lloyd rounds.
+    "sim_ivf_train_pp" -> ((s, d) => {
+      val cents = Similarity.ivfTrainPP(Tables.embeddings(s, d),
+        k = 4, l = 8, rounds = 2, iters = 2)
       Similarity.ivfCentroidRows(cents).orderBy(col("cell"), col("dim"))
     }),
 
@@ -1627,8 +1668,8 @@ object SparkEntry {
   /** The IVF k-means chain (c0..c{iters}) WITHOUT the `WITH` keyword
     * or the `q` CTE — composable with [[pqCtes]] (which already emits
     * `q`) for the IVF-ADC oracle. */
-  private def ivfChain(k: Int, iters: Int): String = {
-    val base = Seq(
+  private def ivfChain(k: Int, iters: Int, emitC0: Boolean = true): String = {
+    val base = if (!emitC0) Seq.empty else Seq(
       s"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS cv
          |       FROM (SELECT * FROM q ORDER BY vec_id LIMIT $k))""".stripMargin)
     val rounds = (1 to iters).flatMap { it =>
@@ -1650,6 +1691,43 @@ object SparkEntry {
 
   private def ivfCtes(k: Int, iters: Int): String =
     s"WITH $qCte,\n${ivfChain(k, iters)}"
+
+  /** k-means|| (Bahmani et al.) seed chain — candidate rounds
+    * k0..k{rounds} with the md5-coin oversampling test in HUGEINT
+    * (Spark evaluates the identical products in DECIMAL(38)), then
+    * assignment-count weights and the greedy top-k reduction, ending
+    * in the `c0` CTE [[ivfChain]]'s Lloyd rounds consume. */
+  private def kppSeedCtes(k: Int, l: Int, rounds: Int): String = {
+    val d2 = "list_sum(list_transform(range(1, 65), " +
+      "i -> (v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i])))"
+    val base = Seq(
+      s"k0 AS (SELECT vec_id AS cand_id, qv FROM q ORDER BY vec_id LIMIT 1)")
+    val roundCtes = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"""d$p AS (SELECT v.vec_id, min($d2) AS d2
+           |  FROM q v, k$p c GROUP BY v.vec_id)""".stripMargin,
+        s"s$p AS (SELECT sum(d2) AS sd FROM d$p)",
+        s"coin$r AS (SELECT vec_id, md5('pp$r|' || CAST(vec_id AS VARCHAR)) AS m FROM q)",
+        s"""sel$r AS (SELECT q.vec_id AS cand_id, q.qv
+           |  FROM q JOIN d$p ON d$p.vec_id = q.vec_id
+           |         JOIN coin$r ON coin$r.vec_id = q.vec_id, s$p
+           |  WHERE CAST(${hexSliceSql("m", 1)} AS HUGEINT) * s$p.sd
+           |      < CAST(d$p.d2 AS HUGEINT) * ${l * 4294967296L})""".stripMargin,
+        s"k$r AS (SELECT cand_id, qv FROM k$p UNION SELECT cand_id, qv FROM sel$r)")
+    }
+    val weights = Seq(
+      s"""wd AS (SELECT v.vec_id, c.cand_id, $d2 AS dd FROM q v, k$rounds c)""",
+      s"""wa AS (SELECT vec_id, cand_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY dd, cand_id) AS rn FROM wd)""".stripMargin,
+      s"""wt AS (SELECT c.cand_id, c.qv, count(a.vec_id) AS w
+         |  FROM k$rounds c LEFT JOIN (SELECT * FROM wa WHERE rn = 1) a
+         |    ON a.cand_id = c.cand_id
+         |  GROUP BY c.cand_id, c.qv)""".stripMargin,
+      s"""c0 AS (SELECT row_number() OVER (ORDER BY w DESC, cand_id) - 1 AS cell, qv AS cv
+         |  FROM (SELECT * FROM wt ORDER BY w DESC, cand_id LIMIT $k))""".stripMargin)
+    (base ++ roundCtes ++ weights).mkString(",\n")
+  }
 
   /** PQ twin of [[ivfCtes]]: m per-subspace k-means chains sharing one
     * CTE pipeline; final codebook CTE is `p{iters}`, its flat
@@ -2619,6 +2697,24 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
 
+    "mm_decode_png" ->
+      """WITH d AS (SELECT doc_id,
+        |    1 + doc_id % 13 AS w,
+        |    1 + doc_id % 9 AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((doc_id + 2 * x + 3 * r) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + 5 * x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
+        |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
          |b AS (SELECT doc_id, (${hexSliceSql("m", 1)}) % 1000 AS bucket FROM h)
@@ -2627,6 +2723,27 @@ object SparkEntry {
          |            WHEN bucket < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM cnodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+         |asg AS (SELECT dd.doc_id, coalesce(c.component, dd.doc_id) AS component
+         |        FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
+         |hh AS (SELECT doc_id, component,
+         |        md5('split|' || CAST(component AS VARCHAR)) AS m FROM asg),
+         |bb AS (SELECT doc_id, component, (${hexSliceSql("m", 1)}) % 1000 AS bucket FROM hh)
+         |SELECT doc_id, component, bucket,
+         |       CASE WHEN bucket < 900 THEN 'train'
+         |            WHEN bucket < 950 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM bb ORDER BY doc_id""".stripMargin,
 
     "text_quality_model" ->
       s"""WITH f AS (SELECT doc_id,
@@ -2964,6 +3081,12 @@ object SparkEntry {
 
     "sim_ivf_train" ->
       s"""${ivfCtes(k = 4, iters = 2)}
+         |SELECT cell, dim, cq AS centroid_q FROM u2 ORDER BY cell, dim""".stripMargin,
+
+    "sim_ivf_train_pp" ->
+      s"""WITH $qCte,
+         |${kppSeedCtes(k = 4, l = 8, rounds = 2)},
+         |${ivfChain(k = 4, iters = 2, emitC0 = false)}
          |SELECT cell, dim, cq AS centroid_q FROM u2 ORDER BY cell, dim""".stripMargin,
 
     "sim_ann_ivfpq" -> ivfPqOracle,

@@ -46,6 +46,38 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Cluster-aware train/val/test split: the standard [[split]] leaks
+    * evaluation signal when near-duplicate documents straddle splits (a
+    * test doc whose near-copy sits in train is effectively memorized) —
+    * here the hash decision is taken on the near-dup CLUSTER
+    * representative, so every member of a cluster lands in the same
+    * split, and a document with no near-dup (the overwhelming majority)
+    * hashes on its own id — identical assignment to [[split]], so
+    * adopting leakage-safety does not reshuffle the unclustered corpus.
+    *
+    * `pairs` is any symmetric near-dup pair frame (banded Jaccard,
+    * SimHash, embedding cosine, …). Scale: the component labeling is
+    * [[graft.operators.Dedup.connectedComponents]] (log-round pointer
+    * doubling over the pair graph — bounded by DUPLICATED docs, a small
+    * fraction of the corpus); the label join is one keyed shuffle
+    * (broadcast under AQE when the dup set is small); the split
+    * decision itself stays a narrow deterministic hash. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                       trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "split permilles exceed 1000")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("__cid"), col("component").as("__component"))
+    docs.join(comp, docs(idCol) === col("__cid"), "left")
+      .withColumn("component", coalesce(col("__component"), col(idCol).cast("long")))
+      .drop("__cid", "__component")
+      .withColumn("bucket", hashBucket(col("component"), 1000, "split|"))
+      .withColumn("split",
+        when(col("bucket") < trainPermille, "train")
+          .when(col("bucket") < trainPermille + valPermille, "val")
+          .otherwise("test"))
+  }
+
   /** Stratified deterministic sample: keep a row iff its hash bucket
     * falls under its stratum's keep-rate (permille). The tool for
     * corpus composition ("20% of crawl, 100% of books"): rates are

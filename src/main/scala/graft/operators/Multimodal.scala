@@ -304,6 +304,234 @@ object Multimodal {
     }(enc)
   }
 
+  val pngPixelSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("sum_a", LongType, nullable = false)))
+
+  /** REAL pixel decode for 8-bit-depth non-interlaced PNG (color types
+    * 0 grey / 2 RGB / 6 RGBA): concatenates the IDAT chunks, inflates
+    * the zlib stream (`java.util.zip.Inflater` — the JDK carries zlib,
+    * so a COMPRESSED codec decodes pure-JVM with no dependency), then
+    * reverses the per-row filter (None/Sub/Up/Average/Paeth, PNG spec
+    * §9) reconstructing every scanline, and sums each channel.
+    *
+    * Untrusted-byte hardening, same discipline as the WAV/JPEG walks:
+    * chunk lengths are bounds-checked before any read; header dims are
+    * capped (2^14 per axis, 2^26 total samples) BEFORE the inflate
+    * buffer is sized so a malicious IHDR cannot allocate unbounded
+    * memory; a truncated or corrupt deflate stream, a short inflate, or
+    * an out-of-range filter byte all yield `None`, never a throw or a
+    * spin. Palette/16-bit/interlaced PNGs stay on the stub seam. */
+  private[graft] def decodePngPixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 45 || !isPngSignature(bytes)) return None
+    if (i32be(bytes, 8) != 13 || tag(bytes, 12) != "IHDR") return None
+    val width = i32be(bytes, 16)
+    val height = i32be(bytes, 20)
+    val depth = bytes(24) & 0xff
+    val colorType = bytes(25) & 0xff
+    val compression = bytes(26) & 0xff
+    val filterMethod = bytes(27) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (depth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
+    if (width.toLong * height * channels > (1L << 26)) return None
+    // chunk walk after IHDR (signature 8 + IHDR chunk 25 = 33):
+    // IDAT payloads concatenate into ONE zlib stream (PNG spec §10)
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 33L
+    var seenIend = false
+    while (!seenIend && p + 8 <= bytes.length) {
+      val len = i32be(bytes, p.toInt)
+      if (len < 0 || p + 12 + len > bytes.length) return None
+      tag(bytes, p.toInt + 4) match {
+        case "IDAT" => idat.write(bytes, p.toInt + 8, len)
+        case "IEND" => seenIend = true
+        case _      => ()
+      }
+      p += 12L + len
+    }
+    if (idat.size() == 0) return None
+    val bpx = channels
+    val stride = width * bpx
+    val rawLen = height * (stride + 1) // +1: the per-row filter byte
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      var stalled = false
+      while (got < rawLen && !inf.finished() && !stalled) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+        got += n
+      }
+      if (got < rawLen) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // Reconstruct rows in place (the filter predictors read already-
+    // reconstructed bytes — left, up, up-left), accumulating channel
+    // sums in the same pass.
+    val sums = new Array[Long](4)
+    var r = 0
+    while (r < height) {
+      val base = r * (stride + 1) + 1
+      val prevBase = base - (stride + 1)
+      val f = raw(base - 1) & 0xff
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + i) & 0xff
+        val a = if (i >= bpx) raw(base + i - bpx) & 0xff else 0
+        val b = if (r > 0) raw(prevBase + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpx) raw(prevBase + i - bpx) & 0xff else 0
+        val rec = f match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + b) & 0xff
+          case 3 => (x + (a + b) / 2) & 0xff
+          case _ => // Paeth
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (x + pred) & 0xff
+        }
+        raw(base + i) = rec.toByte
+        sums(i % bpx) += rec
+        i += 1
+      }
+      r += 1
+    }
+    val (sr, sg, sb, sa) = channels match {
+      case 1 => (sums(0), 0L, 0L, 0L)
+      case 3 => (sums(0), sums(1), sums(2), 0L)
+      case _ => (sums(0), sums(1), sums(2), sums(3))
+    }
+    Some((width, height, channels, width.toLong * height, sr, sg, sb, sa))
+  }
+
+  /** [[decodePngPixels]] at scale: constant-memory per-partition
+    * iteration; payloads that are not 8-bit non-interlaced grey/RGB/
+    * RGBA PNGs are dropped (the stub seam keeps carrying those). */
+  def decodePng(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngPixelSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodePngPixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sr, sg, sb, sa) =>
+            Row(r.getLong(0), w, h, ch, np, sr, sg, sb, sa)
+        }
+      }
+    }(enc)
+  }
+
+  /** One PNG chunk: [len BE][type][payload][CRC32(type||payload)] —
+    * real CRCs, so fixtures are valid PNGs end to end. */
+  private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putInt(payload.length)
+    val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.put(tb).put(payload)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(payload)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** A COMPLETE valid PNG whose pixels are arithmetic in (id, x, row):
+    * channel k of pixel (x, r) is `(id + mₖ·x + nₖ·r) % 256` with
+    * (m,n) = (2,3), (5,1), (1,7), (1,1) — the same analytic-grid idea
+    * as [[bmpPixelBytes]], so the decode oracle re-derives every
+    * channel sum in SQL. Each row is forward-filtered with filter type
+    * `(id + r) % 5`, exercising ALL five PNG filters; the zlib stream
+    * is split across two IDAT chunks to exercise concatenation. */
+  private[graft] def pngPixelBytes(id: Long, width: Int, height: Int,
+                                   colorType: Int): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = width * channels
+    val mk = Array(2, 5, 1, 1); val nk = Array(3, 1, 7, 1)
+    def px(x: Int, r: Int, k: Int): Int = (((id + mk(k) * x + nk(k) * r) % 256) + 256).toInt % 256
+    val recon = Array.tabulate(height, stride) { (r, i) => px(i / channels, r, i % channels) }
+    val raw = new Array[Byte](height * (stride + 1))
+    for (r <- 0 until height) {
+      val base = r * (stride + 1)
+      val f = ((id + r) % 5).toInt
+      raw(base) = f.toByte
+      for (i <- 0 until stride) {
+        val x = recon(r)(i)
+        val a = if (i >= channels) recon(r)(i - channels) else 0
+        val b = if (r > 0) recon(r - 1)(i) else 0
+        val c = if (r > 0 && i >= channels) recon(r - 1)(i - channels) else 0
+        val filt = f match {
+          case 0 => x
+          case 1 => (x - a) & 0xff
+          case 2 => (x - b) & 0xff
+          case 3 => (x - (a + b) / 2) & 0xff
+          case _ =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (x - pred) & 0xff
+        }
+        raw(base + 1 + i) = filt.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) zLen += deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+    deflater.end()
+    val z = java.util.Arrays.copyOf(zBuf, zLen)
+    val ihdrPayload = {
+      val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.putInt(width).putInt(height)
+      b.put(8.toByte).put(colorType.toByte)
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    val cut = z.length / 2 // split the stream: IDAT payloads must concatenate
+    val out = new java.io.ByteArrayOutputStream()
+    PngSignature.foreach(x => out.write(x))
+    out.write(pngChunk("IHDR", ihdrPayload))
+    out.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut)))
+    out.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Deterministic complete PNGs keyed on doc_id (color type cycling
+    * grey/RGB/RGBA by id%3; dims arithmetic in doc_id) — the fixture
+    * generator for [[decodePng]]'s oracle: the oracle re-enumerates the
+    * (x, row) grid in SQL, so a hash-match proves the inflate +
+    * unfilter reconstruction read every byte back correctly. */
+  def syntheticPngBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val colorType = Array(0, 2, 6)((id % 3).toInt)
+        Row(id, pngPixelBytes(id, (1 + id % 13).toInt, (1 + id % 9).toInt, colorType))
+      }
+    }(enc)
+  }
+
   /** Minimal valid BMP bytes (BITMAPINFOHEADER, no pixel payload —
     * header-only, which is exactly what [[parseHeader]] reads). */
   private[graft] def bmpBytes(width: Int, height: Int, bpp: Int): Array[Byte] = {

@@ -158,7 +158,20 @@ object Similarity {
       .withColumn("cell", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1).cast("long"))
       .select(col("cell"), col("qv").as("cv"))
-    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
+    val trained = lloydRounds(q, seeds, iters)
+    // centroids are k×dims values — materialize on the driver (the
+    // k-means model IS driver-small by construction) so downstream
+    // broadcast reuse doesn't lazily replay the whole Lloyd lineage
+    val rows = trained.collect().toSeq
+    q.unpersist()
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+  }
+
+  /** `iters` Lloyd assign+update rounds from an explicit seed frame —
+    * the shared engine behind [[ivfTrain]] (min-id seeds) and
+    * [[ivfTrainPP]] (k-means|| seeds). */
+  private def lloydRounds(q: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assignCells(q, cents)
       assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
@@ -168,9 +181,109 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
           x => x.getField("cq")).as("cv"))
     }
-    // centroids are k×dims values — materialize on the driver (the
-    // k-means model IS driver-small by construction) so downstream
-    // broadcast reuse doesn't lazily replay the whole Lloyd lineage
+
+  /** Deterministic k-means|| initialization (Bahmani et al., VLDB
+    * 2012) + Lloyd refinement — the scalable seeding that replaces
+    * [[ivfTrain]]'s min-id seeds when cluster quality matters: min-id
+    * seeding degrades when ids correlate with content (ingest order
+    * usually does), while k-means|| oversamples points proportional to
+    * their squared distance from the current seed set, in O(rounds)
+    * passes instead of k-means++'s k sequential passes.
+    *
+    * Determinism contract (the repo-wide one): NO RNG. The coin for
+    * "keep x with probability min(1, l·d²(x)/Σd²)" is a 32-bit
+    * md5-derived uniform u = hexslice(md5("pp&lt;round&gt;|" + id)), kept
+    * iff u·Σd² &lt; l·2³²·d²(x) — every quantity an exact integer
+    * (quantized vectors), the products evaluated in DECIMAL(38)
+    * (HUGEINT on the DuckDB twin), so both engines pick identical
+    * candidate sets. Candidate reduction to k is greedy by
+    * (assignment-count desc, id) — deterministic, no weighted-++ coin
+    * chain.
+    *
+    * Scale shape: per round one broadcast of the (driver-small)
+    * candidate set against the never-shuffled embedding scan + one
+    * map-side-combinable min per vector; candidates collected per
+    * round are ~l in expectation (model-small by construction —
+    * documented crash-loudly bound below). Lloyd rounds are
+    * [[lloydRounds]]. */
+  def ivfTrainPP(emb: DataFrame, k: Int, l: Int, rounds: Int, iters: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    import graft.functions.HexSliceLong.hex_slice_long
+    val q = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cand_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    def candDf(cands: Seq[(Long, Seq[Long])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cands.map { case (id, v) => org.apache.spark.sql.Row(id, v) }, 1), candSchema)
+    // full ‖v−c‖² (not the rank-only csq−2v·c): the coin inequality
+    // compares d² VALUES across engines, so both must compute the
+    // same exact integer
+    def d2min(cands: Seq[(Long, Seq[Long])]): DataFrame =
+      q.crossJoin(broadcast(candDf(cands)))
+        .withColumn("dd", (dot(col("qv"), col("qv")) - lit(2d) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv"))).cast("long"))
+        .groupBy(col("__id")).agg(min(col("dd")).as("d2"))
+    // seed: the min-id vector (deterministic stand-in for the uniform
+    // random first seed)
+    var cands: Seq[(Long, Seq[Long])] =
+      q.orderBy(col("__id")).limit(1).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val dec = "decimal(20,0)"
+    for (r <- 1 to rounds) {
+      val d2 = d2min(cands)
+      val sumD2 = d2.agg(coalesce(sum(col("d2")), lit(0L))).head().getLong(0)
+      if (sumD2 > 0) {
+        val u = hex_slice_long(
+          md5(concat(lit(s"pp$r|"), col("__id").cast("string")).cast("binary")), 0)
+        val sel = q.join(d2, "__id")
+          .filter(u.cast(dec) * lit(sumD2).cast(dec) <
+            col("d2").cast(dec) * lit(l * 4294967296L).cast(dec))
+          .select(col("__id"), col("qv")).collect()
+          .map(r0 => (r0.getLong(0), r0.getSeq[Long](1)))
+        val known = cands.map(_._1).toSet
+        cands = cands ++ sel.filterNot(c => known(c._1)).sortBy(_._1)
+        // the oversample is l·d²-proportional: expected ~l per round.
+        // A corpus engineered to pass the coin everywhere would make
+        // the "model" data-sized — refuse loudly rather than OOM the
+        // driver.
+        require(cands.size <= math.max(64, 16 * l * rounds),
+          s"k-means|| oversample exploded to ${cands.size} candidates")
+      }
+    }
+    // weight candidates by assignment count (ties toward smaller
+    // cand_id), then greedy top-k by (weight desc, id)
+    val wts: Map[Long, Long] =
+      q.crossJoin(broadcast(candDf(cands)))
+        .withColumn("dd", (dot(col("qv"), col("qv")) - lit(2d) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv"))).cast("long"))
+        .groupBy(col("__id"))
+        .agg(min(struct(col("dd"), col("cand_id"))).as("m"))
+        .groupBy(col("m.cand_id").as("cand_id")).agg(count(lit(1)).as("wt"))
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    val chosen = cands
+      .map { case (id, v) => (id, v, wts.getOrElse(id, 0L)) }
+      .sortBy { case (id, _, wt) => (-wt, id) }
+      .take(k)
+    val seeds = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        chosen.zipWithIndex.map { case ((_, v, _), i) =>
+          org.apache.spark.sql.Row(i.toLong, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false), nullable = false))))
+    val trained = lloydRounds(q, seeds, iters)
     val rows = trained.collect().toSeq
     q.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)

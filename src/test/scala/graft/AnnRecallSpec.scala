@@ -341,6 +341,37 @@ class AnnRecallSpec extends SparkSpec {
       }
   }
 
+  test("k-means|| seeding: deterministic, spreads across clusters, beats min-id WCSS") {
+    // the clustered fixture is the adversarial case for min-id seeding:
+    // ids are ordered BY cluster (c·perCluster + i), so ivfTrain's k
+    // smallest-id seeds all come from cluster 0 — exactly the
+    // id/content correlation k-means|| exists to survive
+    def wcssOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val q = clustered.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      q.crossJoin(broadcast(cents))
+        .withColumn("dd", Similarity.dot(col("qv"), col("qv"))
+          - lit(2d) * Similarity.dot(col("qv"), col("cv"))
+          + Similarity.dot(col("cv"), col("cv")))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val naive = Similarity.ivfTrain(clustered, k = nClusters, iters = 2)
+    val pp = Similarity.ivfTrainPP(clustered, k = nClusters, l = 16, rounds = 3, iters = 2)
+    val pp2 = Similarity.ivfTrainPP(clustered, k = nClusters, l = 16, rounds = 3, iters = 2)
+    // engine-determinism: byte-identical centroids across runs
+    val snap = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("cell"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(snap(pp) === snap(pp2))
+    assert(pp.count() === nClusters.toLong)
+    // quality: oversampled seeding must strictly beat the k-lowest-ids
+    // seeds here (those start inside ONE cluster)
+    val (wNaive, wPp) = (wcssOf(naive), wcssOf(pp))
+    assert(wPp < wNaive,
+      s"k-means|| WCSS $wPp should beat min-id-seeded WCSS $wNaive on clustered data")
+  }
+
   test("mmrTopK trades relevance for diversity on a hand-checkable greedy trace") {
     // q=[1,0]; c1=[1,0] (cos 1.0), c2=[.8,.6] (cos .8), c3=[.6,.8]
     // (cos .6); sim(c1,c2)=.8, sim(c1,c3)=.6, sim(c2,c3)=.96.

@@ -66,6 +66,33 @@ class CorpusSpec extends SparkSpec {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons match plain split") {
+    val pairs = Dedup.jaccardPairsBanded(docs, Seq("source", "lang"),
+      thresholdPermille = 900)
+    val lss = Corpus.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "component", "split").as[(Long, Long, String)].collect()
+    assert(lss.length === docs.count())
+    val splitOf = lss.map(r => r._1 -> r._3).toMap
+    // THE invariant: no near-dup pair straddles splits
+    val edges = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty, "fixture should contain near-dup pairs")
+    edges.foreach { case (a, b) =>
+      assert(splitOf(a) === splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // every cluster maps to one split (stronger: transitive closure)
+    lss.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._3).distinct.length === 1, s"component $comp split")
+    }
+    // docs not in any pair keep their plain-split assignment
+    val inPairs = edges.flatMap(t => Seq(t._1, t._2)).toSet
+    val plain = Corpus.split(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    lss.filterNot(r => inPairs(r._1)).foreach { case (id, comp, sp) =>
+      assert(comp === id, s"singleton $id should represent itself")
+      assert(plain(id) === sp, s"singleton $id split changed vs plain split")
+    }
+  }
+
   test("split and sample bucketings are independent (different salts)") {
     val b1 = Corpus.split(docs).select("doc_id", "bucket").as[(Long, Long)].collect().toMap
     val b2 = docs.select(col("doc_id"),

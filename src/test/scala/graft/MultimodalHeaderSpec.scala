@@ -339,4 +339,130 @@ class MultimodalHeaderSpec extends SparkSpec {
     val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     assert(byDoc(0L) === 64L && byDoc(1L) === 65L && byDoc(65L) === 65L)
   }
+
+  // ───────────────────────── PNG pixel decode ─────────────────────────
+
+  /** Hand-assembled PNG from raw (filter-byte-prefixed) scanlines —
+    * lets tests feed the decoder streams pngPixelBytes would never
+    * emit (bad filter codes, wrong lengths). */
+  private def pngFromRaw(width: Int, height: Int, colorType: Int,
+                         raw: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + payload.length).order(ByteOrder.BIG_ENDIAN)
+      val tb = typ.getBytes("US-ASCII")
+      out.putInt(payload.length).put(tb).put(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val zb = new Array[Byte](raw.length + 64)
+    var zl = 0
+    while (!d.finished()) zl += d.deflate(zb, zl, zb.length - zl)
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    out.write(chunk("IHDR", ihdr.array()))
+    out.write(chunk("IDAT", java.util.Arrays.copyOf(zb, zl)))
+    out.write(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  private def pngAnalyticSums(id: Long, w: Int, h: Int, ch: Int)
+      : (Long, Long, Long, Long) = {
+    def s(m: Long, n: Long): Long =
+      (for (x <- 0L until w; rr <- 0L until h) yield (id + m * x + n * rr) % 256).sum
+    (s(2, 3), if (ch >= 3) s(5, 1) else 0L, if (ch >= 3) s(1, 7) else 0L,
+      if (ch == 4) s(1, 1) else 0L)
+  }
+
+  test("decodePngPixels: inflate + all five filter reconstructions, exact sums") {
+    // heights ≥ 5 exercise every filter type (row filter = (id+r)%5)
+    for ((id, w, h, ct) <- Seq((0L, 6, 5, 2), (1L, 3, 7, 6), (2L, 4, 6, 0),
+                               (7L, 1, 5, 2), (12L, 13, 9, 6))) {
+      val ch = ct match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val got = Multimodal.decodePngPixels(Multimodal.pngPixelBytes(id, w, h, ct))
+      val (sr, sg, sb, sa) = pngAnalyticSums(id, w, h, ch)
+      assert(got === Some((w, h, ch, w.toLong * h, sr, sg, sb, sa)), s"id=$id ct=$ct")
+    }
+  }
+
+  test("decodePngPixels: IDAT payloads concatenate into one zlib stream") {
+    // pngPixelBytes always splits the stream across two IDATs — a
+    // decoder that inflates chunks independently cannot reproduce the
+    // analytic sums (the deflate stream straddles the cut).
+    val bytes = Multimodal.pngPixelBytes(5L, 9, 8, 2)
+    // count IDAT chunks to prove the fixture really is split
+    def countIdat(b: Array[Byte]): Int = {
+      var p = 33; var n = 0
+      while (p + 8 <= b.length) {
+        val len = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (new String(b, p + 4, 4, "US-ASCII") == "IDAT") n += 1
+        p += 12 + len
+      }
+      n
+    }
+    assert(countIdat(bytes) === 2)
+    assert(Multimodal.decodePngPixels(bytes).isDefined)
+  }
+
+  test("decodePngPixels: malformed streams refuse instead of throwing") {
+    val ok = Multimodal.pngPixelBytes(3L, 5, 5, 2)
+    assert(Multimodal.decodePngPixels(ok).isDefined)
+    // out-of-range filter code inside a VALID zlib stream → None
+    val badFilter = new Array[Byte](5 * (5 * 3 + 1))
+    badFilter(0) = 7.toByte
+    assert(Multimodal.decodePngPixels(pngFromRaw(5, 5, 2, badFilter)) === None)
+    // declared dims bigger than the inflated stream delivers → None
+    assert(Multimodal.decodePngPixels(pngFromRaw(5, 5, 2, new Array[Byte](16))) === None)
+    // corrupt deflate bytes → DataFormatException path → None
+    val corrupt = ok.clone()
+    for (i <- 45 until math.min(60, corrupt.length)) corrupt(i) = 0x55.toByte
+    assert(Multimodal.decodePngPixels(corrupt) === None)
+    // truncated file (IDAT chunk length now lies) → None
+    assert(Multimodal.decodePngPixels(ok.dropRight(20)) === None)
+    // 16-bit depth / palette / interlace stay on the stub seam
+    val deep = ok.clone(); deep(24) = 16.toByte
+    assert(Multimodal.decodePngPixels(deep) === None)
+    val pal = ok.clone(); pal(25) = 3.toByte
+    assert(Multimodal.decodePngPixels(pal) === None)
+    val il = ok.clone(); il(28) = 1.toByte
+    assert(Multimodal.decodePngPixels(il) === None)
+    // lying IHDR dims: cap fires before the inflate buffer is sized
+    val lie = ok.clone()
+    ByteBuffer.wrap(lie).order(ByteOrder.BIG_ENDIAN).putInt(16, 1 << 20)
+    assert(Multimodal.decodePngPixels(lie) === None)
+    assert(Multimodal.decodePngPixels(null) === None)
+    assert(Multimodal.decodePngPixels("not a png".getBytes) === None)
+    // fuzz: random junk never crashes
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Multimodal.decodePngPixels(junk).foreach { case (w, h, _, _, _, _, _, _) =>
+        assert(w > 0 && h > 0)
+      }
+    }
+  }
+
+  test("distributed round-trip: syntheticPngBlobs → decodePng recovers every doc") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(60)
+    val out = Multimodal.decodePng(Multimodal.syntheticPngBlobs(docs))
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 60, "every synthetic PNG must decode (none dropped)")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((1 + id % 13).toInt, (1 + id % 9).toInt)
+      val ch = Array(1, 3, 4)((id % 3).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === ch)
+      val (sr, sg, sb, sa) = pngAnalyticSums(id, w, h, ch)
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ===
+        ((sr, sg, sb, sa)), s"sums id=$id")
+    }
+  }
 }
