@@ -699,6 +699,15 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // CCNet-style per-source perplexity banding: head/middle/tail by
+    // equal population within each source, tail marked for drop — the
+    // fluency filter with per-stratum calibration.
+    "text_perplexity_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("ppl_q4"),
+          col("bucket"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // Bigram LM-ish fluency: mean corpus frequency of each doc's word
     // bigrams, exact integer arithmetic.
     "text_bigram_lm" -> ((s, d) =>
@@ -1402,6 +1411,29 @@ object SparkEntry {
        |       count(DISTINCT $c) AS n_distinct,
        |       CAST(min($c) AS VARCHAR) AS min_str,
        |       CAST(max($c) AS VARCHAR) AS max_str FROM events""".stripMargin
+
+  /** Shared add-one-smoothed bigram-LM CTE chain (ends in `s` with
+    * per-doc `nll`), used by the perplexity score and the CCNet-style
+    * bucket filter. */
+  private lazy val pplCtes: String =
+    s"""t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |         i -> tk[i] || ' ' || tk[i+1])) AS b
+       |       FROM t WHERE len(tk) >= 2),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
+       |tokx AS (SELECT unnest(tk) AS w FROM t),
+       |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tokx GROUP BY w),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+       |j AS (SELECT bg.doc_id, c.c12, u.c1, v.v
+       |      FROM bg JOIN c USING (b) JOIN u ON u.w = string_split(bg.b, ' ')[1], v),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(v) AS v,
+       |        list_sort(list({'c12': c12, 'c1': c1})) AS ps
+       |      FROM j GROUP BY doc_id),
+       |s AS (SELECT doc_id, n_bigrams,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
+       |          p -> ln(CAST(p.c1 + v AS DOUBLE)) - ln(CAST(p.c12 + 1 AS DOUBLE)))),
+       |          (a,b) -> a + b) / n_bigrams AS nll
+       |      FROM g)""".stripMargin
 
   private def hexSliceSql(m: String, start: Int): String =
     (0 until 8).map { c =>
@@ -2577,27 +2609,20 @@ object SparkEntry {
     // fold over struct-sorted (c12, c1) pairs, ln over integer
     // arguments only.
     "text_perplexity" ->
-      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |         i -> tk[i] || ' ' || tk[i+1])) AS b
-         |       FROM t WHERE len(tk) >= 2),
-         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
-         |tokx AS (SELECT unnest(tk) AS w FROM t),
-         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tokx GROUP BY w),
-         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
-         |j AS (SELECT bg.doc_id, c.c12, u.c1, v.v
-         |      FROM bg JOIN c USING (b) JOIN u ON u.w = string_split(bg.b, ' ')[1], v),
-         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(v) AS v,
-         |        list_sort(list({'c12': c12, 'c1': c1})) AS ps
-         |      FROM j GROUP BY doc_id),
-         |s AS (SELECT doc_id, n_bigrams,
-         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
-         |          p -> ln(CAST(p.c1 + v AS DOUBLE)) - ln(CAST(p.c12 + 1 AS DOUBLE)))),
-         |          (a,b) -> a + b) / n_bigrams AS nll
-         |      FROM g)
+      s"""WITH $pplCtes
          |SELECT doc_id, n_bigrams, round(nll, 4) AS nll_q4,
          |       round(exp(nll), 4) AS ppl_q4
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_buckets" ->
+      s"""WITH $pplCtes,
+         |pp AS (SELECT doc_id, round(exp(nll), 4) AS ppl_q4 FROM s),
+         |sb AS (SELECT d.doc_id, d.source, pp.ppl_q4,
+         |         CAST(ntile(3) OVER (PARTITION BY d.source
+         |           ORDER BY pp.ppl_q4, d.doc_id) AS BIGINT) AS bucket
+         |       FROM pp JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, ppl_q4, bucket, bucket < 3 AS keep
+         |FROM sb ORDER BY doc_id""".stripMargin,
 
     "mm_blob_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

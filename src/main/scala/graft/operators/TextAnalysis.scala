@@ -866,4 +866,35 @@ object TextAnalysis {
         round(col("__nll"), 4).as("nll_q4"),
         round(exp(col("__nll")), 4).as("ppl_q4"))
   }
+
+  /** CCNet-style perplexity bucketing: each stratum's documents are
+    * split into `nBuckets` equal-population perplexity bands
+    * (head/middle/tail at the default 3) under the self-trained bigram
+    * LM ([[bigramPerplexity]]), and the tail — the least-fluent band,
+    * where boilerplate, mojibake and gibberish concentrate — is marked
+    * for drop (`keep = bucket < nBuckets`). Per-STRATUM banding is the
+    * point (CCNet buckets per language): an absolute threshold would
+    * gut whichever stratum's LM fit is worst.
+    *
+    * The band assignment is `ntile` over a window PARTITIONED by the
+    * stratum with the total order (ppl, id) — deterministic and
+    * oracle-exact, but a per-stratum sort. At 100 TB replace the exact
+    * ntile with two narrow passes: `approx_percentile(ppl,
+    * [1/b .. (b-1)/b])` per stratum (map-side-combinable sketch,
+    * driver-small boundaries), then a broadcast range lookup — same
+    * decision to sketch precision, no sort. The exact form here is the
+    * oracle-checkable reference semantics; docs with < 2 tokens carry
+    * no LM evidence and are dropped with them
+    * ([[bigramPerplexity]]'s policy). */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        strataCol: String = "source",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("ppl_q4"), col(idCol))
+    docs.select(col(idCol), col(strataCol))
+      .join(bigramPerplexity(docs, idCol), idCol)
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .withColumn("keep", col("bucket") < nBuckets)
+  }
 }

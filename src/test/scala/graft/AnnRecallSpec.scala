@@ -341,6 +341,49 @@ class AnnRecallSpec extends SparkSpec {
       }
   }
 
+  test("AnnProbeStream: streaming serving ≡ batch serving; replay is exactly-once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val index = Similarity.annIndexBuild(clustered, coarseK = nClusters,
+      m = 4, pqK = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_probe_idx").toString
+    Similarity.writeAnnIndex(index, dir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ann_probe_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_probe_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.AnnProbeStream.start(
+      mem.toDF.toDF("vec_id", "embedding"), "run1", dir, outDir, ckpt,
+      k = 5, nprobe = 2)
+    def queryRows(pred: org.apache.spark.sql.Column): Seq[(Long, Seq[Double])] =
+      clustered.filter(pred).select("vec_id", "embedding")
+        .as[(Long, Seq[Double])].collect().toSeq
+    val b0 = queryRows(col("vec_id") < 5)
+    mem.addData(b0: _*); q.processAllAvailable()
+    val b1 = queryRows(col("vec_id") >= 40 && col("vec_id") < 43)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    // parity: streamed hit lists ≡ batch serving over the same queries
+    val back = Similarity.readAnnIndex(spark, dir)
+    def servedSet(ids: Seq[Long]): Set[(Long, Long, Long)] =
+      Similarity.ivfPqTopKIndexedProbes(
+          clustered.filter(col("vec_id").isin(ids: _*)), back, k = 5, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rnk").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    def gotDf = spark.read.parquet(outDir).filter(col("run_id") === "run1")
+    val gotSet = gotDf
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSet === servedSet(b0.map(_._1)) ++ servedSet(b1.map(_._1)))
+    assert(gotSet.nonEmpty)
+    // replay batch 0 (a foreachBatch retry): the (run, batch) partition
+    // is overwritten with identical rows — no duplication
+    val before = gotDf.count()
+    graft.streaming.AnnProbeStream.process(
+      clustered.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding")),
+      "run1", 0L, dir, outDir, k = 5, nprobe = 2)
+    assert(gotDf.count() === before)
+  }
+
   test("k-means|| seeding: deterministic, spreads across clusters, beats min-id WCSS") {
     // the clustered fixture is the adversarial case for min-id seeding:
     // ids are ordered BY cluster (c·perCluster + i), so ivfTrain's k

@@ -237,4 +237,28 @@ class TextOpsSpec extends SparkSpec {
     // higher-probability transition ⇒ lower perplexity
     assert(out(0)._4 < out(2)._4)
   }
+
+  test("perplexityBuckets: equal bands per stratum, tail is the worst band, keep drops it") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TextAnalysis.perplexityBuckets(docs)
+      .select("doc_id", "source", "ppl_q4", "bucket", "keep")
+      .as[(Long, String, Double, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // every scored doc in exactly one band 1..3; keep ⟺ not tail
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 3))
+    assert(out.forall(r => r._5 === (r._4 < 3)))
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      // equal-population bands (sizes differ by at most 1)
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$src band sizes $sizes")
+      // bands are ordered by perplexity: max(head) ≤ min(tail) etc.
+      val byBand = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for (b <- 1L until 3L if byBand.contains(b) && byBand.contains(b + 1))
+        assert(byBand(b).max <= byBand(b + 1).min + 1e-9, s"$src band $b order")
+    }
+    // the filter actually discriminates: dropped docs are more
+    // perplexing on average than kept ones
+    val (kept, dropped) = out.partition(_._5)
+    assert(kept.map(_._3).sum / kept.length < dropped.map(_._3).sum / dropped.length)
+  }
 }
