@@ -1037,6 +1037,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Packing denominated in the LEARNED tokenizer's tokens (BPE
+    // fertility included) — a whitespace-word budget overflows a real
+    // context window; this is the production pack.
+    "corpus_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+      Corpus.packBy(docs, enc, budgetTokens = 2048, tokensCol = "n_bpe_tokens")
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Trained IVF coarse quantizer: deterministic quantized k-means
     // (fixed-point integers → bit-identical across engines; seeds = k
     // smallest ids, ties break toward the smaller cell).
@@ -1411,6 +1422,44 @@ object SparkEntry {
        |       count(DISTINCT $c) AS n_distinct,
        |       CAST(min($c) AS VARCHAR) AS min_str,
        |       CAST(max($c) AS VARCHAR) AS max_str FROM events""".stripMargin
+
+  /** Shared 3-merge BPE train+apply CTE chain (ends in `e` with
+    * per-doc `n_words`/`n_chars`/`n_bpe_tokens`), used by the encode
+    * query and the learned-tokenizer packing twin. */
+  private lazy val bpeEncodeCtes: String = {
+    def iter(i: Int): String =
+      s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |       FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |               j -> {'l': syms[j], 'r': syms[j+1]}), recursive := true)
+         |             FROM w${i - 1} WHERE len(syms) >= 2)
+         |       GROUP BY l, r),
+         |m$i AS (SELECT l AS l$i, r AS r$i FROM p$i
+         |        ORDER BY pair_cnt DESC, l, r LIMIT 1),
+         |w$i AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+         |         (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
+         |                     THEN list_append(acc[:len(acc)-1], l$i || r$i)
+         |                     ELSE list_concat(acc, x) END) AS syms
+         |       FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    def app(inner: String, i: Int): String =
+      s"""list_reduce(list_transform($inner, s -> [s]),
+         |  (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
+         |              THEN list_append(acc[:len(acc)-1], l$i || r$i)
+         |              ELSE list_concat(acc, x) END)""".stripMargin
+    val enc = app(app(app("list_transform(range(1, len(w)+1), i -> w[i:i])", 1), 2), 3)
+    s"""tok AS (SELECT unnest($tokSql) AS word FROM documents),
+       |w0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+       |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
+       |       FROM tok GROUP BY word),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |d AS (SELECT doc_id, $tokSql AS tk, text FROM documents),
+       |e AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+       |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |        CAST(coalesce(list_sum(list_transform(tk, w -> len($enc))), 0)
+       |          AS BIGINT) AS n_bpe_tokens
+       |      FROM d CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)""".stripMargin
+  }
 
   /** Shared add-one-smoothed bigram-LM CTE chain (ends in `s` with
     * per-doc `nll`), used by the perplexity score and the CCNet-style
@@ -3411,44 +3460,22 @@ object SparkEntry {
          |SELECT * FROM u ORDER BY merge_rank""".stripMargin
     },
 
-    "text_bpe_encode" -> {
-      def iter(i: Int): String =
-        s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_cnt
-           |       FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
-           |               j -> {'l': syms[j], 'r': syms[j+1]}), recursive := true)
-           |             FROM w${i - 1} WHERE len(syms) >= 2)
-           |       GROUP BY l, r),
-           |m$i AS (SELECT l AS l$i, r AS r$i FROM p$i
-           |        ORDER BY pair_cnt DESC, l, r LIMIT 1),
-           |w$i AS (SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
-           |         (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
-           |                     THEN list_append(acc[:len(acc)-1], l$i || r$i)
-           |                     ELSE list_concat(acc, x) END) AS syms
-           |       FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
-      def app(inner: String, i: Int): String =
-        s"""list_reduce(list_transform($inner, s -> [s]),
-           |  (acc, x) -> CASE WHEN acc[-1] = l$i AND x[1] = r$i
-           |              THEN list_append(acc[:len(acc)-1], l$i || r$i)
-           |              ELSE list_concat(acc, x) END)""".stripMargin
-      val enc = app(app(app("list_transform(range(1, len(w)+1), i -> w[i:i])", 1), 2), 3)
-      s"""WITH tok AS (SELECT unnest($tokSql) AS word FROM documents),
-         |w0 AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
-         |         list_transform(range(1, len(word)+1), i -> word[i:i]) AS syms
-         |       FROM tok GROUP BY word),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)},
-         |d AS (SELECT doc_id, $tokSql AS tk, text FROM documents),
-         |e AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
-         |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
-         |        CAST(coalesce(list_sum(list_transform(tk, w -> len($enc))), 0)
-         |          AS BIGINT) AS n_bpe_tokens
-         |      FROM d CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+    "text_bpe_encode" ->
+      s"""WITH $bpeEncodeCtes
          |SELECT doc_id, n_words, n_chars, n_bpe_tokens,
          |  CASE WHEN n_bpe_tokens > 0 THEN (n_chars * 1000) // n_bpe_tokens
          |       ELSE 0 END AS compression_permille
-         |FROM e ORDER BY doc_id""".stripMargin
-    },
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack_bpe" ->
+      s"""WITH $bpeEncodeCtes,
+         |pt AS (SELECT e.doc_id, d2.source, e.n_bpe_tokens,
+         |         sum(e.n_bpe_tokens) OVER (PARTITION BY d2.source ORDER BY e.doc_id
+         |                                   ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM e JOIN documents d2 ON d2.doc_id = e.doc_id)
+         |SELECT doc_id, source, n_bpe_tokens,
+         |       CAST(floor((cum - n_bpe_tokens) / 2048) AS BIGINT) AS pack_id
+         |FROM pt ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),

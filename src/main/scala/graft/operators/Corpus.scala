@@ -321,6 +321,29 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** [[pack]] under an EXPLICIT per-doc token-count frame
+    * (`idCol`, `tokensCol`) — the production form: packing budgets are
+    * denominated in the training tokenizer's tokens, not whitespace
+    * words (a 512-token budget measured in words overflows a 512-token
+    * context window by the fertility factor). Compose with
+    * [[graft.operators.TextAnalysis.bpeEncode]]'s `n_bpe_tokens` for
+    * learned-tokenizer packing. Same shapes as [[pack]]: one keyed
+    * join + one per-shard running sum. */
+  def packBy(docs: DataFrame, counts: DataFrame, budgetTokens: Long,
+             tokensCol: String, shardCol: String = "source",
+             idCol: String = "doc_id"): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col(idCol), col(shardCol))
+      .join(counts.select(col(idCol), col(tokensCol)), idCol)
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokensCol)) / budgetTokens).cast("long"))
+      .drop("__cum")
+  }
+
   /** Reproducible global training order: every doc gets the
     * deterministic pseudorandom sort key md5(seed‖id) — same
     * hash-derived discipline as [[split]], so the epoch order is

@@ -194,6 +194,32 @@ class CorpusSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("packBy: whitespace counts reproduce pack; BPE counts re-bucket by fertility") {
+    val wsCounts = docs.select(col("doc_id"),
+      size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"))
+    val a = Corpus.pack(docs, budgetTokens = 512)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    val b = Corpus.packBy(docs, wsCounts, budgetTokens = 512, tokensCol = "n_tokens")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(a === b, "packBy under whitespace counts must equal pack")
+    // under BPE counts the same budget yields MORE packs (fertility
+    // ≥ 1 token per word), and every pack STARTS under budget
+    import graft.operators.TextAnalysis
+    val enc = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+    val packed = Corpus.packBy(docs, enc, budgetTokens = 2048, tokensCol = "n_bpe_tokens")
+    val perPack = packed.groupBy("source", "pack_id")
+      .agg(sum("n_bpe_tokens").as("tot"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    perPack.foreach { case (src, pid, tot, n) =>
+      // a pack exceeds budget only by its last doc (greedy closure)
+      assert(n === 1L || tot < 2048 + packed
+        .filter(col("source") === src && col("pack_id") === pid)
+        .agg(max("n_bpe_tokens")).head().getLong(0),
+        s"pack ($src,$pid) start over budget")
+    }
+    assert(packed.count() === docs.count())
+  }
+
   test("pack ids are non-decreasing in id order and budget is honored at pack starts") {
     val packed = Corpus.pack(docs, budgetTokens = 256)
       .select("source", "doc_id", "n_tokens", "pack_id")
