@@ -1298,6 +1298,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WordPiece family (vs BPE: frequency-SELECTED pieces, greedy
+    // longest-match segmentation) — vocab train + apply, all-integer
+    // so both are hash-exact against the oracle.
+    "text_wordpiece_vocab" -> ((s, d) =>
+      TextAnalysis.wordpieceVocab(Tables.documents(s, d)).orderBy(col("piece"))),
+
+    "text_wordpiece_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.wordpieceEncode(docs, TextAnalysis.wordpieceVocab(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -1460,6 +1472,22 @@ object SparkEntry {
        |          AS BIGINT) AS n_bpe_tokens
        |      FROM d CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)""".stripMargin
   }
+
+  /** WordPiece vocabulary CTE chain (ends in `wvocab`): positional
+    * substring candidates weighted by word frequency, top-48 ∪ single
+    * chars — shared by the vocab and encode oracles. */
+  private lazy val wpVocabCtes: String =
+    s"""ww AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+       |       FROM (SELECT unnest($tokSql) AS word FROM documents) GROUP BY word),
+       |wpos AS (SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i FROM ww),
+       |wpl AS (SELECT word, wcnt, i, unnest([1, 2, 3, 4]) AS l FROM wpos),
+       |wpc AS (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |          CAST(sum(wcnt) AS BIGINT) AS cnt
+       |        FROM wpl WHERE i + l - 1 <= len(word) GROUP BY piece),
+       |wtk AS (SELECT piece, cnt FROM wpc ORDER BY cnt DESC, piece LIMIT 48),
+       |wch AS (SELECT piece, cnt FROM wpc WHERE len(piece) = 1),
+       |wvocab AS (SELECT piece, max(cnt) AS cnt
+       |           FROM (SELECT * FROM wtk UNION ALL SELECT * FROM wch) GROUP BY piece)""".stripMargin
 
   /** Shared add-one-smoothed bigram-LM CTE chain (ends in `s` with
     * per-doc `nll`), used by the perplexity score and the CCNet-style
@@ -3466,6 +3494,50 @@ object SparkEntry {
          |  CASE WHEN n_bpe_tokens > 0 THEN (n_chars * 1000) // n_bpe_tokens
          |       ELSE 0 END AS compression_permille
          |FROM e ORDER BY doc_id""".stripMargin,
+
+    "text_wordpiece_vocab" ->
+      s"""WITH $wpVocabCtes
+         |SELECT piece, cnt FROM wvocab ORDER BY piece""".stripMargin,
+
+    // NOTE the per-word fold runs FLAT over the distinct-word rows and
+    // joins back per doc (the Spark plan's own shape) — NOT nested as
+    // list_transform(tk, w -> list_reduce(...)): DuckDB 1.0's lambda
+    // vectorization evaluates a two-level capture of `w` against
+    // misaligned rows (observed: the same word folding to 4 in one
+    // list position and 5 in another), so the nested form is wrong
+    // nondeterministically. Single-level captures (w, vs as plain
+    // columns) are sound — the bpe_encode oracle's nested lambdas
+    // survive because their inner fold only captures its own
+    // transform variable.
+    "text_wordpiece_encode" ->
+      s"""WITH $wpVocabCtes,
+         |vl AS (SELECT list(piece) AS vs FROM wvocab),
+         |dwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+         |        FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+         |        GROUP BY doc_id, word),
+         |wlx AS (SELECT w AS word,
+         |  (list_reduce(list_prepend({'pos': CAST(1 AS BIGINT), 'cnt': CAST(0 AS BIGINT)},
+         |      list_transform(range(1, len(w) + 1), i -> {'pos': i, 'cnt': CAST(0 AS BIGINT)})),
+         |    (acc, x) -> CASE
+         |      WHEN x.pos != acc.pos THEN acc
+         |      WHEN acc.pos + 3 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 4))
+         |        THEN {'pos': acc.pos + 4, 'cnt': acc.cnt + 1}
+         |      WHEN acc.pos + 2 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 3))
+         |        THEN {'pos': acc.pos + 3, 'cnt': acc.cnt + 1}
+         |      WHEN acc.pos + 1 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 2))
+         |        THEN {'pos': acc.pos + 2, 'cnt': acc.cnt + 1}
+         |      ELSE {'pos': acc.pos + 1, 'cnt': acc.cnt + 1} END)).cnt AS wp_len
+         |  FROM (SELECT DISTINCT word AS w FROM dwx), vl),
+         |pd AS (SELECT doc_id, CAST(sum(n * wp_len) AS BIGINT) AS n_wp_tokens
+         |       FROM dwx JOIN wlx USING (word) GROUP BY doc_id),
+         |e2 AS (SELECT d.doc_id, CAST(len($tokSql) AS BIGINT) AS n_words,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |         coalesce(pd.n_wp_tokens, 0) AS n_wp_tokens
+         |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+         |SELECT doc_id, n_words, n_chars, n_wp_tokens,
+         |  CASE WHEN n_wp_tokens > 0 THEN (n_chars * 1000) // n_wp_tokens
+         |       ELSE 0 END AS compression_permille
+         |FROM e2 ORDER BY doc_id""".stripMargin,
 
     "corpus_pack_bpe" ->
       s"""WITH $bpeEncodeCtes,

@@ -897,4 +897,122 @@ object TextAnalysis {
       .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
       .withColumn("keep", col("bucket") < nBuckets)
   }
+
+  /** WordPiece-style subword VOCABULARY selection — the second
+    * tokenizer family next to [[bpeMerges]] (BPE grows pieces by
+    * merging; WordPiece picks them by corpus frequency and segments by
+    * greedy longest match). Candidates are every substring of length
+    * 1..`maxLen` at every position of every distinct word, weighted by
+    * word frequency (overlapping occurrences count — the positional
+    * sum both engines reproduce exactly); the vocab is the top-`k` by
+    * (count desc, piece) UNIONed with all single characters (coverage:
+    * greedy segmentation always progresses). All-integer, so the
+    * DuckDB twin is hash-exact.
+    *
+    * Scale shape: one shuffle to the distinct-word grain, the
+    * substring explosion runs at word-vocabulary size (Heaps-law
+    * sublinear in corpus), one hash-agg on the piece, and the top-k is
+    * TakeOrderedAndProject — never a full sort. */
+  def wordpieceVocab(docs: DataFrame, k: Int = 48, maxLen: Int = 4,
+                     textCol: String = "text"): DataFrame = {
+    require(k > 0 && maxLen >= 1, s"bad wordpiece params k=$k maxLen=$maxLen")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val words = Partitioning.fanOut(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pieces = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("wcnt"), col("i"),
+        explode(sequence(lit(1), lit(maxLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("i"), col("l")).as("piece"), col("wcnt"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+    val topk = pieces.orderBy(col("cnt").desc, col("piece")).limit(k)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    topk.unionByName(chars).groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Greedy longest-match segmentation under a [[wordpieceVocab]]
+    * table — WordPiece INFERENCE (MaxMatch): at each position consume
+    * the longest vocab piece (maxLen..1), unknown characters consume
+    * one position as an unk token. Per doc: word count, wordpiece
+    * token count, chars-per-token compression — the fertility numbers
+    * a context-window budget actually needs ([[Corpus.packBy]]
+    * composes).
+    *
+    * Determinism & parity: the match loop is a pure integer fold over
+    * character positions (state = (pos, count); a position not equal
+    * to the cursor passes through — the same skip-fold the DuckDB twin
+    * runs), so both engines segment identically with no floats
+    * anywhere. The fold evaluates per DISTINCT word ([[bpeEncode]]'s
+    * grain — vocabulary-sized, not corpus-sized), with the vocab
+    * driver-collected (model-small by construction) and inlined as a
+    * literal array. */
+  def wordpieceEncode(docs: DataFrame, vocab: DataFrame, maxLen: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val vs = vocab.select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
+    val vlit = typedlit(vs)
+    def wpLen(word: Column): Column =
+      aggregate(
+        sequence(lit(1), length(word)),
+        struct(lit(1).as("pos"), lit(0).as("cnt")),
+        (st, i) => {
+          val pos = st.getField("pos"); val cnt = st.getField("cnt")
+          def adv(l: Int): Column =
+            struct((pos + l).as("pos"), (cnt + 1).as("cnt"))
+          val longestFirst = (maxLen to 2 by -1).foldLeft(Option.empty[Column]) {
+            case (acc, l) =>
+              val cond = (pos + l - 1 <= length(word)) &&
+                array_contains(vlit, word.substr(pos, lit(l)))
+              Some(acc.fold(when(cond, adv(l)))(_.when(cond, adv(l))))
+          }.map(_.otherwise(adv(1))).getOrElse(adv(1)) // single chars + unk both consume 1
+          when(i =!= pos, st).otherwise(longestFirst)
+        },
+        st => st.getField("cnt").cast("long"))
+    val dw = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    val wordLen = dw.select(col("word")).distinct()
+      .withColumn("wp_len", wpLen(col("word")))
+    val perDoc = dw.join(wordLen, "word")
+      .groupBy(col(idCol)).agg(sum(col("n") * col("wp_len")).as("n_wp_tokens"))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_wp_tokens", coalesce(col("n_wp_tokens"), lit(0L)))
+      .withColumn("compression_permille",
+        when(col("n_wp_tokens") > 0,
+          floor(col("n_chars") * 1000 / col("n_wp_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** The 100 TB form of [[perplexityBuckets]], executable rather than
+    * scaladoc'd: per-stratum band BOUNDARIES from one
+    * `approx_percentile` aggregation (map-side-combinable KLL-style
+    * sketch, boundaries driver-small), then a broadcast range lookup —
+    * the per-stratum SORT the exact ntile pays is gone from the plan
+    * entirely (spec asserts no WindowExec). Band populations are equal
+    * to sketch precision instead of exactly; the keep/drop decision is
+    * identical wherever the sketch's boundary agrees with the exact
+    * tercile (measured in the spec). */
+  def perplexityBucketsApprox(docs: DataFrame, nBuckets: Int = 3,
+                              strataCol: String = "source",
+                              idCol: String = "doc_id",
+                              accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val scored = docs.select(col(idCol), col(strataCol))
+      .join(bigramPerplexity(docs, idCol), idCol)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = scored.groupBy(col(strataCol))
+      .agg(percentile_approx(col("ppl_q4"),
+        typedlit(probs), lit(accuracy)).as("__bounds"))
+    scored.join(broadcast(bounds), strataCol)
+      .withColumn("bucket",
+        (size(filter(col("__bounds"), b => col("ppl_q4") > b)) + 1).cast("long"))
+      .withColumn("keep", col("bucket") < nBuckets)
+      .drop("__bounds")
+  }
 }

@@ -261,4 +261,57 @@ class TextOpsSpec extends SparkSpec {
     val (kept, dropped) = out.partition(_._5)
     assert(kept.map(_._3).sum / kept.length < dropped.map(_._3).sum / dropped.length)
   }
+
+  test("wordpiece: fold ≡ driver greedy reference on random words; fertility bounded") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val vocab = TextAnalysis.wordpieceVocab(docs)
+    val vset = vocab.select("piece").as[String].collect().toSet
+    assert(vset.exists(_.length > 1), "top-k must include multi-char pieces")
+    def ref(word: String): Long = {
+      var pos = 0; var cnt = 0L
+      while (pos < word.length) {
+        val l = (4 to 1 by -1).find(l =>
+          pos + l <= word.length && vset(word.substring(pos, pos + l))).getOrElse(1)
+        pos += l; cnt += 1
+      }
+      cnt
+    }
+    // differential: random words (some with chars outside the corpus
+    // alphabet — the unk path) against the distributed fold
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh_z"
+    val words = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .distinct
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceEncode(df, vocab)
+      .select("doc_id", "n_wp_tokens").as[(Long, Long)].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) === ref(w), s"greedy fold diverged on '$w'")
+    }
+    // corpus-wide fertility bounds: every word ≥ 1 token, every token ≥ 1 char
+    val enc = TextAnalysis.wordpieceEncode(docs, vocab)
+      .select("n_words", "n_wp_tokens", "n_chars")
+      .as[(Long, Long, Long)].collect()
+    enc.foreach { case (nw, nt, nc) => assert(nw <= nt && nt <= nc) }
+    // the learned pieces actually compress: corpus-wide tokens < chars
+    assert(enc.map(_._2).sum < enc.map(_._3).sum)
+  }
+
+  test("perplexityBucketsApprox: no sort in the plan, decisions ≈ exact ntile") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val approx = TextAnalysis.perplexityBucketsApprox(docs)
+    // THE scale claim, executable: banding via sketch boundaries +
+    // broadcast range lookup has no window (per-stratum sort) at all
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "approx banding must not plan a Window sort")
+    val a = approx.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val e = TextAnalysis.perplexityBuckets(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(a.keySet === e.keySet)
+    // at accuracy 10000 on ~500 docs/stratum the sketch boundary sits
+    // at (or next to) the exact tercile — decisions agree on ≥ 97%
+    val agree = a.count { case (id, k) => e(id) == k }.toDouble / a.size
+    assert(agree >= 0.97, s"approx/exact keep agreement $agree")
+  }
 }
