@@ -933,6 +933,30 @@ object TextAnalysis {
     topk.unionByName(chars).groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
   }
 
+  /** The greedy longest-match skip-fold: state (pos, cnt) over
+    * character positions 1..len; a position not equal to the cursor
+    * passes through, the cursor consumes the longest vocab piece
+    * (maxLen..1), unknown chars consume one position. Pure integers —
+    * the DuckDB twin runs the identical fold. Shared by
+    * [[wordpieceEncode]] (distinct-word grain) and
+    * [[wordpieceEncodeNarrow]] (per-row, streaming-composable). */
+  private def wpFoldLen(word: Column, vlit: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), lit(0).as("cnt")),
+      (st, i) => {
+        val pos = st.getField("pos"); val cnt = st.getField("cnt")
+        def adv(l: Int): Column = struct((pos + l).as("pos"), (cnt + 1).as("cnt"))
+        val longestFirst = (maxLen to 2 by -1).foldLeft(Option.empty[Column]) {
+          case (acc, l) =>
+            val cond = (pos + l - 1 <= length(word)) &&
+              array_contains(vlit, word.substr(pos, lit(l)))
+            Some(acc.fold(when(cond, adv(l)))(_.when(cond, adv(l))))
+        }.map(_.otherwise(adv(1))).getOrElse(adv(1)) // single chars + unk both consume 1
+        when(i =!= pos, st).otherwise(longestFirst)
+      },
+      st => st.getField("cnt").cast("long"))
+
   /** Greedy longest-match segmentation under a [[wordpieceVocab]]
     * table — WordPiece INFERENCE (MaxMatch): at each position consume
     * the longest vocab piece (maxLen..1), unknown characters consume
@@ -954,23 +978,7 @@ object TextAnalysis {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val vs = vocab.select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
     val vlit = typedlit(vs)
-    def wpLen(word: Column): Column =
-      aggregate(
-        sequence(lit(1), length(word)),
-        struct(lit(1).as("pos"), lit(0).as("cnt")),
-        (st, i) => {
-          val pos = st.getField("pos"); val cnt = st.getField("cnt")
-          def adv(l: Int): Column =
-            struct((pos + l).as("pos"), (cnt + 1).as("cnt"))
-          val longestFirst = (maxLen to 2 by -1).foldLeft(Option.empty[Column]) {
-            case (acc, l) =>
-              val cond = (pos + l - 1 <= length(word)) &&
-                array_contains(vlit, word.substr(pos, lit(l)))
-              Some(acc.fold(when(cond, adv(l)))(_.when(cond, adv(l))))
-          }.map(_.otherwise(adv(1))).getOrElse(adv(1)) // single chars + unk both consume 1
-          when(i =!= pos, st).otherwise(longestFirst)
-        },
-        st => st.getField("cnt").cast("long"))
+    def wpLen(word: Column): Column = wpFoldLen(word, vlit, maxLen)
     val dw = Partitioning.fanOut(docs)
       .select(col(idCol), explode(tokens(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
@@ -983,6 +991,31 @@ object TextAnalysis {
       length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
       .join(perDoc, Seq(idCol), "left")
       .withColumn("n_wp_tokens", coalesce(col("n_wp_tokens"), lit(0L)))
+      .withColumn("compression_permille",
+        when(col("n_wp_tokens") > 0,
+          floor(col("n_chars") * 1000 / col("n_wp_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** NARROW (per-row) twin of [[wordpieceEncode]]: the greedy fold
+    * runs over every token occurrence inside the row instead of once
+    * per distinct word — strictly more compute on repeated words, but
+    * ZERO shuffle, so it composes into Structured Streaming unchanged
+    * (in-flight tokenizer metering: context-budget accounting on a
+    * live ingest before anything lands). Identical results to the
+    * batch form by construction (same fold, proven in
+    * `StreamingSpec`); batch pipelines should prefer
+    * [[wordpieceEncode]]'s distinct-word grain. */
+  def wordpieceEncodeNarrow(docs: DataFrame, vocabPieces: Seq[String],
+                            maxLen: Int = 4, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val vlit = typedlit(vocabPieces.sorted)
+    def wpLen(word: Column): Column = wpFoldLen(word, vlit, maxLen)
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"),
+      coalesce(aggregate(transform(tokens(col(textCol)), w => wpLen(w)),
+        lit(0L), (a, x) => a + x), lit(0L)).as("n_wp_tokens"))
       .withColumn("compression_permille",
         when(col("n_wp_tokens") > 0,
           floor(col("n_chars") * 1000 / col("n_wp_tokens")).cast("long"))

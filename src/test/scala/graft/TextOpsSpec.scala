@@ -298,6 +298,31 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.map(_._2).sum < enc.map(_._3).sum)
   }
 
+  test("wordpieceEncodeNarrow: streaming twin ≡ batch encode on live micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, sf).limit(60)
+    val vocab = TextAnalysis.wordpieceVocab(graft.sources.Tables.documents(spark, sf))
+    val pieces = vocab.select("piece").as[String].collect().toSeq
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = TextAnalysis.wordpieceEncodeNarrow(
+      mem.toDF.toDF("doc_id", "text"), pieces)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("wp_stream_out").start()
+    mem.addData(rows.take(30): _*); q.processAllAvailable()
+    mem.addData(rows.drop(30): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wp_stream_out")
+      .select("doc_id", "n_words", "n_chars", "n_wp_tokens", "compression_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = TextAnalysis.wordpieceEncode(docs, vocab)
+      .select("doc_id", "n_words", "n_chars", "n_wp_tokens", "compression_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 60)
+  }
+
   test("perplexityBucketsApprox: no sort in the plan, decisions ≈ exact ntile") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val approx = TextAnalysis.perplexityBucketsApprox(docs)
