@@ -1207,6 +1207,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // The same single-cell serve over the k-means||-trained quantizer
+    // (scalable seeding feeding the production path end to end).
+    "sim_ann_ivf_pp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfTrainPP(emb, k = 4, l = 8, rounds = 2, iters = 2)
+      val assigned = emb.join(Similarity.ivfAssign(emb, cents), "vec_id")
+      Similarity.ivfTopK(assigned.filter(col("vec_id") < 10), assigned, k = 5, cellCol = "cell")
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // Multi-probe IVF: each query probes its 2 nearest trained cells —
     // the recall dial between ivf_trained (nprobe=1) and brute force.
     "sim_ann_ivf_nprobe" -> ((s, d) => {
@@ -1800,6 +1811,32 @@ object SparkEntry {
 
   private def ivfCtes(k: Int, iters: Int): String =
     s"WITH $qCte,\n${ivfChain(k, iters)}"
+
+  /** Single-cell IVF serve suffix over the final `c2` centroid CTE
+    * and `q`: assignment (afin/asg), normed corpus (e), queries < 10
+    * (qq), cosine scoring within the query's cell, top-5 — shared by
+    * the min-id-trained and k-means||-trained serving oracles. */
+  private lazy val ivfServeCtes: String =
+    s"""afin AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+       |  FROM (SELECT q.vec_id, c.cell,
+       |          list_sum(list_transform(range(1, 65),
+       |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+       |        FROM q, c2 c) x),
+       |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
+       |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
+       |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
+       |qq AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cell AS qcell
+       |       FROM e WHERE vec_id < 10),
+       |scored AS (SELECT query_id, e.vec_id AS cand_id,
+       |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+       |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
+       |ranked AS (SELECT query_id, cand_id, cos,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |           FROM scored)
+       |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** k-means|| (Bahmani et al.) seed chain — candidate rounds
     * k0..k{rounds} with the md5-coin oversampling test in HUGEINT
@@ -3311,26 +3348,17 @@ object SparkEntry {
 
     "sim_ann_ivf_trained" ->
       s"""${ivfCtes(k = 4, iters = 2)},
-         |afin AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
-         |  FROM (SELECT q.vec_id, c.cell,
-         |          list_sum(list_transform(range(1, 65),
-         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
-         |        FROM q, c2 c) x),
-         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
-         |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
-         |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
-         |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
-         |qq AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2, cell AS qcell
-         |       FROM e WHERE vec_id < 10),
-         |scored AS (SELECT query_id, e.vec_id AS cand_id,
-         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
-         |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
-         |ranked AS (SELECT query_id, cand_id, cos,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-         |           FROM scored)
-         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin,
+         |$ivfServeCtes""".stripMargin,
+
+    // Same serving chain over the k-means||-trained quantizer: proves
+    // the scalable seeding feeds the production single-cell serve end
+    // to end (oracle replays candidate rounds + weighting + Lloyd +
+    // assignment + cosine top-k).
+    "sim_ann_ivf_pp" ->
+      s"""WITH $qCte,
+         |${kppSeedCtes(k = 4, l = 8, rounds = 2)},
+         |${ivfChain(k = 4, iters = 2, emitC0 = false)},
+         |$ivfServeCtes""".stripMargin,
 
     "sim_ann_ivf_nprobe" ->
       s"""${ivfCtes(k = 4, iters = 2)},
