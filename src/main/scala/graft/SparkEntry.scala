@@ -812,6 +812,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Indexed (palette) PNG: 1 index byte per pixel resolved through
+    // the PLTE chunk — the third real PNG decode path (grey/truecolor
+    // chains above). The oracle substitutes the analytic palette
+    // formula into the analytic index formula.
+    "mm_decode_png_palette" -> ((s, d) => {
+      Multimodal.decodePng(Multimodal.syntheticPalettePngBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────────────── corpus management (splits / sampling / QA) ────────────────────
 
     "corpus_split" -> ((s, d) => {
@@ -2853,6 +2867,21 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_png_palette" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 11 AS w, 1 + doc_id % 7 AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS r FROM gx),
+        |pj AS (SELECT doc_id, w, h, (doc_id + x + r) % 16 AS j FROM px)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((doc_id + 3 * j) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id + 5 * j) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + 7 * j) % 256) AS BIGINT) AS sum_b,
+        |       CAST(0 AS BIGINT) AS sum_a
+        |FROM pj GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),

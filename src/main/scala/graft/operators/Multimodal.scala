@@ -342,14 +342,18 @@ object Multimodal {
     val filterMethod = bytes(27) & 0xff
     val interlace = bytes(28) & 0xff
     if (depth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return None
+    // colorType 3 = palette: 1 index byte per pixel, colors resolved
+    // through the PLTE chunk (captured in the walk below)
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+      case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return None
     }
     if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
     if (width.toLong * height * channels > (1L << 26)) return None
     // chunk walk after IHDR (signature 8 + IHDR chunk 25 = 33):
-    // IDAT payloads concatenate into ONE zlib stream (PNG spec §10)
+    // IDAT payloads concatenate into ONE zlib stream (PNG spec §10);
+    // PLTE (if any) must precede them and holds ≤ 256 RGB triples
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var p = 33L
     var seenIend = false
     while (!seenIend && p + 8 <= bytes.length) {
@@ -357,12 +361,16 @@ object Multimodal {
       if (len < 0 || p + 12 + len > bytes.length) return None
       tag(bytes, p.toInt + 4) match {
         case "IDAT" => idat.write(bytes, p.toInt + 8, len)
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0 || len > 768 || idat.size() > 0) return None
+          palette = java.util.Arrays.copyOfRange(bytes, p.toInt + 8, p.toInt + 8 + len)
         case "IEND" => seenIend = true
         case _      => ()
       }
       p += 12L + len
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None // indexed with no PLTE
     val bpx = channels
     val stride = width * bpx
     val rawLen = height * (stride + 1) // +1: the per-row filter byte
@@ -409,17 +417,26 @@ object Multimodal {
             (x + pred) & 0xff
         }
         raw(base + i) = rec.toByte
-        sums(i % bpx) += rec
+        if (colorType == 3) {
+          // indexed: resolve through the palette; an index past the
+          // PLTE is out of the PNG domain → refuse, never misread
+          if (rec * 3 + 2 >= palette.length) return None
+          sums(0) += palette(rec * 3) & 0xff
+          sums(1) += palette(rec * 3 + 1) & 0xff
+          sums(2) += palette(rec * 3 + 2) & 0xff
+        } else sums(i % bpx) += rec
         i += 1
       }
       r += 1
     }
-    val (sr, sg, sb, sa) = channels match {
-      case 1 => (sums(0), 0L, 0L, 0L)
-      case 3 => (sums(0), sums(1), sums(2), 0L)
-      case _ => (sums(0), sums(1), sums(2), sums(3))
-    }
-    Some((width, height, channels, width.toLong * height, sr, sg, sb, sa))
+    val (outCh, sr, sg, sb, sa) =
+      if (colorType == 3) (3, sums(0), sums(1), sums(2), 0L)
+      else channels match {
+        case 1 => (1, sums(0), 0L, 0L, 0L)
+        case 3 => (3, sums(0), sums(1), sums(2), 0L)
+        case _ => (4, sums(0), sums(1), sums(2), sums(3))
+      }
+    Some((width, height, outCh, width.toLong * height, sr, sg, sb, sa))
   }
 
   /** [[decodePngPixels]] at scale: constant-memory per-partition
@@ -458,23 +475,22 @@ object Multimodal {
     * channel sum in SQL. Each row is forward-filtered with filter type
     * `(id + r) % 5`, exercising ALL five PNG filters; the zlib stream
     * is split across two IDAT chunks to exercise concatenation. */
-  private[graft] def pngPixelBytes(id: Long, width: Int, height: Int,
-                                   colorType: Int): Array[Byte] = {
-    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
-    val stride = width * channels
-    val mk = Array(2, 5, 1, 1); val nk = Array(3, 1, 7, 1)
-    def px(x: Int, r: Int, k: Int): Int = (((id + mk(k) * x + nk(k) * r) % 256) + 256).toInt % 256
-    val recon = Array.tabulate(height, stride) { (r, i) => px(i / channels, r, i % channels) }
+  /** Forward-filter reconstructed rows (filter type per row from
+    * `rowFilter`) into the filter-byte-prefixed raw scanline stream. */
+  private def pngFilterRows(recon: Array[Array[Int]], bpx: Int,
+                            rowFilter: Int => Int): Array[Byte] = {
+    val height = recon.length
+    val stride = if (height == 0) 0 else recon(0).length
     val raw = new Array[Byte](height * (stride + 1))
     for (r <- 0 until height) {
       val base = r * (stride + 1)
-      val f = ((id + r) % 5).toInt
+      val f = rowFilter(r)
       raw(base) = f.toByte
       for (i <- 0 until stride) {
         val x = recon(r)(i)
-        val a = if (i >= channels) recon(r)(i - channels) else 0
+        val a = if (i >= bpx) recon(r)(i - bpx) else 0
         val b = if (r > 0) recon(r - 1)(i) else 0
-        val c = if (r > 0 && i >= channels) recon(r - 1)(i - channels) else 0
+        val c = if (r > 0 && i >= bpx) recon(r - 1)(i - bpx) else 0
         val filt = f match {
           case 0 => x
           case 1 => (x - a) & 0xff
@@ -489,13 +505,23 @@ object Multimodal {
         raw(base + 1 + i) = filt.toByte
       }
     }
+    raw
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zBuf = new Array[Byte](raw.length + 64)
     var zLen = 0
     while (!deflater.finished()) zLen += deflater.deflate(zBuf, zLen, zBuf.length - zLen)
     deflater.end()
-    val z = java.util.Arrays.copyOf(zBuf, zLen)
+    java.util.Arrays.copyOf(zBuf, zLen)
+  }
+
+  /** Assemble a complete PNG: IHDR, optional PLTE, the zlib stream
+    * split across TWO IDATs (exercising concatenation), IEND. */
+  private def pngAssemble(width: Int, height: Int, colorType: Int,
+                          z: Array[Byte], plte: Option[Array[Byte]]): Array[Byte] = {
     val ihdrPayload = {
       val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
       b.putInt(width).putInt(height)
@@ -503,14 +529,58 @@ object Multimodal {
       b.put(0.toByte).put(0.toByte).put(0.toByte)
       b.array()
     }
-    val cut = z.length / 2 // split the stream: IDAT payloads must concatenate
+    val cut = z.length / 2
     val out = new java.io.ByteArrayOutputStream()
     PngSignature.foreach(x => out.write(x))
     out.write(pngChunk("IHDR", ihdrPayload))
+    plte.foreach(pal => out.write(pngChunk("PLTE", pal)))
     out.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, cut)))
     out.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, cut, z.length)))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  private[graft] def pngPixelBytes(id: Long, width: Int, height: Int,
+                                   colorType: Int): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = width * channels
+    val mk = Array(2, 5, 1, 1); val nk = Array(3, 1, 7, 1)
+    def px(x: Int, r: Int, k: Int): Int = (((id + mk(k) * x + nk(k) * r) % 256) + 256).toInt % 256
+    val recon = Array.tabulate(height, stride) { (r, i) => px(i / channels, r, i % channels) }
+    val raw = pngFilterRows(recon, channels, r => ((id + r) % 5).toInt)
+    pngAssemble(width, height, colorType, deflateBytes(raw), None)
+  }
+
+  /** A COMPLETE indexed (colorType 3) PNG: 16-entry palette with
+    * analytic RGB — entry j = ((id+3j)%256, (id+5j)%256, (id+7j)%256)
+    * — and pixel index (id + x + r) % 16, rows forward-filtered with
+    * (id + r) % 5. The decode oracle re-derives every channel sum by
+    * substituting the palette formula into the index formula. */
+  private[graft] def pngPalettePixelBytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    val pal = new Array[Byte](16 * 3)
+    for (j <- 0 until 16) {
+      pal(3 * j) = (((id + 3 * j) % 256)).toByte
+      pal(3 * j + 1) = (((id + 5 * j) % 256)).toByte
+      pal(3 * j + 2) = (((id + 7 * j) % 256)).toByte
+    }
+    val recon = Array.tabulate(height, width)((r, x) => (((id + x + r) % 16) + 16).toInt % 16)
+    val raw = pngFilterRows(recon, 1, r => ((id + r) % 5).toInt)
+    pngAssemble(width, height, 3, deflateBytes(raw), Some(pal))
+  }
+
+  /** Deterministic complete indexed PNGs keyed on doc_id — the
+    * fixture generator for the palette path of [[decodePng]]. */
+  def syntheticPalettePngBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, pngPalettePixelBytes(id, (1 + id % 11).toInt, (1 + id % 7).toInt))
+      }
+    }(enc)
   }
 
   /** Deterministic complete PNGs keyed on doc_id (color type cycling

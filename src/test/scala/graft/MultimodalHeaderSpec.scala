@@ -346,7 +346,8 @@ class MultimodalHeaderSpec extends SparkSpec {
     * lets tests feed the decoder streams pngPixelBytes would never
     * emit (bad filter codes, wrong lengths). */
   private def pngFromRaw(width: Int, height: Int, colorType: Int,
-                         raw: Array[Byte]): Array[Byte] = {
+                         raw: Array[Byte],
+                         plte: Option[Array[Byte]] = None): Array[Byte] = {
     def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
       val out = ByteBuffer.allocate(12 + payload.length).order(ByteOrder.BIG_ENDIAN)
       val tb = typ.getBytes("US-ASCII")
@@ -368,6 +369,7 @@ class MultimodalHeaderSpec extends SparkSpec {
     val out = new java.io.ByteArrayOutputStream()
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
     out.write(chunk("IHDR", ihdr.array()))
+    plte.foreach(p => out.write(chunk("PLTE", p)))
     out.write(chunk("IDAT", java.util.Arrays.copyOf(zb, zl)))
     out.write(chunk("IEND", Array.emptyByteArray))
     out.toByteArray
@@ -447,6 +449,46 @@ class MultimodalHeaderSpec extends SparkSpec {
       Multimodal.decodePngPixels(junk).foreach { case (w, h, _, _, _, _, _, _) =>
         assert(w > 0 && h > 0)
       }
+    }
+  }
+
+  test("decodePngPixels: palette path — PLTE lookup, bad indexes and missing PLTE refuse") {
+    // analytic round-trip across all five filters (h ≥ 5)
+    for ((id, w, h) <- Seq((0L, 4, 5), (3L, 11, 7), (9L, 1, 6))) {
+      val got = Multimodal.decodePngPixels(Multimodal.pngPalettePixelBytes(id, w, h))
+      def s(m: Long): Long =
+        (for (x <- 0L until w; rr <- 0L until h)
+          yield (id + m * ((id + x + rr) % 16)) % 256).sum
+      assert(got === Some((w, h, 3, w.toLong * h, s(3), s(5), s(7), 0L)), s"id=$id")
+    }
+    // indexed pixels pointing past the palette → None, never misread
+    val tiny = Array[Byte](0, 0, 0, 127, 127, 127) // 2-entry palette
+    val badIdx = new Array[Byte](3 * (2 + 1))      // 3 rows of 2 px, filter 0
+    badIdx(1) = 5.toByte                           // index 5 of 2 → out of range
+    assert(Multimodal.decodePngPixels(pngFromRaw(2, 3, 3, badIdx, Some(tiny))) === None)
+    // indexed with NO PLTE at all → None
+    assert(Multimodal.decodePngPixels(pngFromRaw(2, 3, 3, new Array[Byte](9))) === None)
+    // valid indexes through a tiny palette decode fine
+    val okIdx = new Array[Byte](9)
+    okIdx(1) = 1.toByte // row 0: [1, 0]; rows 1-2: [0, 0]
+    val ok = Multimodal.decodePngPixels(pngFromRaw(2, 3, 3, okIdx, Some(tiny)))
+    assert(ok === Some((2, 3, 3, 6L, 127L, 127L, 127L, 0L)))
+  }
+
+  test("distributed round-trip: syntheticPalettePngBlobs → decodePng recovers every doc") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(40)
+    val out = Multimodal.decodePng(Multimodal.syntheticPalettePngBlobs(docs))
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 40, "every synthetic palette PNG must decode")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((1 + id % 11).toInt, (1 + id % 7).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === 3)
+      def s(m: Long): Long =
+        (for (x <- 0L until w; rr <- 0L until h)
+          yield (id + m * ((id + x + rr) % 16)) % 256).sum
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ===
+        ((s(3), s(5), s(7), 0L)), s"palette sums id=$id")
     }
   }
 
