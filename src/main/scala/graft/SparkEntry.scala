@@ -812,6 +812,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-channel stereo PCM16 stats: samples deinterleaved by the fmt
+    // chunk's channel count, exact integer energy/peak/crossings per
+    // channel — channel-imbalance detection; analytic-sequence oracle.
+    "mm_audio_channels" -> ((s, d) => {
+      Multimodal.pcm16ChannelStats(Multimodal.syntheticStereoAudio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("channel"))
+    }),
+
     // Indexed (palette) PNG: 1 index byte per pixel resolved through
     // the PLTE chunk — the third real PNG decode path (grey/truecolor
     // chains above). The oracle substitutes the analytic palette
@@ -2867,6 +2875,22 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_channels" ->
+      """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),
+        |ch AS (SELECT doc_id, n, unnest([0, 1]) AS channel FROM d),
+        |sj AS (SELECT doc_id, n, channel, unnest(range(0, n)) AS j FROM ch),
+        |sv AS (SELECT doc_id, channel, j,
+        |         (doc_id * 37 + (2 * j + channel) * 13) % 2048 - 1024 AS s FROM sj),
+        |sl AS (SELECT doc_id, channel, j, s,
+        |         lag(s) OVER (PARTITION BY doc_id, channel ORDER BY j) AS prev FROM sv)
+        |SELECT doc_id, CAST(channel AS BIGINT) AS channel,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(s * s) // count(*) AS BIGINT) AS energy,
+        |       CAST(max(abs(s)) AS BIGINT) AS peak,
+        |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
+        |                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
+        |FROM sl GROUP BY doc_id, channel ORDER BY doc_id, channel""".stripMargin,
 
     "mm_decode_png_palette" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 11 AS w, 1 + doc_id % 7 AS h FROM documents),

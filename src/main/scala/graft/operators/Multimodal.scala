@@ -797,7 +797,7 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         locatePcm16Data(bytes) match {
           case None => Iterator.empty
-          case Some((off, nSamples)) =>
+          case Some((off, nSamples, _)) =>
             (0 until (nSamples + frameSamples - 1) / frameSamples).iterator.map { f =>
               val s = f * frameSamples
               val e = math.min(s + frameSamples, nSamples)
@@ -836,27 +836,96 @@ object Multimodal {
       .select(col(idCol), col("seg_start"), col("seg_end"), col("n_frames"))
   }
 
-  /** Find the PCM16 data payload: (byte offset of first sample, sample
-    * count). None unless the file is a RIFF/WAVE with a canonical
-    * PCM (format 1), 16-bit fmt chunk and an intact data chunk. */
-  private def locatePcm16Data(bytes: Array[Byte]): Option[(Int, Int)] = {
+  /** Find the PCM16 data payload: (byte offset of first sample, total
+    * interleaved sample count, channel count). None unless the file is
+    * a RIFF/WAVE with a canonical PCM (format 1), 16-bit fmt chunk and
+    * an intact data chunk. */
+  private def locatePcm16Data(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
       return None
     var p = 12L
     var pcm16 = false
+    var channels = 0
     while (p + 8 <= bytes.length) {
       val size = i32le(bytes, p.toInt + 4)
       if (size < 0) return None
       val t = tag(bytes, p.toInt)
       if (t == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
         pcm16 = u16le(bytes, p.toInt + 8) == 1 && u16le(bytes, p.toInt + 22) == 16
+        channels = u16le(bytes, p.toInt + 10)
       } else if (t == "data") {
-        if (!pcm16 || p + 8 + size > bytes.length) return None
-        return Some(((p + 8).toInt, size / 2))
+        if (!pcm16 || channels < 1 || p + 8 + size > bytes.length) return None
+        return Some(((p + 8).toInt, size / 2, channels))
       }
       p += 8L + size.toLong + (size & 1)
     }
     None
+  }
+
+  val channelStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("channel", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false)))
+
+  /** Per-CHANNEL PCM16 statistics — the stereo-aware decode
+    * [[pcm16Frames]] doesn't attempt (its frames run over the
+    * interleaved stream): samples are deinterleaved by the fmt chunk's
+    * channel count (sample j of channel c sits at offset
+    * `off + 2·(j·ch + c)`), and each channel gets exact integer
+    * energy (Σs² DIV n), peak amplitude and zero crossings over ITS
+    * OWN sequence — channel-imbalance / dead-channel detection for
+    * audio curation. Same execution contract as the other decoders:
+    * constant-memory per-partition iteration, malformed payloads emit
+    * nothing. */
+  def pcm16ChannelStats(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(channelStatsSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        locatePcm16Data(bytes) match {
+          case None => Iterator.empty
+          case Some((off, nSamples, ch)) =>
+            (0 until ch).iterator.flatMap { c =>
+              var j = c
+              var prev = 0; var first = true
+              var sumSq = 0L; var peak = 0L; var zc = 0L; var n = 0L
+              while (j < nSamples) {
+                val v = (u16le(bytes, off + 2 * j) << 16) >> 16 // sign-extend
+                sumSq += v.toLong * v
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                if (!first && prev * v < 0) zc += 1
+                prev = v; first = false; n += 1; j += ch
+              }
+              if (n == 0) Iterator.empty
+              else Iterator.single(Row(id, c.toLong, n, sumSq / n, peak, zc))
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic STEREO PCM16 blobs keyed on doc_id:
+    * 2 interleaved channels, 32 + id%32 samples each, sample i of the
+    * interleaved stream = `(id·37 + i·13) mod 2048 − 1024` — so each
+    * channel's sequence is analytic in (id, j, channel) and the
+    * per-channel oracle recomputes energy/peak/crossings exactly. */
+  def syntheticStereoAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (32 + id % 32).toInt
+        val samples = Array.tabulate(2 * n)(i => ((id * 37 + i * 13) % 2048 - 1024).toShort)
+        Row(id, wavPcm16Bytes(2, (8000 + (id % 8) * 1000).toInt, samples))
+      }
+    }(enc)
   }
 
   /** Deterministic synthetic PCM16 audio blobs keyed on doc_id:

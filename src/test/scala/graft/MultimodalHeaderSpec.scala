@@ -340,6 +340,28 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(byDoc(0L) === 64L && byDoc(1L) === 65L && byDoc(65L) === 65L)
   }
 
+  test("pcm16ChannelStats: deinterleaves by fmt channel count, exact per-channel stats") {
+    // hand-checkable stereo: L = [100, -100, 50], R = [-1, 2, -3]
+    val interleaved = Array[Short](100, -1, -100, 2, 50, -3)
+    val blob = Multimodal.wavPcm16Bytes(2, 8000, interleaved)
+    val df = Seq((7L, blob)).toDF("doc_id", "blob")
+    val got = Multimodal.pcm16ChannelStats(df)
+      .orderBy("channel")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // L: energy = (10000+10000+2500)/3 = 7500, peak 100, zc 2
+    assert(got(0) === ((7L, 0L, 3L, 7500L, 100L, 2L)))
+    // R: energy = (1+4+9)/3 = 4, peak 3, zc 2
+    assert(got(1) === ((7L, 1L, 3L, 4L, 3L, 2L)))
+    // mono degrades to one channel over everything
+    val mono = Multimodal.pcm16ChannelStats(
+      Seq((1L, Multimodal.wavPcm16Bytes(1, 8000, interleaved))).toDF("doc_id", "blob"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(mono.length === 1 && mono(0)._3 === 6L)
+    // malformed payloads emit nothing, never crash
+    assert(Multimodal.pcm16ChannelStats(
+      Seq((2L, "not audio".getBytes)).toDF("doc_id", "blob")).count() === 0L)
+  }
+
   // ───────────────────────── PNG pixel decode ─────────────────────────
 
   /** Hand-assembled PNG from raw (filter-byte-prefixed) scanlines —
