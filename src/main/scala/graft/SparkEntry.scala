@@ -834,6 +834,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ─────────── end-to-end curation as ONE oracle-checked query ───────────
+    // The whole batch pipeline — Gopher quality gate → exact dedup
+    // (min-id per content hash) → banded-Jaccard near-dedup (min-id
+    // survivor per connected component) → content fingerprint —
+    // chained and hash-matched as a single result: the "a user can run
+    // their pipeline on this engine" proof, not just per-stage rows.
+    // (keep-best survivor selection is the dedup_keep_best variant.)
+    "corpus_e2e_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs.join(
+        TextAnalysis.gopherRules(docs).filter(col("keep") === 1L)
+          .select(col("doc_id")), "doc_id")
+      val afterExact = gated.join(
+        Dedup.exact(gated).select(col("keep_id").as("doc_id")), "doc_id")
+      val pairs = Dedup.jaccardPairsBanded(afterExact, Seq("source", "lang"),
+        thresholdPermille = 900)
+      val dropNear = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
+      afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────────────── corpus management (splits / sampling / QA) ────────────────────
 
     "corpus_split" -> ((s, d) => {
@@ -2915,6 +2938,40 @@ object SparkEntry {
          |            WHEN bucket < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "corpus_e2e_curate" ->
+      s"""WITH RECURSIVE gf AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+         |    CAST(len(regexp_extract_all(text, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |gk AS (SELECT doc_id FROM gf
+         |  WHERE n_words BETWEEN 50 AND 100000
+         |    AND (CASE WHEN n_words > 0 THEN (n_alpha_chars * 1000) // n_words ELSE 0 END)
+         |        BETWEEN 3000 AND 10000
+         |    AND (CASE WHEN n_words > 0 THEN (n_sym * 1000) // n_words ELSE 0 END) <= 100
+         |    AND (CASE WHEN n_words > 0 THEN (n_alpha_words * 1000) // n_words ELSE 0 END) >= 800
+         |    AND n_stop >= 2),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE doc_id IN (SELECT doc_id FROM gk) GROUP BY md5(text)),
+         |${bandedPairsCtes(tokSql, " WHERE doc_id IN (SELECT doc_id FROM ex)", 900)},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM cnodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+         |SELECT ex.doc_id, md5(dd.text) AS fingerprint
+         |FROM ex JOIN documents dd ON dd.doc_id = ex.doc_id
+         |LEFT JOIN comp c ON c.doc_id = ex.doc_id
+         |WHERE c.doc_id IS NULL OR c.component = ex.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
 
     "corpus_split_leakage_safe" ->
       s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},

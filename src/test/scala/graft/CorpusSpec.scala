@@ -66,6 +66,26 @@ class CorpusSpec extends SparkSpec {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac")
   }
 
+  test("e2e curate query: survivors pass the gate, are exact-unique, and near-unique") {
+    import graft.operators.TextAnalysis
+    val out = SparkEntry.queries("corpus_e2e_curate")(spark, sf)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty)
+    // every survivor passed the Gopher gate
+    val kept = TextAnalysis.gopherRules(docs).filter(col("keep") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(kept))
+    // exact-dedup invariant: no two survivors share identical text
+    val texts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("text").as[String].collect()
+    assert(texts.length === texts.distinct.length)
+    // near-dedup invariant: no verified near-dup pair survives whole
+    val pairs = Dedup.jaccardPairsBanded(
+      docs.filter(col("doc_id").isin(ids.toSeq: _*)), Seq("source", "lang"),
+      thresholdPermille = 900)
+    assert(pairs.count() === 0L, "a near-dup pair survived curation")
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; singletons match plain split") {
     val pairs = Dedup.jaccardPairsBanded(docs, Seq("source", "lang"),
       thresholdPermille = 900)
