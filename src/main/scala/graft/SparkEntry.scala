@@ -843,9 +843,7 @@ object SparkEntry {
     // (keep-best survivor selection is the dedup_keep_best variant.)
     "corpus_e2e_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val gated = docs.join(
-        TextAnalysis.gopherRules(docs).filter(col("keep") === 1L)
-          .select(col("doc_id")), "doc_id")
+      val gated = TextAnalysis.gopherGate(docs) // narrow gate, no shuffle
       val afterExact = gated.join(
         Dedup.exact(gated).select(col("keep_id").as("doc_id")), "doc_id")
       val pairs = Dedup.jaccardPairsBanded(afterExact, Seq("source", "lang"),

@@ -670,6 +670,17 @@ object TextAnalysis {
                   textCol: String = "text"): DataFrame =
     gopherRulesOn(docs, idCol, textCol, keepInput = false)
 
+  /** The Gopher gate as a NARROW filter: keep rows passing the rules,
+    * all input columns intact, zero shuffle — the composition form
+    * (joining [[gopherRules]]' id list back would shuffle twice for a
+    * decision every row can make locally). */
+  def gopherGate(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    gopherRulesOn(docs, idCol, textCol, keepInput = true)
+      .filter(col("keep") === 1L)
+      .drop("n_words", "mean_word_len_permille", "symbol_permille",
+        "alpha_word_permille", "n_stop", "keep")
+
   private def gopherRulesOn(docs: DataFrame, idCol: String,
                             textCol: String, keepInput: Boolean): DataFrame = {
     val toks = tokens(col(textCol))
