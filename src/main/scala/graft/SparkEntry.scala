@@ -1364,6 +1364,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // POSITIONAL WordPiece (the real "##" semantic): start-position and
+    // continuation occurrences of a substring are separate vocabulary
+    // entries competing in one frequency pool; the greedy fold matches
+    // the cursor against the position-appropriate set.
+    "text_wordpiece_vocab_pos" -> ((s, d) =>
+      TextAnalysis.wordpieceVocabPositional(Tables.documents(s, d))
+        .orderBy(col("piece"), col("at_start"))),
+
+    "text_wordpiece_encode_pos" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.wordpieceEncodePositional(docs,
+        TextAnalysis.wordpieceVocabPositional(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -1542,6 +1557,60 @@ object SparkEntry {
        |wch AS (SELECT piece, cnt FROM wpc WHERE len(piece) = 1),
        |wvocab AS (SELECT piece, max(cnt) AS cnt
        |           FROM (SELECT * FROM wtk UNION ALL SELECT * FROM wch) GROUP BY piece)""".stripMargin
+
+  /** Positional twin of [[wpVocabCtes]] (ends in `wvocab` keyed
+    * (piece, at_start)). */
+  private lazy val wpPosVocabCtes: String =
+    s"""ww AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+       |       FROM (SELECT unnest($tokSql) AS word FROM documents) GROUP BY word),
+       |wpos AS (SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i FROM ww),
+       |wpl AS (SELECT word, wcnt, i, unnest([1, 2, 3, 4]) AS l FROM wpos),
+       |wpc AS (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |          CAST(CASE WHEN i = 1 THEN 1 ELSE 0 END AS BIGINT) AS at_start,
+       |          CAST(sum(wcnt) AS BIGINT) AS cnt
+       |        FROM wpl WHERE i + l - 1 <= len(word) GROUP BY piece, at_start),
+       |wtk AS (SELECT piece, at_start, cnt FROM wpc
+       |        ORDER BY cnt DESC, piece, at_start DESC LIMIT 48),
+       |wch AS (SELECT piece, at_start, cnt FROM wpc WHERE len(piece) = 1),
+       |wvocab AS (SELECT piece, at_start, max(cnt) AS cnt
+       |           FROM (SELECT * FROM wtk UNION ALL SELECT * FROM wch)
+       |           GROUP BY piece, at_start)""".stripMargin
+
+  /** The positional greedy-fold encode oracle body (flat per distinct
+    * word — see the nested-lambda note on text_wordpiece_encode). */
+  private lazy val wpPosEncodeOracle: String = {
+    def arm(l: Int): String =
+      s"""WHEN acc.pos + ${l - 1} <= len(w) AND (CASE WHEN acc.pos = 1
+         |  THEN list_contains(vs_start, substr(w, CAST(acc.pos AS INTEGER), $l))
+         |  ELSE list_contains(vs_cont, substr(w, CAST(acc.pos AS INTEGER), $l)) END)
+         |  THEN {'pos': acc.pos + $l, 'cnt': acc.cnt + 1}""".stripMargin
+    s"""WITH $wpPosVocabCtes,
+       |vl AS (SELECT list(piece) FILTER (WHERE at_start = 1) AS vs_start,
+       |              list(piece) FILTER (WHERE at_start = 0) AS vs_cont FROM wvocab),
+       |dwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+       |        GROUP BY doc_id, word),
+       |wlx AS (SELECT w AS word,
+       |  (list_reduce(list_prepend({'pos': CAST(1 AS BIGINT), 'cnt': CAST(0 AS BIGINT)},
+       |      list_transform(range(1, len(w) + 1), i -> {'pos': i, 'cnt': CAST(0 AS BIGINT)})),
+       |    (acc, x) -> CASE
+       |      WHEN x.pos != acc.pos THEN acc
+       |      ${arm(4)}
+       |      ${arm(3)}
+       |      ${arm(2)}
+       |      ELSE {'pos': acc.pos + 1, 'cnt': acc.cnt + 1} END)).cnt AS wp_len
+       |  FROM (SELECT DISTINCT word AS w FROM dwx), vl),
+       |pd AS (SELECT doc_id, CAST(sum(n * wp_len) AS BIGINT) AS n_wp_tokens
+       |       FROM dwx JOIN wlx USING (word) GROUP BY doc_id),
+       |e2 AS (SELECT d.doc_id, CAST(len($tokSql) AS BIGINT) AS n_words,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |         coalesce(pd.n_wp_tokens, 0) AS n_wp_tokens
+       |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+       |SELECT doc_id, n_words, n_chars, n_wp_tokens,
+       |  CASE WHEN n_wp_tokens > 0 THEN (n_chars * 1000) // n_wp_tokens
+       |       ELSE 0 END AS compression_permille
+       |FROM e2 ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared add-one-smoothed bigram-LM CTE chain (ends in `s` with
     * per-doc `nll`), used by the perplexity score and the CCNet-style
@@ -3634,6 +3703,12 @@ object SparkEntry {
     "text_wordpiece_vocab" ->
       s"""WITH $wpVocabCtes
          |SELECT piece, cnt FROM wvocab ORDER BY piece""".stripMargin,
+
+    "text_wordpiece_vocab_pos" ->
+      s"""WITH $wpPosVocabCtes
+         |SELECT piece, at_start, cnt FROM wvocab ORDER BY piece, at_start""".stripMargin,
+
+    "text_wordpiece_encode_pos" -> wpPosEncodeOracle,
 
     // NOTE the per-word fold runs FLAT over the distinct-word rows and
     // joins back per doc (the Spark plan's own shape) — NOT nested as

@@ -1033,6 +1033,86 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** POSITIONAL WordPiece vocabulary — the real WordPiece semantic
+    * ([[wordpieceVocab]]'s position-blind form is the simpler cousin):
+    * a substring occurring at a word START and the same substring
+    * occurring mid-word are DIFFERENT vocabulary entries (the
+    * "##"-prefix distinction), competing in one frequency pool — "ing"
+    * may earn its continuation slot while never earning a start slot.
+    * Top-`k` over (piece, at_start) candidates by (count desc, piece,
+    * at_start desc), UNIONed with all single chars in both positions
+    * (coverage). All-integer, hash-exact oracle. */
+  def wordpieceVocabPositional(docs: DataFrame, k: Int = 48, maxLen: Int = 4,
+                               textCol: String = "text"): DataFrame = {
+    require(k > 0 && maxLen >= 1, s"bad wordpiece params k=$k maxLen=$maxLen")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val words = Partitioning.fanOut(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pieces = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("wcnt"), col("i"),
+        explode(sequence(lit(1), lit(maxLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("i"), col("l")).as("piece"),
+        when(col("i") === 1, lit(1L)).otherwise(lit(0L)).as("at_start"),
+        col("wcnt"))
+      .groupBy(col("piece"), col("at_start")).agg(sum(col("wcnt")).as("cnt"))
+    val topk = pieces.orderBy(col("cnt").desc, col("piece"), col("at_start").desc).limit(k)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    topk.unionByName(chars)
+      .groupBy(col("piece"), col("at_start")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** Greedy longest-match under a POSITIONAL vocabulary: the cursor at
+    * position 1 matches against the start-entries, everywhere else
+    * against the continuation-entries — [[wordpieceEncode]]'s fold
+    * with two literal piece sets switched on the cursor. Same
+    * distinct-word grain, same integer-exact parity contract. */
+  def wordpieceEncodePositional(docs: DataFrame, vocab: DataFrame, maxLen: Int = 4,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val rows = vocab.select(col("piece"), col("at_start")).collect()
+    val vStart = typedlit(rows.filter(_.getLong(1) == 1L).map(_.getString(0)).sorted.toSeq)
+    val vCont = typedlit(rows.filter(_.getLong(1) == 0L).map(_.getString(0)).sorted.toSeq)
+    def wpLen(word: Column): Column =
+      aggregate(
+        sequence(lit(1), length(word)),
+        struct(lit(1).as("pos"), lit(0).as("cnt")),
+        (st, i) => {
+          val pos = st.getField("pos"); val cnt = st.getField("cnt")
+          def adv(l: Int): Column = struct((pos + l).as("pos"), (cnt + 1).as("cnt"))
+          def contains(l: Int): Column =
+            when(pos === 1, array_contains(vStart, word.substr(pos, lit(l))))
+              .otherwise(array_contains(vCont, word.substr(pos, lit(l))))
+          val longestFirst = (maxLen to 2 by -1).foldLeft(Option.empty[Column]) {
+            case (acc, l) =>
+              val cond = (pos + l - 1 <= length(word)) && contains(l)
+              Some(acc.fold(when(cond, adv(l)))(_.when(cond, adv(l))))
+          }.map(_.otherwise(adv(1))).getOrElse(adv(1))
+          when(i =!= pos, st).otherwise(longestFirst)
+        },
+        st => st.getField("cnt").cast("long"))
+    val dw = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    val wordLen = dw.select(col("word")).distinct()
+      .withColumn("wp_len", wpLen(col("word")))
+    val perDoc = dw.join(wordLen, "word")
+      .groupBy(col(idCol)).agg(sum(col("n") * col("wp_len")).as("n_wp_tokens"))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_wp_tokens", coalesce(col("n_wp_tokens"), lit(0L)))
+      .withColumn("compression_permille",
+        when(col("n_wp_tokens") > 0,
+          floor(col("n_chars") * 1000 / col("n_wp_tokens")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** The 100 TB form of [[perplexityBuckets]], executable rather than
     * scaladoc'd: per-stratum band BOUNDARIES from one
     * `approx_percentile` aggregation (map-side-combinable KLL-style

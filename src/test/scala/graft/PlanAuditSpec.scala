@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_brute" -> "broadcast query vectors × candidates: the brute-force baseline by definition",
     "sim_ann_ivf_nprobe" -> "broadcast trained centroids for cell assignment (k×dims)",
     "sim_ann_ivf_trained" -> "broadcast trained centroids for cell assignment (k×dims)",
+    "sim_ann_ivf_pp" -> "broadcast k-means||-trained centroids for cell assignment (k×dims)",
     "sim_ann_sq8" -> "broadcast query vectors × int8 candidate codes",
     "sim_ivf_assign" -> "broadcast centroids; min-distance assignment per vector",
     "sim_ann_ivfpq" -> "broadcast coarse centroids for cell assignment (k×dims)",

@@ -298,6 +298,40 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.map(_._2).sum < enc.map(_._3).sum)
   }
 
+  test("positional wordpiece: start/continuation classes split; fold ≡ reference") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val vocab = TextAnalysis.wordpieceVocabPositional(docs)
+    val rows = vocab.select("piece", "at_start").as[(String, Long)].collect()
+    val vs = rows.filter(_._2 == 1L).map(_._1).toSet
+    val vc = rows.filter(_._2 == 0L).map(_._1).toSet
+    assert(vs.nonEmpty && vc.nonEmpty)
+    // the positional refinement is real on this corpus: at least one
+    // piece earns exactly one of the two classes
+    assert((vs diff vc).nonEmpty || (vc diff vs).nonEmpty,
+      "positional classes identical — refinement vacuous")
+    def ref(word: String): Long = {
+      var pos = 0; var cnt = 0L
+      while (pos < word.length) {
+        val set = if (pos == 0) vs else vc
+        val l = (4 to 1 by -1).find(l =>
+          pos + l <= word.length && set(word.substring(pos, pos + l))).getOrElse(1)
+        pos += l; cnt += 1
+      }
+      cnt
+    }
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefgh_z"
+    val words = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .distinct
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceEncodePositional(df, vocab)
+      .select("doc_id", "n_wp_tokens").as[(Long, Long)].collect().toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) === ref(w), s"positional fold diverged on '$w'")
+    }
+  }
+
   test("wordpieceEncodeNarrow: streaming twin ≡ batch encode on live micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
