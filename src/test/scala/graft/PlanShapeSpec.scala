@@ -310,6 +310,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("wordpiece vocab top-k plans TakeOrderedAndProject, never a full sort") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.wordpieceVocab(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // the k-selection must be the streaming top-k operator — a global
+    // Sort over the piece table would grow with the corpus vocabulary
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    val posPlan = TextAnalysis.wordpieceVocabPositional(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(posPlan.contains("TakeOrderedAndProject"), posPlan.take(3000))
+  }
+
   test("bloomPrefilter prunes the corpus scan narrowly — no corpus-side exchange " +
     "before the verify join") {
     val corpus = Tables.documents(spark, sf)
