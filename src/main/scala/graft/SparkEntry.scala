@@ -667,6 +667,13 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), profileSize = 20).orderBy(col("doc_id"))),
 
+    // Span-level language segmentation: fixed token windows scored
+    // against the trained profile, contiguous same-language windows
+    // merged — the mixed-language-document splitter.
+    "text_lang_spans" -> ((s, d) =>
+      TextAnalysis.langSpans(Tables.documents(s, d), profileSize = 20, windowTokens = 10)
+        .orderBy(col("doc_id"), col("win_start"))),
+
     // Classifier eval: langid predictions vs labeled language.
     "text_langid_confusion" -> ((s, d) =>
       TextAnalysis.langIdConfusion(Tables.documents(s, d), profileSize = 20)
@@ -2730,6 +2737,37 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
          |  FROM hits) y
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_lang_spans" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS t FROM documents),
+         |freq AS (SELECT lang, t, count(*) AS cnt FROM tok GROUP BY lang, t),
+         |prof AS (SELECT lang AS cand_lang, t FROM (
+         |    SELECT lang, t, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rn
+         |    FROM freq) x WHERE rn <= 20),
+         |d2 AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |tp AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM d2),
+         |tpx AS (SELECT doc_id, (pos - 1) // 10 AS win_idx,
+         |          tk[CAST(pos AS INTEGER)] AS t FROM tp),
+         |wins AS (SELECT DISTINCT doc_id, win_idx FROM tpx),
+         |whits AS (SELECT doc_id, win_idx, cand_lang, CAST(count(*) AS BIGINT) AS hits
+         |          FROM tpx JOIN prof USING (t) GROUP BY doc_id, win_idx, cand_lang),
+         |wpred AS (SELECT doc_id, win_idx, cand_lang FROM (
+         |    SELECT doc_id, win_idx, cand_lang,
+         |           row_number() OVER (PARTITION BY doc_id, win_idx
+         |                              ORDER BY hits DESC, cand_lang) AS rn
+         |    FROM whits) y WHERE rn = 1),
+         |lab AS (SELECT w.doc_id, w.win_idx, coalesce(p.cand_lang, 'und') AS span_lang
+         |        FROM wins w LEFT JOIN wpred p
+         |          ON p.doc_id = w.doc_id AND p.win_idx = w.win_idx),
+         |lgrp AS (SELECT doc_id, win_idx, span_lang,
+         |           win_idx - row_number() OVER (PARTITION BY doc_id, span_lang
+         |                                        ORDER BY win_idx) AS g
+         |         FROM lab)
+         |SELECT doc_id, span_lang, CAST(min(win_idx) AS BIGINT) AS win_start,
+         |       CAST(max(win_idx) AS BIGINT) AS win_end,
+         |       CAST(count(*) AS BIGINT) AS n_windows
+         |FROM lgrp GROUP BY doc_id, span_lang, g
+         |ORDER BY doc_id, win_start""".stripMargin,
 
     "text_langid_confusion" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS t FROM documents),

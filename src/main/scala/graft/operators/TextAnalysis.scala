@@ -232,10 +232,11 @@ object TextAnalysis {
     * retaining a corpus-sized (doc, token, count) cache in executor
     * storage, and the returned frame is fully lazy with NO retained
     * state — nothing for the caller to release. */
-  def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
+  /** The langid training pass (eager, aggregate-only): lang-level
+    * token counts → top-N per lang → langs × profileSize rows on the
+    * driver, returned as a broadcastable (cand_lang, t) frame. */
+  private def langProfileDf(docs: DataFrame, profileSize: Int): DataFrame = {
     val spark = docs.sparkSession
-    // training pass (eager, aggregate-only): lang-level token counts →
-    // top-N per lang → langs × profileSize rows on the driver
     val freq = Partitioning.fanOut(docs)
       .select(col("lang"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
@@ -244,7 +245,11 @@ object TextAnalysis {
       .select(col("lang"), col("t"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     import spark.implicits._
-    val profile = profileRows.toDF("cand_lang", "t")
+    profileRows.toDF("cand_lang", "t")
+  }
+
+  def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
+    val profile = langProfileDf(docs, profileSize)
     // scoring pass (lazy): doc-level term frequencies × broadcast profile
     val dtf = Partitioning.fanOut(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -254,6 +259,51 @@ object TextAnalysis {
     Relational.topNPerGroup(hits, Seq(col("doc_id")),
         Seq(col("hits").desc, col("cand_lang")), 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("hits"))
+  }
+
+  /** SPAN-level language segmentation — the mixed-language-document
+    * operator doc-level [[langId]] cannot express (a page that is half
+    * one language, half another, gets ONE doc label and the wrong half
+    * is either mislabeled or thrown away): the token stream is cut
+    * into fixed `windowTokens` windows, each window scored against the
+    * corpus-trained profile (argmax hits, ties toward the smaller
+    * language code; windows hitting NO profile → 'und'), and
+    * contiguous same-language windows merge into spans
+    * (gaps-and-islands, the [[Multimodal.silenceSegments]] recipe).
+    * Downstream either splits docs at span boundaries or drops the
+    * minority spans.
+    *
+    * Scale: the profile is model-small and broadcast ([[langId]]'s
+    * training pass, shared); scoring shuffles once to the
+    * (doc, window, lang) grain; the island windows partition by
+    * (doc, lang) — bounded by a document's window count, never
+    * corpus-wide. All-integer decisions → hash-exact oracle. */
+  def langSpans(docs: DataFrame, profileSize: Int = 20,
+                windowTokens: Int = 10): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val profile = langProfileDf(docs, profileSize)
+    val tok = Partitioning.fanOut(docs)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("win_idx", expr(s"CAST(pos AS LONG) DIV $windowTokens"))
+    val wins = tok.select(col("doc_id"), col("win_idx")).distinct()
+    val hits = tok.join(broadcast(profile), Seq("t"))
+      .groupBy(col("doc_id"), col("win_idx"), col("cand_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val pred = Relational.topNPerGroup(hits, Seq(col("doc_id"), col("win_idx")),
+        Seq(col("hits").desc, col("cand_lang")), 1)
+      .select(col("doc_id"), col("win_idx"), col("cand_lang"))
+    val labeled = wins.join(pred, Seq("doc_id", "win_idx"), "left")
+      .withColumn("span_lang", coalesce(col("cand_lang"), lit("und")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("span_lang")).orderBy(col("win_idx"))
+    labeled
+      .withColumn("__grp", col("win_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("span_lang"), col("__grp"))
+      .agg(min(col("win_idx")).as("win_start"),
+        max(col("win_idx")).as("win_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_lang"),
+        col("win_start"), col("win_end"), col("n_windows"))
   }
 
   /** Out-of-vocabulary rate per document against the corpus's own

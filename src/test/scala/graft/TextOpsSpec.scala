@@ -298,6 +298,31 @@ class TextOpsSpec extends SparkSpec {
     assert(enc.map(_._2).sum < enc.map(_._3).sum)
   }
 
+  test("langSpans: a half-and-half doc splits at the boundary; pure docs get one span") {
+    val aTok = "alpha beta gamma delta"
+    val bTok = "omega sigma theta kappa"
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "a", ((aTok + " ") * 5).trim)) ++
+      (6 to 10).map(i => (i.toLong, "b", ((bTok + " ") * 5).trim)) ++
+      Seq((11L, "a", ((aTok + " ") * 5) + ((bTok + " ") * 5).trim))
+    ).toDF("doc_id", "lang", "text")
+    // profileSize 4 keeps each profile to its own language's tokens
+    // (doc 11's label-a contamination counts 5 vs the real tokens' 30)
+    val spans = TextAnalysis.langSpans(docs, profileSize = 4, windowTokens = 10)
+      .select("doc_id", "span_lang", "win_start", "win_end", "n_windows")
+      .as[(Long, String, Long, Long, Long)].collect()
+    // the 40-token mixed doc: windows 0-1 are language a, 2-3 are b
+    val mixed = spans.filter(_._1 == 11L).sortBy(_._3).toSeq
+    assert(mixed === Seq((11L, "a", 0L, 1L, 2L), (11L, "b", 2L, 3L, 2L)))
+    // pure docs: exactly one span, the right language, covering all windows
+    for (id <- Seq(1L, 6L)) {
+      val s = spans.filter(_._1 == id).toSeq
+      assert(s.length === 1, s"doc $id spans $s")
+      assert(s.head._2 === (if (id <= 5) "a" else "b"))
+      assert(s.head._3 === 0L && s.head._4 === 1L && s.head._5 === 2L)
+    }
+  }
+
   test("positional wordpiece: start/continuation classes split; fold ≡ reference") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val vocab = TextAnalysis.wordpieceVocabPositional(docs)
