@@ -248,6 +248,13 @@ object TextAnalysis {
     profileRows.toDF("cand_lang", "t")
   }
 
+  /** [[langProfileDf]] as a driver map (lang → profile tokens) — the
+    * broadcastable model the narrow/streaming scoring forms inline. */
+  def langProfile(docs: DataFrame, profileSize: Int = 20): Map[String, Seq[String]] =
+    langProfileDf(docs, profileSize).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (l, ts) => l -> ts.map(_._2).toSeq }
+
   def langId(docs: DataFrame, profileSize: Int = 20): DataFrame = {
     val profile = langProfileDf(docs, profileSize)
     // scoring pass (lazy): doc-level term frequencies × broadcast profile
@@ -305,6 +312,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("span_lang"),
         col("win_start"), col("win_end"), col("n_windows"))
   }
+
+  /** NARROW (per-row) twin of [[langSpans]] under a PRE-TRAINED
+    * profile: window scoring, argmax and the island merge all run
+    * inside the row (higher-order expressions over the token array —
+    * profile literals, an in-row span fold), so the operator has ZERO
+    * shuffle and composes into Structured Streaming unchanged
+    * (in-flight language routing of a live ingest). Spans come back as
+    * one array column per doc; `explodeSpans` flattens to
+    * [[langSpans]]' row shape. Identical decisions by construction:
+    * same hits, same (hits desc, lang asc) argmax, same 'und'
+    * fallback — parity proven in `TextOpsSpec`. */
+  def langSpansNarrow(docs: DataFrame, profile: Map[String, Seq[String]],
+                      windowTokens: Int = 10, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val W = windowTokens
+    val spanType = "array<struct<span_lang:string,win_start:bigint,win_end:bigint>>"
+    val withTk = docs.select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .withColumn("__nwin", ceil(size(col("__tk")).cast("double") / W).cast("int"))
+    def labelOf(w: Column): Column = {
+      val best = profile.keys.toSeq.sorted.foldLeft(
+        struct(lit(0L).as("h"), lit("und").as("l"))) { (b, lang) =>
+        val h = size(filter(slice(col("__tk"), (w * W + 1).cast("int"), lit(W)),
+          t => array_contains(typedlit(profile(lang).sorted), t))).cast("long")
+        when(h > b.getField("h"), struct(h.as("h"), lit(lang).as("l"))).otherwise(b)
+      }
+      best.getField("l")
+    }
+    val spans = aggregate(
+      sequence(lit(0), col("__nwin") - 1),
+      expr(s"CAST(array() AS $spanType)"),
+      (acc, w) => {
+        val lbl = labelOf(w)
+        val last = element_at(acc, -1)
+        val extended = concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("span_lang").as("span_lang"),
+            last.getField("win_start").as("win_start"),
+            w.cast("long").as("win_end"))))
+        val appended = concat(acc,
+          array(struct(lbl.as("span_lang"),
+            w.cast("long").as("win_start"), w.cast("long").as("win_end"))))
+        when(size(acc) > 0 && last.getField("span_lang") === lbl, extended)
+          .otherwise(appended)
+      })
+    withTk.filter(col("__nwin") > 0)
+      .select(col(idCol), spans.as("spans"))
+  }
+
+  /** Flatten [[langSpansNarrow]]'s per-doc span array to
+    * [[langSpans]]' row shape. */
+  def explodeSpans(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(col("spans")).as("s"))
+      .select(col(idCol), col("s.span_lang").as("span_lang"),
+        col("s.win_start").as("win_start"), col("s.win_end").as("win_end"),
+        (col("s.win_end") - col("s.win_start") + 1).as("n_windows"))
 
   /** Out-of-vocabulary rate per document against the corpus's own
     * top-`vocabSize` token vocabulary — the coverage check run before

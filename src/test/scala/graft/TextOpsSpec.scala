@@ -323,6 +323,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("langSpansNarrow ≡ langSpans on real docs; streams through MemoryStream unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val profMap = TextAnalysis.langProfile(docs, 20)
+    val narrow = TextAnalysis.explodeSpans(TextAnalysis.langSpansNarrow(docs, profMap, 10))
+      .select("doc_id", "span_lang", "win_start", "win_end", "n_windows")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val batch = TextAnalysis.langSpans(docs, 20, 10)
+      .select("doc_id", "span_lang", "win_start", "win_end", "n_windows")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(narrow === batch, "narrow in-row segmentation must equal the shuffled form")
+    assert(narrow.nonEmpty)
+    // streaming: two live micro-batches produce exactly the batch spans
+    val rows = docs.limit(40).select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = TextAnalysis.explodeSpans(TextAnalysis.langSpansNarrow(
+        mem.toDF.toDF("doc_id", "text"), profMap, 10))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lang_spans_stream").start()
+    mem.addData(rows.take(20): _*); q.processAllAvailable()
+    mem.addData(rows.drop(20): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lang_spans_stream")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val ids = rows.map(_._1).toSet
+    assert(streamed === batch.filter(s => ids(s._1)))
+  }
+
   test("positional wordpiece: start/continuation classes split; fold ≡ reference") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val vocab = TextAnalysis.wordpieceVocabPositional(docs)
