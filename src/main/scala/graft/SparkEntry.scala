@@ -1035,6 +1035,33 @@ object SparkEntry {
     // Synthetic PII injected per doc (the table itself carries none) so
     // the count AND the full scrubbed-text hash are non-trivially
     // cross-engine-checked.
+    // Luhn-validated card-number scrubbing: the fixture injects a
+    // VALID 16-digit number (check digit computed by the same fold)
+    // into every 5th doc and an INVALID one into the next — the
+    // detector must count both as candidates but scrub only the valid.
+    "text_pii_luhn" -> ((s, d) => {
+      val genSum =
+        """aggregate(transform(sequence(1, 15),
+          |  j -> CASE WHEN j % 2 = 1 THEN
+          |         CASE WHEN CAST(substr(reverse(__pay), j, 1) AS INT) * 2 > 9
+          |              THEN CAST(substr(reverse(__pay), j, 1) AS INT) * 2 - 9
+          |              ELSE CAST(substr(reverse(__pay), j, 1) AS INT) * 2 END
+          |       ELSE CAST(substr(reverse(__pay), j, 1) AS INT) END),
+          |  0, (a, x) -> a + x)""".stripMargin
+      val injected = Tables.documents(s, d)
+        .withColumn("__pay", expr("concat('4', lpad(CAST(doc_id AS STRING), 14, '0'))"))
+        .withColumn("__chk", expr(s"(10 - ($genSum % 10)) % 10"))
+        .withColumn("text", expr(
+          """CASE WHEN doc_id % 5 = 0 THEN concat(text, ' ', __pay, CAST(__chk AS STRING))
+            |     WHEN doc_id % 5 = 1 THEN concat(text, ' ', __pay, CAST((__chk + 1) % 10 AS STRING))
+            |     ELSE text END""".stripMargin))
+        .drop("__pay", "__chk")
+      Corpus.luhnScan(injected)
+        .withColumn("scrub_md5", md5(col("scrubbed").cast("binary")))
+        .select(col("doc_id"), col("n_cc_candidates"), col("n_cc_valid"), col("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_pii_scrub" -> ((s, d) => {
       val injected = Tables.documents(s, d).withColumn("text",
         concat(lit("contact user"), col("doc_id").cast("string"),
@@ -3358,6 +3385,52 @@ object SparkEntry {
          |        ' ' ORDER BY s.seg_idx), '')) AS clean_md5
          |FROM s LEFT JOIN common c ON s.seg = c.seg
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // Luhn folds run FLAT (candidates unnested to rows) — the DuckDB
+    // nested-lambda capture hazard, see text_wordpiece_encode's note.
+    "text_pii_luhn" -> {
+      def luhnSql(v: String, n: String): String =
+        s"""(list_sum(list_transform(range(1, $n + 1),
+           |  i -> CASE WHEN i % 2 = 0 THEN
+           |         CASE WHEN CAST(substr(reverse($v), CAST(i AS INTEGER), 1) AS INTEGER) * 2 > 9
+           |              THEN CAST(substr(reverse($v), CAST(i AS INTEGER), 1) AS INTEGER) * 2 - 9
+           |              ELSE CAST(substr(reverse($v), CAST(i AS INTEGER), 1) AS INTEGER) * 2 END
+           |       ELSE CAST(substr(reverse($v), CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10)""".stripMargin
+      def genSql(v: String): String =
+        s"""list_sum(list_transform(range(1, 16),
+           |  j -> CASE WHEN j % 2 = 1 THEN
+           |         CASE WHEN CAST(substr(reverse($v), CAST(j AS INTEGER), 1) AS INTEGER) * 2 > 9
+           |              THEN CAST(substr(reverse($v), CAST(j AS INTEGER), 1) AS INTEGER) * 2 - 9
+           |              ELSE CAST(substr(reverse($v), CAST(j AS INTEGER), 1) AS INTEGER) * 2 END
+           |       ELSE CAST(substr(reverse($v), CAST(j AS INTEGER), 1) AS INTEGER) END))""".stripMargin
+      s"""WITH base AS (SELECT doc_id, text,
+         |    '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS pay FROM documents),
+         |gs AS (SELECT doc_id, text, pay, ${genSql("pay")} AS s FROM base),
+         |inj AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |           THEN text || ' ' || pay || CAST((10 - (s % 10)) % 10 AS VARCHAR)
+         |         WHEN doc_id % 5 = 1
+         |           THEN text || ' ' || pay || CAST(((10 - (s % 10)) % 10 + 1) % 10 AS VARCHAR)
+         |         ELSE text END AS t
+         |  FROM gs),
+         |sc AS (SELECT doc_id, t, regexp_extract_all(t, '[0-9]{13,19}') AS cands FROM inj),
+         |cx AS (SELECT doc_id, unnest(cands) AS v FROM sc),
+         |cv AS (SELECT doc_id, v,
+         |    CASE WHEN ${luhnSql("v", "len(v)")} = 0 THEN 1 ELSE 0 END AS ok FROM cx),
+         |agg AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_cc_candidates,
+         |    CAST(sum(ok) AS BIGINT) AS n_cc_valid,
+         |    list(v ORDER BY v) FILTER (WHERE ok = 1) AS valids
+         |  FROM cv GROUP BY doc_id)
+         |SELECT i.doc_id,
+         |       coalesce(a.n_cc_candidates, 0) AS n_cc_candidates,
+         |       coalesce(a.n_cc_valid, 0) AS n_cc_valid,
+         |       md5(CASE WHEN a.valids IS NULL THEN i.t
+         |                ELSE list_reduce(list_prepend(i.t, a.valids),
+         |                       (acc, v) -> replace(acc, v, '[CC]')) END) AS scrub_md5
+         |FROM inj i LEFT JOIN agg a ON a.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
 
     "text_pii_scrub" ->
       """WITH d AS (SELECT doc_id,

@@ -251,6 +251,36 @@ object Corpus {
       regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
         phonePattern, "[PHONE]").as("scrubbed"))
 
+  /** Payment-card-number detection with LUHN checksum validation —
+    * the PII class [[piiScrub]]'s patterns can't express (a 16-digit
+    * run is only sensitive when the checksum says it's a real card
+    * number; scrubbing every digit run would destroy ids, timestamps,
+    * hashes): candidates are contiguous 13–19 digit runs, each
+    * validated by the Luhn fold (double every second digit from the
+    * right, fold >9 to d−9, sum ≡ 0 mod 10 — all exact integers, so
+    * the DuckDB twin is hash-exact), and only VALID numbers are
+    * replaced in the scrubbed text. Fully narrow — regex + in-row
+    * folds, streaming-composable like the other scrubbers. */
+  def luhnScan(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    def luhnSql(v: String): String =
+      s"""(aggregate(transform(sequence(1, length($v)),
+         |  i -> CASE WHEN i % 2 = 0 THEN
+         |         CASE WHEN CAST(substr(reverse($v), i, 1) AS INT) * 2 > 9
+         |              THEN CAST(substr(reverse($v), i, 1) AS INT) * 2 - 9
+         |              ELSE CAST(substr(reverse($v), i, 1) AS INT) * 2 END
+         |       ELSE CAST(substr(reverse($v), i, 1) AS INT) END),
+         |  0, (a, x) -> a + x) % 10) = 0""".stripMargin
+    docs
+      .withColumn("__cands", expr(s"regexp_extract_all($textCol, '[0-9]{13,19}', 0)"))
+      .withColumn("__valid", expr(s"filter(__cands, v -> ${luhnSql("v")})"))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("n_cc_candidates"),
+        size(col("__valid")).cast("long").as("n_cc_valid"),
+        expr(s"aggregate(__valid, $textCol, (acc, v) -> replace(acc, v, '[CC]'))")
+          .as("scrubbed"))
+  }
+
   /** Tracking query parameters stripped by [[normalizeUrl]] —
     * char-class-only alternation (Java regex == RE2). */
   val trackingParamPattern: String = "(utm_[A-Za-z]+|fbclid|gclid)"

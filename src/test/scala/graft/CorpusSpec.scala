@@ -145,6 +145,24 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) === ((0L, 0L)))
   }
 
+  test("luhnScan: canonical vectors validate, invalid runs stay, only valid runs scrub") {
+    val df = Seq(
+      (1L, "pay with 4111111111111111 now"),          // canonical valid Visa test number
+      (2L, "pay with 4111111111111112 now"),          // last digit off → invalid
+      (3L, "order 1234567890 ref 79927398713"),       // 10 digits ignored; 11-digit valid Luhn ignored (<13)
+      (4L, "id 4111111111111111 and 5500005555555559"), // two valid numbers
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.luhnScan(df).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 1L, 1L, "pay with [CC] now")))
+    assert(out(1) === ((2L, 1L, 0L, "pay with 4111111111111112 now")))
+    assert(out(2)._2 === 0L && out(2)._3 === 0L) // short runs never candidates
+    assert(out(3)._2 === 2L && out(3)._3 === 2L &&
+      out(3)._4 === "id [CC] and [CC]")
+    assert(out(4) === ((5L, 0L, 0L, "no digits at all")))
+  }
+
   test("piiScrub redacts emails and phones and counts them") {
     val d = Seq((1L, "mail a.b@x.co and +1 234 567 8901 now"), (2L, "clean text"))
       .toDF("doc_id", "text")
