@@ -871,11 +871,16 @@ object TextAnalysis {
     * Narrow — single expression per row. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val tset = array_sort(array_distinct(tokens(col("text"))))
+    // try_element_at: a zero-token document fingerprints with NULL
+    // extremes instead of throwing under ANSI (`element_at` on an
+    // empty array is an error; DuckDB's list index is NULL — found by
+    // TextFuzzSpec, would have killed a 100 TB scan on its first
+    // empty doc)
     docs.select(
       col("doc_id"),
       md5(array_join(tset, " ").cast("binary")).as("fp"),
-      element_at(tset, 1).as("tok_min"),
-      element_at(tset, -1).as("tok_max"),
+      try_element_at(tset, lit(1)).as("tok_min"),
+      try_element_at(tset, lit(-1)).as("tok_max"),
       size(tset).cast("long").as("n_distinct"))
   }
 
