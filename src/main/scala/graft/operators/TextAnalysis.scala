@@ -40,10 +40,19 @@ object TextAnalysis {
       .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(filter(split(text, ' '), x -> x <> ''), x -> x IN ($stopList)))").cast("long"))
+      // zero-token guard on every permille: an empty document scores 0
+      // instead of dividing by zero (ANSI mode makes that an ERROR —
+      // found by TextFuzzSpec; the gopherRules guards are the model)
       .withColumn("mean_tok_len_permille",
-        floor(length(regexp_replace(col("text"), " ", "")) * 1000 / col("n_tokens")).cast("long"))
-      .withColumn("stop_permille", floor(col("n_stop") * 1000 / col("n_tokens")).cast("long"))
-      .withColumn("distinct_permille", floor(col("n_distinct") * 1000 / col("n_tokens")).cast("long"))
+        when(col("n_tokens") > 0,
+          floor(length(regexp_replace(col("text"), " ", "")) * 1000 / col("n_tokens"))
+            .cast("long")).otherwise(lit(0L)))
+      .withColumn("stop_permille",
+        when(col("n_tokens") > 0,
+          floor(col("n_stop") * 1000 / col("n_tokens")).cast("long")).otherwise(lit(0L)))
+      .withColumn("distinct_permille",
+        when(col("n_tokens") > 0,
+          floor(col("n_distinct") * 1000 / col("n_tokens")).cast("long")).otherwise(lit(0L)))
       .withColumn("quality_score",
         (when(col("n_tokens").between(20, 1000), lit(250)).otherwise(lit(0)) +
          when(col("mean_tok_len_permille").between(3000, 9000), lit(250)).otherwise(lit(0)) +
