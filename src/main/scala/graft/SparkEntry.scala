@@ -487,6 +487,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Containment (excerpt) detection: |A∩B| / min(|A|,|B|) ≥ 0.8
+    // over char-5-gram sets via the canonical prefix-filter inverted
+    // index (AllPairs/PPJoin) — the asymmetric duplication Jaccard
+    // structurally misses (an excerpt of a long doc has J ≈ 0 but
+    // containment = 1). Strata-blocked like the Jaccard family.
+    "dedup_containment" -> ((s, d) => {
+      Dedup.charNgramContainmentAccounted(Tables.documents(s, d),
+        Seq("source", "lang"), thresholdPermille = 800, k = 5).pairs
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Character 5-gram Jaccard: the char-level near-dup sweep (catches
     // whitespace/punctuation edits word-level misses). Banded like
     // dedup_jaccard — the minhash runs over the char-gram set itself.
@@ -656,6 +667,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Hard-negative mining: top-k highest-cosine candidates with a
+    // DIFFERENT label per query — the contrastive-training negatives
+    // that actually carry gradient.
+    "sim_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ───────────────────────── LLM pipeline: text analysis ─────────────────────────
 
     "text_tokens" -> ((s, d) =>
@@ -719,6 +740,12 @@ object SparkEntry {
     // bigrams, exact integer arithmetic.
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramFluency(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Corpus-scope duplicated-trigram share per doc (RefinedWeb-style
+    // staleness): grams first seen in an earlier doc, permille-exact.
+    "text_ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"))),
 
     // Vocabulary-coverage check: per-doc OOV share vs the corpus's own
     // top-20 token vocab.
@@ -1008,6 +1035,13 @@ object SparkEntry {
     // table a multilingual mix is drawn from.
     "corpus_temperature" -> ((s, d) =>
       Corpus.temperatureMixture(Tables.documents(s, d)).orderBy(col("source"))),
+
+    // Topic-mixture audit: per-(source × k-means cluster) counts +
+    // permille shares under the integer-exact trained quantizer — the
+    // "what does each source actually contribute" curation table.
+    "corpus_topic_mix" -> ((s, d) =>
+      Corpus.topicMix(Tables.documents(s, d), Tables.embeddings(s, d), k = 4, iters = 2)
+        .orderBy(col("source"), col("cell"))),
 
     // Duplication profile: how many clusters of each multiplicity the
     // exact-dedup pass found (the corpus-health report a curation run
@@ -1473,6 +1507,22 @@ object SparkEntry {
     // for saltedJoin/saltedAggregate. Aggregates only; no window.
     "rel_skew_profile" -> ((s, d) =>
       Relational.keySkewProfile(Tables.lineitem(s, d), "l_suppkey", topN = 10)),
+
+    // Incremental materialized-view maintenance: per-key mergeable
+    // state (count/sum/min/max in exact cents) computed over three
+    // disjoint delta slices, then MERGED — the oracle recomputes the
+    // aggregate directly over all rows, so the hash match IS the
+    // proof that merge(state(deltas)) ≡ recompute(history).
+    "rel_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val slices = (0 to 2).map(i =>
+        Relational.aggState(ev.filter(col("event_id") % 3 === i),
+          Seq(col("event_type")), col("cents")))
+      Relational.mergeAggStates(slices, Seq("event_type"))
+        .withColumn("avg_cents", expr("sum_cents DIV n_rows"))
+        .orderBy(col("event_type"))
+    }),
 
     // Exact per-source token-length order statistics (packing-budget
     // audit): quantiles as order statistics, integer-exact.
@@ -2447,6 +2497,42 @@ object SparkEntry {
          |FROM pv WHERE floor(min_sum * 1000 / max_sum) >= 500
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Prefix-filter containment over char-5-gram sets: global
+    // (freq, gram) order, per-doc rarest-gram prefixes probe the
+    // strata-blocked inverted index, exact intersection over min-size
+    // on candidates — mirrors the Spark operator including the
+    // maxPostings=10000 governor.
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, source, lang, list_distinct($charGramSql) AS ts
+         |           FROM documents),
+         |base AS (SELECT doc_id, source, lang, ts, CAST(len(ts) AS BIGINT) AS sz
+         |         FROM d WHERE len(ts) >= 1),
+         |tok AS (SELECT doc_id, source, lang, unnest(ts) AS t FROM base),
+         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         |tokc AS (SELECT tok.doc_id, tok.source, tok.lang, tok.t, cnt.c
+         |         FROM tok JOIN cnt USING (t)),
+         |rk AS (SELECT doc_id, source, lang, t, c,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS sz
+         |       FROM tokc),
+         |pref AS (SELECT doc_id, source, lang, t FROM rk
+         |         WHERE rn <= sz - ((800 * sz + 999) // 1000) + 1),
+         |post AS (SELECT doc_id, source, lang, t FROM tokc WHERE c <= 10000),
+         |cand AS (SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_a,
+         |                greatest(p.doc_id, q.doc_id) AS doc_b
+         |         FROM pref p JOIN post q
+         |           ON p.t = q.t AND p.source = q.source AND p.lang = q.lang
+         |         WHERE p.doc_id <> q.doc_id),
+         |v AS (SELECT cand.doc_a, cand.doc_b,
+         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
+         |        least(a.sz, b.sz) AS minsz
+         |      FROM cand JOIN base a ON a.doc_id = cand.doc_a
+         |                JOIN base b ON b.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, inter, minsz,
+         |       CAST(floor(inter * 1000 / minsz) AS BIGINT) AS cont_permille
+         |FROM v WHERE floor(inter * 1000 / minsz) >= 800
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_hot_buckets" ->
       s"""WITH ${bandedBucketCtes(tokSql, "")}
          |SELECT CAST(band AS BIGINT) AS band, bv, source, lang, bucket_docs
@@ -2578,6 +2664,20 @@ object SparkEntry {
          |scored AS (SELECT query_id, e.vec_id AS cand_id,
          |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
          |           FROM q, e WHERE query_id <> e.vec_id),
+         |ranked AS (SELECT query_id, cand_id, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM scored)
+         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, n2 AS qn2
+         |      FROM e WHERE vec_id < 10),
+         |scored AS (SELECT query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM q JOIN e ON qlabel <> e.label),
          |ranked AS (SELECT query_id, cand_id, cos,
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)
@@ -2852,6 +2952,22 @@ object SparkEntry {
          |      FROM bg JOIN c USING (b) GROUP BY bg.doc_id)
          |SELECT doc_id, n_bigrams, CAST(sc // n_bigrams AS BIGINT) AS mean_freq
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Same trigram construction as the minhash chain; DISTINCT grams
+    // per doc, min-id first owner, staleness = grams owned earlier.
+    "text_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |shg AS (SELECT DISTINCT doc_id, g FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |          FROM toks WHERE len(tk) >= 3) s),
+         |own AS (SELECT g, min(doc_id) AS owner FROM shg GROUP BY g),
+         |per AS (SELECT shg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN own.owner < shg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+         |        FROM shg JOIN own USING (g) GROUP BY shg.doc_id)
+         |SELECT doc_id, n_grams, n_stale,
+         |       CAST(floor(n_stale * 1000 / n_grams) AS BIGINT) AS stale_permille
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     "text_oov" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS t FROM documents),
@@ -3613,6 +3729,26 @@ object SparkEntry {
          |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, adc
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // Topic-mix audit: replays the sim_ivf_assign chain (identical
+    // integer-exact Lloyd model), then joins documents on id and
+    // groups at (source, cell) with floor-permille shares.
+    "corpus_topic_mix" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |j AS (SELECT d.source, a.cell FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+         |per AS (SELECT source, cell, count(*) AS cnt FROM j GROUP BY source, cell),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY source)
+         |SELECT per.source, per.cell, per.cnt,
+         |       CAST(floor(per.cnt * 1000 / tot.n) AS BIGINT) AS permille
+         |FROM per JOIN tot ON per.source = tot.source
+         |ORDER BY per.source, per.cell""".stripMargin,
+
     "sim_ivf_assign" ->
       s"""${ivfCtes(k = 4, iters = 2)},
          |afin AS (SELECT vec_id, cell,
@@ -4021,6 +4157,17 @@ object SparkEntry {
          |       (max_cnt * 1000) // n_rows AS top1_permille,
          |       (topn_rows * 1000) // n_rows AS topn_permille
          |FROM t CROSS JOIN tp""".stripMargin,
+
+    // Direct recompute over ALL events — the Spark side merges three
+    // delta states instead; hash equality proves the merge law.
+    "rel_incremental_agg" ->
+      """WITH e AS (SELECT event_type,
+        |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       min(cents) AS min_cents, max(cents) AS max_cents,
+        |       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

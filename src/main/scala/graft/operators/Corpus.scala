@@ -639,4 +639,35 @@ object Corpus {
         round(sqrt(col("p").getField("n_tokens").cast("double") /
           col("__tot").cast("double")) / col("__z"), 4).as("temp_share_q4"))
   }
+
+  /** Topic-mixture audit: per-(source × embedding-cluster) document
+    * counts + per-source permille shares, under a k-means quantizer
+    * trained on the corpus embeddings ([[Similarity.ivfTrain]] —
+    * integer-exact Lloyd, so the DuckDB twin replays the identical
+    * model). The data-curation transparency table: "what topics does
+    * each source actually contribute?" — the cluster column is the
+    * same coarse cell an IVF ANN index already maintains, so at 100 TB
+    * this audit is a free by-product of index building.
+    *
+    * Scale shape: centroid assignment is a broadcast (k centroids)
+    * against the never-shuffled embedding scan; the doc↔vector join
+    * broadcasts the (id, cell) pairs when small or hash-joins on the
+    * id otherwise; the final groupBy is map-side combinable at
+    * (source, cell) grain. Shares are integer permille (floor) — no
+    * float division to disagree across engines. */
+  def topicMix(docs: DataFrame, emb: DataFrame, k: Int, iters: Int,
+               strataCol: String = "source",
+               docIdCol: String = "doc_id", vecIdCol: String = "vec_id"): DataFrame = {
+    val cents = Similarity.ivfTrain(emb, k, iters, idCol = vecIdCol)
+    val asg = Similarity.ivfAssign(emb, cents, idCol = vecIdCol)
+    val joined = Partitioning.fanOut(docs)
+      .select(col(docIdCol), col(strataCol))
+      .join(asg, col(docIdCol) === col(vecIdCol))
+    val per = joined.groupBy(col(strataCol), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = per.groupBy(col(strataCol)).agg(sum(col("cnt")).as("__n"))
+    per.join(tot, strataCol)
+      .select(col(strataCol), col("cell"), col("cnt"),
+        floor(col("cnt") * lit(1000L) / col("__n")).cast("long").as("permille"))
+  }
 }

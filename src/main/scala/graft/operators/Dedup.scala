@@ -376,6 +376,133 @@ object Dedup {
         col("wjac_permille"))
   }
 
+  /** Containment (excerpt) near-dup pairs:
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ t — the asymmetric measure that
+    * catches a small document quoted INSIDE a large one, which Jaccard
+    * structurally misses (a 50-token excerpt of a 5000-token doc has
+    * J ≈ 0.01 but C = 1.0). The curation use: drop boilerplate
+    * fragments and syndicated excerpts that survive both exact and
+    * Jaccard dedup.
+    *
+    * Candidate generation is the canonical PREFIX FILTER
+    * (AllPairs/PPJoin, Bayardo et al., WWW 2007) — NOT the minhash
+    * banding of [[jaccardPairsBanded]], because set-LSH recall tracks
+    * Jaccard and a contained excerpt has low Jaccard by construction.
+    * Tokens are globally ordered by (corpus frequency asc, token):
+    * any pair with overlap o ≥ ⌈t·min⌉ must share one of the smaller
+    * doc's first |S| − ⌈t·|S|⌉ + 1 tokens in that order (else the
+    * overlap is too small — the prefix-filter theorem), so each doc
+    * publishes only its ~(1−t)·|S| RAREST tokens as probe keys and
+    * the full corpus publishes an inverted-index posting per token.
+    * Probe ⋈ postings on the token yields every qualifying pair in
+    * either orientation.
+    *
+    * Scale shape: one token-grain count aggregation (map-side
+    * combinable) reused by a token-grain join; one doc-grain window
+    * for per-doc rarity ranks (partitioned by doc — no global
+    * window); the probe⋈postings equi-join keys on the RAREST tokens
+    * of each doc, so posting lists are short by construction. The
+    * governor: tokens with global frequency > `maxPostings` never
+    * serve as posting keys (`droppedTokens` accounting) — the
+    * frequent-token quadratic blowup is cut off loudly, and only
+    * pairs whose EVERY shared prefix token is ultra-frequent can be
+    * lost (docs made entirely of stopwords — exactly what a quality
+    * gate drops first). `strataCols` conjoin the probe⋈postings key
+    * (candidates must share the strata — same discipline as
+    * [[jaccardPairsBanded]]; pass Nil for a corpus-wide sweep).
+    * Verification is per-pair in-row `array_intersect` on the
+    * (already materialized) distinct-token sets. */
+  def containmentPairsAccounted(docs: DataFrame, strataCols: Seq[String],
+                                thresholdPermille: Int,
+                                idCol: String = "doc_id",
+                                maxPostings: Int = 10000): ContainmentPairs =
+    containmentPairsOn(docs, array_distinct(tokens(col("text"))), strataCols,
+      thresholdPermille, idCol, maxPostings)
+
+  /** [[containmentPairsAccounted]] without the accounting. */
+  def containmentPairs(docs: DataFrame, strataCols: Seq[String],
+                       thresholdPermille: Int, idCol: String = "doc_id",
+                       maxPostings: Int = 10000): DataFrame =
+    containmentPairsAccounted(docs, strataCols, thresholdPermille, idCol,
+      maxPostings).pairs
+
+  /** [[containmentPairsAccounted]] over char k-gram sets — the
+    * excerpt detector that survives token-poor/agglutinative text and
+    * a SMALL shared vocabulary (on a corpus drawn from few distinct
+    * words, word-SET containment is near-vacuous: most sets are
+    * subsets of most others; char grams keep the universe large
+    * enough that containment means shared SUBSTANCE, not shared
+    * vocabulary). */
+  def charNgramContainmentAccounted(docs: DataFrame, strataCols: Seq[String],
+                                    thresholdPermille: Int, k: Int = 5,
+                                    idCol: String = "doc_id",
+                                    maxPostings: Int = 10000): ContainmentPairs = {
+    import graft.functions.CharShingles.char_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    containmentPairsOn(docs, array_distinct(char_shingles(col("text"), k)),
+      strataCols, thresholdPermille, idCol, maxPostings)
+  }
+
+  private def containmentPairsOn(docs: DataFrame, tsetExpr: Column,
+                                 strataCols: Seq[String], thresholdPermille: Int,
+                                 idCol: String, maxPostings: Int): ContainmentPairs = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille in [1,1000], got $thresholdPermille")
+    val base = Partitioning.fanOut(docs)
+      .withColumn("tset", tsetExpr)
+      .withColumn("tsz", size(col("tset")).cast("long"))
+      .filter(col("tsz") >= 1)
+      .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
+    val tok = base.select(col(idCol) +: explode(col("tset")).as("t") +:
+      strataCols.map(col): _*)
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val dropped = cnt.filter(col("c") > maxPostings)
+    val tokc = tok.join(cnt, "t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("c"), col("t"))
+    val ranked = tokc
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))).cast("long"))
+    // prefix length |S| − ⌈t·|S|⌉ + 1, ceil in exact integers
+    val pref = ranked.filter(col("rn") <=
+        col("sz") - floor((lit(thresholdPermille.toLong) * col("sz") + 999L) / 1000L) + 1L)
+      .select(col(idCol).as("__p") +: col("t") +: strataCols.map(col): _*)
+    // the posting side renames EVERY shared column (key included):
+    // both frames derive from `tokc`, so an unrenamed pref("t") ===
+    // post("t") would resolve to the same attribute id — a trivially
+    // true predicate that silently degenerates the index probe into
+    // an all-pairs product
+    val post = tokc.select(col(idCol).as("__q") +: col("t").as("__qt") +: col("c") +:
+        strataCols.map(c => col(c).as(s"__q_$c")): _*)
+      .filter(col("c") <= maxPostings)
+    val cand = pref.join(post,
+        (Seq(col("t") === col("__qt")) ++
+          strataCols.map(c => col(c) === col(s"__q_$c"))).reduce(_ && _))
+      .filter(col("__p") =!= col("__q"))
+      .select(least(col("__p"), col("__q")).as("doc_a"),
+        greatest(col("__p"), col("__q")).as("doc_b"))
+      .distinct()
+    val pairs = cand
+      .join(base.select(col(idCol).as("doc_a"), col("tset").as("ta"),
+        col("tsz").as("sza")), "doc_a")
+      .join(base.select(col(idCol).as("doc_b"), col("tset").as("tb"),
+        col("tsz").as("szb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("minsz", least(col("sza"), col("szb")))
+      .withColumn("cont_permille", floor(col("inter") * 1000 / col("minsz")).cast("long"))
+      .filter(col("cont_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("minsz"),
+        col("cont_permille"))
+    ContainmentPairs(pairs, dropped)
+  }
+
+  /** Verified containment pairs plus the frequency-governor
+    * accounting: `droppedTokens` has one row per token excluded from
+    * the inverted index for exceeding `maxPostings` global frequency
+    * — the loud-degradation twin of [[BandedPairs.droppedBuckets]]. */
+  final case class ContainmentPairs(pairs: DataFrame, droppedTokens: DataFrame)
+
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
                              blockCols: Seq[String], thresholdPermille: Int,
                              idCol: String): DataFrame = {

@@ -346,4 +346,38 @@ object Relational {
       expr("(max_cnt * 1000) DIV n_rows").as("top1_permille"),
       expr("(topn_rows * 1000) DIV n_rows").as("topn_permille"))
   }
+
+  /** Mergeable per-key aggregate state — the incremental
+    * materialized-view pattern: a daily/hourly ingest computes state
+    * over its DELTA only, and the serving table is the MERGE of
+    * states, never a recompute over history. At 100 TB that converts
+    * an O(corpus) nightly aggregation into O(delta): each state is
+    * one map-side-combinable groupBy over its slice, and the merge
+    * aggregates |keys|-sized state tables, not rows.
+    *
+    * State columns are chosen mergeable by construction: count and
+    * sum merge by sum, min/max by min/max (avg is derived at read
+    * time as sum÷count — never stored, since avg does not merge).
+    * `valueCents` must be an exact-integer column (cents fixed-point
+    * — float sums would make merge order observable). */
+  def aggState(df: DataFrame, keys: Seq[Column], valueCents: Column): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(valueCents).as("sum_cents"),
+        min(valueCents).as("min_cents"),
+        max(valueCents).as("max_cents"))
+
+  /** Merge aggregate states produced by [[aggState]] over disjoint
+    * slices: one union + one groupBy over state-table-sized input.
+    * Associative and commutative — slices can merge in any order or
+    * stepwise (yesterday's merged state + today's delta). */
+  def mergeAggStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+  }
 }

@@ -54,6 +54,31 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar candidates carrying a DIFFERENT
+    * label (high-cosine wrong-class neighbors — the negatives that
+    * actually move a contrastive loss, vs easy random negatives).
+    * Same scale shape as [[bruteForceTopK]]: the (small) query set is
+    * broadcast, candidates never shuffle, per-query top-k is a bounded
+    * heap not a global sort. At 100 TB the candidate scan is narrow;
+    * to go sub-linear swap the scan for the stored ANN index shortlist
+    * ([[ivfPqTopKIndexed]]) and keep the label-inequality filter. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int,
+                    labelCol: String = "label",
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"),
+        col(labelCol).as("__qlabel"))
+    val c = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"),
+        col(labelCol).as("__clabel"))
+    val scored = c.join(broadcast(q), col("__qlabel") =!= col("__clabel"))
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+    Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+  }
+
   /** IVF-style pruned top-k: only candidates in the same coarse cell
     * (`cellCol`) as the query are scored. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int, cellCol: String,

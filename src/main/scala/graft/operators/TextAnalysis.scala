@@ -1265,4 +1265,34 @@ object TextAnalysis {
       .withColumn("keep", col("bucket") < nBuckets)
       .drop("__bounds")
   }
+
+  /** N-gram novelty: per document, how many of its distinct word
+    * k-grams were already seen in an EARLIER document (smaller id —
+    * ingest order), as an integer-permille staleness share. The
+    * RefinedWeb/Gopher "fraction of duplicated n-grams" quality
+    * signal at corpus (not document) scope: high staleness = the doc
+    * is mostly re-hashed text even when no single pair passes the
+    * near-dup threshold.
+    *
+    * Scale shape: shingling is narrow ([[Dedup.shingled]] native
+    * expression); the only wide stages are gram-grain — one
+    * HashAggregate per distinct (doc, gram), one min-owner aggregate
+    * per gram, and one equi-join back on the gram, all on the same
+    * hashed key (AQE coalesces/splits skewed grams). No all-pairs
+    * anything; cost is linear in total grams. At 100 TB you'd hash
+    * the gram to a 64-bit key before the shuffle to keep rows narrow
+    * — here grams are short and engines must agree bit-for-bit. */
+  def ngramNovelty(docs: DataFrame, k: Int = 3,
+                   idCol: String = "doc_id"): DataFrame = {
+    val grams = Dedup.shingled(docs, k)
+      .select(col(idCol), explode(col("shingles")).as("g"))
+      .distinct()
+    val owner = grams.groupBy(col("g")).agg(min(col(idCol)).as("__owner"))
+    grams.join(owner, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") < col(idCol), 1L).otherwise(0L)).as("n_stale"))
+      .withColumn("stale_permille",
+        floor(col("n_stale") * lit(1000L) / col("n_grams")).cast("long"))
+  }
 }

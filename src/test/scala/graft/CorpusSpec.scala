@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup}
+import graft.operators.{Corpus, Dedup, Relational}
 import graft.sources.Tables
 
 /** Corpus-management operator invariants (splits, sampling, repetition,
@@ -447,5 +447,56 @@ class CorpusSpec extends SparkSpec {
     assert(w(1L) > 0 && w(6L) < 0) // LLR sign: toward target vs away
     // same text ⇒ identical weight regardless of the target flag
     assert(w(6L) === w(25L))
+  }
+
+  test("mergeAggStates over any slicing equals the direct aggregate (incremental-MV law)") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val direct = Relational.aggState(ev, Seq(col("event_type")), col("cents"))
+      .orderBy("event_type").collect().toSeq
+    // 3-way modulo slicing, merged flat
+    val flat = Relational.mergeAggStates(
+      (0 to 2).map(i => Relational.aggState(ev.filter(col("event_id") % 3 === i),
+        Seq(col("event_type")), col("cents"))), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(flat === direct)
+    // stepwise (yesterday's merged state + today's delta) — associativity
+    val step1 = Relational.mergeAggStates(
+      Seq(Relational.aggState(ev.filter(col("event_id") % 3 === 0),
+        Seq(col("event_type")), col("cents")),
+        Relational.aggState(ev.filter(col("event_id") % 3 === 1),
+          Seq(col("event_type")), col("cents"))), Seq("event_type"))
+    val stepwise = Relational.mergeAggStates(
+      Seq(step1, Relational.aggState(ev.filter(col("event_id") % 3 === 2),
+        Seq(col("event_type")), col("cents"))), Seq("event_type"))
+      .orderBy("event_type").collect().toSeq
+    assert(stepwise === direct)
+  }
+
+  test("containmentPairs finds a low-Jaccard excerpt and honors the posting governor") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                     // 3 tokens
+      (2L, ("alpha beta gamma " + (1 to 40).map(i => s"w$i").mkString(" "))), // superset
+      (3L, (41 to 80).map(i => s"w$i").mkString(" "))               // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, Nil, thresholdPermille = 800)
+      .select("doc_a", "doc_b", "cont_permille")
+      .as[(Long, Long, Long)].collect().toSet
+    // J(1,2) = 3/43 ≈ 0.07, but containment = 3/3 = 1.0
+    assert(pairs.contains((1L, 2L, 1000L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // governor: cap 1 drops every token appearing in both docs from
+    // the postings — the excerpt pair is lost, and the accounting says so
+    val acc = Dedup.containmentPairsAccounted(docs, Nil, thresholdPermille = 800,
+      maxPostings = 1)
+    assert(acc.pairs.count() === 0L)
+    assert(acc.droppedTokens.count() === 3L) // alpha, beta, gamma
+    // the probe⋈postings stage must stay an EQUI-join even with no
+    // strata — a same-attribute-id join key would degenerate to an
+    // all-pairs product (caught here by plan shape, not just results)
+    val plan = Dedup.containmentPairs(docs, Nil, thresholdPermille = 800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 }

@@ -326,4 +326,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(fr.length === 3) // 70 bytes → frames at 0, 32, 64
     assert(fr.map(_.getAs[Long]("frame_idx")).sameElements(Array(0L, 1L, 2L)))
   }
+
+  test("hardNegatives never returns a same-label candidate, at most k per query") {
+    val hn = Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("label").as("cl")), "cand_id")
+    assert(hn.filter(col("ql") === col("cl")).count() === 0L)
+    val perQ = hn.groupBy("query_id").count().agg(max("count")).as[Long].head()
+    assert(perQ <= 5L)
+    assert(hn.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() === 0L)
+  }
+
+  test("ngramNovelty: clone is fully stale, half-overlap is half stale, short docs drop") {
+    val d = Seq(
+      (0L, "a b c d"),  // grams "a b c","b c d" — first owner of both
+      (1L, "a b c x"),  // "a b c" stale, "b c x" novel
+      (2L, "a b c d"),  // exact clone of doc 0 — fully stale
+      (3L, "z z")       // < 3 tokens — no grams, absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(d).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_stale", "stale_permille")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List((0L, 2L, 0L, 0L), (1L, 2L, 1L, 500L), (2L, 2L, 2L, 1000L)))
+  }
+
+  test("topicMix shares sum to the source totals, cells within the trained k") {
+    val mix = graft.operators.Corpus.topicMix(docs, emb, k = 4, iters = 1)
+    val bad = mix.filter(col("cell") < 0 || col("cell") >= 4 ||
+      col("permille") < 0 || col("permille") > 1000).count()
+    assert(bad === 0L)
+    // every doc with an embedding lands in exactly one (source, cell)
+    val counted = mix.agg(sum("cnt")).as[Long].head()
+    val expected = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
+    assert(counted === expected)
+  }
 }
