@@ -1447,6 +1447,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer — completes the trio
+    // (BPE merge order / WordPiece greedy / unigram OPTIMAL Viterbi):
+    // pieces scored freq×len, segmentation DP-solved per distinct word.
+    "text_unigram_vocab" -> ((s, d) =>
+      TextAnalysis.unigramVocab(Tables.documents(s, d)).orderBy(col("piece"))),
+
+    "text_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.unigramEncode(docs, TextAnalysis.unigramVocab(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -1641,6 +1653,26 @@ object SparkEntry {
        |wch AS (SELECT piece, cnt FROM wpc WHERE len(piece) = 1),
        |wvocab AS (SELECT piece, max(cnt) AS cnt
        |           FROM (SELECT * FROM wtk UNION ALL SELECT * FROM wch) GROUP BY piece)""".stripMargin
+
+  /** Unigram-LM piece-vocab CTE chain (ends in `uvocab`): the
+    * WordPiece substring grid re-scored freq×len, top-64 by
+    * (score desc, piece) ∪ single chars. */
+  private lazy val uniVocabCtes: String =
+    s"""uww AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+       |        FROM (SELECT unnest($tokSql) AS word FROM documents) GROUP BY word),
+       |upos AS (SELECT word, wcnt, unnest(range(1, len(word) + 1)) AS i FROM uww),
+       |upl AS (SELECT word, wcnt, i, unnest([1, 2, 3, 4]) AS l FROM upos),
+       |upc AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt,
+       |          CAST(sum(wcnt) * len(piece) AS BIGINT) AS score
+       |        FROM (SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |                wcnt
+       |              FROM upl WHERE i + l - 1 <= len(word)) g
+       |        GROUP BY piece),
+       |utk AS (SELECT piece, cnt, score FROM upc ORDER BY score DESC, piece LIMIT 64),
+       |uch AS (SELECT piece, cnt, score FROM upc WHERE len(piece) = 1),
+       |uvocab AS (SELECT piece, max(cnt) AS cnt, max(score) AS score
+       |           FROM (SELECT * FROM utk UNION ALL SELECT * FROM uch)
+       |           GROUP BY piece)""".stripMargin
 
   /** Positional twin of [[wpVocabCtes]] (ends in `wvocab` keyed
     * (piece, at_start)). */
@@ -3950,6 +3982,62 @@ object SparkEntry {
     "text_wordpiece_vocab" ->
       s"""WITH $wpVocabCtes
          |SELECT piece, cnt FROM wvocab ORDER BY piece""".stripMargin,
+
+    "text_unigram_vocab" ->
+      s"""WITH $uniVocabCtes
+         |SELECT piece, cnt, score FROM uvocab ORDER BY piece""".stripMargin,
+
+    // Viterbi as a recursive CTE: dp arrays (tots, nps) carried per
+    // word, one iteration per character position; candidates at
+    // position i are the score-bearing grid pieces ending there
+    // (single-char OOV at score 0); the argmax is a lexicographic
+    // struct max over (−np, tot, l) — fewest pieces, then highest
+    // score, then longer final piece — the identical comparison the
+    // Spark fold's array_max(struct(m,t,l)) performs.
+    "text_unigram_encode" ->
+      s"""WITH RECURSIVE $uniVocabCtes,
+         |udwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+         |         FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+         |         GROUP BY doc_id, word),
+         |uwl AS (SELECT DISTINCT word FROM udwx),
+         |upg AS (SELECT word, i - 1 AS s, i + l - 1 AS e, l,
+         |          substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+         |        FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM uwl),
+         |             (SELECT unnest([1, 2, 3, 4]) AS l) lx
+         |        WHERE i + l - 1 <= len(word)),
+         |ups AS (SELECT g.word, g.s, g.e, g.l,
+         |          CASE WHEN v.score IS NOT NULL THEN v.score
+         |               WHEN g.l = 1 THEN CAST(0 AS BIGINT) ELSE NULL END AS score
+         |        FROM upg g LEFT JOIN uvocab v ON v.piece = g.piece),
+         |upsv AS (SELECT * FROM ups WHERE score IS NOT NULL),
+         |udp AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS i,
+         |         [CAST(0 AS BIGINT)] AS tots, [CAST(0 AS BIGINT)] AS nps
+         |  FROM uwl
+         |  UNION ALL
+         |  SELECT word, i + 1 AS i, list_append(tots, best.t) AS tots,
+         |         list_append(nps, -best.m) AS nps
+         |  FROM (
+         |    SELECT d.word, d.i, d.tots, d.nps,
+         |           max({'m': -(d.nps[CAST(p.s + 1 AS INTEGER)] + 1),
+         |                't': d.tots[CAST(p.s + 1 AS INTEGER)] + p.score,
+         |                'l': CAST(p.l AS BIGINT)}) AS best
+         |    FROM udp d JOIN upsv p ON p.word = d.word AND p.e = d.i + 1
+         |    GROUP BY d.word, d.i, d.tots, d.nps) stp),
+         |ufin AS (SELECT word, tots[-1] AS w_tot, nps[-1] AS w_np
+         |         FROM udp WHERE i = len(word)),
+         |upd AS (SELECT doc_id, CAST(sum(n * w_np) AS BIGINT) AS n_pieces,
+         |          CAST(sum(n * w_tot) AS BIGINT) AS total_score
+         |        FROM udwx JOIN ufin USING (word) GROUP BY doc_id),
+         |ue2 AS (SELECT d.doc_id, CAST(len($tokSql) AS BIGINT) AS n_words,
+         |          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         |          coalesce(upd.n_pieces, 0) AS n_pieces,
+         |          coalesce(upd.total_score, 0) AS total_score
+         |        FROM documents d LEFT JOIN upd ON upd.doc_id = d.doc_id)
+         |SELECT doc_id, n_words, n_chars, n_pieces, total_score,
+         |  CASE WHEN n_pieces > 0 THEN (n_chars * 1000) // n_pieces
+         |       ELSE 0 END AS compression_permille
+         |FROM ue2 ORDER BY doc_id""".stripMargin,
 
     "text_wordpiece_vocab_pos" ->
       s"""WITH $wpPosVocabCtes

@@ -1266,6 +1266,124 @@ object TextAnalysis {
       .drop("__bounds")
   }
 
+  /** Unigram-LM (SentencePiece-style) piece vocabulary: candidate
+    * pieces are every substring of length 1..`maxLen` of every
+    * distinct word (overlapping positions count, weighted by word
+    * frequency — the same grid as [[wordpieceVocab]]); each piece is
+    * scored freq × len (the integer-exact stand-in for the unigram
+    * log-likelihood: both favor pieces that cover many characters
+    * often — the real trainer's EM prune re-weights this same seed
+    * set), and the vocab is the top-`v` by (score desc, piece)
+    * UNIONed with all single characters (coverage: Viterbi always
+    * has a path). All-integer → hash-exact DuckDB twin.
+    *
+    * Scale shape: identical to [[wordpieceVocab]] — one shuffle to
+    * the distinct-word grain, substring grid at word-vocabulary size
+    * (Heaps-law sublinear), one piece hash-agg, top-v as
+    * TakeOrderedAndProject. */
+  def unigramVocab(docs: DataFrame, v: Int = 64, maxLen: Int = 4,
+                   textCol: String = "text"): DataFrame = {
+    require(v > 0 && maxLen >= 1 && maxLen <= 8,
+      s"bad unigram params v=$v maxLen=$maxLen")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val words = Partitioning.fanOut(docs)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val pieces = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("wcnt"), col("i"),
+        explode(sequence(lit(1), lit(maxLen))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .select(col("word").substr(col("i"), col("l")).as("piece"), col("wcnt"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+      .withColumn("score", (col("cnt") * length(col("piece"))).cast("long"))
+    val topv = pieces.orderBy(col("score").desc, col("piece")).limit(v)
+    val chars = pieces.filter(length(col("piece")) === 1)
+    topv.unionByName(chars).groupBy(col("piece"))
+      .agg(max(col("cnt")).as("cnt"), max(col("score")).as("score"))
+  }
+
+  /** Viterbi dynamic program over one word under a piece→score map:
+    * dp[i] = best segmentation of the first i characters under the
+    * LEXICOGRAPHIC objective (fewest pieces, then highest Σ piece
+    * scores, then longer final piece) — the integer-exact stand-in
+    * for unigram max-likelihood: log-probs penalize every extra
+    * piece, so the ML segmentation is fewest-pieces-first with
+    * probability mass breaking ties (a pure "maximize Σ freq·len"
+    * objective degenerates to all-singles, since single chars carry
+    * the largest counts). Candidates at position i are the vocab
+    * pieces of length 1..maxLen ending there, with out-of-vocab
+    * single characters allowed at score 0 (coverage). The argmax
+    * compares struct(−np, tot, len) — the same lexicographic struct
+    * max the DuckDB twin evaluates, bit-identical. Returns
+    * struct(np, tot). */
+  private def unigramViterbi(word: Column, scoreMap: Column, maxLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("np"), lit(0L).as("tot"))),
+      (dp, i) => {
+        val cands = (1 to maxLen).map { l =>
+          val piece = word.substr(i - l + 1, lit(l))
+          val sc0 = element_at(scoreMap, piece)
+          val sc = if (l == 1) coalesce(sc0, lit(0L)) else sc0
+          val prev = element_at(dp, i - l + 1)
+          when(lit(l) <= i && sc.isNotNull,
+            struct(
+              (-(prev.getField("np") + 1L)).as("m"),
+              (prev.getField("tot") + sc).as("t"),
+              lit(l.toLong).as("l")))
+        }
+        val best = array_max(array(cands: _*)) // nulls (guarded branches) skipped
+        concat(dp, array(struct((-best.getField("m")).as("np"),
+          best.getField("t").as("tot"))))
+      },
+      dp => element_at(dp, -1))
+
+  /** OPTIMAL segmentation under a [[unigramVocab]] table — the
+    * unigram-LM inference (SentencePiece Viterbi), completing the
+    * tokenizer trio: BPE merges greedily by learned rule order,
+    * WordPiece matches greedily longest-first, unigram DP-solves each
+    * word for the globally optimal segmentation (fewest pieces, score
+    * tie-break — greedy MaxMatch does NOT always achieve the minimum:
+    * a long first match can orphan the tail into singles that two
+    * mid-length pieces would have avoided). Per doc: word count,
+    * optimal piece count, total score, chars-per-piece compression.
+    *
+    * Same grain discipline as [[wordpieceEncode]]: the DP runs once
+    * per DISTINCT word (vocabulary-sized, not corpus-sized), the
+    * vocab rides driver-collected as a map literal (model-small by
+    * construction), per-doc numbers come from one join-back +
+    * aggregation. The DuckDB twin replays the DP as a recursive CTE
+    * carrying the dp arrays — identical integers end to end. */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame, maxLen: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val pairs = vocab.select(col("piece"), col("score")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scoreMap = typedlit(pairs)
+    val dw = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+    val wordDp = dw.select(col("word")).distinct()
+      .withColumn("__dp", unigramViterbi(col("word"), scoreMap, maxLen))
+      .select(col("word"), col("__dp.tot").as("w_tot"), col("__dp.np").as("w_np"))
+    val perDoc = dw.join(wordDp, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("w_np")).as("n_pieces"),
+        sum(col("n") * col("w_tot")).as("total_score"))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_pieces", coalesce(col("n_pieces"), lit(0L)))
+      .withColumn("total_score", coalesce(col("total_score"), lit(0L)))
+      .withColumn("compression_permille",
+        when(col("n_pieces") > 0,
+          floor(col("n_chars") * 1000 / col("n_pieces")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** N-gram novelty: per document, how many of its distinct word
     * k-grams were already seen in an EARLIER document (smaller id —
     * ingest order), as an integer-permille staleness share. The

@@ -427,4 +427,50 @@ class TextOpsSpec extends SparkSpec {
     val agree = a.count { case (id, k) => e(id) == k }.toDouble / a.size
     assert(agree >= 0.97, s"approx/exact keep agreement $agree")
   }
+
+  test("unigram Viterbi achieves the minimum piece count; greedy MaxMatch can miss it") {
+    // vocab from a corpus where greedy fails on "abcd": pieces "abc"
+    // (greedy's first grab) and {"ab","cd"} both exist; greedy takes
+    // "abc" + "d" = 2... construct the classic: word "abcde" with
+    // vocab {"abcd","ab","cde"}: greedy = "abcd"+"e" = 2, optimal =
+    // "ab"+"cde" = 2 — tie. True separation needs maxLen pieces the
+    // greedy orphans: "abcd" with vocab {"abc","ab","cd"} only:
+    // greedy: "abc"+"d"(OOV single) = 2 pieces; Viterbi: "ab"+"cd" =
+    // 2 pieces — tie on count, but Viterbi's tot is higher (no
+    // zero-score OOV). With "abcdx" and vocab {"abcd","ab","cdx"}:
+    // greedy "abcd"+"x" = 2, Viterbi "ab"+"cdx" = 2 — again the win
+    // shows in scores. Piece-COUNT separation: "aaab" with vocab
+    // {"aaa","aa","ab"}: greedy "aaa"+"b" = 2, Viterbi "aa"+"ab" = 2.
+    // MaxMatch ties on count here but loses score whenever its tail
+    // falls to OOV singles — assert exactly that.
+    import spark.implicits._
+    val corpus = Seq((1L, "abc abc ab cd abcd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramVocab(corpus, v = 8, maxLen = 4)
+    val enc = TextAnalysis.unigramEncode(corpus, vocab)
+      .select("n_pieces", "total_score").as[(Long, Long)].head()
+    // the optimum must never exceed the greedy piece count and its
+    // score must be ≥ any single alternative; exact values pinned by
+    // the oracle — here pin structural invariants
+    assert(enc._1 >= 1L && enc._2 > 0L)
+    // direct optimality check on the corpus: n_pieces ≤ n_chars and
+    // ≥ n_words (each word needs ≥1 piece)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val full = TextAnalysis.unigramEncode(docs, TextAnalysis.unigramVocab(docs))
+    val bad = full.filter(col("n_pieces") > col("n_chars") ||
+      col("n_pieces") < col("n_words")).count()
+    assert(bad === 0L)
+    // Viterbi piece count is a true lower bound vs greedy WordPiece
+    // over the same maxLen (vocabularies differ by construction, so
+    // compare against greedy under the UNIGRAM vocab pieces): segment
+    // each distinct word both ways and assert viterbi ≤ greedy
+    val uv = TextAnalysis.unigramVocab(docs)
+    val greedy = TextAnalysis.wordpieceEncodeNarrow(docs,
+      uv.select("piece").as[String].collect().toSeq)
+      .select(col("doc_id"), col("n_wp_tokens"))
+    val both = full.select(col("doc_id"), col("n_pieces")).join(greedy, "doc_id")
+    val worse = both.filter(col("n_pieces") > col("n_wp_tokens")).count()
+    assert(worse === 0L, "Viterbi must never use more pieces than greedy MaxMatch")
+    val strictlyBetter = both.filter(col("n_pieces") < col("n_wp_tokens")).count()
+    assert(strictlyBetter > 0L, "on this corpus the optimum should beat greedy somewhere")
+  }
 }
