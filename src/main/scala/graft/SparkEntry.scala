@@ -868,6 +868,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // GIF87a pixel decode: full variable-width LZW (the spec-mandated
+    // compression — hand-rolled; the JDK has no standalone LZW) over
+    // complete fixture GIFs with an analytic palette + index grid.
+    "mm_decode_gif" -> ((s, d) => {
+      Multimodal.decodeGif(Multimodal.syntheticGifBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ─────────── end-to-end curation as ONE oracle-checked query ───────────
     // The whole batch pipeline — Gopher quality gate → exact dedup
     // (min-id per content hash) → banded-Jaccard near-dedup (min-id
@@ -3200,6 +3213,24 @@ object SparkEntry {
         |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS r FROM gx),
         |pj AS (SELECT doc_id, w, h, (doc_id + x + r) % 16 AS j FROM px)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((doc_id + 3 * j) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id + 5 * j) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + 7 * j) % 256) AS BIGINT) AS sum_b,
+        |       CAST(0 AS BIGINT) AS sum_a
+        |FROM pj GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // GIF LZW decode: the oracle substitutes the analytic 16-entry
+    // palette into the analytic index grid — a hash match proves the
+    // variable-width LZW decode read every pixel back correctly.
+    "mm_decode_gif" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS w, 1 + doc_id % 8 AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS r FROM gx),
+        |pj AS (SELECT doc_id, w, h, (doc_id + x + 3 * r) % 16 AS j FROM px)
         |SELECT doc_id,
         |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       CAST(3 AS BIGINT) AS channels,

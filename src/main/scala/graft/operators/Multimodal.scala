@@ -454,6 +454,244 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL pixel decode for GIF87a/89a with a global color table: walks
+    * the logical-screen descriptor + image descriptor, concatenates
+    * the image sub-blocks, and runs a full GENERAL LZW decoder
+    * (variable code width mcs+1..12, clear/end codes, dictionary
+    * rebuild, the code==next "KwKwK" case) resolving indices through
+    * the color table into per-channel sums. GIF's LZW is the
+    * spec-mandated compression, so like PNG's inflate this is a real
+    * compressed-codec path, hand-rolled because the JDK carries no
+    * standalone LZW.
+    *
+    * Untrusted-byte hardening: descriptor/table lengths bounds-checked
+    * before any read; dims capped (2^14 per axis, 2^26 pixels) before
+    * the output accounting; codes outside the live dictionary, output
+    * beyond width·height, a missing end-of-information, or a truncated
+    * sub-block chain all yield `None`, never a throw or a spin.
+    * Interlaced images, local color tables, and transparency
+    * extensions stay on the stub seam ([[decodeStub]]). */
+  private[graft] def decodeGifPixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val gctFlag = (bytes(10) & 0x80) != 0
+    val gctBits = (bytes(10) & 0x07) + 1
+    if (!gctFlag) return None // color resolution needs a table
+    val gctLen = 3 * (1 << gctBits)
+    var p = 13
+    if (p + gctLen > bytes.length) return None
+    val palette = java.util.Arrays.copyOfRange(bytes, p, p + gctLen)
+    p += gctLen
+    // skip 0x21 extension blocks (each: introducer, label, sub-blocks)
+    while (p < bytes.length && (bytes(p) & 0xff) == 0x21) {
+      p += 2
+      while (p < bytes.length && bytes(p) != 0) {
+        p += 1 + (bytes(p) & 0xff)
+        if (p > bytes.length) return None
+      }
+      p += 1
+    }
+    if (p + 10 > bytes.length || (bytes(p) & 0xff) != 0x2c) return None
+    val width = u16le(bytes, p + 5)
+    val height = u16le(bytes, p + 7)
+    val imgPacked = bytes(p + 9) & 0xff
+    if ((imgPacked & 0x80) != 0 || (imgPacked & 0x40) != 0) return None // local table / interlace
+    if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
+    val nPixels = width.toLong * height
+    if (nPixels > (1L << 26)) return None
+    p += 10
+    if (p >= bytes.length) return None
+    val mcs = bytes(p) & 0xff
+    if (mcs < 2 || mcs > 8) return None
+    p += 1
+    // concatenate the image sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (p >= bytes.length) return None
+      val len = bytes(p) & 0xff
+      if (len == 0) { done = true; p += 1 }
+      else {
+        if (p + 1 + len > bytes.length) return None
+        data.write(bytes, p + 1, len)
+        p += 1 + len
+      }
+    }
+    val stream = data.toByteArray
+    // general LZW decode, LSB-first bit order
+    val clear = 1 << mcs
+    val end = clear + 1
+    val dict = new Array[Array[Byte]](4096)
+    var next = end + 1
+    var codeWidth = mcs + 1
+    var i = 0
+    while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+    val sums = new Array[Long](3)
+    var outCount = 0L
+    var prev: Array[Byte] = null
+    var bitPos = 0L
+    val totalBits = stream.length.toLong * 8
+    def readCode(w: Int): Int = {
+      if (bitPos + w > totalBits) return -1
+      var v = 0; var k = 0
+      while (k < w) {
+        val b = stream(((bitPos + k) >> 3).toInt) & 0xff
+        if ((b & (1 << ((bitPos + k) & 7))) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += w
+      v
+    }
+    def emit(entry: Array[Byte]): Boolean = {
+      var j = 0
+      while (j < entry.length) {
+        val idx = entry(j) & 0xff
+        if (idx * 3 + 2 >= palette.length) return false
+        if (outCount >= nPixels) return false
+        sums(0) += palette(idx * 3) & 0xff
+        sums(1) += palette(idx * 3 + 1) & 0xff
+        sums(2) += palette(idx * 3 + 2) & 0xff
+        outCount += 1
+        j += 1
+      }
+      true
+    }
+    var finished = false
+    while (!finished) {
+      val code = readCode(codeWidth)
+      if (code < 0) return None // truncated stream
+      if (code == clear) {
+        var j = end + 1; while (j < next) { dict(j) = null; j += 1 }
+        next = end + 1; codeWidth = mcs + 1; prev = null
+      } else if (code == end) {
+        finished = true
+      } else {
+        val entry: Array[Byte] =
+          if (code < next && dict(code) != null) dict(code)
+          else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        if (!emit(entry)) return None
+        if (prev != null && next < 4096) {
+          dict(next) = prev :+ entry(0)
+          next += 1
+          if (next < 4096 && next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = entry
+      }
+    }
+    if (outCount != nPixels) return None
+    Some((width, height, 3, nPixels, sums(0), sums(1), sums(2), 0L))
+  }
+
+  /** [[decodeGifPixels]] at scale: constant-memory per-partition
+    * iteration, non-decodable payloads dropped (stub seam). */
+  def decodeGif(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngPixelSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeGifPixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sr, sg, sb, sa) =>
+            Row(r.getLong(0), w, h, ch, np, sr, sg, sb, sa)
+        }
+      }
+    }(enc)
+  }
+
+  /** GIF LZW bitstream for an index sequence: a spec-valid ROOT-ONLY
+    * parse (LZW encoders may choose any parse — greedy is customary,
+    * not required) that mirrors the DECODER's dictionary/width
+    * schedule exactly: every emitted literal after the first causes
+    * one decoder dictionary add, and the code width bumps when the
+    * add reaches 1<<width — so the fixture exercises the decoder's
+    * full variable-width machinery while the encoder needs no
+    * dictionary at all. Emits clear up front, resets at 4095 to stay
+    * in range, end-of-information last; LSB-first packing. */
+  private[graft] def gifLzwEncode(indices: Array[Int], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var curBits = 0
+    var width = mcs + 1
+    var next = end + 1
+    def put(code: Int): Unit = {
+      cur |= code.toLong << curBits
+      curBits += width
+      while (curBits >= 8) {
+        out.write((cur & 0xff).toInt); cur >>= 8; curBits -= 8
+      }
+    }
+    put(clear)
+    var started = false
+    for (k <- indices) {
+      if (next == 4095) { // pre-emptive reset, mirrors decoder state
+        put(clear); next = end + 1; width = mcs + 1; started = false
+      }
+      put(k)
+      if (started) {
+        next += 1
+        if (next < 4096 && next == (1 << width) && width < 12) width += 1
+      }
+      started = true
+    }
+    put(end)
+    if (curBits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** A COMPLETE GIF87a: 16-entry global color table with the analytic
+    * RGB of the palette-PNG fixtures (entry j = ((id+3j)%256,
+    * (id+5j)%256, (id+7j)%256)), pixel index (id + x + 3r) % 16, LZW
+    * mcs=4 — the decode oracle substitutes the palette formula into
+    * the index formula. */
+  private[graft] def gifBytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(width); w16(height)
+    out.write(0x80 | 0x03) // GCT present, 2^(3+1)=16 entries
+    out.write(0); out.write(0)
+    for (j <- 0 until 16) {
+      out.write((((id + 3 * j) % 256) + 256).toInt % 256)
+      out.write((((id + 5 * j) % 256) + 256).toInt % 256)
+      out.write((((id + 7 * j) % 256) + 256).toInt % 256)
+    }
+    out.write(0x2c); w16(0); w16(0); w16(width); w16(height); out.write(0)
+    out.write(4) // LZW minimum code size
+    val idx = Array.tabulate(width * height) { k =>
+      val x = k % width; val r = k / width
+      ((((id + x + 3L * r) % 16) + 16) % 16).toInt
+    }
+    val lzw = gifLzwEncode(idx, 4)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic complete GIFs keyed on doc_id — the fixture
+    * generator for [[decodeGif]]. */
+  def syntheticGifBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, gifBytes(id, (1 + id % 12).toInt, (1 + id % 8).toInt))
+      }
+    }(enc)
+  }
+
   /** One PNG chunk: [len BE][type][payload][CRC32(type||payload)] —
     * real CRCs, so fixtures are valid PNGs end to end. */
   private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {

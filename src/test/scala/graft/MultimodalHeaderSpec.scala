@@ -529,4 +529,44 @@ class MultimodalHeaderSpec extends SparkSpec {
         ((sr, sg, sb, sa)), s"sums id=$id")
     }
   }
+
+  test("GIF LZW decode agrees with javax.imageio on every fixture (independent decoder)") {
+    // the fixture encoder and our decoder share the width-schedule
+    // convention BY CONSTRUCTION — ImageIO's GIF reader is the
+    // independent referee that catches a compensating-bug pair
+    for (id <- 0L until 40L) {
+      val (w, h) = ((1 + id % 12).toInt, (1 + id % 8).toInt)
+      val bytes = Multimodal.gifBytes(id, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept fixture id=$id")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+      }
+      val got = Multimodal.decodeGifPixels(bytes)
+      assert(got.isDefined, s"decodeGifPixels must accept fixture id=$id")
+      val (gw, gh, _, np, sr, sg, sb, _) = got.get
+      assert(gw === w && gh === h && np === w.toLong * h)
+      assert((sr, sg, sb) === ((er, eg, eb)), s"channel sums vs ImageIO, id=$id")
+    }
+  }
+
+  test("GIF decoder refuses corrupt input instead of throwing or spinning") {
+    val good = Multimodal.gifBytes(7L, 9, 6)
+    assert(Multimodal.decodeGifPixels(good).isDefined)
+    // truncations at every prefix length must return None, not throw
+    for (cut <- 0 until good.length by 3) {
+      assert(Multimodal.decodeGifPixels(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // flip bytes inside the LZW stream: must never throw (None or a
+    // differing-but-bounded decode are both acceptable outcomes)
+    for (i <- (good.length - 12) until good.length) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      Multimodal.decodeGifPixels(mut) // must not throw
+    }
+    assert(Multimodal.decodeGifPixels(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeGifPixels(null).isEmpty)
+  }
 }
