@@ -1384,6 +1384,35 @@ object TextAnalysis {
           .otherwise(lit(0L)))
   }
 
+  /** NARROW (per-row) twin of [[unigramEncode]]: the Viterbi fold
+    * runs over every token occurrence inside the row — strictly more
+    * compute on repeated words, but ZERO shuffle, so it composes into
+    * Structured Streaming unchanged (in-flight OPTIMAL-tokenizer
+    * metering, the unigram sibling of [[wordpieceEncodeNarrow]]).
+    * Identical results to the batch form by construction (same fold).
+    * `vocabScores` is the driver-collected piece→score model. */
+  def unigramEncodeNarrow(docs: DataFrame, vocabScores: Map[String, Long],
+                          maxLen: Int = 4, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val scoreMap = typedlit(vocabScores)
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"),
+      coalesce(aggregate(
+        transform(tokens(col(textCol)),
+          w => unigramViterbi(w, scoreMap, maxLen)),
+        struct(lit(0L).as("np"), lit(0L).as("tot")),
+        (a, x) => struct((a.getField("np") + x.getField("np")).as("np"),
+          (a.getField("tot") + x.getField("tot")).as("tot"))),
+        struct(lit(0L).as("np"), lit(0L).as("tot"))).as("__s"))
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        col("__s.np").as("n_pieces"), col("__s.tot").as("total_score"))
+      .withColumn("compression_permille",
+        when(col("n_pieces") > 0,
+          floor(col("n_chars") * 1000 / col("n_pieces")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** N-gram novelty: per document, how many of its distinct word
     * k-grams were already seen in an EARLIER document (smaller id —
     * ingest order), as an integer-permille staleness share. The

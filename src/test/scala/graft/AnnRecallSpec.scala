@@ -384,6 +384,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(gotDf.count() === before)
   }
 
+  test("TopicDriftStream: per-batch histograms ≡ batch assignment; replay is exactly-once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cents = Similarity.ivfTrain(clustered, k = nClusters, iters = 2)
+    val mdir = java.nio.file.Files.createTempDirectory("graft_drift_model").toString
+    cents.write.mode("overwrite").parquet(mdir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_drift_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.TopicDriftStream.start(
+      mem.toDF.toDF("vec_id", "embedding"), "runD", mdir, outDir, ckpt)
+    def vecRows(pred: org.apache.spark.sql.Column): Seq[(Long, Seq[Double])] =
+      clustered.filter(pred).select("vec_id", "embedding")
+        .as[(Long, Seq[Double])].collect().toSeq
+    val b0 = vecRows(col("vec_id") < 20)
+    mem.addData(b0: _*); q.processAllAvailable()
+    val b1 = vecRows(col("vec_id") >= 20 && col("vec_id") < 30)
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    // parity: each batch's streamed histogram ≡ batch ivfAssign groupBy
+    def gotDf = spark.read.parquet(outDir).filter(col("run_id") === "runD")
+    def expected(ids: Seq[Long]): Map[Long, Long] =
+      Similarity.ivfAssign(clustered.filter(col("vec_id").isin(ids: _*)), cents)
+        .groupBy("cell").count()
+        .as[(Long, Long)].collect().toMap
+    val got0 = gotDf.filter(col("batch_id") === 0L)
+      .select("cell", "cnt").as[(Long, Long)].collect().toMap
+    val got1 = gotDf.filter(col("batch_id") === 1L)
+      .select("cell", "cnt").as[(Long, Long)].collect().toMap
+    assert(got0 === expected(b0.map(_._1)))
+    assert(got1 === expected(b1.map(_._1)))
+    // permille shares sum to ≤ 1000 per batch (floor rounding)
+    val s0 = gotDf.filter(col("batch_id") === 0L)
+      .agg(sum("permille")).as[Long].head()
+    assert(s0 > 900L && s0 <= 1000L)
+    // replay batch 0 (a foreachBatch retry): identical overwrite
+    val before = gotDf.count()
+    graft.streaming.TopicDriftStream.process(
+      clustered.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+      "runD", 0L, mdir, outDir)
+    assert(gotDf.count() === before)
+    assert(gotDf.filter(col("batch_id") === 0L)
+      .select("cell", "cnt").as[(Long, Long)].collect().toMap === got0)
+  }
+
   test("k-means|| seeding: deterministic, spreads across clusters, beats min-id WCSS") {
     // the clustered fixture is the adversarial case for min-id seeding:
     // ids are ordered BY cluster (c·perCluster + i), so ivfTrain's k

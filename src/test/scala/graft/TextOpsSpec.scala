@@ -473,4 +473,21 @@ class TextOpsSpec extends SparkSpec {
     val strictlyBetter = both.filter(col("n_pieces") < col("n_wp_tokens")).count()
     assert(strictlyBetter > 0L, "on this corpus the optimum should beat greedy somewhere")
   }
+
+  test("unigramEncodeNarrow (zero-shuffle streaming twin) equals the batch encode") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(80)
+    val vocab = TextAnalysis.unigramVocab(docs)
+    val scores = vocab.select("piece", "score").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val narrow = TextAnalysis.unigramEncodeNarrow(docs, scores)
+    // zero shuffle: no Exchange anywhere in the narrow plan
+    assert(!narrow.queryExecution.executedPlan.toString.contains("Exchange"),
+      "narrow unigram metering must not shuffle")
+    val a = narrow.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.unigramEncode(docs, vocab)
+      .select("doc_id", "n_words", "n_chars", "n_pieces", "total_score",
+        "compression_permille")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
