@@ -407,6 +407,18 @@ object SparkEntry {
         .orderBy(col("zorder"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Hilbert-curve clustering key: the Z-order successor — same
+    // rectangle-covering property for min/max skipping, but no long
+    // diagonal jumps, so file bounding boxes are tighter. Native
+    // codegen'd bit walk (graft.functions.HilbertIndex).
+    "rel_hilbert" -> ((s, d) => {
+      graft.operators.Partitioning.hilbertBy(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("hilbert"))
+        .orderBy(col("hilbert"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Sketch aggregates: HLL++ distinct and t-digest-style quantiles.
     // No oracleSql on purpose — sketch algorithms differ per engine, so
     // the driver records the weaker rows-only check for this one.
@@ -2003,6 +2015,34 @@ object SparkEntry {
        |        FROM sbands GROUP BY band, bv, source, lang)""".stripMargin
   }
 
+  /** Hilbert xy2d walk over `lineitem` as `bits` chained CTE steps
+    * (h0 = raw keys, h<bits> = final (x, y, d) state). Quadrant digit
+    * (3rx)⊕ry is written 3rx + ry − 2rxry (same values over bits, no
+    * XOR surface needed); rotation/swap as CASE. */
+  private def hilbertCtes(aCol: String, bCol: String, bits: Int): String = {
+    val n = 1L << bits // flip over the FULL grid (canonical xy2d):
+    // the s−1−x variant goes negative at lower levels and //-vs-%
+    // semantics on negatives diverge across engines
+    val steps = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val rx = s"((x // $s) % 2)"
+      val ry = s"((y // $s) % 2)"
+      s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN $ry = 0
+         |       THEN (CASE WHEN $rx = 1 THEN $n - 1 - y ELSE y END)
+         |       ELSE x END AS x,
+         |  CASE WHEN $ry = 0
+         |       THEN (CASE WHEN $rx = 1 THEN $n - 1 - x ELSE x END)
+         |       ELSE y END AS y,
+         |  d + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry) AS d
+         |  FROM h$k)""".stripMargin
+    }
+    (Seq(s"""h0 AS (SELECT l_orderkey, l_linenumber,
+            |  CAST($aCol AS BIGINT) AS x, CAST($bCol AS BIGINT) AS y,
+            |  CAST(0 AS BIGINT) AS d FROM lineitem)""".stripMargin) ++ steps)
+      .mkString(",\n")
+  }
+
   /** Char k-gram (k=5) set, the DuckDB twin of CharShingles. */
   private val charGramSql: String =
     "list_transform(range(1, length(text) - 3), i -> substr(text, CAST(i AS INTEGER), 5))"
@@ -2476,6 +2516,15 @@ object SparkEntry {
          |FROM lineitem
          |ORDER BY zorder, l_orderkey, l_linenumber""".stripMargin,
 
+    // Hilbert xy2d walk as chained CTE steps — one per bit level,
+    // generated; the list_reduce lambda form mis-evaluates on
+    // multi-row data (the documented DuckDB vectorizer bug), so the
+    // fold is FLAT like the wordpiece oracle.
+    "rel_hilbert" ->
+      s"""WITH ${hilbertCtes("l_partkey", "l_suppkey", 16)}
+         |SELECT l_orderkey, l_linenumber, d AS hilbert
+         |FROM h16 ORDER BY hilbert, l_orderkey, l_linenumber""".stripMargin,
+
     "rel_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
         |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
@@ -2568,11 +2617,14 @@ object SparkEntry {
          |         FROM pref p JOIN post q
          |           ON p.t = q.t AND p.source = q.source AND p.lang = q.lang
          |         WHERE p.doc_id <> q.doc_id),
+         |gh AS (SELECT doc_id, ${hexSliceSql("m", 1)} AS gh
+         |       FROM (SELECT doc_id, md5(t) AS m FROM tok) mx),
+         |ghs AS (SELECT doc_id, list_sort(list(DISTINCT gh)) AS hs FROM gh GROUP BY doc_id),
          |v AS (SELECT cand.doc_a, cand.doc_b,
-         |        CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT) AS inter,
-         |        least(a.sz, b.sz) AS minsz
-         |      FROM cand JOIN base a ON a.doc_id = cand.doc_a
-         |                JOIN base b ON b.doc_id = cand.doc_b)
+         |        CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS inter,
+         |        least(CAST(len(a.hs) AS BIGINT), CAST(len(b.hs) AS BIGINT)) AS minsz
+         |      FROM cand JOIN ghs a ON a.doc_id = cand.doc_a
+         |                JOIN ghs b ON b.doc_id = cand.doc_b)
          |SELECT doc_a, doc_b, inter, minsz,
          |       CAST(floor(inter * 1000 / minsz) AS BIGINT) AS cont_permille
          |FROM v WHERE floor(inter * 1000 / minsz) >= 800

@@ -448,25 +448,25 @@ object Dedup {
                                  idCol: String, maxPostings: Int): ContainmentPairs = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       s"thresholdPermille in [1,1000], got $thresholdPermille")
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", tsetExpr)
       .withColumn("tsz", size(col("tset")).cast("long"))
       .filter(col("tsz") >= 1)
       .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
+    // tsz rides the explode so the rank stage needs no second window
     val tok = base.select(col(idCol) +: explode(col("tset")).as("t") +:
-      strataCols.map(col): _*)
+      col("tsz") +: strataCols.map(col): _*)
     val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val dropped = cnt.filter(col("c") > maxPostings)
     val tokc = tok.join(cnt, "t")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("c"), col("t"))
-    val ranked = tokc
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))).cast("long"))
+    val ranked = tokc.withColumn("rn", row_number().over(w).cast("long"))
     // prefix length |S| − ⌈t·|S|⌉ + 1, ceil in exact integers
     val pref = ranked.filter(col("rn") <=
-        col("sz") - floor((lit(thresholdPermille.toLong) * col("sz") + 999L) / 1000L) + 1L)
+        col("tsz") - floor((lit(thresholdPermille.toLong) * col("tsz") + 999L) / 1000L) + 1L)
       .select(col(idCol).as("__p") +: col("t") +: strataCols.map(col): _*)
     // the posting side renames EVERY shared column (key included):
     // both frames derive from `tokc`, so an unrenamed pref("t") ===
@@ -483,12 +483,25 @@ object Dedup {
       .select(least(col("__p"), col("__q")).as("doc_a"),
         greatest(col("__p"), col("__q")).as("doc_b"))
       .distinct()
+    // verification sets are 32-bit gram FINGERPRINTS (hex_slice_long
+    // of md5, the minhash slice), not the gram strings: the candidate
+    // join-back ships |pairs|·|set| array cells twice, and long
+    // equality inside array_intersect beats UTF8String by ~an order
+    // of magnitude. Both engines hash identically so the oracle stays
+    // bit-exact; a 32-bit collision merges two grams for BOTH sides
+    // of the measure (set size and intersection alike — ~|S|²/2³³ ≈
+    // 10⁻⁵ per document, far below the permille threshold grid).
+    val hsets = tok
+      .withColumn("gh", hex_slice_long(md5(col("t").cast("binary")), 0))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("gh"))).as("hs"))
+      .withColumn("hsz", size(col("hs")).cast("long"))
     val pairs = cand
-      .join(base.select(col(idCol).as("doc_a"), col("tset").as("ta"),
-        col("tsz").as("sza")), "doc_a")
-      .join(base.select(col(idCol).as("doc_b"), col("tset").as("tb"),
-        col("tsz").as("szb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .join(hsets.select(col(idCol).as("doc_a"), col("hs").as("ha"),
+        col("hsz").as("sza")), "doc_a")
+      .join(hsets.select(col(idCol).as("doc_b"), col("hs").as("hb"),
+        col("hsz").as("szb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("minsz", least(col("sza"), col("szb")))
       .withColumn("cont_permille", floor(col("inter") * 1000 / col("minsz")).cast("long"))
       .filter(col("cont_permille") >= thresholdPermille)

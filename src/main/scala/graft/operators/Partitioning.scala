@@ -56,6 +56,27 @@ object Partitioning {
       .sortWithinPartitions(col("zorder"))
   }
 
+  /** Hilbert-curve layout clustering — [[zorderBy]]'s successor for
+    * data skipping (the curve liquid clustering replaced Z-order
+    * with): both interleave two keys so range-partitioned files cover
+    * axis-aligned rectangles, but Hilbert never takes Z-order's long
+    * diagonal jumps between quadrants — consecutive indexes are
+    * always Manhattan-adjacent cells, so equal-size index ranges
+    * cover tighter boxes and per-file min/max stats overlap a
+    * predicate less often. The index is the native codegen'd
+    * [[graft.functions.HilbertIndex]] walk (narrow); the layout is
+    * the same one-range-exchange shape as [[zorderBy]]. */
+  def hilbertBy(df: DataFrame, aCol: String, bCol: String, bits: Int = 20,
+                partitions: Int = 0): DataFrame = {
+    import graft.functions.HilbertIndex.hilbert_index
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val keyed = df.withColumn("hilbert", hilbert_index(col(aCol), col(bCol), bits))
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("hilbert"))
+      .sortWithinPartitions(col("hilbert"))
+  }
+
   /** Per-FILE min/max statistics index over `cols` — the manifest a
     * table format (Iceberg/Delta) would keep, built with one scan and
     * one aggregation on `input_file_name()`. The index has one row per

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -18,6 +18,7 @@ import graft.functions.{BagOverlap, CharShingles, FreqTopK, HammingDistance, Hex
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hamming64Descriptor)
+    ext.injectFunction(GraftExtensions.hilbertIndexDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
     ext.injectFunction(GraftExtensions.wordShinglesDescriptor)
     ext.injectFunction(GraftExtensions.topkRowsDescriptor)
@@ -39,6 +40,11 @@ object GraftExtensions {
     FunctionIdentifier("hamming64"),
     new ExpressionInfo(classOf[HammingDistance].getName, "hamming64"),
     (children: Seq[Expression]) => HammingDistance(children.head, children(1)))
+
+  val hilbertIndexDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_index"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+    (children: Seq[Expression]) => HilbertIndex(children.head, children(1), children(2)))
 
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
@@ -97,7 +103,8 @@ object GraftExtensions {
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
-        tokenCountsDescriptor, bagOverlapDescriptor).foreach { d =>
+        tokenCountsDescriptor, bagOverlapDescriptor,
+        hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
   }
