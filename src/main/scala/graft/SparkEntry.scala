@@ -1068,6 +1068,13 @@ object SparkEntry {
       Corpus.topicMix(Tables.documents(s, d), Tables.embeddings(s, d), k = 4, iters = 2)
         .orderBy(col("source"), col("cell"))),
 
+    // Topical-anomaly score: per-source L1 distance (permille) between
+    // the source's cluster mix and the corpus-wide mix — the
+    // outlier-source detector next to the mix audit.
+    "corpus_topic_drift" -> ((s, d) =>
+      Corpus.topicDrift(Tables.documents(s, d), Tables.embeddings(s, d), k = 4, iters = 2)
+        .orderBy(col("source"))),
+
     // Duplication profile: how many clusters of each multiplicity the
     // exact-dedup pass found (the corpus-health report a curation run
     // logs).
@@ -3863,6 +3870,36 @@ object SparkEntry {
          |       CAST(floor(per.cnt * 1000 / tot.n) AS BIGINT) AS permille
          |FROM per JOIN tot ON per.source = tot.source
          |ORDER BY per.source, per.cell""".stripMargin,
+
+    // Per-source L1 distance vs the corpus-wide mix over the same
+    // replayed model; missing (source, cell) combos count their full
+    // corpus share via the dense grid.
+    "corpus_topic_drift" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |j AS (SELECT d.source, a.cell FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+         |per AS (SELECT source, cell, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY source, cell),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM per GROUP BY source),
+         |mix AS (SELECT per.source, per.cell,
+         |          CAST(floor(per.cnt * 1000 / tot.n) AS BIGINT) AS permille
+         |        FROM per JOIN tot ON per.source = tot.source),
+         |gcl AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS gcnt FROM per GROUP BY cell),
+         |gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS g FROM gcl),
+         |gp AS (SELECT cell, CAST(floor(gcnt * 1000 / g) AS BIGINT) AS g_permille
+         |       FROM gcl, gt),
+         |grid AS (SELECT s.source, gp.cell, gp.g_permille
+         |         FROM (SELECT DISTINCT source FROM per) s, gp),
+         |dl AS (SELECT grid.source, grid.cell, coalesce(mix.permille, 0) AS permille,
+         |         grid.g_permille
+         |       FROM grid LEFT JOIN mix ON mix.source = grid.source AND mix.cell = grid.cell)
+         |SELECT source, CAST(sum(abs(permille - g_permille)) AS BIGINT) AS l1_permille
+         |FROM dl GROUP BY source ORDER BY source""".stripMargin,
 
     "sim_ivf_assign" ->
       s"""${ivfCtes(k = 4, iters = 2)},

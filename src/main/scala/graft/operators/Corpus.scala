@@ -670,4 +670,37 @@ object Corpus {
       .select(col(strataCol), col("cell"), col("cnt"),
         floor(col("cnt") * lit(1000L) / col("__n")).cast("long").as("permille"))
   }
+
+  /** Topical-anomaly score per stratum: L1 distance (in permille)
+    * between each stratum's [[topicMix]] cell distribution and the
+    * corpus-wide cell distribution — the outlier-source detector a
+    * curation run logs next to the mix audit ("which sources are
+    * topically unlike the corpus"). Missing (stratum, cell)
+    * combinations count their full corpus share (a source covering no
+    * docs of a topic IS distance on that topic), via a stratum ×
+    * cell dense grid — k·|strata| rows, metadata-sized.
+    *
+    * Exact integers end to end: both distributions are floor-permille
+    * over counts, the L1 sum is over ≤ k terms per stratum. Same
+    * scale shape as [[topicMix]] plus one cross join of two
+    * metadata-sized frames. */
+  def topicDrift(docs: DataFrame, emb: DataFrame, k: Int, iters: Int,
+                 strataCol: String = "source",
+                 docIdCol: String = "doc_id", vecIdCol: String = "vec_id"): DataFrame = {
+    val mix = topicMix(docs, emb, k, iters, strataCol, docIdCol, vecIdCol)
+    val global = mix.groupBy(col("cell")).agg(sum(col("cnt")).as("gcnt"))
+      .withColumn("__g", sum(col("gcnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      // unpartitioned window over ≤ k rows (cell grain) — bounded by
+      // the model size, not the data
+      .select(col("cell"), floor(col("gcnt") * lit(1000L) / col("__g"))
+        .cast("long").as("g_permille"))
+    val grid = mix.select(col(strataCol)).distinct().crossJoin(global)
+    grid.join(mix.select(col(strataCol), col("cell"), col("permille")),
+        Seq(strataCol, "cell"), "left")
+      .withColumn("permille", coalesce(col("permille"), lit(0L)))
+      .groupBy(col(strataCol))
+      .agg(sum(abs(col("permille") - col("g_permille"))).as("l1_permille"))
+      .select(col(strataCol), col("l1_permille"))
+  }
 }

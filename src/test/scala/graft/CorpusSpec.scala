@@ -449,6 +449,21 @@ class CorpusSpec extends SparkSpec {
     assert(w(6L) === w(25L))
   }
 
+  test("topicDrift: L1 bounded by 2000, identical-mix strata score ~0") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val drift = Corpus.topicDrift(docs, emb, k = 4, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(drift.nonEmpty)
+    // |p - q|_1 over permille distributions is at most 2000
+    assert(drift.values.forall(v => v >= 0L && v <= 2000L))
+    // a corpus with ONE source has zero distance to the global mix
+    // (up to floor-permille rounding on the same counts: exactly 0)
+    val one = docs.withColumn("source", lit("only"))
+    val d1 = Corpus.topicDrift(one, emb, k = 4, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(d1 === Map("only" -> 0L))
+  }
+
   test("mergeAggStates over any slicing equals the direct aggregate (incremental-MV law)") {
     val ev = Tables.events(spark, sf)
       .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
