@@ -1552,6 +1552,40 @@ object SparkEntry {
     "rel_skew_profile" -> ((s, d) =>
       Relational.keySkewProfile(Tables.lineitem(s, d), "l_suppkey", topN = 10)),
 
+    // Snapshot reconciliation: classify every key across two table
+    // versions as insert/delete/update (hash-compare inside the
+    // engine; the oracle reaches identical verdicts with plain
+    // IS DISTINCT FROM — verdicts are hash-free). The new version is
+    // derived deterministically: %7 keys deleted, %5 prices bumped,
+    // %11 keys cloned as inserts.
+    "rel_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val vnew = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      Relational.snapshotDiff(o, vnew, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // COUNT DISTINCT incrementally: HLL sketch states per delta slice,
+    // union-merged, estimate read off the merged sketch. Rows-only
+    // (sketch estimates are engine-specific); the merge ≡ direct law
+    // and the error bound are pinned in SketchBoundsSpec.
+    "rel_incremental_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val slices = (0 to 2).map(i =>
+        Relational.distinctState(ev.filter(col("event_id") % 3 === i),
+          Seq(col("event_type")), col("user_id")))
+      Relational.distinctEstimate(
+          Relational.mergeDistinctStates(slices, Seq("event_type")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental materialized-view maintenance: per-key mergeable
     // state (count/sum/min/max in exact cents) computed over three
     // disjoint delta slices, then MERGED — the oracle recomputes the
@@ -4365,6 +4399,26 @@ object SparkEntry {
          |       (max_cnt * 1000) // n_rows AS top1_permille,
          |       (topn_rows * 1000) // n_rows AS topn_permille
          |FROM t CROSS JOIN tp""".stripMargin,
+
+    // Plain-comparison reconciliation twin of the Spark side's
+    // hash-compare: IS DISTINCT FROM per compared column.
+    "rel_snapshot_diff" ->
+      """WITH vnew AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |        CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |             WHEN n.o_orderkey IS NULL THEN 'delete'
+        |             WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |               OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) THEN 'update'
+        |             ELSE 'same' END AS change
+        |      FROM orders o FULL OUTER JOIN vnew n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM d WHERE change <> 'same'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Direct recompute over ALL events — the Spark side merges three
     // delta states instead; hash equality proves the merge law.

@@ -367,6 +367,42 @@ object Relational {
         min(valueCents).as("min_cents"),
         max(valueCents).as("max_cents"))
 
+  /** Snapshot diff — the data-reconciliation operator: given two
+    * versions of a keyed table, classify every key as `insert`
+    * (new-only), `delete` (old-only), or `update` (present in both
+    * with any compared column changed). The daily "what changed
+    * between yesterday's export and today's" audit, and the input to
+    * a CDC backfill when no binlog exists.
+    *
+    * Change detection hashes the compared columns per side (one
+    * md5 per row — null-safe via a sentinel, field-separated so
+    * ("a","bc") ≠ ("ab","c")) and compares hashes INSIDE the engine;
+    * the emitted verdicts are hash-free, so an oracle can reach the
+    * identical classification with plain IS DISTINCT FROM — no
+    * cross-engine hash-format coupling. Scale shape: one
+    * hash-partitioned full-outer join on the key; the hash collapses
+    * arbitrarily wide compare lists to one 32-char column before the
+    * shuffle, so shuffle width is keys + 32 bytes per side. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty, "need keys and compare columns")
+    def hashed(df: DataFrame, h: String): DataFrame =
+      df.select(keys.map(col) :+
+        md5(concat_ws("\u0001",
+          compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+          .as(h): _*)
+    val o = hashed(oldSnap, "__oh")
+    val n = hashed(newSnap, "__nh")
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__oh").isNull, lit("insert"))
+          .when(col("__nh").isNull, lit("delete"))
+          .when(col("__oh") =!= col("__nh"), lit("update"))
+          .otherwise(lit("same")))
+      .filter(col("change") =!= "same")
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** Merge aggregate states produced by [[aggState]] over disjoint
     * slices: one union + one groupBy over state-table-sized input.
     * Associative and commutative — slices can merge in any order or
@@ -380,4 +416,32 @@ object Relational {
         min(col("min_cents")).as("min_cents"),
         max(col("max_cents")).as("max_cents"))
   }
+
+  /** COUNT DISTINCT's incremental-MV state — the one aggregate
+    * [[aggState]] cannot carry (distinct does not merge by sum): a
+    * per-key Apache DataSketches HLL sketch (`hll_sketch_agg`,
+    * codegen'd, map-side combinable). Sketches union losslessly, so
+    * merge(state(deltas)) ≡ state(history) EXACTLY — not just within
+    * error bounds — and the estimate is read off the merged sketch.
+    * The nightly "distinct users per type over all history" at
+    * O(delta) cost per day, error ~1.6%/√(2^lgK) (~0.8% at the
+    * default lgK=12), state 2^lgK bytes per key. */
+  def distinctState(df: DataFrame, keys: Seq[Column], valueCol: Column): DataFrame =
+    df.groupBy(keys: _*).agg(hll_sketch_agg(valueCol).as("hll"))
+
+  /** Union [[distinctState]] sketches across slices (associative,
+    * commutative, idempotent per distinct value — re-adding a value
+    * never changes the sketch, which is why replayed deltas are
+    * harmless). */
+  def mergeDistinctStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Read the estimate off a [[distinctState]] table. */
+  def distinctEstimate(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.select(keyCols.map(col) :+
+      hll_sketch_estimate(col("hll")).as("approx_distinct"): _*)
 }

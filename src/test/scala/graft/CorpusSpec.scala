@@ -488,6 +488,18 @@ class CorpusSpec extends SparkSpec {
     assert(stepwise === direct)
   }
 
+  test("snapshotDiff classifies insert/delete/update and drops same; null-safe") {
+    val old = Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)),
+      (3L, None, Some(30L)), (4L, Some("d"), None)).toDF("k", "s", "v")
+    val neu = Seq((2L, Some("b"), Some(21L)),          // update (v changed)
+      (3L, None, Some(30L)),                            // same (null-safe equal)
+      (4L, Some("d"), Some(40L)),                       // update (null → value)
+      (5L, Some("e"), Some(50L))).toDF("k", "s", "v")   // insert; key 1 deleted
+    val got = Relational.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "delete", 2L -> "update", 4L -> "update", 5L -> "insert"))
+  }
+
   test("containmentPairs finds a low-Jaccard excerpt and honors the posting governor") {
     val docs = Seq(
       (1L, "alpha beta gamma"),                                     // 3 tokens

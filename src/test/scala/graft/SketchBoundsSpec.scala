@@ -138,4 +138,40 @@ class SketchBoundsSpec extends SparkSpec {
       assert(got === Map("a" -> 5L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
     } finally q.stop()
   }
+
+  test("HLL distinct state: merge(deltas) ≡ direct state EXACTLY; estimate within bounds") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    // merged sketch estimates EQUAL the single-pass sketch estimates —
+    // sketch union is lossless, not approximately-associative
+    val direct = Relational.distinctEstimate(
+      Relational.distinctState(ev, Seq(col("event_type")), col("user_id")),
+      Seq("event_type")).as[(String, Long)].collect().toMap
+    val merged = Relational.distinctEstimate(
+      Relational.mergeDistinctStates(
+        (0 to 2).map(i => Relational.distinctState(
+          ev.filter(col("event_id") % 3 === i), Seq(col("event_type")), col("user_id"))),
+        Seq("event_type")),
+      Seq("event_type")).as[(String, Long)].collect().toMap
+    assert(merged === direct)
+    // replayed delta (at-least-once ingest): re-adding a slice's values
+    // never moves the sketch
+    val replayed = Relational.distinctEstimate(
+      Relational.mergeDistinctStates(
+        (0 to 2).map(i => Relational.distinctState(
+          ev.filter(col("event_id") % 3 === i), Seq(col("event_type")), col("user_id"))) :+
+          Relational.distinctState(ev.filter(col("event_id") % 3 === 0),
+            Seq(col("event_type")), col("user_id")),
+        Seq("event_type")),
+      Seq("event_type")).as[(String, Long)].collect().toMap
+    assert(replayed === direct)
+    // estimates within 5% of exact distinct (default lgK=12 → ~0.8% σ)
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(merged(t) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$t: est ${merged(t)} vs exact $n")
+    }
+  }
 }
