@@ -893,6 +893,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual average-hash over DECODED pixels (gray → 8×8 block
+    // means → shift-invariant threshold → 64-bit pack) — image
+    // near-dup detection on the real decode path.
+    "mm_image_ahash" -> ((s, d) =>
+      Multimodal.imageAHash(Multimodal.syntheticAHashBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("ahash"))
+        .orderBy(col("doc_id"))),
+
+    // Near-dup image pairs by the Hamming PIGEONHOLE banding (4×16-bit
+    // slices — COMPLETE for hamming ≤ 3, proof not s-curve), verified
+    // with the native hamming64.
+    "mm_image_neardup" -> ((s, d) =>
+      Multimodal.aHashPairs(
+          Multimodal.imageAHash(Multimodal.syntheticAHashBlobs(Tables.documents(s, d))),
+          maxDistance = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ─────────── end-to-end curation as ONE oracle-checked query ───────────
     // The whole batch pipeline — Gopher quality gate → exact dedup
     // (min-id per content hash) → banded-Jaccard near-dedup (min-id
@@ -2083,6 +2101,35 @@ object SparkEntry {
             |  CAST(0 AS BIGINT) AS d FROM lineitem)""".stripMargin) ++ steps)
       .mkString(",\n")
   }
+
+  /** Shared aHash CTE chain ending in `ah(doc_id, dim, ahash)`:
+    * replays the grayBmpBytes analytic pixels through the identical
+    * integer block-mean/threshold/pack arithmetic. */
+  private lazy val aHashOracleCtes: String =
+    """WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS dim
+      |            FROM documents),
+      |gx AS (SELECT doc_id, dim, unnest(range(0, dim)) AS x FROM dm),
+      |px AS (SELECT doc_id, dim, x, unnest(range(0, dim)) AS r FROM gx),
+      |pg AS (SELECT doc_id, dim,
+      |         (r // (dim // 8)) * 8 + (x // (dim // 8)) AS cell,
+      |         ((doc_id % 5) * 40 + (7 * x + 13 * r) % 32
+      |           + (doc_id % 7) * ((x + r) % 2) * 3) % 256 AS g
+      |       FROM px),
+      |bm AS (SELECT doc_id, dim, cell,
+      |         CAST(sum(g) // ((dim // 8) * (dim // 8)) AS BIGINT) AS m
+      |       FROM pg GROUP BY doc_id, dim, cell),
+      |gm AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS gmean
+      |       FROM bm GROUP BY doc_id),
+      |hb AS (SELECT bm.doc_id, bm.dim, bm.cell,
+      |         CASE WHEN bm.m > gm.gmean THEN 1 ELSE 0 END AS bit
+      |       FROM bm JOIN gm ON bm.doc_id = gm.doc_id),
+      |ah AS (SELECT doc_id, max(dim) AS dim,
+      |         CAST(sum(CASE WHEN cell < 63
+      |                       THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+      |                       ELSE 0 END)
+      |           + sum(CASE WHEN cell = 63 AND bit = 1
+      |                      THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS ahash
+      |       FROM hb GROUP BY doc_id)""".stripMargin
 
   /** Char k-gram (k=5) set, the DuckDB twin of CharShingles. */
   private val charGramSql: String =
@@ -3333,6 +3380,23 @@ object SparkEntry {
         |       CAST(sum((doc_id + 7 * j) % 256) AS BIGINT) AS sum_b,
         |       CAST(0 AS BIGINT) AS sum_a
         |FROM pj GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // aHash replay: analytic gray grid → integer block means →
+    // floor-mean threshold → bit pack (bit 63 emitted as the signed
+    // Long's min-value term — DuckDB BIGINT << 63 overflow-checks).
+    "mm_image_ahash" -> (aHashOracleCtes +
+      """
+        |SELECT doc_id, CAST(dim AS BIGINT) AS width, CAST(dim AS BIGINT) AS height,
+        |       ahash
+        |FROM ah ORDER BY doc_id""".stripMargin),
+
+    "mm_image_neardup" -> (aHashOracleCtes +
+      """,
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |       FROM ah a JOIN ah b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id, md5('split|' || CAST(doc_id AS VARCHAR)) AS m FROM documents),

@@ -695,7 +695,7 @@ object Corpus {
       // the model size, not the data
       .select(col("cell"), floor(col("gcnt") * lit(1000L) / col("__g"))
         .cast("long").as("g_permille"))
-    val grid = mix.select(col(strataCol)).distinct().crossJoin(global)
+    val grid = mix.select(col(strataCol)).distinct().crossJoin(broadcast(global))
     grid.join(mix.select(col(strataCol), col("cell"), col("permille")),
         Seq(strataCol, "cell"), "left")
       .withColumn("permille", coalesce(col("permille"), lit(0L)))

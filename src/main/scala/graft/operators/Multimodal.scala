@@ -895,6 +895,163 @@ object Multimodal {
     b.array()
   }
 
+  /** Perceptual average-hash (aHash) over DECODED pixels — image
+    * near-dup detection on the real decode path: gray the pixels
+    * ((B+G+R)/3 integer), partition into a `grid`×`grid` block mesh,
+    * integer block means, threshold each block against the
+    * floor-mean of the 64 means (shift-invariant: a globally
+    * brightened copy hashes identically), pack into a 64-bit hash.
+    * All integers, so the DuckDB oracle replays the analytic fixture
+    * pixels through the identical arithmetic. Dims must divide the
+    * grid (rescale belongs to the codec seam); non-conforming or
+    * undecodable payloads are dropped. Narrow per-partition decode —
+    * zero shuffle. */
+  def imageAHash(blobs: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        bmpAHash(r.getAs[Array[Byte]](1), grid).map {
+          case (w, h, hash) => Row(r.getLong(0), w, h, hash)
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def bmpAHash(bytes0: Array[Byte], grid: Int): Option[(Int, Int, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (i32le(bytes, 14) < 40) return None
+    val off = i32le(bytes, 10)
+    val width = i32le(bytes, 18)
+    val height = math.abs(i32le(bytes, 22))
+    val bpp = u16le(bytes, 28)
+    if (i32le(bytes, 30) != 0 || (bpp != 24 && bpp != 32)) return None
+    if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
+    if (width % grid != 0 || height % grid != 0) return None
+    val bpx = bpp / 8
+    val stride = ((width.toLong * bpx + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride * height > bytes.length) return None
+    val bw = width / grid; val bh = height / grid
+    val sums = new Array[Long](grid * grid)
+    var row = 0
+    while (row < height) {
+      var p = off + (row * stride).toInt
+      val bj = row / bh
+      var x = 0
+      while (x < width) {
+        val gray = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
+        sums(bj * grid + x / bw) += gray
+        p += bpx
+        x += 1
+      }
+      row += 1
+    }
+    val block = bw.toLong * bh
+    var total = 0L
+    var i = 0
+    while (i < grid * grid) { sums(i) /= block; total += sums(i); i += 1 }
+    val mean = total / (grid * grid)
+    var hash = 0L
+    i = 0
+    while (i < grid * grid) { if (sums(i) > mean) hash |= 1L << i; i += 1 }
+    Some((width, height, hash))
+  }
+
+  /** Near-dup image pairs from [[imageAHash]] hashes by the Hamming
+    * PIGEONHOLE blocking: the 64-bit hash splits into `bands` equal
+    * slices and a candidate pair must agree on at least one slice —
+    * COMPLETE (not probabilistic) for hamming < bands, since
+    * `maxDistance` differing bits cannot touch every one of
+    * `bands` > maxDistance slices. Candidates verify with the native
+    * codegen'd `hamming64`. One equi-join on the (band, slice) key —
+    * the same collision-bounded shape as the LSH families, with a
+    * recall PROOF instead of an s-curve. */
+  def aHashPairs(hashes: DataFrame, maxDistance: Int, bands: Int = 4,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0 && maxDistance < bands,
+      s"pigeonhole needs maxDistance < bands and bands | 64, got d=$maxDistance b=$bands")
+    import graft.functions.HammingDistance.hamming64
+    graft.plans.GraftExtensions.register(hashes.sparkSession)
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    def banded(side: String) = hashes.select(
+      col(idCol).as(s"doc_$side"), col("ahash").as(s"sig_$side"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * w).bitwiseAND(lit(mask)).as("bv"))): _*)).as("x"))
+      .select(col(s"doc_$side"), col(s"sig_$side"),
+        col("x.band").as(if (side == "a") "band" else "band_b"),
+        col("x.bv").as(if (side == "a") "bv" else "bv_b"))
+    val a = banded("a")
+    val b = banded("b")
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Fixture generator for [[imageAHash]]: grayscale 24-bit BMPs
+    * (B=G=R) with analytic pixels
+    * px = ((id%5)·40 + (7x+13r)%32 + (id%7)·((x+r)%2)·3) % 256 and
+    * grid-divisible dims (16 or 24 square by id parity) — ids
+    * congruent mod the class key render pixel-identical images
+    * (hamming 0), same-(id%5) neighbors render near-dups, and the
+    * (id%3-free) formula keeps the oracle replay small. */
+  def syntheticAHashBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val dim = if (id % 2 == 0) 16 else 24
+        Row(id, grayBmpBytes(id, dim, dim))
+      }
+    }(enc)
+  }
+
+  private[graft] def grayBmpBytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val size = 54 + stride * height
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)
+    b.putInt(0)
+    b.putInt(54)
+    b.putInt(40)
+    b.putInt(width).putInt(height)
+    b.putShort(1)
+    b.putShort(24)
+    b.putInt(0)
+    b.putInt(stride * height)
+    b.putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    var r = 0
+    while (r < height) {
+      var x = 0
+      while (x < width) {
+        val px = (((id % 5) * 40 + (7 * x + 13 * r) % 32 +
+          (id % 7) * ((x + r) % 2) * 3) % 256).toInt
+        b.put(px.toByte); b.put(px.toByte); b.put(px.toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { b.put(0.toByte); pad += 1 }
+      r += 1
+    }
+    b.array()
+  }
+
   /** Deterministic BMPs WITH pixel payloads keyed on doc_id (even →
     * 24 bpp, odd → 32 bpp; dims arithmetic in doc_id) — the fixture
     * generator for [[decodePixels]]' oracle: the oracle re-enumerates

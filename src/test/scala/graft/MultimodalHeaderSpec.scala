@@ -553,6 +553,30 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: brightness-shift invariant; banded pairs ≡ brute force (pigeonhole)") {
+    import graft.functions.HammingDistance.hamming64
+    graft.plans.GraftExtensions.register(spark)
+    // shift invariance: +40 on every pixel (id%5 bumps the base only)
+    // with identical structure must hash identically — ids 0 and 210
+    // share id%7 and id%2 but differ in id%5 (pure brightness)
+    val h0 = Multimodal.bmpAHash(Multimodal.grayBmpBytes(0L, 16, 16), 8).get._3
+    val h210 = Multimodal.bmpAHash(Multimodal.grayBmpBytes(210L, 16, 16), 8).get._3
+    assert(h0 === h210, "a globally brightened copy must hash identically")
+    // pigeonhole completeness: banded candidate generation loses NO
+    // pair at hamming ≤ 3 (4 slices, ≤ 3 flipped bits ⇒ one slice intact)
+    val docs = graft.sources.Tables.documents(spark, sf).limit(120)
+    val hashes = Multimodal.imageAHash(Multimodal.syntheticAHashBlobs(docs))
+    val banded = Multimodal.aHashPairs(hashes, maxDistance = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val a = hashes.select(col("doc_id").as("doc_a"), col("ahash").as("sa"))
+    val b = hashes.select(col("doc_id").as("doc_b"), col("ahash").as("sb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(hamming64(col("sa"), col("sb")) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty, "fixture must contain near-dup pairs")
+  }
+
   test("GIF decoder refuses corrupt input instead of throwing or spinning") {
     val good = Multimodal.gifBytes(7L, 9, 6)
     assert(Multimodal.decodeGifPixels(good).isDefined)
