@@ -679,6 +679,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Recall@k evaluation as an operator: the label-cell IVF's top-5
+    // against the brute-force ground truth, per query — the ANN
+    // quality gate a serving pipeline runs continuously.
+    "sim_eval_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.ivfTopK(q, emb, k = 5, cellCol = "label"), q, emb, k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // Hard-negative mining: top-k highest-cosine candidates with a
     // DIFFERENT label per query — the contrastive-training negatives
     // that actually carry gradient.
@@ -2854,6 +2865,35 @@ object SparkEntry {
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Brute-force truth and label-IVF candidates replayed side by
+    // side, semi-joined per (query, cand) — queries the approx side
+    // missed still appear via the truth-side left join.
+    "sim_eval_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv, n2 AS qn2
+         |      FROM e WHERE vec_id < 10),
+         |bs AS (SELECT query_id, e.vec_id AS cand_id,
+         |         round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |       FROM q, e WHERE query_id <> e.vec_id),
+         |bt AS (SELECT query_id, cand_id FROM (
+         |         SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |         FROM bs) x WHERE rnk <= 5),
+         |ivs AS (SELECT query_id, e.vec_id AS cand_id,
+         |          round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |        FROM q JOIN e ON qlabel = e.label AND query_id <> e.vec_id),
+         |ivt AS (SELECT query_id, cand_id FROM (
+         |          SELECT query_id, cand_id,
+         |            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |          FROM ivs) y WHERE rnk <= 5),
+         |h AS (SELECT bt.query_id, CAST(count(ivt.cand_id) AS BIGINT) AS n_hits
+         |      FROM bt LEFT JOIN ivt
+         |        ON bt.query_id = ivt.query_id AND bt.cand_id = ivt.cand_id
+         |      GROUP BY bt.query_id)
+         |SELECT query_id, n_hits, CAST(floor(n_hits * 1000 / 5) AS BIGINT) AS recall_permille
+         |FROM h ORDER BY query_id""".stripMargin,
 
     "sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,

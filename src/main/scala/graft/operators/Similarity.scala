@@ -101,6 +101,31 @@ object Similarity {
     * (first md5 nibble of "h,d") − 7.5 ∈ [−7.5, 7.5]. md5-derived so
     * the DuckDB oracle can regenerate the identical planes — no RNG
     * state, no seed shipping. */
+  /** Recall@k evaluation as an operator — the ANN quality gate a
+    * serving pipeline runs continuously, not a notebook one-off: per
+    * query, |approx top-k ∩ exact top-k| / k in permille, from any
+    * candidate frame shaped (query_id, cand_id). Ground truth is
+    * [[bruteForceTopK]] over the same query set. Queries the approx
+    * index missed entirely still appear (recall 0) via the left join
+    * from the truth side. Scale: the join keys on (query_id, cand_id)
+    * — both frames are (queries×k)-sized, model-small next to the
+    * candidate generation that produced them. */
+  def recallAtK(approx: DataFrame, queries: DataFrame, candidates: DataFrame,
+                k: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val truth = bruteForceTopK(queries, candidates, k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    val hits = truth
+      .join(approx.select(col("query_id"), col("cand_id")).distinct(),
+        Seq("query_id", "cand_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_permille",
+        floor(col("n_hits") * 1000 / lit(k.toLong)).cast("long"))
+  }
+
   private[graft] def rpPlane(h: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (1 to dims).map { d =>

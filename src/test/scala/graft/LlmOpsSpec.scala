@@ -350,6 +350,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === List((0L, 2L, 0L, 0L), (1L, 2L, 1L, 500L), (2L, 2L, 2L, 1000L)))
   }
 
+  test("recallAtK: truth against itself is 1000 everywhere; bounded in [0,1000]") {
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(q, emb, k = 5)
+    val self = Similarity.recallAtK(truth, q, emb, k = 5)
+      .select("recall_permille").as[Long].collect()
+    assert(self.length === 10 && self.forall(_ === 1000L))
+    val ivf = Similarity.recallAtK(
+      Similarity.ivfTopK(q, emb, k = 5, cellCol = "label"), q, emb, k = 5)
+      .select("recall_permille").as[Long].collect()
+    assert(ivf.forall(r => r >= 0L && r <= 1000L))
+  }
+
   test("topicMix shares sum to the source totals, cells within the trained k") {
     val mix = graft.operators.Corpus.topicMix(docs, emb, k = 4, iters = 1)
     val bad = mix.filter(col("cell") < 0 || col("cell") >= 4 ||
