@@ -1520,6 +1520,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The tokenizer BAKE-OFF as one query: per doc, token counts under
+    // all three self-trained tokenizers (BPE merge-order, WordPiece
+    // greedy, unigram optimal) — the fertility comparison a tokenizer
+    // choice is actually made on. One oracle replays all three chains.
+    "corpus_tokenizer_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bpe = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"))
+      val wp = TextAnalysis.wordpieceEncode(docs, TextAnalysis.wordpieceVocab(docs))
+        .select(col("doc_id"), col("n_wp_tokens"))
+      val uni = TextAnalysis.unigramEncode(docs, TextAnalysis.unigramVocab(docs))
+        .select(col("doc_id"), col("n_pieces").as("n_uni_pieces"))
+      bpe.join(wp, "doc_id").join(uni, "doc_id").orderBy(col("doc_id"))
+    }),
+
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 
     // Per-doc top-5 characteristic terms by the integer-exact tf·idf
@@ -1749,6 +1764,32 @@ object SparkEntry {
        |wvocab AS (SELECT piece, max(cnt) AS cnt
        |           FROM (SELECT * FROM wtk UNION ALL SELECT * FROM wch) GROUP BY piece)""".stripMargin
 
+  /** WordPiece greedy-fold encode CTEs (ends in `pd(doc_id,
+    * n_wp_tokens)`; requires `wvocab` from [[wpVocabCtes]]). The fold
+    * runs FLAT over distinct-word rows — the nested list_transform
+    * form hits DuckDB's lambda-vectorizer bug (see the encode oracle
+    * note). */
+  private lazy val wpEncodeCtes: String =
+    s"""vl AS (SELECT list(piece) AS vs FROM wvocab),
+       |dwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+       |        FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+       |        GROUP BY doc_id, word),
+       |wlx AS (SELECT w AS word,
+       |  (list_reduce(list_prepend({'pos': CAST(1 AS BIGINT), 'cnt': CAST(0 AS BIGINT)},
+       |      list_transform(range(1, len(w) + 1), i -> {'pos': i, 'cnt': CAST(0 AS BIGINT)})),
+       |    (acc, x) -> CASE
+       |      WHEN x.pos != acc.pos THEN acc
+       |      WHEN acc.pos + 3 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 4))
+       |        THEN {'pos': acc.pos + 4, 'cnt': acc.cnt + 1}
+       |      WHEN acc.pos + 2 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 3))
+       |        THEN {'pos': acc.pos + 3, 'cnt': acc.cnt + 1}
+       |      WHEN acc.pos + 1 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 2))
+       |        THEN {'pos': acc.pos + 2, 'cnt': acc.cnt + 1}
+       |      ELSE {'pos': acc.pos + 1, 'cnt': acc.cnt + 1} END)).cnt AS wp_len
+       |  FROM (SELECT DISTINCT word AS w FROM dwx), vl),
+       |pd AS (SELECT doc_id, CAST(sum(n * wp_len) AS BIGINT) AS n_wp_tokens
+       |       FROM dwx JOIN wlx USING (word) GROUP BY doc_id)""".stripMargin
+
   /** Unigram-LM piece-vocab CTE chain (ends in `uvocab`): the
     * WordPiece substring grid re-scored freq×len, top-64 by
     * (score desc, piece) ∪ single chars. */
@@ -1768,6 +1809,44 @@ object SparkEntry {
        |uvocab AS (SELECT piece, max(cnt) AS cnt, max(score) AS score
        |           FROM (SELECT * FROM utk UNION ALL SELECT * FROM uch)
        |           GROUP BY piece)""".stripMargin
+
+  /** Unigram Viterbi encode CTEs (ends in `upd(doc_id, n_pieces,
+    * total_score)`; requires `uvocab` from [[uniVocabCtes]] and a
+    * `WITH RECURSIVE` prelude — `udp` carries the dp arrays). */
+  private lazy val uniEncodeCtes: String =
+    s"""udwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+       |         FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
+       |         GROUP BY doc_id, word),
+       |uwl AS (SELECT DISTINCT word FROM udwx),
+       |upg AS (SELECT word, i - 1 AS s, i + l - 1 AS e, l,
+       |          substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+       |        FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM uwl),
+       |             (SELECT unnest([1, 2, 3, 4]) AS l) lx
+       |        WHERE i + l - 1 <= len(word)),
+       |ups AS (SELECT g.word, g.s, g.e, g.l,
+       |          CASE WHEN v.score IS NOT NULL THEN v.score
+       |               WHEN g.l = 1 THEN CAST(0 AS BIGINT) ELSE NULL END AS score
+       |        FROM upg g LEFT JOIN uvocab v ON v.piece = g.piece),
+       |upsv AS (SELECT * FROM ups WHERE score IS NOT NULL),
+       |udp AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS i,
+       |         [CAST(0 AS BIGINT)] AS tots, [CAST(0 AS BIGINT)] AS nps
+       |  FROM uwl
+       |  UNION ALL
+       |  SELECT word, i + 1 AS i, list_append(tots, best.t) AS tots,
+       |         list_append(nps, -best.m) AS nps
+       |  FROM (
+       |    SELECT d.word, d.i, d.tots, d.nps,
+       |           max({'m': -(d.nps[CAST(p.s + 1 AS INTEGER)] + 1),
+       |                't': d.tots[CAST(p.s + 1 AS INTEGER)] + p.score,
+       |                'l': CAST(p.l AS BIGINT)}) AS best
+       |    FROM udp d JOIN upsv p ON p.word = d.word AND p.e = d.i + 1
+       |    GROUP BY d.word, d.i, d.tots, d.nps) stp),
+       |ufin AS (SELECT word, tots[-1] AS w_tot, nps[-1] AS w_np
+       |         FROM udp WHERE i = len(word)),
+       |upd AS (SELECT doc_id, CAST(sum(n * w_np) AS BIGINT) AS n_pieces,
+       |          CAST(sum(n * w_tot) AS BIGINT) AS total_score
+       |        FROM udwx JOIN ufin USING (word) GROUP BY doc_id)""".stripMargin
 
   /** Positional twin of [[wpVocabCtes]] (ends in `wvocab` keyed
     * (piece, at_start)). */
@@ -4254,39 +4333,7 @@ object SparkEntry {
     // Spark fold's array_max(struct(m,t,l)) performs.
     "text_unigram_encode" ->
       s"""WITH RECURSIVE $uniVocabCtes,
-         |udwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
-         |         FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
-         |         GROUP BY doc_id, word),
-         |uwl AS (SELECT DISTINCT word FROM udwx),
-         |upg AS (SELECT word, i - 1 AS s, i + l - 1 AS e, l,
-         |          substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
-         |        FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM uwl),
-         |             (SELECT unnest([1, 2, 3, 4]) AS l) lx
-         |        WHERE i + l - 1 <= len(word)),
-         |ups AS (SELECT g.word, g.s, g.e, g.l,
-         |          CASE WHEN v.score IS NOT NULL THEN v.score
-         |               WHEN g.l = 1 THEN CAST(0 AS BIGINT) ELSE NULL END AS score
-         |        FROM upg g LEFT JOIN uvocab v ON v.piece = g.piece),
-         |upsv AS (SELECT * FROM ups WHERE score IS NOT NULL),
-         |udp AS (
-         |  SELECT word, CAST(0 AS BIGINT) AS i,
-         |         [CAST(0 AS BIGINT)] AS tots, [CAST(0 AS BIGINT)] AS nps
-         |  FROM uwl
-         |  UNION ALL
-         |  SELECT word, i + 1 AS i, list_append(tots, best.t) AS tots,
-         |         list_append(nps, -best.m) AS nps
-         |  FROM (
-         |    SELECT d.word, d.i, d.tots, d.nps,
-         |           max({'m': -(d.nps[CAST(p.s + 1 AS INTEGER)] + 1),
-         |                't': d.tots[CAST(p.s + 1 AS INTEGER)] + p.score,
-         |                'l': CAST(p.l AS BIGINT)}) AS best
-         |    FROM udp d JOIN upsv p ON p.word = d.word AND p.e = d.i + 1
-         |    GROUP BY d.word, d.i, d.tots, d.nps) stp),
-         |ufin AS (SELECT word, tots[-1] AS w_tot, nps[-1] AS w_np
-         |         FROM udp WHERE i = len(word)),
-         |upd AS (SELECT doc_id, CAST(sum(n * w_np) AS BIGINT) AS n_pieces,
-         |          CAST(sum(n * w_tot) AS BIGINT) AS total_score
-         |        FROM udwx JOIN ufin USING (word) GROUP BY doc_id),
+         |$uniEncodeCtes,
          |ue2 AS (SELECT d.doc_id, CAST(len($tokSql) AS BIGINT) AS n_words,
          |          CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
          |          coalesce(upd.n_pieces, 0) AS n_pieces,
@@ -4315,25 +4362,7 @@ object SparkEntry {
     // transform variable.
     "text_wordpiece_encode" ->
       s"""WITH $wpVocabCtes,
-         |vl AS (SELECT list(piece) AS vs FROM wvocab),
-         |dwx AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
-         |        FROM (SELECT doc_id, unnest($tokSql) AS word FROM documents)
-         |        GROUP BY doc_id, word),
-         |wlx AS (SELECT w AS word,
-         |  (list_reduce(list_prepend({'pos': CAST(1 AS BIGINT), 'cnt': CAST(0 AS BIGINT)},
-         |      list_transform(range(1, len(w) + 1), i -> {'pos': i, 'cnt': CAST(0 AS BIGINT)})),
-         |    (acc, x) -> CASE
-         |      WHEN x.pos != acc.pos THEN acc
-         |      WHEN acc.pos + 3 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 4))
-         |        THEN {'pos': acc.pos + 4, 'cnt': acc.cnt + 1}
-         |      WHEN acc.pos + 2 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 3))
-         |        THEN {'pos': acc.pos + 3, 'cnt': acc.cnt + 1}
-         |      WHEN acc.pos + 1 <= len(w) AND list_contains(vs, substr(w, CAST(acc.pos AS INTEGER), 2))
-         |        THEN {'pos': acc.pos + 2, 'cnt': acc.cnt + 1}
-         |      ELSE {'pos': acc.pos + 1, 'cnt': acc.cnt + 1} END)).cnt AS wp_len
-         |  FROM (SELECT DISTINCT word AS w FROM dwx), vl),
-         |pd AS (SELECT doc_id, CAST(sum(n * wp_len) AS BIGINT) AS n_wp_tokens
-         |       FROM dwx JOIN wlx USING (word) GROUP BY doc_id),
+         |$wpEncodeCtes,
          |e2 AS (SELECT d.doc_id, CAST(len($tokSql) AS BIGINT) AS n_words,
          |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
          |         coalesce(pd.n_wp_tokens, 0) AS n_wp_tokens
@@ -4342,6 +4371,22 @@ object SparkEntry {
          |  CASE WHEN n_wp_tokens > 0 THEN (n_chars * 1000) // n_wp_tokens
          |       ELSE 0 END AS compression_permille
          |FROM e2 ORDER BY doc_id""".stripMargin,
+
+    // All three tokenizer chains replayed in ONE statement (the CTE
+    // sets are disjoint by prefix; aliases shadow same-named CTEs
+    // inside the recursive step).
+    "corpus_tokenizer_eval" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |$wpVocabCtes,
+         |$wpEncodeCtes,
+         |$uniVocabCtes,
+         |$uniEncodeCtes
+         |SELECT e.doc_id, e.n_words, e.n_chars, e.n_bpe_tokens,
+         |  coalesce(pd.n_wp_tokens, 0) AS n_wp_tokens,
+         |  coalesce(upd.n_pieces, 0) AS n_uni_pieces
+         |FROM e LEFT JOIN pd ON pd.doc_id = e.doc_id
+         |       LEFT JOIN upd ON upd.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
 
     "corpus_pack_bpe" ->
       s"""WITH $bpeEncodeCtes,
