@@ -22,6 +22,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljWhitelist: Map[String, String] = Map(
     "sim_ann_brute" -> "broadcast query vectors × candidates: the brute-force baseline by definition",
     "sim_hard_negatives" -> "broadcast query vectors × candidates under the label-inequality condition (brute-force shape; the scale path swaps in the stored ANN shortlist)",
+    "sim_eval_recall" -> "broadcast query vectors × candidates: the ground-truth side IS brute force by definition",
     "corpus_topic_mix" -> "broadcast trained centroids for cell assignment (k×dims)",
     "corpus_topic_drift" -> "broadcast trained centroids (assignment) + broadcast k-row global-mix grid cross join (both model-sized)",
     "sim_ann_ivf_nprobe" -> "broadcast trained centroids for cell assignment (k×dims)",
