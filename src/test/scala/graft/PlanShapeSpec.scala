@@ -320,6 +320,9 @@ class PlanShapeSpec extends SparkSpec {
     val posPlan = TextAnalysis.wordpieceVocabPositional(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString
     assert(posPlan.contains("TakeOrderedAndProject"), posPlan.take(3000))
+    val uniPlan = TextAnalysis.unigramVocab(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(uniPlan.contains("TakeOrderedAndProject"), uniPlan.take(3000))
   }
 
   test("bloomPrefilter prunes the corpus scan narrowly — no corpus-side exchange " +
