@@ -2777,27 +2777,31 @@ object SparkEntry {
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, source, lang, list_distinct($charGramSql) AS ts
          |           FROM documents),
-         |base AS (SELECT doc_id, source, lang, ts, CAST(len(ts) AS BIGINT) AS sz
+         |base AS (SELECT doc_id, source, lang, ts
          |         FROM d WHERE len(ts) >= 1),
          |tok AS (SELECT doc_id, source, lang, unnest(ts) AS t FROM base),
-         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
-         |tokc AS (SELECT tok.doc_id, tok.source, tok.lang, tok.t, cnt.c
-         |         FROM tok JOIN cnt USING (t)),
-         |rk AS (SELECT doc_id, source, lang, t, c,
-         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY c, t) AS BIGINT) AS rn,
-         |         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS sz
+         |gh AS (SELECT doc_id, source, lang, ${hexSliceSql("m", 1)} AS gh
+         |       FROM (SELECT doc_id, source, lang, md5(t) AS m FROM tok) mx),
+         |ghs AS (SELECT doc_id, source, lang,
+         |          list_sort(list(DISTINCT gh)) AS hs
+         |        FROM gh GROUP BY doc_id, source, lang),
+         |tokh AS (SELECT doc_id, source, lang, CAST(len(hs) AS BIGINT) AS hsz,
+         |           unnest(hs) AS gh FROM ghs),
+         |cnt AS (SELECT gh, CAST(count(*) AS BIGINT) AS c FROM tokh GROUP BY gh),
+         |tokc AS (SELECT tokh.doc_id, tokh.source, tokh.lang, tokh.hsz, tokh.gh, cnt.c
+         |         FROM tokh JOIN cnt USING (gh)),
+         |rk AS (SELECT doc_id, source, lang, gh, c, hsz,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY c, gh) AS BIGINT) AS rn
          |       FROM tokc),
-         |pref AS (SELECT doc_id, source, lang, t FROM rk
-         |         WHERE rn <= sz - ((800 * sz + 999) // 1000) + 1),
-         |post AS (SELECT doc_id, source, lang, t FROM tokc WHERE c <= 10000),
+         |pref AS (SELECT doc_id, source, lang, gh, hsz FROM rk
+         |         WHERE rn <= hsz - ((800 * hsz + 999) // 1000) + 1),
+         |post AS (SELECT doc_id, source, lang, gh, hsz FROM tokc WHERE c <= 10000),
          |cand AS (SELECT DISTINCT least(p.doc_id, q.doc_id) AS doc_a,
          |                greatest(p.doc_id, q.doc_id) AS doc_b
          |         FROM pref p JOIN post q
-         |           ON p.t = q.t AND p.source = q.source AND p.lang = q.lang
-         |         WHERE p.doc_id <> q.doc_id),
-         |gh AS (SELECT doc_id, ${hexSliceSql("m", 1)} AS gh
-         |       FROM (SELECT doc_id, md5(t) AS m FROM tok) mx),
-         |ghs AS (SELECT doc_id, list_sort(list(DISTINCT gh)) AS hs FROM gh GROUP BY doc_id),
+         |           ON p.gh = q.gh AND p.source = q.source AND p.lang = q.lang
+         |         WHERE p.hsz < q.hsz
+         |            OR (p.hsz = q.hsz AND p.doc_id < q.doc_id)),
          |v AS (SELECT cand.doc_a, cand.doc_b,
          |        CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS BIGINT) AS inter,
          |        least(CAST(len(a.hs) AS BIGINT), CAST(len(b.hs) AS BIGINT)) AS minsz

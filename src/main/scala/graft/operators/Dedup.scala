@@ -388,7 +388,8 @@ object Dedup {
     * (AllPairs/PPJoin, Bayardo et al., WWW 2007) — NOT the minhash
     * banding of [[jaccardPairsBanded]], because set-LSH recall tracks
     * Jaccard and a contained excerpt has low Jaccard by construction.
-    * Tokens are globally ordered by (corpus frequency asc, token):
+    * Tokens are globally ordered by (corpus frequency asc, token
+    * fingerprint):
     * any pair with overlap o ≥ ⌈t·min⌉ must share one of the smaller
     * doc's first |S| − ⌈t·|S|⌉ + 1 tokens in that order (else the
     * overlap is too small — the prefix-filter theorem), so each doc
@@ -448,54 +449,74 @@ object Dedup {
                                  idCol: String, maxPostings: Int): ContainmentPairs = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000,
       s"thresholdPermille in [1,1000], got $thresholdPermille")
-    import graft.functions.HexSliceLong.hex_slice_long
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val base = Partitioning.fanOut(docs)
+    // The ENTIRE pipeline runs on 32-bit gram FINGERPRINTS
+    // (hex_slice_long of md5, the minhash slice), not gram strings:
+    // frequency counts, the rarity ordering, posting keys and
+    // verification all key on 8-byte longs instead of UTF8Strings —
+    // smaller shuffles, cheaper sorts. A 32-bit collision merges two
+    // grams for EVERY stage consistently (counts, prefix rank, set
+    // size and intersection alike — ~|S|²/2³³ ≈ 10⁻⁵ per document,
+    // far below the permille threshold grid); the oracle hashes
+    // identically so results stay bit-exact cross-engine.
+    // The per-doc hashed-set relation is the AllPairs materialized
+    // index, built NARROW in one pass: `fp32_set` fingerprints,
+    // dedups and sorts the gram array in-row, so no token-grain rows
+    // ever exist on the build path (the explode → md5 → collect_set
+    // formulation paid a 1M-row exchange plus an ObjectHashAggregate,
+    // measured as the dominant query cost). FIVE downstream subtrees
+    // read the index (token rebuild → counts → postings, the prefix
+    // window, and both verification joins) and Spark's ReuseExchange
+    // cannot deduplicate them (each consumer prunes a different
+    // column set, so the exchanges differ) — `localCheckpoint` (the
+    // repo's iterative-loop convention) pins the index once; it is
+    // doc-grain × distinct-gram fingerprints (longs), the same
+    // footprint AllPairs/PPJoin materializes on any engine. Callers
+    // that loop call Caching.releaseLocalCheckpoints on the returned
+    // frames when done.
+    import graft.functions.FpSet.fp32_set
+    val hsets = Partitioning.fanOut(docs)
       .withColumn("tset", tsetExpr)
-      .withColumn("tsz", size(col("tset")).cast("long"))
-      .filter(col("tsz") >= 1)
-      .select(col(idCol) +: col("tset") +: col("tsz") +: strataCols.map(col): _*)
-    // tsz rides the explode so the rank stage needs no second window
-    val tok = base.select(col(idCol) +: explode(col("tset")).as("t") +:
-      col("tsz") +: strataCols.map(col): _*)
-    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .filter(size(col("tset")) >= 1)
+      .withColumn("hs", fp32_set(col("tset")))
+      .withColumn("hsz", size(col("hs")).cast("long"))
+      .select(col(idCol) +: col("hs") +: col("hsz") +: strataCols.map(col): _*)
+      .localCheckpoint()
+    // token grain rebuilt from the (deduplicated) hashed sets — narrow
+    val tokh = hsets.select(col(idCol) +: col("hsz") +: strataCols.map(col) :+
+      explode(col("hs")).as("gh"): _*)
+    val cnt = tokh.groupBy(col("gh")).agg(count(lit(1)).as("c"))
     val dropped = cnt.filter(col("c") > maxPostings)
-    val tokc = tok.join(cnt, "t")
+    val tokc = tokh.join(cnt, "gh")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("c"), col("t"))
+      .partitionBy(col(idCol)).orderBy(col("c"), col("gh"))
     val ranked = tokc.withColumn("rn", row_number().over(w).cast("long"))
     // prefix length |S| − ⌈t·|S|⌉ + 1, ceil in exact integers
     val pref = ranked.filter(col("rn") <=
-        col("tsz") - floor((lit(thresholdPermille.toLong) * col("tsz") + 999L) / 1000L) + 1L)
-      .select(col(idCol).as("__p") +: col("t") +: strataCols.map(col): _*)
+        col("hsz") - floor((lit(thresholdPermille.toLong) * col("hsz") + 999L) / 1000L) + 1L)
+      .select(col(idCol).as("__p") +: col("gh") +: col("hsz").as("__psz") +:
+        strataCols.map(col): _*)
     // the posting side renames EVERY shared column (key included):
-    // both frames derive from `tokc`, so an unrenamed pref("t") ===
-    // post("t") would resolve to the same attribute id — a trivially
+    // both frames derive from `tokc`, so an unrenamed pref("gh") ===
+    // post("gh") would resolve to the same attribute id — a trivially
     // true predicate that silently degenerates the index probe into
     // an all-pairs product
-    val post = tokc.select(col(idCol).as("__q") +: col("t").as("__qt") +: col("c") +:
-        strataCols.map(c => col(c).as(s"__q_$c")): _*)
+    val post = tokc.select(col(idCol).as("__q") +: col("gh").as("__qg") +: col("c") +:
+        col("hsz").as("__qsz") +: strataCols.map(c => col(c).as(s"__q_$c")): _*)
       .filter(col("c") <= maxPostings)
+    // PPJoin orientation: overlap ≥ ⌈t·min(|P|,|Q|)⌉ forces a prefix
+    // hit on the SMALLER set, so only the smaller side's prefix needs
+    // to probe — the (size, id)-lexicographic predicate picks exactly
+    // one orientation per unordered pair, halving candidate
+    // generation vs probing both ways (the old `__p =!= __q`).
     val cand = pref.join(post,
-        (Seq(col("t") === col("__qt")) ++
+        (Seq(col("gh") === col("__qg"),
+          col("__psz") < col("__qsz") ||
+            (col("__psz") === col("__qsz") && col("__p") < col("__q"))) ++
           strataCols.map(c => col(c) === col(s"__q_$c"))).reduce(_ && _))
-      .filter(col("__p") =!= col("__q"))
       .select(least(col("__p"), col("__q")).as("doc_a"),
         greatest(col("__p"), col("__q")).as("doc_b"))
       .distinct()
-    // verification sets are 32-bit gram FINGERPRINTS (hex_slice_long
-    // of md5, the minhash slice), not the gram strings: the candidate
-    // join-back ships |pairs|·|set| array cells twice, and long
-    // equality inside array_intersect beats UTF8String by ~an order
-    // of magnitude. Both engines hash identically so the oracle stays
-    // bit-exact; a 32-bit collision merges two grams for BOTH sides
-    // of the measure (set size and intersection alike — ~|S|²/2³³ ≈
-    // 10⁻⁵ per document, far below the permille threshold grid).
-    val hsets = tok
-      .withColumn("gh", hex_slice_long(md5(col("t").cast("binary")), 0))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("gh"))).as("hs"))
-      .withColumn("hsz", size(col("hs")).cast("long"))
     val pairs = cand
       .join(hsets.select(col(idCol).as("doc_a"), col("hs").as("ha"),
         col("hsz").as("sza")), "doc_a")
@@ -511,9 +532,11 @@ object Dedup {
   }
 
   /** Verified containment pairs plus the frequency-governor
-    * accounting: `droppedTokens` has one row per token excluded from
-    * the inverted index for exceeding `maxPostings` global frequency
-    * — the loud-degradation twin of [[BandedPairs.droppedBuckets]]. */
+    * accounting: `droppedTokens` has one row per token FINGERPRINT
+    * (`gh`, the 32-bit gram hash the whole pipeline keys on) excluded
+    * from the inverted index for exceeding `maxPostings` global
+    * frequency — the loud-degradation twin of
+    * [[BandedPairs.droppedBuckets]]. */
   final case class ContainmentPairs(pairs: DataFrame, droppedTokens: DataFrame)
 
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,

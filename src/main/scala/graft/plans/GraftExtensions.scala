@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mergePairDescriptor)
     ext.injectFunction(GraftExtensions.tokenCountsDescriptor)
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
+    ext.injectFunction(GraftExtensions.fp32SetDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -96,6 +97,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BagOverlap].getName, "bag_overlap"),
     (children: Seq[Expression]) => BagOverlap(children.head, children(1)))
 
+  val fp32SetDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fp32_set"),
+    new ExpressionInfo(classOf[FpSet].getName, "fp32_set"),
+    (children: Seq[Expression]) => FpSet(children.head))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -103,7 +109,7 @@ object GraftExtensions {
     Seq(hamming64Descriptor, vecDotDescriptor, wordShinglesDescriptor,
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
-        tokenCountsDescriptor, bagOverlapDescriptor,
+        tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
         hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
