@@ -750,6 +750,13 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) =>
       TextAnalysis.bigramPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Interpolated Kneser–Ney bigram LM (absolute discount 3/4, the
+    // real-LM smoothing family) scored back over the corpus:
+    // continuation-probability backoff instead of add-one, exact
+    // integer ln arguments cross-engine.
+    "text_kn_perplexity" -> ((s, d) =>
+      TextAnalysis.knPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // CCNet-style per-source perplexity banding: head/middle/tail by
     // equal population within each source, tail marked for drop — the
     // fluency filter with per-stratum calibration.
@@ -3327,6 +3334,39 @@ object SparkEntry {
       s"""WITH $pplCtes
          |SELECT doc_id, n_bigrams, round(nll, 4) AS nll_q4,
          |       round(exp(nll), 4) AS ppl_q4
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Kneser–Ney with D = 3/4: every transition's log-prob decomposes
+    // as ln(4·c1·B) − ln((4·c12 − 3)·B + 3·n1f·n1p) — integer ln
+    // arguments, same fold order as the Spark aggregate.
+    "text_kn_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |         i -> tk[i] || ' ' || tk[i+1])) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
+         |cx AS (SELECT string_split(b, ' ')[1] AS w1,
+         |         CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+         |       FROM c GROUP BY 1),
+         |ct AS (SELECT string_split(b, ' ')[2] AS w2,
+         |         CAST(count(*) AS BIGINT) AS n1p
+         |       FROM c GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c),
+         |j AS (SELECT bg.doc_id, c.c12, cx.c1, cx.n1f, ct.n1p, bt.bt
+         |      FROM bg JOIN c USING (b)
+         |        JOIN cx ON cx.w1 = string_split(bg.b, ' ')[1]
+         |        JOIN ct ON ct.w2 = string_split(bg.b, ' ')[2], bt),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, max(bt) AS bt,
+         |        list_sort(list({'c12': c12, 'c1': c1, 'n1f': n1f, 'n1p': n1p})) AS ps
+         |      FROM j GROUP BY doc_id),
+         |s AS (SELECT doc_id, n_bigrams,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
+         |          p -> ln(CAST(p.c1 * 4 * bt AS DOUBLE)) -
+         |               ln(CAST((p.c12 * 4 - 3) * bt + 3 * p.n1f * p.n1p AS DOUBLE)))),
+         |          (a,b) -> a + b) / n_bigrams AS nll
+         |      FROM g)
+         |SELECT doc_id, n_bigrams, round(nll, 4) AS kn_nll_q4,
+         |       round(exp(nll), 4) AS kn_ppl_q4
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_perplexity_buckets" ->

@@ -1004,6 +1004,72 @@ object TextAnalysis {
         round(exp(col("__nll")), 4).as("ppl_q4"))
   }
 
+  /** Per-document perplexity under an interpolated KNESER–NEY bigram
+    * LM (absolute discount D = 3/4) trained on the corpus itself —
+    * the smoothing family real n-gram LMs ship (KenLM's default),
+    * one rung above [[bigramPerplexity]]'s add-one: the unigram
+    * backoff is replaced by the CONTINUATION probability, so words
+    * frequent only inside fixed collocations ("Francisco") stop
+    * inflating scores outside their contexts.
+    *
+    *   p(w₂|w₁) = (c₁₂ − D)/c₁ + D·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/B
+    *
+    * with c₁ the CONTEXT count (Σ_w c(w₁ w) — so each conditional
+    * sums to exactly 1), N₁₊(w₁·)/N₁₊(·w₂) the distinct-continuation
+    * /-context type counts, and B the total number of distinct bigram
+    * types. The LM scores its own training corpus, so every scored
+    * bigram has c₁₂ ≥ 1 and the textbook max(c₁₂ − D, 0) is vacuous.
+    *
+    * Determinism (the [[bigramPerplexity]] discipline — D = 3/4 is
+    * chosen to make it exact): each transition contributes
+    * ln(4·c₁·B) − ln((4·c₁₂ − 3)·B + 3·N₁₊(w₁·)·N₁₊(·w₂)) — both
+    * `ln` arguments exact integers — folded over the struct-sorted
+    * count tuples in one canonical order on every engine.
+    *
+    * Shuffle shape: one groupBy(bigram) for the type table; the
+    * context and continuation tables aggregate THAT table (type
+    * grain, not token grain — no second corpus scan); two equi-joins
+    * keyed on w₁/w₂; one groupBy(doc) fold. B is one scalar off the
+    * aggregated type table (model-small pattern). Neither model
+    * table is broadcast — both grow with the corpus (Heaps' law);
+    * at 100 TB you'd Zipf-truncate to top-K types and broadcast that
+    * ([[bigramPerplexity]] note). */
+  def knPerplexity(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val fanned = Partitioning.fanOut(docs)
+    val bg = fanned
+      .select(col(idCol), explode(word_shingles(col("text"), 2)).as("b"))
+    val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .withColumn("w2", element_at(split(col("b"), " "), 2))
+    val ctx = bgCounts.groupBy(col("w1").as("cw1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bgCounts.groupBy(col("w2").as("cw2"))
+      .agg(count(lit(1)).as("n1p"))
+    // total bigram types: one scalar off the aggregated type table
+    val bTypes = bgCounts.count()
+    bg
+      .join(bgCounts.select(col("b"), col("c12"), col("w1"), col("w2")), "b")
+      .join(ctx, col("w1") === col("cw1"))
+      .join(cont, col("w2") === col("cw2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(
+          struct(col("c12"), col("c1"), col("n1f"), col("n1p")))).as("__p"))
+      .withColumn("__nll",
+        // parenthesized so the fold is a + (ln·−ln·): the identical
+        // float-op order as the oracle's transform-then-reduce twin
+        aggregate(col("__p"), lit(0.0), (a, p) =>
+          a + (log((p.getField("c1") * lit(4L) * lit(bTypes)).cast("double")) -
+            log(((p.getField("c12") * lit(4L) - lit(3L)) * lit(bTypes) +
+              lit(3L) * p.getField("n1f") * p.getField("n1p")).cast("double")))) /
+          col("n_bigrams").cast("double"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__nll"), 4).as("kn_nll_q4"),
+        round(exp(col("__nll")), 4).as("kn_ppl_q4"))
+  }
+
   /** CCNet-style perplexity bucketing: each stratum's documents are
     * split into `nBuckets` equal-population perplexity bands
     * (head/middle/tail at the default 3) under the self-trained bigram

@@ -238,6 +238,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0)._4 < out(2)._4)
   }
 
+  test("knPerplexity: interpolated Kneser-Ney matches hand computation and sums to one") {
+    // corpus: "a b a b", "b a" → bigram types (a b):2, (b a):2, B = 2
+    // context a: c1 = 2, N1+(a·) = 1; context b: c1 = 2, N1+(b·) = 1
+    // continuation: N1+(·a) = 1, N1+(·b) = 1
+    // every seen transition: p = (2−3/4)/2 + (3/4·1/2)·(1/2) = 13/16
+    //   (integer form: num = (4·2−3)·2 + 3·1·1 = 13, den = 4·2·2 = 16)
+    // conditional sums to 1: p(b|a) = 13/16, p(a|a) = λ(a)·pc(a) = 3/16
+    val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.knPerplexity(df).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    def q4(x: Double) = math.rint(x * 1e4) / 1e4
+    val nll = math.log(16.0) - math.log(13.0)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._2 === 3L && out(1)._2 === 1L)
+    assert(out(0)._3 === q4(nll) && out(1)._3 === q4(nll))
+    assert(out(0)._4 === q4(math.exp(nll)))
+  }
+
+  test("knPerplexity ranks a collocation-bound word worse than add-one does") {
+    // "san francisco" repeated makes `francisco` frequent but only
+    // ever after `san`; a doc pairing it with a fresh context should
+    // score WORSE (higher nll) under KN than the same doc under a
+    // naive frequency measure ranks it. Pin the semantics: the unseen
+    // -context transition's probability uses continuation mass only.
+    val df = Seq(
+      (1L, "san francisco san francisco san francisco"),
+      (2L, "new francisco")).toDF("doc_id", "text")
+    val out = TextAnalysis.knPerplexity(df).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 2's single bigram (new francisco) is a seen type (it IS in
+    // the corpus) but with c12 = 1 vs doc 1's dominant types — KN
+    // must rank doc 2 less fluent
+    assert(out(0)._4 < out(1)._4)
+  }
+
   test("perplexityBuckets: equal bands per stratum, tail is the worst band, keep drops it") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = TextAnalysis.perplexityBuckets(docs)
