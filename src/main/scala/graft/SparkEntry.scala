@@ -1438,6 +1438,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Binary (1-bit) quantization: 64 float dims → two 32-bit sign
+    // words per vector (32× compression), Hamming shortlist via the
+    // native XOR+popcount expression, exact cosine re-rank of the
+    // top k·4 — the cheapest-serving end of the quantization family.
+    "sim_ann_binary" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.binaryTopK(emb.filter(col("vec_id") < 10), emb, k = 5, rerankFactor = 4)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"),
+          col("cos"), col("ham"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // REAL sample-level PCM16 decode: per-frame energy / peak / zero
     // crossings read back from actual WAV data-chunk bytes (the
     // silence-detection primitive; PCM needs no codec).
@@ -4284,6 +4296,45 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Binary quantization replayed end-to-end: per-dim integer mean
+    // thresholds (x·N > Σ, no division), sign bits packed as sums of
+    // distinct 2^(31−pos%32) masks into two 32-bit words, Hamming
+    // shortlist (bit_count ∘ xor per word), exact cosine re-rank.
+    "sim_ann_binary" ->
+      s"""WITH q0 AS (SELECT vec_id, list_transform(range(1, 65),
+         |        i -> CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS qv
+         |      FROM embeddings),
+         |pe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, qv[CAST(i AS INTEGER)] AS x
+         |       FROM q0, range(1, 65) t(i)),
+         |thr AS (SELECT pos, CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
+         |          pos // 32 AS word,
+         |          CAST(1 AS BIGINT) << CAST(31 - pos % 32 AS INTEGER) AS w
+         |        FROM pe GROUP BY pos),
+         |bits AS (SELECT pe.vec_id, thr.word,
+         |           CAST(sum(CASE WHEN pe.x * thr.n > thr.s THEN thr.w ELSE 0 END) AS BIGINT) AS wv
+         |         FROM pe JOIN thr USING (pos) GROUP BY pe.vec_id, thr.word),
+         |codes AS (SELECT vec_id, list(wv ORDER BY word) AS code FROM bits GROUP BY vec_id),
+         |qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 10),
+         |scored AS (SELECT query_id, c.vec_id AS cand_id,
+         |             CAST(bit_count(xor(qcode[1], c.code[1])) +
+         |                  bit_count(xor(qcode[2], c.code[2])) AS BIGINT) AS ham
+         |           FROM qc, codes c WHERE query_id <> c.vec_id),
+         |short AS (SELECT query_id, cand_id, ham FROM (
+         |            SELECT query_id, cand_id, ham,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY ham, cand_id) AS hrank
+         |            FROM scored) x WHERE hrank <= 20),
+         |e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS n2
+         |      FROM embeddings),
+         |rr AS (SELECT s.query_id, s.cand_id, s.ham,
+         |         round(${dotSql("qe.embedding", "ce.embedding")} / sqrt(qe.n2 * ce.n2), 4) AS cos
+         |       FROM short s JOIN e qe ON qe.vec_id = s.query_id
+         |                    JOIN e ce ON ce.vec_id = s.cand_id),
+         |ranked AS (SELECT query_id, cand_id, ham, cos,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |           FROM rr)
+         |SELECT query_id, cand_id, rnk, cos, ham FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
     // Recomputes the synthetic sawtooth analytically (the fixture is

@@ -485,6 +485,84 @@ object Similarity {
       Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
   }
 
+  // ───────────── Binary (1-bit) quantization — the Hamming path ─────────────
+
+  /** Per-dimension sign thresholds for binary quantization: bit i of a
+    * code is set iff fixed(xᵢ)·N > Σ fixed(xᵢ) — strictly above the
+    * corpus mean of that dimension, compared in exact integers (no
+    * division, so the threshold is engine-exact). One output row per
+    * dimension: (pos, s = Σ, n = N, word = pos/32, w = the bit's mask
+    * 2^(31 − pos mod 32)) — 32 bits per packed word keeps every mask
+    * positive, so packing is a plain SUM of distinct powers on both
+    * engines (no sign-bit shifts, which DuckDB rejects outright).
+    * Model-small by construction: dims rows off one narrow scan. */
+  def binaryThresholds(emb: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    Partitioning.fanOut(emb)
+      .select(posexplode(quantize(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("word", floor(col("pos") / 32).cast("long"))
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - pos % 32 AS INT))"))
+  }
+
+  /** Pack each vector into ⌈dims/32⌉ sign-bit words against trained
+    * [[binaryThresholds]]: 64 float dims → 8 bytes of code — the
+    * 32× compression point of the quantization family (float32 →
+    * SQ8's 4× → PQ's codebook bytes → 1 bit/dim), and the cheapest
+    * serving arithmetic there is (XOR + popcount). Shape: posexplode
+    * → broadcast threshold join (dims rows) → two bounded
+    * aggregations back to vector grain; at 100 TB the corpus scan
+    * stays narrow and the only exchange is the id-grain re-pack. */
+  def binaryCodes(emb: DataFrame, thr: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    Partitioning.fanOut(emb)
+      .select(col(idCol), posexplode(quantize(col(vecCol))).as(Seq("pos", "x")))
+      .join(broadcast(thr), "pos")
+      .groupBy(col(idCol), col("word"))
+      // one bit per pos and the masks are distinct powers of two, so
+      // SUM is exactly the bitwise OR (and stays below 2³² per word)
+      .agg(sum(when(col("x") * col("n") > col("s"), col("w")).otherwise(lit(0L))).as("wv"))
+      .groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("word"), col("wv")))),
+        p => p.getField("wv")).as("code"))
+
+  /** Binary-quantized ANN: Hamming-distance shortlist over packed
+    * sign-bit codes (native `hamming_words` — XOR + popcount inside
+    * whole-stage codegen), then exact cosine re-rank of the top
+    * k·`rerankFactor` — the standard recall rescue for 1-bit codes.
+    * Thresholds are trained on the CANDIDATE corpus; queries pack
+    * against the same thresholds (asymmetry would shift bits).
+    * Same broadcast shape as [[bruteForceTopK]], but the scoring
+    * join ships 8-byte codes instead of 256-byte float vectors and
+    * the inner loop is two XOR+popcounts per pair; only the shortlist
+    * (k·r rows per query) ever touches the original vectors again. */
+  def binaryTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 rerankFactor: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.HammingWords.hamming_words
+    val thr = binaryThresholds(candidates, idCol, vecCol)
+    val qc = binaryCodes(queries, thr, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("code").as("qc"))
+    val cc = binaryCodes(candidates, thr, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("code").as("cc"))
+    val scored = cc.join(broadcast(qc), col("query_id") =!= col("cand_id"))
+      .withColumn("ham", hamming_words(col("qc"), col("cc")))
+      .select(col("query_id"), col("cand_id"), col("ham"))
+    val short = Relational.topNPerGroup(scored, Seq(col("query_id")),
+      Seq(col("ham"), col("cand_id")), k * rerankFactor, rankCol = "__hrank")
+    val qv = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"))
+    val cv = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"))
+    val rr = short.join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("ham"), col("cos"))
+    Relational.topNPerGroup(rr, Seq(col("query_id")),
+      Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
     * every vector to its nearest TRAINED centroid ([[ivfAssign]]),
     * generate intra-cell cosine pairs ([[nearDupPairs]]), and drop

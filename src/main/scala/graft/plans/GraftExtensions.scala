@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenCountsDescriptor)
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
+    ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -102,6 +103,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FpSet].getName, "fp32_set"),
     (children: Seq[Expression]) => FpSet(children.head))
 
+  val hammingWordsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_words"),
+    new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
+    (children: Seq[Expression]) => HammingWords(children.head, children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -110,6 +116,7 @@ object GraftExtensions {
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
+        hammingWordsDescriptor,
         hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }

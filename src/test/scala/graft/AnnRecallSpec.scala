@@ -72,6 +72,41 @@ class AnnRecallSpec extends SparkSpec {
     assert(rLsh >= 0.5, f"LSH recall@5 $rLsh%.2f below floor")
   }
 
+  test("binary codes: two 32-bit words, Hamming ≡ hand-popcount, recall@5 on clustered data") {
+    import graft.functions.HammingWords.hamming_words
+    graft.plans.GraftExtensions.register(spark)
+    val emb = clustered
+    // code shape: ⌈64/32⌉ = 2 words, every word within unsigned-32 range
+    val thr = Similarity.binaryThresholds(emb)
+    assert(thr.count() === 64L)
+    val codes = Similarity.binaryCodes(emb, thr)
+      .select("vec_id", "code").as[(Long, Seq[Long])].collect()
+    assert(codes.forall(_._2.length === 2))
+    assert(codes.forall(c => c._2.forall(w => w >= 0L && w <= 0xFFFFFFFFL)))
+    // the native expression agrees with a scalar popcount
+    val pairs = Seq((Seq(5L, 12L), Seq(3L, 12L))).toDF("a", "b")
+      .select(hamming_words(col("a"), col("b"))).as[Long].head()
+    assert(pairs === java.lang.Long.bitCount(5L ^ 3L).toLong)
+    // recall with exact re-rank: sign bits keep same-cluster vectors
+    // close in Hamming space; the 4k shortlist + exact re-rank must
+    // recover most of the brute-force set
+    val queries = emb.filter(col("vec_id") % 16 === 0)
+    val exact = topkSets(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val bin = topkSets(Similarity.binaryTopK(queries, emb, k = 5, rerankFactor = 4))
+    val r = recall(bin, exact)
+    assert(r >= 0.6, f"binary recall@5 $r%.2f below floor")
+    // Hamming between same-cluster codes is lower than cross-cluster
+    // on average (the property that makes the shortlist work)
+    val byId = codes.toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val sameC = for (i <- 0 until 8; j <- 1 until 8)
+      yield ham(byId(i.toLong * perCluster), byId(i.toLong * perCluster + j))
+    val crossC = for (i <- 0 until 8; j <- 0 until 8 if i != j)
+      yield ham(byId(i.toLong * perCluster), byId(j.toLong * perCluster))
+    assert(sameC.sum.toDouble / sameC.size < crossC.sum.toDouble / crossC.size)
+  }
+
   test("pq: codebook shaped m×k, codes bounded, ADC top-k stays in the query's cluster") {
     import graft.operators.Similarity
     val m = 4; val k = 8

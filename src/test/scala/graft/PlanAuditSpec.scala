@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivf_trained" -> "broadcast trained centroids for cell assignment (k×dims)",
     "sim_ann_ivf_pp" -> "broadcast k-means||-trained centroids for cell assignment (k×dims)",
     "sim_ann_sq8" -> "broadcast query vectors × int8 candidate codes",
+    "sim_ann_binary" -> "broadcast query sign-bit codes (8 bytes/query) × candidate codes: Hamming shortlist scan; re-rank is equi-joins on the k·r shortlist",
     "sim_ivf_assign" -> "broadcast centroids; min-distance assignment per vector",
     "sim_ann_ivfpq" -> "broadcast coarse centroids for cell assignment (k×dims)",
     "sim_ann_ivfpq_stored" -> "broadcast STORED coarse centroids for cell assignment (k×dims)",
