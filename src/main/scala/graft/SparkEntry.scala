@@ -757,6 +757,13 @@ object SparkEntry {
     "text_kn_perplexity" -> ((s, d) =>
       TextAnalysis.knPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Stupid Backoff trigram scoring on a held-out split (train on
+    // even doc_ids, score odd): the web-scale LM scorer — MLE ratios
+    // with a 0.4 = 2/5 backoff factor so every ln argument stays an
+    // exact integer. Per-doc backoff-tier histogram + mean -ln score.
+    "text_stupid_backoff" -> ((s, d) =>
+      TextAnalysis.stupidBackoff(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // CCNet-style per-source perplexity banding: head/middle/tail by
     // equal population within each source, tail marked for drop — the
     // fluency filter with per-stratum calibration.
@@ -3379,6 +3386,65 @@ object SparkEntry {
          |      FROM g)
          |SELECT doc_id, n_bigrams, round(nll, 4) AS kn_nll_q4,
          |       round(exp(nll), 4) AS kn_ppl_q4
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Stupid Backoff replayed: even-id count tables, odd-id trigram
+    // stream, four LEFT joins, tier CASE with (ln 5 − ln 2) backoff
+    // penalties — integer ln arguments throughout, same fold order.
+    "text_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |tr AS (SELECT doc_id, tk FROM t WHERE doc_id % 2 = 0),
+         |sc AS (SELECT doc_id, tk FROM t WHERE doc_id % 2 = 1),
+         |t3 AS (SELECT g3, CAST(count(*) AS BIGINT) AS c123 FROM (
+         |        SELECT unnest(list_transform(range(1, len(tk) - 1),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g3
+         |        FROM tr WHERE len(tk) >= 3) x GROUP BY g3),
+         |t2 AS (SELECT g2, CAST(count(*) AS BIGINT) AS c2g FROM (
+         |        SELECT unnest(list_transform(range(1, len(tk)),
+         |          i -> tk[i] || ' ' || tk[i+1])) AS g2
+         |        FROM tr WHERE len(tk) >= 2) x GROUP BY g2),
+         |t1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+         |        SELECT unnest(tk) AS w FROM tr) x GROUP BY w),
+         |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM t1),
+         |tg AS (SELECT doc_id, g AS tgm, string_split(g, ' ') AS ws FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |        FROM sc WHERE len(tk) >= 3) x),
+         |j AS (SELECT tg.doc_id,
+         |        CAST(coalesce(t3.c123, -1) AS BIGINT) AS c123,
+         |        CAST(coalesce(p12.c2g, -1) AS BIGINT) AS c12,
+         |        CAST(coalesce(p23.c2g, -1) AS BIGINT) AS c23,
+         |        CAST(coalesce(u2.c1, -1) AS BIGINT) AS c2,
+         |        CAST(coalesce(u3.c1, -1) AS BIGINT) AS c3,
+         |        nn.n
+         |      FROM tg
+         |      LEFT JOIN t3 ON t3.g3 = tg.tgm
+         |      LEFT JOIN t2 p12 ON p12.g2 = ws[1] || ' ' || ws[2]
+         |      LEFT JOIN t2 p23 ON p23.g2 = ws[2] || ' ' || ws[3]
+         |      LEFT JOIN t1 u2 ON u2.w = ws[2]
+         |      LEFT JOIN t1 u3 ON u3.w = ws[3], nn),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |        CAST(sum(CASE WHEN c123 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hit,
+         |        CAST(sum(CASE WHEN c123 <= 0 AND c23 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hit,
+         |        CAST(sum(CASE WHEN c123 <= 0 AND c23 <= 0 AND c3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hit,
+         |        CAST(sum(CASE WHEN c3 <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |        max(n) AS n,
+         |        list_sort(list({'c123': c123, 'c12': c12, 'c23': c23,
+         |                        'c2': c2, 'c3': c3})) AS ps
+         |      FROM j GROUP BY doc_id),
+         |s AS (SELECT doc_id, n_trigrams, n_tri_hit, n_bi_hit, n_uni_hit, n_oov,
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ps,
+         |          p -> CASE
+         |            WHEN p.c123 > 0 THEN ln(CAST(p.c12 AS DOUBLE)) - ln(CAST(p.c123 AS DOUBLE))
+         |            WHEN p.c23 > 0 THEN (ln(5.0) - ln(2.0)) +
+         |              (ln(CAST(p.c2 AS DOUBLE)) - ln(CAST(p.c23 AS DOUBLE)))
+         |            WHEN p.c3 > 0 THEN (ln(5.0) - ln(2.0)) * 2.0 +
+         |              (ln(CAST(n AS DOUBLE)) - ln(CAST(p.c3 AS DOUBLE)))
+         |            ELSE (ln(5.0) - ln(2.0)) * 3.0 + ln(CAST(n AS DOUBLE)) END)),
+         |          (a,b) -> a + b) / n_trigrams AS nll
+         |      FROM g)
+         |SELECT doc_id, n_trigrams, n_tri_hit, n_bi_hit, n_uni_hit, n_oov,
+         |       round(nll, 4) AS sb_nll_q4, round(exp(nll), 4) AS sb_ppl_q4
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_perplexity_buckets" ->

@@ -1070,6 +1070,108 @@ object TextAnalysis {
         round(exp(col("__nll")), 4).as("kn_ppl_q4"))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") on a HELD-OUT split:
+    * the LM that actually runs at web scale — no discount mass to
+    * normalize, just MLE ratios with a constant 0.4 backoff factor:
+    *
+    *   S(w₃|w₁w₂) = c₁₂₃/c₁₂           if c₁₂₃ > 0
+    *              = 0.4 · S(w₃|w₂)     else
+    *   S(w₃|w₂)   = c₂₃/c(w₂)          if c₂₃ > 0
+    *              = 0.4 · S(w₃)        else
+    *   S(w₃)      = c₃/N, and 0.4·(1/N) extra for an OOV w₃.
+    *
+    * Train/score on the SAME corpus would never back off (every
+    * scored n-gram would be seen) — so the corpus splits by
+    * `idCol % 2`: even ids train the count tables, odd ids are
+    * scored, and all four tiers genuinely fire. Output per scored
+    * doc: trigram count, per-tier hit counts (the backoff histogram
+    * — a data-quality signal in itself: OOV-heavy docs are gibberish
+    * or a language the training half lacks), and the mean negative
+    * log-score (−ln S, nats) with its exp, pinned at 4 decimals.
+    *
+    * Determinism: 0.4 = 2/5, so every tier's contribution is a sum
+    * of ln of EXACT INTEGERS (backoff adds (ln 5 − ln 2) per tier;
+    * counts and N are integers) folded over struct-sorted tuples —
+    * the [[bigramPerplexity]] discipline extended with missing
+    * counts encoded as the −1 sentinel (nulls would sort
+    * engine-dependently).
+    *
+    * Shuffle shape: three count aggregations over the training half
+    * (trigram/bigram/unigram grain), three LEFT equi-joins from the
+    * scored trigram stream (plus one more for the w₂ context count),
+    * one groupBy(doc) fold. No model table is broadcast (Heaps' law;
+    * Zipf-truncate and broadcast at 100 TB — [[bigramPerplexity]]
+    * note); N is a scalar off the aggregated unigram table. */
+  def stupidBackoff(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val fanned = Partitioning.fanOut(docs)
+    val train = fanned.filter(col(idCol) % 2 === 0)
+    val score = fanned.filter(col(idCol) % 2 === 1)
+    val t3 = train.select(explode(word_shingles(col("text"), 3)).as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c123"))
+    val t2 = train.select(explode(word_shingles(col("text"), 2)).as("g2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("c2g"))
+    val t1 = train.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = t1.agg(sum(col("c1"))).head().getLong(0)
+    val tg = score.select(col(idCol), explode(word_shingles(col("text"), 3)).as("t"))
+      .withColumn("__ws", split(col("t"), " "))
+      .withColumn("__b12", concat_ws(" ", element_at(col("__ws"), 1), element_at(col("__ws"), 2)))
+      .withColumn("__b23", concat_ws(" ", element_at(col("__ws"), 2), element_at(col("__ws"), 3)))
+      .withColumn("__w2", element_at(col("__ws"), 2))
+      .withColumn("__w3", element_at(col("__ws"), 3))
+    val joined = tg
+      .join(t3, col("t") === col("g3"), "left")
+      .join(t2.select(col("g2").as("__g12"), col("c2g").as("c12")),
+        col("__b12") === col("__g12"), "left")
+      .join(t2.select(col("g2").as("__g23"), col("c2g").as("c23")),
+        col("__b23") === col("__g23"), "left")
+      .join(t1.select(col("w").as("__u2"), col("c1").as("c2")),
+        col("__w2") === col("__u2"), "left")
+      .join(t1.select(col("w").as("__u3"), col("c1").as("c3")),
+        col("__w3") === col("__u3"), "left")
+      .select(col(idCol),
+        coalesce(col("c123"), lit(-1L)).as("c123"),
+        coalesce(col("c12"), lit(-1L)).as("c12"),
+        coalesce(col("c23"), lit(-1L)).as("c23"),
+        coalesce(col("c2"), lit(-1L)).as("c2"),
+        coalesce(col("c3"), lit(-1L)).as("c3"))
+    val bo = log(lit(5.0)) - log(lit(2.0))
+    def contrib(p: Column): Column = {
+      val c123 = p.getField("c123"); val c12 = p.getField("c12")
+      val c23 = p.getField("c23"); val c2 = p.getField("c2")
+      val c3 = p.getField("c3")
+      when(c123 > 0, log(c12.cast("double")) - log(c123.cast("double")))
+        .when(c23 > 0, bo + (log(c2.cast("double")) - log(c23.cast("double"))))
+        .when(c3 > 0, bo * lit(2.0) + (log(lit(n).cast("double")) - log(c3.cast("double"))))
+        .otherwise(bo * lit(3.0) + log(lit(n).cast("double")))
+    }
+    // per-row backoff tier (1 = trigram hit … 4 = OOV), counted with
+    // plain conditional sums — only the float fold needs the sorted
+    // struct list
+    val tiered = joined.withColumn("__tier",
+      when(col("c123") > 0, 1L).when(col("c23") > 0, 2L)
+        .when(col("c3") > 0, 3L).otherwise(4L))
+    tiered
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum((col("__tier") === 1L).cast("long")).as("n_tri_hit"),
+        sum((col("__tier") === 2L).cast("long")).as("n_bi_hit"),
+        sum((col("__tier") === 3L).cast("long")).as("n_uni_hit"),
+        sum((col("__tier") === 4L).cast("long")).as("n_oov"),
+        sort_array(collect_list(struct(col("c123"), col("c12"), col("c23"),
+          col("c2"), col("c3")))).as("__p"))
+      .withColumn("__nll",
+        aggregate(col("__p"), lit(0.0), (a, p) => a + contrib(p)) /
+          col("n_trigrams").cast("double"))
+      .select(col(idCol), col("n_trigrams"), col("n_tri_hit"), col("n_bi_hit"),
+        col("n_uni_hit"), col("n_oov"),
+        round(col("__nll"), 4).as("sb_nll_q4"),
+        round(exp(col("__nll")), 4).as("sb_ppl_q4"))
+  }
+
   /** CCNet-style perplexity bucketing: each stratum's documents are
     * split into `nBuckets` equal-population perplexity bands
     * (head/middle/tail at the default 3) under the self-trained bigram

@@ -273,6 +273,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0)._4 < out(1)._4)
   }
 
+  test("stupidBackoff: all four tiers fire with hand-checked scores on a held-out split") {
+    // train (even ids): "a b c a b d", "a b c" → N = 9
+    //   unigrams a:3 b:3 c:2 d:1; bigrams "a b":3 "b c":2 "c a":1 "b d":1
+    //   trigrams "a b c":2, "b c a":1, "c a b":1, "a b d":1
+    // score (odd ids):
+    //   doc 1 "a b c x": "a b c" tier1 (ln3−ln2); "b c x" OOV tier4
+    //   doc 3 "d c a":   "d c a" tier2 via c("c a")=1, c(c)=2
+    //   doc 5 "x d b":   "x d b" tier3 via c(b)=3
+    val df = Seq((0L, "a b c a b d"), (2L, "a b c"),
+      (1L, "a b c x"), (3L, "d c a"), (5L, "x d b")).toDF("doc_id", "text")
+    val out = TextAnalysis.stupidBackoff(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].collect()
+    def q4(x: Double) = math.rint(x * 1e4) / 1e4
+    val bo = math.log(5) - math.log(2)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 5L))
+    // doc 1: 2 trigrams, 1 trigram hit, 1 OOV
+    assert(out(0)._2 === 2L && out(0)._3 === 1L && out(0)._6 === 1L)
+    assert(out(0)._7 === q4(((math.log(3) - math.log(2)) + (bo * 3 + math.log(9))) / 2))
+    // doc 3: bigram-tier backoff
+    assert(out(1)._4 === 1L)
+    assert(out(1)._7 === q4(bo + (math.log(2) - math.log(1))))
+    // doc 5: unigram-tier backoff
+    assert(out(2)._5 === 1L)
+    assert(out(2)._7 === q4(bo * 2 + (math.log(9) - math.log(3))))
+  }
+
   test("perplexityBuckets: equal bands per stratum, tail is the worst band, keep drops it") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = TextAnalysis.perplexityBuckets(docs)
