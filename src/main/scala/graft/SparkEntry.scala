@@ -632,6 +632,15 @@ object SparkEntry {
       Graph.pageRank(pairs, iters = 3).orderBy(col("doc_id"))
     }),
 
+    // Exact triangle census + clustering coefficient over the same
+    // near-dup graph (degree-ordered wedge join, O(m^1.5) bound):
+    // high cc = mirror clique, high degree + low cc = shared template.
+    "graph_triangles" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.triangles(pairs).orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
@@ -2921,6 +2930,34 @@ object SparkEntry {
          |$rounds
          |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
     },
+
+    // degree-ordered triangle enumeration replayed: direct each edge
+    // low→high (deg, id) rank, wedge at the source, close on the
+    // directed edge set, unnest the three corners
+    "graph_triangles" ->
+      s"""WITH ${bandedPairsCtes(tokSql, "", 900)},
+         |e0 AS (SELECT DISTINCT least(doc_a, doc_b) AS u, greatest(doc_a, doc_b) AS v
+         |       FROM pairs WHERE doc_a <> doc_b),
+         |sym AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+         |dire AS (SELECT CASE WHEN a.deg <= b.deg THEN e0.u ELSE e0.v END AS src,
+         |                CASE WHEN a.deg <= b.deg THEN e0.v ELSE e0.u END AS dst,
+         |                CASE WHEN a.deg <= b.deg THEN b.deg ELSE a.deg END AS ddeg
+         |         FROM e0 JOIN dg a ON a.u = e0.u JOIN dg b ON b.u = e0.v),
+         |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+         |        FROM dire e1 JOIN dire e2 ON e1.src = e2.src
+         |          AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         |        JOIN dire e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |corners AS (SELECT unnest([x, y, z]) AS doc_id FROM tri),
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM corners GROUP BY doc_id)
+         |SELECT dg.u AS doc_id, dg.deg AS degree,
+         |       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |       CAST(CASE WHEN dg.deg >= 2
+         |            THEN (2000 * coalesce(tc.n_triangles, 0)) // (dg.deg * (dg.deg - 1))
+         |            ELSE 0 END AS BIGINT) AS cc_permille
+         |FROM dg LEFT JOIN tc ON tc.doc_id = dg.u
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},

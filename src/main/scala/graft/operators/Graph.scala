@@ -30,6 +30,63 @@ object Graph {
       .groupBy(col("u").as("doc_id"))
       .agg(count(lit(1)).as("degree"))
 
+  /** Exact per-node triangle census + local clustering coefficient
+    * over the undirected pair graph, via the degree-ordered
+    * "compact-forward" algorithm (Latapy 2008; the standard
+    * MapReduce/Spark shape): every edge is DIRECTED from its
+    * lower-(degree, id) endpoint to its higher one, wedges are
+    * enumerated only at each edge's source, and a triangle is
+    * counted exactly once — at its lowest-rank corner.
+    *
+    * Why the ordering matters at scale: an undirected wedge join
+    * fans out Σ deg(v)² (a 10⁶-degree hub contributes 10¹² wedges);
+    * directing by degree bounds each node's out-degree by O(√m), so
+    * the wedge join is O(m^{3/2}) worst-case — the best possible for
+    * exact counting — and hub nodes stop being stragglers. Shape:
+    * one self-join of the directed edge list on `src` (the wedge),
+    * one equi-join probing the directed edge set for the closing
+    * edge, one explode-3-corners aggregation back to node grain.
+    *
+    * Output: (doc_id, degree, n_triangles, cc_permille) for every
+    * node in the graph — cc = 2·T/(deg·(deg−1)) in exact integer
+    * permille, 0 for degree-1 nodes. The near-dup reading: a high
+    * clustering coefficient marks a mirror CLIQUE (every copy pairs
+    * with every other), while a high-degree low-cc node is a hub
+    * template shared by many otherwise-unrelated docs. */
+  def triangles(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val e = pairs.select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dg = symmetric(pairs, aCol, bCol)
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // canonical u < v, so the (deg, id)-lexicographic direction
+    // reduces to deg(u) <= deg(v) ? u→v : v→u; each directed edge
+    // carries its DESTINATION's degree (the wedge-ordering key)
+    val dir = e
+      .join(dg.select(col("u"), col("deg").as("du")), "u")
+      .join(dg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
+    val e2 = dir.select(col("src").as("__s2"), col("dst").as("__d2"), col("ddeg").as("__g2"))
+    val e3 = dir.select(col("src").as("__s3"), col("dst").as("__d3"))
+    val tri = dir.join(e2, col("src") === col("__s2") &&
+        (col("ddeg") < col("__g2") ||
+          (col("ddeg") === col("__g2") && col("dst") < col("__d2"))))
+      .join(e3, col("dst") === col("__s3") && col("__d2") === col("__d3"))
+      .select(col("src").as("x"), col("dst").as("y"), col("__d2").as("z"))
+    val corners = tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    dg.select(col("u").as("doc_id"), col("deg").as("degree"))
+      .join(corners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          expr("(2000 * coalesce(n_triangles, 0)) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_permille"))
+  }
+
   /** Deterministic PageRank over the undirected pair graph, `iters`
     * fixed iterations, damping 0.85, scores in fixed-point (initial
     * score 10000 per node). Exact recurrence (all integer ops):

@@ -19,6 +19,30 @@ class GraphSpec extends SparkSpec {
     assert(d === Map(1L -> 4L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("triangles: K4 + pendant exact census; star and path have none; reversed dups collapse") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node, cc = 1) plus pendant 5-1
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val t = Graph.triangles(k4p)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node 1: degree 4, still 3 triangles, cc = 2*3/(4*3) = 500 permille
+    assert(t(1L) === ((4L, 3L, 500L)))
+    assert(t(2L) === ((3L, 3L, 1000L)))
+    assert(t(3L) === ((3L, 3L, 1000L)))
+    assert(t(4L) === ((3L, 3L, 1000L)))
+    assert(t(5L) === ((1L, 0L, 0L)))
+    // total triangle count: each counted at 3 corners → sum/3 = 4
+    assert(t.values.map(_._2).sum === 12L)
+    // triangle-free graphs: star (wedges only) and a path
+    assert(Graph.triangles(star).as[(Long, Long, Long, Long)].collect()
+      .forall(_._3 === 0L))
+    // duplicate + reversed edges must not fabricate triangles
+    val dup = k4p.union(Seq((2L, 1L), (3L, 2L)).toDF("doc_a", "doc_b"))
+    val t2 = Graph.triangles(dup)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(t2(1L) === 3L && t2(5L) === 0L)
+  }
+
   test("pageRank: exact fixed-point values on the star; 2-cycle is the conservation fixed point") {
     // hand-computed: pr0=10000 all; hub ← 4 leaf contribs, leaf ← hub/4
     //   iter1: hub 35500, leaf 3625
