@@ -1042,6 +1042,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Content-defined chunking (FastCDC/rsync on token streams):
+    // boundaries where the 4-token window fingerprint ≡ 0 mod 32, so
+    // chunk hashes survive insertions (boundaries resync) — the
+    // sub-document dedup fixed-stride chunking structurally misses.
+    // `stale` marks chunks first seen in an earlier doc.
+    "corpus_cdc_chunks" -> ((s, d) => {
+      Corpus.cdcChunks(Tables.documents(s, d), window = 4, modulus = 32)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Synthetic crawl URLs injected per doc (the table carries none):
     // mixed-case scheme/host, tracking params bracketing a real one,
     // fragment — normalization must fix all of it.
@@ -3834,6 +3844,36 @@ object SparkEntry {
          |       CAST(least(16, ln - st) AS BIGINT) AS n_chunk_tokens,
          |       md5(array_to_string(tk[st+1 : st+16], ' ')) AS chunk_md5
          |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // CDC replayed: per-position windowed md5 fingerprints, modulus
+    // boundary flags, running chunk index (window sum to 1 PRECEDING),
+    // order-pinned chunk reassembly, first-seen stale marker.
+    "corpus_cdc_chunks" -> {
+      val winFp = hexSliceSql("md5(array_to_string(tk[CAST(i - 3 AS INTEGER) : CAST(i AS INTEGER)], ' '))", 1)
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |fl AS (SELECT doc_id, tk,
+         |         list_transform(range(1, len(tk) + 1),
+         |           i -> CASE WHEN i >= 4 AND ($winFp) % 32 = 0
+         |                THEN 1 ELSE 0 END) AS flags
+         |       FROM t WHERE len(tk) >= 1),
+         |pe AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |         i -> {'pos': i, 'tok': tk[CAST(i AS INTEGER)],
+         |               'flag': flags[CAST(i AS INTEGER)]}), recursive := true)
+         |       FROM fl),
+         |cx AS (SELECT doc_id, pos, tok,
+         |         coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+         |       FROM pe),
+         |ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |         CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+         |         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+         |       FROM cx GROUP BY doc_id, chunk_idx),
+         |ow AS (SELECT chunk_md5, min(doc_id) AS owner FROM ch GROUP BY chunk_md5)
+         |SELECT ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens, ch.chunk_md5,
+         |       CAST(CASE WHEN ow.owner < ch.doc_id THEN 1 ELSE 0 END AS BIGINT) AS stale
+         |FROM ch JOIN ow USING (chunk_md5)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
 
     // Mirrors Corpus.normalizeUrl's fixed pass order; DuckDB backrefs
     // are \1 where Spark's are $1 (same semantics).

@@ -498,6 +498,64 @@ object Corpus {
           .as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking (the FastCDC/rsync idea on token
+    * streams): a chunk boundary falls after token i wherever the
+    * 32-bit fingerprint of the last `window` tokens ≡ 0 (mod
+    * `modulus`) — expected chunk length ≈ `modulus` tokens, and the
+    * boundary depends ONLY on local content. That is the property
+    * fixed-stride [[chunk]] lacks: insert one token near the top of a
+    * document and every fixed chunk downstream shifts (all hashes
+    * change, sub-document dedup finds nothing), while CDC boundaries
+    * resynchronize at the first post-edit boundary and every later
+    * chunk hashes identically — the sub-document dedup that survives
+    * boilerplate injection and near-miss edits.
+    *
+    * Output one row per chunk: (doc, chunk_idx, n_chunk_tokens,
+    * chunk_md5, stale) with `stale` = 1 iff the same chunk content
+    * first appears in an earlier document ([[TextAnalysis
+    * .ngramNovelty]]'s first-seen discipline at chunk grain).
+    *
+    * Shape: boundary flags are computed IN-ROW (one windowed
+    * fingerprint per token — narrow), the running chunk index is one
+    * per-doc window sum, chunk assembly is one groupBy(doc, chunk),
+    * and the stale marker is one groupBy(chunk_md5) + equi-join —
+    * two keyed shuffles total, both map-side combinable. */
+  def cdcChunks(docs: DataFrame, window: Int = 4, modulus: Int = 32,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && modulus >= 2, "need window >= 1 and modulus >= 2")
+    import graft.functions.HexSliceLong.hex_slice_long
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val tk = col("__tk")
+    val n = size(tk)
+    // flag(i) = 1 iff a boundary closes after 1-based token i
+    val flags = transform(sequence(lit(1), n), i =>
+      when(i >= window &&
+          hex_slice_long(md5(array_join(slice(tk, i - (window - 1), lit(window)), " ")
+            .cast("binary")), 0) % modulus === 0, 1L)
+        .otherwise(0L))
+    val pe = Partitioning.fanOut(docs)
+      .withColumn("__tk", Dedup.tokens(col(textCol)))
+      .filter(n >= 1)
+      .withColumn("__fl", flags)
+      .withColumn("__z", arrays_zip(col("__tk"), col("__fl")))
+      .select(col(idCol), posexplode(col("__z")).as(Seq("pos", "zf")))
+      .select(col(idCol), col("pos"),
+        col("zf.__tk").as("tok"), col("zf.__fl").as("flag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ch = pe
+      .withColumn("chunk_idx", coalesce(sum(col("flag")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")), " ").cast("binary")).as("chunk_md5"))
+    val owner = ch.groupBy(col("chunk_md5")).agg(min(col(idCol)).as("__owner"))
+    ch.join(owner, "chunk_md5")
+      .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_md5"),
+        when(col("__owner") < col(idCol), 1L).otherwise(0L).as("stale"))
+  }
+
   /** Global top-k vocabulary: one hash-shuffle on the token (map-side
     * combinable count), then TakeOrderedAndProject for the global
     * top-k (per-partition partial top-k + k-row driver merge, never a

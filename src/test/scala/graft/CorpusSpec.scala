@@ -345,6 +345,37 @@ class CorpusSpec extends SparkSpec {
     assert(order("e0").sorted === order("e1").sorted) // same docs, new order
   }
 
+  test("cdcChunks: boundaries resync after an insertion; fixed-stride chunks all shift") {
+    // 200 deterministic pseudo-tokens; doc 2 prepends one token. CDC
+    // boundaries depend only on the local 4-token window, so every
+    // chunk after doc 2's first boundary hashes identically to doc
+    // 1's — the shift-resistance fixed-stride chunking lacks.
+    val toks = (0 until 200).map(i => s"w$i")
+    val in = Seq((1L, toks.mkString(" ")), (2L, ("zzz " + toks.mkString(" "))))
+      .toDF("doc_id", "text")
+    val ch = Corpus.cdcChunks(in, window = 4, modulus = 32)
+      .select("doc_id", "chunk_idx", "chunk_md5", "stale")
+      .as[(Long, Long, String, Long)].collect()
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val d2 = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(d1.length >= 3, s"expected several chunks, got ${d1.length}")
+    // all doc-1 chunks except the first are present verbatim in doc 2
+    assert(d1.drop(1).forall(d2.contains),
+      s"CDC resync failed: ${d1.drop(1).count(!d2.contains(_))} chunks lost")
+    // shared chunks in the LATER doc are marked stale; doc 1 is fresh
+    assert(ch.filter(_._1 == 1L).forall(_._4 === 0L))
+    assert(ch.filter(r => r._1 == 2L && d1.contains(r._3)).forall(_._4 === 1L))
+    // fixed-stride contrast: the one-token shift kills every chunk hash
+    val fixedShared = {
+      val f = Corpus.chunk(in, chunkTokens = 16, strideTokens = 16)
+        .select(col("doc_id"), md5(col("chunk_text").cast("binary")).as("h"))
+        .as[(Long, String)].collect()
+      val f1 = f.filter(_._1 == 1L).map(_._2).toSet
+      f.filter(_._1 == 2L).map(_._2).count(f1.contains)
+    }
+    assert(fixedShared === 0, s"fixed chunking unexpectedly shared $fixedShared")
+  }
+
   test("chunk: stride overlap, partial tail kept, short docs one chunk, empty none") {
     val in = Seq(
       (1L, (1 to 20).map("w" + _).mkString(" ")), // 20 toks → starts 0, 8
