@@ -1596,6 +1596,23 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, d),
         Seq("spark", "filter", "join"), k = 20)),
 
+    // Reciprocal-rank fusion of two lexical rankers (BM25 ⊕
+    // query-likelihood) — the standard hybrid-retrieval merge, reading
+    // only ranks; integer micro-point RRF with c = 60.
+    "sim_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = Seq("spark", "filter", "join")
+      def ranked(df: org.apache.spark.sql.DataFrame, scoreCol: String) =
+        df.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(scoreCol).desc, col("doc_id"))).cast("long"))
+      // k-bounded windows: both inputs are already top-20 frames
+      val bm = ranked(TextAnalysis.bm25TopK(docs, terms, k = 20), "score_milli")
+      val ql = ranked(TextAnalysis.queryLikelihoodTopK(docs, terms, k = 20), "score_micro")
+      TextAnalysis.rrfFuse(Seq(bm, ql), k = 10)
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+    }),
+
     // Exact-substring dedup report: maximal cross-doc repeated spans of
     // ≥ 8 tokens, merged via gaps-and-islands (suffix-array recipe,
     // re-expressed as gram equi-join — never all-pairs).
@@ -4669,6 +4686,45 @@ object SparkEntry {
          |      FROM c GROUP BY doc_id)
          |SELECT doc_id, score_milli, n_hit_terms FROM s
          |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both rankers replayed, ranks fused as floor(1e9/(60+rank)) sums
+    "sim_rrf_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |dl AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |q AS (SELECT unnest(['spark', 'filter', 'join']) AS term),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok JOIN q USING (term) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.tf,
+         |        (1000 * (2 * (st.n_docs - df.df) + 1)) // (2 * df.df + 1) AS idf_milli,
+         |        (1000 * dl.dl * st.n_docs) // st.total_tokens AS len_ratio_milli
+         |      FROM tf JOIN df USING (term)
+         |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |bm0 AS (SELECT doc_id,
+         |          CAST(sum((idf_milli * 22000 * tf)
+         |            // (10000 * tf + 3000 + 9 * len_ratio_milli)) AS BIGINT) AS score_milli
+         |        FROM c GROUP BY doc_id
+         |        ORDER BY score_milli DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id, CAST(row_number() OVER
+         |         (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank FROM bm0),
+         |ql0 AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS tf_total
+         |        FROM tf GROUP BY tf.doc_id),
+         |ql1 AS (SELECT ql0.doc_id,
+         |          (1000000 * ql0.tf_total) // dl.dl AS score_micro
+         |        FROM ql0 JOIN dl ON ql0.doc_id = dl.doc_id
+         |        ORDER BY score_micro DESC, ql0.doc_id LIMIT 20),
+         |ql AS (SELECT doc_id, CAST(row_number() OVER
+         |         (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank FROM ql1),
+         |u AS (SELECT doc_id, 1000000000 // (60 + rank) AS pt FROM bm
+         |      UNION ALL SELECT doc_id, 1000000000 // (60 + rank) AS pt FROM ql),
+         |f AS (SELECT doc_id, CAST(sum(pt) AS BIGINT) AS rrf_micro,
+         |        CAST(count(*) AS BIGINT) AS n_lists
+         |      FROM u GROUP BY doc_id
+         |      ORDER BY rrf_micro DESC, doc_id LIMIT 10)
+         |SELECT doc_id, rrf_micro, n_lists FROM f
+         |ORDER BY rrf_micro DESC, doc_id""".stripMargin,
 
     // 1-based positions here vs posexplode's 0-based on the Spark side:
     // islands and span lengths use only position DIFFERENCES, so the

@@ -495,6 +495,54 @@ object TextAnalysis {
     Relational.topK(perDoc, Seq(col("score_milli").desc, col(idCol)), k)
   }
 
+  /** Query-likelihood lexical ranking — total matched-term frequency
+    * length-normalized in exact integer micro units,
+    * ⌊10⁶·Σtf / dl⌋ — the idf-free second opinion to [[bm25TopK]]
+    * (no rarity weighting, no saturation: a doc dense in ANY query
+    * term ranks high). Same scale shape: query terms broadcast into
+    * the postings scan first, so cost ∝ matching postings, and the
+    * final top-k is TakeOrderedAndProject. */
+  def queryLikelihoodTopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryLikelihoodTopK needs at least one query term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queryTerms.distinct.toDF("term")
+    val dl = docs.select(col(idCol), size(tokens(col("text"))).cast("long").as("dl"))
+    val tf = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(q), "term")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("tf_total"))
+    val scored = tf.join(dl, idCol)
+      .withColumn("score_micro", expr("(1000000 * tf_total) DIV dl"))
+    Relational.topK(scored.select(col(idCol), col("score_micro"), col("tf_total")),
+      Seq(col("score_micro").desc, col(idCol)), k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009):
+    * combine truncated rankings from heterogeneous rankers by
+    * Σ 1/(c + rank) — the standard hybrid-retrieval merge (lexical ⊕
+    * lexical here; lexical ⊕ vector in a serving stack), robust
+    * because it reads only RANKS, never the incomparable scores.
+    * Integer-exact: each list contributes ⌊10⁹/(c + rank)⌋ micro
+    * points (quantized RRF — same order as the real-valued form for
+    * any c and rank ≤ 10⁴, and engine-portable). Items missing from
+    * a list simply contribute nothing (fusion over truncated lists —
+    * the published form). Input frames need (`idCol`, rank). Cost:
+    * one union of k-row frames + one k-bounded aggregation — the
+    * fusion itself is driver-trivial; the rankers dominate. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings
+      .map(_.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("pt", expr(s"1000000000 DIV ($c + rank)"))
+    val fused = u.groupBy(col(idCol))
+      .agg(sum(col("pt")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+    Relational.topK(fused, Seq(col("rrf_micro").desc, col(idCol)), k)
+  }
+
   /** BPE tokenizer training — the first `merges` merge steps of
     * byte-pair encoding over the corpus vocabulary, ENGINE-EXACT:
     * symbol-pair counts are exact integers weighted by word frequency,

@@ -372,4 +372,20 @@ class LlmOpsSpec extends SparkSpec {
     val expected = docs.join(emb, docs("doc_id") === emb("vec_id")).count()
     assert(counted === expected)
   }
+
+  test("rrfFuse: exact micro points, both-lists beats either single top, truncation drops") {
+    val r1 = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "rank")
+    val r2 = Seq((20L, 1L), (30L, 2L)).toDF("doc_id", "rank")
+    val got = graft.operators.TextAnalysis.rrfFuse(Seq(r1, r2), k = 3)
+      .as[(Long, Long, Long)].collect()
+    def pt(rank: Long) = 1000000000L / (60L + rank)
+    // doc 20 is rank 2 + rank 1 — must beat both single-list rank 1s
+    assert(got.map(_._1).toSeq === Seq(20L, 10L, 30L))
+    assert(got(0) === ((20L, pt(2) + pt(1), 2L)))
+    assert(got(1) === ((10L, pt(1), 1L)))
+    assert(got(2) === ((30L, pt(2), 1L)))
+    // truncation: k = 1 keeps only the fused winner
+    assert(graft.operators.TextAnalysis.rrfFuse(Seq(r1, r2), k = 1)
+      .as[(Long, Long, Long)].collect().map(_._1).toSeq === Seq(20L))
+  }
 }
