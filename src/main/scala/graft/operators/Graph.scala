@@ -54,10 +54,15 @@ object Graph {
     * with every other), while a high-degree low-cc node is a hub
     * template shared by many otherwise-unrelated docs. */
   def triangles(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // the canonical edge list feeds SIX subtrees (degrees + the
+    // directed list's three join roles + the node spine) and `pairs`
+    // is usually an expensive candidate pipeline — materialize once
+    // (the [[pageRank]] `sym` discipline; edge-list-sized, the same
+    // footprint every distributed triangle counter pins)
     val e = pairs.select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val dg = symmetric(pairs, aCol, bCol)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val dg = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     // canonical u < v, so the (deg, id)-lexicographic direction
     // reduces to deg(u) <= deg(v) ? u→v : v→u; each directed edge

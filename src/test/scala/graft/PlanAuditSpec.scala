@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_ivfpq_residual" -> "broadcast coarse centroids for assignment/probe ranking and residual formation (k×dims)",
     "dedup_semantic" -> "broadcast trained cell centroids (SemDeDup blocking model)",
     "sim_bm25" -> "single-row corpus stats (N, avgdl) joined under every scored doc",
+    "sim_rrf_fusion" -> "inherits sim_bm25's single-row corpus-stats join; the fusion itself is a union of k-row frames",
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
     "rel_fk_audit" -> "single-row per-edge aggregates unioned into the report",
     "rel_funnel" -> "single-row per-stage counts chained into conversion rates")
