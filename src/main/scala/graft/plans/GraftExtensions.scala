@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
+    // composable fingerprint-set chain → fused native fp32_set
+    ext.injectOptimizerRule(_ => new FuseFingerprintSets)
   }
 }
 
@@ -120,5 +122,11 @@ object GraftExtensions {
         hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
+    // optimizer rules can't be injected post-build through the
+    // extensions API — `experimental.extraOptimizations` is the
+    // supported runtime seam (idempotent: one instance per class)
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[FuseFingerprintSets]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new FuseFingerprintSets
   }
 }

@@ -12,6 +12,44 @@ import graft.sources.Tables
   */
 class PlanShapeSpec extends SparkSpec {
 
+  test("FuseFingerprintSets: composable chain rewrites to fp32_set; nullable arrays keep literal semantics") {
+    import graft.functions.HexSliceLong.hex_slice_long
+    import graft.functions.FpSet.fp32_set
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark) // also attaches the rule
+    // parquet-backed input: a local Seq would fold into a
+    // LocalRelation before the optimized plan can be inspected
+    val docs = Tables.documents(spark, sf).limit(20)
+      .withColumn("tset", split(col("text"), " "))
+    val composed = docs.select(sort_array(array_distinct(
+      transform(col("tset"), x => hex_slice_long(md5(x.cast("binary")), 0)))).as("hs"))
+    // the optimizer must swap in the fused native expression…
+    val optimized = composed.queryExecution.optimizedPlan
+    def hasFpSet(pl: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      pl.exists(_.expressions.exists(_.exists(_.isInstanceOf[graft.functions.FpSet])))
+    assert(hasFpSet(optimized), optimized.toString.take(800))
+    // …with identical results to both the direct call and the
+    // UNFUSED chain (evaluated via a plan the rule cannot touch:
+    // no sort_array wrapper, sorted afterwards in Scala)
+    val fused = composed.as[Seq[Long]].collect()
+    val direct = docs.select(fp32_set(col("tset")).as("hs")).as[Seq[Long]].collect()
+    assert(fused.toSeq === direct.toSeq)
+    val unfused = docs.select(array_distinct(
+        transform(col("tset"), x => hex_slice_long(md5(x.cast("binary")), 0))).as("h"))
+      .as[Seq[Long]].collect().map(_.sorted)
+    assert(fused.toSeq === unfused.toSeq)
+    // nullable element type → FpSet would skip nulls, the composed
+    // chain carries them: the rule must NOT fire
+    val nullable = spark.range(1)
+      .select(array(lit("a"), lit(null).cast("string")).as("tset"))
+      .select(sort_array(array_distinct(
+        transform(col("tset"), x => hex_slice_long(md5(x.cast("binary")), 0)))).as("hs"))
+    assert(!hasFpSet(nullable.queryExecution.optimizedPlan))
+    // null sorts first, survives distinct — literal semantics intact
+    val row = nullable.collect().head.getSeq[Any](0)
+    assert(row.length === 2 && row.head == null)
+  }
+
   test("saltedAggregate plans two hash aggregation stages, no sort aggregate") {
     val li = Tables.lineitem(spark, sf)
       .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
