@@ -1163,7 +1163,12 @@ object TextAnalysis {
       .groupBy(col("g2")).agg(count(lit(1)).as("c2g"))
     val t1 = train.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val n = t1.agg(sum(col("c1"))).head().getLong(0)
+    // empty training half: sum aggregates to NULL, and a 0 would put
+    // ln(0) in the OOV tier — floor at 1 (ln 1 = 0: the OOV penalty
+    // degenerates to the pure backoff factor, every scored trigram
+    // tier-4, finite and deterministic)
+    val n = math.max(1L,
+      t1.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0))
     val tg = score.select(col(idCol), explode(word_shingles(col("text"), 3)).as("t"))
       .withColumn("__ws", split(col("t"), " "))
       .withColumn("__b12", concat_ws(" ", element_at(col("__ws"), 1), element_at(col("__ws"), 2)))
