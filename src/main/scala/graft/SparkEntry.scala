@@ -499,6 +499,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // IDF-weighted set Jaccard: rare-token overlap counts more
+    // (Robertson odds idf in exact integers, the bm25 weight) —
+    // boilerplate-only overlap scores low, shared rare content high.
+    // Same banded-LSH candidates as dedup_jaccard.
+    "dedup_idf_jaccard" -> ((s, d) => {
+      Dedup.idfJaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 500).pairs
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Containment (excerpt) detection: |A∩B| / min(|A|,|B|) ≥ 0.8
     // over char-5-gram sets via the canonical prefix-filter inverted
     // index (AllPairs/PPJoin) — the asymmetric duplication Jaccard
@@ -2957,6 +2967,46 @@ object SparkEntry {
          |$rounds
          |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
     },
+
+    // banded candidates at the default cap + integer odds-idf weights,
+    // weighted intersection/union via pair-bounded token joins
+    "dedup_idf_jaccard" ->
+      s"""WITH ${bandedBucketCtes(tokSql, "")},
+         |cold AS (SELECT band, bv, source, lang FROM bsz WHERE bucket_docs <= 1000),
+         |cb AS (SELECT s.* FROM sbands s JOIN cold c
+         |         ON s.band = c.band AND s.bv = c.bv
+         |        AND s.source = c.source AND s.lang = c.lang),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cb a JOIN cb b
+         |           ON a.band = b.band AND a.bv = b.bv
+         |          AND a.source = b.source AND a.lang = b.lang
+         |          AND a.doc_id < b.doc_id),
+         |tok AS (SELECT doc_id, unnest(ts) AS t FROM d),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |wt AS (SELECT t, (1000 * (2 * (nd.n - x.df) + 1)) // (2 * x.df + 1) AS w
+         |       FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY t) x, nd),
+         |tw AS (SELECT tok.doc_id, tok.t, wt.w FROM tok JOIN wt USING (t)),
+         |pa AS (SELECT cand.doc_a, cand.doc_b, tw.t, tw.w
+         |       FROM tw JOIN cand ON tw.doc_id = cand.doc_a),
+         |pb AS (SELECT cand.doc_a, cand.doc_b, tw.t, tw.w
+         |       FROM tw JOIN cand ON tw.doc_id = cand.doc_b),
+         |sa AS (SELECT doc_a, doc_b, CAST(sum(w) AS BIGINT) AS swa
+         |       FROM pa GROUP BY doc_a, doc_b),
+         |sb AS (SELECT doc_a, doc_b, CAST(sum(w) AS BIGINT) AS swb
+         |       FROM pb GROUP BY doc_a, doc_b),
+         |si AS (SELECT pa.doc_a, pa.doc_b, CAST(sum(pa.w) AS BIGINT) AS swi
+         |       FROM pa JOIN pb ON pa.doc_a = pb.doc_a
+         |         AND pa.doc_b = pb.doc_b AND pa.t = pb.t
+         |       GROUP BY pa.doc_a, pa.doc_b),
+         |f AS (SELECT sa.doc_a, sa.doc_b,
+         |        CAST(coalesce(si.swi, 0) AS BIGINT) AS w_inter,
+         |        CAST(sa.swa + sb.swb - coalesce(si.swi, 0) AS BIGINT) AS w_union
+         |      FROM sa JOIN sb USING (doc_a, doc_b)
+         |      LEFT JOIN si USING (doc_a, doc_b))
+         |SELECT doc_a, doc_b, w_inter, w_union,
+         |       CAST(w_inter * 1000 // w_union AS BIGINT) AS idfjac_permille
+         |FROM f WHERE w_inter * 1000 // w_union >= 500
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // degree-ordered triangle enumeration replayed: direct each edge
     // low→high (deg, id) rank, wedge at the source, close on the

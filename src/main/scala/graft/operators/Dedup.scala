@@ -231,6 +231,70 @@ object Dedup {
       thresholdPermille, idCol, numHashes, rowsPerBand, maxBucket)
   }
 
+  /** IDF-WEIGHTED set Jaccard (the SpotSigs/weighted-resemblance
+    * variant): J_w(A,B) = Σ_{t∈A∩B} w(t) / Σ_{t∈A∪B} w(t) with
+    * per-token global rarity weights — two docs sharing rare content
+    * words score high even when their (weightless) stopword overlap
+    * is thin, and boilerplate-only overlap scores LOW because
+    * boilerplate tokens are corpus-frequent. The weight is the
+    * integer Robertson odds idf of [[TextAnalysis.bm25TopK]],
+    * w = ⌊1000·(2(N−df)+1)/(2df+1)⌋ — monotone in df, exact, no
+    * floats anywhere.
+    *
+    * Candidates come from the SAME banded-LSH stage as
+    * [[jaccardPairsBanded]] (collision-bounded, governor, drop
+    * accounting); only verification differs: the candidate pairs are
+    * broadcast into the weighted postings scan (token grain ⋈ df
+    * table), so verification cost is Σ|pair token sets| — pair-
+    * bounded, never corpus-quadratic. Returns (doc_a, doc_b,
+    * w_inter, w_union, idfjac_permille). */
+  def idfJaccardPairsBanded(docs: DataFrame, strataCols: Seq[String],
+                            thresholdPermille: Int, idCol: String = "doc_id",
+                            numHashes: Int = 8, rowsPerBand: Int = 2,
+                            maxBucket: Int = DefaultMaxBucket): BandedPairs = {
+    require(thresholdPermille >= 1, "thresholdPermille must be >= 1")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val base = Partitioning.fanOut(docs)
+      .withColumn("tset", array_distinct(tokens(col("text"))))
+      .select(col(idCol) +: col("tset") +: strataCols.map(col): _*)
+    // the candidate list and the weighted postings each feed BOTH
+    // pair sides (and the intersection join) — materialize once
+    // (pair-list- and posting-list-sized respectively, the
+    // containment-index discipline; release via
+    // Caching.releaseLocalCheckpoints when looping)
+    val (cands0, hot) = bandedCandidatesOn(base, strataCols, idCol,
+      numHashes, rowsPerBand, maxBucket)
+    val cands = cands0.localCheckpoint()
+    val tok = base.select(col(idCol), explode(col("tset")).as("t"))
+    // N is one scalar off the doc spine (the model-small precedent)
+    val nDocs = base.select(col(idCol)).distinct().count()
+    val w = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("w", expr(s"(1000 * (2 * ($nDocs - df) + 1)) DIV (2 * df + 1)"))
+      .select(col("t"), col("w"))
+    val tw = tok.join(w, "t").localCheckpoint()
+    val pa = tw.join(cands, col(idCol) === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("t"), col("w").as("wa"))
+    val pb = tw.join(cands, col(idCol) === col("doc_b"))
+      .select(col("doc_a").as("__ba"), col("doc_b").as("__bb"),
+        col("t").as("__bt"), col("w").as("wb"))
+    val sa = pa.groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa")).as("swa"))
+    val sb = pb.groupBy(col("__ba").as("doc_a"), col("__bb").as("doc_b"))
+      .agg(sum(col("wb")).as("swb"))
+    val si = pa.join(pb, col("doc_a") === col("__ba") &&
+        col("doc_b") === col("__bb") && col("t") === col("__bt"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa")).as("swi"))
+    val pairs = sa.join(sb, Seq("doc_a", "doc_b"))
+      .join(si, Seq("doc_a", "doc_b"), "left")
+      .withColumn("w_inter", coalesce(col("swi"), lit(0L)))
+      .withColumn("w_union", col("swa") + col("swb") - col("w_inter"))
+      .withColumn("idfjac_permille",
+        floor(col("w_inter") * 1000 / col("w_union")).cast("long"))
+      .filter(col("idfjac_permille") >= thresholdPermille)
+      .select(col("doc_a"), col("doc_b"), col("w_inter"), col("w_union"),
+        col("idfjac_permille"))
+    BandedPairs(pairs, hot)
+  }
+
   /** Default [[jaccardPairsBanded]] bucket cap — see its scaladoc. */
   val DefaultMaxBucket: Int = 1000
 

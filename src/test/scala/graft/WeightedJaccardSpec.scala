@@ -81,6 +81,27 @@ class WeightedJaccardSpec extends SparkSpec {
       "sanity: (2,3) must be SET-identical at t=1000")
   }
 
+  test("idf-weighted pairs: rare-anchor pair outscores common-anchor pair at equal set overlap") {
+    import org.apache.spark.sql.functions._
+    // two structurally identical pairs (8 of 9 tokens shared, fillers
+    // each df=2) differing ONLY in the anchor token: 'zebra' df=2 vs
+    // 'the' df=14 — idf weighting must rank the rare-anchor pair higher
+    val fill = (p: String) => (1 to 7).map(i => s"$p$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"zebra ${fill("a")} x1"), (2L, s"zebra ${fill("a")} x2"),
+      (3L, s"the ${fill("b")} y1"), (4L, s"the ${fill("b")} y2")) ++
+      (5L to 16L).map(i => (i, s"the c$i d$i"))
+    val docs = rows.toDF("doc_id", "text").withColumn("src", lit("s"))
+    val got = graft.operators.Dedup
+      .idfJaccardPairsBanded(docs, Seq("src"), thresholdPermille = 1)
+      .pairs.select("doc_a", "doc_b", "idfjac_permille")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)), s"banding missed the rare pair: $got")
+    assert(got.contains((3L, 4L)), s"banding missed the common pair: $got")
+    assert(got((1L, 2L)) > got((3L, 4L)),
+      s"idf weighting failed to discriminate: $got")
+  }
+
   test("weighted pairs ⊆ set candidates; values match a driver-side reference on testdata") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val got = Dedup.weightedJaccardPairsBanded(docs, Seq("source", "lang"),
