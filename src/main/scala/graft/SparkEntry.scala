@@ -499,6 +499,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Edit-distance near-dup pairs at TITLE grain (first 80 chars —
+    // the short-text slot the measure is for; full-doc Levenshtein is
+    // O(len²) per pair and the token measures own that grain): banded
+    // char-5-gram candidates, length prefilter, exact DP at dist <= 8.
+    "dedup_edit_distance" -> ((s, d) => {
+      val titles = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("text"),
+          col("source"), col("lang"))
+      Dedup.editDistancePairs(titles, Seq("source", "lang"),
+        maxDist = 8, k = 5).pairs
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // IDF-weighted set Jaccard: rare-token overlap counts more
     // (Robertson odds idf in exact integers, the bm25 weight) —
     // boilerplate-only overlap scores low, shared rare content high.
@@ -775,6 +788,13 @@ object SparkEntry {
     // integer ln arguments cross-engine.
     "text_kn_perplexity" -> ((s, d) =>
       TextAnalysis.knPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Top-25 collocations by PMI (Church & Hanks): exact-integer
+    // ratio ranking, integer-ln reported values, count floor 5 —
+    // the multi-word-unit miner for tokenizer vocabularies.
+    "text_pmi" -> ((s, d) =>
+      TextAnalysis.pmiTop(Tables.documents(s, d), k = 25, minCount = 5)
+        .orderBy(col("ratio_micro").desc, col("w1"), col("w2"))),
 
     // Stupid Backoff trigram scoring on a held-out split (train on
     // even doc_ids, score odd): the web-scale LM scorer — MLE ratios
@@ -2968,6 +2988,31 @@ object SparkEntry {
          |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
     },
 
+    // char-5-gram banded candidates over the title slice at the
+    // default cap, length prefilter, engine levenshtein verification
+    "dedup_edit_distance" ->
+      s"""WITH ${bandedBucketCtes(
+        "list_transform(range(1, length(substr(text, 1, 80)) - 3), " +
+          "i -> substr(substr(text, 1, 80), CAST(i AS INTEGER), 5))", "")},
+         |cold AS (SELECT band, bv, source, lang FROM bsz WHERE bucket_docs <= 1000),
+         |cb AS (SELECT s.* FROM sbands s JOIN cold c
+         |         ON s.band = c.band AND s.bv = c.bv
+         |        AND s.source = c.source AND s.lang = c.lang),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM cb a JOIN cb b
+         |           ON a.band = b.band AND a.bv = b.bv
+         |          AND a.source = b.source AND a.lang = b.lang
+         |          AND a.doc_id < b.doc_id),
+         |tx AS (SELECT doc_id, substr(text, 1, 80) AS ttl,
+         |         length(substr(text, 1, 80)) AS ln FROM documents),
+         |v AS (SELECT cand.doc_a, cand.doc_b,
+         |        CAST(levenshtein(a.ttl, b.ttl) AS BIGINT) AS dist
+         |      FROM cand JOIN tx a ON a.doc_id = cand.doc_a
+         |                JOIN tx b ON b.doc_id = cand.doc_b
+         |      WHERE abs(a.ln - b.ln) <= 8)
+         |SELECT doc_a, doc_b, dist FROM v WHERE dist <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // banded candidates at the default cap + integer odds-idf weights,
     // weighted intersection/union via pair-bounded token joins
     "dedup_idf_jaccard" ->
@@ -3501,6 +3546,27 @@ object SparkEntry {
          |SELECT doc_id, n_bigrams, round(nll, 4) AS kn_nll_q4,
          |       round(exp(nll), 4) AS kn_ppl_q4
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // PMI replayed: bigram/unigram counts, exact ratio ranking
+    "text_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |         i -> tk[i] || ' ' || tk[i+1])) AS b
+         |       FROM t WHERE len(tk) >= 2),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cab FROM bg
+         |      GROUP BY b HAVING count(*) >= 5),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |      FROM (SELECT unnest(tk) AS w FROM t) x GROUP BY w),
+         |nn AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n FROM u),
+         |sc AS (SELECT string_split(c.b, ' ')[1] AS w1,
+         |         string_split(c.b, ' ')[2] AS w2, c.cab,
+         |         (c.cab * nn.n * 1000000) // (a.c1 * b2.c1) AS ratio_micro,
+         |         round(ln(CAST(c.cab * nn.n AS DOUBLE)) -
+         |               ln(CAST(a.c1 * b2.c1 AS DOUBLE)), 4) AS pmi_q4
+         |       FROM c JOIN u a ON a.w = string_split(c.b, ' ')[1]
+         |              JOIN u b2 ON b2.w = string_split(c.b, ' ')[2], nn)
+         |SELECT w1, w2, cab, ratio_micro, pmi_q4 FROM sc
+         |ORDER BY ratio_micro DESC, w1, w2 LIMIT 25""".stripMargin,
 
     // Stupid Backoff replayed: even-id count tables, odd-id trigram
     // stream, four LEFT joins, tier CASE with (ln 5 − ln 2) backoff

@@ -295,6 +295,44 @@ object Dedup {
     BandedPairs(pairs, hot)
   }
 
+  /** Edit-distance near-dup pairs for SHORT text (titles, queries,
+    * headlines — the grain where token-set measures are too coarse
+    * and character edits are the real signal): banded char-gram LSH
+    * candidates ([[charNgramPairsBanded]]'s stage, collision-bounded
+    * + governor), then exact Levenshtein verification at distance
+    * ≤ `maxDist`. Two pre-filters prune before the O(|a|·|b|) DP:
+    * the LENGTH filter (||a|−|b|| ≤ maxDist is necessary) and the
+    * banding itself (low-gram-overlap pairs never become
+    * candidates — at maxDist ≪ |text| every true pair shares most
+    * grams, so LSH recall holds). Verification uses the engine's
+    * `levenshtein` (the standard DP — identical values on any
+    * engine). Returns (doc_a, doc_b, dist). */
+  def editDistancePairs(docs: DataFrame, strataCols: Seq[String],
+                        maxDist: Int, k: Int = 3, idCol: String = "doc_id",
+                        numHashes: Int = 8, rowsPerBand: Int = 2,
+                        maxBucket: Int = DefaultMaxBucket): BandedPairs = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    import graft.functions.CharShingles.char_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val base = Partitioning.fanOut(docs)
+      .withColumn("tset", array_distinct(char_shingles(col("text"), k)))
+      .select(col(idCol) +: col("tset") +: col("text") +: strataCols.map(col): _*)
+    val (cands, hot) = bandedCandidatesOn(base, strataCols, idCol,
+      numHashes, rowsPerBand, maxBucket)
+    val txt = base.select(col(idCol), col("text"),
+      length(col("text")).as("__len"))
+    val pairs = cands
+      .join(txt.select(col(idCol).as("doc_a"), col("text").as("ta"),
+        col("__len").as("la")), "doc_a")
+      .join(txt.select(col(idCol).as("doc_b"), col("text").as("tb"),
+        col("__len").as("lb")), "doc_b")
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+    BandedPairs(pairs, hot)
+  }
+
   /** Default [[jaccardPairsBanded]] bucket cap — see its scaladoc. */
   val DefaultMaxBucket: Int = 1000
 

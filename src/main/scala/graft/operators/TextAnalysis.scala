@@ -495,6 +495,46 @@ object TextAnalysis {
     Relational.topK(perDoc, Seq(col("score_milli").desc, col(idCol)), k)
   }
 
+  /** Top-k collocations by pointwise mutual information (Church &
+    * Hanks 1990): PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent
+    * word pairs — the association measure that surfaces multi-word
+    * units ("san francisco", "vice versa") for tokenizer vocabularies
+    * and phrase mining, where raw bigram frequency only surfaces
+    * stopword pairs. `minCount` floors c_ab (PMI's known bias toward
+    * hapax pairs).
+    *
+    * Determinism: ranking uses the EXACT integer quotient
+    * ⌊10⁶·c_ab·N / (c_a·c_b)⌋ (PMI is monotone in the ratio, so the
+    * order is identical — and a float sort key could tie-break
+    * differently across engines); the reported pmi_q4 is
+    * ln(c_ab·N) − ln(c_a·c_b) — integer ln arguments, products below
+    * 2⁵³. Shape: one bigram and one unigram count aggregation, two
+    * type-grain equi-joins, TakeOrderedAndProject top-k. */
+  def pmiTop(docs: DataFrame, k: Int = 25, minCount: Int = 5,
+             textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val fanned = Partitioning.fanOut(docs)
+    val bg = fanned
+      .select(explode(word_shingles(col(textCol), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .withColumn("w2", element_at(split(col("b"), " "), 2))
+    val uni = fanned.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val n = uni.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
+    val scored = bg
+      .join(uni.select(col("w").as("__u1"), col("c1").as("ca")), col("w1") === col("__u1"))
+      .join(uni.select(col("w").as("__u2"), col("c1").as("cb")), col("w2") === col("__u2"))
+      .withColumn("ratio_micro", expr(s"(cab * $n * 1000000) DIV (ca * cb)"))
+      .withColumn("pmi_q4", round(
+        log((col("cab") * lit(n)).cast("double")) -
+          log((col("ca") * col("cb")).cast("double")), 4))
+      .select(col("w1"), col("w2"), col("cab"), col("ratio_micro"), col("pmi_q4"))
+    Relational.topK(scored, Seq(col("ratio_micro").desc, col("w1"), col("w2")), k)
+  }
+
   /** Query-likelihood lexical ranking — total matched-term frequency
     * length-normalized in exact integer micro units,
     * ⌊10⁶·Σtf / dl⌋ — the idf-free second opinion to [[bm25TopK]]

@@ -97,6 +97,34 @@ class TextOpsSpec extends SparkSpec {
     assert(!wordPairs.contains((1L, 2L)))
   }
 
+  test("pmiTop: hand-checked collocation, exact integer ranking, hapax floor") {
+    // "aa bb" ×5 is the only bigram at the count floor; cc-pairs are
+    // hapax and must drop. N = 20 tokens, c(aa)=c(bb)=5:
+    // ratio = 5·20·10⁶/25 = 4·10⁶, pmi = ln 100 − ln 25 = ln 4
+    val df = Seq((1L,
+      "aa bb aa bb aa bb aa bb aa bb cc dd cc ee cc ff cc gg cc hh"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiTop(df, k = 10, minCount = 5)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val (w1, w2, cab, ratio, pmi) = got.head
+    assert((w1, w2, cab, ratio) === (("aa", "bb", 5L, 4000000L)))
+    assert(pmi === math.rint((math.log(100) - math.log(25)) * 1e4) / 1e4)
+  }
+
+  test("editDistancePairs: one-typo pair found with exact distance; unrelated and length-gapped excluded") {
+    val a = "the quick brown fox jumps over the lazy dog near a riverbank today"
+    val docs = Seq(
+      (1L, a),
+      (2L, a.replace("quick", "quikc")),     // transposition: dist 2
+      (3L, "completely different text with nothing shared at all here"),
+      (4L, a + " " + ("padding " * 20).trim) // same prefix, length gap ≫ maxDist
+    ).toDF("doc_id", "text").withColumn("src", lit("s"))
+    val got = Dedup.editDistancePairs(docs, Seq("src"), maxDist = 3, k = 5)
+      .pairs.select("doc_a", "doc_b", "dist").as[(Long, Long, Long)].collect()
+    assert(got.toSet === Set((1L, 2L, 2L)), got.mkString(","))
+  }
+
   test("bigramFluency: repeated transitions score high, unique ones low") {
     val docs = Seq(
       (1L, "a b a b a b"),   // transitions a-b / b-a dominate the corpus
