@@ -789,6 +789,12 @@ object SparkEntry {
     "text_kn_perplexity" -> ((s, d) =>
       TextAnalysis.knPerplexity(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Per-source Zipf rank-frequency fit: OLS slope of ln(count) vs
+    // ln(rank) on q4-quantized integer lns, exact sufficient stats —
+    // natural prose ≈ −1; template farms flat, key-smash steep.
+    "text_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d)).orderBy(col("source"))),
+
     // Top-25 collocations by PMI (Church & Hanks): exact-integer
     // ratio ranking, integer-ln reported values, count floor 5 —
     // the multi-word-unit miner for tokenizer vocabularies.
@@ -3546,6 +3552,34 @@ object SparkEntry {
          |SELECT doc_id, n_bigrams, round(nll, 4) AS kn_nll_q4,
          |       round(exp(nll), 4) AS kn_ppl_q4
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Zipf replayed: per-source counts, rank window, quantized lns,
+    // integer sufficient statistics, one closed-form division
+    "text_zipf_fit" ->
+      s"""WITH tok AS (SELECT source, unnest($tokSql) AS w FROM documents),
+         |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |      FROM tok GROUP BY source, w),
+         |r AS (SELECT source, c,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY c DESC, w) AS BIGINT) AS r
+         |      FROM c),
+         |q AS (SELECT source,
+         |        CAST(floor(ln(CAST(r AS DOUBLE)) * 10000) AS BIGINT) AS x,
+         |        CAST(floor(ln(CAST(c AS DOUBLE)) * 10000) AS BIGINT) AS y
+         |      FROM r),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM q GROUP BY source),
+         |f AS (SELECT source, n_types, sx, sy,
+         |        n_types * sxy - sx * sy AS num,
+         |        n_types * sxx - sx * sx AS den
+         |      FROM s)
+         |SELECT source, n_types,
+         |       round(CAST(num AS DOUBLE) / den, 4) AS slope_q4,
+         |       round((sy - CAST(num AS DOUBLE) / den * sx) / n_types / 10000, 4) AS intercept_q4
+         |FROM f WHERE den <> 0 ORDER BY source""".stripMargin,
 
     // PMI replayed: bigram/unigram counts, exact ratio ranking
     "text_pmi" ->

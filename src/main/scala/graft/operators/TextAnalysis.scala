@@ -495,6 +495,49 @@ object TextAnalysis {
     Relational.topK(perDoc, Seq(col("score_milli").desc, col(idCol)), k)
   }
 
+  /** Per-stratum ZIPF fit: OLS slope of ln(count) against ln(rank)
+    * over each stratum's vocabulary — natural prose sits near −1
+    * (Zipf's law); a slope far off marks template/boilerplate farms
+    * (too flat: every token equally common) or key-smash (too steep)
+    * — a corpus-level quality diagnostic per source, complementing
+    * the per-document signals.
+    *
+    * Determinism: ln(rank)/ln(count) are quantized to ⌊10⁴·ln(m)⌋
+    * BEFORE the regression (integer ln arguments, exact floor), and
+    * the 1-D OLS runs on exact integer sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — the closed form divides two exact
+    * integers once at the end (exact to ~10⁶ types per stratum —
+    * Σx² stays under 2⁶³; a web-scale stratum moves the sums to
+    * DECIMAL(38)). Shape: one (stratum, token) count aggregation,
+    * one per-stratum rank window (per-stratum sort — the
+    * [[Corpus.lengthQuantiles]] posture), one aggregation to
+    * stratum grain. Output: (stratum, n_types, slope_q4,
+    * intercept_q4). */
+  def zipfFit(docs: DataFrame, byCol: String = "source",
+              textCol: String = "text"): DataFrame = {
+    val counts = Partitioning.fanOut(docs)
+      .select(col(byCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(byCol), col("w")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("c").desc, col("w"))
+    val xy = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("x", floor(log(col("r").cast("double")) * 10000d).cast("long"))
+      .withColumn("y", floor(log(col("c").cast("double")) * 10000d).cast("long"))
+    xy.groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("__num", col("n_types") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__den", col("n_types") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("__den") =!= 0)
+      .withColumn("slope_q4", round(col("__num").cast("double") / col("__den"), 4))
+      .withColumn("intercept_q4", round(
+        (col("sy") - col("__num").cast("double") / col("__den") * col("sx")) /
+          col("n_types") / 10000d, 4))
+      .select(col(byCol), col("n_types"), col("slope_q4"), col("intercept_q4"))
+  }
+
   /** Top-k collocations by pointwise mutual information (Church &
     * Hanks 1990): PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent
     * word pairs — the association measure that surfaces multi-word

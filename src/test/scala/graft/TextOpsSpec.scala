@@ -97,6 +97,21 @@ class TextOpsSpec extends SparkSpec {
     assert(!wordPairs.contains((1L, 2L)))
   }
 
+  test("zipfFit: an exact-Zipf corpus fits slope ≈ −1; a uniform corpus fits ≈ 0") {
+    // token i appears ⌊40/i⌋ times → c ≈ 40/r → ln c = ln 40 − ln r
+    val zipfText = (1 to 8).flatMap(i => Seq.fill(40 / i)(s"w$i")).mkString(" ")
+    val uniText = (1 to 8).flatMap(i => Seq.fill(5)(s"u$i")).mkString(" ")
+    val df = Seq((1L, "zipf", zipfText), (2L, "flat", uniText))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfFit(df)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("zipf")._1 === 8L)
+    assert(got("zipf")._2 > -1.15 && got("zipf")._2 < -0.85, got.toString)
+    // equal counts: y constant → slope 0 exactly
+    assert(got("flat")._2 === 0.0, got.toString)
+  }
+
   test("pmiTop: hand-checked collocation, exact integer ranking, hapax floor") {
     // "aa bb" ×5 is the only bigram at the count floor; cc-pairs are
     // hapax and must drop. N = 20 tokens, c(aa)=c(bb)=5:
