@@ -711,6 +711,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // Matryoshka serving: shortlist by cosine over the FIRST 16 dims
+    // only (prefix scan, dot cost ∝ d), exact full-dim re-rank of the
+    // 20-row shortlist.
+    "sim_ann_truncated" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.truncatedTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+          dim = 16, shortlist = 20)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"),
+          col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // The MRL quality curve: recall@5 of pure truncated-dim ranking
+    // vs the full-dim truth, per (dim, query); dim=64 pins 1000.
+    "sim_dim_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.dimRecall(emb.filter(col("vec_id") < 10), emb, k = 5,
+          dims = Seq(8, 16, 32, 64))
+        .orderBy(col("trunc_dim"), col("query_id"))
+    }),
+
     // Recall@k evaluation as an operator: the label-cell IVF's top-5
     // against the brute-force ground truth, per query — the ANN
     // quality gate a serving pipeline runs continuously.
@@ -1754,6 +1775,12 @@ object SparkEntry {
     * mirrors Similarity.dot's evaluation exactly (64 dims). */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  /** [[dotSql]] over only the first `d` components (a dim expression,
+    * so it can reference an unnested trunc-dim column) — mirrors
+    * `slice(cast array<double>, 1, d)` + vec_dot. */
+  private def dotSqlN(a: String, b: String, d: String): String =
+    s"list_sum(list_transform(range(1, $d + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
 
   private val tokSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -3139,6 +3166,64 @@ object SparkEntry {
          |           FROM scored)
          |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Matryoshka serving replayed: 16-dim-prefix cosine shortlist
+    // (rounded, cand_id tie-break), exact 64-dim re-rank of the 20.
+    "sim_ann_truncated" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 10),
+         |st AS (SELECT query_id, e.vec_id AS cand_id,
+         |         round(${dotSqlN("qv", "e.embedding", "16")}
+         |           / sqrt(${dotSqlN("qv", "qv", "16")}
+         |                  * ${dotSqlN("e.embedding", "e.embedding", "16")}), 4) AS cos_t
+         |       FROM q, e WHERE query_id <> e.vec_id),
+         |sl AS (SELECT query_id, cand_id FROM (
+         |         SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos_t DESC, cand_id) AS srnk
+         |         FROM st) x WHERE srnk <= 20),
+         |rr AS (SELECT sl.query_id, sl.cand_id,
+         |         round(${dotSql("q.qv", "e.embedding")}
+         |           / sqrt(${dotSql("q.qv", "q.qv")}
+         |                  * ${dotSql("e.embedding", "e.embedding")}), 4) AS cos
+         |       FROM sl JOIN q USING (query_id) JOIN e ON e.vec_id = sl.cand_id),
+         |rk AS (SELECT query_id, cand_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |       FROM rr)
+         |SELECT query_id, cand_id, rnk, cos FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // MRL recall curve: per-(dim, query) overlap of truncated-prefix
+    // top-5 with the full-dim truth; the dim list unnests so all dims
+    // score in one scored frame, as the Spark side explodes.
+    "sim_dim_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 10),
+         |truth AS (SELECT query_id, cand_id FROM (
+         |            SELECT query_id, e.vec_id AS cand_id,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY
+         |                round(${dotSql("qv", "e.embedding")}
+         |                  / sqrt(${dotSql("qv", "qv")}
+         |                         * ${dotSql("e.embedding", "e.embedding")}), 4) DESC,
+         |                e.vec_id) AS rnk
+         |            FROM q, e WHERE query_id <> e.vec_id) t WHERE rnk <= 5),
+         |dims AS (SELECT unnest([8, 16, 32, 64]) AS td),
+         |st AS (SELECT td, query_id, e.vec_id AS cand_id,
+         |         round(${dotSqlN("qv", "e.embedding", "td")}
+         |           / sqrt(${dotSqlN("qv", "qv", "td")}
+         |                  * ${dotSqlN("e.embedding", "e.embedding", "td")}), 4) AS cos_t
+         |       FROM dims, q, e WHERE query_id <> e.vec_id),
+         |ak AS (SELECT td, query_id, cand_id FROM (
+         |         SELECT td, query_id, cand_id,
+         |           row_number() OVER (PARTITION BY td, query_id ORDER BY cos_t DESC, cand_id) AS rn
+         |         FROM st) y WHERE rn <= 5),
+         |h AS (SELECT ak.td, ak.query_id,
+         |        CAST(sum(CASE WHEN truth.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |      FROM ak LEFT JOIN truth
+         |        ON ak.query_id = truth.query_id AND ak.cand_id = truth.cand_id
+         |      GROUP BY ak.td, ak.query_id)
+         |SELECT CAST(td AS BIGINT) AS trunc_dim, query_id, n_hits,
+         |       (n_hits * 1000) // 5 AS recall_permille
+         |FROM h ORDER BY trunc_dim, query_id""".stripMargin,
 
     // Brute-force truth and label-IVF candidates replayed side by
     // side, semi-joined per (query, cand) — queries the approx side

@@ -1140,4 +1140,92 @@ object Similarity {
     Seq(pairs, slc).foreach(Caching.releaseLocalCheckpoints(_))
     out
   }
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncated-dimension
+    * serving: shortlist by cosine over only the FIRST `dim`
+    * components of each vector, then re-rank the shortlist exactly at
+    * full dimension. MRL-trained embeddings front-load information,
+    * so a d≪D prefix scan finds nearly the same neighbors at d/D the
+    * dot-product cost — at 100 TB this is the cheap first pass
+    * (narrow scan of a prefix-sliced column, dot cost ∝ d), and the
+    * exact re-rank touches only |q|·shortlist rows. Same broadcast
+    * shape as [[bruteForceTopK]]: queries broadcast, candidates never
+    * shuffle, per-query top-k is a bounded heap.
+    *
+    * Determinism: both stages rank on `round(cos, 4)` with a cand_id
+    * tie-break — the whole-file oracle-parity discipline. */
+  def truncatedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                    dim: Int, shortlist: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got k=$k, shortlist=$shortlist")
+    require(dim >= 1, "dim >= 1")
+    val q = withNorm(queries, vecCol)
+      .withColumn("__qt", slice(col(vecCol).cast("array<double>"), 1, dim))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("__n2").as("qn2"), col("__qt").as("qt"),
+        graft.functions.VectorDot.vec_dot(col("__qt"), col("__qt")).as("qtn2"))
+    val c = Partitioning.fanOut(candidates)
+      .withColumn("__ct", slice(col(vecCol).cast("array<double>"), 1, dim))
+      .select(col(idCol).as("cand_id"), col("__ct").as("ct"),
+        graft.functions.VectorDot.vec_dot(col("__ct"), col("__ct")).as("ctn2"))
+    // stage 1 — prefix-dim scan: only (query, cand, cos_t) enters the
+    // shortlist ranking; the 64-dim vectors do NOT ride the window
+    // shuffle of the data-sized scored frame.
+    val short = c.join(broadcast(q.select(col("query_id"), col("qt"), col("qtn2"))),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("cos_t", cosFromParts(
+        graft.functions.VectorDot.vec_dot(col("qt"), col("ct")),
+        col("qtn2"), col("ctn2")))
+      .select(col("query_id"), col("cand_id"), col("cos_t"))
+    val shortK = Relational.topNPerGroup(short, Seq(col("query_id")),
+      Seq(col("cos_t").desc, col("cand_id")), shortlist, rankCol = "__srnk")
+    // stage 2 — exact re-rank: vectors re-join only the |q|·shortlist
+    // rows (broadcast-small), the mmrTopK delta-read shape.
+    val cv = withNorm(candidates, vecCol)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("__n2").as("cn2"))
+    val rer = broadcast(shortK.select(col("query_id"), col("cand_id")))
+      .join(cv, "cand_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn2"))), "query_id")
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+    Relational.topNPerGroup(rer.select(col("query_id"), col("cand_id"), col("cos")),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+  }
+
+  /** The MRL quality curve: recall@k of PURE truncated-dimension
+    * ranking (no re-rank) against the full-dimension exact top-k, one
+    * row per (trunc_dim, query). All requested dims score in ONE
+    * candidate pass — the dim list explodes per candidate row (a
+    * bounded |dims|× fan-out, no extra scan per dim), the prefix
+    * slice length is the exploded column. `trunc_dim = D` must score
+    * recall 1000 by construction (identical rounded cosines, identical
+    * tie-break), which `AnnRecallSpec` pins. */
+  def dimRecall(queries: DataFrame, candidates: DataFrame, k: Int,
+                dims: Seq[Int], idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val truth = bruteForceTopK(queries, candidates, k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    val q = Partitioning.fanOut(queries)
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = candidates
+      .select(col(idCol).as("cand_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c
+      .withColumn("trunc_dim", explode(array(dims.map(d => lit(d)): _*)))
+      .withColumn("ct", slice(col("cv"), lit(1), col("trunc_dim")))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("qt", slice(col("qv"), lit(1), col("trunc_dim")))
+      .withColumn("cos_t", cosFromParts(
+        graft.functions.VectorDot.vec_dot(col("qt"), col("ct")),
+        graft.functions.VectorDot.vec_dot(col("qt"), col("qt")),
+        graft.functions.VectorDot.vec_dot(col("ct"), col("ct"))))
+      .select(col("trunc_dim"), col("query_id"), col("cand_id"), col("cos_t"))
+    val approxK = Relational.topNPerGroup(scored,
+      Seq(col("trunc_dim"), col("query_id")),
+      Seq(col("cos_t").desc, col("cand_id")), k, rankCol = "__rn")
+    approxK
+      .join(truth.withColumn("__hit", lit(1L)), Seq("query_id", "cand_id"), "left")
+      .groupBy(col("trunc_dim").cast("long").as("trunc_dim"), col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_permille", expr(s"(n_hits * 1000) DIV $k"))
+  }
 }

@@ -518,4 +518,45 @@ class AnnRecallSpec extends SparkSpec {
       .orderBy("rank").select("cand_id").as[Long].collect().toSeq
     assert(plain === Seq(1L, 2L))
   }
+
+  test("truncatedTopK at full dim reproduces brute force; prefix shortlist rescues a prefix miss") {
+    // full-dim prefix (dim = 64, shortlist = k) must BE brute force —
+    // identical rounded cosines, identical tie-breaks
+    val q = clustered.filter(col("vec_id") < 8)
+    val full = Similarity.truncatedTopK(q, clustered, k = 5, dim = dims, shortlist = 5)
+      .select("query_id", "cand_id", "rank", "cos")
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Similarity.bruteForceTopK(q, clustered, k = 5)
+      .select("query_id", "cand_id", "rank", "cos")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(full === brute)
+
+    // hand-checkable rescue: on the 2-dim prefix, c2 out-scores c1,
+    // but the exact full-dim re-rank restores c1 first.
+    import spark.implicits._
+    val cands = Seq(
+      (1L, Seq(0.5, 0.0, 0.8)), // prefix cos 1.0 (tie), full cos high
+      (2L, Seq(0.9, 0.0, -0.4)), // prefix cos 1.0 (tie), full cos lower
+      (3L, Seq(-1.0, 0.1, 0.0))).toDF("vec_id", "embedding")
+    val qq = Seq((0L, Seq(1.0, 0.0, 0.9))).toDF("vec_id", "embedding")
+    val got = Similarity.truncatedTopK(qq, cands, k = 2, dim = 2, shortlist = 2)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    // prefix ranking alone would order (1, 2) by tie-break; full-dim
+    // re-rank keeps c1 (aligned third dim) ahead of c2 (opposed)
+    assert(got === Seq(1L, 2L))
+  }
+
+  test("dimRecall: full-dim recall is exactly 1000, truncated dims stay in range and rise on average") {
+    val q = clustered.filter(col("vec_id") < 8)
+    val rec = Similarity.dimRecall(q, clustered, k = 5, dims = Seq(8, 32, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rec.length === 3 * 8)
+    assert(rec.filter(_._1 == 64L).forall(_._4 == 1000L),
+      "trunc_dim = D must reproduce the truth exactly")
+    assert(rec.forall(r => r._4 >= 0L && r._4 <= 1000L))
+    val mean8 = rec.filter(_._1 == 8L).map(_._4).sum / 8
+    val mean32 = rec.filter(_._1 == 32L).map(_._4).sum / 8
+    assert(mean32 >= mean8,
+      s"mean recall should not fall as the prefix grows: d=8 → $mean8, d=32 → $mean32")
+  }
 }

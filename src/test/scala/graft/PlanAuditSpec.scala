@@ -21,6 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     * side, not data×data. */
   private val bnljWhitelist: Map[String, String] = Map(
     "sim_ann_brute" -> "broadcast query vectors × candidates: the brute-force baseline by definition",
+    "sim_ann_truncated" -> "broadcast query prefix-vectors × candidates: the MRL prefix scan (dot cost ∝ d); re-rank is equi-joins on the broadcast-small shortlist",
+    "sim_dim_recall" -> "broadcast query vectors × candidates at each unnested trunc dim (the eval query is brute force by definition)",
     "sim_hard_negatives" -> "broadcast query vectors × candidates under the label-inequality condition (brute-force shape; the scale path swaps in the stored ANN shortlist)",
     "sim_eval_recall" -> "broadcast query vectors × candidates: the ground-truth side IS brute force by definition",
     "corpus_topic_mix" -> "broadcast trained centroids for cell assignment (k×dims)",
