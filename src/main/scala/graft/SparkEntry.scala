@@ -533,6 +533,18 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Winnowed-fingerprint inverted index: pairs sharing >= 5
+    // winnow-selected gram hashes — the 2/(w+1)-density excerpt
+    // detector. The postings governor (df <= 50) bounds the self-join
+    // to |fps|·cap² rows at ANY corpus size; this tiny-vocabulary
+    // synthetic corpus shares grams by construction, so the cap is
+    // doing its loud-degradation job here, not just at 100 TB.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowPairs(Tables.documents(s, d), k = 5, w = 4,
+          minShared = 5, maxPostings = 50).pairs
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Character 5-gram Jaccard: the char-level near-dup sweep (catches
     // whitespace/punctuation edits word-level misses). Banded like
     // dedup_jaccard — the minhash runs over the char-gram set itself.
@@ -789,6 +801,12 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // MOSS winnowing: per-doc distinct window-min 32-bit gram hashes
+    // (k=5 char grams, w=4 windows) — count, extremes, exact sum.
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnowStats(Tables.documents(s, d), k = 5, w = 4)
+        .orderBy(col("doc_id"))),
 
     // Lexical diversity: type–token ratio + Shannon word entropy per
     // doc — the repetition-vs-prose quality axis. Fully narrow (no
@@ -2049,6 +2067,26 @@ object SparkEntry {
        |          p -> ln(CAST(p.c1 + v AS DOUBLE)) - ln(CAST(p.c12 + 1 AS DOUBLE)))),
        |          (a,b) -> a + b) / n_bigrams AS nll
        |      FROM g)""".stripMargin
+
+  /** Shared winnowing CTE chain (k=5 char grams, w=4 windows): per
+    * doc the gram list, 32-bit md5-prefix hash list, and the sorted
+    * distinct window-minimum selection `sl` — mirrors the native
+    * `winnow_fp`. Documents shorter than w grams get one window over
+    * all grams (`greatest(..., 1)`), matching the expression. */
+  private def winnowSelCtes: String =
+    s"""gs AS (SELECT doc_id, length(text) - 4 AS n_grams,
+       |         list_transform(range(1, length(text) - 3),
+       |           i -> substr(text, i, 5)) AS grams
+       |       FROM documents WHERE length(text) >= 5),
+       |hl AS (SELECT doc_id, n_grams, list_transform(
+       |         list_transform(grams, g -> md5(g)),
+       |         m -> ${hexSliceSql("m", 1)}) AS hs
+       |       FROM gs),
+       |sel AS (SELECT doc_id, n_grams,
+       |         list_sort(list_distinct(list_transform(
+       |           range(1, greatest(len(hs) - 3, 1) + 1),
+       |           j -> list_min(list_slice(hs, j, j + 3))))) AS sl
+       |       FROM hl)""".stripMargin
 
   private def hexSliceSql(m: String, start: Int): String =
     (0 until 8).map { c =>
@@ -3576,6 +3614,32 @@ object SparkEntry {
          |       ts[1] AS tok_min, ts[-1] AS tok_max,
          |       CAST(len(ts) AS BIGINT) AS n_distinct
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Winnowing (k=5, w=4): char-5-gram 32-bit md5 hashes, window-of-4
+    // minima, distinct selected values — the selected VALUE set is
+    // tie-break-independent, so list_min per window replays the
+    // native deque exactly.
+    "text_winnow" ->
+      s"""WITH $winnowSelCtes
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(len(sl) AS BIGINT) AS n_selected,
+         |       sl[1] AS min_fp, sl[-1] AS max_fp,
+         |       CAST(list_sum(sl) AS BIGINT) AS sum_fp
+         |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // Winnowed inverted index: unnest selected fingerprints, governor
+    // on document frequency, self-join, shared-count >= 3.
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowSelCtes,
+         |f AS (SELECT doc_id, unnest(sl) AS fp FROM sel),
+         |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY fp),
+         |kept AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp) WHERE df <= 50),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Twin of TextAnalysis.lexicalStats: the Σ c·ln c fold runs over
     // the SORTED count multiset via transform-then-reduce with a 0.0

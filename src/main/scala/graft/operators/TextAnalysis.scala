@@ -1024,6 +1024,33 @@ object TextAnalysis {
       size(tset).cast("long").as("n_distinct"))
   }
 
+  /** Winnowed fingerprint statistics (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting scheme): per document, the
+    * distinct window-minimum 32-bit gram hashes selected by the native
+    * [[graft.functions.WinnowFp]] expression, summarized as count +
+    * set extremes + exact sum. Winnowing's contract is what makes it
+    * the 100 TB fingerprint: any substring match of length
+    * ≥ w + k − 1 is guaranteed to share a selected fingerprint (full
+    * detection floor), while the expected selected density is only
+    * 2/(w+1) of the grams — the inverted index
+    * ([[Dedup.winnowPairs]]) is ~2/(w+1) the size of a full gram
+    * index at the same guarantee. Entirely NARROW: the gram array,
+    * hash sequence and window minima never exist as rows. */
+  def winnowStats(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    import graft.functions.WinnowFp.winnow_fp
+    docs
+      .withColumn("__sl", winnow_fp(col(textCol), k, w))
+      .filter(size(col("__sl")) > 0)
+      .select(col(idCol),
+        (length(col(textCol)) - lit(k - 1)).cast("long").as("n_grams"),
+        size(col("__sl")).cast("long").as("n_selected"),
+        element_at(col("__sl"), 1).as("min_fp"),
+        element_at(col("__sl"), -1).as("max_fp"),
+        aggregate(col("__sl"), lit(0L), (a, x) => a + x).as("sum_fp"))
+  }
+
   /** Per-document lexical-diversity signals: token/type counts,
     * type–token ratio, and Shannon word entropy (nats) — the standard
     * "is this natural prose or key-smash/boilerplate" axis that the

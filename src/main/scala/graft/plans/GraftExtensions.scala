@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
+    ext.injectFunction(GraftExtensions.winnowFpDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -110,6 +111,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
     (children: Seq[Expression]) => HammingWords(children.head, children(1)))
 
+  val winnowFpDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fp"),
+    new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+    (children: Seq[Expression]) => WinnowFp(children.head, children(1), children(2)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -118,7 +124,7 @@ object GraftExtensions {
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
-        hammingWordsDescriptor,
+        hammingWordsDescriptor, winnowFpDescriptor,
         hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }
