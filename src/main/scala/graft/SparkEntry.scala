@@ -676,6 +676,15 @@ object SparkEntry {
       Graph.triangles(pairs).orderBy(col("doc_id"))
     }),
 
+    // 3-core of the near-dup graph: peel degree-<3 nodes to fixpoint;
+    // survivors are tight mirror communities (sustained mutual
+    // similarity, not one-gram chaining).
+    "graph_kcore" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.kCore(pairs, k = 3).orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d)).orderBy(col("doc_id"))
     }),
@@ -3151,6 +3160,27 @@ object SparkEntry {
          |            ELSE 0 END AS BIGINT) AS cc_permille
          |FROM dg LEFT JOIN tc ON tc.doc_id = dg.u
          |ORDER BY doc_id""".stripMargin,
+
+    // k=3 peeling, 10 rounds unrolled (fixpoint within 10 is
+    // spec-pinned at both test SFs; post-convergence rounds no-op).
+    // Every round CTE is MATERIALIZED: DuckDB inlines CTEs per
+    // reference, and each round referencing the previous 3× would
+    // otherwise expand 3^10 copies of the whole pairs pipeline
+    // (observed as a too-many-open-files parquet-scan explosion).
+    "graph_kcore" -> {
+      val rounds = (0 until 10).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT u FROM e$i GROUP BY u HAVING count(*) < 3),
+           |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e
+           |        WHERE e.u NOT IN (SELECT u FROM r$i)
+           |          AND e.v NOT IN (SELECT u FROM r$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bandedPairsCtes(tokSql, "", 900)},
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |$rounds
+         |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e10 GROUP BY u ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},

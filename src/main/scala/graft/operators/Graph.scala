@@ -133,4 +133,65 @@ object Graph {
     Caching.releaseLocalCheckpoints(edges)
     pr.select(col("node").as("doc_id"), col("pr"))
   }
+
+  /** k-core decomposition by iterative peeling to the FIXPOINT:
+    * repeatedly delete every node of degree < k (with its edges)
+    * until none remains; the survivors are the k-core — the standard
+    * "dense sub-community" extraction (Seidman 1983). In the near-dup
+    * graph a k-core is a tight mirror community: every member still
+    * pairs with ≥ k others after all loosely-attached copies peel
+    * away — stronger evidence than a connected component (one shared
+    * gram chains components; cores require sustained mutual
+    * similarity).
+    *
+    * Returns (doc_id, core_degree) for k-core members, degree counted
+    * WITHIN the core.
+    *
+    * Scale shape per round: one map-side-combinable degree count +
+    * two anti-joins against the (typically tiny, auto-broadcast)
+    * low-degree node set; `localCheckpoint` per round with previous
+    * blocks released — the [[pageRank]]/[[Dedup.connectedComponents]]
+    * loop discipline. Round COUNT is the peeling depth of the graph,
+    * which for near-dup graphs (clique-ish mirror clusters plus
+    * pendant chains) is small; the driver-side per-round `count()` is
+    * one long, not data. The returned frame rides the final round's
+    * checkpoint — release with [[Caching.releaseLocalCheckpoints]]
+    * once consumed. `maxRounds` bounds pathological peeling chains
+    * (a path graph peels O(n) rounds — if the bound trips, the result
+    * is the round-`maxRounds` over-approximation and `require` fails
+    * loudly rather than silently under-peeling). */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 50,
+            aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val (core, _) = kCoreWithRounds(pairs, k, maxRounds, aCol, bCol)
+    core
+  }
+
+  /** [[kCore]] plus the realized peeling-round count (spec surface:
+    * the DuckDB oracle unrolls a fixed number of rounds, so tests pin
+    * convergence within that budget). */
+  private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int, maxRounds: Int = 50,
+      aCol: String = "doc_a", bCol: String = "doc_b"): (DataFrame, Int) = {
+    require(k >= 1, "k must be >= 1")
+    var edges = symmetric(pairs, aCol, bCol).localCheckpoint()
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val low = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("u").as("lu"))
+      if (low.isEmpty) changed = false
+      else {
+        require(rounds < maxRounds,
+          s"k-core peeling exceeded $maxRounds rounds — pathological chain graph; raise maxRounds")
+        val pruned = edges
+          .join(low.select(col("lu").as("u")), Seq("u"), "left_anti")
+          .join(low.select(col("lu").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint()
+        Caching.releaseLocalCheckpoints(edges)
+        edges = pruned
+        rounds += 1
+      }
+    }
+    (edges.groupBy(col("u").as("doc_id")).agg(count(lit(1)).as("core_degree")),
+      rounds)
+  }
 }

@@ -121,4 +121,53 @@ class GraphSpec extends SparkSpec {
       ids.maxBy(i => (scoreMap(i), -i))).toSet
     assert(got === want, s"keepBest winners diverged from reference argmax")
   }
+
+  /** Reference k-core: brute-force peeling over an in-memory edge set. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .filter { case (a, b) => a != b }
+    var changed = true
+    while (changed) {
+      val deg = es.groupBy(_._1).map { case (n, l) => n -> l.size }
+      val low = deg.filter(_._2 < k).keySet
+      changed = low.nonEmpty
+      if (changed) es = es.filter { case (a, b) => !low(a) && !low(b) }
+    }
+    es.groupBy(_._1).map { case (n, l) => n -> l.size.toLong }
+  }
+
+  test("kCore: K4+pendant hand case; differential vs reference peeling on random graphs") {
+    // K4 on {1..4} plus pendant 5: 3-core = K4 (each degree 3), 5 peels
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val core3 = Graph.kCore(k4p, k = 3)
+    val m = core3.as[(Long, Long)].collect().toMap
+    Caching.releaseLocalCheckpoints(core3)
+    assert(m === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // chain triggers deep peeling at k=2 → empty (a path has no 2-core)
+    val chain = (0L until 30L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    val core2 = Graph.kCore(chain, k = 2)
+    assert(core2.isEmpty)
+    Caching.releaseLocalCheckpoints(core2)
+    // randomized differential, sparse and dense, k = 2 and 3
+    for ((seed, nEdges, maxNode, k) <- Seq((21, 60, 50L, 2), (22, 300, 60L, 3), (23, 120, 40L, 3))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)((rnd.nextLong(maxNode), rnd.nextLong(maxNode)))
+        .filter { case (a, b) => a != b }
+      val got = Graph.kCore(edges.toDF("doc_a", "doc_b"), k)
+      val gotMap = got.as[(Long, Long)].collect().toMap
+      Caching.releaseLocalCheckpoints(got)
+      assert(gotMap === refKCore(edges, k), s"seed=$seed k=$k: core diverged")
+    }
+  }
+
+  test("kCore converges within the oracle's 10-round budget on the near-dup graph") {
+    val pairs = Dedup.jaccardPairsBanded(
+      graft.sources.Tables.documents(spark, sf), Seq("source", "lang"),
+      thresholdPermille = 900)
+    val (core, rounds) = Graph.kCoreWithRounds(pairs, k = 3)
+    core.count() // force the loop
+    Caching.releaseLocalCheckpoints(core)
+    assert(rounds <= 10, s"peeling took $rounds rounds; the unrolled oracle covers 10")
+  }
 }
