@@ -1207,6 +1207,13 @@ object SparkEntry {
     "corpus_temperature" -> ((s, d) =>
       Corpus.temperatureMixture(Tables.documents(s, d)).orderBy(col("source"))),
 
+    // UniMax (epoch-capped uniform) token-budget allocation: greedy
+    // waterfill ascending by source size, all integer arithmetic.
+    "corpus_unimax" -> ((s, d) =>
+      Corpus.unimaxAllocation(Tables.documents(s, d),
+          budgetPermille = 900, maxEpochsPermille = 900)
+        .orderBy(col("source"))),
+
     // Topic-mixture audit: per-(source × k-means cluster) counts +
     // permille shares under the integer-exact trained quantizer — the
     // "what does each source actually contribute" curation table.
@@ -4332,6 +4339,35 @@ object SparkEntry {
          |       round(sqrt(CAST(p.n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)) / z, 4)
          |         AS temp_share_q4
          |FROM u ORDER BY source""".stripMargin,
+
+    // UniMax waterfill replayed as a recursive CTE: one row per fold
+    // step, ordered ascending by (n_tokens, source); remaining budget
+    // threads through the recursion in exact integers.
+    "corpus_unimax" ->
+      s"""WITH RECURSIVE per AS (SELECT source,
+         |        CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
+         |      FROM documents GROUP BY source),
+         |ord AS (SELECT source, n_tokens,
+         |          CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i
+         |        FROM per),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(n_tokens) AS BIGINT) AS t FROM ord),
+         |alloc AS (
+         |  SELECT CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS source,
+         |         CAST(0 AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS quota,
+         |         (t * 900) // 1000 AS remaining
+         |  FROM tot
+         |  UNION ALL
+         |  SELECT o.i, o.source, o.n_tokens,
+         |         least((o.n_tokens * 900) // 1000,
+         |               a.remaining // (tot.n - o.i + 1)) AS quota,
+         |         a.remaining - least((o.n_tokens * 900) // 1000,
+         |               a.remaining // (tot.n - o.i + 1)) AS remaining
+         |  FROM alloc a JOIN ord o ON o.i = a.i + 1 CROSS JOIN tot
+         |)
+         |SELECT source, n_tokens, quota AS quota_tokens,
+         |       (quota * 1000) // n_tokens AS epochs_permille
+         |FROM alloc WHERE i >= 1 ORDER BY source""".stripMargin,
 
     "dedup_cluster_sizes" ->
       """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies

@@ -674,6 +674,52 @@ object Corpus {
     * — the single-row collect_list fold is over |strata| structs, not
     * data. The Σ√p normalizer folds in sorted stratum order — one
     * canonical float summation order per engine. */
+  /** UniMax budget allocation (Chung et al. 2023): distribute a token
+    * budget across sources as uniformly as possible subject to a
+    * per-source epoch cap — the fairer alternative to temperature
+    * sampling that never over-repeats a small source. Greedy
+    * waterfill over sources ASCENDING by size: each source takes
+    * `min(cap, remaining DIV sources_left)` where
+    * `cap = n_tokens · maxEpochsPermille ‰`; budget a capped (small)
+    * source cannot absorb spills to the larger sources after it.
+    * All integer arithmetic (floor division), `(n_tokens, source)`
+    * ascending order — engine-exact; the DuckDB oracle replays the
+    * fold as a recursive CTE.
+    *
+    * Scale shape: per-source token totals are ONE map-side-combinable
+    * aggregate over the corpus; the waterfill itself runs driver-side
+    * over the |sources|-row model — the [[Similarity.ivfTrain]]
+    * centroid discipline (driver state is model-sized by
+    * construction, never data-sized). Output: one row per source with
+    * its quota and realized epochs (permille). */
+  def unimaxAllocation(docs: DataFrame, budgetPermille: Int = 900,
+                       maxEpochsPermille: Int = 900,
+                       strataCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(budgetPermille >= 1, "budgetPermille >= 1")
+    require(maxEpochsPermille >= 1, "maxEpochsPermille >= 1")
+    val session = docs.sparkSession
+    val rows = Partitioning.fanOut(docs)
+      .groupBy(col(strataCol))
+      .agg(sum(size(Dedup.tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .select(col(strataCol).cast("string"), col("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    val total = rows.map(_._2).sum
+    var remaining = total * budgetPermille / 1000
+    val n = rows.length
+    val out = rows.zipWithIndex.map { case ((s, c), idx) =>
+      val fair = remaining / (n - idx)
+      val cap = c * maxEpochsPermille / 1000
+      val quota = math.min(cap, fair)
+      remaining -= quota
+      (s, c, quota, if (c > 0) quota * 1000 / c else 0L)
+    }
+    import session.implicits._
+    out.toSeq.toDF(strataCol, "n_tokens", "quota_tokens", "epochs_permille")
+  }
+
   def temperatureMixture(docs: DataFrame, strataCol: String = "source",
                          textCol: String = "text"): DataFrame = {
     val per = Partitioning.fanOut(docs)

@@ -557,4 +557,37 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("unimaxAllocation: hand-traced waterfill, cap binds small sources, spill flows up") {
+    import spark.implicits._
+    def docsOf(counts: (String, Int)*) =
+      counts.map { case (s, n) => (s, ("w " * n).trim) }.toDF("source", "text")
+        .withColumn("doc_id", monotonically_increasing_id())
+    // sizes 10/100/1000, budget 100% (B=1110), cap 50%:
+    //   A: fair 370, cap 5  → 5;  B: fair (1105)/2=552, cap 50 → 50;
+    //   C: fair 1055, cap 500 → 500. Everyone hits the cap: 500‰ epochs.
+    val half = Corpus.unimaxAllocation(docsOf("A" -> 10, "B" -> 100, "C" -> 1000),
+        budgetPermille = 1000, maxEpochsPermille = 500)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(half === Seq(("A", 10L, 5L, 500L), ("B", 100L, 50L, 500L),
+      ("C", 1000L, 500L, 500L)))
+    // cap 2000‰: A capped at 20, B at 200, C fair-bound at 890 —
+    // the budget the capped small sources could not absorb spills up.
+    val spill = Corpus.unimaxAllocation(docsOf("A" -> 10, "B" -> 100, "C" -> 1000),
+        budgetPermille = 1000, maxEpochsPermille = 2000)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(spill === Seq(("A", 10L, 20L, 2000L), ("B", 100L, 200L, 2000L),
+      ("C", 1000L, 890L, 890L)))
+    // invariants on the real corpus: Σ quota ≤ B, every quota ≤ cap,
+    // epochs never exceed the cap permille
+    val real = Corpus.unimaxAllocation(
+        graft.sources.Tables.documents(spark, sf),
+        budgetPermille = 900, maxEpochsPermille = 900)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val totalTok = real.map(_._2).sum
+    assert(real.map(_._3).sum <= totalTok * 900 / 1000)
+    assert(real.forall { case (_, c, q, e) => q <= c * 900 / 1000 && e <= 900 })
+  }
 }
