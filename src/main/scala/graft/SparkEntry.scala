@@ -1020,6 +1020,15 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("ahash"))
         .orderBy(col("doc_id"))),
 
+    // Gradient-sign difference hash on the same decoded block mesh:
+    // bit(r,c) = mean[r][(c+1) mod 8] > mean[r][c] — invariant to any
+    // monotone global brightness shift, aHash's second opinion.
+    "mm_image_dhash" -> ((s, d) =>
+      Multimodal.imageDHash(Multimodal.syntheticDHashBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("dhash"))
+        .orderBy(col("doc_id"))),
+
     // Near-dup image pairs by the Hamming PIGEONHOLE banding (4×16-bit
     // slices — COMPLETE for hamming ≤ 3, proof not s-curve), verified
     // with the native hamming64.
@@ -2374,6 +2383,21 @@ object SparkEntry {
   /** Shared aHash CTE chain ending in `ah(doc_id, dim, ahash)`:
     * replays the grayBmpBytes analytic pixels through the identical
     * integer block-mean/threshold/pack arithmetic. */
+  /** [[aHashOracleCtes]]'s twin over the dHash fixture — same mesh,
+    * id-dependent gradient structure (see syntheticDHashBlobs). */
+  private lazy val dHashOracleCtes: String =
+    """WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS dim
+      |            FROM documents),
+      |gx AS (SELECT doc_id, dim, unnest(range(0, dim)) AS x FROM dm),
+      |px AS (SELECT doc_id, dim, x, unnest(range(0, dim)) AS r FROM gx),
+      |pg AS (SELECT doc_id, dim,
+      |         (r // (dim // 8)) * 8 + (x // (dim // 8)) AS cell,
+      |         (doc_id % 5) * 40 + ((7 + doc_id % 4) * x + (13 + doc_id % 3) * r) % 32 AS g
+      |       FROM px),
+      |bm AS (SELECT doc_id, dim, cell,
+      |         CAST(sum(g) // ((dim // 8) * (dim // 8)) AS BIGINT) AS m
+      |       FROM pg GROUP BY doc_id, dim, cell)""".stripMargin
+
   private lazy val aHashOracleCtes: String =
     """WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS dim
       |            FROM documents),
@@ -4030,6 +4054,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(dim AS BIGINT) AS width, CAST(dim AS BIGINT) AS height,
         |       ahash
         |FROM ah ORDER BY doc_id""".stripMargin),
+
+    // dHash from its own fixture's block-mean CTE (id-dependent
+    // gradient structure): the right-neighbor (wrap) compare is a
+    // self-join of bm on the neighbor cell id.
+    "mm_image_dhash" -> (dHashOracleCtes +
+      """,
+        |db AS (SELECT a.doc_id, a.dim, a.cell,
+        |         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+        |       FROM bm a JOIN bm b
+        |         ON b.doc_id = a.doc_id
+        |        AND b.cell = (a.cell // 8) * 8 + ((a.cell % 8) + 1) % 8),
+        |dh AS (SELECT doc_id, max(dim) AS dim,
+        |         CAST(sum(CASE WHEN cell < 63
+        |                       THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+        |                       ELSE 0 END)
+        |           + sum(CASE WHEN cell = 63 AND bit = 1
+        |                      THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS dhash
+        |       FROM db GROUP BY doc_id)
+        |SELECT doc_id, CAST(dim AS BIGINT) AS width, CAST(dim AS BIGINT) AS height,
+        |       dhash
+        |FROM dh ORDER BY doc_id""".stripMargin),
 
     "mm_image_neardup" -> (aHashOracleCtes +
       """,

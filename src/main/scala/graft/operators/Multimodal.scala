@@ -923,7 +923,61 @@ object Multimodal {
     }(enc)
   }
 
-  private[graft] def bmpAHash(bytes0: Array[Byte], grid: Int): Option[(Int, Int, Long)] = {
+  private[graft] def bmpAHash(bytes0: Array[Byte], grid: Int): Option[(Int, Int, Long)] =
+    bmpBlockMeans(bytes0, grid).map { case (w, h, sums) =>
+      var total = 0L
+      var i = 0
+      while (i < grid * grid) { total += sums(i); i += 1 }
+      val mean = total / (grid * grid)
+      var hash = 0L
+      i = 0
+      while (i < grid * grid) { if (sums(i) > mean) hash |= 1L << i; i += 1 }
+      (w, h, hash)
+    }
+
+  /** Perceptual difference-hash (dHash) over DECODED pixels: the
+    * gradient-SIGN twin of [[imageAHash]] — same gray → grid×grid
+    * integer block means, but each bit compares a block to its RIGHT
+    * neighbor (wrapping at the row end to keep 64 bits on the square
+    * mesh), `bit(r,c) = m[r][(c+1) mod g] > m[r][c]`. Invariant to ANY
+    * monotone global brightness shift (aHash's threshold is only
+    * mean-shift invariant), and sensitive to horizontal structure —
+    * the standard second opinion a perceptual near-dup pipeline pairs
+    * with aHash. Same narrow per-partition decode, zero shuffle, all
+    * integers; hashes feed [[aHashPairs]] unchanged (any 64-bit
+    * column). */
+  def imageDHash(blobs: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        bmpDHash(r.getAs[Array[Byte]](1), grid).map {
+          case (w, h, hash) => Row(r.getLong(0), w, h, hash)
+        }
+      }
+    }(enc)
+  }
+
+  private[graft] def bmpDHash(bytes: Array[Byte], grid: Int): Option[(Int, Int, Long)] =
+    bmpBlockMeans(bytes, grid).map { case (w, h, m) =>
+      var hash = 0L
+      var i = 0
+      while (i < grid * grid) {
+        val r = i / grid; val c = i % grid
+        if (m(r * grid + (c + 1) % grid) > m(r * grid + c)) hash |= 1L << i
+        i += 1
+      }
+      (w, h, hash)
+    }
+
+  /** Shared decode for the block-mean hash family: gray block means
+    * over the grid mesh (the [[bmpAHash]] front half). */
+  private[graft] def bmpBlockMeans(bytes0: Array[Byte], grid: Int): Option[(Int, Int, Array[Long])] = {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
     if (i32le(bytes, 14) < 40) return None
@@ -953,14 +1007,9 @@ object Multimodal {
       row += 1
     }
     val block = bw.toLong * bh
-    var total = 0L
     var i = 0
-    while (i < grid * grid) { sums(i) /= block; total += sums(i); i += 1 }
-    val mean = total / (grid * grid)
-    var hash = 0L
-    i = 0
-    while (i < grid * grid) { if (sums(i) > mean) hash |= 1L << i; i += 1 }
-    Some((width, height, hash))
+    while (i < grid * grid) { sums(i) /= block; i += 1 }
+    Some((width, height, sums))
   }
 
   /** Near-dup image pairs from [[imageAHash]] hashes by the Hamming
@@ -1018,6 +1067,61 @@ object Multimodal {
         Row(id, grayBmpBytes(id, dim, dim))
       }
     }(enc)
+  }
+
+  /** Fixture generator for [[imageDHash]]: like
+    * [[syntheticAHashBlobs]] but the gradient STRUCTURE is
+    * id-dependent — px = (id%5)·40 + ((7 + id%4)·x + (13 + id%3)·r) % 32
+    * — because a dHash compares NEIGHBOR means, and the aHash
+    * fixture's structure term (7x+13r) is id-invariant (every image
+    * shares one gradient-sign field; only the threshold-relative
+    * aHash separates them). Here id%4 × id%3 give 12 distinct
+    * structure classes while id%5 stays a pure brightness shift the
+    * dhash must ignore. */
+  def syntheticDHashBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val dim = if (id % 2 == 0) 16 else 24
+        Row(id, dhashGrayBmpBytes(id, dim, dim))
+      }
+    }(enc)
+  }
+
+  private[graft] def dhashGrayBmpBytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val size = 54 + stride * height
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)
+    b.putInt(0)
+    b.putInt(54)
+    b.putInt(40)
+    b.putInt(width).putInt(height)
+    b.putShort(1)
+    b.putShort(24)
+    b.putInt(0)
+    b.putInt(stride * height)
+    b.putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    var r = 0
+    while (r < height) {
+      var x = 0
+      while (x < width) {
+        val px = ((id % 5) * 40 +
+          ((7 + id % 4) * x + (13 + id % 3) * r) % 32).toInt
+        b.put(px.toByte); b.put(px.toByte); b.put(px.toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { b.put(0.toByte); pad += 1 }
+      r += 1
+    }
+    b.array()
   }
 
   private[graft] def grayBmpBytes(id: Long, width: Int, height: Int): Array[Byte] = {

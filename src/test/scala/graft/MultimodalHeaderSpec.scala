@@ -577,6 +577,43 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture must contain near-dup pairs")
   }
 
+  test("imageDHash: hand-traced 2×2 mesh, brightness invariance, aHash disagreement") {
+    // hand case on a 4×4 gray BMP with grid=2: craft block means
+    // m = [[10, 200], [200, 10]] (checkerboard). Bits (wrap compare):
+    //   i=0 (r0,c0): m01 > m00 → 1;  i=1 (r0,c1): m00 > m01 → 0
+    //   i=2 (r1,c0): m11 > m10 → 0;  i=3 (r1,c1): m10 > m11 → 1
+    // → dhash = 0b1001 = 9
+    val w = 4; val h = 4
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0)
+      .putInt(54).putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (r <- 0 until h; x <- 0 until w) {
+      val v = if ((r / 2 + x / 2) % 2 == 0) 10 else 200
+      bb.put(v.toByte).put(v.toByte).put(v.toByte)
+    }
+    val (dw, dh2, dhash) = Multimodal.bmpDHash(bb.array(), 2).get
+    assert((dw, dh2) === ((4, 4)))
+    assert(dhash === 9L, s"checkerboard dhash should be 0b1001, got $dhash")
+    // brightness invariance on the dHash fixture: ids 0 and 36 share
+    // structure (both ≡ 0 mod 4 and mod 3) and differ only in the
+    // id%5 brightness term
+    val d0 = Multimodal.bmpDHash(Multimodal.dhashGrayBmpBytes(0L, 16, 16), 8).get._3
+    val d36 = Multimodal.bmpDHash(Multimodal.dhashGrayBmpBytes(36L, 16, 16), 8).get._3
+    assert(d0 === d36, "a globally brightened copy must dhash identically")
+    // discrimination: same brightness class, different gradient
+    // structure (id 4: id%3 = 1 flips the row coefficient)
+    val d4 = Multimodal.bmpDHash(Multimodal.dhashGrayBmpBytes(4L, 16, 16), 8).get._3
+    assert(d0 !== d4, "different gradient structure must dhash differently")
+    // the aHash fixture's structure term is id-invariant — that is
+    // exactly why dHash gets its own fixture (pin the reason)
+    val a0 = Multimodal.bmpDHash(Multimodal.grayBmpBytes(0L, 16, 16), 8).get._3
+    val a3 = Multimodal.bmpDHash(Multimodal.grayBmpBytes(3L, 16, 16), 8).get._3
+    assert(a0 === a3, "aHash fixture shares one gradient field across ids")
+  }
+
   test("GIF decoder refuses corrupt input instead of throwing or spinning") {
     val good = Multimodal.gifBytes(7L, 9, 6)
     assert(Multimodal.decodeGifPixels(good).isDefined)
