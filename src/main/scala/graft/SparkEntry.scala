@@ -817,6 +817,11 @@ object SparkEntry {
       TextAnalysis.winnowStats(Tables.documents(s, d), k = 5, w = 4)
         .orderBy(col("doc_id"))),
 
+    // Flesch–Kincaid grade (integer millis): vowel-group syllables,
+    // terminal-punctuation sentences floored at 1.
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
     // Lexical diversity: type–token ratio + Shannon word entropy per
     // doc — the repetition-vs-prose quality axis. Fully narrow (no
     // shuffle); the entropy fold runs over the sorted count multiset
@@ -1325,6 +1330,18 @@ object SparkEntry {
       Corpus.decontaminate(docs.filter(col("doc_id") >= 50),
         docs.filter(col("doc_id") < 50), n = 8)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // Embedding-space decontamination: train vectors (vec_id % 10
+    // != 0) cosine-screened against the held-out benchmark slice
+    // (vec_id % 10 == 0), cell-blocked on label — catches paraphrased
+    // leakage that shares no n-gram.
+    "corpus_semantic_decon" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") % 10 =!= 0), emb.filter(col("vec_id") % 10 === 0),
+          minCos = 0.4, cellCol = "label")
+        .orderBy(col("train_id"))
     }),
 
     // Audit twin of decontaminate: per-doc leaked-gram counts +
@@ -3253,6 +3270,21 @@ object SparkEntry {
          |WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Cell-blocked train×benchmark cosine screen, one row per
+    // contaminated train vector.
+    "corpus_semantic_decon" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |te AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         |hits AS (SELECT tr.vec_id AS train_id,
+         |           round(${dotSql("tr.embedding", "te.embedding")}
+         |             / sqrt(tr.n2 * te.n2), 4) AS cos
+         |         FROM tr JOIN te ON tr.label = te.label)
+         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos
+         |FROM hits WHERE cos >= 0.4
+         |GROUP BY train_id ORDER BY train_id""".stripMargin,
+
     "sim_ann_brute" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,
          |             ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
@@ -3675,6 +3707,20 @@ object SparkEntry {
          |       ts[1] AS tok_min, ts[-1] AS tok_max,
          |       CAST(len(ts) AS BIGINT) AS n_distinct
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // FK grade replayed: same char-class regexes, same floor chain.
+    "text_readability" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+         |             CAST(1 AS BIGINT)) AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |       (390 * n_words) // n_sentences
+         |         + (11800 * n_syllables) // n_words - 15590 AS fk_milli
+         |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // Winnowing (k=5, w=4): char-5-gram 32-bit md5 hashes, window-of-4
     // minima, distinct selected values — the selected VALUE set is

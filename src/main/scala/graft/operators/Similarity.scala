@@ -447,6 +447,31 @@ object Similarity {
     * are bit-identical across engines; the zero vector quantizes to
     * all-zero codes. Narrow, one pass, no shuffle. Returns
     * (id, codes: array<tinyint>, amax, csq = Σcode²). */
+  /** Semantic decontamination: flag TRAINING vectors whose cosine to
+    * any BENCHMARK vector reaches `minCos` — the embedding-space
+    * complement of n-gram decontamination
+    * ([[Corpus]]' `decontaminate`): paraphrased benchmark leakage
+    * shares no 13-gram but sits on top of the test point in embedding
+    * space. Cross-set twin of [[nearDupPairs]]: same cell-blocked
+    * equi-join (never all-pairs), but train×test instead of self, and
+    * aggregated to ONE verdict row per contaminated train vector
+    * (hit count + worst cosine). At 100 TB the benchmark side is
+    * small and this degenerates to a broadcast; the cell block keeps
+    * even a large held-out side collision-bounded. */
+  def semanticDecontaminate(train: DataFrame, test: DataFrame, minCos: Double,
+                            cellCol: String, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val a = withNorm(train, vecCol).select(col(idCol).as("train_id"),
+      col(vecCol).as("va"), col("__n2").as("na"), col(cellCol).as("cell"))
+    val b = withNorm(test, vecCol).select(col(idCol).as("test_id"),
+      col(vecCol).as("vb"), col("__n2").as("nb"), col(cellCol).as("__bcell"))
+    a.join(b, col("cell") === col("__bcell"))
+      .withColumn("cos", cosFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+  }
+
   def sq8Quantize(emb: DataFrame, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)

@@ -1024,6 +1024,30 @@ object TextAnalysis {
       size(tset).cast("long").as("n_distinct"))
   }
 
+  /** Flesch–Kincaid grade level in EXACT integer millis (grade·1000):
+    * `390·(words DIV-per sentences) + 11800·(syllables DIV-per words)
+    * − 15590`, with syllables approximated as vowel GROUPS
+    * (`[aeiouy]+` runs — the standard dictionary-free estimator) and
+    * sentences as terminal-punctuation runs (`[.!?]+`, floored at 1
+    * so a fragment is one sentence). Character-class-only regexes
+    * (Java ≡ RE2 ≡ DuckDB), floor division, no floats — the quality
+    * score's readability axis, entirely NARROW (per-row expressions,
+    * streams/composes like [[gopherGate]]). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_words", size(tokens(col(textCol))).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences",
+        greatest(size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")).cast("long"),
+          lit(1L)))
+      .withColumn("n_syllables",
+        size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")).cast("long"))
+      .withColumn("fk_milli",
+        expr("(390 * n_words) DIV n_sentences + (11800 * n_syllables) DIV n_words - 15590"))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_milli"))
+
   /** Winnowed fingerprint statistics (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS local fingerprinting scheme): per document, the
     * distinct window-minimum 32-bit gram hashes selected by the native

@@ -546,6 +546,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(got === Seq(1L, 2L))
   }
 
+  test("semanticDecontaminate flags a planted near-copy of a benchmark vector, not clean ones") {
+    import spark.implicits._
+    // benchmark = first vector of each cluster; train = the rest.
+    // Clustered fixture: same-cluster cosine is high by construction,
+    // so same-cell train vectors near the benchmark flag; the screen
+    // must NOT flag vectors of other clusters (cell block + threshold).
+    val test = clustered.filter(col("vec_id") % perCluster === 0)
+    val train = clustered.filter(col("vec_id") % perCluster =!= 0)
+    val flagged = graft.operators.Similarity
+      .semanticDecontaminate(train, test, minCos = 0.9, cellCol = "label")
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.nonEmpty, "clustered same-cell vectors at cos>=0.9 must flag")
+    // every flagged id shares a cluster with its benchmark (label blocking)
+    val labels = clustered.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.forall { case (id, hits, mc) =>
+      hits >= 1 && mc >= 0.9 && labels.contains(id) })
+    // benchmark ids themselves never appear on the train side
+    assert(flagged.forall(_._1 % perCluster != 0))
+  }
+
   test("dimRecall: full-dim recall is exactly 1000, truncated dims stay in range and rise on average") {
     val q = clustered.filter(col("vec_id") < 8)
     val rec = Similarity.dimRecall(q, clustered, k = 5, dims = Seq(8, 32, 64))

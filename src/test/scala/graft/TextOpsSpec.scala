@@ -594,4 +594,19 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("readability: hand-computed FK grade, fragment floors at one sentence") {
+    import spark.implicits._
+    // "the cat sat. the bird flew away!" — 7 words, 2 sentences,
+    // vowel groups: the(1) cat(1) sat(1) the(1) bird(1) flew(1)
+    // away(2, a + 'ay' run) = 8 syllables... count runs: a-w-a-y →
+    // 'a','ay' = 2. fk = (390*7)//2 + (11800*8)//7 - 15590
+    //    = 1365 + 13485 - 15590 = -740
+    val m = graft.operators.TextAnalysis.readability(
+      Seq((1L, "the cat sat. the bird flew away!"), (2L, "no punctuation here"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((7L, 2L, 8L, (390L * 7 / 2) + (11800L * 8 / 7) - 15590L)))
+    assert(m(2L)._2 === 1L, "no terminal punctuation floors at 1 sentence")
+  }
 }
