@@ -60,13 +60,25 @@ case class WinnowFp(first: Expression, second: Expression, third: Expression)
     val n = text.numChars()
     val g = n - k + 1
     if (g <= 0) return new GenericArrayData(Array.emptyLongArray)
-    // gram hashes
+    // one UTF-8 walk: code-point byte offsets, then each gram hashes
+    // a (start, len) slice in place — substringSQL per gram would
+    // rescan from the string head (O(chars²) per document)
+    val bytes = text.getBytes
+    val offs = new Array[Int](n + 1)
+    var b = 0
+    var ci = 0
+    while (ci < n) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offs(n) = bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = new Array[Long](g)
     var i = 0
     while (i < g) {
       md.reset()
-      md.update(text.substringSQL(i + 1, k).getBytes)
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
       val d = md.digest()
       h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

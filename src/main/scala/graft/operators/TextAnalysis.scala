@@ -1064,7 +1064,7 @@ object TextAnalysis {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     import graft.functions.WinnowFp.winnow_fp
-    docs
+    Partitioning.fanOut(docs)
       .withColumn("__sl", winnow_fp(col(textCol), k, w))
       .filter(size(col("__sl")) > 0)
       .select(col(idCol),
