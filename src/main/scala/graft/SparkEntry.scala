@@ -989,6 +989,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("channel"))
     }),
 
+    // Autocorrelation periodicity over decoded PCM16: exact integer
+    // ac(lag) for lag 2..16, argmax lag (smallest ties), permille
+    // score vs energy — tonal-vs-noise curation on real bytes.
+    "mm_audio_pitch" -> ((s, d) =>
+      Multimodal.pcm16Autocorr(Multimodal.syntheticAudio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // Indexed (palette) PNG: 1 index byte per pixel resolved through
     // the PLTE chunk — the third real PNG decode path (grey/truecolor
     // chains above). The oracle substitutes the analytic palette
@@ -4058,6 +4065,32 @@ object SparkEntry {
         |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND prev * s < 0
         |                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
         |FROM sl GROUP BY doc_id, channel ORDER BY doc_id, channel""".stripMargin,
+
+    // Analytic-sample replay of pcm16Autocorr: products joined on
+    // (doc, i, i+lag); floor division for the (possibly negative)
+    // permille score matches Math.floorDiv.
+    "mm_audio_pitch" ->
+      """WITH dm AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |si AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dm),
+        |sm AS (SELECT doc_id, n, i,
+        |         (doc_id * 31 + i * 17) % 2048 - 1024 AS s FROM si),
+        |en AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |         CAST(sum(s * s) AS BIGINT) AS energy FROM sm GROUP BY doc_id),
+        |lg AS (SELECT doc_id, unnest(range(2, 17)) AS lag FROM dm),
+        |ac AS (SELECT a.doc_id, l.lag, CAST(sum(a.s * b.s) AS BIGINT) AS ac
+        |       FROM lg l
+        |       JOIN sm a ON a.doc_id = l.doc_id
+        |       JOIN sm b ON b.doc_id = l.doc_id AND b.i = a.i + l.lag
+        |       GROUP BY a.doc_id, l.lag),
+        |best AS (SELECT doc_id, lag, ac FROM (
+        |           SELECT doc_id, lag, ac,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY ac DESC, lag) AS rn
+        |           FROM ac) x WHERE rn = 1)
+        |SELECT en.doc_id, en.n_samples, en.energy,
+        |       CAST(best.lag AS BIGINT) AS best_lag, best.ac AS ac_best,
+        |       (best.ac * 1000) // en.energy AS periodicity_permille
+        |FROM en JOIN best ON best.doc_id = en.doc_id
+        |ORDER BY en.doc_id""".stripMargin,
 
     "mm_decode_png_palette" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 11 AS w, 1 + doc_id % 7 AS h FROM documents),

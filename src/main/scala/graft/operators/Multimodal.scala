@@ -1335,6 +1335,63 @@ object Multimodal {
       .select(col(idCol), col("seg_start"), col("seg_end"), col("n_frames"))
   }
 
+  val autocorrSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("best_lag", LongType, nullable = false),
+    StructField("ac_best", LongType, nullable = false),
+    StructField("periodicity_permille", LongType, nullable = false)))
+
+  /** Autocorrelation pitch/periodicity probe over DECODED PCM16: for
+    * each lag in [minLag, maxLag], the exact integer autocorrelation
+    * `ac(L) = Σ sᵢ·sᵢ₊L` over the overlapping span; the winning lag
+    * (argmax, smallest on ties) estimates the fundamental period and
+    * `ac_best·1000 DIV Σ sᵢ²` is an integer periodicity score —
+    * near-1000 marks tonal/looped audio, near-0 noise: the audio-side
+    * "is this signal or junk" curation axis, on the real byte-decode
+    * path. Same execution contract as [[pcm16Frames]]: constant-memory
+    * per-partition decode, malformed payloads emit nothing, zero
+    * shuffle, all integers (the oracle recomputes every product from
+    * the analytic fixture samples). */
+  def pcm16Autocorr(blobs: DataFrame, minLag: Int = 2, maxLag: Int = 16): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag, s"need 1 <= minLag <= maxLag")
+    val enc = org.apache.spark.sql.Encoders.row(autocorrSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        locatePcm16Data(bytes) match {
+          case None => Iterator.empty
+          case Some((off, nSamples, _)) if nSamples <= minLag => Iterator.empty
+          case Some((off, nSamples, _)) =>
+            val s = new Array[Int](nSamples)
+            var i = 0
+            while (i < nSamples) {
+              s(i) = (u16le(bytes, off + 2 * i) << 16) >> 16 // sign-extend
+              i += 1
+            }
+            var energy = 0L
+            i = 0
+            while (i < nSamples) { energy += s(i).toLong * s(i); i += 1 }
+            var bestLag = 0L
+            var bestAc = Long.MinValue
+            var lag = minLag
+            while (lag <= math.min(maxLag, nSamples - 1)) {
+              var ac = 0L
+              i = 0
+              while (i + lag < nSamples) { ac += s(i).toLong * s(i + lag); i += 1 }
+              if (ac > bestAc) { bestAc = ac; bestLag = lag.toLong }
+              lag += 1
+            }
+            if (energy == 0) Iterator.empty
+            else Iterator.single(Row(id, nSamples.toLong, energy, bestLag, bestAc,
+              Math.floorDiv(bestAc * 1000L, energy)))
+        }
+      }
+    }(enc)
+  }
+
   /** Find the PCM16 data payload: (byte offset of first sample, total
     * interleaved sample count, channel count). None unless the file is
     * a RIFF/WAVE with a canonical PCM (format 1), 16-bit fmt chunk and

@@ -614,6 +614,29 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(a0 === a3, "aHash fixture shares one gradient field across ids")
   }
 
+  test("pcm16Autocorr: exact period wins on a square wave, noise scores low, malformed emits nothing") {
+    import spark.implicits._
+    // period-8 square wave, 96 samples: ac(8) = full energy alignment
+    val square = Array.tabulate(96)(i => (if ((i / 4) % 2 == 0) 1000 else -1000).toShort)
+    // deterministic irregular signal (not periodic in [2,16])
+    val rnd = new scala.util.Random(5)
+    val noise = Array.tabulate(96)(_ => (rnd.nextInt(2000) - 1000).toShort)
+    val blobs = Seq(
+      (1L, Multimodal.wavPcm16Bytes(1, 8000, square)),
+      (2L, Multimodal.wavPcm16Bytes(1, 8000, noise)),
+      (3L, "not a wav".getBytes)).toDF("doc_id", "blob")
+    val out = Multimodal.pcm16Autocorr(blobs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(!out.contains(3L), "malformed payloads must emit nothing")
+    val (n1, e1, lag1, ac1, p1) = out(1L)
+    assert(n1 === 96L && lag1 === 8L,
+      s"square wave of period 8 must peak at lag 8, got $lag1")
+    // ac(8) loses only the 8 shifted-out samples: (96-8)/96 of energy
+    assert(p1 > 900L, s"periodic signal should score near 1000, got $p1")
+    assert(out(2L)._5 < p1 / 2, s"aperiodic signal must score well below periodic")
+  }
+
   test("GIF decoder refuses corrupt input instead of throwing or spinning") {
     val good = Multimodal.gifBytes(7L, 9, 6)
     assert(Multimodal.decodeGifPixels(good).isDefined)
