@@ -676,6 +676,14 @@ object SparkEntry {
       Graph.triangles(pairs).orderBy(col("doc_id"))
     }),
 
+    // BFS hop distances from the oldest (min-id) node: direct copies
+    // at 1, copies-of-copies at 2, drift chains beyond.
+    "graph_bfs" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.bfsFromMin(pairs).orderBy(col("doc_id"))
+    }),
+
     // 3-core of the near-dup graph: peel degree-<3 nodes to fixpoint;
     // survivors are tight mirror communities (sustained mutual
     // similarity, not one-gram chaining).
@@ -3215,6 +3223,22 @@ object SparkEntry {
          |            ELSE 0 END AS BIGINT) AS cc_permille
          |FROM dg LEFT JOIN tc ON tc.doc_id = dg.u
          |ORDER BY doc_id""".stripMargin,
+
+    // Recursive BFS walk from the min node, hop bound 12 (eccentricity
+    // within budget is spec-pinned); UNION dedups (v, d) rows so the
+    // closure terminates, min(d) per node is the BFS distance.
+    "graph_bfs" ->
+      s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |src AS (SELECT min(u) AS s FROM e0),
+         |walk AS (
+         |  SELECT s AS v, 0 AS d FROM src
+         |  UNION
+         |  SELECT e.v, w.d + 1 FROM walk w JOIN e0 e ON e.u = w.v WHERE w.d < 12
+         |)
+         |SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin,
 
     // k=3 peeling, 10 rounds unrolled (fixpoint within 10 is
     // spec-pinned at both test SFs; post-convergence rounds no-op).

@@ -166,6 +166,71 @@ object Graph {
     core
   }
 
+  /** Single-source BFS shortest-hop distances from the LOWEST node id
+    * in the graph — reachability + distance structure of the min-id
+    * node's component (in the near-dup graph: how far does the oldest
+    * document's similarity neighborhood extend — direct copies at
+    * distance 1, copies-of-copies at 2, drift chains beyond). Exact
+    * unweighted distances by frontier relaxation to the fixpoint:
+    * per round ONE equi-join of the edge list with the (shrinking)
+    * frontier plus an anti-join against settled nodes;
+    * `localCheckpoint` per round with prior blocks released — the
+    * [[pageRank]] loop discipline. Round count = the source's
+    * eccentricity (near-dup graphs: small); `maxRounds` fails loudly
+    * on pathological chains. Returns (doc_id, dist) for the source's
+    * component only; release with
+    * [[Caching.releaseLocalCheckpoints]]. */
+  def bfsFromMin(pairs: DataFrame, maxRounds: Int = 50,
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val (d, _) = bfsFromMinWithRounds(pairs, maxRounds, aCol, bCol)
+    d
+  }
+
+  /** [[bfsFromMin]] plus the realized round count (the DuckDB oracle
+    * bounds its recursive walk, so tests pin eccentricity within that
+    * budget). */
+  private[graft] def bfsFromMinWithRounds(pairs: DataFrame, maxRounds: Int = 50,
+      aCol: String = "doc_a", bCol: String = "doc_b"): (DataFrame, Int) = {
+    val session = pairs.sparkSession
+    import session.implicits._
+    val sym = symmetric(pairs, aCol, bCol).localCheckpoint()
+    val srcRow = sym.agg(min(col("u"))).head
+    if (srcRow.isNullAt(0)) {
+      Caching.releaseLocalCheckpoints(sym)
+      return (Seq.empty[(Long, Long)].toDF("doc_id", "dist"), 0)
+    }
+    val src = srcRow.getLong(0)
+    var dist = Seq((src, 0L)).toDF("doc_id", "dist").localCheckpoint()
+    var frontCp = dist // checkpointed frame backing the current frontier
+    var round = 0
+    var done = false
+    while (!done) {
+      val next = sym.join(frontCp.select(col("doc_id").as("u")), "u")
+        .select(col("v").as("doc_id")).distinct()
+        .join(dist.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("dist", lit(round + 1L))
+        .localCheckpoint()
+      if (next.isEmpty) {
+        Caching.releaseLocalCheckpoints(next)
+        done = true
+      } else {
+        require(round < maxRounds,
+          s"BFS exceeded $maxRounds rounds — pathological chain graph; raise maxRounds")
+        val grown = dist.union(next).localCheckpoint()
+        val distOld = dist
+        val frontOld = frontCp
+        dist = grown
+        frontCp = next
+        Caching.releaseLocalCheckpoints(distOld)
+        if (frontOld ne distOld) Caching.releaseLocalCheckpoints(frontOld)
+        round += 1
+      }
+    }
+    if (frontCp ne dist) Caching.releaseLocalCheckpoints(frontCp)
+    Caching.releaseLocalCheckpoints(sym)
+    (dist, round)
+  }
+
   /** [[kCore]] plus the realized peeling-round count (spec surface:
     * the DuckDB oracle unrolls a fixed number of rounds, so tests pin
     * convergence within that budget). */

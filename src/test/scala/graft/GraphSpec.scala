@@ -161,6 +161,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference BFS from the min node over an in-memory edge set. */
+  private def refBfs(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }
+      .groupBy(_._1).map { case (k, l) => k -> l.map(_._2).toSet }
+    if (adj.isEmpty) return Map.empty
+    val src = adj.keys.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist ++= next.map(_ -> (dist(frontier.head) + 1)) // all frontier nodes share a level
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsFromMin: path-graph distances; differential vs reference BFS on random graphs") {
+    // path 0-1-2-3-4: distances are the indexes
+    val path = (0L until 5L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("doc_a", "doc_b")
+    val got = Graph.bfsFromMin(path)
+    val m = got.as[(Long, Long)].collect().toMap
+    Caching.releaseLocalCheckpoints(got)
+    assert(m === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    for ((seed, nEdges, maxNode) <- Seq((31, 60, 50L), (32, 250, 60L))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)((rnd.nextLong(maxNode), rnd.nextLong(maxNode)))
+        .filter { case (a, b) => a != b }
+      val g = Graph.bfsFromMin(edges.toDF("doc_a", "doc_b"))
+      val gm = g.as[(Long, Long)].collect().toMap
+      Caching.releaseLocalCheckpoints(g)
+      assert(gm === refBfs(edges), s"seed=$seed: BFS distances diverged")
+    }
+  }
+
+  test("bfsFromMin eccentricity fits the oracle's 12-hop budget on the near-dup graph") {
+    val pairs = Dedup.jaccardPairsBanded(
+      graft.sources.Tables.documents(spark, sf), Seq("source", "lang"),
+      thresholdPermille = 900)
+    val (d, rounds) = Graph.bfsFromMinWithRounds(pairs)
+    d.count()
+    Caching.releaseLocalCheckpoints(d)
+    assert(rounds <= 12, s"BFS took $rounds rounds; the oracle walk is bounded at 12")
+  }
+
   test("kCore converges within the oracle's 10-round budget on the near-dup graph") {
     val pairs = Dedup.jaccardPairsBanded(
       graft.sources.Tables.documents(spark, sf), Seq("source", "lang"),
