@@ -545,6 +545,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Delta-vs-corpus excerpt probe: docs >= 250 winnow-probed against
+    // the (in-memory here, parquet-stored in WinnowProbeStream) index
+    // of docs < 250 — the asymmetric corpus-history question.
+    "dedup_excerpt_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.buildWinnowIndex(docs.filter(col("doc_id") < 250), k = 5, w = 4)
+      Dedup.excerptAgainstIndex(docs.filter(col("doc_id") >= 250), index,
+          minShared = 5, maxPostings = 50)
+        .orderBy(col("new_id"), col("index_id"))
+    }),
+
     // Character 5-gram Jaccard: the char-level near-dup sweep (catches
     // whitespace/punctuation edits word-level misses). Banded like
     // dedup_jaccard — the minhash runs over the char-gram set itself.
@@ -3764,6 +3775,21 @@ object SparkEntry {
          |       sl[1] AS min_fp, sl[-1] AS max_fp,
          |       CAST(list_sum(sl) AS BIGINT) AS sum_fp
          |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // Delta-vs-corpus winnow probe: corpus postings census (governor
+    // df <= 50 on the INDEX side), delta fingerprints equi-join.
+    "dedup_excerpt_index" ->
+      s"""WITH $winnowSelCtes,
+         |f AS (SELECT doc_id, unnest(sl) AS fp FROM sel),
+         |idx AS (SELECT doc_id, fp FROM f WHERE doc_id < 250),
+         |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY fp),
+         |kept AS (SELECT idx.doc_id, idx.fp FROM idx JOIN c USING (fp) WHERE df <= 50),
+         |dl AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250),
+         |p AS (SELECT dl.doc_id AS new_id, kept.doc_id AS index_id,
+         |        CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM dl JOIN kept ON dl.fp = kept.fp GROUP BY 1, 2)
+         |SELECT new_id, index_id, n_shared FROM p WHERE n_shared >= 5
+         |ORDER BY new_id, index_id""".stripMargin,
 
     // Winnowed inverted index: unnest selected fingerprints, governor
     // on document frequency, self-join, shared-count >= 3.

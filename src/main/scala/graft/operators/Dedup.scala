@@ -682,6 +682,68 @@ object Dedup {
     ContainmentPairs(pairs, dropped)
   }
 
+  /** Persistent winnowed-fingerprint EXCERPT index: the stored-corpus
+    * twin of [[winnowPairs]] — postings are each document's
+    * winnow-selected 32-bit gram hashes (expected density 2/(w+1) of
+    * the grams, substring matches ≥ w+k−1 guaranteed caught), so the
+    * on-disk index is a fraction of a full gram index at the same
+    * detection floor. (k, w) ride the meta so a probe can never
+    * diverge from what the postings were built with — the
+    * [[DedupIndex]] discipline. */
+  final case class WinnowIndex(postings: DataFrame, k: Int, w: Int)
+
+  def buildWinnowIndex(docs: DataFrame, k: Int = 5, w: Int = 4,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): WinnowIndex = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    import graft.functions.WinnowFp.winnow_fp
+    WinnowIndex(
+      Partitioning.fanOut(docs)
+        .select(col(idCol).as("doc_id"), explode(winnow_fp(col(textCol), k, w)).as("fp")),
+      k, w)
+  }
+
+  def writeWinnowIndex(index: WinnowIndex, dir: String): Unit = {
+    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    Seq((index.k, index.w)).toDF("k", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readWinnowIndex(spark: org.apache.spark.sql.SparkSession, dir: String): WinnowIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    WinnowIndex(spark.read.parquet(s"$dir/postings"), meta.getInt(0), meta.getInt(1))
+  }
+
+  /** Excerpt detection of a DELTA against the stored corpus index:
+    * new docs sharing ≥ `minShared` winnowed fingerprints with an
+    * indexed document surface as (new_id, index_id, n_shared) —
+    * plagiarism/excerpt lineage against corpus history without
+    * rescanning the corpus. The delta winnows with the INDEX's
+    * (k, w); the postings census governs document frequency
+    * (fingerprints above `maxPostings` never join), so probe work is
+    * ≤ |delta fps| + |fps|·cap·(delta side) — collision-bounded.
+    * Shuffle ∝ delta + collision candidates, the
+    * [[dedupeAgainstIndex]] contract. */
+  def excerptAgainstIndex(newDocs: DataFrame, index: WinnowIndex,
+                          minShared: Int = 3, maxPostings: Int = 10000,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(newDocs.sparkSession)
+    import graft.functions.WinnowFp.winnow_fp
+    val dfp = Partitioning.fanOut(newDocs)
+      .select(col(idCol).as("new_id"),
+        explode(winnow_fp(col(textCol), index.k, index.w)).as("fp"))
+    val cnt = index.postings.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = index.postings.join(cnt.filter(col("__df") <= maxPostings), "fp")
+      .select(col("fp"), col("doc_id").as("index_id"))
+    dfp.join(kept, "fp")
+      .groupBy(col("new_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def jaccardPairsOn(docs: DataFrame, tsetExpr: Column,
                              blockCols: Seq[String], thresholdPermille: Int,
                              idCol: String): DataFrame = {

@@ -171,4 +171,45 @@ class StreamingNearDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bags"))
   }
+
+  test("winnow probe: an in-stream EXCERPT of an indexed doc is caught (Jaccard-invisible), " +
+    "exactly-once on replay, streaming ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("winnow_probe").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    val history = Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text")
+    Dedup.writeWinnowIndex(Dedup.buildWinnowIndex(history, k = 5, w = 4), indexDir)
+    // an excerpt: a 40-char span of `base` buried in fresh padding —
+    // token-set Jaccard vs base is far below any dedup threshold, but
+    // the winnow guarantee (span ≥ w+k−1 = 8 chars) must catch it
+    val excerpt = "totally fresh framing text " + base.substring(10, 50) +
+      " and an unrelated conclusion follows here"
+    val novel = "entirely novel words about nothing indexed before today at all"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.WinnowProbeStream.start(
+      mem.toDF().toDF("doc_id", "text"), "r1", indexDir, outDir,
+      s"$dir/ckpt", minShared = 3)
+    try {
+      mem.addData((1L, excerpt), (2L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+    def verdicts(): Map[Long, (String, Any)] =
+      spark.read.parquet(outDir).select("doc_id", "verdict", "index_id")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    val v = verdicts()
+    assert(v(1L)._1 === "excerpt_of_index" && v(1L)._2 === 100L, s"got $v")
+    assert(v(2L)._1 === "unique", s"got $v")
+    // exactly-once: replaying the same (run, batch) overwrites, not appends
+    graft.streaming.WinnowProbeStream.process(
+      Seq((1L, excerpt), (2L, novel)).toDF("doc_id", "text"),
+      "r1", batchId = 0L, indexDir, outDir, minShared = 3)
+    assert(spark.read.parquet(outDir).count() === 2L)
+    // streaming ≡ batch: the same pairs surface via excerptAgainstIndex
+    val batchHits = Dedup.excerptAgainstIndex(
+        Seq((1L, excerpt), (2L, novel)).toDF("doc_id", "text"),
+        Dedup.readWinnowIndex(spark, indexDir), minShared = 3)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(batchHits.contains((1L, 100L)) && !batchHits.exists(_._1 == 2L))
+  }
 }
