@@ -3792,7 +3792,7 @@ object SparkEntry {
          |ORDER BY new_id, index_id""".stripMargin,
 
     // Winnowed inverted index: unnest selected fingerprints, governor
-    // on document frequency, self-join, shared-count >= 3.
+    // on document frequency, self-join, shared-count >= 5.
     "dedup_winnow_pairs" ->
       s"""WITH $winnowSelCtes,
          |f AS (SELECT doc_id, unnest(sl) AS fp FROM sel),
@@ -4540,7 +4540,8 @@ object SparkEntry {
          |  FROM alloc a JOIN ord o ON o.i = a.i + 1 CROSS JOIN tot
          |)
          |SELECT source, n_tokens, quota AS quota_tokens,
-         |       (quota * 1000) // n_tokens AS epochs_permille
+         |       CASE WHEN n_tokens = 0 THEN 0
+         |            ELSE (quota * 1000) // n_tokens END AS epochs_permille
          |FROM alloc WHERE i >= 1 ORDER BY source""".stripMargin,
 
     "dedup_cluster_sizes" ->

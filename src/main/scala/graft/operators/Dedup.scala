@@ -689,8 +689,16 @@ object Dedup {
     * on-disk index is a fraction of a full gram index at the same
     * detection floor. (k, w) ride the meta so a probe can never
     * diverge from what the postings were built with — the
-    * [[DedupIndex]] discipline. */
-  final case class WinnowIndex(postings: DataFrame, k: Int, w: Int)
+    * [[DedupIndex]] discipline.
+    *
+    * `df` is the OPTIONAL stored document-frequency census (fp → df):
+    * present on indexes read back from disk, so every probe skips the
+    * corpus-sized census aggregate and per-batch cost really is
+    * ∝ batch + collisions ([[excerptAgainstIndex]]); None on a fresh
+    * in-memory build, where the probe computes it from the postings
+    * plan. */
+  final case class WinnowIndex(postings: DataFrame, k: Int, w: Int,
+                               df: Option[DataFrame] = None)
 
   def buildWinnowIndex(docs: DataFrame, k: Int = 5, w: Int = 4,
                        idCol: String = "doc_id",
@@ -703,17 +711,113 @@ object Dedup {
       k, w)
   }
 
+  /** On-disk layout: `postings/` and `df/` are partitioned by a
+    * `seg`(ment) column — the base build lands in seg=base and each
+    * [[winnowIndexAppend]] delta in its own segment, so an
+    * at-least-once replayed append overwrites ITS OWN partition
+    * (dynamic partition overwrite) instead of duplicating postings —
+    * the exactly-once house rule. `meta` is written LAST so meta
+    * existing implies every part is complete (the [[writeIndex]]
+    * crash-ordering discipline). The stored census is recomputed from
+    * the WRITTEN postings files, never from the in-memory plan, so df
+    * can never diverge from what is on disk. */
   def writeWinnowIndex(index: WinnowIndex, dir: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$dir/postings")
     val spark = index.postings.sparkSession
+    index.postings.select(col("doc_id"), col("fp")).withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$dir/df")
     import spark.implicits._
     Seq((index.k, index.w)).toDF("k", "w").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def readWinnowIndex(spark: org.apache.spark.sql.SparkSession, dir: String): WinnowIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    WinnowIndex(spark.read.parquet(s"$dir/postings"), meta.getInt(0), meta.getInt(1))
+    val meta = spark.read.parquet(s"$dir/meta").select(col("k"), col("w")).head()
+    val postings = spark.read.parquet(s"$dir/postings").select(col("doc_id"), col("fp"))
+    // per-segment partial censuses sum to the index-wide df; the
+    // aggregate is index-vocabulary-sized, not corpus-sized
+    val dfCensus = spark.read.parquet(s"$dir/df")
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+    WinnowIndex(postings, meta.getInt(0), meta.getInt(1), Some(dfCensus))
+  }
+
+  /** Incremental ingestion for a stored [[WinnowIndex]] — the
+    * [[graft.operators.Similarity.annIndexAppend]] discipline applied
+    * to the excerpt index: winnow ONLY `newDocs` with the index's
+    * stored (k, w) and land their postings AND their partial df
+    * census in the `seg=segment` partition of each table. Cost scales
+    * with the DELTA — the corpus postings are never read (the census
+    * update reads back only the just-written delta partition, pruned
+    * by `seg`). Replaying the same `segment` overwrites its own
+    * partition on both tables — exactly-once under at-least-once
+    * retries. A crash between the two writes leaves df UNDERcounting
+    * the new segment: probes stay correct (df only governs the
+    * hot-fingerprint cap; n_shared comes from the postings join) and
+    * re-running the append heals both tables. */
+  def winnowIndexAppend(newDocs: DataFrame, dir: String, segment: String,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    require(segment.nonEmpty && segment != "base",
+      "segment must be a non-empty id distinct from the reserved base segment")
+    val spark = newDocs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val meta = spark.read.parquet(s"$dir/meta").select(col("k"), col("w")).head()
+    import graft.functions.WinnowFp.winnow_fp
+    val dfp = Partitioning.fanOut(newDocs)
+      .select(col(idCol).as("doc_id"),
+        explode(winnow_fp(col(textCol), meta.getInt(0), meta.getInt(1))).as("fp"))
+    graft.sinks.Sinks.upsertPartitions(dfp.withColumn("seg", lit(segment)),
+      s"$dir/postings", Seq("seg"))
+    val written = spark.read.parquet(s"$dir/postings").filter(col("seg") === segment)
+    graft.sinks.Sinks.upsertPartitions(
+      written.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .withColumn("seg", lit(segment)),
+      s"$dir/df", Seq("seg"))
+  }
+
+  /** OFFLINE maintenance for an appended excerpt index — the
+    * [[compactIndex]] discipline on the segmented layout: fold every
+    * segment into a single deduplicated seg=base generation of
+    * `postings/` (dropping retried-append duplicates), recompute `df`
+    * from the folded postings, and swap both dirs via the
+    * rename-with-backup protocol. NOT safe concurrently with a
+    * running append. Compaction is a replay BARRIER: segments folded
+    * here are retired — re-appending a pre-compact segment id after
+    * compaction would re-add its postings beside the folded copy
+    * (inflating n_shared until the next compact dedups them). */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    def swapIn(cur: org.apache.hadoop.fs.Path,
+               write: String => Unit): Unit = {
+      val fs = cur.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_compact")
+      val bak = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_bak")
+      fs.delete(tmp, true); fs.delete(bak, true)
+      write(tmp.toString)
+      require(fs.rename(cur, bak), s"compactWinnowIndex: rename $cur -> $bak failed; " +
+        s"compacted data left at $tmp, dir unchanged")
+      require(fs.rename(tmp, cur), s"compactWinnowIndex: rename $tmp -> $cur failed; " +
+        s"original data preserved at $bak — restore by renaming it back")
+      fs.delete(bak, true)
+    }
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val fs = postingsPath.getFileSystem(conf)
+    val bytes = fs.getContentSummary(postingsPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val folded = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("fp")).distinct()
+      .repartition(nFiles).localCheckpoint() // one winnow-read, two writes below
+    swapIn(postingsPath, tmp => folded.withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+    swapIn(new org.apache.hadoop.fs.Path(s"$dir/df"), tmp =>
+      folded.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .withColumn("seg", lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp))
   }
 
   /** Excerpt detection of a DELTA against the stored corpus index:
@@ -735,7 +839,11 @@ object Dedup {
     val dfp = Partitioning.fanOut(newDocs)
       .select(col(idCol).as("new_id"),
         explode(winnow_fp(col(textCol), index.k, index.w)).as("fp"))
-    val cnt = index.postings.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    // stored census when the index came off disk (probe cost ∝ batch +
+    // collisions); fall back to an on-the-fly census for in-memory builds
+    val cnt = index.df
+      .map(_.select(col("fp"), col("df").as("__df")))
+      .getOrElse(index.postings.groupBy(col("fp")).agg(count(lit(1)).as("__df")))
     val kept = index.postings.join(cnt.filter(col("__df") <= maxPostings), "fp")
       .select(col("fp"), col("doc_id").as("index_id"))
     dfp.join(kept, "fp")

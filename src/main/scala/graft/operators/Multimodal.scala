@@ -1350,7 +1350,11 @@ object Multimodal {
     * `ac_best·1000 DIV Σ sᵢ²` is an integer periodicity score —
     * near-1000 marks tonal/looped audio, near-0 noise: the audio-side
     * "is this signal or junk" curation axis, on the real byte-decode
-    * path. Same execution contract as [[pcm16Frames]]: constant-memory
+    * path. Multi-channel payloads are de-interleaved first: lags are
+    * in per-channel FRAME units and `ac`/`energy` sum the per-channel
+    * products, so stereo never mixes L/R samples into one product
+    * (mono output is bit-identical to the single-array formulation).
+    * Same execution contract as [[pcm16Frames]]: constant-memory
     * per-partition decode, malformed payloads emit nothing, zero
     * shuffle, all integers (the oracle recomputes every product from
     * the analytic fixture samples). */
@@ -1363,33 +1367,63 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         locatePcm16Data(bytes) match {
           case None => Iterator.empty
-          case Some((off, nSamples, _)) if nSamples <= minLag => Iterator.empty
-          case Some((off, nSamples, _)) =>
-            val s = new Array[Int](nSamples)
-            var i = 0
-            while (i < nSamples) {
-              s(i) = (u16le(bytes, off + 2 * i) << 16) >> 16 // sign-extend
-              i += 1
+          case Some((off, nTotal, nCh)) if nCh < 1 || nTotal / math.max(nCh, 1) <= minLag =>
+            Iterator.empty
+          case Some((off, nTotal, nCh)) =>
+            val nFrames = nTotal / nCh
+            val s = Array.ofDim[Int](nCh, nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var c = 0
+              while (c < nCh) {
+                s(c)(f) = (u16le(bytes, off + 2 * (f * nCh + c)) << 16) >> 16 // sign-extend
+                c += 1
+              }
+              f += 1
             }
             var energy = 0L
-            i = 0
-            while (i < nSamples) { energy += s(i).toLong * s(i); i += 1 }
+            var c = 0
+            while (c < nCh) {
+              val ch = s(c)
+              var i = 0
+              while (i < nFrames) { energy += ch(i).toLong * ch(i); i += 1 }
+              c += 1
+            }
             var bestLag = 0L
             var bestAc = Long.MinValue
             var lag = minLag
-            while (lag <= math.min(maxLag, nSamples - 1)) {
+            while (lag <= math.min(maxLag, nFrames - 1)) {
               var ac = 0L
-              i = 0
-              while (i + lag < nSamples) { ac += s(i).toLong * s(i + lag); i += 1 }
+              c = 0
+              while (c < nCh) {
+                val ch = s(c)
+                var i = 0
+                while (i + lag < nFrames) { ac += ch(i).toLong * ch(i + lag); i += 1 }
+                c += 1
+              }
               if (ac > bestAc) { bestAc = ac; bestLag = lag.toLong }
               lag += 1
             }
             if (energy == 0) Iterator.empty
-            else Iterator.single(Row(id, nSamples.toLong, energy, bestLag, bestAc,
-              Math.floorDiv(bestAc * 1000L, energy)))
+            else Iterator.single(Row(id, (nFrames.toLong * nCh), energy, bestLag, bestAc,
+              permille(bestAc, energy)))
         }
       }
     }(enc)
+  }
+
+  /** `floorDiv(a*1000, b)` without the Long overflow `a*1000L` hits
+    * past ~9.2e15 (ac can reach nSamples·2³⁰): widens through BigInt
+    * only when the multiply would overflow, preserving exact floor
+    * semantics (b > 0 by construction here). */
+  private[graft] def permille(a: Long, b: Long): Long = {
+    require(b > 0, "permille denominator must be positive")
+    if (a <= Long.MaxValue / 1000L && a >= Long.MinValue / 1000L)
+      Math.floorDiv(a * 1000L, b)
+    else {
+      val (q, r) = (BigInt(a) * 1000) /% BigInt(b)
+      (if (r.signum < 0) q - 1 else q).toLong
+    }
   }
 
   /** Find the PCM16 data payload: (byte offset of first sample, total

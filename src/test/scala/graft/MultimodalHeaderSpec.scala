@@ -637,6 +637,46 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(out(2L)._5 < p1 / 2, s"aperiodic signal must score well below periodic")
   }
 
+  test("pcm16Autocorr: stereo de-interleaves — frame-unit lags, no cross-channel products") {
+    import spark.implicits._
+    // L: period-8 square; R: period-6 square, ANTI-phase — an
+    // interleaved-stream autocorrelation would mix L·R products and
+    // halve every frame lag; the de-interleaved sum must equal the
+    // exact per-channel integer recomputation below
+    val left = Array.tabulate(96)(i => if ((i / 4) % 2 == 0) 1000 else -1000)
+    val right = Array.tabulate(96)(i => if ((i / 3) % 2 == 0) -700 else 700)
+    val inter = Array.tabulate(192)(i => (if (i % 2 == 0) left(i / 2) else right(i / 2)).toShort)
+    val blobs = Seq((1L, Multimodal.wavPcm16Bytes(2, 8000, inter))).toDF("doc_id", "blob")
+    val r = Multimodal.pcm16Autocorr(blobs).collect().head
+    def ac(s: Array[Int], lag: Int): Long =
+      (0 until s.length - lag).map(i => s(i).toLong * s(i + lag)).sum
+    val energy = left.map(v => v.toLong * v).sum + right.map(v => v.toLong * v).sum
+    val (bestLag, bestAc) = (2 to 16).map(l => (l, ac(left, l) + ac(right, l)))
+      .maxBy { case (l, a) => (a, -l) }
+    assert(r.getLong(1) === 192L, "n_samples stays the total interleaved count")
+    assert(r.getLong(2) === energy, "energy must sum per-channel, never mix L·R")
+    assert(r.getLong(3) === bestLag.toLong && r.getLong(4) === bestAc,
+      s"frame-unit argmax expected ($bestLag, $bestAc), " +
+        s"got (${r.getLong(3)}, ${r.getLong(4)})")
+    assert(r.getLong(5) === Math.floorDiv(bestAc * 1000L, energy))
+    // mono is bit-identical to the single-array formulation
+    val mono = Multimodal.pcm16Autocorr(
+      Seq((2L, Multimodal.wavPcm16Bytes(1, 8000, left.map(_.toShort)))).toDF("doc_id", "blob"))
+      .collect().head
+    assert(mono.getLong(3) === 8L && mono.getLong(4) === ac(left, 8))
+  }
+
+  test("permille: exact floor division beyond the a*1000 Long overflow point") {
+    val big = Long.MaxValue / 7 // big*1000 overflows Long
+    assert(Multimodal.permille(big, 3L) ===
+      ((BigInt(big) * 1000) / 3).toLong)
+    // negative numerators keep FLOOR (not truncate-toward-zero) semantics
+    assert(Multimodal.permille(-big, 3L) ===
+      (-((BigInt(big) * 1000 + 2) / 3)).toLong)
+    assert(Multimodal.permille(-7L, 2000L) === -4L, "floorDiv parity on small values")
+    assert(Multimodal.permille(7L, 2L) === 3500L)
+  }
+
   test("GIF decoder refuses corrupt input instead of throwing or spinning") {
     val good = Multimodal.gifBytes(7L, 9, 6)
     assert(Multimodal.decodeGifPixels(good).isDefined)

@@ -212,4 +212,45 @@ class StreamingNearDedupSpec extends SparkSpec {
       .select("new_id", "index_id").as[(Long, Long)].collect().toSet
     assert(batchHits.contains((1L, 100L)) && !batchHits.exists(_._1 == 2L))
   }
+
+  test("winnow index lifecycle: stored census ≡ recount, segmented append is " +
+    "probe-visible and replay-exactly-once, compact folds without changing verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("winnow_life").toString
+    val indexDir = s"$dir/index"
+    Dedup.writeWinnowIndex(Dedup.buildWinnowIndex(
+      Seq((100L, base), (101L, unrelated)).toDF("doc_id", "text"), k = 5, w = 4), indexDir)
+    def census(): Map[Long, Long] = spark.read.parquet(s"$indexDir/postings")
+      .groupBy(col("fp")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def storedDf(): Map[Long, Long] = Dedup.readWinnowIndex(spark, indexDir).df.get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedDf() === census(), "stored census must equal a postings recount")
+    // delta: a NEW history doc 102 whose excerpt arrives later
+    val delta = "freshly appended corpus document where nineteen purple llamas " +
+      "carefully guard ancient stone bridges spanning deep misty valleys at dawn"
+    Dedup.winnowIndexAppend(Seq((102L, delta)).toDF("doc_id", "text"), indexDir, "s1")
+    assert(storedDf() === census(), "append must keep the stored census exact")
+    val probe = Seq((1L, "unrelated prologue text then " + delta.substring(20, 70) +
+      " plus an original epilogue sentence closing things out")).toDF("doc_id", "text")
+    def hits(): Set[(Long, Long)] = Dedup.excerptAgainstIndex(probe,
+        Dedup.readWinnowIndex(spark, indexDir), minShared = 3)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits() === Set((1L, 102L)), "appended doc must be probe-visible")
+    // at-least-once replay of the SAME segment: partition overwrite, no dup postings
+    val before = census()
+    Dedup.winnowIndexAppend(Seq((102L, delta)).toDF("doc_id", "text"), indexDir, "s1")
+    assert(census() === before, "replayed segment must overwrite, not append")
+    assert(storedDf() === before)
+    // compact folds every segment into base; postings dedup, df recount, verdicts stable
+    Dedup.compactWinnowIndex(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/postings")
+      .select(col("seg")).distinct().as[String].collect().toSeq === Seq("base"))
+    assert(census() === before && storedDf() === before,
+      "compaction must preserve the folded postings and census exactly")
+    assert(hits() === Set((1L, 102L)), "compaction must not change probe verdicts")
+    // the reserved segment id fails fast
+    intercept[IllegalArgumentException] {
+      Dedup.winnowIndexAppend(Seq((103L, delta)).toDF("doc_id", "text"), indexDir, "base")
+    }
+  }
 }
