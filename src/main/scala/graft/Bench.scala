@@ -141,10 +141,13 @@ object Bench {
     // committed prior steady) next to the flag
     val flagDetails = results.collect { case (k, (m, _)) if m.flagDetail.isDefined =>
       "\"" + k + "\":\"" + m.flagDetail.get + "\"" }
-    val degraded = BenchPolicy.degradedHost(results.size, flagged.size, extraRuns)
+    // auto-adjudicated informational flags (steady-only jitter with a
+    // flat min) ride the artifact but don't indict the host
+    val attention = results.count { case (_, (m, _)) => BenchPolicy.needsAttention(m.flags) }
+    val degraded = BenchPolicy.degradedHost(results.size, attention, extraRuns)
     if (degraded)
       System.err.println("[bench] DEGRADED_HOST: " +
-        s"${flagged.size} queries flagged, $extraRuns defensive re-runs — " +
+        s"$attention queries flagged, $extraRuns defensive re-runs — " +
         "host contention corrupted this session; re-take the numbers.")
     val defendPart =
       s""","remeasured":$extraRuns,"degraded_host":$degraded,"flags":${flagged.mkString("{", ",", "}")}""" +

@@ -87,17 +87,34 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(m.extraRuns === 0 && m.flags.isEmpty)
   }
 
-  test("clean min but contaminated steady: steady is cross-checked against the prior") {
-    // round 5's dedup_char_ngram steady shape: cold runs land clean,
-    // every hot run sits in a burst below the 5x within-session bar
-    val m = BenchPolicy.measure(scripted(1.7, 1.75, 5.9, 5.8, 6.0),
+  test("flat min + contaminated steady is AUTO-adjudicated as jitter: one re-measure, " +
+    "informational flag, both numbers in the detail") {
+    // the round-6 shape that cost four human adjudications (all
+    // resolved "jitter"): min flat vs the committed prior, every hot
+    // run in a burst below the 5x within-session bar
+    val m = BenchPolicy.measure(scripted(1.7, 1.75, 5.9, 5.8),
       steadyMode = true, priorSteady = Some(1.7))
     assert(m.value === 1.7)
+    assert(m.extraRuns === 1, "jitter class re-measures steady ONCE")
+    assert(m.flags === List("steady_jitter_auto"), s"got ${m.flags}")
+    assert(m.flagDetail === Some("steady=5.800,min=1.700,prior_steady=1.700"))
+    assert(m.steady === Some(5.8), "steady still reports the least contaminated hot run")
+    assert(!BenchPolicy.needsAttention(m.flags),
+      "auto-adjudicated jitter must not demand human attention")
+  }
+
+  test("elevated min + contaminated steady still demands human adjudication") {
+    // min at 1.47x the prior (above the 1.25 flat bar, below the 2.5
+    // flag bar) with a 3.5x steady: could be a real plan change whose
+    // min is partially masked — keep the human flag
+    val m = BenchPolicy.measure(scripted(2.5, 2.55, 5.9, 5.8, 6.0),
+      steadyMode = true, priorSteady = Some(1.7))
+    assert(m.value === 2.5)
     assert(m.extraRuns === 2)
     assert(m.flags === List("steady_exceeds_prior"),
       s"a steady 3.4x over the committed prior must be flagged, got ${m.flags}")
     assert(m.flagDetail === Some("steady=5.800,prior_steady=1.700"))
-    assert(m.steady === Some(5.8), "steady still reports the least contaminated hot run")
+    assert(BenchPolicy.needsAttention(m.flags))
   }
 
   test("steady-vs-prior re-measure that recovers is flagged as remeasured only") {
