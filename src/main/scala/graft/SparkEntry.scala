@@ -654,6 +654,20 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL component maintenance: the stored map from the
+    // doc_id<300 history pairs is updated with only the delta edges
+    // (super-node contraction; old edges never re-read) — the oracle
+    // recomputes the closure over ALL pairs, so the hash match IS the
+    // proof that update(stored, delta) ≡ recompute(history ∪ delta).
+    "dedup_components_incremental" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900).localCheckpoint()
+      val history = pairs.filter(col("doc_a") < 300 && col("doc_b") < 300)
+      val delta = pairs.filter(col("doc_a") >= 300 || col("doc_b") >= 300)
+      Dedup.componentsUpdate(Dedup.connectedComponents(history), delta)
+        .orderBy(col("doc_id"))
+    }),
+
     // Keep-best dedup: collapse each near-dup cluster to its highest-
     // token-count member (ties → smallest id); singletons survive.
     "dedup_keep_best" -> ((s, d) => {
@@ -1086,6 +1100,42 @@ object SparkEntry {
       val dropNear = Dedup.connectedComponents(pairs)
         .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
       afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // v2 of the pipeline — the round-6 screening stages chained on:
+    // Gopher gate → exact dedup → banded near-dedup → winnow EXCERPT
+    // screen (drop the larger id of any survivor pair sharing ≥ 5
+    // governed winnowed fingerprints — catches Jaccard-invisible
+    // wrapped/quoted spans) → semantic decontamination (drop survivors
+    // whose embedding reads ≥ 0.4 cosine against the held-out
+    // benchmark slice vec_id % 10 == 0, cell-blocked on label; the
+    // benchmark-member docs themselves drop too). One DuckDB CTE
+    // program replays the whole chain — the hash match proves the
+    // production pipeline end-to-end, not per-stage.
+    "corpus_e2e_curate2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = TextAnalysis.gopherGate(docs)
+      val afterExact = gated.join(
+        Dedup.exact(gated).select(col("keep_id").as("doc_id")), "doc_id")
+      val pairs = Dedup.jaccardPairsBanded(afterExact, Seq("source", "lang"),
+        thresholdPermille = 900)
+      val dropNear = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
+      val nearKept = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+      val dropExcerpt = Dedup.winnowPairs(nearKept, k = 5, w = 4,
+          minShared = 5, maxPostings = 50).pairs
+        .select(col("doc_b").as("doc_id")).distinct()
+      val afterExcerpt = nearKept.join(dropExcerpt, Seq("doc_id"), "left_anti")
+      val emb = Tables.embeddings(s, d)
+      val train = emb.filter(col("vec_id") % 10 =!= 0)
+        .join(afterExcerpt.select(col("doc_id").as("vec_id")), "vec_id")
+      val sem = Similarity.semanticDecontaminate(train,
+          emb.filter(col("vec_id") % 10 === 0), minCos = 0.4, cellCol = "label")
+        .select(col("train_id").as("doc_id"))
+      afterExcerpt.filter(col("doc_id") % 10 =!= 0)
+        .join(sem, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
@@ -1820,18 +1870,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // COUNT DISTINCT incrementally: HLL sketch states per delta slice,
-    // union-merged, estimate read off the merged sketch. Rows-only
-    // (sketch estimates are engine-specific); the merge ≡ direct law
-    // and the error bound are pinned in SketchBoundsSpec.
+    // COUNT DISTINCT incrementally: per-delta-slice distinct-value
+    // states, union-merged, EXACT counts read off the merged state —
+    // the oracle recomputes count(DISTINCT) directly over all rows, so
+    // the hash match IS the proof that merge(state(deltas)) ≡
+    // recompute(history) (the rel_incremental_agg pattern). The O(1)-
+    // state sketch twin of the same algebra (HLL registers are
+    // engine-specific bytes) is bounds-pinned in SketchBoundsSpec.
     "rel_incremental_distinct" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val slices = (0 to 2).map(i =>
-        Relational.distinctState(ev.filter(col("event_id") % 3 === i),
+        Relational.distinctStateExact(ev.filter(col("event_id") % 3 === i),
           Seq(col("event_type")), col("user_id")))
-      Relational.distinctEstimate(
-          Relational.mergeDistinctStates(slices, Seq("event_type")),
-          Seq("event_type"))
+      Relational.distinctCountExact(
+          Relational.mergeDistinctStatesExact(slices), Seq("event_type"))
         .orderBy(col("event_type"))
     }),
 
@@ -2141,11 +2193,15 @@ object SparkEntry {
     * distinct window-minimum selection `sl` — mirrors the native
     * `winnow_fp`. Documents shorter than w grams get one window over
     * all grams (`greatest(..., 1)`), matching the expression. */
-  private def winnowSelCtes: String =
+  private def winnowSelCtes: String = winnowSelCtesWhere("")
+
+  /** [[winnowSelCtes]] with an extra predicate injected into the gram
+    * scan (e.g. restricting to a prior pipeline stage's survivors). */
+  private def winnowSelCtesWhere(where: String): String =
     s"""gs AS (SELECT doc_id, length(text) - 4 AS n_grams,
        |         list_transform(range(1, length(text) - 3),
        |           i -> substr(text, i, 5)) AS grams
-       |       FROM documents WHERE length(text) >= 5),
+       |       FROM documents WHERE length(text) >= 5$where),
        |hl AS (SELECT doc_id, n_grams, list_transform(
        |         list_transform(grams, g -> md5(g)),
        |         m -> ${hexSliceSql("m", 1)}) AS hs
@@ -3105,6 +3161,20 @@ object SparkEntry {
     "dedup_incremental_core" -> incrementalDedupOracle,
 
     "dedup_components" ->
+      s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // The incremental update must equal the full recompute — the
+    // oracle IS the dedup_components closure over all pairs.
+    "dedup_components_incremental" ->
       s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -4255,6 +4325,64 @@ object SparkEntry {
          |LEFT JOIN comp c ON c.doc_id = ex.doc_id
          |WHERE c.doc_id IS NULL OR c.component = ex.doc_id
          |ORDER BY ex.doc_id""".stripMargin,
+
+    // v1's chain + the winnow excerpt screen + embedding-space
+    // decontamination, replayed as one program.
+    "corpus_e2e_curate2" ->
+      s"""WITH RECURSIVE gf AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha_chars,
+         |    CAST(len(regexp_extract_all(text, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($tokSql,
+         |      w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |gk AS (SELECT doc_id FROM gf
+         |  WHERE n_words BETWEEN 50 AND 100000
+         |    AND (CASE WHEN n_words > 0 THEN (n_alpha_chars * 1000) // n_words ELSE 0 END)
+         |        BETWEEN 3000 AND 10000
+         |    AND (CASE WHEN n_words > 0 THEN (n_sym * 1000) // n_words ELSE 0 END) <= 100
+         |    AND (CASE WHEN n_words > 0 THEN (n_alpha_words * 1000) // n_words ELSE 0 END) >= 800
+         |    AND n_stop >= 2),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE doc_id IN (SELECT doc_id FROM gk) GROUP BY md5(text)),
+         |${bandedPairsCtes(tokSql, " WHERE doc_id IN (SELECT doc_id FROM ex)", 900)},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cnodes AS (SELECT DISTINCT u AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS label FROM cnodes
+         |  UNION
+         |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+         |comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+         |kn AS (SELECT ex.doc_id FROM ex LEFT JOIN comp c ON c.doc_id = ex.doc_id
+         |       WHERE c.doc_id IS NULL OR c.component = ex.doc_id),
+         |${winnowSelCtesWhere(" AND doc_id IN (SELECT doc_id FROM kn)")},
+         |wf AS (SELECT doc_id, unnest(sl) AS fp FROM sel),
+         |wc AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM wf GROUP BY fp),
+         |wkept AS (SELECT wf.doc_id, wf.fp FROM wf JOIN wc USING (fp) WHERE df <= 50),
+         |wp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |dropx AS (SELECT DISTINCT doc_b AS doc_id FROM wp WHERE n_shared >= 5),
+         |k2 AS (SELECT doc_id FROM kn
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dropx)),
+         |e2 AS (SELECT vec_id, label, embedding,
+         |         ${dotSql("embedding", "embedding")} AS n2 FROM embeddings),
+         |te2 AS (SELECT * FROM e2 WHERE vec_id % 10 = 0),
+         |tr2 AS (SELECT e2.* FROM e2 JOIN k2 ON k2.doc_id = e2.vec_id
+         |        WHERE vec_id % 10 <> 0),
+         |sem AS (SELECT DISTINCT tr2.vec_id AS doc_id
+         |        FROM tr2 JOIN te2 ON tr2.label = te2.label
+         |        WHERE round(${dotSql("tr2.embedding", "te2.embedding")}
+         |                / sqrt(tr2.n2 * te2.n2), 4) >= 0.4)
+         |SELECT k2.doc_id, md5(dd.text) AS fingerprint
+         |FROM k2 JOIN documents dd ON dd.doc_id = k2.doc_id
+         |WHERE k2.doc_id % 10 <> 0
+         |  AND k2.doc_id NOT IN (SELECT doc_id FROM sem)
+         |ORDER BY k2.doc_id""".stripMargin,
 
     "corpus_split_leakage_safe" ->
       s"""WITH RECURSIVE ${bandedPairsCtes(tokSql, "", 900)},
@@ -5413,6 +5541,13 @@ object SparkEntry {
         |       min(cents) AS min_cents, max(cents) AS max_cents,
         |       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Direct COUNT DISTINCT over ALL events — the Spark side merges
+    // three per-slice distinct-value states; hash equality proves
+    // merge(state(deltas)) ≡ recompute(history) for distinct counts.
+    "rel_incremental_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

@@ -1330,6 +1330,66 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("component"))
   }
 
+  /** INCREMENTAL maintenance of a [[connectedComponents]] map — the
+    * missing incremental twin: aggregates, distinct counts, the dedup
+    * index and the ANN index all maintain by delta; this maintains the
+    * near-dup component map the same way, so a daily ingest never
+    * recomputes the corpus graph. `stored` is a previous
+    * (doc_id, component) result; `deltaPairs` are NEW edges (between
+    * new docs, old docs, or both). Returns the map equal to
+    * recomputing over history ∪ delta (the hash-checked law).
+    *
+    * Shape — the classic super-node contraction: each stored component
+    * is already a proven connected blob, so project every delta
+    * endpoint onto its stored label (new docs label themselves) and
+    * run [[connectedComponents]] on the CONTRACTED delta graph — a
+    * graph of delta-size, not corpus-size. Labels are min doc ids, so
+    * a merged super-component's label is the min over its member
+    * labels ∪ new doc ids ≡ the true min reachable doc id; only
+    * components actually touched by a delta edge can change. Cost:
+    * the super-node CC is ∝ delta edges; applying the (delta-sized,
+    * BROADCAST) relabel map to the stored frame is one narrow pass —
+    * no corpus-sized shuffle, no old edges read. The old edge list is
+    * never needed because a component's internal connectivity can
+    * only grow — deletions would need [[connectedComponents]] over
+    * the surviving edges (document, don't guess). */
+  def componentsUpdate(stored: DataFrame, deltaPairs: DataFrame,
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = deltaPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .localCheckpoint() // read the (possibly expensive) pair plan once
+    val labels = stored.select(col("doc_id").cast("long").as("doc_id"),
+      col("component").cast("long").as("component"))
+    // slice the CORPUS-sized stored map down to the delta's endpoints
+    // by broadcasting the (delta-sized) endpoint set — the big side
+    // streams, nothing corpus-sized is ever shuffled or broadcast
+    val endpoints = edges.select(col("u").as("doc_id"))
+      .union(edges.select(col("v").as("doc_id"))).distinct()
+    val touched = labels.join(broadcast(endpoints), Seq("doc_id")).localCheckpoint()
+    val uLab = touched.select(col("doc_id").as("u"), col("component").as("__ul"))
+    val vLab = touched.select(col("doc_id").as("v"), col("component").as("__vl"))
+    // contracted delta graph: endpoints → stored label, unseen → self
+    val contracted = edges
+      .join(broadcast(uLab), Seq("u"), "left")
+      .join(broadcast(vLab), Seq("v"), "left")
+      .select(coalesce(col("__ul"), col("u")).as("doc_a"),
+        coalesce(col("__vl"), col("v")).as("doc_b"))
+    val superCC = connectedComponents(contracted).localCheckpoint()
+    // old rows: relabel via the delta-sized map (component → new label);
+    // untouched components miss the broadcast join and pass through
+    val relabel = superCC
+      .select(col("doc_id").as("component"), col("component").as("__nl"))
+    val oldRows = labels.join(broadcast(relabel), Seq("component"), "left")
+      .select(col("doc_id"), coalesce(col("__nl"), col("component")).as("component"))
+    // new docs: delta endpoints not in the stored map label themselves
+    // in the contracted graph, so their super-node row IS their row
+    val newRows = endpoints
+      .join(broadcast(touched.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(superCC, Seq("doc_id"))
+      .select(col("doc_id"), col("component"))
+    oldRows.unionByName(newRows)
+  }
+
   /** Keep-best dedup: collapse each near-duplicate cluster to its
     * HIGHEST-QUALITY member instead of the smallest id — the form
     * curation actually wants ("of these five near-copies, keep the one

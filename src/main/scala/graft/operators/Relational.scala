@@ -444,4 +444,27 @@ object Relational {
   def distinctEstimate(state: DataFrame, keyCols: Seq[String]): DataFrame =
     state.select(keyCols.map(col) :+
       hll_sketch_estimate(col("hll")).as("approx_distinct"): _*)
+
+  /** EXACT incremental COUNT DISTINCT state — the exact twin of
+    * [[distinctState]]: per-delta state is the distinct (key, value)
+    * pair set, so state size is bounded by the true cardinality
+    * (vs the sketch's O(1) registers at ±2% error — pick per key
+    * budget). Same algebra as the sketch: merge is union+distinct —
+    * associative, commutative, and idempotent per value, so replayed
+    * deltas are harmless. */
+  def distinctStateExact(df: DataFrame, keys: Seq[Column], valueCol: Column): DataFrame =
+    df.select(keys :+ valueCol.as("v"): _*).distinct()
+
+  /** Union [[distinctStateExact]] states across delta slices. The
+    * distinct re-dedups values appearing in several slices — one
+    * shuffle on (keys, v), map-side combinable. */
+  def mergeDistinctStatesExact(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _).distinct()
+  }
+
+  /** Exact distinct counts off a merged [[distinctStateExact]] table. */
+  def distinctCountExact(state: DataFrame, keyCols: Seq[String]): DataFrame =
+    state.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
 }

@@ -104,6 +104,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("componentsUpdate(stored, delta) ≡ recompute(history ∪ delta) on random splits") {
+    // random graphs, random history/delta edge splits — covers
+    // component merges, new-node bridges, and new ids SMALLER than
+    // stored labels (the min-label relabel path)
+    for ((seed, nEdges, maxNode) <- Seq((21, 40, 100L), (22, 200, 80L), (23, 30, 40L))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)((rnd.nextLong(maxNode) + 10, rnd.nextLong(maxNode) + 10))
+        .filter { case (a, b) => a != b }
+      val (history, delta0) = edges.partition(_ => rnd.nextBoolean())
+      // force the smaller-new-id case: a delta edge from an unseen id
+      // below every history id into some history node
+      val delta = if (history.nonEmpty) (1L, history.head._1) +: delta0 else delta0
+      val stored = Dedup.connectedComponents(history.toDF("doc_a", "doc_b"))
+      val got = Dedup.componentsUpdate(stored, delta.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      Caching.releaseLocalCheckpoints(stored)
+      val want = unionFindComponents(history ++ delta)
+      assert(got === want, s"seed=$seed: incremental map diverged from recompute")
+    }
+    // empty delta is the identity
+    val stored = Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"))
+    val id = Dedup.componentsUpdate(stored,
+        spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(id === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("keepBest ≡ reference argmax over union-find clusters (randomized)") {
     val rnd = new scala.util.Random(77)
     val n = 80L

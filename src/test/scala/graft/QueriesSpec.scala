@@ -10,9 +10,6 @@ class QueriesSpec extends SparkSpec {
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set(
       "rel_approx_sketches", // sketch algs differ per engine
-      "rel_incremental_distinct", // HLL sketch estimates are engine-specific;
-                             // merge ≡ direct + error bound pinned in
-                             // SketchBoundsSpec
       "text_bpe_merges100")  // 100 chained greedy folds aren't SQL-expressible;
                              // parity with the oracle-checked k≤8 form is
                              // spec-pinned in BpeScaleSpec
