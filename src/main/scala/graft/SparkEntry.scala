@@ -1627,6 +1627,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // STORED IVF-Flat serving (faiss IndexIVFFlat): same probe dial,
+    // EXACT cosine off the persisted cell table — zero training per
+    // query, zero quantization error. Same params as sim_ann_ivf_nprobe
+    // so the oracle is shared verbatim: stored serving ≡ the in-memory
+    // pipeline is itself the law under test.
+    "sim_ann_ivf_flat_stored" -> ((s, d) => {
+      val idx = Similarity.readIvfFlatIndex(s, storedIvfFlatDir(s, d))
+      Similarity.ivfFlatTopK(Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          idx, k = 5, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rank").cast("long").as("rnk"), col("cos"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // SemDeDup: paraphrase-level dedup — trained k-means cells as the
     // blocking, intra-cell cosine >= 0.3, smallest id survives per
     // near-dup relation. k=16 cells (vs the ANN queries' k=4): the
@@ -2240,6 +2253,35 @@ object SparkEntry {
       s"  SELECT doc_id, $b AS band, h${2 * b}::VARCHAR || '|' || h${2 * b + 1}::VARCHAR AS bv FROM sig $where")
       .mkString("\n  UNION ALL\n")
 
+  /** Shared oracle for the nprobe=2 trained-IVF ANN serving — both
+    * the in-memory pipeline (sim_ann_ivf_nprobe) and the STORED
+    * flat-index serving (sim_ann_ivf_flat_stored): storage must be
+    * transparent to results. */
+  private lazy val ivfNprobeOracle: String =
+    s"""${ivfCtes(k = 4, iters = 2)},
+       |afin AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+       |  FROM (SELECT q.vec_id, c.cell,
+       |          list_sum(list_transform(range(1, 65),
+       |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+       |        FROM q, c2 c) x),
+       |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
+       |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
+       |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS query_id, cell FROM afin
+       |           WHERE rn <= 2 AND vec_id < 10),
+       |qq AS (SELECT p.query_id, e.embedding AS qv, e.n2 AS qn2, p.cell AS qcell
+       |       FROM probes p JOIN e ON p.query_id = e.vec_id),
+       |scored AS (SELECT query_id, e.vec_id AS cand_id,
+       |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+       |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
+       |ranked AS (SELECT query_id, cand_id, cos,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+       |           FROM scored)
+       |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Shared oracle for dedup_incremental and its Bloom-free core twin
     * (pruning cannot change an anti-join's result). */
   private lazy val incrementalDedupOracle: String =
@@ -2333,7 +2375,23 @@ object SparkEntry {
     * build. Build params are part of the dir name — changing them
     * invalidates rather than reuses. */
   private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def storedAnnIndexDir(s: SparkSession, d: String): String = {
+
+  /** [[storedAnnIndexDir]]'s discipline applied to the IVF-Flat index
+    * (same content-fingerprint key, same build-private-then-atomic-
+    * rename publish; `centroids` is the written-last done marker). */
+  private def storedIvfFlatDir(s: SparkSession, d: String): String =
+    storedIndexDir(s, d, tag = "ivfflat_k4_i2", doneMarker = "centroids",
+      build = tmp => Similarity.writeIvfFlatIndex(
+        Similarity.ivfFlatBuild(Tables.embeddings(s, d), k = 4, iters = 2), tmp))
+
+  private def storedAnnIndexDir(s: SparkSession, d: String): String =
+    storedIndexDir(s, d, tag = "annidx_c4_m4_k4_i2", doneMarker = "meta",
+      build = tmp => Similarity.writeAnnIndex(
+        Similarity.annIndexBuild(Tables.embeddings(s, d),
+          coarseK = 4, m = 4, pqK = 4, iters = 2), tmp))
+
+  private def storedIndexDir(s: SparkSession, d: String, tag: String,
+                             doneMarker: String, build: String => Unit): String = {
     // the cache key is a CONTENT fingerprint of the embeddings parquet
     // (file name + length + mtime), recomputed PER CALL (a cheap FS
     // stat): testdata regenerated at the same path invalidates the
@@ -2351,33 +2409,30 @@ object SparkEntry {
       else s"${stat.getLen}:${stat.getModificationTime}"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$d|$parts".getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    annIndexDirs.computeIfAbsent(fp, _ => {
+    annIndexDirs.computeIfAbsent(s"$tag|$fp", _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_annidx_c4_m4_k4_i2_$fp").getAbsolutePath
-      val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
-      val fs = meta.getFileSystem(conf)
-      if (!fs.exists(meta)) {
+        s"graft_${tag}_$fp").getAbsolutePath
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/$doneMarker")
+      val fs = marker.getFileSystem(conf)
+      if (!fs.exists(marker)) {
         // build into a private temp dir, PUBLISH with one atomic
-        // rename: two processes racing !exists(meta) each build their
-        // own copy and exactly one move wins — meta-last write
+        // rename: two processes racing !exists(marker) each build
+        // their own copy and exactly one move wins — marker-last write
         // ordering protects against crashes, not concurrent writers
         // interleaving parquet files in a shared dir. The loser
         // discards its copy (identical content — same data, same
         // deterministic training).
         val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          s".graft_annidx_${fp}_${java.util.UUID.randomUUID().toString.take(8)}")
+          s".graft_${tag}_${fp}_${java.util.UUID.randomUUID().toString.take(8)}")
           .getAbsolutePath
-        Similarity.writeAnnIndex(
-          Similarity.annIndexBuild(Tables.embeddings(s, d),
-            coarseK = 4, m = 4, pqK = 4, iters = 2),
-          tmp)
+        build(tmp)
         try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(dir),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileSystemException =>
           // lost the publish race (or a prior run completed meanwhile)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-          require(fs.exists(meta), s"ANN index publish failed and $dir is incomplete")
+          require(fs.exists(marker), s"index publish failed and $dir is incomplete")
         }
       }
       dir
@@ -5037,30 +5092,11 @@ object SparkEntry {
          |${ivfChain(k = 4, iters = 2, emitC0 = false)},
          |$ivfServeCtes""".stripMargin,
 
-    "sim_ann_ivf_nprobe" ->
-      s"""${ivfCtes(k = 4, iters = 2)},
-         |afin AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
-         |  FROM (SELECT q.vec_id, c.cell,
-         |          list_sum(list_transform(range(1, 65),
-         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
-         |        FROM q, c2 c) x),
-         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
-         |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
-         |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
-         |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
-         |probes AS (SELECT vec_id AS query_id, cell FROM afin
-         |           WHERE rn <= 2 AND vec_id < 10),
-         |qq AS (SELECT p.query_id, e.embedding AS qv, e.n2 AS qn2, p.cell AS qcell
-         |       FROM probes p JOIN e ON p.query_id = e.vec_id),
-         |scored AS (SELECT query_id, e.vec_id AS cand_id,
-         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
-         |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
-         |ranked AS (SELECT query_id, cand_id, cos,
-         |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
-         |           FROM scored)
-         |SELECT query_id, cand_id, rnk, cos FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_ann_ivf_nprobe" -> ivfNprobeOracle,
+
+    // Stored serving must equal the in-memory trained pipeline — the
+    // flat-index twin shares the oracle verbatim.
+    "sim_ann_ivf_flat_stored" -> ivfNprobeOracle,
 
     "dedup_semantic" ->
       s"""${ivfCtes(k = 16, iters = 2)},

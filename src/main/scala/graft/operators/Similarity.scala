@@ -439,6 +439,81 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cell"), col("cos"))
   }
 
+  /** Stored IVF-FLAT index (faiss IndexIVFFlat's layout): trained
+    * coarse centroids + the cell-assigned FULL-PRECISION embeddings
+    * with precomputed squared norms. Where [[AnnIndex]] trades
+    * exactness for 1/16th the bytes (PQ codes), this keeps the floats
+    * so probed-cell scoring is EXACT cosine — the index for semantic
+    * DUP VERDICTS, where a threshold must not carry a reconstruction
+    * error budget. Serving shape: centroids broadcast for probe
+    * selection, the cell table is the only big side and it never
+    * shuffles (probe set joins into it broadcast). */
+  final case class IvfFlatIndex(centroids: DataFrame, cells: DataFrame)
+
+  def ivfFlatBuild(emb: DataFrame, k: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): IvfFlatIndex = {
+    val cents = ivfTrain(emb, k, iters, idCol, vecCol)
+    val cells = withNorm(emb.join(ivfAssign(emb, cents, idCol, vecCol), idCol), vecCol)
+      .select(col(idCol), col("cell"), col(vecCol), col("__n2").as("n2"))
+    IvfFlatIndex(cents, cells)
+  }
+
+  /** Cells first, centroids LAST — centroids existing implies the
+    * index is complete (the [[writeAnnIndex]] crash-ordering rule). */
+  def writeIvfFlatIndex(index: IvfFlatIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def readIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): IvfFlatIndex =
+    IvfFlatIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"))
+
+  /** Exact cosine of each query against every vector in its `nprobe`
+    * nearest stored cells (self-matches excluded) — the scoring core
+    * shared by [[ivfFlatTopK]] and the threshold probes. Identical
+    * semantics to [[ivfTopKProbes]]' scored frame, served from the
+    * stored index: probe selection ranks quantized centroid distances
+    * with the [[ivfAssign]] tie-break, and because the stored cells
+    * were assigned under the SAME centroids, stored serving ≡ the
+    * in-memory pipeline (the oracle-shared law). */
+  def ivfFlatScore(queries: DataFrame, index: IvfFlatIndex, nprobe: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val c = index.centroids.withColumn("__csq", dot(col("cv"), col("cv")))
+    val probes = Partitioning.fanOut(queries)
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))
+      .crossJoin(broadcast(c))
+      .withColumn("__s", col("__csq") - lit(2d) * dot(col("__qqv"), col("cv")))
+      .select(col("query_id"), col("cell"), col("__s"))
+    val probeSet = Relational.topNPerGroup(probes, Seq(col("query_id")),
+        Seq(col("__s"), col("cell")), nprobe, rankCol = "__rn")
+      .select(col("query_id"), col("cell"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("__n2").as("qn2"))
+      .join(probeSet, "query_id")
+      .select(col("query_id"), col("qv"), col("qn2"), col("cell").as("__qcell"))
+    index.cells
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col("n2").as("cn2"), col("cell").as("__ccell"))
+      .join(broadcast(q),
+        col("__qcell") === col("__ccell") && col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosFromParts(dot(col("qv"), col("cv")), col("qn2"), col("cn2")))
+      .select(col("query_id"), col("cand_id"), col("cos"))
+  }
+
+  /** Top-k serving off the stored flat index — zero training, exact
+    * scores. nprobe = #cells recovers brute force. */
+  def ivfFlatTopK(queries: DataFrame, index: IvfFlatIndex, k: Int, nprobe: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    Relational.topNPerGroup(ivfFlatScore(queries, index, nprobe, idCol, vecCol),
+      Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
+
   /** Per-vector symmetric int8 scalar quantization: the candidate side
     * of a 100 TB ANN index at 1/4 the bytes of float32 (the difference
     * between an index that fits executor storage and one that

@@ -253,4 +253,56 @@ class StreamingNearDedupSpec extends SparkSpec {
       Dedup.winnowIndexAppend(Seq((103L, delta)).toDF("doc_id", "text"), indexDir, "base")
     }
   }
+
+  test("semantic probe: an in-stream PARAPHRASE of an indexed vector is caught " +
+    "(text probes blind to it), exactly-once on replay, streaming ≡ batch, " +
+    "full-probe ≡ brute force") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sem_probe").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    // two well-separated clusters in 4 dims; k-means with k=2 recovers them
+    val history = Seq(
+      (100L, Array(1.0f, 0.05f, 0f, 0f)), (101L, Array(0.95f, 0f, 0.05f, 0f)),
+      (102L, Array(0f, 1.0f, 0f, 0.05f)), (103L, Array(0.05f, 0.95f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfFlatIndex(
+      Similarity.ivfFlatBuild(history, k = 2, iters = 2), indexDir)
+    val dupVec = Array(0.99f, 0.04f, 0.01f, 0f)   // ≈ indexed 100
+    val novelVec = Array(0f, 0f, 1.0f, 0f)        // orthogonal to everything
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.SemanticProbeStream.start(
+      mem.toDF().toDF("vec_id", "embedding"), "r1", indexDir, outDir,
+      s"$dir/ckpt", minCos = 0.9, nprobe = 1)
+    try {
+      mem.addData((1L, dupVec), (2L, novelVec))
+      q.processAllAvailable()
+    } finally q.stop()
+    def verdicts(): Map[Long, (String, Any)] =
+      spark.read.parquet(outDir).select("vec_id", "verdict", "match_id")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    val v = verdicts()
+    assert(v(1L)._1 === "semantic_dup_index" && v(1L)._2 === 100L, s"got $v")
+    assert(v(2L)._1 === "unique", s"got $v")
+    // exactly-once: replaying the same (run, batch) overwrites, not appends
+    graft.streaming.SemanticProbeStream.process(
+      Seq((1L, dupVec), (2L, novelVec)).toDF("vec_id", "embedding"),
+      "r1", batchId = 0L, indexDir, outDir, minCos = 0.9, nprobe = 1)
+    assert(spark.read.parquet(outDir).count() === 2L)
+    // streaming ≡ batch: ivfFlatScore surfaces the same hit set
+    val idx = Similarity.readIvfFlatIndex(spark, indexDir)
+    val batchHits = Similarity.ivfFlatScore(
+        Seq((1L, dupVec), (2L, novelVec)).toDF("vec_id", "embedding"), idx, nprobe = 1)
+      .filter(col("cos") >= 0.9)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(batchHits.contains((1L, 100L)) && !batchHits.exists(_._1 == 2L))
+    // nprobe = #cells recovers brute force exactly
+    val probes = Seq((1L, dupVec), (2L, novelVec)).toDF("vec_id", "embedding")
+    val full = Similarity.ivfFlatTopK(probes, idx, k = 3, nprobe = 2)
+      .select("query_id", "cand_id", "cos").collect().toSet
+    val brute = Similarity.bruteForceTopK(probes, history, k = 3)
+      .select("query_id", "cand_id", "cos").collect().toSet
+    assert(full === brute, "full-probe stored serving must equal brute force")
+  }
 }
