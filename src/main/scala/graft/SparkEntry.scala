@@ -1117,13 +1117,18 @@ object SparkEntry {
     "corpus_e2e_curate2" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gated = TextAnalysis.gopherGate(docs)
+      // the gate→exact prefix feeds the near-dup pair stage AND every
+      // later survivor join — cut the lineage once so the chain's
+      // stages don't re-run the whole prefix per consumer
       val afterExact = gated.join(
         Dedup.exact(gated).select(col("keep_id").as("doc_id")), "doc_id")
+        .localCheckpoint()
       val pairs = Dedup.jaccardPairsBanded(afterExact, Seq("source", "lang"),
         thresholdPermille = 900)
       val dropNear = Dedup.connectedComponents(pairs)
         .filter(col("doc_id") =!= col("component")).select(col("doc_id"))
       val nearKept = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val dropExcerpt = Dedup.winnowPairs(nearKept, k = 5, w = 4,
           minShared = 5, maxPostings = 50).pairs
         .select(col("doc_b").as("doc_id")).distinct()
