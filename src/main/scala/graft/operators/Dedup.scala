@@ -792,19 +792,6 @@ object Dedup {
                          targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val conf = spark.sessionState.newHadoopConf()
-    def swapIn(cur: org.apache.hadoop.fs.Path,
-               write: String => Unit): Unit = {
-      val fs = cur.getFileSystem(conf)
-      val tmp = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_compact")
-      val bak = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_bak")
-      fs.delete(tmp, true); fs.delete(bak, true)
-      write(tmp.toString)
-      require(fs.rename(cur, bak), s"compactWinnowIndex: rename $cur -> $bak failed; " +
-        s"compacted data left at $tmp, dir unchanged")
-      require(fs.rename(tmp, cur), s"compactWinnowIndex: rename $tmp -> $cur failed; " +
-        s"original data preserved at $bak — restore by renaming it back")
-      fs.delete(bak, true)
-    }
     val postingsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val fs = postingsPath.getFileSystem(conf)
     val bytes = fs.getContentSummary(postingsPath).getLength
@@ -812,9 +799,10 @@ object Dedup {
     val folded = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id"), col("fp")).distinct()
       .repartition(nFiles).localCheckpoint() // one winnow-read, two writes below
-    swapIn(postingsPath, tmp => folded.withColumn("seg", lit("base"))
-      .write.mode("overwrite").partitionBy("seg").parquet(tmp))
-    swapIn(new org.apache.hadoop.fs.Path(s"$dir/df"), tmp =>
+    Partitioning.swapInDir(spark, s"$dir/postings")(tmp =>
+      folded.withColumn("seg", lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+    Partitioning.swapInDir(spark, s"$dir/df")(tmp =>
       folded.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .withColumn("seg", lit("base"))
         .write.mode("overwrite").partitionBy("seg").parquet(tmp))

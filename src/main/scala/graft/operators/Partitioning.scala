@@ -149,6 +149,28 @@ object Partitioning {
     * `.bak` or the compacted dir; both carry the full data). Shared by
     * [[Dedup.compactIndex]] (3 parts) and
     * [[Similarity.compactAnnIndex]] (the code table). */
+  /** Write a NEW generation of `cur` via `write(tmpPath)` and swap it
+    * in with the rename-with-backup protocol (abort loudly on a
+    * failed rename — see [[compactParquetDir]]'s rationale). The
+    * writer must fully materialize its input BEFORE this is called if
+    * that input reads from `cur` (localCheckpoint — the old dir is
+    * renamed away mid-swap). */
+  def swapInDir(spark: org.apache.spark.sql.SparkSession, dir: String)
+               (write: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val fs = cur.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_compact")
+    val bak = new org.apache.hadoop.fs.Path(cur.getParent, s".${cur.getName}_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    write(tmp.toString)
+    require(fs.rename(cur, bak), s"swapInDir: rename $cur -> $bak failed; " +
+      s"new data left at $tmp, dir unchanged")
+    require(fs.rename(tmp, cur), s"swapInDir: rename $tmp -> $cur failed; " +
+      s"original data preserved at $bak — restore by renaming it back")
+    fs.delete(bak, true)
+  }
+
   def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                         targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")

@@ -460,16 +460,68 @@ object Similarity {
   }
 
   /** Cells first, centroids LAST — centroids existing implies the
-    * index is complete (the [[writeAnnIndex]] crash-ordering rule). */
+    * index is complete (the [[writeAnnIndex]] crash-ordering rule).
+    * `cells/` is partitioned by a `seg`(ment) column — base build in
+    * seg=base, each [[ivfFlatAppend]] delta in its own segment, so a
+    * replayed append overwrites ITS OWN partition (the
+    * [[graft.operators.Dedup.winnowIndexAppend]] exactly-once rule;
+    * stronger than the ANN code table's dedup-at-compact, because a
+    * duplicated FLAT row would occupy a top-k rank until compacted). */
   def writeIvfFlatIndex(index: IvfFlatIndex, dir: String): Unit = {
-    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    index.cells.withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(s"$dir/cells")
     index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   def readIvfFlatIndex(spark: org.apache.spark.sql.SparkSession,
-                       dir: String): IvfFlatIndex =
-    IvfFlatIndex(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/cells"))
+                       dir: String): IvfFlatIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cols = spark.read.parquet(s"$dir/cells")
+      .columns.filter(_ != "seg").map(col)
+    IvfFlatIndex(cents, spark.read.parquet(s"$dir/cells").select(cols.toSeq: _*))
+  }
+
+  /** Incremental ingestion for a stored [[IvfFlatIndex]] — the
+    * [[annIndexAppend]] discipline with the segmented exactly-once
+    * layout: assign ONLY `newEmb` under the FROZEN stored centroids
+    * and land their (id, cell, embedding, n2) rows in the
+    * `seg=segment` partition. Cost ∝ delta (centroid broadcast + one
+    * narrow pass); the existing cells are never read. Same retrain
+    * trigger as the PQ index: when cell-size drift or probe recall
+    * sags, rebuild and swap dirs. */
+  def ivfFlatAppend(newEmb: DataFrame, dir: String, segment: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    require(segment.nonEmpty && segment != "base",
+      "segment must be a non-empty id distinct from the reserved base segment")
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val rows = withNorm(newEmb.join(ivfAssign(newEmb, cents, idCol, vecCol), idCol), vecCol)
+      .select(col(idCol), col("cell"), col(vecCol), col("__n2").as("n2"))
+    graft.sinks.Sinks.upsertPartitions(rows.withColumn("seg", lit(segment)),
+      s"$dir/cells", Seq("seg"))
+  }
+
+  /** OFFLINE maintenance for an appended flat index: fold every
+    * segment into one deduplicated seg=base generation of `cells/`
+    * (rename-swap; centroids untouched). NOT safe concurrently with a
+    * running append; compaction retires folded segment ids (the
+    * [[graft.operators.Dedup.compactWinnowIndex]] replay barrier). */
+  def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sessionState.newHadoopConf()
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val fs = cellsPath.getFileSystem(conf)
+    val bytes = fs.getContentSummary(cellsPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val cols = spark.read.parquet(s"$dir/cells").columns.filter(_ != "seg").map(col)
+    val folded = spark.read.parquet(s"$dir/cells").select(cols.toSeq: _*)
+      .distinct().repartition(nFiles).localCheckpoint()
+    Partitioning.swapInDir(spark, s"$dir/cells")(tmp =>
+      folded.withColumn("seg", lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+  }
 
   /** Exact cosine of each query against every vector in its `nprobe`
     * nearest stored cells (self-matches excluded) — the scoring core

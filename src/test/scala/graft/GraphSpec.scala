@@ -129,6 +129,18 @@ class GraphSpec extends SparkSpec {
         spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
     assert(id === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // CHAINED daily ingests: update(update(m, d1), d2) ≡ recompute —
+    // the law a stored map must satisfy to be maintained forever
+    val rnd2 = new scala.util.Random(31)
+    val all = Seq.fill(90)((rnd2.nextLong(60) + 5, rnd2.nextLong(60) + 5))
+      .filter { case (a, b) => a != b }
+    val (d0, rest) = all.splitAt(30)
+    val (d1, d2) = rest.splitAt(30)
+    var m = Dedup.connectedComponents(d0.toDF("doc_a", "doc_b"))
+    m = Dedup.componentsUpdate(m, d1.toDF("doc_a", "doc_b")).localCheckpoint()
+    m = Dedup.componentsUpdate(m, d2.toDF("doc_a", "doc_b"))
+    assert(m.as[(Long, Long)].collect().toMap === unionFindComponents(all),
+      "chained incremental updates diverged from the full recompute")
   }
 
   test("keepBest ≡ reference argmax over union-find clusters (randomized)") {

@@ -374,4 +374,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
   }
+
+  test("componentsUpdate: the stored map is relabeled via broadcast — " +
+    "nothing corpus-sized shuffles or sort-merge-joins") {
+    import spark.implicits._
+    val stored = Dedup.connectedComponents(
+      Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b"))
+    val plan = Dedup.componentsUpdate(stored,
+        Seq((2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b"))
+      .queryExecution.executedPlan.toString
+    // every join in the update path must be broadcast (delta-sized
+    // build sides); a sort-merge join here means the planner shuffled
+    // the stored map — the thing the operator exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("ivfFlatScore: the cell table never shuffles — probe set broadcasts into it") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.ivfFlatBuild(emb, k = 4, iters = 1)
+    val plan = Similarity.ivfFlatScore(
+        emb.filter(col("vec_id") < 5), index, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized cells side must meet the (small) probe frame
+    // through a broadcast join only — a sort-merge join would shuffle
+    // the whole index per probe batch
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

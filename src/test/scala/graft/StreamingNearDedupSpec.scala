@@ -304,5 +304,31 @@ class StreamingNearDedupSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(probes, history, k = 3)
       .select("query_id", "cand_id", "cos").collect().toSet
     assert(full === brute, "full-probe stored serving must equal brute force")
+    // lifecycle: segmented append under the frozen centroids is
+    // probe-visible, replay-exactly-once; compact folds to seg=base
+    val novelDoc = Seq((104L, novelVec)).toDF("vec_id", "embedding")
+    Similarity.ivfFlatAppend(novelDoc, indexDir, "s1")
+    def cellCount(): Long = spark.read.parquet(s"$indexDir/cells").count()
+    val nAfter = cellCount()
+    assert(nAfter === 5L, "append must add exactly the delta rows")
+    val v2 = graft.streaming.SemanticProbeStream.process(
+      Seq((3L, Array(0.02f, 0f, 0.99f, 0f))).toDF("vec_id", "embedding"),
+      "r2", batchId = 0L, indexDir, outDir, minCos = 0.9, nprobe = 2)
+    assert(v2 === Map("semantic_dup_index" -> 1L),
+      s"appended vector must be probe-visible, got $v2")
+    Similarity.ivfFlatAppend(novelDoc, indexDir, "s1") // at-least-once replay
+    assert(cellCount() === nAfter, "replayed segment must overwrite, not append")
+    Similarity.compactIvfFlatIndex(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/cells")
+      .select(col("seg")).distinct().as[String].collect().toSeq === Seq("base"))
+    assert(cellCount() === nAfter, "compaction must preserve the folded cells")
+    val v3 = graft.streaming.SemanticProbeStream.process(
+      Seq((3L, Array(0.02f, 0f, 0.99f, 0f))).toDF("vec_id", "embedding"),
+      "r3", batchId = 0L, indexDir, outDir, minCos = 0.9, nprobe = 2)
+    assert(v3 === Map("semantic_dup_index" -> 1L),
+      "compaction must not change probe verdicts")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfFlatAppend(novelDoc, indexDir, "base")
+    }
   }
 }
