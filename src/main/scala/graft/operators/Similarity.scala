@@ -566,6 +566,65 @@ object Similarity {
     Relational.topNPerGroup(ivfFlatScore(queries, index, nprobe, idCol, vecCol),
       Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
 
+  /** In-horizon streaming SEMANTIC near-dup pairs — the embedding
+    * twin of [[graft.operators.Dedup.nearDupPairsStreaming]], closing
+    * the same lambda split for meaning-level duplicates: this catches
+    * paraphrase pairs WITHIN the watermark horizon with bounded state;
+    * [[graft.streaming.SemanticProbeStream]] catches duplicates of
+    * the indexed corpus HISTORY.
+    *
+    * Blocking: each vector assigns per row to its nearest cell under
+    * the STATIC pretrained `centroids` (e.g. [[ivfTrain]] on a corpus
+    * sample, or a stored index's `centroids`) — collected driver-side
+    * at model size (k rows, the MLlib pattern) and folded into one
+    * narrow `least`-of-structs expression, because a streaming
+    * aggregation upstream of a stream–stream join is unsupported (and
+    * would hold per-vector state). The assignment is value-identical
+    * to [[ivfAssign]] (same quantized distance, same (s, cell)
+    * tie-break), so batch-mode runs agree with the batch pipeline.
+    * The stream then self-joins on the cell key with a symmetric
+    * event-time bound — join state expires with the watermark, so
+    * state holds only the horizon's vectors, never corpus history —
+    * and exact cosine ≥ `minCos` verifies each collision in-stream.
+    * Zero-norm vectors are dropped (cosine undefined). Like the batch
+    * [[nearDupPairs]], candidate work is cells × (in-horizon cell
+    * population)², never horizon². */
+  def semanticPairsStreaming(vecs: DataFrame, centroids: DataFrame, tsCol: String,
+                             within: String, maxLateness: String, minCos: Double,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftExtensions.register(vecs.sparkSession)
+    val cents = centroids.select(col("cell").cast("long"), col("cv")).collect()
+    require(cents.nonEmpty, "centroids must be non-empty")
+    val structs = cents.map { r =>
+      val cv = r.getSeq[Long](1)
+      val csq = cv.map(v => v * v).sum // quantized ints; < 2^53, exact as double
+      struct((lit(csq.toDouble) - lit(2d) * dot(col("__qv"), array(cv.map(lit): _*)))
+        .as("s"), lit(r.getLong(0)).as("cell"))
+    }
+    val cellOf =
+      if (structs.length == 1) lit(cents.head.getLong(0))
+      else least(structs.toIndexedSeq: _*).getField("cell")
+    val assigned = vecs.select(col(tsCol), col(idCol), col(vecCol))
+      .withColumn("__qv", quantize(col(vecCol)))
+      .withColumn("__n2", norm2(col(vecCol)))
+      .filter(col("__n2") > 0)
+      .withColumn("cell", cellOf)
+    val a = assigned.select(col(tsCol).as("ts_a"), col(idCol).as("id_a"),
+        col(vecCol).as("va"), col("__n2").as("na"), col("cell"))
+      .withWatermark("ts_a", maxLateness)
+    val b = assigned.select(col(tsCol).as("ts_b"), col(idCol).as("id_b"),
+        col(vecCol).as("vb"), col("__n2").as("nb"), col("cell").as("cell_b"))
+      .withWatermark("ts_b", maxLateness)
+    a.join(b,
+        col("cell") === col("cell_b") && col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $within") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $within"), "inner")
+      .withColumn("cos", cosFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cell"), col("cos"))
+  }
+
   /** Per-vector symmetric int8 scalar quantization: the candidate side
     * of a 100 TB ANN index at 1/4 the bytes of float32 (the difference
     * between an index that fits executor storage and one that

@@ -331,4 +331,63 @@ class StreamingNearDedupSpec extends SparkSpec {
       Similarity.ivfFlatAppend(novelDoc, indexDir, "base")
     }
   }
+
+  test("in-horizon semantic pairs: paraphrase pair detected, out-of-horizon copy " +
+    "passes, state expires; cell assignment ≡ ivfAssign in batch mode") {
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Array[Float])]
+    // static pretrained centroids (two well-separated cells)
+    val sample = Seq(
+      (100L, Array(1.0f, 0.05f, 0f, 0f)), (101L, Array(0.95f, 0f, 0.05f, 0f)),
+      (102L, Array(0f, 1.0f, 0f, 0.05f)), (103L, Array(0.05f, 0.95f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(sample, k = 2, iters = 2)
+    val pairs = Similarity.semanticPairsStreaming(
+      mem.toDF().toDF("ts", "vec_id", "embedding"), cents, "ts",
+      within = "10 minutes", maxLateness = "5 minutes", minCos = 0.95)
+    val q = pairs.writeStream.outputMode("append").format("memory")
+      .queryName("sem_pairs_out").start()
+    try {
+      def ts(min: Int) = Timestamp.from(
+        Timestamp.valueOf("2024-01-01 10:00:00").toInstant.plusSeconds(min * 60L))
+      val vA = Array(1.0f, 0.04f, 0f, 0f)
+      val vA2 = Array(0.99f, 0.05f, 0.01f, 0f) // paraphrase of vA (cos ≈ 1)
+      val vB = Array(0f, 0.99f, 0.02f, 0f)     // other cell
+      mem.addData((ts(0), 1L, vA), (ts(2), 2L, vA2), // in-horizon pair
+        (ts(3), 3L, vB),                             // different cell → no pair
+        (ts(180), 4L, vA))                           // copy of 1, 3h away → passes
+      q.processAllAvailable()
+      mem.addData((ts(360), 5L, Array(0f, 0f, 0f, 1.0f)))
+      q.processAllAvailable()
+      mem.addData((ts(400), 6L, Array(0f, 0f, 1.0f, 0f)))
+      q.processAllAvailable()
+      val got = spark.table("sem_pairs_out")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L)),
+        s"expected exactly the in-horizon paraphrase pair, got $got")
+      val removed = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed > 0L, "watermark never expired any join state rows")
+    } finally q.stop()
+    // batch-mode: the per-row least-of-structs assignment is
+    // value-identical to ivfAssign under the same centroids
+    val batch = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 11L, Array(0.1f, 0.9f, 0f, 0.1f)),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 12L, Array(0.5f, 0.5f, 0f, 0f)))
+      .toDF("ts", "vec_id", "embedding")
+    val streamed = Similarity.semanticPairsStreaming(batch, cents, "ts",
+        "1 hour", "5 minutes", minCos = -1.0)
+      .select("id_a", "cell").distinct()
+      .union(Similarity.semanticPairsStreaming(batch, cents, "ts",
+        "1 hour", "5 minutes", minCos = -1.0).select("id_b", "cell").distinct())
+      .distinct().as[(Long, Long)].collect().toMap
+    val direct = Similarity.ivfAssign(batch, cents)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    streamed.foreach { case (id, cell) =>
+      assert(direct(id) === cell, s"cell assignment diverged for $id")
+    }
+    assert(streamed.nonEmpty)
+  }
 }
