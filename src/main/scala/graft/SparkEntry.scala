@@ -1133,6 +1133,7 @@ object SparkEntry {
           minShared = 5, maxPostings = 50).pairs
         .select(col("doc_b").as("doc_id")).distinct()
       val afterExcerpt = nearKept.join(dropExcerpt, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // winnow self-join stage feeds two consumers
       val emb = Tables.embeddings(s, d)
       val train = emb.filter(col("vec_id") % 10 =!= 0)
         .join(afterExcerpt.select(col("doc_id").as("vec_id")), "vec_id")

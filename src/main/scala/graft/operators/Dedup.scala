@@ -790,12 +790,7 @@ object Dedup {
     * (inflating n_shared until the next compact dedups them). */
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val conf = spark.sessionState.newHadoopConf()
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val fs = postingsPath.getFileSystem(conf)
-    val bytes = fs.getContentSummary(postingsPath).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFiles = Partitioning.compactFileCount(spark, s"$dir/postings", targetBytes)
     val folded = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id"), col("fp")).distinct()
       .repartition(nFiles).localCheckpoint() // one winnow-read, two writes below
@@ -828,11 +823,18 @@ object Dedup {
       .select(col(idCol).as("new_id"),
         explode(winnow_fp(col(textCol), index.k, index.w)).as("fp"))
     // stored census when the index came off disk (probe cost ∝ batch +
-    // collisions); fall back to an on-the-fly census for in-memory builds
+    // collisions); fall back to an on-the-fly census for in-memory
+    // builds. LEFT join + df default 1: a fingerprint missing from the
+    // stored census (the winnowIndexAppend crash window — postings
+    // landed, df didn't) is NEW and therefore rare — keeping it is
+    // both the safe and the correct governor call, so probes stay
+    // correct in that window instead of silently dropping the new
+    // segment's postings through an inner join.
     val cnt = index.df
       .map(_.select(col("fp"), col("df").as("__df")))
       .getOrElse(index.postings.groupBy(col("fp")).agg(count(lit(1)).as("__df")))
-    val kept = index.postings.join(cnt.filter(col("__df") <= maxPostings), "fp")
+    val kept = index.postings.join(cnt, Seq("fp"), "left")
+      .filter(coalesce(col("__df"), lit(1L)) <= maxPostings)
       .select(col("fp"), col("doc_id").as("index_id"))
     dfp.join(kept, "fp")
       .groupBy(col("new_id"), col("index_id"))

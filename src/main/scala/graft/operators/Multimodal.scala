@@ -1367,8 +1367,11 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         locatePcm16Data(bytes) match {
           case None => Iterator.empty
-          case Some((off, nTotal, nCh)) if nCh < 1 || nTotal / math.max(nCh, 1) <= minLag =>
-            Iterator.empty
+          // block-misaligned payloads (sample count not a multiple of
+          // the channel count) are malformed — emit nothing rather
+          // than silently truncating a partial frame
+          case Some((_, nTotal, nCh)) if nCh < 1 || nTotal % nCh != 0 ||
+            nTotal / nCh <= minLag => Iterator.empty
           case Some((off, nTotal, nCh)) =>
             val nFrames = nTotal / nCh
             val s = Array.ofDim[Int](nCh, nFrames)

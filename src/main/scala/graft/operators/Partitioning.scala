@@ -138,23 +138,20 @@ object Partitioning {
     }
   }
 
-  /** OFFLINE compaction of one append-accumulated parquet dir (the
-    * small-file problem: a year of 5-minute batches is ~10⁵ tiny
-    * files, and every keyed read pays an open() per file). The dir is
-    * rewritten at ⌈bytes/targetBytes⌉ files and DEDUPLICATED
-    * (at-least-once appends may retry identical rows — harmless for
-    * correctness, wasteful at scan), then swapped in via rename with a
-    * `.bak` kept until the swap completes. NOT safe concurrently with
-    * a running writer — run between jobs (crash mid-swap leaves either
-    * `.bak` or the compacted dir; both carry the full data). Shared by
-    * [[Dedup.compactIndex]] (3 parts) and
-    * [[Similarity.compactAnnIndex]] (the code table). */
-  /** Write a NEW generation of `cur` via `write(tmpPath)` and swap it
-    * in with the rename-with-backup protocol (abort loudly on a
-    * failed rename — see [[compactParquetDir]]'s rationale). The
-    * writer must fully materialize its input BEFORE this is called if
-    * that input reads from `cur` (localCheckpoint — the old dir is
-    * renamed away mid-swap). */
+  /** Write a NEW generation of `dir` via `write(tmpPath)` and swap it
+    * in with the rename-with-backup protocol. Rename returns false
+    * instead of throwing on several filesystems, and an unchecked
+    * failure here is silent data damage — HDFS rename into an
+    * EXISTING dir moves the source INSIDE it, so a failed (cur → bak)
+    * followed by (tmp → cur) would nest the new data under the live
+    * dir and leave the old files in place; abort loudly and keep
+    * tmp/bak on disk for inspection (crash mid-swap leaves either
+    * `.bak` or the new dir — both carry the full data). The writer
+    * must fully materialize its input BEFORE this runs if that input
+    * reads from `dir` (localCheckpoint — the old dir is renamed away
+    * mid-swap). Shared by [[compactParquetDir]],
+    * [[Dedup.compactWinnowIndex]] and
+    * [[Similarity.compactIvfFlatIndex]]. */
   def swapInDir(spark: org.apache.spark.sql.SparkSession, dir: String)
                (write: String => Unit): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -171,30 +168,33 @@ object Partitioning {
     fs.delete(bak, true)
   }
 
+  /** ⌈bytes/targetBytes⌉ output file count for a compaction of `dir` —
+    * the shared sizing rule of every compactor. */
+  def compactFileCount(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .getContentSummary(p).getLength
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** OFFLINE compaction of one append-accumulated parquet dir (the
+    * small-file problem: a year of 5-minute batches is ~10⁵ tiny
+    * files, and every keyed read pays an open() per file). The dir is
+    * rewritten at ⌈bytes/targetBytes⌉ files and DEDUPLICATED
+    * (at-least-once appends may retry identical rows — harmless for
+    * correctness, wasteful at scan), then swapped in via
+    * [[swapInDir]]. NOT safe concurrently with a running writer — run
+    * between jobs. Shared by [[Dedup.compactIndex]] (3 parts) and
+    * [[Similarity.compactAnnIndex]] (the code table). */
   def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                         targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val conf = spark.sessionState.newHadoopConf()
-    val cur = new org.apache.hadoop.fs.Path(dir)
-    val name = cur.getName
-    val tmp = new org.apache.hadoop.fs.Path(cur.getParent, s".${name}_compact")
-    val bak = new org.apache.hadoop.fs.Path(cur.getParent, s".${name}_bak")
-    val fs = cur.getFileSystem(conf)
-    fs.delete(tmp, true); fs.delete(bak, true) // stale leftovers
-    val bytes = fs.getContentSummary(cur).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(cur.toString).distinct()
-      .repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    // rename returns false instead of throwing on several filesystems;
-    // an unchecked failure here is silent data damage — HDFS rename
-    // into an EXISTING dir moves the source INSIDE it, so a failed
-    // (cur → bak) followed by (tmp → cur) would nest the compacted
-    // data under the live dir and leave the old files in place.
-    // Abort loudly and keep tmp/bak on disk for inspection.
-    require(fs.rename(cur, bak), s"compactParquetDir: rename $cur -> $bak failed; " +
-      s"compacted data left at $tmp, dir unchanged")
-    require(fs.rename(tmp, cur), s"compactParquetDir: rename $tmp -> $cur failed; " +
-      s"original data preserved at $bak — restore by renaming it back")
-    fs.delete(bak, true)
+    val nFiles = compactFileCount(spark, dir, targetBytes)
+    // the lazy read executes inside swapInDir's write step, which runs
+    // BEFORE any rename — the source dir is still live, no checkpoint
+    swapInDir(spark, dir)(tmp =>
+      spark.read.parquet(dir).distinct()
+        .repartition(nFiles).write.mode("overwrite").parquet(tmp))
   }
 }

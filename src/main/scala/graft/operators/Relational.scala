@@ -451,9 +451,14 @@ object Relational {
     * (vs the sketch's O(1) registers at ±2% error — pick per key
     * budget). Same algebra as the sketch: merge is union+distinct —
     * associative, commutative, and idempotent per value, so replayed
-    * deltas are harmless. */
+    * deltas are harmless. NULL values are excluded, matching SQL
+    * COUNT(DISTINCT) and the HLL twin (both skip nulls); a key whose
+    * values are ALL null carries no state and is absent from
+    * [[distinctCountExact]] (state-based counting cannot represent
+    * empty groups — join against the key dimension if 0-rows are
+    * needed). */
   def distinctStateExact(df: DataFrame, keys: Seq[Column], valueCol: Column): DataFrame =
-    df.select(keys :+ valueCol.as("v"): _*).distinct()
+    df.select(keys :+ valueCol.as("v"): _*).filter(col("v").isNotNull).distinct()
 
   /** Union [[distinctStateExact]] states across delta slices. The
     * distinct re-dedups values appearing in several slices — one

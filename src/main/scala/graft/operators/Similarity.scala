@@ -509,12 +509,7 @@ object Similarity {
     * [[graft.operators.Dedup.compactWinnowIndex]] replay barrier). */
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                           targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val conf = spark.sessionState.newHadoopConf()
-    val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val fs = cellsPath.getFileSystem(conf)
-    val bytes = fs.getContentSummary(cellsPath).getLength
-    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nFiles = Partitioning.compactFileCount(spark, s"$dir/cells", targetBytes)
     val cols = spark.read.parquet(s"$dir/cells").columns.filter(_ != "seg").map(col)
     val folded = spark.read.parquet(s"$dir/cells").select(cols.toSeq: _*)
       .distinct().repartition(nFiles).localCheckpoint()

@@ -664,6 +664,10 @@ class MultimodalHeaderSpec extends SparkSpec {
       Seq((2L, Multimodal.wavPcm16Bytes(1, 8000, left.map(_.toShort)))).toDF("doc_id", "blob"))
       .collect().head
     assert(mono.getLong(3) === 8L && mono.getLong(4) === ac(left, 8))
+    // block-misaligned stereo (odd sample count) is malformed — emit
+    // nothing rather than silently truncating a partial frame
+    val odd = Multimodal.wavPcm16Bytes(2, 8000, inter.take(191))
+    assert(Multimodal.pcm16Autocorr(Seq((3L, odd)).toDF("doc_id", "blob")).count() === 0L)
   }
 
   test("permille: exact floor division beyond the a*1000 Long overflow point") {

@@ -174,4 +174,17 @@ class SketchBoundsSpec extends SparkSpec {
         s"$t: est ${merged(t)} vs exact $n")
     }
   }
+
+  test("distinctStateExact skips NULLs like COUNT(DISTINCT) and the HLL twin") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", None), ("b", None))
+      .toDF("k", "v")
+    val counts = Relational.distinctCountExact(
+        Relational.mergeDistinctStatesExact(Seq(
+          Relational.distinctStateExact(df, Seq(col("k")), col("v")))), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: one non-null distinct value; b: all-null → carries no state
+    assert(counts === Map("a" -> 1L))
+  }
 }

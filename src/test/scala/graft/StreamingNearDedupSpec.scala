@@ -252,6 +252,24 @@ class StreamingNearDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.winnowIndexAppend(Seq((103L, delta)).toDF("doc_id", "text"), indexDir, "base")
     }
+    // CRASH WINDOW: postings landed, df partition lost (simulated by
+    // deleting it) — fingerprints missing from the census default to
+    // df=1 and stay probe-visible; no silent false negatives
+    val delta2 = "another appended history document in which twelve amber foxes " +
+      "quietly map forgotten tunnels beneath the old observatory gardens tonight"
+    Dedup.winnowIndexAppend(Seq((105L, delta2)).toDF("doc_id", "text"), indexDir, "s2")
+    val dfSeg = new java.io.File(s"$indexDir/df/seg=s2")
+    dfSeg.listFiles().foreach(_.delete()); assert(dfSeg.delete())
+    val probe2 = Seq((9L, "prologue words then " + delta2.substring(15, 65) +
+      " and a closing remark")).toDF("doc_id", "text")
+    val crashHits = Dedup.excerptAgainstIndex(probe2,
+        Dedup.readWinnowIndex(spark, indexDir), minShared = 3)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    // ((9,102) may also surface — the probe legitimately shares the
+    // " document " gram run with doc 102; the invariant under test is
+    // that the census-less segment's doc is NOT silently dropped
+    assert(crashHits.contains((9L, 105L)),
+      "a census-less segment must stay probe-visible (df defaults to 1)")
   }
 
   test("semantic probe: an in-stream PARAPHRASE of an indexed vector is caught " +
