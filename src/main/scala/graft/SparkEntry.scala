@@ -1906,6 +1906,41 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental QUANTILE maintenance: per-key histogram bucket
+    // counts over three delta slices, count-sum merged, bucket-grain
+    // quantiles (error ≤ bucketWidth) read off the merged state — the
+    // oracle buckets ALL events directly and replays the cumulative
+    // rule, so the hash match proves merge ≡ recompute for the one
+    // profile aggregate order statistics can't give a mergeable state.
+    "rel_incremental_quantiles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      val slices = (0 to 2).map(i =>
+        Relational.histogramState(ev.filter(col("event_id") % 3 === i),
+          Seq(col("event_type")), col("cents"), bucketWidth = 100L))
+      Relational.histogramQuantiles(
+          Relational.mergeHistogramStates(slices, Seq("event_type")),
+          Seq("event_type"), Seq(500, 900, 990), bucketWidth = 100L)
+        .orderBy(col("event_type"), col("q"))
+    }),
+
+    // KMV (bottom-k) distinct sketch: the O(k)-state approximate
+    // COUNT DISTINCT whose state AND estimate are portable md5
+    // integer arithmetic — the approximate sketch the oracle can
+    // hash-match exactly (where HLL register bytes cannot). Merged
+    // over three delta slices; accuracy vs exact is pinned in
+    // SketchBoundsSpec.
+    "rel_kmv_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val slices = (0 to 2).map(i =>
+        Relational.kmvState(ev.filter(col("event_id") % 3 === i),
+          Seq(col("event_type")), col("user_id"), k = 64))
+      Relational.kmvDistinctEstimate(
+          Relational.mergeKmvStates(slices, Seq("event_type"), k = 64),
+          Seq("event_type"), k = 64)
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental materialized-view maintenance: per-key mergeable
     // state (count/sum/min/max in exact cents) computed over three
     // disjoint delta slices, then MERGED — the oracle recomputes the
@@ -5590,6 +5625,43 @@ object SparkEntry {
     "rel_incremental_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Direct bucket histogram over ALL events + the cumulative rule —
+    // the Spark side merges three per-slice bucket-count states.
+    "rel_incremental_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |            CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type,
+        |        (cents - ((cents % 100) + 100) % 100) // 100 AS bucket,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |        sum(n) OVER (PARTITION BY event_type) AS total FROM b),
+        |qs AS (SELECT unnest([500, 900, 990]) AS q)
+        |SELECT event_type, q, CAST(min(bucket) * 100 AS BIGINT) AS quantile_lo
+        |FROM c CROSS JOIN qs WHERE cum * 1000 >= q * total
+        |GROUP BY event_type, q ORDER BY event_type, q""".stripMargin,
+
+    // Bottom-64 of the md5-prefix hashes of distinct user_ids — the
+    // KMV state and its (k-1)*2^32/h_k estimate replayed in exact
+    // integer arithmetic; sketch-of-union ≡ union-of-sketches is
+    // inherent, so the direct replay IS the merge-law proof.
+    "rel_kmv_distinct" ->
+      s"""WITH v AS (SELECT DISTINCT event_type,
+         |             md5('kmv|' || CAST(user_id AS VARCHAR)) AS m
+         |           FROM events WHERE user_id IS NOT NULL),
+         |h AS (SELECT DISTINCT event_type, (${hexSliceSql("m", 1)}) AS hv FROM v),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |      FROM h),
+         |kq AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_state,
+         |         max(hv) AS hk
+         |       FROM r WHERE rn <= 64 GROUP BY 1)
+         |SELECT event_type, n_state,
+         |  CAST(CASE WHEN n_state < 64 THEN n_state
+         |       ELSE (63 * 4294967296) // hk END AS BIGINT) AS est_distinct
+         |FROM kq ORDER BY event_type""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

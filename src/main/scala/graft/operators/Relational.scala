@@ -472,4 +472,97 @@ object Relational {
   def distinctCountExact(state: DataFrame, keyCols: Seq[String]): DataFrame =
     state.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
+
+  /** Mergeable HISTOGRAM state for incremental quantile maintenance —
+    * the missing mergeable profile aggregate (count/sum/min/max merge
+    * in [[aggState]], distinct in [[distinctStateExact]]; order
+    * statistics don't merge, bucket counts do): per (key, bucket =
+    * value DIV bucketWidth) row counts. State is O(value range /
+    * bucketWidth) per key regardless of row count; merge is a plain
+    * count sum — associative and commutative (NOT idempotent: a
+    * replayed delta double-counts, same contract as [[aggState]]).
+    * `valueCol` must be integer-valued (the engine's exactness
+    * discipline — floats go through fixed-point first). Negative
+    * values floor correctly (`floorDiv`, not truncation). */
+  def histogramState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                     bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.select(keys :+ valueCol.cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("bucket", // exact integer floor division (pmod → div)
+        expr(s"(__v - pmod(__v, ${bucketWidth}L)) div ${bucketWidth}L"))
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def mergeHistogramStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Bucket-grain quantiles off a merged [[histogramState]]: for each
+    * requested q (permille), the smallest bucket whose cumulative
+    * count reaches ⌈q·total/1000⌉, reported as the bucket's LOWER
+    * BOUND (bucket·width) — a deterministic integer rule both engines
+    * compute identically, with error bounded by bucketWidth. One
+    * window pass per key; the q list is broadcast via explode. */
+  def histogramQuantiles(state: DataFrame, keyCols: Seq[String],
+                         qsPermille: Seq[Int], bucketWidth: Long): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles must be permille values in [1, 1000]")
+    val kc = keyCols.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("bucket"))
+    val cum = state
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(kc: _*)))
+    cum.withColumn("q", explode(array(qsPermille.map(lit): _*)))
+      .filter(col("cum") * 1000 >= col("q") * col("total"))
+      .groupBy((kc :+ col("q")): _*)
+      .agg(min(col("bucket")).as("__b"))
+      .select(kc ++ Seq(col("q"),
+        (col("__b") * bucketWidth).as("quantile_lo")): _*)
+  }
+
+  /** K-MINIMUM-VALUES distinct sketch (bottom-k, Bar-Yossef 2002) —
+    * the O(k)-state approximate COUNT DISTINCT whose ESTIMATE is a
+    * deterministic integer both engines reproduce exactly: state is
+    * the k smallest 32-bit md5-prefix hashes of the distinct values
+    * per key. Mergeable like the HLL registers (union → re-take
+    * bottom-k; idempotent per value, so replayed deltas are
+    * harmless) — but where HLL register bytes are engine-specific,
+    * the KMV state and estimate are portable md5 arithmetic, so the
+    * sketch itself hash-matches a DuckDB replay. Estimate:
+    * (k−1)·2³²/h₍ₖ₎, exact below k. One shuffle on (keys, hash);
+    * the bottom-k window is per-key. */
+  def kmvState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+               k: Int): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    val hashed = df.select(keys :+ valueCol.cast("string").as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .withColumn("h",
+        hex_slice_long(md5(concat(lit("kmv|"), col("__s")).cast("binary")), 0))
+      .drop("__s").distinct()
+    topNPerGroup(hashed, keys, Seq(col("h")), k, rankCol = "__rn").drop("__rn")
+  }
+
+  def mergeKmvStates(states: Seq[DataFrame], keyCols: Seq[String],
+                     k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    topNPerGroup(states.reduce(_ unionByName _).distinct(),
+      keyCols.map(col), Seq(col("h")), k, rankCol = "__rn").drop("__rn")
+  }
+
+  /** (key, n_state, est_distinct) off a merged [[kmvState]]. */
+  def kmvDistinctEstimate(state: DataFrame, keyCols: Seq[String],
+                          k: Int): DataFrame =
+    state.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_state"), max(col("h")).as("__hk"))
+      .withColumn("est_distinct",
+        when(col("n_state") < k, col("n_state"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div __hk")))
+      .drop("__hk")
 }

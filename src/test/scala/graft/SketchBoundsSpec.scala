@@ -187,4 +187,53 @@ class SketchBoundsSpec extends SparkSpec {
     // a: one non-null distinct value; b: all-null → carries no state
     assert(counts === Map("a" -> 1L))
   }
+
+  test("KMV bottom-k: merge ≡ direct, replay-idempotent, estimate within error bounds") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val k = 256
+    val df = (0 until 5000).map(i => ("t", i.toLong)).toDF("k", "v")
+    val direct = Relational.kmvState(df, Seq(col("k")), col("v"), k)
+    val slices = (0 to 2).map(i =>
+      Relational.kmvState(df.filter(col("v") % 3 === i), Seq(col("k")), col("v"), k))
+    val merged = Relational.mergeKmvStates(slices, Seq("k"), k)
+    def hs(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("h").as[Long].collect().toSet
+    assert(hs(merged) === hs(direct), "sketch-of-union must equal union-of-sketches")
+    // replayed delta: idempotent per value
+    val replayed = Relational.mergeKmvStates(slices :+ slices.head, Seq("k"), k)
+    assert(hs(replayed) === hs(direct))
+    val est = Relational.kmvDistinctEstimate(merged, Seq("k"), k)
+      .select("est_distinct").as[Long].head()
+    // rsd ≈ 1/√(k−2) ≈ 6.3% at k=256; allow 4σ
+    assert(math.abs(est - 5000L) <= 1250L, s"KMV estimate $est vs exact 5000")
+    // below k the estimate is exact
+    val small = Relational.kmvDistinctEstimate(
+      Relational.kmvState((0 until 40).map(i => ("s", i.toLong)).toDF("k", "v"),
+        Seq(col("k")), col("v"), k), Seq("k"), k)
+    assert(small.select("est_distinct").as[Long].head() === 40L)
+  }
+
+  test("histogram state: merge ≡ direct; bucket quantile brackets the exact order stat") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = (0 until 1000).map(i => ("t", i.toLong)).toDF("k", "v")
+    val w = 10L
+    val direct = Relational.histogramState(df, Seq(col("k")), col("v"), w)
+    val slices = (0 to 2).map(i =>
+      Relational.histogramState(df.filter(col("v") % 3 === i), Seq(col("k")), col("v"), w))
+    val merged = Relational.mergeHistogramStates(slices, Seq("k"))
+    def m(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      d.select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(m(merged) === m(direct), "bucket-count merge must equal direct counts")
+    val qs = Relational.histogramQuantiles(merged, Seq("k"), Seq(500, 990), w)
+      .select("q", "quantile_lo").as[(Int, Long)].collect().toMap
+    // q500 over 0..999: cum reaches 500 in bucket 49 → lower bound 490
+    assert(qs(500) === 490L && qs(990) === 980L)
+    // negative values floor into negative buckets (no truncation-toward-zero)
+    val neg = Relational.histogramState(
+      Seq(("n", -1L), ("n", -10L), ("n", -11L)).toDF("k", "v"), Seq(col("k")), col("v"), w)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(neg === Map(-1L -> 2L, -2L -> 1L))
+  }
 }
