@@ -641,6 +641,31 @@ object Dedup {
     * [[BandedPairs.droppedBuckets]]. */
   final case class ContainmentPairs(pairs: DataFrame, droppedTokens: DataFrame)
 
+  /** PERSISTENT maintenance of the component map — the daily-ingest
+    * form of [[componentsUpdate]]: read the stored map at `dir`,
+    * fold in the delta edges, swap the new generation in atomically
+    * ([[Partitioning.swapInDir]] — a crash mid-write leaves the old
+    * generation live). First call (no dir yet) bootstraps from the
+    * delta alone. Replaying the same delta batch is HARMLESS — edges
+    * are constraints and re-adding one changes no label
+    * (idempotence proven in `GraphSpec`), so at-least-once delivery
+    * needs no segment bookkeeping here. */
+  def componentsMaintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         deltaPairs: DataFrame,
+                         aCol: String = "doc_a", bCol: String = "doc_b"): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) {
+      connectedComponents(deltaPairs, aCol, bCol)
+        .write.mode("overwrite").parquet(dir)
+    } else {
+      val updated = componentsUpdate(spark.read.parquet(dir), deltaPairs, aCol, bCol)
+        .localCheckpoint() // materialize before the swap renames dir away
+      Partitioning.swapInDir(spark, dir)(tmp =>
+        updated.write.mode("overwrite").parquet(tmp))
+    }
+  }
+
   /** Near-dup candidate pairs over WINNOWED fingerprints (Schleimer
     * et al. 2003): each document contributes only its winnow-selected
     * 32-bit gram hashes ([[TextAnalysis.winnowStats]] — expected
