@@ -565,4 +565,44 @@ object Relational {
         when(col("n_state") < k, col("n_state"))
           .otherwise(expr(s"(${k - 1}L * 4294967296L) div __hk")))
       .drop("__hk")
+
+  /** PERSISTENT per-segment state store for the mergeable profile
+    * states ([[aggState]], [[histogramState]], [[kmvState]],
+    * [[distinctStateExact]]) — the lifecycle that makes a daily
+    * 100 TB profile maintainable: each delta's PARTIAL state lands in
+    * its own `seg=segment` partition (dynamic partition overwrite),
+    * so an at-least-once replayed delta overwrites ITS OWN partition
+    * instead of double-counting — exactly-once for the non-idempotent
+    * count/sum states without distributed transactions, the
+    * [[Dedup.winnowIndexAppend]] rule. Readers merge across segments
+    * with the state's own merge ([[readMergedState]]); a periodic
+    * [[compactStateStore]] folds segments down. */
+  def appendState(state: DataFrame, dir: String, segment: String): Unit = {
+    require(segment.nonEmpty && segment != "base",
+      "segment must be a non-empty id distinct from the reserved base segment")
+    graft.sinks.Sinks.upsertPartitions(
+      state.withColumn("seg", lit(segment)), dir, Seq("seg"))
+  }
+
+  /** Read a segmented state store and merge the per-segment partials
+    * with `merge` (the state's own merge function over the seg-less
+    * frame — e.g. `s => mergeHistogramStates(Seq(s), keys)`). */
+  def readMergedState(spark: org.apache.spark.sql.SparkSession, dir: String)
+                     (merge: DataFrame => DataFrame): DataFrame = {
+    val raw = spark.read.parquet(dir)
+    merge(raw.select(raw.columns.filter(_ != "seg").map(col).toSeq: _*))
+  }
+
+  /** Fold every segment of a state store into one seg=base generation
+    * holding the MERGED state (rename-swap; the compact is the merge,
+    * so the store stays O(state), not O(state × segments)). Replay
+    * barrier: compaction retires folded segment ids
+    * ([[Dedup.compactWinnowIndex]] discipline). */
+  def compactStateStore(spark: org.apache.spark.sql.SparkSession, dir: String)
+                       (merge: DataFrame => DataFrame): Unit = {
+    val folded = readMergedState(spark, dir)(merge).localCheckpoint()
+    Partitioning.swapInDir(spark, dir)(tmp =>
+      folded.withColumn("seg", lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+  }
 }

@@ -236,4 +236,37 @@ class SketchBoundsSpec extends SparkSpec {
       .select("bucket", "n").as[(Long, Long)].collect().toMap
     assert(neg === Map(-1L -> 2L, -2L -> 1L))
   }
+
+  test("segmented state store: replayed deltas overwrite (exactly-once for " +
+    "non-idempotent count states), compact folds, results stable") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val dir = java.nio.file.Files.createTempDirectory("state_store").toString + "/hist"
+    val df = (0 until 1000).map(i => ("t", i.toLong)).toDF("k", "v")
+    val w = 10L
+    val slices = (0 to 2).map(i => df.filter(col("v") % 3 === i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      Relational.appendState(
+        Relational.histogramState(s, Seq(col("k")), col("v"), w), dir, s"d$i")
+    }
+    def quantiles(): Map[Int, Long] = Relational.readMergedState(spark, dir)(st =>
+        Relational.histogramQuantiles(
+          Relational.mergeHistogramStates(Seq(st), Seq("k")), Seq("k"), Seq(500, 990), w))
+      .select("q", "quantile_lo").as[(Int, Long)].collect().toMap
+    val before = quantiles()
+    assert(before === Map(500 -> 490L, 990 -> 980L))
+    // at-least-once: replaying a delta overwrites its partition — the
+    // count-sum state would double without the segment store
+    Relational.appendState(
+      Relational.histogramState(slices(1), Seq(col("k")), col("v"), w), dir, "d1")
+    assert(quantiles() === before, "replayed delta must not double-count")
+    assert(Relational.readMergedState(spark, dir)(st =>
+        Relational.mergeHistogramStates(Seq(st), Seq("k")))
+      .agg(sum(col("n"))).as[Long].head() === 1000L)
+    Relational.compactStateStore(spark, dir)(st =>
+      Relational.mergeHistogramStates(Seq(st), Seq("k")))
+    assert(spark.read.parquet(dir).select(col("seg")).distinct()
+      .as[String].collect().toSeq === Seq("base"))
+    assert(quantiles() === before, "compaction must not change the merged state")
+  }
 }
