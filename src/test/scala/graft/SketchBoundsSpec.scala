@@ -269,4 +269,35 @@ class SketchBoundsSpec extends SparkSpec {
       .as[String].collect().toSeq === Seq("base"))
     assert(quantiles() === before, "compaction must not change the merged state")
   }
+
+  test("ProfileStream: in-stream quantile maintenance ≡ batch-direct, replay-exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Relational
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("profile_stream").toString
+    val dir = s"$base/hist"
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.ProfileStream.start(
+      mem.toDF().toDF("k", "v"), "r1", dir, s"$base/ckpt",
+      Seq(col("k")), col("v"), bucketWidth = 10L)
+    try {
+      mem.addData((0 until 500).map(i => ("t", i.toLong)): _*)
+      q.processAllAvailable()
+      mem.addData((500 until 1000).map(i => ("t", i.toLong)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def quantiles(): Map[Int, Long] = Relational.readMergedState(spark, dir)(st =>
+        Relational.histogramQuantiles(
+          Relational.mergeHistogramStates(Seq(st), Seq("k")), Seq("k"), Seq(500, 990), 10L))
+      .select("q", "quantile_lo").as[(Int, Long)].collect().toMap
+    assert(quantiles() === Map(500 -> 490L, 990 -> 980L),
+      "streamed state must reproduce the batch-direct quantiles")
+    // post-crash foreachBatch retry: same (run, batch) overwrites
+    graft.streaming.ProfileStream.process(
+      (500 until 1000).map(i => ("t", i.toLong)).toDF("k", "v"),
+      "r1", batchId = 1L, dir, Seq(col("k")), col("v"), 10L)
+    assert(quantiles() === Map(500 -> 490L, 990 -> 980L),
+      "replayed micro-batch must not double-count")
+  }
 }
