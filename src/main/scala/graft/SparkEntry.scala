@@ -1646,6 +1646,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // The probe dial measured: recall@5 per (nprobe, query) against
+    // brute force — nprobe = 4 is every cell, pinned at 1000. The
+    // serving-quality curve a production index publishes.
+    "sim_nprobe_recall" -> ((s, d) => {
+      val idx = Similarity.readIvfFlatIndex(s, storedIvfFlatDir(s, d))
+      Similarity.nprobeRecall(Tables.embeddings(s, d).filter(col("vec_id") < 10),
+          idx, k = 5, nprobes = Seq(1, 2, 4))
+        .orderBy(col("nprobe"), col("query_id"))
+    }),
+
     // SemDeDup: paraphrase-level dedup — trained k-means cells as the
     // blocking, intra-cell cosine >= 0.3, smallest id survives per
     // near-dup relation. k=16 cells (vs the ANN queries' k=4): the
@@ -5138,6 +5148,54 @@ object SparkEntry {
     // Stored serving must equal the in-memory trained pipeline — the
     // flat-index twin shares the oracle verbatim.
     "sim_ann_ivf_flat_stored" -> ivfNprobeOracle,
+
+    // The same IVF chain with the nprobe list unnested, intersected
+    // against the brute-force top-5 truth per (nprobe, query).
+    "sim_nprobe_recall" ->
+      s"""${ivfCtes(k = 4, iters = 2)},
+         |afin AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s, cell) AS rn
+         |  FROM (SELECT q.vec_id, c.cell,
+         |          list_sum(list_transform(range(1, 65),
+         |            i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS s
+         |        FROM q, c2 c) x),
+         |asg AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         |e AS (SELECT e0.vec_id, e0.embedding, a.cell,
+         |        ${dotSql("e0.embedding", "e0.embedding")} AS n2
+         |      FROM embeddings e0 JOIN asg a ON e0.vec_id = a.vec_id),
+         |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |probes AS (SELECT np.nprobe, a.vec_id AS query_id, a.cell
+         |           FROM afin a CROSS JOIN np
+         |           WHERE a.rn <= np.nprobe AND a.vec_id < 10),
+         |qq AS (SELECT p.nprobe, p.query_id, e.embedding AS qv, e.n2 AS qn2,
+         |              p.cell AS qcell
+         |       FROM probes p JOIN e ON p.query_id = e.vec_id),
+         |scored AS (SELECT nprobe, query_id, e.vec_id AS cand_id,
+         |             round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |           FROM qq JOIN e ON qcell = e.cell AND query_id <> e.vec_id),
+         |ak AS (SELECT nprobe, query_id, cand_id FROM (
+         |         SELECT nprobe, query_id, cand_id, row_number() OVER (
+         |           PARTITION BY nprobe, query_id ORDER BY cos DESC, cand_id) AS rnk
+         |         FROM scored) x WHERE rnk <= 5),
+         |tq AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2
+         |       FROM e WHERE vec_id < 10),
+         |tsc AS (SELECT query_id, e.vec_id AS cand_id,
+         |          round(${dotSql("qv", "e.embedding")} / sqrt(qn2 * e.n2), 4) AS cos
+         |        FROM tq JOIN e ON query_id <> e.vec_id),
+         |tk AS (SELECT query_id, cand_id FROM (
+         |         SELECT query_id, cand_id, row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+         |         FROM tsc) x WHERE rnk <= 5),
+         |hits AS (SELECT ak.nprobe, ak.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM tk JOIN ak ON tk.query_id = ak.query_id
+         |                        AND tk.cand_id = ak.cand_id
+         |         GROUP BY 1, 2)
+         |SELECT np.nprobe, q.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_permille
+         |FROM (SELECT DISTINCT query_id FROM tk) q CROSS JOIN np
+         |LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.query_id = q.query_id
+         |ORDER BY np.nprobe, q.query_id""".stripMargin,
 
     "dedup_semantic" ->
       s"""${ivfCtes(k = 16, iters = 2)},

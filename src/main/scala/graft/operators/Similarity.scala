@@ -561,6 +561,37 @@ object Similarity {
     Relational.topNPerGroup(ivfFlatScore(queries, index, nprobe, idCol, vecCol),
       Seq(col("query_id")), Seq(col("cos").desc, col("cand_id")), k, rankCol = "rank")
 
+  /** Recall-vs-nprobe curve for the stored flat index — the
+    * [[dimRecall]] pattern on the IVF probe dial: per (nprobe, query),
+    * |probed top-k ∩ brute-force top-k| / k in permille, so the
+    * recall/cost trade of every probe setting is measured in ONE
+    * frame (queries the probe missed entirely appear at 0 via the
+    * truth-side join). nprobe = #cells must read 1000 everywhere —
+    * the dial's closed end, spec-pinned. Scale: truth and each probe
+    * pass are the serving shapes themselves; the final join keys on
+    * (nprobe, query, cand) — (queries × k × |nprobes|)-sized. */
+  def nprobeRecall(queries: DataFrame, index: IvfFlatIndex, k: Int,
+                   nprobes: Seq[Int], idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty, "need at least one nprobe setting")
+    val truth = bruteForceTopK(queries,
+        index.cells.select(col(idCol), col(vecCol)), k, idCol, vecCol)
+      .select(col("query_id"), col("cand_id"))
+    val approx = nprobes.map(np =>
+      ivfFlatTopK(queries, index, k, np, idCol, vecCol)
+        .select(lit(np).as("nprobe"), col("query_id"), col("cand_id")))
+      .reduce(_ unionByName _)
+    val base = truth.select(col("query_id")).distinct()
+      .withColumn("nprobe", explode(array(nprobes.map(lit): _*)))
+    val hits = truth.join(approx, Seq("query_id", "cand_id"))
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq("nprobe", "query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_permille",
+        floor(col("n_hits") * 1000 / lit(k.toLong)).cast("long"))
+      .select(col("nprobe"), col("query_id"), col("n_hits"), col("recall_permille"))
+  }
+
   /** In-horizon streaming SEMANTIC near-dup pairs — the embedding
     * twin of [[graft.operators.Dedup.nearDupPairsStreaming]], closing
     * the same lambda split for meaning-level duplicates: this catches

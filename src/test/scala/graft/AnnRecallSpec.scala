@@ -580,4 +580,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean32 >= mean8,
       s"mean recall should not fall as the prefix grows: d=8 → $mean8, d=32 → $mean32")
   }
+
+  test("nprobeRecall on the stored flat index: monotone in nprobe, full probe = 1000") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivfflat_recall").toString
+    Similarity.writeIvfFlatIndex(Similarity.ivfFlatBuild(emb, k = 4, iters = 2), dir)
+    val idx = Similarity.readIvfFlatIndex(spark, dir)
+    val rec = Similarity.nprobeRecall(emb.filter(col("vec_id") < 8), idx,
+        k = 5, nprobes = Seq(1, 2, 4))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(rec.length === 3 * 8)
+    assert(rec.filter(_._1 == 4).forall(_._3 == 1000L),
+      "nprobe = #cells is brute force — recall must pin at 1000")
+    val byQuery = rec.groupBy(_._2)
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._1).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"query $q: recall must be monotone in nprobe, got ${sorted.toSeq}")
+    }
+  }
 }

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_topic_drift" -> "broadcast trained centroids (assignment) + broadcast k-row global-mix grid cross join (both model-sized)",
     "sim_ann_ivf_nprobe" -> "broadcast trained centroids for cell assignment (k×dims)",
     "sim_ann_ivf_flat_stored" -> "broadcast STORED centroids for probe ranking (k×dims); cell scoring is the equi-join on the stored cell table",
+    "sim_nprobe_recall" -> "broadcast STORED centroids (probe ranking) + broadcast query vectors for the brute-force truth side (recall eval is brute force by definition)",
     "sim_ann_ivf_trained" -> "broadcast trained centroids for cell assignment (k×dims)",
     "sim_ann_ivf_pp" -> "broadcast k-means||-trained centroids for cell assignment (k×dims)",
     "sim_ann_sq8" -> "broadcast query vectors × int8 candidate codes",
