@@ -1951,6 +1951,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Cross-source lexical-overlap matrix: KMV set algebra gives
+    // union/intersection/Jaccard estimates for every source PAIR from
+    // the per-source bottom-64 sketches alone — the mix-or-not audit
+    // at sketch cost (the corpus is scanned once; pair math never
+    // touches it). Estimator accuracy pinned in SketchBoundsSpec.
+    "corpus_source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlap(Tables.documents(s, d), k = 64)
+        .orderBy(col("source_a"), col("source_b"))),
+
     // Incremental materialized-view maintenance: per-key mergeable
     // state (count/sum/min/max in exact cents) computed over three
     // disjoint delta slices, then MERGED — the oracle recomputes the
@@ -5720,6 +5729,50 @@ object SparkEntry {
          |  CAST(CASE WHEN n_state < 64 THEN n_state
          |       ELSE (63 * 4294967296) // hk END AS BIGINT) AS est_distinct
          |FROM kq ORDER BY event_type""".stripMargin,
+
+    // KMV set algebra replayed pairwise: per-source bottom-64 sketches
+    // of the word-3-gram space, the pair union's sketch = bottom-64 of
+    // the two hash sets' union, ρ = state rows carried by both sides;
+    // every estimate is the same integer arithmetic as the Spark side.
+    "corpus_source_overlap" ->
+      s"""WITH t3 AS (SELECT source, $tokSql AS tk FROM documents),
+         |v AS (SELECT DISTINCT source,
+         |             md5('kmv|' || t) AS m
+         |           FROM (SELECT source,
+         |                   unnest(list_transform(range(1, len(tk) - 1),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS t
+         |                 FROM t3)),
+         |h AS (SELECT DISTINCT source, (${hexSliceSql("m", 1)}) AS hv FROM v),
+         |sk AS (SELECT source, hv FROM (
+         |         SELECT source, hv,
+         |           row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |         FROM h) x WHERE rn <= 64),
+         |ks AS (SELECT DISTINCT source FROM sk),
+         |memb AS (SELECT key_a, key_b, hv,
+         |           max(in_a) AS in_a, max(in_b) AS in_b
+         |         FROM (
+         |           SELECT sk.source AS key_a, ks.source AS key_b, hv,
+         |                  1 AS in_a, 0 AS in_b
+         |           FROM sk JOIN ks ON sk.source < ks.source
+         |           UNION ALL
+         |           SELECT ks.source, sk.source, hv, 0, 1
+         |           FROM sk JOIN ks ON ks.source < sk.source
+         |         ) u GROUP BY 1, 2, 3),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY key_a, key_b ORDER BY hv) AS rn FROM memb),
+         |st AS (SELECT key_a, key_b, CAST(count(*) AS BIGINT) AS n_state,
+         |         max(hv) AS hk,
+         |         CAST(sum(in_a * in_b) AS BIGINT) AS n_shared
+         |       FROM r WHERE rn <= 64 GROUP BY 1, 2),
+         |est AS (SELECT key_a, key_b, n_state, n_shared,
+         |          CAST(CASE WHEN n_state < 64 THEN n_state
+         |               ELSE (63 * 4294967296) // hk END AS BIGINT) AS est_union
+         |        FROM st)
+         |SELECT key_a AS source_a, key_b AS source_b, n_state, n_shared,
+         |  est_union,
+         |  CAST((n_shared * est_union) // n_state AS BIGINT) AS est_inter,
+         |  CAST((1000 * n_shared) // n_state AS BIGINT) AS jaccard_permille
+         |FROM est ORDER BY source_a, source_b""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

@@ -604,6 +604,29 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
   }
 
+  /** Cross-source lexical-overlap matrix: for every pair of sources,
+    * KMV-sketch estimates of their distinct word-`n`-gram union,
+    * intersection and Jaccard ([[Relational.kmvOverlap]]) — the
+    * "how much does source A overlap source B" audit that decides
+    * whether two crawls are worth mixing, at sketch cost. The
+    * corpus is read once to build the per-source bottom-k sketch
+    * (one shuffle); all pairwise math is O(#sources² · k),
+    * independent of corpus size — the only way this question is
+    * answerable at 100 TB, where the exact per-pair distinct join
+    * would be #sources² corpus scans. */
+  def sourceOverlap(docs: DataFrame, k: Int = 64, n: Int = 3,
+                    byCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    import graft.functions.WordShingles.word_shingles
+    val grams = docs.select(col(byCol),
+      explode(word_shingles(col(textCol), n)).as("g"))
+    Relational.kmvOverlap(
+      Relational.kmvState(grams, Seq(col(byCol)), col("g"), k), byCol, k)
+      .withColumnRenamed("key_a", "source_a")
+      .withColumnRenamed("key_b", "source_b")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw doc
     * by how much more likely its hashed-unigram features are under a

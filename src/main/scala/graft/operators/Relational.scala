@@ -566,6 +566,55 @@ object Relational {
           .otherwise(expr(s"(${k - 1}L * 4294967296L) div __hk")))
       .drop("__hk")
 
+  /** Pairwise SET-OPERATION estimates between every two keys' KMV
+    * sketches (Beyer et al., SIGMOD 2007): union, intersection and
+    * Jaccard/containment for each unordered key pair (key_a < key_b),
+    * computed entirely from the O(#keys · k) sketch — the corpus is
+    * never joined against itself. KMV set algebra: the bottom-k of
+    * the two sketches' hash union IS the union's sketch (so
+    * [[kmvDistinctEstimate]]'s estimator applies directly), and
+    * within those state rows the fraction carried by BOTH input
+    * sketches estimates Jaccard (ρ/k); intersection = Jaccard ×
+    * union. Every output is a deterministic integer off the md5
+    * hashes, so a DuckDB replay hash-matches it exactly.
+    *
+    * Shape: the only corpus-sized work is building `state` upstream;
+    * here the model-small distinct-key list is broadcast under an
+    * inequality condition to enumerate pairs (BroadcastNestedLoopJoin
+    * of a sketch against #keys rows — sketch-sized, never data×data),
+    * then one groupBy on (pair, h) and one per-pair window. At any
+    * corpus size the cost is O(#keys² · k). */
+  def kmvOverlap(state: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val keys = state.select(col(keyCol)).distinct()
+    // each sketch row, replicated into every pair it belongs to —
+    // once as the left member, once as the right
+    val asA = state.join(broadcast(keys.select(col(keyCol).as("key_b"))),
+        col(keyCol) < col("key_b"))
+      .select(col(keyCol).as("key_a"), col("key_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val asB = state.join(broadcast(keys.select(col(keyCol).as("key_a"))),
+        col("key_a") < col(keyCol))
+      .select(col("key_a"), col(keyCol).as("key_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val memb = asA.unionByName(asB)
+      .groupBy(col("key_a"), col("key_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    // bottom-k of the hash union = the union's own KMV sketch
+    val st = topNPerGroup(memb, Seq(col("key_a"), col("key_b")),
+      Seq(col("h")), k, rankCol = "__rn").drop("__rn")
+    st.groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_state"), max(col("h")).as("__hk"),
+        sum(col("in_a") * col("in_b")).as("n_shared"))
+      .withColumn("est_union",
+        when(col("n_state") < k, col("n_state"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div __hk")))
+      .withColumn("est_inter",
+        expr("(n_shared * est_union) div n_state"))
+      .withColumn("jaccard_permille",
+        expr("(1000 * n_shared) div n_state"))
+      .drop("__hk")
+  }
+
   /** PERSISTENT per-segment state store for the mergeable profile
     * states ([[aggState]], [[histogramState]], [[kmvState]],
     * [[distinctStateExact]]) — the lifecycle that makes a daily

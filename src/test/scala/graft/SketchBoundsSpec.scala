@@ -300,4 +300,51 @@ class SketchBoundsSpec extends SparkSpec {
     assert(quantiles() === Map(500 -> 490L, 990 -> 980L),
       "replayed micro-batch must not double-count")
   }
+
+  test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
+    import graft.operators.Corpus
+    import graft.functions.WordShingles.word_shingles
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val est = Corpus.sourceOverlap(docs, k = 64)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_state"), r.getAs[Long]("est_union"),
+          r.getAs[Long]("jaccard_permille"))).toMap
+    // exact pairwise union/intersection over the distinct 3-gram sets
+    val d = docs.select(col("source"),
+        explode(word_shingles(col("text"), 3)).as("g")).distinct()
+    val sizes = d.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = d.as("a").join(d.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.size === sizes.size * (sizes.size - 1) / 2,
+      "one row per unordered source pair")
+    est.foreach { case ((sa, sb), (nState, estU, jacPm)) =>
+      val exU = sizes(sa) + sizes(sb) - inter.getOrElse((sa, sb), 0L)
+      val exJ = inter.getOrElse((sa, sb), 0L).toDouble / exU
+      if (nState < 64) {
+        // below k the sketch IS the set: estimates are exact
+        assert(estU === exU, s"($sa,$sb): sub-k state must be exact")
+      } else {
+        // (k-1)/h_k estimator: rsd = 1/sqrt(k-2) ≈ 12.7%; allow ~3σ
+        val relErr = math.abs(estU - exU).toDouble / exU
+        assert(relErr <= 0.40, s"($sa,$sb): union est $estU vs exact $exU")
+        // ρ/k Jaccard estimator: binomial sd ≤ 1/(2√k) ≈ 6.3%; ~1.6σ
+        // plus the integer floor — generous but regression-catching
+        assert(math.abs(jacPm / 1000.0 - exJ) <= 0.10,
+          s"($sa,$sb): jaccard ${jacPm / 1000.0} vs exact $exJ")
+      }
+    }
+    // aggregate sanity: the mean union error must look like 1/√k
+    // noise, not bias (a wrong estimator constant shifts every pair)
+    val full = est.collect { case ((sa, sb), (n, estU, _)) if n >= 64 =>
+      val exU = sizes(sa) + sizes(sb) - inter.getOrElse((sa, sb), 0L)
+      math.abs(estU - exU).toDouble / exU
+    }
+    if (full.nonEmpty)
+      assert(full.sum / full.size <= 0.15,
+        s"mean union rel-err ${full.sum / full.size} exceeds 0.15")
+  }
 }
