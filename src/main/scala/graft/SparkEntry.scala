@@ -997,6 +997,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Nearest-neighbor resize of decoded pixels onto the fixed 16×16
+    // model mesh (the vision-embedding preprocessing step): integer
+    // src = (dst·srcDim) div 16 in image orientation, per-channel sums
+    // + a positional checksum over the resized grid — the oracle
+    // replays the analytic source pixels through the same index
+    // mapping, so a hash match proves every resized pixel came from
+    // the right source coordinate (fixture dims 1..16 × 1..8 exercise
+    // BOTH up- and down-scaling, 24 and 32 bpp).
+    "mm_image_resize" -> ((s, d) =>
+      Multimodal.imageResize(Multimodal.syntheticPixelBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("checksum"))
+        .orderBy(col("doc_id"))),
+
     // REAL compressed-codec decode: complete valid PNGs (grey/RGB/RGBA
     // by id%3, every row forward-filtered with a different PNG filter,
     // zlib stream split across two IDAT chunks) inflated pure-JVM
@@ -1959,6 +1977,35 @@ object SparkEntry {
     "corpus_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d), k = 64)
         .orderBy(col("source_a"), col("source_b"))),
+
+    // COUNT-MIN point-frequency sketch: per-event-type bucket-count
+    // state (depth 4 × width 128 — O(1) per key at any event volume),
+    // merged across two delta slices, probed with the global top-12
+    // heavy users — every estimate is deterministic md5 integer
+    // arithmetic, so the oracle replays the sketch AND its one-sided
+    // error (n_est ≥ n_exact, pinned in SketchBoundsSpec) exactly.
+    "rel_cms_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val slices = (0 to 1).map(i =>
+        Relational.cmsState(ev.filter(pmod(col("user_id"), lit(2)) === i),
+          Seq(col("event_type")), col("user_id"), depth = 4, width = 128))
+      val st = Relational.mergeCmsStates(slices, Seq("event_type"))
+      val top = ev.groupBy(col("user_id").cast("string").as("v"))
+        .agg(count(lit(1)).as("tn"))
+        .orderBy(desc("tn"), col("v")).limit(12)
+      val probes = ev.select("event_type").distinct()
+        .crossJoin(broadcast(top.select("v")))
+      val exact = ev.groupBy(col("event_type"),
+          col("user_id").cast("string").as("v"))
+        .agg(count(lit(1)).as("n_exact"))
+      Relational.cmsEstimate(st, Seq("event_type"), probes, "v",
+          depth = 4, width = 128)
+        .join(exact, Seq("event_type", "v"), "left")
+        .select(col("event_type"), col("v").cast("long").as("user_id"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("n_est"),
+          (col("n_est") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
 
     // Incremental materialized-view maintenance: per-key mergeable
     // state (count/sum/min/max in exact cents) computed over three
@@ -4267,6 +4314,33 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
 
+    // NN-resize replay: the analytic source-pixel formulas evaluated
+    // at sx = (x·w)//16, file row fr = h−1−((y·h)//16) (bottom-up BMP,
+    // image orientation) — same index mapping, same positional
+    // checksum weights.
+    "mm_image_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16 ELSE 1 + doc_id % 12 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 ELSE 1 + doc_id % 6 END AS h
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS x FROM d),
+        |gy AS (SELECT doc_id, w, h, x, unnest(range(0, 16)) AS y FROM gx),
+        |ix AS (SELECT doc_id, w, h, x, y,
+        |         (x * w) // 16 AS sx, h - 1 - ((y * h) // 16) AS fr FROM gy),
+        |ch AS (SELECT doc_id, w, h, x, y,
+        |         (doc_id + 2 * sx + 3 * fr) % 256 AS b,
+        |         (doc_id + 5 * sx + fr) % 256 AS g,
+        |         (doc_id + sx + 7 * fr) % 256 AS r
+        |       FROM ix)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(b) AS BIGINT) AS sum_b,
+        |       CAST(sum((y * 16 + x + 1) * (b + 256 * g + 65536 * r)) AS BIGINT) AS checksum
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
     "mm_decode_png" ->
       """WITH d AS (SELECT doc_id,
         |    1 + doc_id % 13 AS w,
@@ -5773,6 +5847,39 @@ object SparkEntry {
          |  CAST((n_shared * est_union) // n_state AS BIGINT) AS est_inter,
          |  CAST((1000 * n_shared) // n_state AS BIGINT) AS jaccard_permille
          |FROM est ORDER BY source_a, source_b""".stripMargin,
+
+    // Count-min sketch replayed bucket for bucket: same md5 row
+    // hashes, same mod-512 positions, same count sums, same min-over-
+    // rows estimate (a probe missing any of its 4 buckets counts 0).
+    "rel_cms_topk" ->
+      s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+         |cnt AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n
+         |        FROM ev GROUP BY 1, 2),
+         |top AS (SELECT v FROM (SELECT v, CAST(sum(n) AS BIGINT) AS tn
+         |                       FROM cnt GROUP BY 1)
+         |        ORDER BY tn DESC, v LIMIT 12),
+         |di AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |st AS (SELECT event_type, i,
+         |         (${hexSliceSql("md5('cms' || i || '|' || v)", 1)}) % 128 AS pos,
+         |         CAST(sum(n) AS BIGINT) AS bn
+         |       FROM cnt CROSS JOIN di GROUP BY 1, 2, 3),
+         |keys AS (SELECT DISTINCT event_type FROM ev),
+         |pr AS (SELECT event_type, v, i,
+         |         (${hexSliceSql("md5('cms' || i || '|' || v)", 1)}) % 128 AS pos
+         |       FROM keys CROSS JOIN top CROSS JOIN di),
+         |est AS (SELECT pr.event_type, pr.v,
+         |          CAST(CASE WHEN count(st.bn) = 4 THEN min(st.bn)
+         |               ELSE 0 END AS BIGINT) AS n_est
+         |        FROM pr LEFT JOIN st
+         |          ON pr.event_type = st.event_type AND pr.i = st.i
+         |         AND pr.pos = st.pos
+         |        GROUP BY 1, 2)
+         |SELECT est.event_type, CAST(est.v AS BIGINT) AS user_id,
+         |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_exact, est.n_est,
+         |  CAST(est.n_est - coalesce(cnt.n, 0) AS BIGINT) AS overcount
+         |FROM est LEFT JOIN cnt
+         |  ON est.event_type = cnt.event_type AND est.v = cnt.v
+         |ORDER BY est.event_type, user_id""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

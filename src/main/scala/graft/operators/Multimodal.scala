@@ -304,6 +304,91 @@ object Multimodal {
     }(enc)
   }
 
+  /** Nearest-neighbor resample of decoded BMP pixels onto the FIXED
+    * `outW`×`outH` mesh — the preprocessing step every vision
+    * embedding model runs before featurization (fixed input dims),
+    * and the resize stage of the multimodal pipeline. Integer-exact
+    * source mapping: src = (dst · srcDim) div outDim, in IMAGE
+    * orientation (y = 0 is the TOP row — bottom-up BMPs flip file
+    * rows; top-down, negative-height BMPs read in file order). Both
+    * up- and down-scaling are defined (NN replicates when upscaling).
+    *
+    * Output stays one row per IMAGE (the verify dump must be
+    * image-sized, not pixel-sized): per-channel sums over the resized
+    * grid plus a POSITIONAL checksum Σ (y·outW + x + 1)·(B + G·2⁸ +
+    * R·2¹⁶) — a transposed, flipped, or channel-swapped grid cannot
+    * collide, so the oracle's analytic replay proves every resized
+    * pixel was read from the right source coordinate. Narrow
+    * per-partition decode, zero shuffle; max term 2²⁴·outW·outH per
+    * pixel keeps the checksum far inside Long. Alpha is outside the
+    * resize digest (32 bpp sources resize their RGB planes). */
+  def imageResize(blobs: DataFrame, outW: Int = 16, outH: Int = 16): DataFrame = {
+    require(outW >= 1 && outH >= 1 && outW.toLong * outH <= (1L << 16),
+      s"resize mesh must be in [1, 65536] pixels, got ${outW}x$outH")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        bmpResizeNn(r.getAs[Array[Byte]](1), outW, outH).map {
+          case (w, h, sr, sg, sb, ck) =>
+            Row(r.getLong(0), w, h, outW, outH, sr, sg, sb, ck)
+        }
+      }
+    }(enc)
+  }
+
+  /** [[imageResize]]'s per-blob kernel: header walk + bounds checks
+    * identical to [[decodeBmpPixels]] (BI_RGB 24/32 bpp only; foreign
+    * payloads yield `None` for the codec seam), then the NN index walk
+    * over the out mesh. Returns (srcW, srcH, sumR, sumG, sumB,
+    * positional checksum). */
+  private[graft] def bmpResizeNn(bytes0: Array[Byte], outW: Int, outH: Int)
+      : Option[(Int, Int, Long, Long, Long, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    if (i32le(bytes, 14) < 40) return None
+    val off = i32le(bytes, 10)
+    val width = i32le(bytes, 18)
+    val hRaw = i32le(bytes, 22)
+    val topDown = hRaw < 0 // negative height = rows stored top-first
+    val height = math.abs(hRaw)
+    val bpp = u16le(bytes, 28)
+    if (i32le(bytes, 30) != 0 || (bpp != 24 && bpp != 32)) return None
+    if (width <= 0 || height <= 0 || width > (1 << 20) || height > (1 << 20)) return None
+    val bpx = bpp / 8
+    val stride = ((width.toLong * bpx + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride * height > bytes.length) return None
+    var sumB = 0L; var sumG = 0L; var sumR = 0L; var ck = 0L
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * height / outH).toInt // image-row index
+      val fr = if (topDown) sy else height - 1 - sy
+      val rowOff = off + (fr * stride).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * width / outW).toInt
+        val p = rowOff + sx * bpx
+        val b = bytes(p) & 0xff
+        val g = bytes(p + 1) & 0xff
+        val r = bytes(p + 2) & 0xff
+        sumB += b; sumG += g; sumR += r
+        ck += (y.toLong * outW + x + 1) * (b + (g << 8) + (r << 16))
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, sumR, sumG, sumB, ck))
+  }
+
   val pngPixelSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),

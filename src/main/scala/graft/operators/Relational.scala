@@ -615,8 +615,82 @@ object Relational {
       .drop("__hk")
   }
 
+  /** COUNT-MIN SKETCH state (Cormode & Muthukrishnan 2005) — the
+    * mergeable POINT-FREQUENCY sketch completing the profile-state
+    * family: [[aggState]] keeps totals, [[kmvState]]/[[distinctStateExact]]
+    * keep cardinality, the CMS answers "how often does value v occur
+    * under key k" in O(depth · width) state per key regardless of the
+    * value domain. State rows are (keys, row_i, pos, n): each input
+    * value lands in one bucket per hash row (pos = 32-bit md5 slice of
+    * "cms<i>|<value>" mod width), so the state is a plain bucket-count
+    * table — merge is a count sum (associative/commutative, NOT
+    * idempotent: replayed deltas double-count, the [[aggState]]
+    * contract, which is exactly what the [[appendState]] per-segment
+    * overwrite store absorbs). Every number is deterministic integer
+    * md5 arithmetic, so a DuckDB replay hash-matches the sketch AND
+    * its estimates exactly.
+    *
+    * Scale shape: the explode multiplies scan rows by `depth` (the d
+    * hashes per item CMS requires), but the shuffle output is capped
+    * at O(#keys · depth · width) by map-side combine — the corpus
+    * never moves. */
+  def cmsState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+               depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    df.select(keys :+ valueCol.cast("string").as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .withColumn("row_i", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("pos",
+        pmod(hex_slice_long(md5(concat(lit("cms"), col("row_i").cast("string"),
+          lit("|"), col("__s")).cast("binary")), 0), lit(width.toLong)))
+      .groupBy(keys ++ Seq(col("row_i"), col("pos")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Sum-merge [[cmsState]] partials across delta slices (bucket
+    * counts are linear, so merge(state(deltas)) ≡ recompute). */
+  def mergeCmsStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy((keyCols ++ Seq("row_i", "pos")).map(col): _*)
+      .agg(sum(col("n")).as("n"))
+  }
+
+  /** Point-frequency estimates off a merged [[cmsState]]: for each
+    * probe row (keys, v), n_est = min over the depth hash rows of that
+    * row's bucket count — the classic CMS upper bound (n_est ≥ true
+    * count always; overshoot is collision mass, E ≤ N/width per row,
+    * min over depth rows). A probe whose buckets are not ALL present
+    * in the state has true count 0 and estimates 0. `probes` must be
+    * distinct (keys, probeCol) rows and model-small — it is broadcast
+    * into one hash join against the state; the corpus is never
+    * touched. */
+  def cmsEstimate(state: DataFrame, keyCols: Seq[String], probes: DataFrame,
+                  probeCol: String, depth: Int, width: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(state.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    val pr = probes
+      .withColumn("row_i", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("pos",
+        pmod(hex_slice_long(md5(concat(lit("cms"), col("row_i").cast("string"),
+          lit("|"), col(probeCol).cast("string")).cast("binary")), 0),
+          lit(width.toLong)))
+    // inner hash join state→broadcast probes, then re-attach probes
+    // that hit no bucket at all (their estimate is 0)
+    val hits = state.join(broadcast(pr), keyCols ++ Seq("row_i", "pos"))
+      .groupBy((keyCols :+ probeCol).map(col): _*)
+      .agg(min(col("n")).as("__minn"), count(lit(1)).as("__found"))
+    probes.join(hits, keyCols :+ probeCol, "left")
+      .withColumn("n_est",
+        when(col("__found") === depth, col("__minn")).otherwise(0L))
+      .drop("__minn", "__found")
+  }
+
   /** PERSISTENT per-segment state store for the mergeable profile
-    * states ([[aggState]], [[histogramState]], [[kmvState]],
+    * states ([[aggState]], [[histogramState]], [[kmvState]], [[cmsState]],
     * [[distinctStateExact]]) — the lifecycle that makes a daily
     * 100 TB profile maintainable: each delta's PARTIAL state lands in
     * its own `seg=segment` partition (dynamic partition overwrite),

@@ -308,6 +308,61 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("bmpResizeNn: identity passthrough, upscale replication, hand-checked downscale") {
+    // identity: out dims == src dims → per-channel sums equal the
+    // decoder's (order changes, sums don't; checksum is then pinned
+    // by the analytic formula through the y→file-row flip)
+    val id = 9L
+    val (w, h) = (5, 3)
+    val full = Multimodal.decodeBmpPixels(Multimodal.bmpPixelBytes(id, w, h, 24)).get
+    val same = Multimodal.bmpResizeNn(Multimodal.bmpPixelBytes(id, w, h, 24), w, h).get
+    assert((same._1, same._2) === (w, h))
+    assert((same._5, same._4, same._3) === (full._5, full._6, full._7),
+      "identity resize must preserve the channel sums (B, G, R)")
+    // upscale: 1×1 → 4×4 replicates the single pixel 16× and the
+    // positional checksum collapses to (Σ weights)·packed = 136·packed
+    val one = Multimodal.bmpResizeNn(Multimodal.bmpPixelBytes(1L, 1, 1, 32), 4, 4).get
+    val (b, g, r) = (1L, 1L, 1L) // id=1 formulas at x=0, r=0
+    assert((one._3, one._4, one._5) === (16 * r, 16 * g, 16 * b))
+    assert(one._6 === 136L * (b + (g << 8) + (r << 16)))
+    // downscale 4×2 → 2×1: NN picks image (0,0),(2,0) = file row h−1=1,
+    // sx ∈ {0, 2}; channel values from the analytic formulas at id=3
+    val down = Multimodal.bmpResizeNn(Multimodal.bmpPixelBytes(3L, 4, 2, 24), 2, 1).get
+    def pix(x: Long, fr: Long) =
+      ((3 + 2 * x + 3 * fr) % 256, (3 + 5 * x + fr) % 256, (3 + x + 7 * fr) % 256)
+    val (b0, g0, r0) = pix(0, 1); val (b1, g1, r1) = pix(2, 1)
+    assert((down._3, down._4, down._5) === (r0 + r1, g0 + g1, b0 + b1))
+    assert(down._6 === 1L * (b0 + (g0 << 8) + (r0 << 16)) + 2L * (b1 + (g1 << 8) + (r1 << 16)))
+  }
+
+  test("bmpResizeNn: top-down storage of the same image resizes identically") {
+    // bottom-up fixture vs the SAME IMAGE stored top-down (rows
+    // reversed in the payload, height negated): identical digests —
+    // proves the y → file-row mapping honors orientation
+    val up = Multimodal.bmpPixelBytes(7L, 5, 3, 24)
+    val stride = ((5 * 3 + 3) / 4) * 4
+    val down = up.clone()
+    java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -3)
+    for (rr <- 0 until 3)
+      System.arraycopy(up, 54 + rr * stride, down, 54 + (2 - rr) * stride, stride)
+    assert(Multimodal.bmpResizeNn(down, 8, 8) === Multimodal.bmpResizeNn(up, 8, 8))
+    // and a top-down clone WITHOUT the row flip is a vertically
+    // mirrored image — it must NOT digest-match (3 distinct rows)
+    val flipOnly = up.clone()
+    java.nio.ByteBuffer.wrap(flipOnly).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -3)
+    assert(Multimodal.bmpResizeNn(flipOnly, 8, 8) !== Multimodal.bmpResizeNn(up, 8, 8))
+  }
+
+  test("bmpResizeNn: malformed payloads refuse like the decoder") {
+    val ok = Multimodal.bmpPixelBytes(3L, 4, 4, 24)
+    assert(Multimodal.bmpResizeNn(ok, 8, 8).isDefined)
+    val rle = ok.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(30, 1)
+    assert(Multimodal.bmpResizeNn(rle, 8, 8) === None)
+    assert(Multimodal.bmpResizeNn(ok.dropRight(5), 8, 8) === None)
+    assert(Multimodal.bmpResizeNn(null, 8, 8) === None)
+  }
+
   test("distributed round-trip: syntheticPixelBlobs → decodePixels recovers every doc") {
     val docs = graft.sources.Tables.documents(spark, sf).limit(50)
     val out = Multimodal.decodePixels(Multimodal.syntheticPixelBlobs(docs))

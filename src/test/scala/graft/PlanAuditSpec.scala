@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_rrf_fusion" -> "inherits sim_bm25's single-row corpus-stats join; the fusion itself is a union of k-row frames",
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
     "corpus_source_overlap" -> "broadcast distinct-source list (model-sized) under the pair inequality; the probe side is the per-source sketch (#sources × k rows), never the corpus",
+    "rel_cms_topk" -> "broadcast top-12 probe-value list crossed with the distinct key list (both model-sized); the sketch probe itself is an equi-join on (key, row, pos)",
     "rel_fk_audit" -> "single-row per-edge aggregates unioned into the report",
     "rel_funnel" -> "single-row per-stage counts chained into conversion rates")
 

@@ -301,6 +301,59 @@ class SketchBoundsSpec extends SparkSpec {
       "replayed micro-batch must not double-count")
   }
 
+  test("count-min sketch: one-sided error, merge ≡ recompute, store lifecycle") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val (depth, width) = (4, 128)
+    // CMS guarantee on the shipped query: estimates NEVER undercount
+    val q = SparkEntry.queries("rel_cms_topk")(spark, dir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted: $r")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("n_est") - r.getAs[Long]("n_exact"))
+    }
+    // expected collision mass is N_key/width per hash row; min over
+    // depth rows keeps the WORST probe well under a few multiples
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val nPerKey = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.foreach { r =>
+      val bound = 8L * nPerKey(r.getAs[String]("event_type")) / width
+      assert(r.getAs[Long]("overcount") <= math.max(bound, 8L),
+        s"overcount ${r.getAs[Long]("overcount")} implausibly large: $r")
+    }
+    // merge(state(deltas)) ≡ recompute(whole): bucket counts are linear
+    val whole = Relational.cmsState(ev, Seq(col("event_type")), col("user_id"),
+      depth, width)
+    val slices = (0 to 1).map(i =>
+      Relational.cmsState(ev.filter(pmod(col("user_id"), lit(2)) === i),
+        Seq(col("event_type")), col("user_id"), depth, width))
+    val merged = Relational.mergeCmsStates(slices, Seq("event_type"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged delta states must equal the single-shot state bucket for bucket")
+    // segmented store: replayed delta overwrites its own partition
+    // (count states are NOT idempotent — the store absorbs that),
+    // compaction folds without changing any estimate
+    val sdir = java.nio.file.Files.createTempDirectory("cms_store").toString + "/cms"
+    slices.zipWithIndex.foreach { case (s, i) =>
+      Relational.appendState(s, sdir, s"d$i") }
+    val probes = ev.select("event_type").distinct()
+      .crossJoin(broadcast(Seq("1", "7", "42").toDF("v")))
+    def est(): Map[(String, String), Long] = Relational.cmsEstimate(
+        Relational.readMergedState(spark, sdir)(st =>
+          Relational.mergeCmsStates(Seq(st), Seq("event_type"))),
+        Seq("event_type"), probes, "v", depth, width)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_est")).toMap
+    val before = est()
+    Relational.appendState(slices(1), sdir, "d1") // at-least-once replay
+    assert(est() === before, "replayed delta must not double-count")
+    Relational.compactStateStore(spark, sdir)(st =>
+      Relational.mergeCmsStates(Seq(st), Seq("event_type")))
+    assert(est() === before, "compaction must not change any estimate")
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles
