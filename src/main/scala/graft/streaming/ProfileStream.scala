@@ -25,12 +25,9 @@ object ProfileStream {
   /** One micro-batch (usable directly as a nightly-batch entry
     * point): land `batch`'s partial histogram state. */
   def process(batch: DataFrame, runId: String, batchId: Long, dir: String,
-              keys: Seq[Column], valueCol: Column, bucketWidth: Long): Unit = {
-    if (!batch.isEmpty)
-      Relational.appendState(
-        Relational.histogramState(batch, keys, valueCol, bucketWidth),
-        dir, s"$runId-$batchId")
-  }
+              keys: Seq[Column], valueCol: Column, bucketWidth: Long): Unit =
+    StateStream.process(batch, runId, batchId, dir)(
+      Relational.histogramState(_, keys, valueCol, bucketWidth))
 
   /** Streaming entry: foreachBatch over an event stream. `runId` must
     * be stable across RESTARTS of the same logical run (same
@@ -38,11 +35,6 @@ object ProfileStream {
   def start(events: DataFrame, runId: String, dir: String, checkpoint: String,
             keys: Seq[Column], valueCol: Column, bucketWidth: Long,
             onBatch: Long => Unit = _ => ()): StreamingQuery =
-    events.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        process(batch, runId, batchId, dir, keys, valueCol, bucketWidth)
-        onBatch(batchId)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    StateStream.start(events, runId, dir, checkpoint, onBatch)(
+      Relational.histogramState(_, keys, valueCol, bucketWidth))
 }

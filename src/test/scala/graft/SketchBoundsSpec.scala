@@ -354,6 +354,53 @@ class SketchBoundsSpec extends SparkSpec {
     assert(est() === before, "compaction must not change any estimate")
   }
 
+  test("StateStream: in-stream CMS and KMV maintenance ≡ batch-direct, replay-exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Relational
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("state_stream").toString
+    val (depth, width, k) = (4, 64, 16)
+    val rows = (0 until 600).map(i => ("t" + i % 3, (i % 50).toString))
+    val mem = MemoryStream[(String, String)]
+    // two side-car stores off one logical ingest: a CMS (non-idempotent
+    // count state — the store's exactly-once matters) and a KMV sketch
+    val qCms = graft.streaming.StateStream.start(
+      mem.toDF().toDF("key", "v"), "r1", s"$base/cms", s"$base/ck1")(
+      Relational.cmsState(_, Seq(col("key")), col("v"), depth, width))
+    val qKmv = graft.streaming.StateStream.start(
+      mem.toDF().toDF("key", "v"), "r2", s"$base/kmv", s"$base/ck2")(
+      Relational.kmvState(_, Seq(col("key")), col("v"), k))
+    try {
+      mem.addData(rows.take(300): _*)
+      qCms.processAllAvailable(); qKmv.processAllAvailable()
+      mem.addData(rows.drop(300): _*)
+      qCms.processAllAvailable(); qKmv.processAllAvailable()
+    } finally { qCms.stop(); qKmv.stop() }
+    val batchDf = rows.toDF("key", "v")
+    def cmsMerged() = Relational.readMergedState(spark, s"$base/cms")(st =>
+      Relational.mergeCmsStates(Seq(st), Seq("key")))
+    // streamed CMS state ≡ the single-shot batch state, bucket for bucket
+    val direct = Relational.cmsState(batchDf, Seq(col("key")), col("v"), depth, width)
+    assert(cmsMerged().exceptAll(direct).isEmpty && direct.exceptAll(cmsMerged()).isEmpty,
+      "streamed CMS state must equal the batch-direct state")
+    // streamed KMV estimate ≡ batch-direct estimate
+    def kmvEst(st: org.apache.spark.sql.DataFrame) =
+      Relational.kmvDistinctEstimate(Relational.mergeKmvStates(Seq(st), Seq("key"), k),
+        Seq("key"), k).select("key", "est_distinct")
+        .as[(String, Long)].collect().toMap
+    val streamedKmv = kmvEst(Relational.readMergedState(spark, s"$base/kmv")(identity))
+    assert(streamedKmv === kmvEst(Relational.kmvState(batchDf, Seq(col("key")), col("v"), k)),
+      "streamed KMV estimates must equal batch-direct")
+    // post-crash foreachBatch retry: same (run, batch) overwrites — the
+    // CMS count state would double without the segment store
+    graft.streaming.StateStream.process(
+      rows.drop(300).toDF("key", "v"), "r1", batchId = 1L, s"$base/cms")(
+      Relational.cmsState(_, Seq(col("key")), col("v"), depth, width))
+    assert(cmsMerged().exceptAll(direct).isEmpty && direct.exceptAll(cmsMerged()).isEmpty,
+      "replayed micro-batch must not double-count")
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles
