@@ -323,6 +323,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("cmsState: one exchange, hash aggregate — the explode stays below the shuffle") {
+    val plan = Relational.cmsState(Tables.events(spark, sf),
+        Seq(col("event_type")), col("user_id"), depth = 4, width = 128)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges === 1, plan.take(3000))
+    assert(!plan.contains("SortAggregate"), plan.take(3000))
+  }
+
+  test("imageResize stays narrow: per-partition decode+resample, no exchange") {
+    import graft.operators.Multimodal
+    val plan = Multimodal.imageResize(
+        Multimodal.syntheticPixelBlobs(Tables.documents(spark, sf)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("runtime bloom-filter join pruning injects might_contain on the probe side") {
     // the engine-level twin of Dedup.bloomPrefilter: for a selective
     // shuffle join, Catalyst builds a bloom filter on the small side
