@@ -110,6 +110,40 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // MERGE INTO: apply a keyed I/U/D changelog to the orders snapshot
+    // in one batch op — deletes (key%10=0), updates (+1¢, %10=1),
+    // inserts (cloned keys at +1e9, %10=2), and LAST-WRITER conflict
+    // resolution inside the delta (%10=3: update then delete → gone;
+    // %10=4: delete then update → survives updated). The oracle
+    // replays the same window + full-outer CASE — the generic form of
+    // the reference's whole REPLACE-INTO egress.
+    "cdc_merge_upsert" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
+      def piece(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+                status: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column,
+                op: String, seq: Int): DataFrame =
+        t.filter(pred).select(key.as("o_orderkey"), status.as("o_orderstatus"),
+          cents.as("total_cents"), lit(op).as("op"), lit(seq).as("seq"))
+      val m = pmod(col("o_orderkey"), lit(10))
+      val nullS = lit(null).cast("string"); val nullC = lit(null).cast("long")
+      val delta = Seq(
+        piece(m === 0, col("o_orderkey"), nullS, nullC, "D", 1),
+        piece(m === 1, col("o_orderkey"), col("o_orderstatus"),
+          col("total_cents") + 1, "U", 1),
+        piece(m === 2, col("o_orderkey") + 1000000000L, col("o_orderstatus"),
+          col("total_cents"), "I", 1),
+        piece(m === 3, col("o_orderkey"), col("o_orderstatus"),
+          col("total_cents") + 7, "U", 1),
+        piece(m === 3, col("o_orderkey"), nullS, nullC, "D", 2),
+        piece(m === 4, col("o_orderkey"), nullS, nullC, "D", 1),
+        piece(m === 4, col("o_orderkey"), col("o_orderstatus"),
+          col("total_cents") + 9, "U", 2)).reduce(_ unionByName _)
+      Cdc.mergeInto(t, delta, keys = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ───────────────────────── Relational core ─────────────────────────
 
     "rel_pricing_summary" -> ((s, d) => {
@@ -2923,6 +2957,46 @@ object SparkEntry {
         |       lead(ts_sec) OVER w IS NULL AS is_current
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    // MERGE replay: same delta arithmetic, last-writer window, full
+    // outer join + CASE — op D drops, any other delta op takes the
+    // delta's values, untouched keys pass through.
+    "cdc_merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        |           FROM orders),
+        |d AS (
+        |  SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |         CAST(NULL AS BIGINT) AS total_cents, 'D' AS op, 1 AS seq
+        |  FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, total_cents + 1, 'U', 1
+        |  FROM t WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, total_cents, 'I', 1
+        |  FROM t WHERE o_orderkey % 10 = 2
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, total_cents + 7, 'U', 1
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS BIGINT), 'D', 2
+        |  FROM t WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT o_orderkey, CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS BIGINT), 'D', 1
+        |  FROM t WHERE o_orderkey % 10 = 4
+        |  UNION ALL SELECT o_orderkey, o_orderstatus, total_cents + 9, 'U', 2
+        |  FROM t WHERE o_orderkey % 10 = 4),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |                                 ORDER BY seq DESC) AS rn FROM d)
+        |  WHERE rn = 1),
+        |m AS (SELECT coalesce(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+        |        CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus
+        |             ELSE t.o_orderstatus END AS o_orderstatus,
+        |        CASE WHEN l.op IS NOT NULL THEN l.total_cents
+        |             ELSE t.total_cents END AS total_cents,
+        |        l.op AS op
+        |      FROM t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey)
+        |SELECT o_orderkey, o_orderstatus, total_cents
+        |FROM m WHERE op IS NULL OR op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

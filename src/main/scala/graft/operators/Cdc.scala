@@ -61,6 +61,37 @@ object Cdc {
       t < col("ts") + expr("make_dt_interval(0, 0, cast(round(value) as int), 0)"))
   }
 
+  /** MERGE INTO as a batch operator — apply a keyed I/U/D changelog to
+    * a snapshot, the generic form of the reference's entire egress
+    * (REPLACE-INTO upsert = I/U, SinkToMySQL.java:35; DELETE handling
+    * the reference omits, README.md:275): per key the HIGHEST-`seqCol`
+    * delta row wins (last-writer, [[Relational.latestByKey]]), then
+    * op `D` drops the key, anything else upserts the delta row's
+    * value columns; untouched target rows pass through. `delta` must
+    * carry the target's columns plus (`opCol`, `seqCol`); (key, seq)
+    * pairs must be unique per op for determinism.
+    *
+    * Scale shape: one window shuffle on the DELTA (delta-sized) plus
+    * one full-outer equi-join shuffle on the key — the unavoidable
+    * cost of touching every key once. The stored production form
+    * composes this with partition overwrite
+    * ([[graft.sinks.Sinks.upsertPartitions]]) so only partitions
+    * holding delta keys rewrite, never the whole snapshot. */
+  def mergeInto(target: DataFrame, delta: DataFrame, keys: Seq[String],
+                opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "target needs at least one non-key column")
+    require((keys ++ valueCols :+ opCol :+ seqCol).forall(delta.columns.contains),
+      "delta must carry the target schema plus op/seq columns")
+    val latest = Relational.latestByKey(delta, keys.map(col), Seq(col(seqCol)))
+      .select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__new_$c")) :+
+        col(opCol).as("__op"): _*)
+    target.join(latest, keys, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** The README's business goal the reference never coded: per-region
     * occupancy/reservation rate (README.md:10). Here: per-nation open
     * order share. Pure two-phase hash aggregate (map-side partials),

@@ -46,6 +46,32 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got(3) === ((4L, 5L, None, true)))
   }
 
+  test("mergeInto applies I/U/D with last-writer conflict resolution") {
+    import graft.operators.Cdc
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val ups = Seq(
+      (2L, "B", 21L, "U", 1),  // plain update
+      (4L, "d", 40L, "I", 1),  // insert of a new key
+      (1L, "zz", 99L, "U", 1), // update then delete (seq 2 below) → gone
+      (6L, "f", 60L, "I", 2))  // delete (seq 1 below) then insert → present
+      .toDF("k", "s", "v", "op", "seq")
+    val dels = Seq((3L, "D", 1), (5L, "D", 1), (1L, "D", 2), (6L, "D", 1))
+      .toDF("k", "op", "seq") // 5L: delete of a MISSING key → no-op
+      .withColumn("s", lit(null).cast("string"))
+      .withColumn("v", lit(null).cast("long"))
+    val delta = ups.unionByName(dels.select("k", "s", "v", "op", "seq"))
+    val out = Cdc.mergeInto(target, delta, keys = Seq("k"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((2L, "B", 21L), (4L, "d", 40L), (6L, "f", 60L)))
+    // an INSERT op on an EXISTING key upserts (REPLACE semantics,
+    // SinkToMySQL.java:35) — no duplicate key, new values win
+    val out2 = Cdc.mergeInto(target, Seq((2L, "bb", 22L, "I", 1))
+        .toDF("k", "s", "v", "op", "seq"), keys = Seq("k"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out2 === Seq((1L, "a", 10L), (2L, "bb", 22L), (3L, "c", 30L)))
+  }
+
   test("saltedJoin returns exactly the plain join's result") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val customer = graft.sources.Tables.customer(spark, sf)
