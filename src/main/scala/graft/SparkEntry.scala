@@ -25,6 +25,37 @@ import graft.sources.Tables
 object SparkEntry {
   private val D = DecimalType(18, 2)
 
+  /** orders keyed snapshot in exact cents — the MERGE family's target. */
+  private def ordersCentsSnapshot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
+
+  /** The deterministic I/U/D fixture delta shared by `cdc_merge_upsert`
+    * and `cdc_changelog`: deletes (%10=0), +1¢ updates (%10=1), +1e9
+    * key-clone inserts (%10=2), and in-delta conflicts — update then
+    * delete (%10=3, net D), delete then update (%10=4, net U +9¢). */
+  private def mergeFixtureDelta(t: DataFrame): DataFrame = {
+    def piece(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+              status: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column,
+              op: String, seq: Int): DataFrame =
+      t.filter(pred).select(key.as("o_orderkey"), status.as("o_orderstatus"),
+        cents.as("total_cents"), lit(op).as("op"), lit(seq).as("seq"))
+    val m = pmod(col("o_orderkey"), lit(10))
+    val nullS = lit(null).cast("string"); val nullC = lit(null).cast("long")
+    Seq(
+      piece(m === 0, col("o_orderkey"), nullS, nullC, "D", 1),
+      piece(m === 1, col("o_orderkey"), col("o_orderstatus"),
+        col("total_cents") + 1, "U", 1),
+      piece(m === 2, col("o_orderkey") + 1000000000L, col("o_orderstatus"),
+        col("total_cents"), "I", 1),
+      piece(m === 3, col("o_orderkey"), col("o_orderstatus"),
+        col("total_cents") + 7, "U", 1),
+      piece(m === 3, col("o_orderkey"), nullS, nullC, "D", 2),
+      piece(m === 4, col("o_orderkey"), nullS, nullC, "D", 1),
+      piece(m === 4, col("o_orderkey"), col("o_orderstatus"),
+        col("total_cents") + 9, "U", 2)).reduce(_ unionByName _)
+  }
+
   /** Flagship: the reference's end-to-end enrichment pipeline
     * (O1→O9) on the sf0.001 change feed. */
   def entry(spark: SparkSession): DataFrame = {
@@ -118,29 +149,24 @@ object SparkEntry {
     // replays the same window + full-outer CASE — the generic form of
     // the reference's whole REPLACE-INTO egress.
     "cdc_merge_upsert" -> ((s, d) => {
-      val t = Tables.orders(s, d).select(col("o_orderkey"),
-        col("o_orderstatus"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("total_cents"))
-      def piece(pred: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
-                status: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column,
-                op: String, seq: Int): DataFrame =
-        t.filter(pred).select(key.as("o_orderkey"), status.as("o_orderstatus"),
-          cents.as("total_cents"), lit(op).as("op"), lit(seq).as("seq"))
-      val m = pmod(col("o_orderkey"), lit(10))
-      val nullS = lit(null).cast("string"); val nullC = lit(null).cast("long")
-      val delta = Seq(
-        piece(m === 0, col("o_orderkey"), nullS, nullC, "D", 1),
-        piece(m === 1, col("o_orderkey"), col("o_orderstatus"),
-          col("total_cents") + 1, "U", 1),
-        piece(m === 2, col("o_orderkey") + 1000000000L, col("o_orderstatus"),
-          col("total_cents"), "I", 1),
-        piece(m === 3, col("o_orderkey"), col("o_orderstatus"),
-          col("total_cents") + 7, "U", 1),
-        piece(m === 3, col("o_orderkey"), nullS, nullC, "D", 2),
-        piece(m === 4, col("o_orderkey"), nullS, nullC, "D", 1),
-        piece(m === 4, col("o_orderkey"), col("o_orderstatus"),
-          col("total_cents") + 9, "U", 2)).reduce(_ unionByName _)
-      Cdc.mergeInto(t, delta, keys = Seq("o_orderkey"))
+      val t = ordersCentsSnapshot(s, d)
+      Cdc.mergeInto(t, mergeFixtureDelta(t), keys = Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Change-data-feed GENERATION (mergeInto's inverse): diff the
+    // orders snapshot against its merged successor back into the NET
+    // keyed I/U/D changelog — D for the deleted tenths (%10 ∈ {0,3}),
+    // U with the new payload for the updated tenths (%10 ∈ {1,4}), I
+    // for the inserted +1e9 clones. The oracle derives the same net
+    // ops from orders directly; the round-trip law apply(diff(old,
+    // new)) ≡ new is spec-proven in TemporalOpsSpec.
+    "cdc_changelog" -> ((s, d) => {
+      val t = ordersCentsSnapshot(s, d)
+      val merged = Cdc.mergeInto(t, mergeFixtureDelta(t), keys = Seq("o_orderkey"))
+      Cdc.changelogFrom(t, merged, keys = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"), col("o_orderstatus"),
+          col("total_cents"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -2996,6 +3022,27 @@ object SparkEntry {
         |      FROM t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey)
         |SELECT o_orderkey, o_orderstatus, total_cents
         |FROM m WHERE op IS NULL OR op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // CDF replay: the NET op per key derived from orders directly —
+    // %10∈{0,3} → D (two different delta paths, same net), %10=1 →
+    // U +1¢, %10=4 → U +9¢ (delete-then-update), %10=2 → I clone.
+    "cdc_changelog" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        |           FROM orders)
+        |SELECT o_orderkey, 'D' AS op, CAST(NULL AS VARCHAR) AS o_orderstatus,
+        |       CAST(NULL AS BIGINT) AS total_cents
+        |FROM t WHERE o_orderkey % 10 IN (0, 3)
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_orderstatus, total_cents + 1
+        |FROM t WHERE o_orderkey % 10 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 1000000000, 'I', o_orderstatus, total_cents
+        |FROM t WHERE o_orderkey % 10 = 2
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_orderstatus, total_cents + 9
+        |FROM t WHERE o_orderkey % 10 = 4
         |ORDER BY o_orderkey""".stripMargin,
 
     "rel_pricing_summary" ->

@@ -92,6 +92,34 @@ object Cdc {
         when(col("__op").isNotNull, col(s"__new_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Change-data-feed GENERATION — [[mergeInto]]'s inverse: diff two
+    * snapshots into the keyed I/U/D changelog that replays old → new
+    * (the feed a downstream [[mergeInto]]/[[applyDeltaStored]] consumer
+    * ingests when the upstream system only publishes snapshots).
+    * Verdicts come from [[Relational.snapshotDiff]]; I/U rows carry the
+    * NEW snapshot's payload, D rows null payloads. Round-trip law
+    * `mergeInto(old, changelogFrom(old, new)) ≡ new` is spec-proven.
+    * Cost: the diff's full-outer key join plus one payload equi-join —
+    * O(snapshot) shuffles, the honest snapshot-diff price; at table
+    * scale run it bucket-by-bucket over the [[initUpsertTable]] layout
+    * so each diff is bucket-sized. */
+  def changelogFrom(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+                    opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val valueCols = oldSnap.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "snapshots need at least one non-key column")
+    val diff = Relational.snapshotDiff(oldSnap, newSnap, keys, valueCols)
+    val ud = diff.filter(col("change") =!= "delete")
+      .join(newSnap, keys)
+      .select(keys.map(col) ++ valueCols.map(col) ++ Seq(
+        when(col("change") === "insert", "I").otherwise("U").as(opCol),
+        lit(1).as(seqCol)): _*)
+    val dels = diff.filter(col("change") === "delete")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        lit(null).cast(oldSnap.schema(c).dataType).as(c)) ++ Seq(
+        lit("D").as(opCol), lit(1).as(seqCol)): _*)
+    ud.unionByName(dels)
+  }
+
   private def bucketOf(keys: Seq[String], numBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
 

@@ -72,6 +72,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out2 === Seq((1L, "a", 10L), (2L, "bb", 22L), (3L, "c", 30L)))
   }
 
+  test("changelogFrom ∘ mergeInto round-trips: apply(diff(old, new)) ≡ new") {
+    import graft.operators.Cdc
+    val old = (1L to 120L).map(k => (k, s"s${k % 7}", k * 3)).toDF("k", "s", "v")
+    // new = old with %7==0 deleted, %5==1 value-updated, 121..130 inserted
+    val nw = (1L to 120L).filter(_ % 7 != 0)
+      .map(k => (k, s"s${k % 7}", if (k % 5 == 1) k * 3 + 100 else k * 3))
+      .++((121L to 130L).map(k => (k, "new", k)))
+      .toDF("k", "s", "v")
+    val log = Cdc.changelogFrom(old, nw, keys = Seq("k"))
+    // op census matches the construction (5 excluded from U where deleted)
+    val ops = log.groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops("D") === (1L to 120L).count(_ % 7 == 0))
+    assert(ops("I") === 10)
+    assert(ops("U") === (1L to 120L).count(k => k % 5 == 1 && k % 7 != 0))
+    // the law: replaying the generated changelog reproduces new exactly
+    val replayed = Cdc.mergeInto(old, log, keys = Seq("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed === nw.as[(Long, String, Long)].collect().toSet)
+    // identical snapshots generate an EMPTY changelog
+    assert(Cdc.changelogFrom(old, old, Seq("k")).isEmpty)
+  }
+
   test("stored upsert table: bucket-pruned apply ≡ mergeInto, replay idempotent, " +
     "untouched buckets' files never rewritten") {
     import graft.operators.Cdc
