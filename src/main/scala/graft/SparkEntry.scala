@@ -2029,6 +2029,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // AMS second-frequency-moment sketch: F2 = Σf(v)² (the SELF-JOIN
+    // SIZE on user_id — the pre-shuffle skew/explosion statistic) from
+    // 64 linear ±1-sign counters per event type, merged across two
+    // delta slices, with the exact F2 and the permille error in the
+    // same row — state, estimator (mean-of-8, lower median-of-8) and
+    // error are deterministic md5 integer arithmetic the oracle
+    // replays exactly.
+    "rel_ams_f2" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val slices = (0 to 1).map(i =>
+        Relational.amsState(ev.filter(pmod(col("user_id"), lit(2)) === i),
+          Seq(col("event_type")), col("user_id"), k = 64))
+      val est = Relational.amsF2Estimate(
+        Relational.mergeAmsStates(slices, Seq("event_type")),
+        Seq("event_type"), k = 64)
+      val exact = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("f"))
+        .groupBy("event_type")
+        .agg(sum(col("f")).as("n_rows"),
+          sum(col("f") * col("f")).as("f2_exact"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("f2_exact"),
+          col("f2_est"),
+          expr("(abs(f2_est - f2_exact) * 1000) div f2_exact").as("err_permille"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cross-source lexical-overlap matrix: KMV set algebra gives
     // union/intersection/Jaccard estimates for every source PAIR from
     // the per-source bottom-64 sketches alone — the mix-or-not audit
@@ -5968,6 +5995,33 @@ object SparkEntry {
          |  CAST((n_shared * est_union) // n_state AS BIGINT) AS est_inter,
          |  CAST((1000 * n_shared) // n_state AS BIGINT) AS jaccard_permille
          |FROM est ORDER BY source_a, source_b""".stripMargin,
+
+    // AMS replay: same sign coins (low bit of the md5 prefix), same
+    // linear counters, same mean-of-8 / lower-median-of-8 estimator.
+    "rel_ams_f2" ->
+      s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
+         |cnt AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n
+         |        FROM ev GROUP BY 1, 2),
+         |js AS (SELECT unnest(range(0, 64)) AS j),
+         |z AS (SELECT event_type, j,
+         |        CAST(sum(((${hexSliceSql("md5('ams' || j || '|' || v)", 1)}) % 2
+         |                  * 2 - 1) * n) AS BIGINT) AS z
+         |      FROM cnt CROSS JOIN js GROUP BY 1, 2),
+         |gm AS (SELECT event_type, j // 8 AS grp,
+         |         CAST(sum(z * z) // 8 AS BIGINT) AS gm
+         |       FROM z GROUP BY 1, 2),
+         |med AS (SELECT event_type, gm AS f2_est FROM (
+         |          SELECT event_type, gm, grp, row_number() OVER (
+         |            PARTITION BY event_type ORDER BY gm, grp) AS rn FROM gm)
+         |        WHERE rn = 4),
+         |ex AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows,
+         |         CAST(sum(n * n) AS BIGINT) AS f2_exact
+         |       FROM cnt GROUP BY 1)
+         |SELECT ex.event_type, ex.n_rows, ex.f2_exact, med.f2_est,
+         |  CAST((abs(med.f2_est - ex.f2_exact) * 1000) // ex.f2_exact AS BIGINT)
+         |    AS err_permille
+         |FROM ex JOIN med ON ex.event_type = med.event_type
+         |ORDER BY ex.event_type""".stripMargin,
 
     // Count-min sketch replayed bucket for bucket: same md5 row
     // hashes, same mod-512 positions, same count sums, same min-over-

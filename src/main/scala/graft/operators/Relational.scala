@@ -689,9 +689,66 @@ object Relational {
       .drop("__minn", "__found")
   }
 
+  /** AMS (Alon–Matias–Szegedy 1996) SECOND-FREQUENCY-MOMENT sketch —
+    * estimates F₂ = Σ_v f(v)², the SELF-JOIN SIZE on the value column
+    * (the statistic a join planner wants before committing to a
+    * shuffle: F₂ big ⇒ the equi-join on this key explodes / is
+    * skewed), in O(k) counters per key at any value-domain size.
+    * State: Z_j = Σ_v s_j(v)·f(v) for k independent ±1 md5 sign coins
+    * s_j — E[Z_j²] = F₂. Counters are LINEAR in the counts, so merge
+    * is a plain sum (associative/commutative, NOT idempotent — the
+    * [[aggState]] contract, absorbed by the [[appendState]] store).
+    * Deterministic integer arithmetic end to end: the oracle replays
+    * state AND estimate exactly.
+    *
+    * Scale shape: counts aggregate FIRST (one map-side-combinable
+    * shuffle on (keys, v)); the k-way explode runs over the DISTINCT
+    * value table, never the event stream — shuffle output is
+    * O(#keys · k). */
+  def amsState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+               k: Int = 64): DataFrame = {
+    require(k >= 8 && k % 8 == 0, s"k must be a multiple of 8, >= 8; got $k")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    val cnt = df.select(keys :+ valueCol.cast("string").as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__n"))
+    cnt.withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .withColumn("__sign",
+        pmod(hex_slice_long(md5(concat(lit("ams"), col("j").cast("string"),
+          lit("|"), col("__s")).cast("binary")), 0), lit(2L)) * 2L - 1L)
+      .groupBy(keys :+ col("j"): _*)
+      .agg(sum(col("__sign") * col("__n")).as("z"))
+  }
+
+  /** Sum-merge [[amsState]] partials (counters are linear). */
+  def mergeAmsStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "j").map(col): _*)
+      .agg(sum(col("z")).as("z"))
+  }
+
+  /** F₂ estimate off a merged [[amsState]]: the classic
+    * median-of-means — mean of Z² within each group of 8 counters
+    * (integer div), LOWER median across the k/8 group means (the
+    * ⌈g/2⌉-th ascending value — a deterministic integer rule both
+    * engines compute identically). */
+  def amsF2Estimate(state: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val g = k / 8
+    val means = state
+      .withColumn("grp", expr("j div 8"))
+      .groupBy((keyCols :+ "grp").map(col): _*)
+      .agg(expr("sum(z * z) div 8").as("gm"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("gm"), col("grp"))
+    means.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === (g + 1) / 2)
+      .select(keyCols.map(col) :+ col("gm").as("f2_est"): _*)
+  }
+
   /** PERSISTENT per-segment state store for the mergeable profile
     * states ([[aggState]], [[histogramState]], [[kmvState]], [[cmsState]],
-    * [[distinctStateExact]]) — the lifecycle that makes a daily
+    * [[amsState]], [[distinctStateExact]]) — the lifecycle that makes a daily
     * 100 TB profile maintainable: each delta's PARTIAL state lands in
     * its own `seg=segment` partition (dynamic partition overwrite),
     * so an at-least-once replayed delta overwrites ITS OWN partition

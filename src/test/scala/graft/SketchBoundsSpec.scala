@@ -401,6 +401,30 @@ class SketchBoundsSpec extends SparkSpec {
       "replayed micro-batch must not double-count")
   }
 
+  test("AMS F2 sketch: estimate tracks the exact self-join size; merge ≡ recompute") {
+    import graft.operators.Relational
+    val q = SparkEntry.queries("rel_ams_f2")(spark, dir).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (ex, est) = (r.getAs[Long]("f2_exact"), r.getAs[Long]("f2_est"))
+      // median-of-means with k=64 (8 groups of 8): rel. error typically
+      // ~1/√8 ≈ 35%; a factor-2 band catches a broken estimator while
+      // staying robust to the fixture
+      assert(est >= ex / 2 && est <= ex * 2,
+        s"F2 estimate $est implausible vs exact $ex: $r")
+      assert(r.getAs[Long]("err_permille") ===
+        math.abs(est - ex) * 1000 / ex)
+    }
+    // linear counters: merged delta states equal the single-shot state
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val whole = Relational.amsState(ev, Seq(col("event_type")), col("user_id"), 64)
+    val merged = Relational.mergeAmsStates((0 to 1).map(i =>
+      Relational.amsState(ev.filter(pmod(col("user_id"), lit(2)) === i),
+        Seq(col("event_type")), col("user_id"), 64)), Seq("event_type"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged AMS counters must equal the single-shot counters")
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles
