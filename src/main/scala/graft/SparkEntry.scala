@@ -2029,6 +2029,32 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Bloom membership sketch: the orders key set as a 2^17-bit
+    // 4-hash position-set relation (built per parity slice, OR-merged
+    // — idempotent), probed with 'present' (every key %3=0) and
+    // 'absent' (+5e8 shifted) classes — no false negatives by
+    // construction, false-positive mass measured in-row; every bit is
+    // md5 integer arithmetic the oracle replays exactly.
+    "rel_bloom_filter" -> ((s, d) => {
+      val keys = Tables.orders(s, d).select(col("o_orderkey"))
+      val slices = (0 to 1).map(i =>
+        Relational.bloomState(keys.filter(pmod(col("o_orderkey"), lit(2)) === i),
+          Seq(), col("o_orderkey"), numHashes = 4, bits = 1 << 17))
+      val st = Relational.mergeBloomStates(slices)
+      val base = keys.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      val probes = base.select(col("o_orderkey").cast("string").as("v"),
+          lit("present").as("probe_class"))
+        .unionByName(base.select(
+          (col("o_orderkey") + 500000000L).cast("string").as("v"),
+          lit("absent").as("probe_class")))
+      Relational.bloomMightContain(st, Seq(), probes, "v",
+          numHashes = 4, bits = 1 << 17)
+        .groupBy(col("probe_class"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy(col("probe_class"))
+    }),
+
     // AMS second-frequency-moment sketch: F2 = Σf(v)² (the SELF-JOIN
     // SIZE on user_id — the pre-shuffle skew/explosion statistic) from
     // 64 linear ±1-sign counters per event type, merged across two
@@ -5995,6 +6021,30 @@ object SparkEntry {
          |  CAST((n_shared * est_union) // n_state AS BIGINT) AS est_inter,
          |  CAST((1000 * n_shared) // n_state AS BIGINT) AS jaccard_permille
          |FROM est ORDER BY source_a, source_b""".stripMargin,
+
+    // Bloom replay: same 4 position hashes mod 2^17, same distinct
+    // position set, a probe passes iff all 4 of its positions are set.
+    "rel_bloom_filter" ->
+      s"""WITH k AS (SELECT o_orderkey AS kk FROM orders),
+         |di AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |hp AS (SELECT DISTINCT
+         |         (${hexSliceSql("md5('bloom' || i || '|' || CAST(kk AS VARCHAR))", 1)})
+         |           % 131072 AS pos
+         |       FROM k CROSS JOIN di),
+         |base AS (SELECT kk FROM k WHERE kk % 3 = 0),
+         |pr AS (SELECT CAST(kk AS VARCHAR) AS v, 'present' AS probe_class FROM base
+         |       UNION ALL
+         |       SELECT CAST(kk + 500000000 AS VARCHAR), 'absent' FROM base),
+         |pp AS (SELECT v, probe_class, i,
+         |         (${hexSliceSql("md5('bloom' || i || '|' || v)", 1)}) % 131072 AS pos
+         |       FROM pr CROSS JOIN di),
+         |hit AS (SELECT pp.v, pp.probe_class, count(DISTINCT pp.i) AS found
+         |        FROM pp JOIN hp ON pp.pos = hp.pos GROUP BY 1, 2)
+         |SELECT pr.probe_class, CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(CASE WHEN hit.found = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM pr LEFT JOIN hit
+         |  ON pr.v = hit.v AND pr.probe_class = hit.probe_class
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // AMS replay: same sign coins (low bit of the md5 prefix), same
     // linear counters, same mean-of-8 / lower-median-of-8 estimator.

@@ -746,6 +746,66 @@ object Relational {
       .select(keyCols.map(col) :+ col("gm").as("f2_est"): _*)
   }
 
+  /** BLOOM membership sketch (Bloom 1970) — the set-membership state
+    * completing the sketch suite (cardinality: [[kmvState]]; point
+    * frequency: [[cmsState]]; moments: [[amsState]]; membership:
+    * here): the set bits of a k-hash Bloom filter as a POSITION-SET
+    * relation — rows (keys…, pos) with pos = 32-bit md5 slice of
+    * "bloom<i>|<value>" mod `bits`, distinct. Row-per-set-bit is the
+    * Spark-native bit array: state is O(min(k·n, bits)) ≤ `bits` rows
+    * per key at ANY input size, merge is union+distinct (IDEMPOTENT —
+    * replayed deltas are harmless, like [[distinctStateExact]]), and
+    * every bit is deterministic md5 integer arithmetic a DuckDB
+    * replay reproduces exactly. Use: shipping "does this key exist in
+    * that 100 TB table" to the other side of a join at sketch size
+    * (the engine-level twin is `Dedup.bloomPrefilter` / Spark's
+    * runtime bloom join; this one is a MERGEABLE STORED artifact a
+    * daily ingest maintains). */
+  def bloomState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+                 numHashes: Int = 4, bits: Int = 1 << 17): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 8, s"numHashes in [1,8], got $numHashes")
+    require(bits >= 64, s"bits must be >= 64, got $bits")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    df.select(keys :+ valueCol.cast("string").as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .withColumn("__i", explode(array((0 until numHashes).map(lit): _*)))
+      .select(keys :+ pmod(hex_slice_long(md5(concat(lit("bloom"),
+        col("__i").cast("string"), lit("|"), col("__s")).cast("binary")), 0),
+        lit(bits.toLong)).as("pos"): _*)
+      .distinct()
+  }
+
+  /** Union-merge [[bloomState]] partials (bit OR = position union —
+    * idempotent, so at-least-once replays need no segment store). */
+  def mergeBloomStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_ unionByName _).distinct()
+  }
+
+  /** Membership probe against a merged [[bloomState]]: for each probe
+    * row (keys, v), `might_contain` = ALL `numHashes` positions set —
+    * no false negatives ever; false-positive odds ≈ (1−e^(−kn/m))^k.
+    * Probes are broadcast (model-small) into one equi-join against
+    * the position set. */
+  def bloomMightContain(state: DataFrame, keyCols: Seq[String], probes: DataFrame,
+                        probeCol: String, numHashes: Int, bits: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(state.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    val pr = probes
+      .withColumn("__i", explode(array((0 until numHashes).map(lit): _*)))
+      .withColumn("pos", pmod(hex_slice_long(md5(concat(lit("bloom"),
+        col("__i").cast("string"), lit("|"), col(probeCol).cast("string"))
+        .cast("binary")), 0), lit(bits.toLong)))
+    val hits = state.join(broadcast(pr), keyCols :+ "pos")
+      .groupBy((keyCols :+ probeCol).map(col): _*)
+      .agg(countDistinct(col("__i")).as("__found"))
+    probes.join(hits, keyCols :+ probeCol, "left")
+      .withColumn("might_contain",
+        coalesce(col("__found") === numHashes, lit(false)))
+      .drop("__found")
+  }
+
   /** PERSISTENT per-segment state store for the mergeable profile
     * states ([[aggState]], [[histogramState]], [[kmvState]], [[cmsState]],
     * [[amsState]], [[distinctStateExact]]) — the lifecycle that makes a daily

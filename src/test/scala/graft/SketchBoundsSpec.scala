@@ -425,6 +425,32 @@ class SketchBoundsSpec extends SparkSpec {
       "merged AMS counters must equal the single-shot counters")
   }
 
+  test("Bloom sketch: zero false negatives, FP rate near theory, merge idempotent") {
+    import graft.operators.Relational
+    val q = SparkEntry.queries("rel_bloom_filter")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("n_probes"), r.getAs[Long]("n_pass"))).toMap
+    val (np, pp) = q("present")
+    assert(pp === np, "a Bloom filter NEVER false-negatives a present key")
+    val (na, pa) = q("absent")
+    // theory: (1−e^(−kn/m))^k with k=4, n=#orders keys, m=2^17 — allow
+    // a 3× band around it (the count is deterministic; the band keeps
+    // the assertion sf-portable)
+    val n = Tables.orders(spark, dir).count()
+    val theo = math.pow(1 - math.exp(-4.0 * n / (1 << 17)), 4)
+    assert(pa.toDouble / na <= theo * 3 + 0.001,
+      s"FP rate ${pa.toDouble / na} vs theory $theo")
+    assert(pa > 0, "at this load factor the FP class cannot be empty")
+    // OR-merge is idempotent: slices merged (twice) ≡ whole-set build
+    val keys = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val whole = Relational.bloomState(keys, Seq(), col("o_orderkey"), 4, 1 << 17)
+    val slices = (0 to 1).map(i =>
+      Relational.bloomState(keys.filter(pmod(col("o_orderkey"), lit(2)) === i),
+        Seq(), col("o_orderkey"), 4, 1 << 17))
+    val merged = Relational.mergeBloomStates(slices ++ Seq(slices(1)))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "replayed-slice OR-merge must equal the single-shot position set")
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles
