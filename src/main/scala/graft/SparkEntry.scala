@@ -2029,6 +2029,27 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // AMS JOIN-SIZE estimate: |orders ⋈ lineitem| on the order key
+    // from each side's 64 sign counters (same coins) — the planner's
+    // pre-shuffle cardinality statistic, computed WITHOUT executing
+    // or co-locating the join; the exact join count and permille
+    // error ride in the same row. Floor-division mean-of-8 so the
+    // (possibly negative) products replay exactly in DuckDB.
+    "rel_ams_join_size" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_orderkey"))
+      val b = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val est = Relational.amsJoinSizeEstimate(
+        Relational.amsState(a, Seq(), col("o_orderkey"), k = 64),
+        Relational.amsState(b, Seq(), col("l_orderkey"), k = 64), k = 64)
+      val exact = a.join(b, a("o_orderkey") === b("l_orderkey"))
+        .agg(count(lit(1)).as("join_size_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("join_size_exact"), col("join_size_est"),
+          expr("(abs(join_size_est - join_size_exact) * 1000) div join_size_exact")
+            .as("err_permille"))
+        .orderBy(col("join_size_exact"))
+    }),
+
     // Bloom membership sketch: the orders key set as a 2^17-bit
     // 4-hash position-set relation (built per parity slice, OR-merged
     // — idempotent), probed with 'present' (every key %3=0) and
@@ -6022,6 +6043,39 @@ object SparkEntry {
          |  CAST((1000 * n_shared) // n_state AS BIGINT) AS jaccard_permille
          |FROM est ORDER BY source_a, source_b""".stripMargin,
 
+    // AMS join-size replay: both sides' counters off the same coins,
+    // floor-division group means (// floors like the pmod trick),
+    // lower median.
+    "rel_ams_join_size" ->
+      s"""WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders),
+         |b AS (SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
+         |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+         |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+         |js AS (SELECT unnest(range(0, 64)) AS j),
+         |ha AS (SELECT v, n, (${hexSliceSql("md5('ams|' || v)", 1)}) AS h1,
+         |         (${hexSliceSql("md5('ams|' || v)", 9)}) AS h2 FROM ca),
+         |hb AS (SELECT v, n, (${hexSliceSql("md5('ams|' || v)", 1)}) AS h1,
+         |         (${hexSliceSql("md5('ams|' || v)", 9)}) AS h2 FROM cb),
+         |za AS (SELECT j, CAST(sum((((CASE WHEN j < 32 THEN h1 ELSE h2 END
+         |                 >> (j % 32)) & 1) * 2 - 1) * n) AS BIGINT) AS z
+         |       FROM ha CROSS JOIN js GROUP BY 1),
+         |zb AS (SELECT j, CAST(sum((((CASE WHEN j < 32 THEN h1 ELSE h2 END
+         |                 >> (j % 32)) & 1) * 2 - 1) * n) AS BIGINT) AS z
+         |       FROM hb CROSS JOIN js GROUP BY 1),
+         |pm AS (SELECT za.j, za.z * zb.z AS p FROM za JOIN zb ON za.j = zb.j),
+         |gm AS (SELECT j // 8 AS grp, CAST(sum(p) // 8 AS BIGINT) AS gm
+         |       FROM pm GROUP BY 1),
+         |med AS (SELECT gm AS join_size_est FROM (
+         |          SELECT gm, grp, row_number() OVER (ORDER BY gm, grp) AS rn
+         |          FROM gm) WHERE rn = 4),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS join_size_exact
+         |       FROM a JOIN b ON a.v = b.v)
+         |SELECT ex.join_size_exact, med.join_size_est,
+         |  CAST((abs(med.join_size_est - ex.join_size_exact) * 1000)
+         |       // ex.join_size_exact AS BIGINT) AS err_permille
+         |FROM ex CROSS JOIN med
+         |ORDER BY join_size_exact""".stripMargin,
+
     // Bloom replay: same 4 position hashes mod 2^17, same distinct
     // position set, a probe passes iff all 4 of its positions are set.
     "rel_bloom_filter" ->
@@ -6046,17 +6100,22 @@ object SparkEntry {
          |  ON pr.v = hit.v AND pr.probe_class = hit.probe_class
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // AMS replay: same sign coins (low bit of the md5 prefix), same
+    // AMS replay: same sign coins (bit j of the digest's first two
+    // 32-bit slices), same
     // linear counters, same mean-of-8 / lower-median-of-8 estimator.
     "rel_ams_f2" ->
       s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
          |cnt AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n
          |        FROM ev GROUP BY 1, 2),
          |js AS (SELECT unnest(range(0, 64)) AS j),
+         |hh AS (SELECT event_type, v, n,
+         |         (${hexSliceSql("md5('ams|' || v)", 1)}) AS h1,
+         |         (${hexSliceSql("md5('ams|' || v)", 9)}) AS h2
+         |       FROM cnt),
          |z AS (SELECT event_type, j,
-         |        CAST(sum(((${hexSliceSql("md5('ams' || j || '|' || v)", 1)}) % 2
-         |                  * 2 - 1) * n) AS BIGINT) AS z
-         |      FROM cnt CROSS JOIN js GROUP BY 1, 2),
+         |        CAST(sum((((CASE WHEN j < 32 THEN h1 ELSE h2 END
+         |                    >> (j % 32)) & 1) * 2 - 1) * n) AS BIGINT) AS z
+         |      FROM hh CROSS JOIN js GROUP BY 1, 2),
          |gm AS (SELECT event_type, j // 8 AS grp,
          |         CAST(sum(z * z) // 8 AS BIGINT) AS gm
          |       FROM z GROUP BY 1, 2),

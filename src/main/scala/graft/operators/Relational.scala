@@ -707,16 +707,21 @@ object Relational {
     * O(#keys · k). */
   def amsState(df: DataFrame, keys: Seq[Column], valueCol: Column,
                k: Int = 64): DataFrame = {
-    require(k >= 8 && k % 8 == 0, s"k must be a multiple of 8, >= 8; got $k")
+    require(k >= 8 && k <= 64 && k % 8 == 0,
+      s"k must be a multiple of 8 in [8, 64]; got $k")
     graft.plans.GraftExtensions.register(df.sparkSession)
     import graft.functions.HexSliceLong.hex_slice_long
     val cnt = df.select(keys :+ valueCol.cast("string").as("__s"): _*)
       .filter(col("__s").isNotNull)
       .groupBy(keys :+ col("__s"): _*).agg(count(lit(1)).as("__n"))
-    cnt.withColumn("j", explode(array((0 until k).map(lit): _*)))
-      .withColumn("__sign",
-        pmod(hex_slice_long(md5(concat(lit("ams"), col("j").cast("string"),
-          lit("|"), col("__s")).cast("binary")), 0), lit(2L)) * 2L - 1L)
+    // ONE digest per distinct value carries all k sign coins (bit j of
+    // the first two 32-bit slices) — not a digest per (value, j)
+    def slice(pos: Int) = hex_slice_long(
+      md5(concat(lit("ams|"), col("__s")).cast("binary")), pos)
+    cnt.withColumn("__h1", slice(0)).withColumn("__h2", slice(8))
+      .withColumn("j", explode(array((0 until k).map(lit): _*)))
+      .withColumn("__sign", expr(
+        "(shiftright(CASE WHEN j < 32 THEN __h1 ELSE __h2 END, j % 32) & 1) * 2 - 1"))
       .groupBy(keys :+ col("j"): _*)
       .agg(sum(col("__sign") * col("__n")).as("z"))
   }
@@ -744,6 +749,31 @@ object Relational {
     means.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === (g + 1) / 2)
       .select(keyCols.map(col) :+ col("gm").as("f2_est"): _*)
+  }
+
+  /** JOIN-SIZE estimate from two [[amsState]]s built with the SAME
+    * sign coins over the join column: |A ⋈ B| = Σ_v f_A(v)·f_B(v) and
+    * E[Z_A,j·Z_B,j] is exactly that inner product — the pre-shuffle
+    * cardinality estimate a planner wants before picking a strategy,
+    * computed from 2·k counters without executing (or even
+    * co-locating) the join. Same mean-of-8 / lower-median-of-8
+    * estimator as [[amsF2Estimate]]; the k-row counter join is
+    * model-sized. NOTE: products can go negative on near-disjoint
+    * inputs — that IS the estimator (E ≈ 0 there), not an error. */
+  def amsJoinSizeEstimate(stateA: DataFrame, stateB: DataFrame, k: Int): DataFrame = {
+    val g = k / 8
+    val prod = stateA.select(col("j"), col("z").as("__za"))
+      .join(stateB.select(col("j"), col("z").as("__zb")), Seq("j"))
+      .select(col("j"), (col("__za") * col("__zb")).as("p"))
+    // products can be negative: FLOOR division (pmod trick), not
+    // Spark's truncating `div`, so DuckDB's `//` replays it exactly
+    val means = prod.withColumn("grp", expr("j div 8"))
+      .groupBy(col("grp"))
+      .agg(expr("(sum(p) - pmod(sum(p), 8)) div 8").as("gm"))
+    means.withColumn("__rn", row_number().over(
+        Window.orderBy(col("gm"), col("grp"))))
+      .filter(col("__rn") === (g + 1) / 2)
+      .select(col("gm").as("join_size_est"))
   }
 
   /** BLOOM membership sketch (Bloom 1970) — the set-membership state

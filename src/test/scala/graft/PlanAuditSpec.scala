@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "rel_skew_profile" -> "single-row total-count frame joined to per-key counts",
     "corpus_source_overlap" -> "broadcast distinct-source list (model-sized) under the pair inequality; the probe side is the per-source sketch (#sources × k rows), never the corpus",
     "rel_cms_topk" -> "broadcast top-12 probe-value list crossed with the distinct key list (both model-sized); the sketch probe itself is an equi-join on (key, row, pos)",
+    "rel_ams_join_size" -> "single-row exact-count frame crossed with the single-row sketch estimate (two scalar aggregates, the dedup_governor_clones shape)",
     "rel_fk_audit" -> "single-row per-edge aggregates unioned into the report",
     "rel_funnel" -> "single-row per-stage counts chained into conversion rates")
 

@@ -423,6 +423,14 @@ class SketchBoundsSpec extends SparkSpec {
         Seq(col("event_type")), col("user_id"), 64)), Seq("event_type"))
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
       "merged AMS counters must equal the single-shot counters")
+    // the inner-product twin: join-size estimate within a factor-2
+    // band of the executed join's count (same coins on both sides)
+    val js = SparkEntry.queries("rel_ams_join_size")(spark, dir).collect()
+    assert(js.length === 1)
+    val (exJ, estJ) = (js(0).getAs[Long]("join_size_exact"),
+      js(0).getAs[Long]("join_size_est"))
+    assert(estJ >= exJ / 2 && estJ <= exJ * 2,
+      s"join-size estimate $estJ implausible vs exact $exJ")
   }
 
   test("Bloom sketch: zero false negatives, FP rate near theory, merge idempotent") {
