@@ -72,6 +72,37 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out2 === Seq((1L, "a", 10L), (2L, "bb", 22L), (3L, "c", 30L)))
   }
 
+  test("mergeInto randomized differential vs a driver-side reference model") {
+    import graft.operators.Cdc
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val target = (1L to 60L).map(k => (k, s"t$k", k * 100)).toDF("k", "s", "v")
+      // random delta: keys 1..80 (some missing from target), random op
+      // per row, random multiplicity per key with strictly increasing seq
+      val deltaRows = (1L to 80L).flatMap { k =>
+        (1 to rnd.nextInt(4)).map { seq =>
+          rnd.nextInt(3) match {
+            case 0 => (k, s"d$k-$seq", k + seq, "U", seq)
+            case 1 => (k, s"i$k-$seq", k - seq, "I", seq)
+            case _ => (k, "", -1L, "D", seq)
+          }
+        }
+      }
+      if (deltaRows.nonEmpty) {
+        // reference model: last op per key wins, applied to a Map
+        val byKey = deltaRows.groupBy(_._1).view.mapValues(_.maxBy(_._5))
+        val base = (1L to 60L).map(k => k -> (s"t$k", k * 100)).toMap
+        val expected = byKey.foldLeft(base) { case (m, (k, (_, s, v, op, _))) =>
+          if (op == "D") m - k else m + (k -> (s, v))
+        }.map { case (k, (s, v)) => (k, s, v) }.toSet
+        val got = Cdc.mergeInto(target,
+            deltaRows.toDF("k", "s", "v", "op", "seq"), keys = Seq("k"))
+          .as[(Long, String, Long)].collect().toSet
+        assert(got === expected, s"trial $trial diverged from the reference model")
+      }
+    }
+  }
+
   test("changelogFrom ∘ mergeInto round-trips: apply(diff(old, new)) ≡ new") {
     import graft.operators.Cdc
     val old = (1L to 120L).map(k => (k, s"s${k % 7}", k * 3)).toDF("k", "s", "v")
