@@ -1,0 +1,130 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Daily PROFILE maintenance over an event delta — the production
+  * entry point for the whole mergeable-state family: one pass over
+  * the delta lands a per-segment PARTIAL of every profile state in
+  * its own segmented store (`Relational.appendState` — partition
+  * overwrite, so an at-least-once re-run of the same segment is
+  * exactly-once even for the non-idempotent count/sum states), and
+  * the profile readout merges whatever segments exist — the delta is
+  * scanned ONCE per state family; history is never rescanned.
+  *
+  * States maintained per event_type over (user_id, value-cents):
+  * agg (count/sum/min/max), histogram (bucketed cents →
+  * incremental quantiles), KMV (distinct users), AMS (F₂ of the
+  * user frequency vector — self-join size / skew), CMS (point user
+  * frequencies), Bloom (user membership). Every stored number is
+  * deterministic integer arithmetic.
+  *
+  * Every stage is the library operator — this main is pure wiring.
+  *
+  * {{{
+  * spark-submit --class graft.jobs.ProfileMaintenanceJob <jar> \
+  *   --in /root/testdata/sf0.01 --store /data/profile \
+  *   --segment 2026-08-14 [--compact]
+  * }}}
+  */
+object ProfileMaintenanceJob {
+
+  val Keys = Seq("event_type")
+  val BucketWidth = 100L
+  val KmvK = 64
+  val AmsK = 64
+  val CmsDepth = 4
+  val CmsWidth = 512
+  val BloomHashes = 4
+  val BloomBits = 1 << 17
+
+  /** Land one delta's partial states under `segment`. Re-running the
+    * same (delta, segment) overwrites — exactly-once under replays. */
+  def ingest(events: DataFrame, storeDir: String, segment: String): Unit = {
+    val ev = events.select(col("event_type"), col("user_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val k = Keys.map(col)
+    Relational.appendState(
+      Relational.aggState(ev, k, col("cents")), s"$storeDir/agg", segment)
+    Relational.appendState(
+      Relational.histogramState(ev, k, col("cents"), BucketWidth),
+      s"$storeDir/hist", segment)
+    Relational.appendState(
+      Relational.kmvState(ev, k, col("user_id"), KmvK), s"$storeDir/kmv", segment)
+    Relational.appendState(
+      Relational.amsState(ev, k, col("user_id"), AmsK), s"$storeDir/ams", segment)
+    Relational.appendState(
+      Relational.cmsState(ev, k, col("user_id"), CmsDepth, CmsWidth),
+      s"$storeDir/cms", segment)
+    Relational.appendState(
+      Relational.bloomState(ev, k, col("user_id"), BloomHashes, BloomBits),
+      s"$storeDir/bloom", segment)
+  }
+
+  /** Fold every store down to one `seg=base` generation. */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    Relational.compactStateStore(spark, s"$storeDir/agg")(st =>
+      Relational.mergeAggStates(Seq(st), Keys))
+    Relational.compactStateStore(spark, s"$storeDir/hist")(st =>
+      Relational.mergeHistogramStates(Seq(st), Keys))
+    Relational.compactStateStore(spark, s"$storeDir/kmv")(st =>
+      Relational.mergeKmvStates(Seq(st), Keys, KmvK))
+    Relational.compactStateStore(spark, s"$storeDir/ams")(st =>
+      Relational.mergeAmsStates(Seq(st), Keys))
+    Relational.compactStateStore(spark, s"$storeDir/cms")(st =>
+      Relational.mergeCmsStates(Seq(st), Keys))
+    Relational.compactStateStore(spark, s"$storeDir/bloom")(st =>
+      Relational.mergeBloomStates(Seq(st)))
+  }
+
+  /** The merged profile readout — per event_type: exact row count /
+    * cents sum+min+max (agg), median cents lower bound (histogram),
+    * distinct-user estimate (KMV), user-frequency F₂ estimate (AMS).
+    * CMS and Bloom are probe-style states (point frequency /
+    * membership) — read them with [[Relational.cmsEstimate]] /
+    * [[Relational.bloomMightContain]] against a probe list. */
+  def profile(spark: SparkSession, storeDir: String): DataFrame = {
+    val agg = Relational.readMergedState(spark, s"$storeDir/agg")(st =>
+      Relational.mergeAggStates(Seq(st), Keys))
+    val p50 = Relational.readMergedState(spark, s"$storeDir/hist")(st =>
+        Relational.histogramQuantiles(
+          Relational.mergeHistogramStates(Seq(st), Keys), Keys,
+          Seq(500), BucketWidth))
+      .select(col("event_type"), col("quantile_lo").as("p50_cents_lo"))
+    val kmv = Relational.readMergedState(spark, s"$storeDir/kmv")(st =>
+        Relational.kmvDistinctEstimate(
+          Relational.mergeKmvStates(Seq(st), Keys, KmvK), Keys, KmvK))
+      .select(col("event_type"), col("est_distinct").as("est_distinct_users"))
+    val f2 = Relational.readMergedState(spark, s"$storeDir/ams")(st =>
+        Relational.amsF2Estimate(
+          Relational.mergeAmsStates(Seq(st), Keys), Keys, AmsK))
+      .select(col("event_type"), col("f2_est").as("user_f2_est"))
+    agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys)
+      .orderBy(col("event_type"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val doCompact = args.contains("--compact")
+    val opts = args.filterNot(_ == "--compact").sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val in = opts.getOrElse("in", "/root/testdata/sf0.001")
+    val store = opts.getOrElse("store", "/tmp/graft_profile")
+    val segment = opts.getOrElse("segment", "d0")
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .appName("graft-profile-maintenance").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ingest(graft.sources.Tables.events(spark, in), store, segment)
+    if (doCompact) compact(spark, store)
+    val rows = profile(spark, store).collect()
+    println(s"""{"profiled_types":${rows.length},"segment":"$segment"}""")
+    spark.stop()
+  }
+}

@@ -459,6 +459,59 @@ class SketchBoundsSpec extends SparkSpec {
       "replayed-slice OR-merge must equal the single-shot position set")
   }
 
+  test("ProfileMaintenanceJob: two-segment ingest + replay + compact reads the direct profile") {
+    import spark.implicits._
+    import graft.jobs.ProfileMaintenanceJob
+    import graft.operators.Relational
+    val store = java.nio.file.Files.createTempDirectory("profile_job").toString + "/p"
+    val ev = Tables.events(spark, dir)
+    val slices = (0 to 1).map(i => ev.filter(pmod(col("event_id"), lit(2)) === i))
+    ProfileMaintenanceJob.ingest(slices(0), store, "d0")
+    ProfileMaintenanceJob.ingest(slices(1), store, "d1")
+    ProfileMaintenanceJob.ingest(slices(1), store, "d1") // at-least-once replay
+    def snap(): Seq[org.apache.spark.sql.Row] =
+      ProfileMaintenanceJob.profile(spark, store).collect().toSeq
+    val got = snap()
+    // exact columns agree with a direct computation over all events
+    val cents = ev.withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    val direct = cents.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, s0) = direct(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_rows") === n && r.getAs[Long]("sum_cents") === s0,
+        s"agg family diverged on $r")
+      // sketch columns sane: distinct-user estimate within KMV bounds
+      val nd = ev.filter(col("event_type") === r.getAs[String]("event_type"))
+        .select("user_id").distinct().count()
+      val est = r.getAs[Long]("est_distinct_users")
+      assert(est === nd || math.abs(est - nd).toDouble / nd <= 0.40,
+        s"KMV estimate $est vs exact $nd")
+    }
+    // compaction folds all six stores and changes no readout
+    ProfileMaintenanceJob.compact(spark, store)
+    assert(snap() === got, "compaction must not change the profile")
+    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom"))
+      assert(spark.read.parquet(s"$store/$fam").select("seg").distinct()
+        .as[String].collect().toSeq === Seq("base"), s"$fam not folded")
+    // the probe-style stores answer through their own readers
+    val probes = ev.select("event_type").distinct()
+      .crossJoin(broadcast(Seq("1", "7").toDF("v")))
+    val cms = Relational.cmsEstimate(
+      Relational.readMergedState(spark, s"$store/cms")(st =>
+        Relational.mergeCmsStates(Seq(st), Seq("event_type"))),
+      Seq("event_type"), probes, "v",
+      ProfileMaintenanceJob.CmsDepth, ProfileMaintenanceJob.CmsWidth)
+    val exact = ev.groupBy(col("event_type"), col("user_id").cast("string").as("v"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    cms.collect().foreach { r =>
+      val ex = exact.getOrElse((r.getString(0), r.getString(1)), 0L)
+      assert(r.getAs[Long]("n_est") >= ex, s"CMS undercounted through the store: $r")
+    }
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles
