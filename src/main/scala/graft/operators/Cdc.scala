@@ -67,9 +67,10 @@ object Cdc {
     * the reference omits, README.md:275): per key the HIGHEST-`seqCol`
     * delta row wins (last-writer, [[Relational.latestByKey]]), then
     * op `D` drops the key, anything else upserts the delta row's
-    * value columns; untouched target rows pass through. `delta` must
-    * carry the target's columns plus (`opCol`, `seqCol`); (key, seq)
-    * pairs must be unique per op for determinism.
+    * value columns; untouched target rows pass through. `target` must
+    * be keyed-unique (it is a snapshot); `delta` must carry the
+    * target's columns plus (`opCol`, `seqCol`); (key, seq) pairs must
+    * be unique per op for determinism.
     *
     * Scale shape: one window shuffle on the DELTA (delta-sized) plus
     * one full-outer equi-join shuffle on the key — the unavoidable
@@ -166,6 +167,17 @@ object Cdc {
         .withColumn("bucket", bucketOf(keys, numBuckets))
         .localCheckpoint()
       graft.sinks.Sinks.upsertPartitions(merged, dir, Seq("bucket"))
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // write: a touched bucket whose every row was deleted writes
+      // nothing and would keep its stale files — clear those
+      // explicitly (driver-side, ≤ numBuckets dirs)
+      val survived = merged.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      (touched.toSet -- survived).foreach { bkt =>
+        val base = Option(new java.net.URI(dir).getPath).getOrElse(dir)
+        val d = new java.io.File(base, s"bucket=$bkt")
+        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+      }
     }
   }
 

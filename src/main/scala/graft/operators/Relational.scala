@@ -738,7 +738,10 @@ object Relational {
     * median-of-means — mean of Z² within each group of 8 counters
     * (integer div), LOWER median across the k/8 group means (the
     * ⌈g/2⌉-th ascending value — a deterministic integer rule both
-    * engines compute identically). */
+    * engines compute identically). Range note: Z² stays in Long up to
+    * \|Z\| ≈ 3·10⁹ (≳ 3 billion rows per key); beyond that Spark's
+    * ANSI mode fails LOUDLY (never a silent wrap) — lift the squaring
+    * to DECIMAL(38,0) on BOTH engines if a key ever carries that. */
   def amsF2Estimate(state: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
     val g = k / 8
     val means = state

@@ -170,6 +170,29 @@ class TemporalOpsSpec extends SparkSpec {
     assert(snap() === expected, "replayed delta must be a no-op")
   }
 
+  test("stored upsert table: deleting a bucket's EVERY key clears its partition") {
+    import graft.operators.Cdc
+    val dir = java.nio.file.Files.createTempDirectory("upsert_empty").toString + "/t"
+    val nb = 4
+    val target = (1L to 40L).map(k => (k, k * 10)).toDF("k", "v")
+    Cdc.initUpsertTable(target, dir, Seq("k"), numBuckets = nb)
+    // delete every key that hashes into bucket 0 (plus nothing else):
+    // dynamic overwrite writes no rows for that bucket — the stale
+    // files must be cleared explicitly, or the deletes resurrect
+    val bucketOf = target
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(nb.toLong)).cast("int"))
+      .select("k", "bucket").as[(Long, Int)].collect().toMap
+    val doomed = bucketOf.collect { case (k, b) if b == 0 => k }.toSeq
+    assert(doomed.nonEmpty, "fixture must populate bucket 0")
+    val delta = doomed.map(k => (k, -1L, "D", 1)).toDF("k", "v", "op", "seq")
+    Cdc.applyDeltaStored(spark, dir, delta, Seq("k"), nb)
+    val left = Cdc.readUpsertTable(spark, dir).as[(Long, Long)].collect().toMap
+    doomed.foreach(k => assert(!left.contains(k), s"deleted key $k resurrected"))
+    assert(left.size === 40 - doomed.size)
+    assert(!new java.io.File(dir, "bucket=0").exists(),
+      "emptied bucket partition must be cleared from disk")
+  }
+
   test("UpsertStream: streamed changelog apply ≡ sequential batch merges") {
     import graft.operators.Cdc
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
