@@ -6076,22 +6076,29 @@ object SparkEntry {
          |FROM ex CROSS JOIN med
          |ORDER BY join_size_exact""".stripMargin,
 
-    // Bloom replay: same 4 position hashes mod 2^17, same distinct
-    // position set, a probe passes iff all 4 of its positions are set.
+    // Bloom replay: the 4 position hashes are the 4 32-bit slices of
+    // ONE md5 per value, mod 2^17; same distinct position set, a
+    // probe passes iff all 4 of its positions are set.
     "rel_bloom_filter" ->
       s"""WITH k AS (SELECT o_orderkey AS kk FROM orders),
          |di AS (SELECT unnest([0, 1, 2, 3]) AS i),
-         |hp AS (SELECT DISTINCT
-         |         (${hexSliceSql("md5('bloom' || i || '|' || CAST(kk AS VARCHAR))", 1)})
+         |km AS (SELECT md5('bloom|' || CAST(kk AS VARCHAR)) AS m FROM k),
+         |hp AS (SELECT DISTINCT unnest([
+         |         ${hexSliceSql("m", 1)}, ${hexSliceSql("m", 9)},
+         |         ${hexSliceSql("m", 17)}, ${hexSliceSql("m", 25)}])
          |           % 131072 AS pos
-         |       FROM k CROSS JOIN di),
+         |       FROM km),
          |base AS (SELECT kk FROM k WHERE kk % 3 = 0),
          |pr AS (SELECT CAST(kk AS VARCHAR) AS v, 'present' AS probe_class FROM base
          |       UNION ALL
          |       SELECT CAST(kk + 500000000 AS VARCHAR), 'absent' FROM base),
          |pp AS (SELECT v, probe_class, i,
-         |         (${hexSliceSql("md5('bloom' || i || '|' || v)", 1)}) % 131072 AS pos
-         |       FROM pr CROSS JOIN di),
+         |         (CASE i WHEN 0 THEN ${hexSliceSql("m", 1)}
+         |            WHEN 1 THEN ${hexSliceSql("m", 9)}
+         |            WHEN 2 THEN ${hexSliceSql("m", 17)}
+         |            ELSE ${hexSliceSql("m", 25)} END) % 131072 AS pos
+         |       FROM (SELECT v, probe_class, md5('bloom|' || v) AS m FROM pr) pm
+         |       CROSS JOIN di),
          |hit AS (SELECT pp.v, pp.probe_class, count(DISTINCT pp.i) AS found
          |        FROM pp JOIN hp ON pp.pos = hp.pos GROUP BY 1, 2)
          |SELECT pr.probe_class, CAST(count(*) AS BIGINT) AS n_probes,
@@ -6132,9 +6139,10 @@ object SparkEntry {
          |FROM ex JOIN med ON ex.event_type = med.event_type
          |ORDER BY ex.event_type""".stripMargin,
 
-    // Count-min sketch replayed bucket for bucket: same md5 row
-    // hashes, same mod-512 positions, same count sums, same min-over-
-    // rows estimate (a probe missing any of its 4 buckets counts 0).
+    // Count-min sketch replayed bucket for bucket: row i reads the
+    // i-th 32-bit slice of ONE md5 per value (the digest economy),
+    // same mod positions, same count sums, same min-over-rows
+    // estimate (a probe missing any of its 4 buckets counts 0).
     "rel_cms_topk" ->
       s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events),
          |cnt AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS n
@@ -6143,14 +6151,22 @@ object SparkEntry {
          |                       FROM cnt GROUP BY 1)
          |        ORDER BY tn DESC, v LIMIT 12),
          |di AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |mm AS (SELECT event_type, v, n, md5('cms|' || v) AS m FROM cnt),
          |st AS (SELECT event_type, i,
-         |         (${hexSliceSql("md5('cms' || i || '|' || v)", 1)}) % 128 AS pos,
+         |         (CASE i WHEN 0 THEN ${hexSliceSql("m", 1)}
+         |            WHEN 1 THEN ${hexSliceSql("m", 9)}
+         |            WHEN 2 THEN ${hexSliceSql("m", 17)}
+         |            ELSE ${hexSliceSql("m", 25)} END) % 128 AS pos,
          |         CAST(sum(n) AS BIGINT) AS bn
-         |       FROM cnt CROSS JOIN di GROUP BY 1, 2, 3),
+         |       FROM mm CROSS JOIN di GROUP BY 1, 2, 3),
          |keys AS (SELECT DISTINCT event_type FROM ev),
          |pr AS (SELECT event_type, v, i,
-         |         (${hexSliceSql("md5('cms' || i || '|' || v)", 1)}) % 128 AS pos
-         |       FROM keys CROSS JOIN top CROSS JOIN di),
+         |         (CASE i WHEN 0 THEN ${hexSliceSql("m", 1)}
+         |            WHEN 1 THEN ${hexSliceSql("m", 9)}
+         |            WHEN 2 THEN ${hexSliceSql("m", 17)}
+         |            ELSE ${hexSliceSql("m", 25)} END) % 128 AS pos
+         |       FROM (SELECT event_type, v, md5('cms|' || v) AS m
+         |             FROM keys CROSS JOIN top) kt CROSS JOIN di),
          |est AS (SELECT pr.event_type, pr.v,
          |          CAST(CASE WHEN count(st.bn) = 4 THEN min(st.bn)
          |               ELSE 0 END AS BIGINT) AS n_est

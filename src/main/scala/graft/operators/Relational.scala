@@ -634,18 +634,28 @@ object Relational {
     * hashes per item CMS requires), but the shuffle output is capped
     * at O(#keys · depth · width) by map-side combine — the corpus
     * never moves. */
+  /** All `depth` row positions for one value off ⌈depth/4⌉ digests —
+    * row i reads the (i mod 4)-th 32-bit slice of digest "cms|" (i<4)
+    * or "cms2|" (i≥4); one digest carries four hash rows, so the scan
+    * path pays ¼ the md5 work of a digest-per-row scheme (the
+    * [[amsState]] coin economy). */
+  private def cmsPositions(s: Column, depth: Int, width: Int): Seq[Column] = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    (0 until depth).map { i =>
+      val m = md5(concat(lit(if (i < 4) "cms|" else "cms2|"), s).cast("binary"))
+      pmod(hex_slice_long(m, (i % 4) * 8), lit(width.toLong))
+    }
+  }
+
   def cmsState(df: DataFrame, keys: Seq[Column], valueCol: Column,
                depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
     require(width >= 16, s"width must be >= 16, got $width")
     graft.plans.GraftExtensions.register(df.sparkSession)
-    import graft.functions.HexSliceLong.hex_slice_long
     df.select(keys :+ valueCol.cast("string").as("__s"): _*)
       .filter(col("__s").isNotNull)
-      .withColumn("row_i", explode(array((0 until depth).map(lit): _*)))
-      .withColumn("pos",
-        pmod(hex_slice_long(md5(concat(lit("cms"), col("row_i").cast("string"),
-          lit("|"), col("__s")).cast("binary")), 0), lit(width.toLong)))
+      .select(keys :+ posexplode(array(cmsPositions(col("__s"), depth, width): _*))
+        .as(Seq("row_i", "pos")): _*)
       .groupBy(keys ++ Seq(col("row_i"), col("pos")): _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -671,13 +681,10 @@ object Relational {
   def cmsEstimate(state: DataFrame, keyCols: Seq[String], probes: DataFrame,
                   probeCol: String, depth: Int, width: Int): DataFrame = {
     graft.plans.GraftExtensions.register(state.sparkSession)
-    import graft.functions.HexSliceLong.hex_slice_long
     val pr = probes
-      .withColumn("row_i", explode(array((0 until depth).map(lit): _*)))
-      .withColumn("pos",
-        pmod(hex_slice_long(md5(concat(lit("cms"), col("row_i").cast("string"),
-          lit("|"), col(probeCol).cast("string")).cast("binary")), 0),
-          lit(width.toLong)))
+      .select(probes.columns.map(col) :+ posexplode(array(
+        cmsPositions(col(probeCol).cast("string"), depth, width): _*))
+        .as(Seq("row_i", "pos")): _*)
     // inner hash join state→broadcast probes, then re-attach probes
     // that hit no bucket at all (their estimate is 0)
     val hits = state.join(broadcast(pr), keyCols ++ Seq("row_i", "pos"))
@@ -794,18 +801,25 @@ object Relational {
     * (the engine-level twin is `Dedup.bloomPrefilter` / Spark's
     * runtime bloom join; this one is a MERGEABLE STORED artifact a
     * daily ingest maintains). */
+  /** All `numHashes` bit positions for one value off ⌈n/4⌉ digests
+    * (the [[cmsPositions]] economy, prefixes "bloom|"/"bloom2|"). */
+  private def bloomPositions(s: Column, numHashes: Int, bits: Int): Seq[Column] = {
+    import graft.functions.HexSliceLong.hex_slice_long
+    (0 until numHashes).map { i =>
+      val m = md5(concat(lit(if (i < 4) "bloom|" else "bloom2|"), s).cast("binary"))
+      pmod(hex_slice_long(m, (i % 4) * 8), lit(bits.toLong))
+    }
+  }
+
   def bloomState(df: DataFrame, keys: Seq[Column], valueCol: Column,
                  numHashes: Int = 4, bits: Int = 1 << 17): DataFrame = {
     require(numHashes >= 1 && numHashes <= 8, s"numHashes in [1,8], got $numHashes")
     require(bits >= 64, s"bits must be >= 64, got $bits")
     graft.plans.GraftExtensions.register(df.sparkSession)
-    import graft.functions.HexSliceLong.hex_slice_long
     df.select(keys :+ valueCol.cast("string").as("__s"): _*)
       .filter(col("__s").isNotNull)
-      .withColumn("__i", explode(array((0 until numHashes).map(lit): _*)))
-      .select(keys :+ pmod(hex_slice_long(md5(concat(lit("bloom"),
-        col("__i").cast("string"), lit("|"), col("__s")).cast("binary")), 0),
-        lit(bits.toLong)).as("pos"): _*)
+      .select(keys :+ explode(array(
+        bloomPositions(col("__s"), numHashes, bits): _*)).as("pos"): _*)
       .distinct()
   }
 
@@ -824,12 +838,10 @@ object Relational {
   def bloomMightContain(state: DataFrame, keyCols: Seq[String], probes: DataFrame,
                         probeCol: String, numHashes: Int, bits: Int): DataFrame = {
     graft.plans.GraftExtensions.register(state.sparkSession)
-    import graft.functions.HexSliceLong.hex_slice_long
     val pr = probes
-      .withColumn("__i", explode(array((0 until numHashes).map(lit): _*)))
-      .withColumn("pos", pmod(hex_slice_long(md5(concat(lit("bloom"),
-        col("__i").cast("string"), lit("|"), col(probeCol).cast("string"))
-        .cast("binary")), 0), lit(bits.toLong)))
+      .select(probes.columns.map(col) :+ posexplode(array(
+        bloomPositions(col(probeCol).cast("string"), numHashes, bits): _*))
+        .as(Seq("__i", "pos")): _*)
     val hits = state.join(broadcast(pr), keyCols :+ "pos")
       .groupBy((keyCols :+ probeCol).map(col): _*)
       .agg(countDistinct(col("__i")).as("__found"))
