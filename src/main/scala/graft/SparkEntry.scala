@@ -2029,6 +2029,36 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // PRIORITY SAMPLE (Duffield–Lund–Thorup): per-priority-class
+    // k=64 weight-biased order sample, built per parity slice and
+    // merged (the sort key is a pure function of the row, so merge ≡
+    // direct — the KMV argument, and the direct oracle replay IS the
+    // merge-law proof). The a-posteriori subset-sum — total price of
+    // 'F'-status orders, a predicate chosen AFTER the sample froze —
+    // is estimated off 64 rows per class via Σ max(w, τ̂) and scored
+    // against the exact scan in the same output row. State and
+    // estimate are md5 integer arithmetic the oracle replays exactly.
+    "rel_priority_sample" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      val slices = (0 to 2).map(i =>
+        Relational.sampleState(o.filter(col("o_orderkey") % 3 === i),
+          Seq(col("o_orderpriority")), col("o_orderkey"), col("cents"), k = 64,
+          payload = Seq(col("o_orderstatus"))))
+      val est = Relational.prioritySampleEstimate(
+        Relational.mergeSampleStates(slices, Seq("o_orderpriority"), k = 64),
+        Seq("o_orderpriority"), k = 64, col("o_orderstatus") === "F")
+      val exact = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cents")).as("exact_sum"))
+      est.join(exact, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_sample"), col("n_match"),
+          col("est_sum"), coalesce(col("exact_sum"), lit(0L)).as("exact_sum"),
+          expr("(abs(est_sum - coalesce(exact_sum, 0)) * 1000) div " +
+            "greatest(coalesce(exact_sum, 0), 1)").as("err_permille"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // AMS JOIN-SIZE estimate: |orders ⋈ lineitem| on the order key
     // from each side's 64 sign counters (same coins) — the planner's
     // pre-shuffle cardinality statistic, computed WITHOUT executing
@@ -5998,6 +6028,45 @@ object SparkEntry {
          |  CAST(CASE WHEN n_state < 64 THEN n_state
          |       ELSE (63 * 4294967296) // hk END AS BIGINT) AS est_distinct
          |FROM kq ORDER BY event_type""".stripMargin,
+
+    // DLT priority sample replayed row for row: sort key
+    // (u32·2²⁰)//cents off the samp| digest, bottom-64 per class
+    // ordered by (skey, id-string), τ̂ = 2⁵²//skey₆₅, estimate
+    // Σ max(cents, τ̂) over sampled 'F' rows — identical integer
+    // rules both engines.
+    "rel_priority_sample" ->
+      s"""WITH o AS (SELECT o_orderpriority, o_orderstatus,
+         |             CAST(o_orderkey AS VARCHAR) AS id,
+         |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |           FROM orders),
+         |h AS (SELECT o_orderpriority, o_orderstatus, id, cents,
+         |        (${hexSliceSql("m", 1)}) + 1 AS u32
+         |      FROM (SELECT *, md5('samp|' || id) AS m FROM o WHERE cents > 0)),
+         |rk AS (SELECT *, (u32 * 1048576) // cents AS skey FROM h),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+         |         ORDER BY skey, id) AS rn FROM rk),
+         |t AS (SELECT o_orderpriority,
+         |        max(CASE WHEN rn = 65 THEN skey END) AS k1
+         |      FROM rn GROUP BY 1),
+         |est AS (SELECT rn.o_orderpriority,
+         |          CAST(count(*) AS BIGINT) AS n_sample,
+         |          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_match,
+         |          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN
+         |              greatest(cents, CASE WHEN t.k1 IS NULL THEN 0
+         |                ELSE 4503599627370496 //
+         |                  (CASE WHEN t.k1 > 0 THEN t.k1 ELSE 1 END) END)
+         |            ELSE 0 END) AS BIGINT) AS est_sum
+         |        FROM rn JOIN t USING (o_orderpriority)
+         |        WHERE rn <= 64 GROUP BY 1),
+         |ex AS (SELECT o_orderpriority, CAST(sum(cents) AS BIGINT) AS exact_sum
+         |       FROM o WHERE o_orderstatus = 'F' GROUP BY 1)
+         |SELECT est.o_orderpriority, n_sample, n_match, est_sum,
+         |  coalesce(exact_sum, 0) AS exact_sum,
+         |  (abs(est_sum - coalesce(exact_sum, 0)) * 1000) //
+         |    greatest(coalesce(exact_sum, 0), 1) AS err_permille
+         |FROM est LEFT JOIN ex ON est.o_orderpriority = ex.o_orderpriority
+         |ORDER BY est.o_orderpriority""".stripMargin,
 
     // KMV set algebra replayed pairwise: per-source bottom-64 sketches
     // of the word-3-gram space, the pair union's sketch = bottom-64 of

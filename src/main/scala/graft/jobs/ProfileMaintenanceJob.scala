@@ -18,7 +18,9 @@ import graft.operators.Relational
   * agg (count/sum/min/max), histogram (bucketed cents →
   * incremental quantiles), KMV (distinct users), AMS (F₂ of the
   * user frequency vector — self-join size / skew), CMS (point user
-  * frequencies), Bloom (user membership). Every stored number is
+  * frequencies), Bloom (user membership), priority sample (k
+  * weight-biased representative events → a-posteriori subset sums
+  * for predicates nobody pre-aggregated). Every stored number is
   * deterministic integer arithmetic.
   *
   * Every stage is the library operator — this main is pure wiring.
@@ -39,11 +41,12 @@ object ProfileMaintenanceJob {
   val CmsWidth = 512
   val BloomHashes = 4
   val BloomBits = 1 << 17
+  val SampleK = 64
 
   /** Land one delta's partial states under `segment`. Re-running the
     * same (delta, segment) overwrites — exactly-once under replays. */
   def ingest(events: DataFrame, storeDir: String, segment: String): Unit = {
-    val ev = events.select(col("event_type"), col("user_id"),
+    val ev = events.select(col("event_type"), col("event_id"), col("user_id"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))
     val k = Keys.map(col)
     Relational.appendState(
@@ -61,6 +64,9 @@ object ProfileMaintenanceJob {
     Relational.appendState(
       Relational.bloomState(ev, k, col("user_id"), BloomHashes, BloomBits),
       s"$storeDir/bloom", segment)
+    Relational.appendState(
+      Relational.sampleState(ev, k, col("event_id"), col("cents"), SampleK,
+        payload = Seq(col("user_id"))), s"$storeDir/sample", segment)
   }
 
   /** Fold every store down to one `seg=base` generation. */
@@ -77,6 +83,8 @@ object ProfileMaintenanceJob {
       Relational.mergeCmsStates(Seq(st), Keys))
     Relational.compactStateStore(spark, s"$storeDir/bloom")(st =>
       Relational.mergeBloomStates(Seq(st)))
+    Relational.compactStateStore(spark, s"$storeDir/sample")(st =>
+      Relational.mergeSampleStates(Seq(st), Keys, SampleK))
   }
 
   /** The merged profile readout — per event_type: exact row count /
@@ -101,7 +109,14 @@ object ProfileMaintenanceJob {
         Relational.amsF2Estimate(
           Relational.mergeAmsStates(Seq(st), Keys), Keys, AmsK))
       .select(col("event_type"), col("f2_est").as("user_f2_est"))
-    agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys)
+    // the sample answers an a-posteriori predicate none of the other
+    // states pre-aggregated — demonstrated here with even user ids
+    val samp = Relational.readMergedState(spark, s"$storeDir/sample")(st =>
+        Relational.prioritySampleEstimate(
+          Relational.mergeSampleStates(Seq(st), Keys, SampleK), Keys, SampleK,
+          pmod(col("user_id"), lit(2)) === 0))
+      .select(col("event_type"), col("est_sum").as("est_cents_even_users"))
+    agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys).join(samp, Keys)
       .orderBy(col("event_type"))
   }
 

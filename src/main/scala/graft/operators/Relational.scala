@@ -615,6 +615,97 @@ object Relational {
       .drop("__hk")
   }
 
+  /** WEIGHTED PRIORITY SAMPLE state (Duffield–Lund–Thorup, JACM 2007)
+    * — the mergeable SAMPLING summary completing the profile-state
+    * family: [[aggState]] keeps totals, [[kmvState]] cardinality,
+    * [[histogramState]] quantiles, [[cmsState]] point frequencies,
+    * [[bloomState]] membership — this keeps k REPRESENTATIVE ROWS,
+    * weight-biased, from which any a-posteriori subset-sum (a
+    * predicate decided AFTER the pass) is estimated without
+    * rescanning the corpus. Priority sampling is within a 1+O(1/√k)
+    * factor of the optimal subset-sum variance for ANY weight
+    * distribution (Szegedy 2006), which is why it beats both uniform
+    * sampling (misses heavy items) and threshold sampling (variable
+    * size) as the one sample a profile store should carry.
+    *
+    * Determinism contract: item priority q_i = w_i/u_i with
+    * u_i ∈ (0,1] uniform is encoded as the integer sort key
+    * r_i = (u32_i · 2²⁰) div w_i (u32 = md5 32-bit slice + 1; small
+    * r = large priority), a pure function of (id, weight) — so the
+    * state is idempotent under replayed segments (distinct() absorbs
+    * them, the [[kmvState]] contract) and mergeable by union →
+    * re-bottom-(k+1). The (k+1)-th smallest key defines the
+    * threshold τ; the first k rows are the sample. Requires `weight`
+    * to be a pure attribute of `id` (the same id must not carry
+    * different weights across segments).
+    *
+    * Scale shape: one narrow scan computing r (one md5 per row), one
+    * shuffle on the group keys, per-group bottom-(k+1) window —
+    * state is O(#keys · k) forever, like every sketch in the family. */
+  def sampleState(df: DataFrame, keys: Seq[Column], idCol: Column,
+                  weightCol: Column, k: Int,
+                  payload: Seq[Column] = Nil): DataFrame = {
+    require(k >= 2, s"priority sample needs k >= 2, got $k")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    import graft.functions.HexSliceLong.hex_slice_long
+    // payload columns ride along so a-posteriori predicates can read
+    // item attributes off the sample; like `weight`, each must be a
+    // pure attribute of `id` or segment-replay idempotence breaks
+    val rows = df.select(keys ++ payload ++ Seq(idCol.cast("string").as("id"),
+        weightCol.cast("long").as("w")): _*)
+      .filter(col("id").isNotNull && col("w") > 0)
+      .withColumn("u32",
+        hex_slice_long(md5(concat(lit("samp|"), col("id")).cast("binary")), 0) + 1)
+      .withColumn("skey", expr("(u32 * 1048576) div w"))
+      .distinct()
+    topNPerGroup(rows, keys, Seq(col("skey"), col("id")), k + 1, rankCol = "__rn")
+      .drop("__rn")
+  }
+
+  /** Union → dedup (idempotent: skey is a pure function of the row) →
+    * re-bottom-(k+1): sample-of-union ≡ union-of-samples, because the
+    * k+1 smallest keys of a union are among each part's k+1 smallest. */
+  def mergeSampleStates(states: Seq[DataFrame], keyCols: Seq[String],
+                        k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    topNPerGroup(states.reduce(_ unionByName _).distinct(),
+      keyCols.map(col), Seq(col("skey"), col("id")), k + 1, rankCol = "__rn")
+      .drop("__rn")
+  }
+
+  /** Subset-sum estimate off a merged [[sampleState]]: per key group,
+    * Σ over sampled rows (rank ≤ k) matching `predicate` of
+    * max(w_i, τ̂) — the DLT estimator, exact when the group holds ≤ k
+    * items (τ̂ = 0: the "sample" is a census). τ̂ converts the
+    * (k+1)-th smallest sort key back to weight units:
+    * r = u·2²⁰/w  ⇒  boundary weight ≈ u32·2²⁰/r ≤ 2⁵²/r, encoded as
+    * the deterministic integer rule τ̂ = 2⁵² div max(r_{k+1}, 1) —
+    * every number replays exactly in DuckDB. Output: (keys, n_sample,
+    * n_match, est_sum, with n_match/est_sum over the predicate). */
+  def prioritySampleEstimate(state: DataFrame, keyCols: Seq[String],
+                             k: Int, predicate: Column): DataFrame = {
+    val kc = keyCols.map(col)
+    val win = Window.partitionBy(kc: _*).orderBy(col("skey"), col("id"))
+    val grp = Window.partitionBy(kc: _*)
+    // one sort pass attaches rank, then the group window lifts the
+    // (k+1)-th key to every row as τ̂ (NULL = group is a census, τ̂=0);
+    // the state is O(#keys · k), so this is model-sized work however
+    // large the corpus that built it was
+    val ranked = state.withColumn("__rn", row_number().over(win))
+      .withColumn("__k1",
+        max(when(col("__rn") === k + 1, col("skey"))).over(grp))
+      .withColumn("__tau",
+        when(col("__k1").isNull, lit(0L)).otherwise(
+          expr("4503599627370496 div (CASE WHEN __k1 > 0 THEN __k1 ELSE 1 END)")))
+    ranked.filter(col("__rn") <= k)
+      .groupBy(kc: _*)
+      .agg(
+        count(lit(1)).as("n_sample"),
+        sum(when(predicate, 1L).otherwise(0L)).as("n_match"),
+        sum(when(predicate, greatest(col("w"), col("__tau"))).otherwise(0L))
+          .as("est_sum"))
+  }
+
   /** COUNT-MIN SKETCH state (Cormode & Muthukrishnan 2005) — the
     * mergeable POINT-FREQUENCY sketch completing the profile-state
     * family: [[aggState]] keeps totals, [[kmvState]]/[[distinctStateExact]]

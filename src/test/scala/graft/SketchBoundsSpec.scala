@@ -214,6 +214,48 @@ class SketchBoundsSpec extends SparkSpec {
     assert(small.select("est_distinct").as[Long].head() === 40L)
   }
 
+  test("priority sample: merge ≡ direct, replay-idempotent, census exact, DLT tracks subset sums") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val k = 64
+    // heavy-tailed weights (quadratic-residue spread), so a uniform
+    // sample would miss the mass; weight and payload are pure
+    // functions of id (the state's determinism contract)
+    val df = (0 until 3000).map { i =>
+      ("t", i.toLong, (i.toLong * i % 9973) + 1, if (i % 3 == 0) "F" else "O")
+    }.toDF("k", "id", "w", "st")
+    val direct = Relational.sampleState(df, Seq(col("k")), col("id"), col("w"),
+      k, payload = Seq(col("st")))
+    val slices = (0 to 2).map(i =>
+      Relational.sampleState(df.filter(col("id") % 3 === i), Seq(col("k")),
+        col("id"), col("w"), k, payload = Seq(col("st"))))
+    val merged = Relational.mergeSampleStates(slices, Seq("k"), k)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      d.select("id", "w", "skey").as[(String, Long, Long)].collect().toSet
+    assert(rows(merged) === rows(direct),
+      "bottom-(k+1) of union-of-samples must equal the direct sample")
+    // replayed segment: every row a pure function of (id, w) → idempotent
+    val replayed = Relational.mergeSampleStates(slices :+ slices.head, Seq("k"), k)
+    assert(rows(replayed) === rows(direct))
+    // a-posteriori subset-sum (predicate chosen after the state froze)
+    val est = Relational.prioritySampleEstimate(merged, Seq("k"), k,
+      col("st") === "F").select("est_sum").as[Long].head()
+    val exact = df.filter(col("st") === "F")
+      .agg(sum(col("w"))).as[Long].head()
+    val rel = math.abs(est - exact).toDouble / exact
+    // DLT relative σ ≲ 1/√(matched sample − 1) ≈ 22% here; allow ~2.5σ
+    assert(rel <= 0.55, s"priority-sample estimate $est vs exact $exact (rel err $rel)")
+    // census regime: group ≤ k items ⇒ τ̂ = 0 and the estimate IS the sum
+    val small = df.filter(col("id") < 40)
+    val cen = Relational.prioritySampleEstimate(
+      Relational.sampleState(small, Seq(col("k")), col("id"), col("w"), k,
+        payload = Seq(col("st"))),
+      Seq("k"), k, col("st") === "F")
+    assert(cen.select("n_sample").as[Long].head() === 40L)
+    assert(cen.select("est_sum").as[Long].head() ===
+      small.filter(col("st") === "F").agg(sum(col("w"))).as[Long].head())
+  }
+
   test("histogram state: merge ≡ direct; bucket quantile brackets the exact order stat") {
     import spark.implicits._
     import graft.operators.Relational
@@ -488,11 +530,19 @@ class SketchBoundsSpec extends SparkSpec {
       val est = r.getAs[Long]("est_distinct_users")
       assert(est === nd || math.abs(est - nd).toDouble / nd <= 0.40,
         s"KMV estimate $est vs exact $nd")
+      // the sample's a-posteriori subset sum tracks the exact answer
+      val exEven = cents.filter(col("event_type") === r.getAs[String]("event_type")
+          && pmod(col("user_id"), lit(2)) === 0)
+        .agg(coalesce(sum("cents"), lit(0L))).head().getLong(0)
+      val estEven = r.getAs[Long]("est_cents_even_users")
+      assert(estEven === exEven ||
+        math.abs(estEven - exEven).toDouble / math.max(exEven, 1L) <= 0.60,
+        s"priority-sample estimate $estEven vs exact $exEven")
     }
-    // compaction folds all six stores and changes no readout
+    // compaction folds all seven stores and changes no readout
     ProfileMaintenanceJob.compact(spark, store)
     assert(snap() === got, "compaction must not change the profile")
-    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom"))
+    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample"))
       assert(spark.read.parquet(s"$store/$fam").select("seg").distinct()
         .as[String].collect().toSeq === Seq("base"), s"$fam not folded")
     // the probe-style stores answer through their own readers
