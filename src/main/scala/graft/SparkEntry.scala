@@ -501,6 +501,23 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // UNPIVOT (melt) — rel_pivot's inverse verb via Spark's native
+    // Dataset.unpivot (plans an Expand, one pass, no join): the wide
+    // per-day counts fold back to (day, event_type, n) INCLUDING the
+    // zero cells pivot materialized — the oracle rebuilds the full
+    // day × type scaffold to match.
+    "rel_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))
+      val wide = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(aggs.head, aggs.tail: _*)
+      wide.unpivot(Array(col("day")), types.map(t => col(s"n_$t")).toArray,
+          "etype", "n")
+        .select(col("day"), expr("substring(etype, 3)").as("event_type"), col("n"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "rel_scalar_subquery" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
       Tables.orders(s, d)
@@ -2171,6 +2188,58 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"))
     }),
 
+    // MISRA–GRIES frequent-items state: per-event-type ≤ 16 candidate
+    // heavy users with one-sided UNDERcounts — the bracketing partner
+    // of rel_cms_topk's one-sided OVERcounts (CMS never undershoots,
+    // MG never overshoots; together they sandwich the truth). Built
+    // per user-parity slice, merged by counter sum + one deterministic
+    // re-trim, joined to the exact counts so the
+    // n̂ ≤ n ≤ n̂ + n_total div (k+1) guarantee sits in-row. No hashing
+    // anywhere — the state is a pure function of the input multiset,
+    // so the oracle replays every counter exactly.
+    "rel_mg_heavy_hitters" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val slices = (0 to 2).map(i =>
+        Relational.mgState(ev.filter(pmod(col("user_id"), lit(3)) === i),
+          Seq(col("event_type")), col("user_id"), k = 16))
+      val st = Relational.mergeMgStates(slices, Seq("event_type"), k = 16)
+      val exact = ev.groupBy(col("event_type"),
+          col("user_id").cast("string").as("v"))
+        .agg(count(lit(1)).as("n_exact"))
+      val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      st.join(exact, Seq("event_type", "v"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("v").cast("long").as("user_id"),
+          col("n").as("n_lb"), col("n_exact"),
+          (col("n_exact") - col("n")).as("deficit"),
+          expr("n_total div 17").as("bound"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    // INTERVAL UNION COVERAGE — the reference's occupancy question
+    // (README.md:10) asked in range form: per event_type ("room"),
+    // the time covered by the UNION of overlapping 30-minute activity
+    // intervals, the merged-booking count, and utilization of the
+    // observed span. One window sweep (running max of ends cuts
+    // islands), one shuffle on the key; tie order can renumber islands
+    // but never re-cut them, so the aggregate is deterministic.
+    "rel_interval_coverage" -> ((s, d) =>
+      Relational.intervalCoverage(Tables.events(s, d),
+          Seq(col("event_type")), col("ts_sec"), col("ts_sec") + 1800)
+        .orderBy(col("event_type"))),
+
+    // COMPACTION PLAN — the daily small-files maintenance pass of any
+    // streaming-ingested 100 TB table: per source partition, documents
+    // (standing in for ingest files) are laid on a byte axis in ingest
+    // order and cut into ~2 KB output bins by one window cumsum — no
+    // driver loop; the executing rewrite is repartition(source, bin).
+    // Every bin but the partition's last is ≥ target by construction.
+    "rel_compaction_plan" -> ((s, d) =>
+      Relational.compactionPlan(Tables.documents(s, d),
+          Seq(col("source")), col("doc_id"), col("n_chars"),
+          targetBytes = 2048L)
+        .orderBy(col("source"), col("bin"))),
+
     // Incremental materialized-view maintenance: per-key mergeable
     // state (count/sum/min/max in exact cents) computed over three
     // disjoint delta slices, then MERGED — the oracle recomputes the
@@ -3400,6 +3469,19 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS n_view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // pivot's inverse: the long form INCLUDING zero cells, so the
+    // oracle scaffolds day × type and left-joins the counts.
+    "rel_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT days.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM days CROSS JOIN t
+        |LEFT JOIN c ON c.day = days.day AND c.event_type = t.event_type
+        |ORDER BY days.day, t.event_type""".stripMargin,
 
     "rel_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -6249,6 +6331,75 @@ object SparkEntry {
          |FROM est LEFT JOIN cnt
          |  ON est.event_type = cnt.event_type AND est.v = cnt.v
          |ORDER BY est.event_type, user_id""".stripMargin,
+
+    // Misra–Gries replayed counter for counter: per-slice exact counts,
+    // per-slice trim (subtract the 17th-largest count, keep > 0), sum,
+    // one re-trim — no hashing, every number an exact integer.
+    "rel_mg_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id % 3 AS sl,
+        |             CAST(user_id AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2, 3),
+        |t1 AS (SELECT event_type, v, n,
+        |         max(CASE WHEN rn = 17 THEN n END)
+        |           OVER (PARTITION BY event_type, sl) AS ck1
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type, sl
+        |               ORDER BY n DESC, v) AS rn FROM c)),
+        |s AS (SELECT event_type, v, n - coalesce(ck1, 0) AS n FROM t1
+        |      WHERE n - coalesce(ck1, 0) > 0),
+        |m AS (SELECT event_type, v, CAST(sum(n) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |t2 AS (SELECT event_type, v, n,
+        |         max(CASE WHEN rn = 17 THEN n END)
+        |           OVER (PARTITION BY event_type) AS ck1
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |               ORDER BY n DESC, v) AS rn FROM m)),
+        |st AS (SELECT event_type, v, n - coalesce(ck1, 0) AS n FROM t2
+        |       WHERE n - coalesce(ck1, 0) > 0),
+        |ex AS (SELECT event_type, CAST(user_id AS VARCHAR) AS v,
+        |         CAST(count(*) AS BIGINT) AS n_exact FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+        |        FROM events GROUP BY 1)
+        |SELECT st.event_type, CAST(st.v AS BIGINT) AS user_id, st.n AS n_lb,
+        |  ex.n_exact, ex.n_exact - st.n AS deficit, tot.n_total // 17 AS bound
+        |FROM st JOIN ex ON st.event_type = ex.event_type AND st.v = ex.v
+        |JOIN tot ON st.event_type = tot.event_type
+        |ORDER BY st.event_type, user_id""".stripMargin,
+
+    // Interval union coverage: running max of previous ends cuts
+    // islands; island extents sum to the covered length.
+    "rel_interval_coverage" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS e
+        |           FROM events),
+        |isl AS (SELECT event_type, s, e,
+        |          CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY event_type ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+        |        FROM (SELECT *, max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |              FROM e)),
+        |g AS (SELECT event_type, isl, CAST(count(*) AS BIGINT) AS n,
+        |        min(s) AS i_s, max(e) AS i_e
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+        |  CAST(max(i_e) - min(i_s) AS BIGINT) AS span,
+        |  (CAST(sum(i_e - i_s) AS BIGINT) * 1000) //
+        |    greatest(CAST(max(i_e) - min(i_s) AS BIGINT), 1) AS utilization_permille
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Compaction plan: bin = bytes-before-this-file div target — one
+    // window cumsum, replayed exactly.
+    "rel_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars AS b FROM documents
+        |           WHERE n_chars > 0),
+        |c AS (SELECT source, b,
+        |        CAST(sum(b) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f)
+        |SELECT source, (cum - b) // 2048 AS bin, count(*) AS n_files,
+        |  CAST(sum(b) AS BIGINT) AS bytes,
+        |  (CAST(sum(b) AS BIGINT) * 1000) // 2048 AS fill_permille
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
 
     "corpus_length_quantiles" ->
       s"""WITH dl AS (SELECT source, doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens

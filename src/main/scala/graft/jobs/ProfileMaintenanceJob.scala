@@ -20,8 +20,9 @@ import graft.operators.Relational
   * user frequency vector — self-join size / skew), CMS (point user
   * frequencies), Bloom (user membership), priority sample (k
   * weight-biased representative events → a-posteriori subset sums
-  * for predicates nobody pre-aggregated). Every stored number is
-  * deterministic integer arithmetic.
+  * for predicates nobody pre-aggregated), Misra–Gries (≤ k candidate
+  * heavy users with never-overshooting counts — CMS's bracketing
+  * partner). Every stored number is deterministic integer arithmetic.
   *
   * Every stage is the library operator — this main is pure wiring.
   *
@@ -42,6 +43,7 @@ object ProfileMaintenanceJob {
   val BloomHashes = 4
   val BloomBits = 1 << 17
   val SampleK = 64
+  val MgK = 16
 
   /** Land one delta's partial states under `segment`. Re-running the
     * same (delta, segment) overwrites — exactly-once under replays. */
@@ -67,6 +69,8 @@ object ProfileMaintenanceJob {
     Relational.appendState(
       Relational.sampleState(ev, k, col("event_id"), col("cents"), SampleK,
         payload = Seq(col("user_id"))), s"$storeDir/sample", segment)
+    Relational.appendState(
+      Relational.mgState(ev, k, col("user_id"), MgK), s"$storeDir/mg", segment)
   }
 
   /** Fold every store down to one `seg=base` generation. */
@@ -85,6 +89,8 @@ object ProfileMaintenanceJob {
       Relational.mergeBloomStates(Seq(st)))
     Relational.compactStateStore(spark, s"$storeDir/sample")(st =>
       Relational.mergeSampleStates(Seq(st), Keys, SampleK))
+    Relational.compactStateStore(spark, s"$storeDir/mg")(st =>
+      Relational.mergeMgStates(Seq(st), Keys, MgK))
   }
 
   /** The merged profile readout — per event_type: exact row count /
@@ -116,7 +122,17 @@ object ProfileMaintenanceJob {
           Relational.mergeSampleStates(Seq(st), Keys, SampleK), Keys, SampleK,
           pmod(col("user_id"), lit(2)) === 0))
       .select(col("event_type"), col("est_sum").as("est_cents_even_users"))
+    // the heaviest surviving MG counter: a guaranteed-no-overshoot
+    // "top user" lower bound (deterministic tie-break on the value)
+    val mg = Relational.readMergedState(spark, s"$storeDir/mg")(st =>
+        Relational.topNPerGroup(Relational.mergeMgStates(Seq(st), Keys, MgK),
+          Keys.map(col), Seq(col("n").desc, col("v")), 1, rankCol = "__rn"))
+      .select(col("event_type"), col("v").cast("long").as("top_user_id"),
+        col("n").as("top_user_lb"))
+    // left: an MG state CAN legally be empty (a perfectly tied key
+    // trims every counter to zero) — the profile row must survive that
     agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys).join(samp, Keys)
+      .join(mg, Keys, "left")
       .orderBy(col("event_type"))
   }
 

@@ -203,6 +203,82 @@ object Relational {
       .drop("__is_new")
   }
 
+  /** INTERVAL UNION COVERAGE (gaps-and-islands sweep): per key, the
+    * total length covered by a set of possibly-overlapping [start,
+    * end) integer intervals, the merged-island count, and the
+    * utilization of the overall span — [[sessionize]]'s range-typed
+    * sibling (points with a gap rule there; explicit extents merged by
+    * overlap here). The reference's domain is exactly this shape:
+    * occupied-minutes of a meeting room under overlapping bookings
+    * (README.md:10's occupancy goal, time fields of Main.java:43–151's
+    * meeting rows).
+    *
+    * One shuffle on the keys, two stacked windows over the same
+    * (start, end) order: an island breaks where start exceeds the
+    * running max of all previous ends (running max, not lag — an
+    * interval can swallow several successors), islands are numbered by
+    * a running sum of breaks. Equal-(start, end) tie order can permute
+    * island IDs but never island MEMBERSHIP, so the per-key aggregate
+    * is a pure function of the interval multiset — the determinism the
+    * oracle replay needs. Output: keys, n_intervals, n_islands,
+    * covered (Σ island extents), span (max end − min start),
+    * utilization_permille (covered·1000 div span). */
+  def intervalCoverage(df: DataFrame, keys: Seq[Column], startCol: Column,
+                       endCol: Column): DataFrame = {
+    val rows = df.select(keys ++ Seq(startCol.cast("long").as("__s"),
+        endCol.cast("long").as("__e")): _*)
+      .filter(col("__s").isNotNull && col("__e") > col("__s"))
+    val kc = rows.columns.dropRight(2).map(col).toSeq
+    val w = Window.partitionBy(kc: _*).orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(prevMax.isNull || col("__s") > prevMax, 1).otherwise(0)
+    rows.withColumn("__isl", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(kc :+ col("__isl"): _*)
+      .agg(count(lit(1)).as("__n"), min(col("__s")).as("__is"),
+        max(col("__e")).as("__ie"))
+      .groupBy(kc: _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        (max(col("__ie")) - min(col("__is"))).as("span"))
+      .withColumn("utilization_permille",
+        expr("(covered * 1000) div greatest(span, 1)"))
+  }
+
+  /** COMPACTION PLAN (small-files → target-size output groups): the
+    * table-maintenance pass every 100 TB parquet table runs daily —
+    * streaming ingests land thousands of KB-sized files per partition,
+    * and scan throughput dies on file-open overhead until they are
+    * rewritten into ~targetBytes outputs. Per key (= table partition),
+    * files are laid on a byte axis in `orderCol` order (keep it the
+    * cluster order — ingest time, or a [[zorderBy]]/[[hilbertBy]] key
+    * — so compaction preserves locality) and cut into bins at
+    * targetBytes boundaries: bin = (running_bytes − bytes) div target,
+    * i.e. a file opens bin b when the bytes before it already fill b
+    * bins. Every bin but the key's last holds ≥ targetBytes, overshoot
+    * is bounded by one input file, and the whole plan is one window
+    * cumsum — no driver loop, no collect, deterministic for the oracle
+    * replay. The executing rewrite is then one
+    * `repartition(keys :+ bin)` write. Output: keys, bin, n_files,
+    * bytes, fill_permille (bytes·1000 div target). */
+  def compactionPlan(files: DataFrame, keys: Seq[Column], orderCol: Column,
+                     sizeCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val rows = files.select(keys ++ Seq(orderCol.as("__o"),
+        sizeCol.cast("long").as("__b")): _*)
+      .filter(col("__b") > 0)
+    val kc = rows.columns.dropRight(2).map(col).toSeq
+    val run = Window.partitionBy(kc: _*).orderBy(col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.withColumn("__cum", sum(col("__b")).over(run))
+      .withColumn("bin", expr(s"(__cum - __b) div ${targetBytes}L"))
+      .groupBy(kc :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("__b")).as("bytes"))
+      .withColumn("fill_permille", expr(s"(bytes * 1000) div ${targetBytes}L"))
+  }
+
   /** One-pass table profiling — the ANALYZE surface: per column,
     * row/null counts, EXACT distinct count, min/max (stringified so
     * heterogeneous columns stack into one frame). One global aggregate
@@ -704,6 +780,74 @@ object Relational {
         sum(when(predicate, 1L).otherwise(0L)).as("n_match"),
         sum(when(predicate, greatest(col("w"), col("__tau"))).otherwise(0L))
           .as("est_sum"))
+  }
+
+  /** MISRA–GRIES heavy-hitters state (Misra & Gries 1982; merge rule
+    * of Agarwal et al., "Mergeable Summaries", PODS 2012) — the
+    * mergeable FREQUENT-ITEMS summary joining the profile-state
+    * family: where [[cmsState]] answers point-frequency probes with a
+    * one-sided OVERcount, this keeps the ≤ k candidate heavy values
+    * themselves with a one-sided UNDERcount — the two sketches bracket
+    * the truth from opposite sides. This is the STORED, mergeable form
+    * of the same summary the [[graft.functions.FreqTopK]] native
+    * aggregate computes in-query: that one streams per-partition and
+    * merges inside one aggregation; this one persists per-delta
+    * partials in the [[appendState]] segmented store and re-merges at
+    * read time. Guarantees (n = total items in the
+    * key group, at ANY merge topology): every stored counter satisfies
+    * n̂(v) ≤ n(v) ≤ n̂(v) + n div (k+1), and every value with
+    * n(v) > n/(k+1) is present. The bound survives merging because each
+    * trim subtracts its δ from ≥ k+1 positive counters, so Σδ ≤
+    * n/(k+1) by mass accounting — the PODS 2012 potential argument.
+    *
+    * Determinism contract (why the DuckDB oracle hash-matches): the
+    * state is a pure function of the input MULTISET, not of any
+    * processing order — counts are exact pre-trim, and the trim
+    * subtracts the (k+1)-st largest count from ALL counters, so
+    * boundary ties zero out together no matter how row_number broke
+    * them. No hashing anywhere: every number is an exact integer.
+    *
+    * Scale shape: exact counts first — one map-side-combinable shuffle
+    * on (keys, v), so the windowed relation is the distinct-value
+    * table, never the event stream; the trim is one per-key sort of
+    * that table and the stored state is O(#keys · k) forever. Merge is
+    * a sum + re-trim (associative/commutative, NOT idempotent —
+    * replayed deltas double-count, the [[aggState]] contract the
+    * [[appendState]] per-segment overwrite store absorbs). */
+  def mgState(df: DataFrame, keys: Seq[Column], valueCol: Column,
+              k: Int): DataFrame = {
+    require(k >= 1, s"Misra-Gries needs k >= 1 counters, got $k")
+    val rows = df.select(keys :+ valueCol.cast("string").as("v"): _*)
+      .filter(col("v").isNotNull)
+    mgTrim(rows.groupBy(rows.columns.map(col): _*)
+      .agg(count(lit(1)).as("n")), k)
+  }
+
+  /** One deterministic MG trim: subtract the (k+1)-st largest count
+    * (0 when the group is a ≤ k census) from every counter, keep the
+    * strictly positive ones — at most k survive, and survivors are
+    * exactly {v : n(v) > c₍k+1₎} regardless of tie order. */
+  private def mgTrim(counts: DataFrame, k: Int): DataFrame = {
+    val kc = counts.columns.filterNot(Set("v", "n")).map(col).toSeq
+    val win = Window.partitionBy(kc: _*).orderBy(col("n").desc, col("v"))
+    counts.withColumn("__rn", row_number().over(win))
+      .withColumn("__ck1",
+        max(when(col("__rn") === k + 1, col("n"))).over(Window.partitionBy(kc: _*)))
+      .withColumn("n", col("n") - coalesce(col("__ck1"), lit(0L)))
+      .filter(col("n") > 0)
+      .drop("__rn", "__ck1")
+  }
+
+  /** Union → counter sum → one re-trim. The multi-way form trims once
+    * over the summed counters, so merge(AB) ≡ merge(BA) by
+    * construction and the n/(k+1) bound holds by the same mass
+    * accounting as the pairwise rule. */
+  def mergeMgStates(states: Seq[DataFrame], keyCols: Seq[String],
+                    k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    mgTrim(states.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "v").map(col): _*)
+      .agg(sum(col("n")).as("n")), k)
   }
 
   /** COUNT-MIN SKETCH state (Cormode & Muthukrishnan 2005) — the

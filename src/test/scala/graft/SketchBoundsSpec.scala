@@ -256,6 +256,59 @@ class SketchBoundsSpec extends SparkSpec {
       small.filter(col("st") === "F").agg(sum(col("w"))).as[Long].head())
   }
 
+  test("Misra-Gries: never overshoots, deficit ≤ n/(k+1), heavy values survive, census exact") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val k = 8
+    // Zipf-ish frequencies: value j appears 1200/(j+1) times — a real
+    // heavy-hitter profile, so survival and deficit both get exercised
+    val rows = (0 until 60).flatMap(j => Seq.fill(1200 / (j + 1))(j))
+      .zipWithIndex.map { case (v, i) => ("t", i.toLong, v.toLong) }
+    val df = rows.toDF("k", "id", "v")
+    val exact = rows.groupBy(_._3).map { case (v, g) => v.toString -> g.size.toLong }
+    val nTotal = rows.size.toLong
+    val bound = nTotal / (k + 1)
+    def laws(state: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = state.select("v", "n").as[(String, Long)].collect().toMap
+      assert(got.nonEmpty && got.size <= k, s"$label: ${got.size} counters > k")
+      got.foreach { case (v, n) =>
+        assert(n >= 1 && n <= exact(v), s"$label: counter $v=$n overshoots ${exact(v)}")
+        assert(exact(v) - n <= bound, s"$label: deficit of $v exceeds n/(k+1)=$bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach(v =>
+        assert(got.contains(v), s"$label: heavy value $v (${exact(v)} > $bound) missing"))
+    }
+    laws(Relational.mgState(df, Seq(col("k")), col("v"), k), "direct")
+    // the PODS-2012 guarantee survives any merge topology — here a
+    // 3-way slice by row id (values spread across every slice)
+    val slices = (0 to 2).map(i =>
+      Relational.mgState(df.filter(col("id") % 3 === i), Seq(col("k")), col("v"), k))
+    laws(Relational.mergeMgStates(slices, Seq("k"), k), "merged")
+    // census: ≤ k distinct values ⇒ no trim ever fires, state is exact
+    val small = df.filter(col("v") < k)
+    val cen = Relational.mgState(small, Seq(col("k")), col("v"), k)
+      .select("v", "n").as[(String, Long)].collect().toMap
+    assert(cen === exact.filter(_._1.toLong < k), "census must be the exact counts")
+    // the generic StateStream side-car maintains MG too: per-batch
+    // partials in the segmented store, merged readout honors the same
+    // laws, and a replayed (run, batch) overwrites (MG counters are
+    // NOT idempotent — the store's exactly-once is what protects them)
+    val store = java.nio.file.Files.createTempDirectory("mg_stream").toString + "/mg"
+    val batches = (0 to 2).map(i => df.filter(col("id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StateStream.process(b, "r1", i.toLong, store)(
+        Relational.mgState(_, Seq(col("k")), col("v"), k))
+    }
+    def streamed() = Relational.readMergedState(spark, store)(st =>
+      Relational.mergeMgStates(Seq(st), Seq("k"), k))
+    laws(streamed(), "streamed")
+    val before = streamed().select("v", "n").as[(String, Long)].collect().toSet
+    graft.streaming.StateStream.process(batches(1), "r1", 1L, store)(
+      Relational.mgState(_, Seq(col("k")), col("v"), k))
+    assert(streamed().select("v", "n").as[(String, Long)].collect().toSet === before,
+      "replayed micro-batch must not inflate MG counters")
+  }
+
   test("histogram state: merge ≡ direct; bucket quantile brackets the exact order stat") {
     import spark.implicits._
     import graft.operators.Relational
@@ -538,11 +591,18 @@ class SketchBoundsSpec extends SparkSpec {
       assert(estEven === exEven ||
         math.abs(estEven - exEven).toDouble / math.max(exEven, 1L) <= 0.60,
         s"priority-sample estimate $estEven vs exact $exEven")
+      // the MG top-user counter never overshoots that user's true count
+      val lb = r.getAs[Long]("top_user_lb")
+      val topUser = r.getAs[Long]("top_user_id")
+      val exTop = ev.filter(col("event_type") === r.getAs[String]("event_type")
+          && col("user_id") === topUser).count()
+      assert(lb >= 1 && lb <= exTop,
+        s"MG top-user bound $lb vs exact $exTop for user $topUser")
     }
-    // compaction folds all seven stores and changes no readout
+    // compaction folds all eight stores and changes no readout
     ProfileMaintenanceJob.compact(spark, store)
     assert(snap() === got, "compaction must not change the profile")
-    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample"))
+    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample", "mg"))
       assert(spark.read.parquet(s"$store/$fam").select("seg").distinct()
         .as[String].collect().toSeq === Seq("base"), s"$fam not folded")
     // the probe-style stores answer through their own readers
