@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Cdc, Corpus, Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Corpus, Dedup, Graph, Multimodal, Partitioning, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract (see SURVEY.md §2 for the operator inventory each
@@ -477,6 +477,40 @@ object SparkEntry {
           "l_partkey", "l_suppkey", bits = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("hilbert"))
         .orderBy(col("hilbert"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // LAYOUT SKIP AUDIT — what rel_zorder/rel_hilbert only assert,
+    // measured: band lineitem into 64 files under three layouts
+    // (single-key sort, Z-order, Hilbert), build each min/max
+    // manifest, and score 16 narrow range probes per column against
+    // it. The single-key layout skips ~everything on its own column
+    // and ~nothing on the other; the space-filling curves hold skip
+    // rates on BOTH — the number that justifies a 100 TB clustering
+    // rewrite before paying for it. Deterministic value banding, so
+    // the oracle replays manifest and verdicts exactly.
+    "rel_layout_audit" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      import graft.functions.HilbertIndex.hilbert_index
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      val probes = li
+        .agg(max(col("l_partkey")).cast("long").as("mp"),
+          max(col("l_suppkey")).cast("long").as("ms"))
+        .select(explode(array(
+          struct(lit("by_part").as("workload"), lit("l_partkey").as("on_col"),
+            col("mp").as("mx")),
+          struct(lit("by_supp").as("workload"), lit("l_suppkey").as("on_col"),
+            col("ms").as("mx")))).as("w"))
+        .select(col("w.workload").as("workload"), col("w.on_col").as("on_col"),
+          col("w.mx").as("mx"), explode(sequence(lit(0), lit(15))).as("i"))
+        .select(col("workload"), col("on_col"),
+          expr("((mx + 1) * i) div 16").as("lo"),
+          expr("((mx + 1) * i) div 16 + (mx + 1) div 256").as("hi"))
+      Partitioning.skipAudit(li, Seq(
+          "hilbert" -> hilbert_index(col("l_partkey"), col("l_suppkey"), 16),
+          "single" -> col("l_partkey").cast("long"),
+          "zorder" -> Partitioning.mortonCode(col("l_partkey"), col("l_suppkey"), 16)),
+        Seq("l_partkey", "l_suppkey"), nFiles = 64, probes = probes)
+        .orderBy(col("layout"), col("workload"))
     }),
 
     // Sketch aggregates: HLL++ distinct and t-digest-style quantiles.
@@ -2228,6 +2262,23 @@ object SparkEntry {
           Seq(col("event_type")), col("ts_sec"), col("ts_sec") + 1800)
         .orderBy(col("event_type"))),
 
+    // INCREMENTAL coverage maintenance: the island set is a mergeable
+    // AND idempotent state (coverage is a point-set union; islands are
+    // its canonical form), so three delta slices merge to EXACTLY the
+    // direct answer — the oracle recomputes over all events, and the
+    // hash match IS the merge ≡ recompute proof. A 100 TB occupancy
+    // map updates from each day's delta without rescanning history.
+    "rel_coverage_incremental" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val slices = (0 to 2).map(i =>
+        Relational.coverageState(ev.filter(col("event_id") % 3 === i),
+          Seq(col("event_type")), col("ts_sec"), col("ts_sec") + 1800))
+      Relational.coverageReadout(
+          Relational.mergeCoverageStates(slices, Seq("event_type")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // COMPACTION PLAN — the daily small-files maintenance pass of any
     // streaming-ingested 100 TB table: per source partition, documents
     // (standing in for ingest files) are laid on a byte axis in ingest
@@ -2849,8 +2900,13 @@ object SparkEntry {
   /** Hilbert xy2d walk over `lineitem` as `bits` chained CTE steps
     * (h0 = raw keys, h<bits> = final (x, y, d) state). Quadrant digit
     * (3rx)⊕ry is written 3rx + ry − 2rxry (same values over bits, no
-    * XOR surface needed); rotation/swap as CASE. */
-  private def hilbertCtes(aCol: String, bCol: String, bits: Int): String = {
+    * XOR surface needed); rotation/swap as CASE. `carry` columns ride
+    * every step untouched — joining them back afterwards is WRONG
+    * because (l_orderkey, l_linenumber) is not unique in the
+    * synthetic lineitem (60k rows, ~46k distinct pairs). */
+  private def hilbertCtes(aCol: String, bCol: String, bits: Int,
+                          carry: Seq[String] = Nil): String = {
+    val ids = (Seq("l_orderkey", "l_linenumber") ++ carry).mkString(", ")
     val n = 1L << bits // flip over the FULL grid (canonical xy2d):
     // the s−1−x variant goes negative at lower levels and //-vs-%
     // semantics on negatives diverge across engines
@@ -2858,7 +2914,7 @@ object SparkEntry {
       val s = 1L << (bits - 1 - k)
       val rx = s"((x // $s) % 2)"
       val ry = s"((y // $s) % 2)"
-      s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber,
+      s"""h${k + 1} AS (SELECT $ids,
          |  CASE WHEN $ry = 0
          |       THEN (CASE WHEN $rx = 1 THEN $n - 1 - y ELSE y END)
          |       ELSE x END AS x,
@@ -2868,7 +2924,7 @@ object SparkEntry {
          |  d + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry) AS d
          |  FROM h$k)""".stripMargin
     }
-    (Seq(s"""h0 AS (SELECT l_orderkey, l_linenumber,
+    (Seq(s"""h0 AS (SELECT $ids,
             |  CAST($aCol AS BIGINT) AS x, CAST($bCol AS BIGINT) AS y,
             |  CAST(0 AS BIGINT) AS d FROM lineitem)""".stripMargin) ++ steps)
       .mkString(",\n")
@@ -3460,6 +3516,53 @@ object SparkEntry {
       s"""WITH ${hilbertCtes("l_partkey", "l_suppkey", 16)}
          |SELECT l_orderkey, l_linenumber, d AS hilbert
          |FROM h16 ORDER BY hilbert, l_orderkey, l_linenumber""".stripMargin,
+
+    // Layout audit replayed end to end: the three layout keys (plain,
+    // morton, hilbert walk), value-banded files, min/max manifest,
+    // probe ranges, and the readPruned skip rule — all integer.
+    "rel_layout_audit" ->
+      s"""WITH ${hilbertCtes("l_partkey", "l_suppkey", 16,
+              carry = Seq("l_partkey", "l_suppkey"))},
+         |hk AS (SELECT l_partkey, l_suppkey, d FROM h16),
+         |lay AS (
+         |  SELECT 'single' AS layout, l_partkey AS pk, l_suppkey AS sp,
+         |         CAST(l_partkey AS BIGINT) AS k FROM lineitem
+         |  UNION ALL
+         |  SELECT 'zorder', l_partkey, l_suppkey,
+         |         CAST(${mortonSql("l_partkey", "l_suppkey", 16)} AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'hilbert', l_partkey, l_suppkey, d FROM hk),
+         |mxk AS (SELECT layout, max(k) AS mxk FROM lay GROUP BY 1),
+         |filed AS (SELECT lay.layout, pk, sp, (k * 64) // (mxk + 1) AS file
+         |          FROM lay JOIN mxk ON lay.layout = mxk.layout),
+         |man AS (SELECT layout, file,
+         |          CAST(min(pk) AS BIGINT) AS mn_pk, CAST(max(pk) AS BIGINT) AS mx_pk,
+         |          CAST(min(sp) AS BIGINT) AS mn_sp, CAST(max(sp) AS BIGINT) AS mx_sp
+         |        FROM filed GROUP BY 1, 2),
+         |lf AS (SELECT layout, file, 'l_partkey' AS on_col, mn_pk AS mn, mx_pk AS mx
+         |       FROM man
+         |       UNION ALL
+         |       SELECT layout, file, 'l_suppkey', mn_sp, mx_sp FROM man),
+         |b AS (SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
+         |        CAST(max(l_suppkey) AS BIGINT) AS ms FROM lineitem),
+         |ii AS (SELECT unnest(range(0, 16)) AS i),
+         |pr AS (SELECT 'by_part' AS workload, 'l_partkey' AS on_col,
+         |         ((mp + 1) * i) // 16 AS lo,
+         |         ((mp + 1) * i) // 16 + (mp + 1) // 256 AS hi
+         |       FROM b CROSS JOIN ii
+         |       UNION ALL
+         |       SELECT 'by_supp', 'l_suppkey',
+         |         ((ms + 1) * i) // 16, ((ms + 1) * i) // 16 + (ms + 1) // 256
+         |       FROM b CROSS JOIN ii)
+         |SELECT layout, workload, CAST(count(DISTINCT file) AS BIGINT) AS n_files,
+         |  count(*) AS file_probe_pairs,
+         |  CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS skipped,
+         |  (CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000) // count(*) AS skip_permille
+         |FROM lf JOIN pr ON lf.on_col = pr.on_col
+         |GROUP BY 1, 2 ORDER BY layout, workload""".stripMargin,
 
     "rel_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,
@@ -6383,6 +6486,29 @@ object SparkEntry {
         |      FROM isl GROUP BY 1, 2)
         |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_intervals,
         |  count(*) AS n_islands, CAST(sum(i_e - i_s) AS BIGINT) AS covered,
+        |  CAST(max(i_e) - min(i_s) AS BIGINT) AS span,
+        |  (CAST(sum(i_e - i_s) AS BIGINT) * 1000) //
+        |    greatest(CAST(max(i_e) - min(i_s) AS BIGINT), 1) AS utilization_permille
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
+    // directly over every event — the hash match is the proof.
+    "rel_coverage_incremental" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS e
+        |           FROM events),
+        |isl AS (SELECT event_type, s, e,
+        |          CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY event_type ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+        |        FROM (SELECT *, max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |              FROM e)),
+        |g AS (SELECT event_type, isl, min(s) AS i_s, max(e) AS i_e
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered,
         |  CAST(max(i_e) - min(i_s) AS BIGINT) AS span,
         |  (CAST(sum(i_e - i_s) AS BIGINT) * 1000) //
         |    greatest(CAST(max(i_e) - min(i_s) AS BIGINT), 1) AS utilization_permille

@@ -108,6 +108,68 @@ object Partitioning {
     else index.unionByName(fileStatsIndex(spark.read.parquet(fresh.toSeq: _*), cols))
   }
 
+  /** LAYOUT SKIP AUDIT — the measurement that justifies (or refutes)
+    * a clustering choice BEFORE rewriting 100 TB: for each candidate
+    * layout, band rows into `nFiles` files by the layout key, build
+    * the [[fileStatsIndex]]-shaped min/max manifest, and score it
+    * against a probe workload — a file is SKIPPABLE for probe
+    * [lo, hi] on column c iff its [min_c, max_c] misses the range
+    * (exactly the [[readPruned]] rule). A single-column sort layout
+    * scores ~perfect on its own column and ~zero on the other;
+    * Z-order/Hilbert trade a little of the first for most of the
+    * second — this operator turns that folklore into a number per
+    * (layout, workload).
+    *
+    * Files are VALUE-banded on the layout key — file = (k · nFiles)
+    * div (max_k + 1) — not rank-banded: rank banding is a global sort
+    * (or sampling-based `repartitionByRange`, whose boundaries are
+    * nondeterministic), while value banding is one broadcast max and
+    * a pure row function, deterministic for the oracle replay. Banded
+    * file sizes then follow the key distribution, which the manifest
+    * records honestly.
+    *
+    * Scale shape: ONE scan of `df` computing every layout key
+    * (explode by layout: rows × |layouts|), one map-side-combinable
+    * manifest aggregation on (layout, file) — manifest and probe
+    * frames are metadata-sized; the join against probes is broadcast.
+    *
+    * `probes`: (workload, on_col, lo, hi) — `on_col` names a column
+    * of `statsCols`. Output per (layout, workload): n_files,
+    * file_probe_pairs, skipped, skip_permille. */
+  def skipAudit(df: DataFrame, layouts: Seq[(String, Column)],
+                statsCols: Seq[String], nFiles: Int,
+                probes: DataFrame): DataFrame = {
+    require(layouts.nonEmpty && statsCols.nonEmpty && nFiles >= 2,
+      "skipAudit needs layouts, stats columns and nFiles >= 2")
+    val lay = df
+      .select(statsCols.map(col) :+ explode(array(layouts.map { case (n, k) =>
+        struct(lit(n).as("layout"), k.cast("long").as("k")) }: _*)).as("__l"): _*)
+      .select(statsCols.map(col) :+ col("__l.layout") :+ col("__l.k"): _*)
+    val maxes = lay.groupBy(col("layout")).agg(max(col("k")).as("__mxk"))
+    val manifestAggs = count(lit(1)).as("rows") +: statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"__min_$c"),
+        max(col(c)).cast("long").as(s"__max_$c")))
+    val manifest = lay.join(broadcast(maxes), "layout")
+      .withColumn("file", expr(s"(k * $nFiles) div (__mxk + 1)"))
+      .groupBy(col("layout"), col("file"))
+      .agg(manifestAggs.head, manifestAggs.tail: _*)
+    // long form — one row per (layout, file, stats column) — so the
+    // probe join is a plain equi-join on the column name
+    val longForm = manifest.select(col("layout"), col("file"),
+        explode(array(statsCols.map(c => struct(lit(c).as("on_col"),
+          col(s"__min_$c").as("mn"), col(s"__max_$c").as("mx"))): _*)).as("__s"))
+      .select(col("layout"), col("file"), col("__s.on_col"), col("__s.mn"),
+        col("__s.mx"))
+    longForm.join(broadcast(probes), "on_col")
+      .groupBy(col("layout"), col("workload"))
+      .agg(countDistinct(col("file")).as("n_files"),
+        count(lit(1)).as("file_probe_pairs"),
+        sum(when(col("mx") < col("lo") || col("mn") > col("hi"), 1L)
+          .otherwise(0L)).as("skipped"))
+      .withColumn("skip_permille",
+        expr("(skipped * 1000) div file_probe_pairs"))
+  }
+
   /** File-level data skipping without a table format: keep only the
     * files whose stats row satisfies `keep` (written over the index's
     * `min_*` / `max_*` columns — for "id between lo and hi" that is

@@ -225,9 +225,28 @@ object Relational {
     * utilization_permille (covered·1000 div span). */
   def intervalCoverage(df: DataFrame, keys: Seq[Column], startCol: Column,
                        endCol: Column): DataFrame = {
-    val rows = df.select(keys ++ Seq(startCol.cast("long").as("__s"),
+    val isl = islandExtents(intervalRows(df, keys, startCol, endCol))
+    val kc = isl.columns.dropRight(3).map(col).toSeq
+    isl.groupBy(kc: _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        (max(col("__ie")) - min(col("__is"))).as("span"))
+      .withColumn("utilization_permille",
+        expr("(covered * 1000) div greatest(span, 1)"))
+  }
+
+  /** Normalize to keys ++ (__s, __e) long intervals, dropping empties. */
+  private def intervalRows(df: DataFrame, keys: Seq[Column], startCol: Column,
+                           endCol: Column): DataFrame =
+    df.select(keys ++ Seq(startCol.cast("long").as("__s"),
         endCol.cast("long").as("__e")): _*)
       .filter(col("__s").isNotNull && col("__e") > col("__s"))
+
+  /** The canonical merged-island set of keys ++ (__s, __e) interval
+    * rows — [[intervalCoverage]]'s sweep, shared with the mergeable
+    * [[coverageState]]. Output: keys ++ (__n, __is, __ie) per island. */
+  private def islandExtents(rows: DataFrame): DataFrame = {
     val kc = rows.columns.dropRight(2).map(col).toSeq
     val w = Window.partitionBy(kc: _*).orderBy(col("__s"), col("__e"))
     val prevMax = max(col("__e")).over(
@@ -238,11 +257,49 @@ object Relational {
       .groupBy(kc :+ col("__isl"): _*)
       .agg(count(lit(1)).as("__n"), min(col("__s")).as("__is"),
         max(col("__e")).as("__ie"))
-      .groupBy(kc: _*)
-      .agg(sum(col("__n")).as("n_intervals"),
-        count(lit(1)).as("n_islands"),
-        sum(col("__ie") - col("__is")).as("covered"),
-        (max(col("__ie")) - min(col("__is"))).as("span"))
+      .drop("__isl")
+  }
+
+  /** COVERAGE STATE — the mergeable (and, unusually for this family,
+    * IDEMPOTENT) summary behind [[intervalCoverage]]: the canonical
+    * merged-island set per key. Coverage is a POINT-SET union, which
+    * is associative, commutative and idempotent, and the island set is
+    * a canonical function of that point set — so
+    * merge(state(deltas)) ≡ state(all) EXACTLY (not just bounded), a
+    * replayed segment merges away for free (the [[kmvState]] contract,
+    * no partition-overwrite needed), and a daily delta maintains the
+    * stored occupancy map without rescanning history. State size is
+    * O(#islands) per key — bounded by the key's busy/idle alternation,
+    * not by event volume (a room booked all day is ONE row however
+    * many meetings produced it). */
+  def coverageState(df: DataFrame, keys: Seq[Column], startCol: Column,
+                    endCol: Column): DataFrame = {
+    val isl = islandExtents(intervalRows(df, keys, startCol, endCol))
+    val kc = isl.columns.dropRight(3).map(col).toSeq
+    isl.select(kc ++ Seq(col("__is").as("s"), col("__ie").as("e")): _*)
+  }
+
+  /** Union → one re-sweep: the k+1 smallest argument of [[kmvState]]
+    * doesn't apply here — EVERY island row participates, and the
+    * re-sweep re-merges islands that grew together across deltas. */
+  def mergeCoverageStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    val u = states.reduce(_ unionByName _)
+    val rows = u.select(keyCols.map(col) ++ Seq(col("s").as("__s"),
+      col("e").as("__e")): _*)
+    val isl = islandExtents(rows)
+    isl.select(keyCols.map(col) ++ Seq(col("__is").as("s"), col("__ie").as("e")): _*)
+  }
+
+  /** [[intervalCoverage]]'s readout off a merged [[coverageState]]
+    * (n_intervals is gone by design — idempotence costs the source
+    * count; [[aggState]] keeps it if needed). */
+  def coverageReadout(state: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val kc = keyCols.map(col)
+    state.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered"),
+        (max(col("e")) - min(col("s"))).as("span"))
       .withColumn("utilization_permille",
         expr("(covered * 1000) div greatest(span, 1)"))
   }

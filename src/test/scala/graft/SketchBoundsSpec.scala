@@ -309,6 +309,57 @@ class SketchBoundsSpec extends SparkSpec {
       "replayed micro-batch must not inflate MG counters")
   }
 
+  test("coverage state: merge ≡ direct EXACTLY, replay-idempotent, canonical, streamed agrees") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // overlapping, nested and touching intervals across two keys
+    val df = (0 until 400).map { i =>
+      val s = (i * 37 % 1000).toLong
+      ("r" + (i % 2), i.toLong, s, s + 5 + (i % 40))
+    }.toDF("k", "id", "s0", "e0")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      d.select("k", "s", "e").as[(String, Long, Long)].collect().toSet
+    val direct = Relational.coverageState(df, Seq(col("k")), col("s0"), col("e0"))
+    val want = rows(direct)
+    // canonical form: per key the islands are disjoint and non-touching
+    want.groupBy(_._1).foreach { case (k, is) =>
+      is.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1, s"islands of $k touch or overlap")
+        case _ =>
+      }
+    }
+    // point-set union is associative + idempotent ⇒ merge ≡ direct and
+    // a replayed slice merges away without any overwrite protocol
+    val slices = (0 to 2).map(i => Relational.coverageState(
+      df.filter(col("id") % 3 === i), Seq(col("k")), col("s0"), col("e0")))
+    assert(rows(Relational.mergeCoverageStates(slices, Seq("k"))) === want)
+    assert(rows(Relational.mergeCoverageStates(slices :+ slices(0), Seq("k"))) === want)
+    // readout off the state ≡ the one-shot intervalCoverage aggregate
+    val ic = Relational.intervalCoverage(df, Seq(col("k")), col("s0"), col("e0"))
+      .select("k", "n_islands", "covered", "span", "utilization_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val ro = Relational.coverageReadout(direct, Seq("k"))
+      .select("k", "n_islands", "covered", "span", "utilization_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(ro === ic, "state readout must equal the direct aggregate")
+    // the generic StateStream side-car maintains it too
+    val store = java.nio.file.Files.createTempDirectory("cov_stream").toString + "/cov"
+    (0 to 2).foreach { i =>
+      graft.streaming.StateStream.process(df.filter(col("id") % 3 === i),
+        "r1", i.toLong, store)(
+        Relational.coverageState(_, Seq(col("k")), col("s0"), col("e0")))
+    }
+    def streamed() = Relational.readMergedState(spark, store)(st =>
+      Relational.mergeCoverageStates(Seq(st), Seq("k")))
+    assert(rows(streamed()) === want, "streamed store must read the direct islands")
+    // crash-retry of a batch: idempotent state + overwrite store ⇒ no drift
+    graft.streaming.StateStream.process(df.filter(col("id") % 3 === 1),
+      "r1", 1L, store)(
+      Relational.coverageState(_, Seq(col("k")), col("s0"), col("e0")))
+    assert(rows(streamed()) === want, "replayed micro-batch must not change islands")
+  }
+
   test("histogram state: merge ≡ direct; bucket quantile brackets the exact order stat") {
     import spark.implicits._
     import graft.operators.Relational
