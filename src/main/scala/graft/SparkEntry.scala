@@ -2283,8 +2283,9 @@ object SparkEntry {
     // streaming-ingested 100 TB table: per source partition, documents
     // (standing in for ingest files) are laid on a byte axis in ingest
     // order and cut into ~2 KB output bins by one window cumsum — no
-    // driver loop; the executing rewrite is repartition(source, bin).
-    // Every bin but the partition's last is ≥ target by construction.
+    // driver loop; the executing rewrite is
+    // Partitioning.compactionRewrite (one file per bin, spec-proven).
+    // Non-last bins land within one input file of the target.
     "rel_compaction_plan" -> ((s, d) =>
       Relational.compactionPlan(Tables.documents(s, d),
           Seq(col("source")), col("doc_id"), col("n_chars"),

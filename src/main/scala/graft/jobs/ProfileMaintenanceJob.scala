@@ -22,7 +22,9 @@ import graft.operators.Relational
   * weight-biased representative events → a-posteriori subset sums
   * for predicates nobody pre-aggregated), Misra–Gries (≤ k candidate
   * heavy users with never-overshooting counts — CMS's bracketing
-  * partner). Every stored number is deterministic integer arithmetic.
+  * partner), coverage (merged activity islands over [ts, ts+30 min) —
+  * idempotent, so replays are harmless even without the overwrite).
+  * Every stored number is deterministic integer arithmetic.
   *
   * Every stage is the library operator — this main is pure wiring.
   *
@@ -44,12 +46,13 @@ object ProfileMaintenanceJob {
   val BloomBits = 1 << 17
   val SampleK = 64
   val MgK = 16
+  val CoverageWindowSec = 1800L
 
   /** Land one delta's partial states under `segment`. Re-running the
     * same (delta, segment) overwrites — exactly-once under replays. */
   def ingest(events: DataFrame, storeDir: String, segment: String): Unit = {
     val ev = events.select(col("event_type"), col("event_id"), col("user_id"),
-      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      col("ts_sec"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
     val k = Keys.map(col)
     Relational.appendState(
       Relational.aggState(ev, k, col("cents")), s"$storeDir/agg", segment)
@@ -71,6 +74,9 @@ object ProfileMaintenanceJob {
         payload = Seq(col("user_id"))), s"$storeDir/sample", segment)
     Relational.appendState(
       Relational.mgState(ev, k, col("user_id"), MgK), s"$storeDir/mg", segment)
+    Relational.appendState(
+      Relational.coverageState(ev, k, col("ts_sec"),
+        col("ts_sec") + CoverageWindowSec), s"$storeDir/cov", segment)
   }
 
   /** Fold every store down to one `seg=base` generation. */
@@ -91,6 +97,8 @@ object ProfileMaintenanceJob {
       Relational.mergeSampleStates(Seq(st), Keys, SampleK))
     Relational.compactStateStore(spark, s"$storeDir/mg")(st =>
       Relational.mergeMgStates(Seq(st), Keys, MgK))
+    Relational.compactStateStore(spark, s"$storeDir/cov")(st =>
+      Relational.mergeCoverageStates(Seq(st), Keys))
   }
 
   /** The merged profile readout — per event_type: exact row count /
@@ -129,10 +137,15 @@ object ProfileMaintenanceJob {
           Keys.map(col), Seq(col("n").desc, col("v")), 1, rankCol = "__rn"))
       .select(col("event_type"), col("v").cast("long").as("top_user_id"),
         col("n").as("top_user_lb"))
+    // merged activity coverage: seconds of the span with any event
+    val cov = Relational.readMergedState(spark, s"$storeDir/cov")(st =>
+        Relational.coverageReadout(
+          Relational.mergeCoverageStates(Seq(st), Keys), Keys))
+      .select(col("event_type"), col("covered").as("active_secs"))
     // left: an MG state CAN legally be empty (a perfectly tied key
     // trims every counter to zero) — the profile row must survive that
     agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys).join(samp, Keys)
-      .join(mg, Keys, "left")
+      .join(mg, Keys, "left").join(cov, Keys)
       .orderBy(col("event_type"))
   }
 

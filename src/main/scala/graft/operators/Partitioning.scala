@@ -170,6 +170,38 @@ object Partitioning {
         expr("(skipped * 1000) div file_probe_pairs"))
   }
 
+  /** EXECUTE a [[Relational.compactionPlan]]: rewrite `df` so every
+    * (keys, bin) of the SAME binning rule — bin = bytes-before-this-row
+    * div targetBytes in `orderCol` order — lands as exactly ONE output
+    * file under `dir/key=…/bin=…/`. `repartition(keys :+ bin)` puts
+    * each bin in exactly one shuffle partition and `partitionBy`
+    * splits that partition's writer per directory, so the file count
+    * equals the plan's bin count with no driver loop;
+    * `sortWithinPartitions` keeps rows in cluster order inside each
+    * file (min/max stats stay tight — the [[skipAudit]] property the
+    * compaction must not destroy). `SourcesSinksSpec` proves plan ≡
+    * executed layout and read-back ≡ input. */
+  def compactionRewrite(df: DataFrame, keys: Seq[String], orderCol: Column,
+                        sizeCol: Column, targetBytes: Long,
+                        dir: String): Unit = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val kc = keys.map(col)
+    val run = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__b", sizeCol.cast("long"))
+      .filter(col("__b") > 0)
+      .withColumn("__cum", sum(col("__b")).over(run))
+      .withColumn("bin", expr(s"(__cum - __b) div ${targetBytes}L"))
+      .drop("__b", "__cum")
+      .repartition(kc :+ col("bin"): _*)
+      .sortWithinPartitions(kc ++ Seq(col("bin"), orderCol): _*)
+      .write.mode("overwrite")
+      .partitionBy(keys :+ "bin": _*)
+      .parquet(dir)
+  }
+
   /** File-level data skipping without a table format: keep only the
     * files whose stats row satisfies `keep` (written over the index's
     * `min_*` / `max_*` columns — for "id between lo and hi" that is

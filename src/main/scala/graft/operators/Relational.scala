@@ -314,12 +314,13 @@ object Relational {
     * — so compaction preserves locality) and cut into bins at
     * targetBytes boundaries: bin = (running_bytes − bytes) div target,
     * i.e. a file opens bin b when the bytes before it already fill b
-    * bins. Every bin but the key's last holds ≥ targetBytes, overshoot
-    * is bounded by one input file, and the whole plan is one window
-    * cumsum — no driver loop, no collect, deterministic for the oracle
-    * replay. The executing rewrite is then one
-    * `repartition(keys :+ bin)` write. Output: keys, bin, n_files,
-    * bytes, fill_permille (bytes·1000 div target). */
+    * bins. Every bin but the key's last lands within ONE input file of
+    * targetBytes on either side (a bin undershoots exactly when its
+    * successor's first file straddles the cut — measured in
+    * `SourcesSinksSpec`), and the whole plan is one window cumsum — no
+    * driver loop, no collect, deterministic for the oracle replay. The
+    * executing rewrite is [[Partitioning.compactionRewrite]]. Output:
+    * keys, bin, n_files, bytes, fill_permille (bytes·1000 div target). */
   def compactionPlan(files: DataFrame, keys: Seq[Column], orderCol: Column,
                      sizeCol: Column, targetBytes: Long): DataFrame = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")

@@ -649,11 +649,20 @@ class SketchBoundsSpec extends SparkSpec {
           && col("user_id") === topUser).count()
       assert(lb >= 1 && lb <= exTop,
         s"MG top-user bound $lb vs exact $exTop for user $topUser")
+      // the coverage store reads the EXACT direct answer (idempotent
+      // islands: merge ≡ recompute even across the replayed segment)
+      val exCov = Relational.intervalCoverage(
+          ev.filter(col("event_type") === r.getAs[String]("event_type")),
+          Seq(col("event_type")), col("ts_sec"),
+          col("ts_sec") + ProfileMaintenanceJob.CoverageWindowSec)
+        .select("covered").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      assert(r.getAs[Long]("active_secs") === exCov,
+        s"coverage store diverged from direct: ${r.getAs[Long]("active_secs")} vs $exCov")
     }
-    // compaction folds all eight stores and changes no readout
+    // compaction folds all nine stores and changes no readout
     ProfileMaintenanceJob.compact(spark, store)
     assert(snap() === got, "compaction must not change the profile")
-    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample", "mg"))
+    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample", "mg", "cov"))
       assert(spark.read.parquet(s"$store/$fam").select("seg").distinct()
         .as[String].collect().toSeq === Seq("base"), s"$fam not folded")
     // the probe-style stores answer through their own readers

@@ -154,6 +154,49 @@ class SourcesSinksSpec extends SparkSpec {
     assert(none.filter(col("id") > 0L).count() === 0L)
   }
 
+  test("compactionRewrite: one file per planned bin, read-back ≡ input, cluster order kept") {
+    import spark.implicits._
+    import graft.operators.{Partitioning, Relational}
+    val dir = java.nio.file.Files.createTempDirectory("compact_rw").toString + "/t"
+    // a small-files inventory: 2 sources, skewed sizes in ingest order
+    val files = (0 until 300).map(i =>
+      ("s" + (i % 2), i.toLong, 10L + (i * 7 % 50))).toDF("source", "fid", "bytes")
+    val target = 600L
+    val plan = Relational.compactionPlan(files, Seq(col("source")), col("fid"),
+      col("bytes"), target)
+    Partitioning.compactionRewrite(files, Seq("source"), col("fid"),
+      col("bytes"), target, dir)
+    val back = spark.read.parquet(dir)
+    // read-back ≡ input (partition columns come back as directory values)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("source"), col("fid"), col("bytes"))
+        .as[(String, Long, Long)].collect().toSet
+    assert(rows(back) === rows(files))
+    // executed layout ≡ plan: same (source, bin) set, one file per bin
+    val gotBins = back.select(col("source"), col("bin").cast("long"))
+      .distinct().as[(String, Long)].collect().toSet
+    val planBins = plan.select(col("source"), col("bin"))
+      .as[(String, Long)].collect().toSet
+    assert(gotBins === planBins, "executed bins must equal the plan")
+    val filesPerBin = back.withColumn("__f", input_file_name())
+      .groupBy(col("source"), col("bin"))
+      .agg(countDistinct(col("__f")).as("nf"))
+      .select("nf").as[Long].collect()
+    assert(filesPerBin.forall(_ === 1L), "each bin must land as exactly one file")
+    // every bin but each source's last is within ONE input file of the
+    // target on either side (bin = byte-offset div target: a bin under-
+    // shoots exactly when its successor's first file straddles the cut)
+    val maxFile = files.agg(max(col("bytes"))).as[Long].head()
+    val sizes = back.groupBy(col("source"), col("bin").cast("long").as("bin"))
+      .agg(sum(col("bytes")).as("b")).as[(String, Long, Long)].collect()
+    val lastBin = sizes.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).max }
+    sizes.foreach { case (s, bin, b) =>
+      if (bin != lastBin(s))
+        assert(b > target - maxFile && b < target + maxFile,
+          s"bin $s/$bin not within one file of target: $b")
+    }
+  }
+
   test("indexAppend computes stats only for new files and equals a full rebuild") {
     import spark.implicits._
     import graft.operators.Partitioning
