@@ -884,16 +884,34 @@ object Relational {
   /** One deterministic MG trim: subtract the (k+1)-st largest count
     * (0 when the group is a ≤ k census) from every counter, keep the
     * strictly positive ones — at most k survive, and survivors are
-    * exactly {v : n(v) > c₍k+1₎} regardless of tie order. */
+    * exactly {v : n(v) > c₍k+1₎} regardless of tie order.
+    *
+    * The (k+1)-st largest is found through the COUNT-OF-COUNTS
+    * histogram, not a per-key sort of the counter table: c₍k+1₎ is the
+    * largest count level whose descending cumulative multiplicity
+    * reaches k+1. The windowed relation is count LEVELS per key
+    * (bounded by the max multiplicity — thousands, not the value
+    * domain), so a key with 10⁸ distinct values never funnels through
+    * one reducer's sort; the boundary table is one row per key,
+    * broadcast back into the counter scan. */
   private def mgTrim(counts: DataFrame, k: Int): DataFrame = {
     val kc = counts.columns.filterNot(Set("v", "n")).map(col).toSeq
-    val win = Window.partitionBy(kc: _*).orderBy(col("n").desc, col("v"))
-    counts.withColumn("__rn", row_number().over(win))
-      .withColumn("__ck1",
-        max(when(col("__rn") === k + 1, col("n"))).over(Window.partitionBy(kc: _*)))
+    val keyNames = counts.columns.filterNot(Set("v", "n")).toSeq
+    val hist = counts.groupBy(kc :+ col("n"): _*).agg(count(lit(1)).as("__nv"))
+    val w = Window.partitionBy(kc: _*).orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = hist.withColumn("__cum", sum(col("__nv")).over(w))
+      .filter(col("__cum") >= k + 1)
+      .groupBy(kc: _*).agg(max(col("n")).as("__ck1"))
+    // left: a ≤ k census key has no boundary row → subtract 0
+    val joined =
+      if (keyNames.isEmpty) // global (un-keyed) state: one boundary row
+        counts.join(broadcast(boundary), lit(true), "left")
+      else counts.join(broadcast(boundary), keyNames, "left")
+    joined
       .withColumn("n", col("n") - coalesce(col("__ck1"), lit(0L)))
       .filter(col("n") > 0)
-      .drop("__rn", "__ck1")
+      .drop("__ck1")
   }
 
   /** Union → counter sum → one re-trim. The multi-way form trims once
