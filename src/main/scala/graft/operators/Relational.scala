@@ -866,9 +866,10 @@ object Relational {
     * them. No hashing anywhere: every number is an exact integer.
     *
     * Scale shape: exact counts first — one map-side-combinable shuffle
-    * on (keys, v), so the windowed relation is the distinct-value
-    * table, never the event stream; the trim is one per-key sort of
-    * that table and the stored state is O(#keys · k) forever. Merge is
+    * on (keys, v), so nothing downstream ever touches the event
+    * stream; the trim finds c₍k+1₎ through the count-of-counts
+    * histogram (see [[mgTrim]] — no per-key sort of the counter
+    * table), and the stored state is O(#keys · k) forever. Merge is
     * a sum + re-trim (associative/commutative, NOT idempotent —
     * replayed deltas double-count, the [[aggState]] contract the
     * [[appendState]] per-segment overwrite store absorbs). */
