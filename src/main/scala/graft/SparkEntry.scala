@@ -2262,6 +2262,23 @@ object SparkEntry {
           Seq(col("event_type")), col("ts_sec"), col("ts_sec") + 1800)
         .orderBy(col("event_type"))),
 
+    // TRAILING Z-SCORE ANOMALY detection over the hourly event-rate
+    // series: z² as the pure integer ratio (m·x − s1)²/(m·s2 − s1²)
+    // against a 24-hour trailing RANGE window (current hour excluded;
+    // gaps age out by time, not row count) — no float mean/stddev
+    // anywhere, so the oracle replays every flag. The ops staple:
+    // traffic spike/drop detection per stream.
+    "rel_anomaly_zscore" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_num"))
+        .agg(count(lit(1)).as("n"))
+      Relational.zscoreFlags(hourly, Seq(col("event_type")), col("hour_num"),
+          col("n"), trailing = 24L, minPeriods = 12L, thresholdSq = 4L)
+        .select(col("event_type"), col("t").as("hour_num"), col("x").as("n"),
+          col("m_window"), col("z2_permille"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_num"))
+    }),
+
     // INCREMENTAL coverage maintenance: the island set is a mergeable
     // AND idempotent state (coverage is a point-set union; islands are
     // its canonical form), so three delta slices merge to EXACTLY the
@@ -6491,6 +6508,29 @@ object SparkEntry {
         |  (CAST(sum(i_e - i_s) AS BIGINT) * 1000) //
         |    greatest(CAST(max(i_e) - min(i_s) AS BIGINT), 1) AS utilization_permille
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // z² replayed as the same integer ratio; RANGE frame over the
+    // hour axis both sides.
+    "rel_anomaly_zscore" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS t,
+        |             CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, t, x,
+        |        CAST(count(x) OVER win AS BIGINT) AS m,
+        |        CAST(sum(x) OVER win AS BIGINT) AS s1,
+        |        CAST(sum(x * x) OVER win AS BIGINT) AS s2
+        |      FROM h WINDOW win AS (PARTITION BY event_type ORDER BY t
+        |        RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, t AS hour_num, x AS n, m AS m_window,
+        |  CAST(CASE WHEN m >= 12 AND (m * s2 - s1 * s1) > 0
+        |       THEN ((m * x - s1) * (m * x - s1) * 1000) // (m * s2 - s1 * s1)
+        |       ELSE -1 END AS BIGINT) AS z2_permille,
+        |  (m >= 12 AND ((m * s2 - s1 * s1) > 0
+        |       AND (m * x - s1) * (m * x - s1) > 4 * (m * s2 - s1 * s1)
+        |    OR (m * s2 - s1 * s1) = 0 AND (m * x - s1) * (m * x - s1) > 0))
+        |    AS is_anomaly
+        |FROM w ORDER BY event_type, hour_num""".stripMargin,
 
     // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
     // directly over every event — the hash match is the proof.

@@ -304,6 +304,53 @@ object Relational {
         expr("(covered * 1000) div greatest(span, 1)"))
   }
 
+  /** TRAILING Z-SCORE ANOMALY FLAGS over a keyed integer series — the
+    * ops staple (traffic spike / drop detection) in EXACT integer
+    * arithmetic: with trailing-window count m, sum s1 and sum-of-
+    * squares s2, the z statistic squares to the pure integer ratio
+    *   z² = (m·x − s1)² / (m·s2 − s1²)
+    * (both sides scaled by m², so no float mean/stddev ever exists and
+    * the DuckDB oracle replays every verdict). A row is anomalous when
+    * m ≥ minPeriods and (m·x − s1)² > thresholdSq · (m·s2 − s1²) — or,
+    * when the window is perfectly constant (variance 0), when x
+    * deviates at all. The window is a RANGE frame over the integer
+    * order column `[−trailing, −1]` (the current row is excluded —
+    * a spike must not dilute its own baseline), so GAPS in the series
+    * age out by distance, not by row count.
+    *
+    * One shuffle on the keys; the three window sums share one frame.
+    * Overflow note: (m·x)² must fit a long — with trailing ≤ 10³ the
+    * series values must stay under ~10⁸ per bucket; pre-scale the
+    * series (e.g. div 1000) beyond that. */
+  def zscoreFlags(series: DataFrame, keys: Seq[Column], orderCol: Column,
+                  valueCol: Column, trailing: Long, minPeriods: Long,
+                  thresholdSq: Long): DataFrame = {
+    require(trailing >= 1 && minPeriods >= 2 && thresholdSq >= 1,
+      "zscoreFlags needs trailing >= 1, minPeriods >= 2, thresholdSq >= 1")
+    val rows = series.select(keys ++ Seq(orderCol.cast("long").as("t"),
+      valueCol.cast("long").as("x")): _*)
+    val kc = rows.columns.dropRight(2).map(col).toSeq
+    val w = Window.partitionBy(kc: _*).orderBy(col("t"))
+      .rangeBetween(-trailing, -1)
+    rows
+      .withColumn("m_window", count(col("x")).over(w))
+      .withColumn("__s1", sum(col("x")).over(w))
+      .withColumn("__s2", sum(col("x") * col("x")).over(w))
+      .withColumn("__num",
+        (col("m_window") * col("x") - col("__s1")) *
+        (col("m_window") * col("x") - col("__s1")))
+      .withColumn("__den",
+        col("m_window") * col("__s2") - col("__s1") * col("__s1"))
+      .withColumn("z2_permille",
+        when(col("m_window") >= minPeriods && col("__den") > 0,
+          expr("(__num * 1000) div __den")).otherwise(lit(-1L)))
+      .withColumn("is_anomaly",
+        col("m_window") >= minPeriods &&
+          ((col("__den") > 0 && col("__num") > lit(thresholdSq) * col("__den")) ||
+           (col("__den") === 0 && col("__num") > 0)))
+      .drop("__s1", "__s2", "__num", "__den")
+  }
+
   /** COMPACTION PLAN (small-files → target-size output groups): the
     * table-maintenance pass every 100 TB parquet table runs daily —
     * streaming ingests land thousands of KB-sized files per partition,

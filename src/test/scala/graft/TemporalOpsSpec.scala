@@ -13,6 +13,33 @@ class TemporalOpsSpec extends SparkSpec {
   import spark.implicits._
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("zscoreFlags: exact integer z², variance-0 rule, gap aging, minPeriods gate") {
+    // constant baseline (variance 0) + spike at t=24; alternating 4/6
+    // baseline (variance > 0) + spike at t=54; isolated point after a
+    // > trailing gap at t=100 (empty window — must NOT flag)
+    val series = ((0 to 23).map(t => (t.toLong, 5L)) :+ (24L, 9L)) ++
+      (30 to 53).map(t => (t.toLong, if (t % 2 == 0) 4L else 6L)) ++
+      Seq((54L, 10L), (100L, 99L))
+    val df = series.toDF("t0", "x0").withColumn("k", lit("a"))
+    val got = Relational.zscoreFlags(df, Seq(col("k")), col("t0"), col("x0"),
+        trailing = 24L, minPeriods = 12L, thresholdSq = 4L)
+      .select("t", "x", "m_window", "z2_permille", "is_anomaly")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val byT = got.map(r => r._1 -> r).toMap
+    assert(got.filter(_._5).map(_._1).toSeq === Seq(24L, 54L),
+      s"flag set wrong: ${got.filter(_._5).toSeq}")
+    // t=24: window = 24 fives → variance 0, x deviates ⇒ flagged with
+    // the sentinel z² (not computable as a ratio)
+    assert(byT(24L) === ((24L, 9L, 24L, -1L, true)))
+    // t=54: m=24, s1=120, s2=624 ⇒ den=576, num=(240−120)²=14400 ⇒
+    // z²·1000 = 25000 exactly (z = 5)
+    assert(byT(54L) === ((54L, 10L, 24L, 25000L, true)))
+    // t=100: everything aged out of the RANGE frame ⇒ m=0, gated off
+    assert(byT(100L)._3 === 0L && !byT(100L)._5)
+    // warm-up rows under minPeriods never flag
+    assert(got.filter(_._1 < 12L).forall(r => !r._5 && r._4 === -1L))
+  }
+
   test("asOfJoin picks the latest build row at or before the probe") {
     val probe = Seq((101L, 7L, 50L), (102L, 7L, 10L), (103L, 8L, 5L))
       .toDF("event_id", "user_id", "ts_sec")
