@@ -128,10 +128,14 @@ object Partitioning {
     * file sizes then follow the key distribution, which the manifest
     * records honestly.
     *
-    * Scale shape: ONE scan of `df` computing every layout key
-    * (explode by layout: rows × |layouts|), one map-side-combinable
-    * manifest aggregation on (layout, file) — manifest and probe
-    * frames are metadata-sized; the join against probes is broadcast.
+    * Scale shape: one narrow STATS pass (per-layout key max — the
+    * same extra pass `repartitionByRange` spends on sampling, but
+    * deterministic) plus one ASSIGN pass computing every layout key
+    * off a single scan (explode by layout: rows × |layouts|), then a
+    * map-side-combinable manifest aggregation on (layout, file) —
+    * manifest and probe frames are metadata-sized; every join is
+    * broadcast (`PlanShapeSpec` pins 2 scans, broadcast joins, no
+    * sort-merge).
     *
     * `probes`: (workload, on_col, lo, hi) — `on_col` names a column
     * of `statsCols`. Output per (layout, workload): n_files,

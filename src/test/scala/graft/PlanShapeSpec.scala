@@ -60,6 +60,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 
+  test("skipAudit: one data scan feeds all layouts; manifest/probe joins broadcast") {
+    import spark.implicits._
+    import graft.functions.HilbertIndex.hilbert_index
+    graft.plans.GraftExtensions.register(spark)
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    val probes = Seq(("w1", "l_partkey", 0L, 10L), ("w2", "l_suppkey", 0L, 10L))
+      .toDF("workload", "on_col", "lo", "hi")
+    val plan = graft.operators.Partitioning.skipAudit(li, Seq(
+        "single" -> col("l_partkey").cast("long"),
+        "hilbert" -> hilbert_index(col("l_partkey"), col("l_suppkey"), 16)),
+        Seq("l_partkey", "l_suppkey"), nFiles = 16, probes = probes)
+      .queryExecution.executedPlan.toString
+    // exactly TWO scans — the stats pass (per-layout max) and the
+    // assign pass; adding a layout must not add a scan (the explode
+    // multiplies rows, not passes)
+    assert(plan.split("Scan parquet").length - 1 === 2, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("mgState trim: boundary joins broadcast — the counter table never re-shuffles") {
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val plan = Relational.mgState(ev, Seq(col("event_type")), col("user_id"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("groupingSets plans one Expand, not one scan per set") {
     val plan = Tables.lineitem(spark, sf)
       .groupingSets(

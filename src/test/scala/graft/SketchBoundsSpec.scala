@@ -360,6 +360,42 @@ class SketchBoundsSpec extends SparkSpec {
     assert(rows(streamed()) === want, "replayed micro-batch must not change islands")
   }
 
+  test("streaming anomaly monitor: StateStream hourly counts → zscoreFlags ≡ batch-direct") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // the composition a live ops monitor runs: the side-car lands each
+    // micro-batch's per-hour partial counts (aggState — NOT idempotent,
+    // so the store's exactly-once is load-bearing), the reader merges
+    // and scores the series; flags must equal the batch-direct ones
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts_sec div 3600").as("hour_num"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val store = java.nio.file.Files.createTempDirectory("anom_stream").toString + "/h"
+    val batches = (0 to 2).map(i => ev.filter(pmod(col("cents"), lit(3)) === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StateStream.process(b, "r1", i.toLong, store)(
+        Relational.aggState(_, Seq(col("event_type"), col("hour_num")), col("cents")))
+    }
+    // crash-retry of one micro-batch: the overwrite absorbs the replay
+    graft.streaming.StateStream.process(batches(1), "r1", 1L, store)(
+      Relational.aggState(_, Seq(col("event_type"), col("hour_num")), col("cents")))
+    def flags(series: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long, Boolean)] =
+      Relational.zscoreFlags(
+          series.select(col("event_type"), col("hour_num"), col("n_rows")),
+          Seq(col("event_type")), col("hour_num"), col("n_rows"),
+          trailing = 24L, minPeriods = 12L, thresholdSq = 4L)
+        .select(col("event_type"), col("t"), col("x"), col("z2_permille"),
+          col("is_anomaly"))
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    val streamed = flags(Relational.readMergedState(spark, store)(st =>
+      Relational.mergeAggStates(Seq(st), Seq("event_type", "hour_num"))))
+    val direct = flags(ev.groupBy(col("event_type"), col("hour_num"))
+      .agg(count(lit(1)).as("n_rows")))
+    assert(streamed === direct,
+      "streamed hourly-count store must score identically to batch-direct")
+    assert(direct.exists(_._5), "fixture must produce at least one anomaly")
+  }
+
   test("histogram state: merge ≡ direct; bucket quantile brackets the exact order stat") {
     import spark.implicits._
     import graft.operators.Relational
