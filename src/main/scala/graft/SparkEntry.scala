@@ -2279,6 +2279,22 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_num"))
     }),
 
+    // PER-KEY LINEAR TREND (integer least squares): is each event
+    // stream's hourly rate drifting — slope in ppm/hour and fit
+    // quality, every statistic a pure integer ratio off one aggregate
+    // (time axis re-based per key so the sums never overflow or
+    // catastrophically cancel). zscoreFlags' level companion.
+    "rel_rate_trend" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_num"))
+        .agg(count(lit(1)).as("n"))
+      Relational.linearTrend(hourly, Seq(col("event_type")),
+          col("hour_num"), col("n"))
+        .select(col("event_type"), col("m"), col("slope_ppm"),
+          col("r2_permille"))
+        .orderBy(col("event_type"))
+    }),
+
     // INCREMENTAL coverage maintenance: the island set is a mergeable
     // AND idempotent state (coverage is a point-set union; islands are
     // its canonical form), so three delta slices merge to EXACTLY the
@@ -6531,6 +6547,31 @@ object SparkEntry {
         |    OR (m * s2 - s1 * s1) = 0 AND (m * x - s1) * (m * x - s1) > 0))
         |    AS is_anomaly
         |FROM w ORDER BY event_type, hour_num""".stripMargin,
+
+    // integer least squares replayed sum for sum; integer // truncates
+    // toward zero exactly like Spark div, so negative slopes agree.
+    "rel_rate_trend" ->
+      """WITH h AS (SELECT event_type,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS t0,
+        |             CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, t0 - min(t0) OVER (PARTITION BY event_type) AS t, x
+        |      FROM h),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+        |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(t * x) AS BIGINT) AS stx,
+        |        CAST(sum(t * t) AS BIGINT) AS stt,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT event_type, m, m * stx - st * sx AS num,
+        |        m * stt - st * st AS dent, m * sxx - sx * sx AS denx FROM a)
+        |SELECT event_type, m,
+        |  CAST(CASE WHEN dent > 0 THEN (num * 1000000) // dent
+        |       ELSE NULL END AS BIGINT) AS slope_ppm,
+        |  CAST(CASE WHEN dent > 0 AND denx > 0
+        |       THEN (((num * 1000) // dent) * num) // denx
+        |       ELSE NULL END AS BIGINT) AS r2_permille
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
     // directly over every event — the hash match is the proof.

@@ -351,6 +351,61 @@ object Relational {
       .drop("__s1", "__s2", "__num", "__den")
   }
 
+  /** PER-KEY LINEAR TREND in exact integer arithmetic — the level
+    * companion to [[zscoreFlags]] (that one asks "is this point off
+    * the recent baseline", this one asks "is the series drifting"):
+    * ordinary least squares over (t, x) with every statistic a pure
+    * integer ratio, so the oracle replays slope and fit quality
+    * exactly. With m points and sums st=Σt, sx=Σx, stx=Σtx, stt=Σt²,
+    * sxx=Σx²:
+    *   slope_ppm    = (m·stx − st·sx) · 10⁶ div (m·stt − st²)
+    *   r2_permille  = ((num·1000) div dent) · num div denx
+    *                  (num = m·stx − st·sx, dent = m·stt − st²,
+    *                   denx = m·sxx − sx²)
+    * — the r² quotient is CHAINED rather than num²·1000 div
+    * (dent·denx): num² alone would overflow 64-bit on long series,
+    * while the chained form divides down first; it is a deterministic
+    * integer rule both engines replay identically (it can differ from
+    * the exact floor by a rounding step, which is fine — the CONTRACT
+    * is the rule, not the real number).
+    * The time axis is re-based per key (t − min(t), one extra window
+    * pass) so the sums stay small — epoch-hours squared would sit one
+    * digit under Long.MAX and cancel catastrophically in (m·stt − st²).
+    * One shuffle on the keys; a single map-side-combinable aggregate
+    * carries all five sums. Degenerate keys (one point, constant t or
+    * constant x) emit NULL slope/r² rather than a fake fit. */
+  def linearTrend(series: DataFrame, keys: Seq[Column], orderCol: Column,
+                  valueCol: Column): DataFrame = {
+    val rows = series.select(keys ++ Seq(orderCol.cast("long").as("__t0"),
+      valueCol.cast("long").as("x")): _*)
+    val kc = rows.columns.dropRight(2).map(col).toSeq
+    val rebased = rows.withColumn("t",
+      col("__t0") - min(col("__t0")).over(Window.partitionBy(kc: _*)))
+    rebased.groupBy(kc: _*)
+      .agg(count(lit(1)).as("m"), sum(col("t")).as("__st"),
+        sum(col("x")).as("__sx"), sum(col("t") * col("x")).as("__stx"),
+        sum(col("t") * col("t")).as("__stt"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .withColumn("__num", col("m") * col("__stx") - col("__st") * col("__sx"))
+      .withColumn("__dent", col("m") * col("__stt") - col("__st") * col("__st"))
+      .withColumn("__denx", col("m") * col("__sxx") - col("__sx") * col("__sx"))
+      // num goes NEGATIVE on a downtrend: Spark `div` and DuckDB's
+      // integer `//` BOTH truncate toward zero (verified empirically:
+      // -7 // 2 = -3 in DuckDB), so plain div replays exactly
+      .withColumn("slope_ppm",
+        when(col("__dent") > 0, expr("(__num * 1000000) div __dent")))
+      // __q1 is computed unconditionally (the when-guard below only
+      // gates its USE) — clamp the divisor so a degenerate key can
+      // never divide by zero
+      .withColumn("__q1",
+        expr("(__num * 1000) div greatest(__dent, 1)"))
+      .withColumn("r2_permille",
+        when(col("__dent") > 0 && col("__denx") > 0,
+          expr("(__q1 * __num) div __denx")))
+      .drop("__st", "__sx", "__stx", "__stt", "__sxx", "__num", "__dent",
+        "__denx", "__q1")
+  }
+
   /** COMPACTION PLAN (small-files → target-size output groups): the
     * table-maintenance pass every 100 TB parquet table runs daily —
     * streaming ingests land thousands of KB-sized files per partition,
