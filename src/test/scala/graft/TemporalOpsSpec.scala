@@ -40,6 +40,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.filter(_._1 < 12L).forall(r => !r._5 && r._4 === -1L))
   }
 
+  test("linearTrend: exact slope/r² on perfect lines, NULL on degenerate keys") {
+    // up: x = 3 + 2t (slope 2, perfect fit); down: x = 100 − 3t;
+    // flat: constant x (denx = 0); lone: single point (dent = 0).
+    // Time axes deliberately offset to exercise the per-key re-base.
+    val rows =
+      (0 to 9).map(t => ("up", 1000L + t, 3L + 2 * t)) ++
+      (0 to 9).map(t => ("down", 500L + t, 100L - 3 * t)) ++
+      (0 to 9).map(t => ("flat", t.toLong, 7L)) :+ (("lone", 42L, 5L))
+    val got = Relational.linearTrend(rows.toDF("k", "t0", "x0"),
+        Seq(col("k")), col("t0"), col("x0"))
+      .select("k", "m", "slope_ppm", "r2_permille")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got("up") === ((10L, Some(2000000L), Some(1000L))))
+    assert(got("down") === ((10L, Some(-3000000L), Some(1000L))))
+    assert(got("flat") === ((10L, Some(0L), None)), "constant x: r² undefined")
+    assert(got("lone") === ((1L, None, None)), "single point: no fit")
+  }
+
   test("asOfJoin picks the latest build row at or before the probe") {
     val probe = Seq((101L, 7L, 50L), (102L, 7L, 10L), (103L, 8L, 5L))
       .toDF("event_id", "user_id", "ts_sec")
