@@ -2295,6 +2295,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // INCREMENTAL trend maintenance: the five moment sums merge
+    // EXACTLY across deltas once shifted to a common time base
+    // (st → st + m·d, stx → stx + d·sx, stt → stt + 2d·st + m·d²) —
+    // three disjoint slices, each with its own t_base, merge to the
+    // direct fit digit for digit; the oracle recomputes directly, so
+    // the hash match IS the merge ≡ recompute proof.
+    "rel_trend_incremental" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts_sec div 3600").as("hour_num"))
+        .agg(count(lit(1)).as("n"))
+      val slices = (0 to 2).map(i =>
+        Relational.trendState(hourly.filter(pmod(col("hour_num"), lit(3)) === i),
+          Seq(col("event_type")), col("hour_num"), col("n")))
+      Relational.trendReadout(
+          Relational.mergeTrendStates(slices, Seq("event_type")))
+        .orderBy(col("event_type"))
+    }),
+
     // INCREMENTAL coverage maintenance: the island set is a mergeable
     // AND idempotent state (coverage is a point-set union; islands are
     // its canonical form), so three delta slices merge to EXACTLY the
@@ -2346,6 +2364,32 @@ object SparkEntry {
     "corpus_length_quantiles" -> ((s, d) =>
       Corpus.lengthQuantiles(Tables.documents(s, d)).orderBy(col("source")))
   )
+
+  /** Integer least squares over the hourly event-rate series — the
+    * direct recompute serving as oracle for BOTH the one-shot
+    * `rel_rate_trend` and the merged-state `rel_trend_incremental`. */
+  private val rateTrendOracle: String =
+    """WITH h AS (SELECT event_type,
+      |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS t0,
+      |             CAST(count(*) AS BIGINT) AS x
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, t0 - min(t0) OVER (PARTITION BY event_type) AS t, x
+      |      FROM h),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(sum(t * x) AS BIGINT) AS stx,
+      |        CAST(sum(t * t) AS BIGINT) AS stt,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM r GROUP BY 1),
+      |d AS (SELECT event_type, m, m * stx - st * sx AS num,
+      |        m * stt - st * st AS dent, m * sxx - sx * sx AS denx FROM a)
+      |SELECT event_type, m,
+      |  CAST(CASE WHEN dent > 0 THEN (num * 1000000) // dent
+      |       ELSE NULL END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN dent > 0 AND denx > 0
+      |       THEN (((num * 1000) // dent) * num) // denx
+      |       ELSE NULL END AS BIGINT) AS r2_permille
+      |FROM d ORDER BY event_type""".stripMargin
 
   /** DuckDB: element-wise double dot product over LIST(FLOAT) columns —
     * mirrors Similarity.dot's evaluation exactly (64 dims). */
@@ -6550,28 +6594,11 @@ object SparkEntry {
 
     // integer least squares replayed sum for sum; integer // truncates
     // toward zero exactly like Spark div, so negative slopes agree.
-    "rel_rate_trend" ->
-      """WITH h AS (SELECT event_type,
-        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS t0,
-        |             CAST(count(*) AS BIGINT) AS x
-        |           FROM events GROUP BY 1, 2),
-        |r AS (SELECT event_type, t0 - min(t0) OVER (PARTITION BY event_type) AS t, x
-        |      FROM h),
-        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
-        |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
-        |        CAST(sum(t * x) AS BIGINT) AS stx,
-        |        CAST(sum(t * t) AS BIGINT) AS stt,
-        |        CAST(sum(x * x) AS BIGINT) AS sxx
-        |      FROM r GROUP BY 1),
-        |d AS (SELECT event_type, m, m * stx - st * sx AS num,
-        |        m * stt - st * st AS dent, m * sxx - sx * sx AS denx FROM a)
-        |SELECT event_type, m,
-        |  CAST(CASE WHEN dent > 0 THEN (num * 1000000) // dent
-        |       ELSE NULL END AS BIGINT) AS slope_ppm,
-        |  CAST(CASE WHEN dent > 0 AND denx > 0
-        |       THEN (((num * 1000) // dent) * num) // denx
-        |       ELSE NULL END AS BIGINT) AS r2_permille
-        |FROM d ORDER BY event_type""".stripMargin,
+    "rel_rate_trend" -> rateTrendOracle,
+
+    // the SAME direct recompute is the oracle for the merged-state
+    // form: hash match ⇔ merge(state(deltas)) ≡ recompute(all).
+    "rel_trend_incremental" -> rateTrendOracle,
 
     // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
     // directly over every event — the hash match is the proof.

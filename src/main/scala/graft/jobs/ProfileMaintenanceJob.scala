@@ -23,8 +23,12 @@ import graft.operators.Relational
   * for predicates nobody pre-aggregated), Misra–Gries (≤ k candidate
   * heavy users with never-overshooting counts — CMS's bracketing
   * partner), coverage (merged activity islands over [ts, ts+30 min) —
-  * idempotent, so replays are harmless even without the overwrite).
-  * Every stored number is deterministic integer arithmetic.
+  * idempotent, so replays are harmless even without the overwrite),
+  * trend (the five moment sums over (hour, whole-currency-units) —
+  * exact shifted-moment merge, so the value-drift fit is maintained
+  * without rescanning history; coarse units keep num·10⁶ inside a
+  * long at any scale factor, the linearTrend overflow contract). Every stored number is deterministic
+  * integer arithmetic.
   *
   * Every stage is the library operator — this main is pure wiring.
   *
@@ -77,6 +81,9 @@ object ProfileMaintenanceJob {
     Relational.appendState(
       Relational.coverageState(ev, k, col("ts_sec"),
         col("ts_sec") + CoverageWindowSec), s"$storeDir/cov", segment)
+    Relational.appendState(
+      Relational.trendState(ev, k, expr("ts_sec div 3600"),
+        expr("cents div 100")), s"$storeDir/trend", segment)
   }
 
   /** Fold every store down to one `seg=base` generation. */
@@ -99,6 +106,8 @@ object ProfileMaintenanceJob {
       Relational.mergeMgStates(Seq(st), Keys, MgK))
     Relational.compactStateStore(spark, s"$storeDir/cov")(st =>
       Relational.mergeCoverageStates(Seq(st), Keys))
+    Relational.compactStateStore(spark, s"$storeDir/trend")(st =>
+      Relational.mergeTrendStates(Seq(st), Keys))
   }
 
   /** The merged profile readout — per event_type: exact row count /
@@ -142,10 +151,14 @@ object ProfileMaintenanceJob {
         Relational.coverageReadout(
           Relational.mergeCoverageStates(Seq(st), Keys), Keys))
       .select(col("event_type"), col("covered").as("active_secs"))
+    // value drift: units-per-hour slope of the merged moment sums
+    val trend = Relational.readMergedState(spark, s"$storeDir/trend")(st =>
+        Relational.trendReadout(Relational.mergeTrendStates(Seq(st), Keys)))
+      .select(col("event_type"), col("slope_ppm").as("value_slope_ppm"))
     // left: an MG state CAN legally be empty (a perfectly tied key
     // trims every counter to zero) — the profile row must survive that
     agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys).join(samp, Keys)
-      .join(mg, Keys, "left").join(cov, Keys)
+      .join(mg, Keys, "left").join(cov, Keys).join(trend, Keys)
       .orderBy(col("event_type"))
   }
 

@@ -375,20 +375,66 @@ object Relational {
     * carries all five sums. Degenerate keys (one point, constant t or
     * constant x) emit NULL slope/r² rather than a fake fit. */
   def linearTrend(series: DataFrame, keys: Seq[Column], orderCol: Column,
-                  valueCol: Column): DataFrame = {
+                  valueCol: Column): DataFrame =
+    trendReadout(trendState(series, keys, orderCol, valueCol))
+
+  /** Mergeable LINEAR-TREND state — the five moment sums of
+    * [[linearTrend]] carried WITH their per-key time base
+    * (t_base = min t), so partial states from disjoint deltas merge
+    * EXACTLY: moments are linear in the rows once the bases agree, and
+    * a base shift by d is the exact integer transform
+    *   st → st + m·d,  stx → stx + d·sx,  stt → stt + 2d·st + m·d²
+    * (x-moments are shift-invariant). merge(state(deltas)) ≡
+    * state(all) down to the last digit — the trend joins the
+    * incremental-maintenance family (NOT idempotent: replayed deltas
+    * double the sums, the [[aggState]] contract the [[appendState]]
+    * overwrite store absorbs). State: keys, t_base, m, st, sx, stx,
+    * stt, sxx. */
+  def trendState(series: DataFrame, keys: Seq[Column], orderCol: Column,
+                 valueCol: Column): DataFrame = {
     val rows = series.select(keys ++ Seq(orderCol.cast("long").as("__t0"),
       valueCol.cast("long").as("x")): _*)
     val kc = rows.columns.dropRight(2).map(col).toSeq
-    val rebased = rows.withColumn("t",
-      col("__t0") - min(col("__t0")).over(Window.partitionBy(kc: _*)))
+    val rebased = rows.withColumn("t_base",
+        min(col("__t0")).over(Window.partitionBy(kc: _*)))
+      .withColumn("t", col("__t0") - col("t_base"))
     rebased.groupBy(kc: _*)
-      .agg(count(lit(1)).as("m"), sum(col("t")).as("__st"),
-        sum(col("x")).as("__sx"), sum(col("t") * col("x")).as("__stx"),
-        sum(col("t") * col("t")).as("__stt"),
-        sum(col("x") * col("x")).as("__sxx"))
-      .withColumn("__num", col("m") * col("__stx") - col("__st") * col("__sx"))
-      .withColumn("__dent", col("m") * col("__stt") - col("__st") * col("__st"))
-      .withColumn("__denx", col("m") * col("__sxx") - col("__sx") * col("__sx"))
+      .agg(min(col("t_base")).as("t_base"), count(lit(1)).as("m"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(col("t") * col("x")).as("stx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("x") * col("x")).as("sxx"))
+  }
+
+  /** Shift every partial to the merged (minimum) base with the exact
+    * moment transform, then sum-merge. */
+  def mergeTrendStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    val u = states.reduce(_ unionByName _)
+    val kc = keyCols.map(col)
+    val base = u.groupBy(kc: _*).agg(min(col("t_base")).as("__nb"))
+    u.join(broadcast(base), keyCols)
+      .withColumn("__d", col("t_base") - col("__nb"))
+      .groupBy(kc: _*)
+      .agg(min(col("__nb")).as("t_base"), sum(col("m")).as("m"),
+        sum(col("st") + col("m") * col("__d")).as("st"),
+        sum(col("sx")).as("sx"),
+        sum(col("stx") + col("__d") * col("sx")).as("stx"),
+        sum(col("stt") + lit(2L) * col("__d") * col("st")
+          + col("m") * col("__d") * col("__d")).as("stt"),
+        sum(col("sxx")).as("sxx"))
+  }
+
+  /** Fit off a (merged) [[trendState]] — shared tail of
+    * [[linearTrend]]. Key columns are everything except the seven
+    * state columns. */
+  def trendReadout(state: DataFrame): DataFrame = {
+    val stateCols = Set("t_base", "m", "st", "sx", "stx", "stt", "sxx")
+    val kc = state.columns.filterNot(stateCols).map(col).toSeq
+    state
+      .withColumn("__num", col("m") * col("stx") - col("st") * col("sx"))
+      .withColumn("__dent", col("m") * col("stt") - col("st") * col("st"))
+      .withColumn("__denx", col("m") * col("sxx") - col("sx") * col("sx"))
       // num goes NEGATIVE on a downtrend: Spark `div` and DuckDB's
       // integer `//` BOTH truncate toward zero (verified empirically:
       // -7 // 2 = -3 in DuckDB), so plain div replays exactly
@@ -402,8 +448,7 @@ object Relational {
       .withColumn("r2_permille",
         when(col("__dent") > 0 && col("__denx") > 0,
           expr("(__q1 * __num) div __denx")))
-      .drop("__st", "__sx", "__stx", "__stt", "__sxx", "__num", "__dent",
-        "__denx", "__q1")
+      .select(kc ++ Seq(col("m"), col("slope_ppm"), col("r2_permille")): _*)
   }
 
   /** COMPACTION PLAN (small-files → target-size output groups): the

@@ -694,11 +694,19 @@ class SketchBoundsSpec extends SparkSpec {
         .select("covered").collect().headOption.map(_.getLong(0)).getOrElse(0L)
       assert(r.getAs[Long]("active_secs") === exCov,
         s"coverage store diverged from direct: ${r.getAs[Long]("active_secs")} vs $exCov")
+      // the trend store's merged moments fit EXACTLY like a direct OLS
+      val exSlope = Relational.linearTrend(
+          cents.filter(col("event_type") === r.getAs[String]("event_type")),
+          Seq(col("event_type")), expr("ts_sec div 3600"), expr("cents div 100"))
+        .select("slope_ppm").collect().headOption.flatMap(x => Option(x.get(0)))
+      assert(Option(r.get(r.fieldIndex("value_slope_ppm"))) === exSlope,
+        s"trend store diverged from direct OLS on $r")
     }
-    // compaction folds all nine stores and changes no readout
+    // compaction folds all ten stores and changes no readout
     ProfileMaintenanceJob.compact(spark, store)
     assert(snap() === got, "compaction must not change the profile")
-    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample", "mg", "cov"))
+    for (fam <- Seq("agg", "hist", "kmv", "ams", "cms", "bloom", "sample",
+        "mg", "cov", "trend"))
       assert(spark.read.parquet(s"$store/$fam").select("seg").distinct()
         .as[String].collect().toSeq === Seq("base"), s"$fam not folded")
     // the probe-style stores answer through their own readers
