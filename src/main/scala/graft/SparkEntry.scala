@@ -2295,6 +2295,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // OUT-OF-ORDER AUDIT — the watermark-sizing measurement: per
+    // stream, how many events arrive with an event time older than
+    // the running max (late) and how old (max / exact p95 lateness).
+    // withWatermark drops events later than the delay; this reads the
+    // would-be drop rate off history instead of guessing the delay.
+    // The synthetic events ship in perfect ts order, so arrival is
+    // simulated with a deterministic per-event network delay of up to
+    // 600 s ((event_id·48271) mod 600 — pure integer arithmetic the
+    // oracle replays); the audit then recommends the watermark that
+    // would hold the measured loss.
+    "rel_disorder_audit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("__arrival",
+          (col("ts_sec") + pmod(col("event_id") * 48271, lit(600)))
+            * 1000000 + pmod(col("event_id"), lit(1000000)))
+      Relational.disorderAudit(ev, Seq(col("event_type")),
+          col("__arrival"), col("ts_sec"))
+        .orderBy(col("event_type"))
+    }),
+
     // INCREMENTAL trend maintenance: the five moment sums merge
     // EXACTLY across deltas once shifted to a common time base
     // (st → st + m·d, stx → stx + d·sx, stt → stt + 2d·st + m·d²) —
@@ -6599,6 +6619,38 @@ object SparkEntry {
     // the SAME direct recompute is the oracle for the merged-state
     // form: hash match ⇔ merge(state(deltas)) ≡ recompute(all).
     "rel_trend_incremental" -> rateTrendOracle,
+
+    // running max in arrival order; p95 as the lower-index order
+    // statistic over the late rows — replayed window for window.
+    "rel_disorder_audit" ->
+      """WITH e AS (SELECT event_type,
+        |             (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |               + (event_id * 48271) % 600) * 1000000
+        |               + event_id % 1000000 AS arr,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |           FROM events),
+        |s AS (SELECT event_type, arr,
+        |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
+        |          ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - t, 0), 0) AS late
+        |      FROM e),
+        |lr AS (SELECT event_type, late,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY late, arr) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nl
+        |       FROM s WHERE late > 0),
+        |ls AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_late,
+        |         CAST(max(late) AS BIGINT) AS max_late,
+        |         CAST(max(CASE WHEN rn = (nl - 1) * 95 // 100 + 1
+        |           THEN late END) AS BIGINT) AS p95_late
+        |       FROM lr GROUP BY 1),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM e GROUP BY 1)
+        |SELECT tot.event_type, n_events, coalesce(n_late, 0) AS n_late,
+        |  coalesce(max_late, 0) AS max_late, coalesce(p95_late, 0) AS p95_late,
+        |  (coalesce(n_late, 0) * 1000) // n_events AS late_permille
+        |FROM tot LEFT JOIN ls ON tot.event_type = ls.event_type
+        |ORDER BY tot.event_type""".stripMargin,
 
     // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
     // directly over every event — the hash match is the proof.

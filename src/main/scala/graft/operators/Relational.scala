@@ -451,6 +451,47 @@ object Relational {
       .select(kc ++ Seq(col("m"), col("slope_ppm"), col("r2_permille")): _*)
   }
 
+  /** OUT-OF-ORDER AUDIT — the measurement that sizes a watermark
+    * BEFORE deploying the streaming job: per key, how many events
+    * arrive with an event time older than something already seen
+    * (late), and how old (lateness = running max of event time at
+    * arrival − own event time). `withWatermark("ts", "X")` silently
+    * DROPS every event later than X behind the max — this operator
+    * reads the drop rate off history instead of guessing: set X at
+    * p95/max lateness and know the loss. One shuffle on the keys, one
+    * running-max window in ARRIVAL order, then exact order statistics
+    * over the late rows (the [[topNPerGroup]] ranking idiom — no
+    * collect). Output per key: n_events, n_late, late_permille,
+    * max_late (units of tsCol), p95_late (95th percentile of lateness
+    * among LATE rows; 0 when nothing is late). */
+  def disorderAudit(df: DataFrame, keys: Seq[Column], arrivalCol: Column,
+                    tsCol: Column): DataFrame = {
+    val rows = df.select(keys ++ Seq(arrivalCol.cast("long").as("__arr"),
+      tsCol.cast("long").as("__ts")): _*)
+    val keyNames = rows.columns.dropRight(2).toSeq
+    val kc = keyNames.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = rows.withColumn("__late",
+      greatest(coalesce(max(col("__ts")).over(w) - col("__ts"), lit(0L)),
+        lit(0L)))
+    // exact p95 over the late rows: rank by lateness, lift the
+    // (n_late−1)·95 div 100 + 1 order statistic (lower-index rule —
+    // the corpus_length_quantiles idiom)
+    val lateRanked = scored.filter(col("__late") > 0)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(kc: _*).orderBy(col("__late"), col("__arr"))))
+      .withColumn("__nl", count(lit(1)).over(Window.partitionBy(kc: _*)))
+    val lateStats = lateRanked.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_late"), max(col("__late")).as("max_late"),
+        max(when(col("__rn") === expr("(__nl - 1) * 95 div 100 + 1"),
+          col("__late"))).as("p95_late"))
+    rows.groupBy(kc: _*).agg(count(lit(1)).as("n_events"))
+      .join(lateStats, keyNames, "left")
+      .na.fill(0L, Seq("n_late", "max_late", "p95_late"))
+      .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
+  }
+
   /** COMPACTION PLAN (small-files → target-size output groups): the
     * table-maintenance pass every 100 TB parquet table runs daily —
     * streaming ingests land thousands of KB-sized files per partition,
