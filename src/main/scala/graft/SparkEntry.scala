@@ -2315,6 +2315,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // WATERMARK LOSS CURVE — the decision artifact on top of the
+    // disorder audit: for each candidate watermark delay, the exact
+    // fraction of events withWatermark(delay) would drop (late by
+    // MORE than the delay). The threshold-sweep idiom: candidate
+    // delays explode against the per-event lateness scores, one
+    // aggregate per (event_type, delay).
+    "rel_watermark_curve" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("__arrival",
+          (col("ts_sec") + pmod(col("event_id") * 48271, lit(600)))
+            * 1000000 + pmod(col("event_id"), lit(1000000)))
+      Relational.watermarkCurve(ev, Seq(col("event_type")),
+          col("__arrival"), col("ts_sec"),
+          delays = Seq(30L, 60L, 120L, 300L, 600L))
+        .orderBy(col("event_type"), col("delay_sec"))
+    }),
+
     // INCREMENTAL trend maintenance: the five moment sums merge
     // EXACTLY across deltas once shifted to a common time base
     // (st → st + m·d, stx → stx + d·sx, stt → stt + 2d·st + m·d²) —
@@ -6619,6 +6636,29 @@ object SparkEntry {
     // the SAME direct recompute is the oracle for the merged-state
     // form: hash match ⇔ merge(state(deltas)) ≡ recompute(all).
     "rel_trend_incremental" -> rateTrendOracle,
+
+    // the same lateness scores crossed with the candidate delays.
+    "rel_watermark_curve" ->
+      """WITH e AS (SELECT event_type,
+        |             (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |               + (event_id * 48271) % 600) * 1000000
+        |               + event_id % 1000000 AS arr,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |           FROM events),
+        |s AS (SELECT event_type, arr,
+        |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
+        |          ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - t, 0), 0) AS late
+        |      FROM e),
+        |dl AS (SELECT unnest([30, 60, 120, 300, 600]) AS delay_sec)
+        |SELECT event_type, CAST(delay_sec AS BIGINT) AS delay_sec,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late > delay_sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  (CAST(sum(CASE WHEN late > delay_sec THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // count(*) AS drop_permille
+        |FROM s CROSS JOIN dl GROUP BY 1, 2
+        |ORDER BY event_type, delay_sec""".stripMargin,
 
     // running max in arrival order; p95 as the lower-index order
     // statistic over the late rows — replayed window for window.

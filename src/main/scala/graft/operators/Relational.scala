@@ -466,15 +466,10 @@ object Relational {
     * among LATE rows; 0 when nothing is late). */
   def disorderAudit(df: DataFrame, keys: Seq[Column], arrivalCol: Column,
                     tsCol: Column): DataFrame = {
-    val rows = df.select(keys ++ Seq(arrivalCol.cast("long").as("__arr"),
-      tsCol.cast("long").as("__ts")): _*)
-    val keyNames = rows.columns.dropRight(2).toSeq
+    val scored = latenessScores(df, keys, arrivalCol, tsCol)
+    val keyNames = scored.columns.dropRight(3).toSeq
     val kc = keyNames.map(col)
-    val w = Window.partitionBy(kc: _*).orderBy(col("__arr"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val scored = rows.withColumn("__late",
-      greatest(coalesce(max(col("__ts")).over(w) - col("__ts"), lit(0L)),
-        lit(0L)))
+    val rows = scored
     // exact p95 over the late rows: rank by lateness, lift the
     // (n_late−1)·95 div 100 + 1 order statistic (lower-index rule —
     // the corpus_length_quantiles idiom)
@@ -490,6 +485,44 @@ object Relational {
       .join(lateStats, keyNames, "left")
       .na.fill(0L, Seq("n_late", "max_late", "p95_late"))
       .withColumn("late_permille", expr("(n_late * 1000) div n_events"))
+  }
+
+  /** Shared lateness scoring of [[disorderAudit]] and
+    * [[watermarkCurve]]: keys ++ (__arr, __ts, __late), __late = how
+    * far behind the running event-time max (in arrival order) each
+    * event arrives, 0 when on time. */
+  private def latenessScores(df: DataFrame, keys: Seq[Column],
+                             arrivalCol: Column, tsCol: Column): DataFrame = {
+    val rows = df.select(keys ++ Seq(arrivalCol.cast("long").as("__arr"),
+      tsCol.cast("long").as("__ts")): _*)
+    val kc = rows.columns.dropRight(2).map(col).toSeq
+    val w = Window.partitionBy(kc: _*).orderBy(col("__arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.withColumn("__late",
+      greatest(coalesce(max(col("__ts")).over(w) - col("__ts"), lit(0L)),
+        lit(0L)))
+  }
+
+  /** WATERMARK LOSS CURVE — [[disorderAudit]] turned into the decision
+    * artifact: for every candidate watermark delay, the EXACT fraction
+    * of history `withWatermark(delay)` would have dropped (events late
+    * by MORE than the delay). The sweep explodes the delay list
+    * against the per-event lateness scores (rows × |delays|, one
+    * map-side-combinable aggregate) — pick the knee of the measured
+    * curve instead of guessing a delay. */
+  def watermarkCurve(df: DataFrame, keys: Seq[Column], arrivalCol: Column,
+                     tsCol: Column, delays: Seq[Long]): DataFrame = {
+    require(delays.nonEmpty && delays.forall(_ >= 0),
+      "watermarkCurve needs at least one non-negative candidate delay")
+    val scored = latenessScores(df, keys, arrivalCol, tsCol)
+    val kc = scored.columns.dropRight(3).map(col).toSeq
+    scored.select(kc ++ Seq(col("__late"),
+        explode(array(delays.map(lit): _*)).as("delay_sec")): _*)
+      .groupBy(kc :+ col("delay_sec"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late") > col("delay_sec"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("drop_permille", expr("(n_dropped * 1000) div n_events"))
   }
 
   /** COMPACTION PLAN (small-files → target-size output groups): the

@@ -60,6 +60,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got("lone") === ((1L, None, None)), "single point: no fit")
   }
 
+  test("disorderAudit + watermarkCurve: exact lateness, p95 order stat, loss curve") {
+    // arrival order 1..8 with event times 10,20,15,30,5,30,31,25:
+    // lateness per arrival = 0,0,5,0,25,0,0,6 (e6 ties the max — on time)
+    val ev = Seq((1L, 10L), (2L, 20L), (3L, 15L), (4L, 30L),
+      (5L, 5L), (6L, 30L), (7L, 31L), (8L, 25L))
+      .toDF("arr", "ts").withColumn("k", lit("a"))
+    val audit = Relational.disorderAudit(ev, Seq(col("k")), col("arr"), col("ts"))
+      .select("n_events", "n_late", "max_late", "p95_late", "late_permille")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // p95 over {5, 6, 25}: index (3−1)·95 div 100 + 1 = 2 → 6
+    assert(audit === ((8L, 3L, 25L, 6L, 375L)))
+    val curve = Relational.watermarkCurve(ev, Seq(col("k")), col("arr"),
+        col("ts"), delays = Seq(5L, 10L, 30L))
+      .select("delay_sec", "n_dropped", "drop_permille")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.toSeq === Seq((5L, 2L, 250L), (10L, 1L, 125L), (30L, 0L, 0L)))
+    // a fully ordered stream audits clean
+    val ordered = Relational.disorderAudit(
+      ev.withColumn("ts", col("arr") * 10), Seq(col("k")), col("arr"), col("ts"))
+    assert(ordered.select("n_late").as[Long].head() === 0L)
+  }
+
   test("asOfJoin picks the latest build row at or before the probe") {
     val probe = Seq((101L, 7L, 50L), (102L, 7L, 10L), (103L, 8L, 5L))
       .toDF("event_id", "user_id", "ts_sec")
