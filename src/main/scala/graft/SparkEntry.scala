@@ -2315,6 +2315,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // FIRST-DIGIT (Benford) AUDIT over order totals: observed
+    // leading-digit shares vs the Benford permille table, per priority
+    // class — the fabricated-data screen; deviation is the finding,
+    // and the synthetic fixture deviates (correctly). Exact string
+    // arithmetic, no float log anywhere.
+    "rel_benford" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      Relational.firstDigitAudit(cents, Seq(col("o_orderpriority")), col("c"))
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
     // WATERMARK LOSS CURVE — the decision artifact on top of the
     // disorder audit: for each candidate watermark delay, the exact
     // fraction of events withWatermark(delay) would drop (late by
@@ -6636,6 +6650,29 @@ object SparkEntry {
     // the SAME direct recompute is the oracle for the merged-state
     // form: hash match ⇔ merge(state(deltas)) ≡ recompute(all).
     "rel_trend_incremental" -> rateTrendOracle,
+
+    // leading digit as exact string arithmetic; all 9 digits
+    // scaffolded so missing digits audit as 0.
+    "rel_benford" ->
+      """WITH v AS (SELECT o_orderpriority AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT k, CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM v),
+        |cnt AS (SELECT k, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS total FROM d GROUP BY 1),
+        |bf AS (SELECT CAST(digit AS BIGINT) AS digit,
+        |         CAST(([301, 176, 125, 97, 79, 67, 58, 51, 46])[digit] AS BIGINT)
+        |           AS benford_permille
+        |       FROM (SELECT unnest(range(1, 10)) AS digit))
+        |SELECT tot.k AS o_orderpriority, bf.digit, coalesce(cnt.n, 0) AS n,
+        |  (coalesce(cnt.n, 0) * 1000) // total AS obs_permille,
+        |  bf.benford_permille,
+        |  (coalesce(cnt.n, 0) * 1000) // total - bf.benford_permille
+        |    AS dev_permille
+        |FROM tot CROSS JOIN bf
+        |LEFT JOIN cnt ON cnt.k = tot.k AND cnt.digit = bf.digit
+        |ORDER BY o_orderpriority, bf.digit""".stripMargin,
 
     // the same lateness scores crossed with the candidate delays.
     "rel_watermark_curve" ->
