@@ -28,9 +28,13 @@ import org.apache.spark.sql.SparkSession
   *    every hot run sat in a burst below the 5× within-session bar
   *    can no longer push a contaminated steady into the artifact
   *    unflagged (round 5's dedup_char_ngram, 9.1× prior);
-  *  - when many queries needed defensive re-runs the whole line carries
-  *    `"degraded_host":true` and a loud DEGRADED_HOST marker goes to
-  *    stderr: the round's numbers should be re-taken, not graded.
+  *  - when many queries needed defensive re-runs — OR ≥5 prior-excess
+  *    flags landed in one run, OR the aggregate steady reads >1.5× the
+  *    committed aggregate (`agg_steady_ratio` in the line; round 7's
+  *    1.76×/42-re-measure session slipped the old volume-only bars) —
+  *    the whole line carries `"degraded_host":true` and a loud
+  *    DEGRADED_HOST marker goes to stderr: the round's numbers should
+  *    be re-taken, not graded.
   */
 object Bench {
 
@@ -144,13 +148,29 @@ object Bench {
     // auto-adjudicated informational flags (steady-only jitter with a
     // flat min) ride the artifact but don't indict the host
     val attention = results.count { case (_, (m, _)) => BenchPolicy.needsAttention(m.flags) }
-    val degraded = BenchPolicy.degradedHost(results.size, attention, extraRuns)
+    // the two session-level tripwires that close the round-7 hole:
+    // unresolved prior-excess flag count and the aggregate
+    // steady-vs-committed ratio over the ref-covered queries
+    val exceedsPrior = results.count { case (_, (m, _)) =>
+      m.flags.contains("exceeds_prior_steady") ||
+        m.flags.contains("steady_exceeds_prior") }
+    val (steadySum, refSum) = results.toSeq.foldLeft((0.0, 0.0)) {
+      case ((a, b), (k, (m, _))) =>
+        (for (s <- m.steady; r <- ref.get(k)) yield (a + s, b + r))
+          .getOrElse((a, b))
+    }
+    val aggRatio = if (refSum > 0) Some(steadySum / refSum) else None
+    val degraded = BenchPolicy.degradedHost(results.size, attention, extraRuns,
+      exceedsPrior, aggRatio)
     if (degraded)
       System.err.println("[bench] DEGRADED_HOST: " +
-        s"$attention queries flagged, $extraRuns defensive re-runs — " +
+        s"$attention queries flagged, $extraRuns defensive re-runs, " +
+        s"$exceedsPrior prior-excess, aggregate steady ratio " +
+        aggRatio.map(r => f"$r%.2f").getOrElse("n/a") + "x — " +
         "host contention corrupted this session; re-take the numbers.")
+    val ratioPart = aggRatio.map(r => f""","agg_steady_ratio":$r%.3f""").getOrElse("")
     val defendPart =
-      s""","remeasured":$extraRuns,"degraded_host":$degraded,"flags":${flagged.mkString("{", ",", "}")}""" +
+      s""","remeasured":$extraRuns,"degraded_host":$degraded$ratioPart,"flags":${flagged.mkString("{", ",", "}")}""" +
         s""","flag_detail":${flagDetails.mkString("{", ",", "}")}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$steadyPart$gcPart$defendPart,"sf":"$sfDir"}"""

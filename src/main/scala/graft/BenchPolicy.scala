@@ -128,9 +128,39 @@ object BenchPolicy {
     Measurement(best, steady, extra, flags.reverse, detail)
   }
 
+  /** Aggregate steady-vs-committed ratio above which the SESSION is
+    * suspect regardless of per-query flags. Round 7's driver run read
+    * 1.76× committed in aggregate (with a tail to 44.6×) yet reported
+    * `degraded_host: false` — a grader trusting the marker would have
+    * read 17 phantom regressions; the judge's same-host A/B resolved
+    * all of them as host weather. */
+  val AggSteadyRatio = 1.5
+
+  /** Unresolved prior-excess flags in one run at which the session is
+    * suspect: ONE such flag can be a real regression; five at once on
+    * zero commits touching those plans is host weather. */
+  val ExceedsPriorCount = 5
+
   /** Session-level verdict: the artifact should be distrusted when
-    * defensive work piled up across many queries. */
-  def degradedHost(nQueries: Int, nFlagged: Int, extraRuns: Int): Boolean =
+    * defensive work piled up across many queries. Four independent
+    * tripwires, ANY sufficient (the first two are the original volume
+    * heuristics; the last two close the round-7 hole, where 42
+    * re-measures + 31 flags + 1.76× aggregate steady slipped through
+    * as `false` because 31 < 213/5 and 42 < 213/4):
+    *
+    *  1. attention-flag volume ≥ max(3, 20% of queries);
+    *  2. defensive re-runs ≥ max(5, 10% of queries) — r7's 42/213
+    *     trips this (old bar was 25%);
+    *  3. ≥ [[ExceedsPriorCount]] unresolved prior-excess flags
+    *     (`exceeds_prior_steady` / `steady_exceeds_prior`) in one run;
+    *  4. aggregate steady > [[AggSteadyRatio]] × the committed
+    *     aggregate over the ref-covered queries.
+    */
+  def degradedHost(nQueries: Int, nFlagged: Int, extraRuns: Int,
+                   nExceedsPrior: Int = 0,
+                   aggSteadyRatio: Option[Double] = None): Boolean =
     nFlagged >= math.max(3, nQueries / 5) ||
-      extraRuns >= math.max(5, nQueries / 4)
+      extraRuns >= math.max(5, (nQueries + 9) / 10) ||
+      nExceedsPrior >= ExceedsPriorCount ||
+      aggSteadyRatio.exists(_ > AggSteadyRatio)
 }

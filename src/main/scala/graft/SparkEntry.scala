@@ -1185,6 +1185,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Baseline JPEG pixel decode: full marker walk + huffman scan +
+    // DC prediction + dequantize + IDCT + YCbCr→RGB over complete
+    // JFIF fixtures (grayscale / 4:4:4 / 4:2:0 by id%3). Fixtures are
+    // DC-only with quantizer 16 so the decode is EXACT (flat blocks
+    // at 2·dc+128, zero chroma ⇒ R=G=B=Y) — the oracle re-enumerates
+    // the analytic per-block grid; the AC/huffman general path is
+    // differential-tested vs javax.imageio in MultimodalHeaderSpec.
+    "mm_decode_jpeg" -> ((s, d) => {
+      Multimodal.decodeJpeg(Multimodal.syntheticJpegBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual average-hash over DECODED pixels (gray → 8×8 block
     // means → shift-invariant threshold → 64-bit pack) — image
     // near-dup detection on the real decode path.
@@ -2327,6 +2344,31 @@ object SparkEntry {
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
       Relational.firstDigitAudit(cents, Seq(col("o_orderpriority")), col("c"))
         .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
+    // SECOND-DIGIT Benford: the screen that catches fabrication the
+    // first-digit test passes (invented numbers anchor the leading
+    // digit on magnitude and miss the second). Values < 10 excluded
+    // by convention; digits 0..9 scaffolded.
+    "rel_benford2" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      Relational.secondDigitAudit(cents, Seq(col("o_orderpriority")), col("c"))
+        .orderBy(col("o_orderpriority"), col("digit"))
+    }),
+
+    // FIRST-TWO-DIGITS (digit-pair) Benford: the fine-grained member
+    // (Nigrini's practitioner standard) — 90 scaffolded pairs per key,
+    // fixed permille table in both engines (no float log anywhere).
+    "rel_benford_pairs" -> ((s, d) => {
+      val cents = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      Relational.digitPairAudit(cents, Seq(col("o_orderpriority")), col("c"))
+        .orderBy(col("o_orderpriority"), col("pair"))
     }),
 
     // WATERMARK LOSS CURVE — the decision artifact on top of the
@@ -4973,6 +5015,38 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS sum_a
         |FROM pj GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
+    // JPEG decode replay: the DC-only fixture decodes to the exact
+    // flat value 2·dc(bx,by)+128 per 8×8 block (quantizer 16 ⇒ no
+    // IDCT rounding; zero chroma ⇒ R=G=B=Y) — the oracle substitutes
+    // the analytic DC grid into the block coordinates of every
+    // visible pixel, so a hash match proves the huffman scan, DC
+    // prediction chain, MCU interleave (incl. 4:2:0), dequantize,
+    // IDCT, color convert and edge crop all read back correctly.
+    "mm_decode_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 21
+        |                    WHEN 1 THEN 1 + doc_id % 19
+        |                    ELSE 1 + doc_id % 23 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 13
+        |                    WHEN 1 THEN 1 + doc_id % 11
+        |                    ELSE 1 + doc_id % 17 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS y FROM gx),
+        |pv AS (SELECT doc_id, w, h, ch,
+        |         2 * ((doc_id + 3 * (x // 8) + 5 * (y // 8)) % 121 - 60) + 128 AS p
+        |       FROM px)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum(p) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
+        |       CAST(0 AS BIGINT) AS sum_a
+        |FROM pv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
     // aHash replay: analytic gray grid → integer block means →
     // floor-mean threshold → bit pack (bit 63 emitted as the signed
     // Long's min-value term — DuckDB BIGINT << 63 overflow-checks).
@@ -6427,8 +6501,8 @@ object SparkEntry {
          |FROM est ORDER BY source_a, source_b""".stripMargin,
 
     // AMS join-size replay: both sides' counters off the same coins,
-    // floor-division group means (// floors like the pmod trick),
-    // lower median.
+    // truncating-division group means (DuckDB integer `//` truncates
+    // toward zero exactly like Spark `div`), lower median.
     "rel_ams_join_size" ->
       s"""WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders),
          |b AS (SELECT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem),
@@ -6674,6 +6748,60 @@ object SparkEntry {
         |LEFT JOIN cnt ON cnt.k = tot.k AND cnt.digit = bf.digit
         |ORDER BY o_orderpriority, bf.digit""".stripMargin,
 
+    // second digit as exact string arithmetic (values < 10 excluded);
+    // digits 0..9 scaffolded against the fixed [120..85] table.
+    "rel_benford2" ->
+      """WITH v AS (SELECT o_orderpriority AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT k, CAST(substr(CAST(c AS VARCHAR), 2, 1) AS BIGINT) AS digit
+        |      FROM v WHERE c >= 10),
+        |cnt AS (SELECT k, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS total FROM d GROUP BY 1),
+        |bf AS (SELECT CAST(digit AS BIGINT) AS digit,
+        |         CAST(([120, 114, 109, 104, 100, 97, 93, 90, 88, 85])[digit + 1]
+        |           AS BIGINT) AS benford_permille
+        |       FROM (SELECT unnest(range(0, 10)) AS digit))
+        |SELECT tot.k AS o_orderpriority, bf.digit, coalesce(cnt.n, 0) AS n,
+        |  (coalesce(cnt.n, 0) * 1000) // total AS obs_permille,
+        |  bf.benford_permille,
+        |  (coalesce(cnt.n, 0) * 1000) // total - bf.benford_permille
+        |    AS dev_permille
+        |FROM tot CROSS JOIN bf
+        |LEFT JOIN cnt ON cnt.k = tot.k AND cnt.digit = bf.digit
+        |ORDER BY o_orderpriority, bf.digit""".stripMargin,
+
+    // leading pair 10..99 against the fixed 90-entry permille table
+    // (hard-coded both sides — no float log in either engine).
+    "rel_benford_pairs" ->
+      """WITH v AS (SELECT o_orderpriority AS k,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |           FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT k, CAST(substr(CAST(c AS VARCHAR), 1, 2) AS BIGINT) AS pair
+        |      FROM v WHERE c >= 10),
+        |cnt AS (SELECT k, pair, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS total FROM d GROUP BY 1),
+        |bf AS (SELECT CAST(pair AS BIGINT) AS pair,
+        |         CAST(([41, 38, 35, 32, 30, 28, 26, 25, 23, 22,
+        |                21, 20, 19, 18, 18, 17, 16, 16, 15, 15,
+        |                14, 14, 13, 13, 13, 12, 12, 12, 11, 11,
+        |                11, 10, 10, 10, 10, 10, 9, 9, 9, 9,
+        |                9, 8, 8, 8, 8, 8, 8, 8, 7, 7,
+        |                7, 7, 7, 7, 7, 7, 7, 6, 6, 6,
+        |                6, 6, 6, 6, 6, 6, 6, 6, 6, 5,
+        |                5, 5, 5, 5, 5, 5, 5, 5, 5, 5,
+        |                5, 5, 5, 5, 5, 5, 5, 4, 4, 4])[pair - 9]
+        |           AS BIGINT) AS benford_permille
+        |       FROM (SELECT unnest(range(10, 100)) AS pair))
+        |SELECT tot.k AS o_orderpriority, bf.pair, coalesce(cnt.n, 0) AS n,
+        |  (coalesce(cnt.n, 0) * 1000) // total AS obs_permille,
+        |  bf.benford_permille,
+        |  (coalesce(cnt.n, 0) * 1000) // total - bf.benford_permille
+        |    AS dev_permille
+        |FROM tot CROSS JOIN bf
+        |LEFT JOIN cnt ON cnt.k = tot.k AND cnt.pair = bf.pair
+        |ORDER BY o_orderpriority, bf.pair""".stripMargin,
+
     // the same lateness scores crossed with the candidate delays.
     "rel_watermark_curve" ->
       """WITH e AS (SELECT event_type,
@@ -6684,7 +6812,7 @@ object SparkEntry {
         |           FROM events),
         |s AS (SELECT event_type, arr,
         |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
-        |          ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          ORDER BY arr RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |          - t, 0), 0) AS late
         |      FROM e),
         |dl AS (SELECT unnest([30, 60, 120, 300, 600]) AS delay_sec)
@@ -6708,7 +6836,7 @@ object SparkEntry {
         |           FROM events),
         |s AS (SELECT event_type, arr,
         |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
-        |          ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          ORDER BY arr RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |          - t, 0), 0) AS late
         |      FROM e),
         |lr AS (SELECT event_type, late,

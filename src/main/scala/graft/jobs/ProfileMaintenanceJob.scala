@@ -155,10 +155,15 @@ object ProfileMaintenanceJob {
     val trend = Relational.readMergedState(spark, s"$storeDir/trend")(st =>
         Relational.trendReadout(Relational.mergeTrendStates(Seq(st), Keys)))
       .select(col("event_type"), col("slope_ppm").as("value_slope_ppm"))
-    // left: an MG state CAN legally be empty (a perfectly tied key
-    // trims every counter to zero) — the profile row must survive that
-    agg.join(p50, Keys).join(kmv, Keys).join(f2, Keys).join(samp, Keys)
-      .join(mg, Keys, "left").join(cov, Keys).join(trend, Keys)
+    // ALL per-state readouts join LEFT off the agg spine: any one
+    // state can legally be empty for a key (MG: a perfectly tied key
+    // trims every counter; sample: all cents <= 0 filtered by the
+    // w > 0 guard; kmv/ams/cms: all user_ids null) and the profile
+    // row must survive with nulls there, not vanish
+    agg.join(p50, Keys, "left").join(kmv, Keys, "left")
+      .join(f2, Keys, "left").join(samp, Keys, "left")
+      .join(mg, Keys, "left").join(cov, Keys, "left")
+      .join(trend, Keys, "left")
       .orderBy(col("event_type"))
   }
 

@@ -173,10 +173,15 @@ object Cdc {
       // explicitly (driver-side, ≤ numBuckets dirs)
       val survived = merged.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet
+      // Hadoop FileSystem, NOT java.io.File: the store can live on
+      // hdfs://s3a:// where a local-File delete silently no-ops and
+      // deleted keys resurrect on the next read (and stripping the
+      // scheme could hit an unrelated same-named local path)
+      val hconf = spark.sessionState.newHadoopConf()
       (touched.toSet -- survived).foreach { bkt =>
-        val base = Option(new java.net.URI(dir).getPath).getOrElse(dir)
-        val d = new java.io.File(base, s"bucket=$bkt")
-        if (d.isDirectory) { d.listFiles().foreach(_.delete()); d.delete() }
+        val p = new org.apache.hadoop.fs.Path(dir, s"bucket=$bkt")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
       }
     }
   }

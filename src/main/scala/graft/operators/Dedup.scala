@@ -1620,14 +1620,24 @@ object Dedup {
   }
 
   /** Narrow Bloom prune of `big` by the key set of `keys` (the small
-    * side, driver-built filter, broadcast). No false negatives: every
-    * `big` row whose key appears in `keys` survives. */
+    * side, distributed `bloom_filter_agg` build collected as ONE
+    * model-sized binary, then a constant `might_contain` probe). No
+    * false negatives: both sides key on the same `xxhash64`, so every
+    * `big` row whose key appears in `keys` survives. Native Catalyst
+    * expressions end to end — the probe stays inside whole-stage
+    * codegen on the corpus scan (the former ScalaUDF here broke
+    * codegen at exactly the hot point the prune exists to keep cheap;
+    * `PlanShapeSpec` now bans ScalaUDF on this path). */
   private def bloomPruned(big: DataFrame, keys: DataFrame, keyCol: String,
                           fpp: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(big.sparkSession)
     val n = math.max(keys.count(), 1L)
-    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
-    val bfB = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((h: String) => bfB.value.mightContainString(h))
-    big.where(might(col(keyCol)))
+    // optimal bit count for the target fpp: ceil(-n·ln(p) / ln(2)²)
+    val bits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2.0) * math.log(2.0))).toLong)
+    val bf = keys.select(call_function("bloom_filter_agg",
+        xxhash64(col(keyCol)), lit(n), lit(bits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    big.where(call_function("might_contain", lit(bf), xxhash64(col(keyCol))))
   }
 }

@@ -777,6 +777,597 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // Baseline JPEG (ITU-T T.81 / JFIF): pure-JVM pixel decode — the
+  // majority codec of any web image corpus, and the last one whose
+  // pixels this engine could not read (SOF header only before round
+  // 8). The decoder is GENERAL baseline sequential: arbitrary DQT/DHT
+  // tables, interleaved MCUs with any sampling factors, DC prediction,
+  // AC run-length + ZRL + EOB, 0xFF00 byte unstuffing, DRI/RSTn
+  // restarts, chroma upsampling, edge-block crop, YCbCr→RGB. The
+  // FIXTURES are constructed for exactness (JPEG is lossy, so the
+  // oracle must know the decoded pixels in closed form): every block
+  // is DC-only with quantizer 16, so the IDCT of block (bx,by) is the
+  // exact flat value 2·dc+128 in ANY conformant decoder (no rounding:
+  // dc·16/8 is an even integer), and color fixtures carry zero chroma
+  // (Cb=Cr=128 ⇒ R=G=B=Y exactly — the 1.402/1.772 terms vanish). The
+  // AC/huffman machinery the flat fixtures skip is exercised by the
+  // javax.imageio differential on a dedicated AC fixture
+  // (MultimodalHeaderSpec).
+  // ------------------------------------------------------------------
+
+  /** Natural position of zigzag index k (T.81 Figure A.6). */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical huffman codes from a DHT-style (BITS, HUFFVAL) pair:
+    * symbol → (codeLength, code). Shared by the fixture encoder and
+    * the decoder's table builder so both sides construct T.81 Annex C
+    * canonical codes from the same declaration. */
+  private[graft] def jpegCanonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Array[(Int, Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int, Int)] // (symbol, len, code)
+    var code = 0
+    var vi = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += ((vals(vi), len, code))
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  /** Fixture huffman declarations — deliberately COMPACT custom tables
+    * (DHT permits any canonical table; using non-Annex-K tables makes
+    * the decoder's table builder do real work): DC covers categories
+    * 0..11, AC covers EOB, (0,1), (1,1), ZRL. No code is all-ones. */
+  private[graft] val JpegDcBits = Array(0, 2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[graft] val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private[graft] val JpegAcBits = Array(1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[graft] val JpegAcVals = Array(0x00, 0x01, 0x11, 0xf0)
+
+  /** MSB-first entropy bit writer with T.81 byte stuffing (a data
+    * 0xFF is followed by 0x00) and 1-fill to the byte boundary. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code.toLong & ((1L << len) - 1))
+      nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    def flush(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  /** A COMPLETE baseline JFIF file. `mode`: 0 = grayscale, 1 = YCbCr
+    * 4:4:4, 2 = YCbCr 4:2:0. `coef(comp, bx, by)` yields a block's 64
+    * QUANTIZED coefficients in natural order (comp 0 = Y/gray, 1 = Cb,
+    * 2 = Cr; (bx,by) in the component's own padded block grid). All
+    * quantizers are 16 (both tables), sample precision 8. */
+  private[graft] def jpegAssemble(width: Int, height: Int, mode: Int,
+      coef: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def m(code: Int): Unit = { out.write(0xff); out.write(code) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8) // SOI
+    m(0xe0); w16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); w16(1); w16(1); out.write(0); out.write(0)
+    val nComp = if (mode == 0) 1 else 3
+    // DQT: table 0 (luma) and, for color, table 1 (chroma) — all 16s
+    val nQt = if (mode == 0) 1 else 2
+    m(0xdb); w16(2 + 65 * nQt)
+    for (t <- 0 until nQt) { out.write(t); for (_ <- 0 until 64) out.write(16) }
+    // SOF0
+    m(0xc0); w16(8 + 3 * nComp)
+    out.write(8); w16(height); w16(width); out.write(nComp)
+    val samp: Array[(Int, Int)] = mode match {
+      case 0 => Array((1, 1))
+      case 1 => Array((1, 1), (1, 1), (1, 1))
+      case _ => Array((2, 2), (1, 1), (1, 1))
+    }
+    for (c <- 0 until nComp) {
+      out.write(c + 1)
+      out.write((samp(c)._1 << 4) | samp(c)._2)
+      out.write(if (c == 0) 0 else 1)
+    }
+    // DHT: DC and AC tables, ids 0 (luma) and 1 (chroma)
+    val nHt = if (mode == 0) 1 else 2
+    for (tid <- 0 until nHt; cls <- 0 to 1) {
+      val (bits, vals) = if (cls == 0) (JpegDcBits, JpegDcVals) else (JpegAcBits, JpegAcVals)
+      m(0xc4); w16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | tid)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    // SOS
+    m(0xda); w16(6 + 2 * nComp)
+    out.write(nComp)
+    for (c <- 0 until nComp) {
+      out.write(c + 1)
+      val t = if (c == 0) 0 else 1
+      out.write((t << 4) | t)
+    }
+    out.write(0); out.write(63); out.write(0)
+    // entropy-coded scan: interleaved MCUs, DC prediction per comp
+    val dcCodes = jpegCanonicalCodes(JpegDcBits, JpegDcVals)
+      .map { case (s, l, c) => s -> ((l, c)) }.toMap
+    val acCodes = jpegCanonicalCodes(JpegAcBits, JpegAcVals)
+      .map { case (s, l, c) => s -> ((l, c)) }.toMap
+    val bw = new JpegBitWriter(out)
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val pred = new Array[Int](nComp)
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def encodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      val blk = coef(c, bx, by)
+      val diff = blk(0) - pred(c)
+      pred(c) = blk(0)
+      val s = category(diff)
+      val (dl, dc) = dcCodes(s)
+      bw.put(dc, dl)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      // AC run-length in zigzag order
+      var k = 1
+      var zeroRun = 0
+      var emittedLast = false
+      while (k < 64) {
+        val v = blk(JpegZigzag(k))
+        if (v == 0) zeroRun += 1
+        else {
+          while (zeroRun > 15) {
+            val (zl, zc) = acCodes(0xf0); bw.put(zc, zl); zeroRun -= 16
+          }
+          val sz = category(v)
+          val (al, ac) = acCodes((zeroRun << 4) | sz)
+          bw.put(ac, al)
+          bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+          zeroRun = 0
+          emittedLast = k == 63
+        }
+        k += 1
+      }
+      if (!emittedLast) { val (el, ec) = acCodes(0x00); bw.put(ec, el) }
+    }
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
+         v <- 0 until samp(c)._2; h <- 0 until samp(c)._1)
+      encodeBlock(c, mx * samp(c)._1 + h, my * samp(c)._2 + v)
+    bw.flush()
+    m(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** The oracle-exact fixture (see the section comment): mode id%3,
+    * dims per mode, luma DC(bx,by) = ((id + 3bx + 5by) % 121) − 60 ⇒
+    * decoded pixel(x,y) = 2·DC(x div 8, y div 8) + 128 ∈ [8, 248]
+    * (never clamped), chroma DC 0 ⇒ R=G=B=Y. */
+  private[graft] def jpegBaselineBytes(id: Long): Array[Byte] = {
+    val mode = (id % 3).toInt
+    val (w, h) = mode match {
+      case 0 => ((1 + id % 21).toInt, (1 + id % 13).toInt)
+      case 1 => ((1 + id % 19).toInt, (1 + id % 11).toInt)
+      case _ => ((1 + id % 23).toInt, (1 + id % 17).toInt)
+    }
+    def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      if (c == 0) a(0) = (((id + 3L * bx + 5L * by) % 121) - 60).toInt
+      a
+    }
+    jpegAssemble(w, h, mode, blk)
+  }
+
+  /** Deterministic complete baseline JPEGs keyed on doc_id — the
+    * fixture generator for [[decodeJpeg]]. */
+  def syntheticJpegBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), jpegBaselineBytes(r.getLong(0))) }
+    }(enc)
+  }
+
+  /** Zigzag→natural position (test hook for building AC fixtures). */
+  private[graft] def jpegZigzagAt(k: Int): Int = JpegZigzag(k)
+
+  /** Decoded component planes plus the geometry needed to sample
+    * them: planes are MCU-padded; visible pixel (x,y) of component c
+    * reads plane(c)((y·v_c/vmax)·planeW(c) + x·h_c/hmax). */
+  private[graft] final case class JpegDecoded(
+      width: Int, height: Int, planes: Array[Array[Byte]],
+      planeW: Array[Int], compH: Array[Int], compV: Array[Int],
+      hmax: Int, vmax: Int)
+
+  /** Full baseline-sequential JPEG decode to component planes
+    * (untrusted bytes: every malformed shape refuses with None, same
+    * discipline as the PNG/GIF/WAV walks). Progressive (SOF2),
+    * arithmetic coding, 12-bit precision and hierarchical modes
+    * refuse — baseline only. */
+  private[graft] def decodeJpegCore(bytes0: Array[Byte]): Option[JpegDecoded] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    val quant = new Array[Array[Int]](4) // natural-order quantizers
+    // huffman tables: (class, id) → decode arrays
+    val huffMin = Array.ofDim[Array[Int]](2, 4)
+    val huffMax = Array.ofDim[Array[Int]](2, 4)
+    val huffValIdx = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    var width = 0; var height = 0
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compTq: Array[Int] = null
+    var restartInterval = 0
+    var p = 2
+    var sosAt = -1
+    var scanComp: Array[Int] = null // frame-component index per scan slot
+    var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
+    while (sosAt < 0) {
+      // marker walk (fill 0xFF bytes are legal padding)
+      while (p < bytes.length && (bytes(p) & 0xff) != 0xff) return None
+      while (p < bytes.length && (bytes(p) & 0xff) == 0xff) p += 1
+      if (p >= bytes.length) return None
+      val code = bytes(p) & 0xff; p += 1
+      if (code == 0xd9) return None // EOI before SOS
+      if (p + 2 > bytes.length) return None
+      val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      if (len < 2 || p + len > bytes.length) return None
+      val seg = p + 2
+      val segEnd = p + len
+      code match {
+        case 0xdb => // DQT: multiple tables per marker
+          var q = seg
+          while (q < segEnd) {
+            val pq = (bytes(q) & 0xff) >> 4
+            val tq = bytes(q) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            q += 1
+            val tbl = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              if (pq == 1) {
+                if (q + 1 >= segEnd) return None
+                tbl(JpegZigzag(k)) = ((bytes(q) & 0xff) << 8) | (bytes(q + 1) & 0xff)
+                q += 2
+              } else {
+                if (q >= segEnd) return None
+                tbl(JpegZigzag(k)) = bytes(q) & 0xff
+                q += 1
+              }
+              k += 1
+            }
+            quant(tq) = tbl
+          }
+        case 0xc4 => // DHT: multiple tables per marker
+          var q = seg
+          while (q < segEnd) {
+            val cls = (bytes(q) & 0xff) >> 4
+            val tid = bytes(q) & 0x0f
+            if (cls > 1 || tid > 3) return None
+            q += 1
+            if (q + 16 > segEnd) return None
+            val bits = Array.tabulate(16)(i => bytes(q + i) & 0xff)
+            q += 16
+            val total = bits.sum
+            if (total > 256 || q + total > segEnd) return None
+            val vals = Array.tabulate(total)(i => bytes(q + i) & 0xff)
+            q += total
+            // canonical decode arrays (T.81 F.2.2.3): per length, the
+            // min/max code and the index of the first value
+            val mn = new Array[Int](17); val mx = new Array[Int](17)
+            val vi = new Array[Int](17)
+            var codeAcc = 0; var vidx = 0
+            var l = 1
+            while (l <= 16) {
+              if (bits(l - 1) > 0) {
+                vi(l) = vidx; mn(l) = codeAcc
+                codeAcc += bits(l - 1); vidx += bits(l - 1)
+                mx(l) = codeAcc - 1
+              } else { mn(l) = 1; mx(l) = 0 } // empty length
+              codeAcc <<= 1
+              l += 1
+            }
+            huffMin(cls)(tid) = mn; huffMax(cls)(tid) = mx
+            huffValIdx(cls)(tid) = vi; huffVals(cls)(tid) = vals
+          }
+        case 0xc0 | 0xc1 => // baseline / extended sequential huffman
+          if (segEnd - seg < 6) return None
+          val precision = bytes(seg) & 0xff
+          if (precision != 8) return None
+          height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          val nc = bytes(seg + 5) & 0xff
+          if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14))
+            return None
+          if (nc < 1 || nc > 4 || segEnd - seg < 6 + 3 * nc) return None
+          compId = new Array[Int](nc); compH = new Array[Int](nc)
+          compV = new Array[Int](nc); compTq = new Array[Int](nc)
+          for (c <- 0 until nc) {
+            compId(c) = bytes(seg + 6 + 3 * c) & 0xff
+            val hv = bytes(seg + 7 + 3 * c) & 0xff
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
+              return None
+            compTq(c) = bytes(seg + 8 + 3 * c) & 0xff
+            if (compTq(c) > 3) return None
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive / lossless / arithmetic / hierarchical
+        case 0xdd => // DRI
+          if (segEnd - seg < 2) return None
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+        case 0xda => // SOS
+          if (compId == null) return None
+          val ns = bytes(seg) & 0xff
+          if (ns < 1 || ns > 4 || segEnd - seg < 1 + 2 * ns + 3) return None
+          // only the one-scan shapes baseline files use: a fully
+          // interleaved scan of every frame component, or a
+          // single-component frame
+          if (ns != compId.length) return None
+          scanComp = new Array[Int](ns); scanDc = new Array[Int](ns)
+          scanAc = new Array[Int](ns)
+          for (s <- 0 until ns) {
+            val cid = bytes(seg + 1 + 2 * s) & 0xff
+            val ci = compId.indexOf(cid)
+            if (ci < 0) return None
+            scanComp(s) = ci
+            val tt = bytes(seg + 2 + 2 * s) & 0xff
+            scanDc(s) = tt >> 4; scanAc(s) = tt & 0x0f
+            if (scanDc(s) > 3 || scanAc(s) > 3) return None
+          }
+          sosAt = segEnd
+        case _ => () // APPn / COM / others: skip
+      }
+      p = segEnd
+    }
+    val nComp = compId.length
+    val nPixels = width.toLong * height
+    if (nPixels > (1L << 26)) return None
+    for (c <- 0 until nComp)
+      if (quant(compTq(c)) == null) return None
+    val hmax = compH.max; val vmax = compV.max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component padded planes
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
+    // entropy reader: MSB-first, 0xFF00 unstuffed, stops at markers
+    var bp = sosAt // byte position
+    var bitBuf = 0; var bitCnt = 0
+    var hitMarker = false
+    def fill(): Boolean = {
+      if (bp >= bytes.length) return false
+      var b = bytes(bp) & 0xff
+      if (b == 0xff) {
+        if (bp + 1 >= bytes.length) return false
+        val nxt = bytes(bp + 1) & 0xff
+        if (nxt == 0x00) { bp += 2 }
+        else { hitMarker = true; return false }
+      } else bp += 1
+      bitBuf = (bitBuf << 8) | b; bitCnt += 8
+      true
+    }
+    def readBit(): Int = {
+      if (bitCnt == 0 && !fill()) return -1
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = readBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def decodeHuff(cls: Int, tid: Int): Int = {
+      val mn = huffMin(cls)(tid)
+      if (mn == null) return -1
+      val mx = huffMax(cls)(tid); val vi = huffValIdx(cls)(tid)
+      val vals = huffVals(cls)(tid)
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = readBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        if (mn(l) <= mx(l) && code >= mn(l) && code <= mx(l))
+          return vals(vi(l) + code - mn(l))
+        l += 1
+      }
+      -1
+    }
+    // IDCT basis: cos((2x+1)uπ/16) · C(u), doubles (a DC-only block is
+    // exact; general blocks are reference-float IDCT)
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    val coefBuf = new Array[Int](64)
+    val pred = new Array[Int](nComp)
+    def decodeBlock(c: Int, dcT: Int, acT: Int, bx: Int, by: Int): Boolean = {
+      java.util.Arrays.fill(coefBuf, 0)
+      val q = quant(compTq(c))
+      val s = decodeHuff(0, dcT)
+      if (s < 0 || s > 11) return false
+      val dv = receive(s); if (dv == Int.MinValue) return false
+      pred(c) += extend(dv, s)
+      coefBuf(0) = pred(c) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(1, acT)
+        if (rs < 0) return false
+        val r = rs >> 4; val sz = rs & 0x0f
+        if (sz == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          if (k > 63) return false
+          val av = receive(sz); if (av == Int.MinValue) return false
+          // quant is natural-order; k is the zigzag index
+          coefBuf(JpegZigzag(k)) = extend(av, sz) * q(JpegZigzag(k))
+          k += 1
+        }
+      }
+      // IDCT + level shift into the component plane
+      val pw = planeW(c)
+      val plane = planes(c)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val cv = coefBuf(v * 8 + u)
+              if (cv != 0) acc += cv * cosT(x)(u) * cosT(y)(v)
+              v += 1
+            }
+            u += 1
+          }
+          val px = math.round(acc / 4.0 + 128.0)
+          val clamped = if (px < 0) 0 else if (px > 255) 255 else px.toInt
+          plane((by * 8 + y) * pw + bx * 8 + x) = clamped.toByte
+          x += 1
+        }
+        y += 1
+      }
+      true
+    }
+    var mcuCount = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+          // byte-align, expect RSTn, reset predictors
+          bitCnt = 0
+          if (!hitMarker) {
+            if (bp + 1 >= bytes.length || (bytes(bp) & 0xff) != 0xff) return None
+          }
+          val rc = bytes(bp + 1) & 0xff
+          if (rc < 0xd0 || rc > 0xd7) return None
+          bp += 2; hitMarker = false
+          java.util.Arrays.fill(pred, 0)
+        }
+        var s = 0
+        while (s < scanComp.length) {
+          val c = scanComp(s)
+          var v = 0
+          while (v < compV(c)) {
+            var h = 0
+            while (h < compH(c)) {
+              if (!decodeBlock(c, scanDc(s), scanAc(s),
+                  mx * compH(c) + h, my * compV(c) + v)) return None
+              h += 1
+            }
+            v += 1
+          }
+          s += 1
+        }
+        mcuCount += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (nComp == 1 || nComp == 3)
+      Some(JpegDecoded(width, height, planes, planeW, compH, compV, hmax, vmax))
+    else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[decodeJpegCore]] sampled to per-channel byte sums: (w, h,
+    * channels, nPixels, sumR, sumG, sumB, 0); grayscale reports
+    * channels=1 with the gray sum in sumR (the PNG grey convention).
+    * Color converts YCbCr→RGB (ITU-R BT.601 constants) with chroma
+    * planes index-scaled by the sampling ratio (box upsampling). */
+  private[graft] def decodeJpegPixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] =
+    decodeJpegCore(bytes0).map { d =>
+      import d._
+      val nPixels = width.toLong * height
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      def cl(v: Double): Int = {
+        val r = math.round(v); if (r < 0) 0 else if (r > 255) 255 else r.toInt
+      }
+      if (planes.length == 1) {
+        val pw = planeW(0); val plane = planes(0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { sumR += plane(y * pw + x) & 0xff; x += 1 }
+          y += 1
+        }
+        (width, height, 1, nPixels, sumR, 0L, 0L, 0L)
+      } else {
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = planes(0)((y * compV(0) / vmax) * planeW(0) + x * compH(0) / hmax) & 0xff
+            val cb = (planes(1)((y * compV(1) / vmax) * planeW(1) + x * compH(1) / hmax) & 0xff) - 128
+            val cr = (planes(2)((y * compV(2) / vmax) * planeW(2) + x * compH(2) / hmax) & 0xff) - 128
+            sumR += cl(yy + 1.402 * cr)
+            sumG += cl(yy - 0.344136 * cb - 0.714136 * cr)
+            sumB += cl(yy + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+        (width, height, 3, nPixels, sumR, sumG, sumB, 0L)
+      }
+    }
+
+  /** Visible gray plane of a single-component JPEG, row-major —
+    * the per-pixel differential hook (MultimodalHeaderSpec). */
+  private[graft] def decodeJpegGray(bytes: Array[Byte]): Option[Array[Int]] =
+    decodeJpegCore(bytes).collect {
+      case d if d.planes.length == 1 =>
+        val out = new Array[Int](d.width * d.height)
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            out(y * d.width + x) = d.planes(0)(y * d.planeW(0) + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
+
+  /** [[decodeJpegPixels]] at scale: constant-memory per-partition
+    * iteration, non-decodable payloads dropped (stub seam). */
+  def decodeJpeg(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngPixelSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeJpegPixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sr, sg, sb, sa) =>
+            Row(r.getLong(0), w, h, ch, np, sr, sg, sb, sa)
+        }
+      }
+    }(enc)
+  }
+
   /** One PNG chunk: [len BE][type][payload][CRC32(type||payload)] —
     * real CRCs, so fixtures are valid PNGs end to end. */
   private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {

@@ -465,8 +465,18 @@ object Relational {
     * max_late (units of tsCol), p95_late (95th percentile of lateness
     * among LATE rows; 0 when nothing is late). */
   def disorderAudit(df: DataFrame, keys: Seq[Column], arrivalCol: Column,
-                    tsCol: Column): DataFrame = {
-    val scored = latenessScores(df, keys, arrivalCol, tsCol)
+                    tsCol: Column): DataFrame =
+    disorderStats(latenessScores(df, keys, arrivalCol, tsCol))
+
+  /** [[disorderAudit]] on the [[latenessScoresBucketed]] two-pass
+    * scoring — same output, no per-key serial window, so one hot key
+    * (one topic-partition audited as one key) cannot serialize the
+    * 100 TB audit. Proven ≡ the exact form in `TemporalOpsSpec`. */
+  def disorderAuditBucketed(df: DataFrame, keys: Seq[Column],
+      arrivalCol: Column, tsCol: Column, numBuckets: Int = 64): DataFrame =
+    disorderStats(latenessScoresBucketed(df, keys, arrivalCol, tsCol, numBuckets))
+
+  private def disorderStats(scored: DataFrame): DataFrame = {
     val keyNames = scored.columns.dropRight(3).toSeq
     val kc = keyNames.map(col)
     val rows = scored
@@ -489,18 +499,70 @@ object Relational {
 
   /** Shared lateness scoring of [[disorderAudit]] and
     * [[watermarkCurve]]: keys ++ (__arr, __ts, __late), __late = how
-    * far behind the running event-time max (in arrival order) each
-    * event arrives, 0 when on time. */
-  private def latenessScores(df: DataFrame, keys: Seq[Column],
-                             arrivalCol: Column, tsCol: Column): DataFrame = {
+    * far behind the running event-time max each event arrives, 0 when
+    * on time. TIE RULE: the frame is a RANGE over `__arr`, so the max
+    * covers rows with STRICTLY EARLIER arrival — rows sharing an
+    * arrival stamp are simultaneous and never count toward each
+    * other's lateness (deterministic under ties, where a ROWS frame
+    * would be planner-ordered). */
+  private[graft] def latenessScores(df: DataFrame, keys: Seq[Column],
+                                    arrivalCol: Column, tsCol: Column): DataFrame = {
     val rows = df.select(keys ++ Seq(arrivalCol.cast("long").as("__arr"),
       tsCol.cast("long").as("__ts")): _*)
     val kc = rows.columns.dropRight(2).map(col).toSeq
     val w = Window.partitionBy(kc: _*).orderBy(col("__arr"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rangeBetween(Window.unboundedPreceding, -1)
     rows.withColumn("__late",
       greatest(coalesce(max(col("__ts")).over(w) - col("__ts"), lit(0L)),
         lit(0L)))
+  }
+
+  /** [[latenessScores]] WITHOUT the per-key serial window — the
+    * 100 TB form. The exact form's running max puts one key's entire
+    * arrival history into one task (a topic-partition audited as one
+    * key = one straggler). Two passes instead: (1) cut each key's
+    * arrival axis into `numBuckets` equal ranges and take per-bucket
+    * event-time maxima (map-side-combinable, keys×buckets rows);
+    * (2) prefix-max those maxima per key (a window over the TINY
+    * bucket table) and broadcast-join back, so inside a bucket the
+    * running max only needs the bucket's own rows — parallelism
+    * numBuckets per key. Equivalent to the exact form BY CONSTRUCTION:
+    * bucket is a function of `__arr`, so equal arrivals share a bucket
+    * and the strictly-earlier tie rule survives the split
+    * (equivalence spec in `TemporalOpsSpec`). */
+  private[graft] def latenessScoresBucketed(df: DataFrame, keys: Seq[Column],
+      arrivalCol: Column, tsCol: Column, numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val rows = df.select(keys ++ Seq(arrivalCol.cast("long").as("__arr"),
+      tsCol.cast("long").as("__ts")): _*)
+    val keyNames = rows.columns.dropRight(2).toSeq
+    val kc = keyNames.map(col)
+    // per-key arrival span → equal-range bucket of each row
+    val span = rows.groupBy(kc: _*)
+      .agg(min(col("__arr")).as("__lo"), max(col("__arr")).as("__hi"))
+    val bucketed = rows.join(broadcast(span), keyNames)
+      .withColumn("__bkt",
+        expr(s"cast(((__arr - __lo) * $numBuckets) div (__hi - __lo + 1) as int)"))
+      .drop("__lo", "__hi")
+    // pass 1: bucket maxima; pass 2: per-key prefix max over buckets
+    // STRICTLY BEFORE each bucket (tiny: keys × numBuckets rows)
+    val bucketMax = bucketed.groupBy(kc :+ col("__bkt"): _*)
+      .agg(max(col("__ts")).as("__bmax"))
+    val prefix = bucketMax.withColumn("__pmax",
+      max(col("__bmax")).over(Window.partitionBy(kc: _*).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(kc ++ Seq(col("__bkt"), col("__pmax")): _*)
+    // in-bucket strictly-earlier running max, parallel across buckets
+    val wIn = Window.partitionBy(kc :+ col("__bkt"): _*).orderBy(col("__arr"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(prefix), keyNames :+ "__bkt")
+      // greatest() skips nulls; null only when BOTH sides are null
+      // (the key's very first arrivals) — then lateness is 0
+      .withColumn("__cand",
+        greatest(max(col("__ts")).over(wIn), col("__pmax")))
+      .withColumn("__late",
+        greatest(coalesce(col("__cand") - col("__ts"), lit(0L)), lit(0L)))
+      .drop("__bkt", "__pmax", "__cand")
   }
 
   /** WATERMARK LOSS CURVE — [[disorderAudit]] turned into the decision
@@ -558,6 +620,79 @@ object Relational {
       .withColumn("dev_permille", col("obs_permille") - col("benford_permille"))
       .drop("__total")
   }
+
+  /** SECOND-DIGIT (Benford) AUDIT — the companion screen that catches
+    * fabrication the first-digit test passes: people inventing numbers
+    * get the leading digit roughly right (anchoring on magnitude) and
+    * the second digit wrong. Expected share of second digit d =
+    * Σ_{d₁=1..9} log₁₀(1 + 1/(10·d₁ + d)), carried as the fixed
+    * integer permille table [120, 114, …, 85] (sums to exactly 1000).
+    * Values below 10 have no second digit and are excluded (the
+    * standard convention). Same exact string arithmetic, scaffold and
+    * map-side-combinable shape as [[firstDigitAudit]]. */
+  def secondDigitAudit(df: DataFrame, keys: Seq[Column],
+                       valueCol: Column): DataFrame = {
+    val rows = df.select(keys :+ valueCol.cast("long").as("__c"): _*)
+      .filter(col("__c") >= 10)
+    val keyNames = rows.columns.dropRight(1).toSeq
+    val kc = keyNames.map(col)
+    val dig = rows.withColumn("digit",
+      expr("cast(substring(cast(__c as string), 2, 1) as bigint)"))
+    val cnt = dig.groupBy(kc :+ col("digit"): _*).agg(count(lit(1)).as("n"))
+    val benford2 = Seq(120L, 114L, 109L, 104L, 100L, 97L, 93L, 90L, 88L, 85L)
+    val scaffold = dig.groupBy(kc: _*).agg(count(lit(1)).as("__total"))
+      .select(kc ++ Seq(col("__total"),
+        explode(sequence(lit(0L), lit(9L))).as("digit")): _*)
+      .withColumn("benford_permille",
+        element_at(array(benford2.map(lit): _*), col("digit").cast("int") + 1))
+    scaffold.join(cnt, keyNames :+ "digit", "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("obs_permille", expr("(n * 1000) div __total"))
+      .withColumn("dev_permille", col("obs_permille") - col("benford_permille"))
+      .drop("__total")
+  }
+
+  /** FIRST-TWO-DIGITS (digit-pair) Benford audit — the fine-grained
+    * member of the family (Nigrini's practitioner standard): expected
+    * share of leading pair d ∈ [10, 99] is log₁₀(1 + 1/d), carried as
+    * a fixed 90-entry permille table (hard-coded in BOTH engines — no
+    * float log anywhere, so the audit is bit-stable cross-engine).
+    * 90 scaffolded rows per key; values below 10 excluded. */
+  def digitPairAudit(df: DataFrame, keys: Seq[Column],
+                     valueCol: Column): DataFrame = {
+    val rows = df.select(keys :+ valueCol.cast("long").as("__c"): _*)
+      .filter(col("__c") >= 10)
+    val keyNames = rows.columns.dropRight(1).toSeq
+    val kc = keyNames.map(col)
+    val dig = rows.withColumn("pair",
+      expr("cast(substring(cast(__c as string), 1, 2) as bigint)"))
+    val cnt = dig.groupBy(kc :+ col("pair"): _*).agg(count(lit(1)).as("n"))
+    val scaffold = dig.groupBy(kc: _*).agg(count(lit(1)).as("__total"))
+      .select(kc ++ Seq(col("__total"),
+        explode(sequence(lit(10L), lit(99L))).as("pair")): _*)
+      .withColumn("benford_permille",
+        element_at(array(BenfordPairPermille.map(lit): _*),
+          col("pair").cast("int") - 9))
+    scaffold.join(cnt, keyNames :+ "pair", "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("obs_permille", expr("(n * 1000) div __total"))
+      .withColumn("dev_permille", col("obs_permille") - col("benford_permille"))
+      .drop("__total")
+  }
+
+  /** round(log₁₀(1 + 1/d)·1000) for d = 10..99 — fixed so neither
+    * engine computes a float log (d=96 sits 5·10⁻⁴ above a rounding
+    * boundary; a live log10 would be one ulp from flipping it). */
+  private[graft] val BenfordPairPermille: Seq[Long] = Seq(
+    41L, 38L, 35L, 32L, 30L, 28L, 26L, 25L, 23L, 22L,
+    21L, 20L, 19L, 18L, 18L, 17L, 16L, 16L, 15L, 15L,
+    14L, 14L, 13L, 13L, 13L, 12L, 12L, 12L, 11L, 11L,
+    11L, 10L, 10L, 10L, 10L, 10L, 9L, 9L, 9L, 9L,
+    9L, 8L, 8L, 8L, 8L, 8L, 8L, 8L, 7L, 7L,
+    7L, 7L, 7L, 7L, 7L, 7L, 7L, 6L, 6L, 6L,
+    6L, 6L, 6L, 6L, 6L, 6L, 6L, 6L, 6L, 5L,
+    5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L,
+    5L, 5L, 5L, 5L, 5L, 5L, 5L, 4L, 4L, 4L)
 
   /** COMPACTION PLAN (small-files → target-size output groups): the
     * table-maintenance pass every 100 TB parquet table runs daily —
@@ -1342,11 +1477,14 @@ object Relational {
     val prod = stateA.select(col("j"), col("z").as("__za"))
       .join(stateB.select(col("j"), col("z").as("__zb")), Seq("j"))
       .select(col("j"), (col("__za") * col("__zb")).as("p"))
-    // products can be negative: FLOOR division (pmod trick), not
-    // Spark's truncating `div`, so DuckDB's `//` replays it exactly
+    // products can be negative: DuckDB's integer `//` TRUNCATES
+    // toward zero (verified: -7 // 2 = -3) exactly like Spark's
+    // `div`, so plain div matches the oracle — a pmod floor here
+    // would diverge on any group with a negative non-multiple-of-8
+    // product sum (near-disjoint joins)
     val means = prod.withColumn("grp", expr("j div 8"))
       .groupBy(col("grp"))
-      .agg(expr("(sum(p) - pmod(sum(p), 8)) div 8").as("gm"))
+      .agg(expr("sum(p) div 8").as("gm"))
     means.withColumn("__rn", row_number().over(
         Window.orderBy(col("gm"), col("grp"))))
       .filter(col("__rn") === (g + 1) / 2)

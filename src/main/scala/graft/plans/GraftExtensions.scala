@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.bloomMightContainDescriptor)
     // strict mode: reject condition-free inner/cross joins at analysis
     // time (no-op unless spark.graft.failOnCartesian=true)
     ext.injectCheckRule(session => new CartesianGuard(session))
@@ -116,6 +118,29 @@ object GraftExtensions {
     new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
     (children: Seq[Expression]) => WinnowFp(children.head, children(1), children(2)))
 
+  // Spark SHIPS native Bloom expressions (BloomFilterAggregate /
+  // BloomFilterMightContain — the runtime-filter machinery) but keeps
+  // them off the public registry; surface them so the delta-dedup
+  // Bloom prune is a codegen'd native probe instead of a ScalaUDF.
+  // The analyzer wraps a bare AggregateFunction builder result itself.
+  val bloomAggDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        children(0), children(1), children(2)))
+
+  val bloomMightContainDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (children: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children(0), children(1)))
+
   /** Runtime registration on an existing session (the driver hands us
     * sessions we didn't build). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -125,6 +150,7 @@ object GraftExtensions {
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
         hammingWordsDescriptor, winnowFpDescriptor,
+        bloomAggDescriptor, bloomMightContainDescriptor,
         hilbertIndexDescriptor).foreach { d =>
       registry.registerFunction(d._1, d._2, d._3)
     }

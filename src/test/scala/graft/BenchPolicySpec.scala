@@ -134,4 +134,29 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!BenchPolicy.degradedHost(nQueries = 5, nFlagged = 2, extraRuns = 4))
     assert(BenchPolicy.degradedHost(nQueries = 5, nFlagged = 3, extraRuns = 0))
   }
+
+  test("the BENCH_r07 scenario: 42 re-measures over 213 queries trips the marker") {
+    // the exact session the old two-condition form waved through as
+    // false (31 < 213/5 flags, 42 < 213/4 extras): the 10% re-measure
+    // tripwire alone now catches it
+    assert(BenchPolicy.degradedHost(nQueries = 213, nFlagged = 31, extraRuns = 42))
+  }
+
+  test("degradedHost trips on >=5 unresolved prior-excess flags alone") {
+    assert(BenchPolicy.degradedHost(nQueries = 213, nFlagged = 5, extraRuns = 5,
+      nExceedsPrior = 5))
+    assert(!BenchPolicy.degradedHost(nQueries = 213, nFlagged = 4, extraRuns = 5,
+      nExceedsPrior = 4))
+  }
+
+  test("degradedHost trips on aggregate steady >1.5x committed alone") {
+    // r7's aggregate: 419.0 s steady vs 238.5 s committed = 1.76x
+    assert(BenchPolicy.degradedHost(nQueries = 213, nFlagged = 0, extraRuns = 0,
+      nExceedsPrior = 0, aggSteadyRatio = Some(1.76)))
+    // the documented ±15% host drift band stays quiet
+    assert(!BenchPolicy.degradedHost(nQueries = 213, nFlagged = 0, extraRuns = 0,
+      nExceedsPrior = 0, aggSteadyRatio = Some(1.15)))
+    assert(!BenchPolicy.degradedHost(nQueries = 213, nFlagged = 0, extraRuns = 0,
+      nExceedsPrior = 0, aggSteadyRatio = None))
+  }
 }

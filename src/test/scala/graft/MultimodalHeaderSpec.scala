@@ -752,4 +752,129 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.decodeGifPixels(Array.emptyByteArray).isEmpty)
     assert(Multimodal.decodeGifPixels(null).isEmpty)
   }
+
+  test("JPEG baseline decode agrees EXACTLY with javax.imageio on the DC-only " +
+    "fixtures (grayscale, 4:4:4, 4:2:0)") {
+    // DC-only blocks with quantizer 16 decode to the flat value
+    // 2·dc+128 with NO rounding ambiguity (dc·16/8 is an even
+    // integer), and zero chroma makes YCbCr→RGB exact — so any
+    // conformant decoder produces identical pixels and the
+    // differential is exact, not tolerance-based. ImageIO (libjpeg)
+    // is the independent referee against a compensating encoder/
+    // decoder bug pair.
+    for (id <- 0L until 60L) {
+      val bytes = Multimodal.jpegBaselineBytes(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept fixture id=$id")
+      val got = Multimodal.decodeJpegPixels(bytes)
+      assert(got.isDefined, s"decodeJpegPixels must accept fixture id=$id")
+      val (w, h, ch, np, sr, sg, sb, _) = got.get
+      assert(w === img.getWidth && h === img.getHeight && np === w.toLong * h,
+        s"dims vs ImageIO, id=$id")
+      if (ch == 1) {
+        // grayscale: compare RAW raster samples — getRGB would route
+        // the gray channel through ImageIO's ICC gray→sRGB transform
+        // (gamma), which is color management, not decoding
+        var er = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          er += img.getRaster.getSample(x, y, 0)
+        assert(sr === er, s"gray sums vs ImageIO raster, id=$id")
+      } else {
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+        }
+        assert((sr, sg, sb) === ((er, eg, eb)), s"channel sums vs ImageIO, id=$id")
+      }
+    }
+  }
+
+  test("JPEG AC path (run-length, ZRL, EOB, both AC symbols) within ±1/pixel " +
+    "of javax.imageio") {
+    // a gray fixture whose blocks carry AC coefficients placed to
+    // exercise every symbol in the fixture AC table: zigzag 1 via
+    // (0,1), zigzag 3 via (1,1) after one zero, zigzag 20 via ZRL +
+    // (0,1) after a 16-zero run. The IDCT is no longer flat, so the
+    // differential allows the ±1 inter-decoder IDCT rounding band —
+    // tight enough that any structural bug (wrong zigzag, wrong
+    // dequantize, dropped run) blows it by orders of magnitude.
+    val w = 24; val h = 16
+    def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = (7 * bx - 5 * by) % 30
+      a(Multimodal.jpegZigzagAt(1)) = 1
+      a(Multimodal.jpegZigzagAt(3)) = -1
+      a(Multimodal.jpegZigzagAt(20)) = if ((bx + by) % 2 == 0) 1 else -1
+      a
+    }
+    val bytes = Multimodal.jpegAssemble(w, h, 0, blk)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO must accept the AC fixture")
+    val mine = Multimodal.decodeJpegGray(bytes)
+    assert(mine.isDefined, "decoder must accept the AC fixture")
+    val plane = mine.get
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ref = img.getRaster.getSample(x, y, 0) // raw, no ICC transform
+      val got = plane(y * w + x)
+      maxDiff = math.max(maxDiff, math.abs(ref - got))
+    }
+    assert(maxDiff <= 1, s"per-pixel IDCT divergence $maxDiff > 1 vs ImageIO")
+  }
+
+  test("JPEG decoder refuses malformed input instead of throwing or spinning") {
+    val good = Multimodal.jpegBaselineBytes(7L)
+    assert(Multimodal.decodeJpegPixels(good).isDefined)
+    // truncations at every prefix must refuse, never throw — except
+    // the trailing EOI marker, which decoders legitimately tolerate
+    // once the scan is complete (libjpeg does the same)
+    for (cut <- 0 until good.length - 2 by 3)
+      assert(Multimodal.decodeJpegPixels(good.take(cut)).isEmpty, s"cut=$cut")
+    // progressive (SOF2) refuses — baseline only
+    val prog = good.clone()
+    // locate the SOF0 marker and rewrite it to SOF2
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty, "SOF2 must refuse")
+    // random flips in the entropy stream must never throw
+    for (i <- (good.length - 16) until good.length) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      Multimodal.decodeJpegPixels(mut) // must not throw
+    }
+    assert(Multimodal.decodeJpegPixels(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeJpegPixels(null).isEmpty)
+    // a foreign payload (PNG bytes) refuses
+    assert(Multimodal.decodeJpegPixels(Multimodal.gifBytes(3L, 4, 4)).isEmpty)
+  }
+
+  test("distributed round-trip: syntheticJpegBlobs → decodeJpeg recovers every doc") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val got = Multimodal.decodeJpeg(Multimodal.syntheticJpegBlobs(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n = docs.count()
+    assert(got.size === n, "every fixture must decode")
+    got.foreach { case (id, r) =>
+      val mode = (id % 3).toInt
+      val (w, h) = mode match {
+        case 0 => ((1 + id % 21).toInt, (1 + id % 13).toInt)
+        case 1 => ((1 + id % 19).toInt, (1 + id % 11).toInt)
+        case _ => ((1 + id % 23).toInt, (1 + id % 17).toInt)
+      }
+      assert(r.getInt(1) === w && r.getInt(2) === h, s"dims id=$id")
+      assert(r.getInt(3) === (if (mode == 0) 1 else 3), s"channels id=$id")
+      // analytic pixel sum: 2·dc(x div 8, y div 8) + 128 over the grid
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        exp += 2 * (((id + 3 * (x / 8) + 5 * (y / 8)) % 121) - 60) + 128
+      assert(r.getLong(5) === exp, s"sum_r id=$id")
+      if (mode > 0) {
+        assert(r.getLong(6) === exp && r.getLong(7) === exp, s"sum_g/b id=$id")
+      } else {
+        assert(r.getLong(6) === 0L && r.getLong(7) === 0L)
+      }
+    }
+  }
 }

@@ -428,12 +428,20 @@ class PlanShapeSpec extends SparkSpec {
     "before the verify join") {
     val corpus = Tables.documents(spark, sf)
     val delta = Tables.documents(spark, sf).filter(col("doc_id") < 5)
-    val plan = Dedup.bloomPrefilter(corpus, delta)
-      .queryExecution.executedPlan.toString
+    val qe = Dedup.bloomPrefilter(corpus, delta).queryExecution
+    val plan = qe.executedPlan.toString
     // the verify join broadcasts the delta; the corpus side must carry
     // zero hash exchanges (the bloom filter is a narrow Filter)
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    // the probe is the NATIVE might_contain expression: a ScalaUDF
+    // here would break whole-stage codegen on the corpus scan — the
+    // exact hot point the prune exists to keep cheap
+    val hasScalaUdf = qe.optimizedPlan.collect { case p => p.expressions }
+      .flatten.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    assert(!hasScalaUdf, "delta-dedup Bloom probe must not use a ScalaUDF")
+    assert(plan.contains("might_contain"), plan.take(3000))
   }
 
   test("componentsUpdate: the stored map is relabeled via broadcast — " +

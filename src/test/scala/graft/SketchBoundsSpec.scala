@@ -726,6 +726,35 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("profile() survives a key whose optional states are legally empty") {
+    import spark.implicits._
+    import graft.jobs.ProfileMaintenanceJob
+    // a key with all-null user_id (kmv/ams/cms/mg states have no rows
+    // for it) and cents = 0 (the sample store's w > 0 guard filters
+    // every row): the agg/hist/cov/trend families still have rows, so
+    // the profile row must SURVIVE with nulls, not vanish (all
+    // per-state readouts join LEFT off the agg spine)
+    val store = java.nio.file.Files.createTempDirectory("profile_degen").toString + "/p"
+    val normal = Tables.events(spark, dir).limit(200)
+    val degen = spark.range(10).select(
+      lit("degenerate").as("event_type"),
+      col("id").as("event_id"),
+      lit(null).cast("long").as("user_id"),
+      (lit(1000L) + col("id")).as("ts_sec"),
+      lit(0.0).as("value"))
+    ProfileMaintenanceJob.ingest(
+      normal.select("event_type", "event_id", "user_id", "ts_sec", "value")
+        .unionByName(degen), store, "d0")
+    val rows = ProfileMaintenanceJob.profile(spark, store).collect()
+    val d = rows.find(_.getAs[String]("event_type") == "degenerate")
+    assert(d.isDefined, "degenerate key dropped from the profile")
+    assert(d.get.getAs[Long]("n_rows") === 10L)
+    assert(d.get.isNullAt(d.get.fieldIndex("est_distinct_users")),
+      "all-null user_id must read as null distinct estimate, not a number")
+    assert(d.get.isNullAt(d.get.fieldIndex("est_cents_even_users")),
+      "empty sample state must read as null, not zero")
+  }
+
   test("kmvOverlap estimates track the exact pairwise set sizes (k=64)") {
     import graft.operators.Corpus
     import graft.functions.WordShingles.word_shingles

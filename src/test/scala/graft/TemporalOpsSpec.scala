@@ -82,6 +82,42 @@ class TemporalOpsSpec extends SparkSpec {
     assert(ordered.select("n_late").as[Long].head() === 0L)
   }
 
+  test("bucketed disorder audit ≡ exact window form (hot key, arrival ties, " +
+    "every bucket count)") {
+    import graft.operators.Relational
+    // one HOT key carrying most of the volume (the shape that
+    // serializes the exact form into one task at scale), one small
+    // key, arrival TIES (same __arr, different ts) — the strictly-
+    // earlier RANGE rule must make ties mutually invisible in BOTH
+    // forms. Deterministic pseudo-jitter off the index.
+    val rows = (0 until 600).map { i =>
+      val k = if (i % 10 == 9) "cold" else "hot"
+      val arr = (i / 3).toLong // every 3rd arrival stamp tied
+      val ts = arr - (if (i % 7 == 3) 5L else 0L) - (if (i % 13 == 4) 11L else 0L)
+      (k, arr, ts)
+    }
+    val df = rows.toDF("k", "arr", "ts")
+    val exact = Relational.latenessScores(df, Seq(col("k")), col("arr"), col("ts"))
+      .groupBy("k", "__arr", "__ts", "__late").count()
+    for (nb <- Seq(1, 7, 64, 1000)) {
+      val bucketed = Relational.latenessScoresBucketed(
+          df, Seq(col("k")), col("arr"), col("ts"), numBuckets = nb)
+        .groupBy("k", "__arr", "__ts", "__late").count()
+      assert(bucketed.exceptAll(exact).isEmpty && exact.exceptAll(bucketed).isEmpty,
+        s"numBuckets=$nb diverged from the exact window form")
+    }
+    // the audit readout built on it matches row for row too
+    val a = Relational.disorderAudit(df, Seq(col("k")), col("arr"), col("ts"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val b = Relational.disorderAuditBucketed(df, Seq(col("k")), col("arr"),
+        col("ts"), numBuckets = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(a === b, "bucketed audit readout diverged")
+    assert(a("hot").head.asInstanceOf[Long] === 540L, "fixture sanity: hot key volume")
+    // non-vacuous: the fixture actually has late rows
+    assert(a("hot")(1).asInstanceOf[Long] > 0L, "fixture must contain late rows")
+  }
+
   test("asOfJoin picks the latest build row at or before the probe") {
     val probe = Seq((101L, 7L, 50L), (102L, 7L, 10L), (103L, 8L, 5L))
       .toDF("event_id", "user_id", "ts_sec")
@@ -260,6 +296,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(left.size === 40 - doomed.size)
     assert(!new java.io.File(dir, "bucket=0").exists(),
       "emptied bucket partition must be cleared from disk")
+  }
+
+  test("stored upsert table: bucket clear goes through the Hadoop FileSystem " +
+    "(scheme-qualified store URI)") {
+    import graft.operators.Cdc
+    // the store dir carries an explicit file: scheme, as hdfs://s3a://
+    // would — the clear must resolve the Path's OWN FileSystem, never
+    // java.io.File (which silently no-ops on remote schemes and lets
+    // deleted keys resurrect on the next read)
+    val local = java.nio.file.Files.createTempDirectory("upsert_uri").toString + "/t"
+    val dir = "file:" + local
+    val nb = 4
+    val target = (1L to 40L).map(k => (k, k * 10)).toDF("k", "v")
+    Cdc.initUpsertTable(target, dir, Seq("k"), numBuckets = nb)
+    val bucketOf = target
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(nb.toLong)).cast("int"))
+      .select("k", "bucket").as[(Long, Int)].collect().toMap
+    val doomed = bucketOf.collect { case (k, b) if b == 0 => k }.toSeq
+    assert(doomed.nonEmpty, "fixture must populate bucket 0")
+    val delta = doomed.map(k => (k, -1L, "D", 1)).toDF("k", "v", "op", "seq")
+    Cdc.applyDeltaStored(spark, dir, delta, Seq("k"), nb)
+    val left = Cdc.readUpsertTable(spark, dir).as[(Long, Long)].collect().toMap
+    doomed.foreach(k => assert(!left.contains(k), s"deleted key $k resurrected"))
+    assert(!new java.io.File(local, "bucket=0").exists(),
+      "emptied bucket partition must be cleared through the scheme-qualified path")
   }
 
   test("UpsertStream: streamed changelog apply ≡ sequential batch merges") {
