@@ -2332,6 +2332,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // The 100 TB form of the same audit: arrival-bucketed two-pass
+    // lateness (bucket maxima → broadcast prefix-max → in-bucket
+    // window) — no per-key serial window, so one hot key can't
+    // serialize it. SAME oracle as rel_disorder_audit: the hash match
+    // is a cross-engine proof the bucketed twin equals the exact form.
+    "rel_disorder_bucketed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("__arrival",
+          (col("ts_sec") + pmod(col("event_id") * 48271, lit(600)))
+            * 1000000 + pmod(col("event_id"), lit(1000000)))
+      Relational.disorderAuditBucketed(ev, Seq(col("event_type")),
+          col("__arrival"), col("ts_sec"), numBuckets = 64)
+        .orderBy(col("event_type"))
+    }),
+
     // FIRST-DIGIT (Benford) AUDIT over order totals: observed
     // leading-digit shares vs the Benford permille table, per priority
     // class — the fabricated-data screen; deviation is the finding,
@@ -2461,6 +2476,38 @@ object SparkEntry {
   /** Integer least squares over the hourly event-rate series — the
     * direct recompute serving as oracle for BOTH the one-shot
     * `rel_rate_trend` and the merged-state `rel_trend_incremental`. */
+  // exact-window disorder replay, shared by rel_disorder_audit and
+  // its bucketed twin (same oracle = cross-engine equivalence proof)
+  private val disorderOracle: String =
+    """WITH e AS (SELECT event_type,
+        |             (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |               + (event_id * 48271) % 600) * 1000000
+        |               + event_id % 1000000 AS arr,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |           FROM events),
+        |s AS (SELECT event_type, arr,
+        |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
+        |          ORDER BY arr RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - t, 0), 0) AS late
+        |      FROM e),
+        |lr AS (SELECT event_type, late,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY late, arr) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS nl
+        |       FROM s WHERE late > 0),
+        |ls AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_late,
+        |         CAST(max(late) AS BIGINT) AS max_late,
+        |         CAST(max(CASE WHEN rn = (nl - 1) * 95 // 100 + 1
+        |           THEN late END) AS BIGINT) AS p95_late
+        |       FROM lr GROUP BY 1),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |        FROM e GROUP BY 1)
+        |SELECT tot.event_type, n_events, coalesce(n_late, 0) AS n_late,
+        |  coalesce(max_late, 0) AS max_late, coalesce(p95_late, 0) AS p95_late,
+        |  (coalesce(n_late, 0) * 1000) // n_events AS late_permille
+        |FROM tot LEFT JOIN ls ON tot.event_type = ls.event_type
+        |ORDER BY tot.event_type""".stripMargin
+
   private val rateTrendOracle: String =
     """WITH h AS (SELECT event_type,
       |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS t0,
@@ -6827,35 +6874,12 @@ object SparkEntry {
 
     // running max in arrival order; p95 as the lower-index order
     // statistic over the late rows — replayed window for window.
-    "rel_disorder_audit" ->
-      """WITH e AS (SELECT event_type,
-        |             (CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-        |               + (event_id * 48271) % 600) * 1000000
-        |               + event_id % 1000000 AS arr,
-        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
-        |           FROM events),
-        |s AS (SELECT event_type, arr,
-        |        greatest(coalesce(max(t) OVER (PARTITION BY event_type
-        |          ORDER BY arr RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |          - t, 0), 0) AS late
-        |      FROM e),
-        |lr AS (SELECT event_type, late,
-        |         row_number() OVER (PARTITION BY event_type
-        |           ORDER BY late, arr) AS rn,
-        |         count(*) OVER (PARTITION BY event_type) AS nl
-        |       FROM s WHERE late > 0),
-        |ls AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_late,
-        |         CAST(max(late) AS BIGINT) AS max_late,
-        |         CAST(max(CASE WHEN rn = (nl - 1) * 95 // 100 + 1
-        |           THEN late END) AS BIGINT) AS p95_late
-        |       FROM lr GROUP BY 1),
-        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
-        |        FROM e GROUP BY 1)
-        |SELECT tot.event_type, n_events, coalesce(n_late, 0) AS n_late,
-        |  coalesce(max_late, 0) AS max_late, coalesce(p95_late, 0) AS p95_late,
-        |  (coalesce(n_late, 0) * 1000) // n_events AS late_permille
-        |FROM tot LEFT JOIN ls ON tot.event_type = ls.event_type
-        |ORDER BY tot.event_type""".stripMargin,
+    "rel_disorder_audit" -> disorderOracle,
+
+    // the bucketed twin replays the SAME exact-window oracle — the
+    // hash match is a cross-engine equivalence proof.
+    "rel_disorder_bucketed" -> disorderOracle,
+
 
     // merge(islands(deltas)) ≡ islands(all): the oracle recomputes
     // directly over every event — the hash match is the proof.

@@ -815,7 +815,7 @@ object Dedup {
     * (inflating n_shared until the next compact dedups them). */
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          targetBytes: Long = 128L << 20): Unit = {
-    val nFiles = Partitioning.compactFileCount(spark, s"$dir/postings", targetBytes)
+    val nFiles = Partitioning.plannedFileCount(spark, s"$dir/postings", targetBytes)
     val folded = spark.read.parquet(s"$dir/postings")
       .select(col("doc_id"), col("fp")).distinct()
       .repartition(nFiles).localCheckpoint() // one winnow-read, two writes below

@@ -267,7 +267,8 @@ object Partitioning {
   }
 
   /** ⌈bytes/targetBytes⌉ output file count for a compaction of `dir` —
-    * the shared sizing rule of every compactor. */
+    * the arithmetic floor of the sizing rule (see [[plannedFileCount]]
+    * for the planner-routed form every compactor actually uses). */
   def compactFileCount(spark: org.apache.spark.sql.SparkSession, dir: String,
                        targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -275,6 +276,55 @@ object Partitioning {
     val bytes = p.getFileSystem(spark.sessionState.newHadoopConf())
       .getContentSummary(p).getLength
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** (file, bytes) inventory of a parquet dir's DATA files (recursive,
+    * `_`/`.` metadata skipped) — the [[Relational.compactionPlan]]
+    * input for a live store. Driver-side listing is legitimate here:
+    * the inventory IS the metadata (readPruned's index class), never
+    * the data. */
+  def fileInventory(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += ((f.getPath.toString, f.getLen))
+    }
+    val rows = buf.sortBy(_._1).map { case (f, b) =>
+      org.apache.spark.sql.Row(f, b) }.toSeq.asJava
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The dir's compaction PLAN — [[Relational.compactionPlan]] over
+    * its own [[fileInventory]] (files on one byte axis in name order,
+    * cut at targetBytes boundaries). The shared seam between the
+    * generic planner and every store compactor. */
+  def plannedCompaction(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long): DataFrame =
+    graft.operators.Relational.compactionPlan(fileInventory(spark, dir),
+      Seq(), col("file"), col("bytes"), targetBytes)
+
+  /** Planner-routed output file count — ONE code path sizes every
+    * store compaction ([[compactParquetDir]], the dedup/ANN/winnow
+    * index compactors, the profile state stores): the plan's bin
+    * count, lower-bounded by ⌈bytes/target⌉ because the plan merges at
+    * FILE granularity and cannot split an oversized input file, while
+    * the executing rewrite (a row-level repartition) can. Proven plan
+    * ≡ layout in `SourcesSinksSpec`. */
+  def plannedFileCount(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       targetBytes: Long): Int = {
+    val bins = plannedCompaction(spark, dir, targetBytes).count().toInt
+    math.max(math.max(1, bins), compactFileCount(spark, dir, targetBytes))
   }
 
   /** OFFLINE compaction of one append-accumulated parquet dir (the
@@ -288,7 +338,7 @@ object Partitioning {
     * [[Similarity.compactAnnIndex]] (the code table). */
   def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                         targetBytes: Long = 128L << 20): Unit = {
-    val nFiles = compactFileCount(spark, dir, targetBytes)
+    val nFiles = plannedFileCount(spark, dir, targetBytes)
     // the lazy read executes inside swapInDir's write step, which runs
     // BEFORE any rename — the source dir is still live, no checkpoint
     swapInDir(spark, dir)(tmp =>

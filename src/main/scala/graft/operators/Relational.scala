@@ -1588,9 +1588,16 @@ object Relational {
     * so the store stays O(state), not O(state × segments)). Replay
     * barrier: compaction retires folded segment ids
     * ([[Dedup.compactWinnowIndex]] discipline). */
-  def compactStateStore(spark: org.apache.spark.sql.SparkSession, dir: String)
+  def compactStateStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20)
                        (merge: DataFrame => DataFrame): Unit = {
-    val folded = readMergedState(spark, dir)(merge).localCheckpoint()
+    // planner-routed sizing (the shared compactor seam): a small
+    // merged state folds to ONE file instead of one per shuffle
+    // partition — 10 stores × 32 partitions of near-empty files is
+    // the small-file problem the compaction exists to fix
+    val nFiles = Partitioning.plannedFileCount(spark, dir, targetBytes)
+    val folded = readMergedState(spark, dir)(merge)
+      .repartition(nFiles).localCheckpoint()
     Partitioning.swapInDir(spark, dir)(tmp =>
       folded.withColumn("seg", lit("base"))
         .write.mode("overwrite").partitionBy("seg").parquet(tmp))

@@ -509,7 +509,7 @@ object Similarity {
     * [[graft.operators.Dedup.compactWinnowIndex]] replay barrier). */
   def compactIvfFlatIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                           targetBytes: Long = 128L << 20): Unit = {
-    val nFiles = Partitioning.compactFileCount(spark, s"$dir/cells", targetBytes)
+    val nFiles = Partitioning.plannedFileCount(spark, s"$dir/cells", targetBytes)
     val cols = spark.read.parquet(s"$dir/cells").columns.filter(_ != "seg").map(col)
     val folded = spark.read.parquet(s"$dir/cells").select(cols.toSeq: _*)
       .distinct().repartition(nFiles).localCheckpoint()

@@ -251,6 +251,74 @@ class SourcesSinksSpec extends SparkSpec {
     assert(m("n_long") === kept)
   }
 
+  test("store compactors size from the dir's own compaction plan " +
+    "(plan ≡ layout across the shared seam)") {
+    import spark.implicits._
+    import graft.operators.Partitioning
+    def dataFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    // a store dir accumulated as 24 tiny appends
+    val dir = java.nio.file.Files.createTempDirectory("compact_planned").toString + "/s"
+    (1 to 24).foreach(i =>
+      Seq((i.toLong, s"payload $i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir))
+    assert(dataFiles(dir).size === 24)
+    // the inventory sees exactly the data files the FS holds
+    val inv = Partitioning.fileInventory(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(inv.size === 24)
+    assert(inv.values.forall(_ > 0))
+    // huge target: the plan says ONE bin, so the compactor must land
+    // ONE file — the layout is the plan's bin count, not the shuffle
+    // parallelism
+    val target = 1L << 30
+    val plannedBins = Partitioning.plannedCompaction(spark, dir, target).count()
+    assert(plannedBins === 1L)
+    assert(Partitioning.plannedFileCount(spark, dir, target) === 1)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+    Partitioning.compactParquetDir(spark, dir, target)
+    assert(dataFiles(dir).size === 1, "layout must equal the plan's bin count")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted
+      .sameElements(before), "compaction must preserve content")
+    // tiny target: the plan cuts multiple bins; the rewritten layout
+    // carries the SAME file count the plan prescribed
+    val dir2 = java.nio.file.Files.createTempDirectory("compact_planned2").toString + "/s"
+    (1 to 12).foreach(i =>
+      Seq.tabulate(50)(j => (i * 100L + j, s"padding padding $i $j"))
+        .toDF("id", "v").coalesce(1).write.mode("append").parquet(dir2))
+    val smallTarget = dataFiles(dir2).map(_.length).sum / 3
+    val bins2 = Partitioning.plannedFileCount(spark, dir2, smallTarget)
+    assert(bins2 > 1, "fixture must plan multiple bins")
+    Partitioning.compactParquetDir(spark, dir2, smallTarget)
+    assert(dataFiles(dir2).size === bins2,
+      "multi-bin layout must equal the planned file count")
+    // the state-store compactor rides the same seam: a small folded
+    // state lands as ONE file, not one per shuffle partition
+    val store = java.nio.file.Files.createTempDirectory("compact_state").toString + "/agg"
+    import graft.operators.Relational
+    val ev = (1 to 200).map(i => (s"t${i % 4}", i.toLong)).toDF("event_type", "v")
+    Relational.appendState(
+      Relational.aggState(ev.withColumn("cents", col("v")),
+        Seq(col("event_type")), col("cents")), store, "d0")
+    Relational.appendState(
+      Relational.aggState(ev.withColumn("cents", col("v") * 2),
+        Seq(col("event_type")), col("cents")), store, "d1")
+    val merged = Relational.readMergedState(spark, store)(st =>
+      Relational.mergeAggStates(Seq(st), Seq("event_type")))
+      .collect().toSet
+    Relational.compactStateStore(spark, store)(st =>
+      Relational.mergeAggStates(Seq(st), Seq("event_type")))
+    assert(dataFiles(store).size === 1,
+      "folded state must land at the planned (single-file) layout")
+    val after = Relational.readMergedState(spark, store)(st =>
+      Relational.mergeAggStates(Seq(st), Seq("event_type"))).collect().toSet
+    assert(after === merged, "compaction must not change the readout")
+  }
+
   test("compactTo merges many small files into few, content preserved") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("compact_in").toString

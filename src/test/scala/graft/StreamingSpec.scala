@@ -300,4 +300,57 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("watermark loop closes: the measured curve's drop count IS the observed " +
+    "streaming loss at each candidate delay") {
+    // The decision loop rel_watermark_curve exists for: measure the
+    // loss curve on history, pick a delay, deploy withWatermark(delay)
+    // — this test PROVES the measured curve predicts the deployment.
+    // With one event per micro-batch, Spark's watermark before event i
+    // is max(ts of events < i) − delay, and a 1-second window is
+    // dropped iff ts + 1 ≤ watermark ⟺ lateness > delay — exactly the
+    // curve's `__late > delay_sec` predicate (strictly-earlier RANGE
+    // rule), so the match is EXACT, not approximate.
+    import graft.operators.Relational
+    val base = 1700000000L
+    def tsSec(i: Int): Long =
+      base + i - (if (i % 5 == 2) 4L else 0L) - (if (i % 7 == 3) 8L else 0L)
+    val n = 24
+    val events = (0 until n).map(i => (i.toLong, tsSec(i)))
+    val delays = Seq(2L, 5L, 10L)
+    val curve = Relational.watermarkCurve(
+        events.toDF("arr", "ts_sec").withColumn("k", lit("a")),
+        Seq(col("k")), col("arr"), col("ts_sec"), delays)
+      .collect().map(r => r.getAs[Long]("delay_sec") -> r.getAs[Long]("n_dropped"))
+      .toMap
+    // spread: 7 drops at delay 2, 3 at 5, 1 at 10 (the i=17 row sits
+    // in BOTH jitter dips — lateness 11)
+    assert(curve(2L) > curve(5L) && curve(5L) > curve(10L) && curve(10L) > 0L,
+      s"fixture must spread drops across the delays, got $curve")
+    for (delay <- delays) {
+      val mem = MemoryStream[(Timestamp, Long)]
+      val agg = mem.toDF().toDF("ts", "v")
+        .withWatermark("ts", s"$delay seconds")
+        .groupBy(window(col("ts"), "1 second")).count()
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(s"wm_loop_$delay").start()
+      // one event per micro-batch: the watermark advances per event,
+      // matching the curve's arrival-order running max exactly
+      events.foreach { case (_, t) =>
+        mem.addData((new Timestamp(t * 1000L), t)); q.processAllAvailable()
+      }
+      // two flushers push the watermark past every real window (the
+      // second triggers the batch that emits what the first unlocked)
+      val flush = base + 100000L
+      mem.addData((new Timestamp(flush * 1000L), -1L)); q.processAllAvailable()
+      mem.addData((new Timestamp((flush + 100L) * 1000L), -2L)); q.processAllAvailable()
+      val accepted = spark.table(s"wm_loop_$delay")
+        .filter(col("window.start") < new Timestamp(flush * 1000L))
+        .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+      q.stop()
+      assert(n - accepted === curve(delay),
+        s"delay=$delay: observed streaming loss ${n - accepted} != " +
+          s"measured curve ${curve(delay)}")
+    }
+  }
 }
