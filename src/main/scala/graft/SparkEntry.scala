@@ -1211,6 +1211,17 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("ahash"))
         .orderBy(col("doc_id"))),
 
+    // The perceptual hash over JPEG blobs — the majority web codec the
+    // hash family previously skipped: same aHash operator, codec
+    // dispatch decodes the JPEG luma plane into the gray block mesh.
+    // Fixture: 64×64 grayscale, one flat JPEG block per hash cell, so
+    // the oracle replays means/threshold/bits in closed form.
+    "mm_image_ahash_jpeg" -> ((s, d) =>
+      Multimodal.imageAHash(Multimodal.syntheticJpegAHashBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("ahash"))
+        .orderBy(col("doc_id"))),
+
     // Gradient-sign difference hash on the same decoded block mesh:
     // bit(r,c) = mean[r][(c+1) mod 8] > mean[r][c] — invariant to any
     // monotone global brightness shift, aHash's second opinion.
@@ -5102,6 +5113,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(dim AS BIGINT) AS width, CAST(dim AS BIGINT) AS height,
         |       ahash
         |FROM ah ORDER BY doc_id""".stripMargin),
+
+    // JPEG aHash replay: cell (bx,by) = one flat JPEG block at
+    // 2·dc+128, mean = truncating sum/64, bit = m > mean, bit 63 via
+    // the signed min-value term (the aHash oracle convention).
+    "mm_image_ahash_jpeg" ->
+      """WITH c AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM documents),
+        |m AS (SELECT doc_id, cell,
+        |        2 * ((doc_id + 3 * (cell % 8) + 5 * (cell // 8)) % 121 - 60)
+        |          + 128 AS m
+        |      FROM c),
+        |mn AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS mean
+        |       FROM m GROUP BY 1),
+        |b AS (SELECT m.doc_id, m.cell,
+        |        CASE WHEN m.m > mn.mean THEN 1 ELSE 0 END AS bit
+        |      FROM m JOIN mn ON m.doc_id = mn.doc_id)
+        |SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN cell < 63
+        |                THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+        |                ELSE 0 END)
+        |    + sum(CASE WHEN cell = 63 AND bit = 1
+        |               THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS ahash
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // dHash from its own fixture's block-mean CTE (id-dependent
     // gradient structure): the right-neighbor (wrap) compare is a

@@ -994,6 +994,28 @@ object Multimodal {
       planeW: Array[Int], compH: Array[Int], compV: Array[Int],
       hmax: Int, vmax: Int)
 
+  /** 64×64 grayscale baseline JPEGs for the perceptual-hash path:
+    * each aHash grid cell (grid=8 → 8×8 pixels) is EXACTLY one JPEG
+    * block, flat at 2·dc+128 — so the block means, the threshold and
+    * every hash bit replay in closed form in the oracle. */
+  def syntheticJpegAHashBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+          val a = new Array[Int](64)
+          a(0) = (((id + 3L * bx + 5L * by) % 121) - 60).toInt
+          a
+        }
+        Row(id, jpegAssemble(64, 64, 0, blk))
+      }
+    }(enc)
+  }
+
   /** Full baseline-sequential JPEG decode to component planes
     * (untrusted bytes: every malformed shape refuses with None, same
     * discipline as the PNG/GIF/WAV walks). Progressive (SOF2),
@@ -1209,6 +1231,7 @@ object Multimodal {
       val dv = receive(s); if (dv == Int.MinValue) return false
       pred(c) += extend(dv, s)
       coefBuf(0) = pred(c) * q(0)
+      var anyAc = false
       var k = 1
       var eob = false
       while (k < 64 && !eob) {
@@ -1223,12 +1246,29 @@ object Multimodal {
           val av = receive(sz); if (av == Int.MinValue) return false
           // quant is natural-order; k is the zigzag index
           coefBuf(JpegZigzag(k)) = extend(av, sz) * q(JpegZigzag(k))
+          anyAc = true
           k += 1
         }
       }
       // IDCT + level shift into the component plane
       val pw = planeW(c)
       val plane = planes(c)
+      if (!anyAc) {
+        // DC-only fast path (the libjpeg special case): the IDCT of a
+        // lone DC coefficient is the flat value F(0,0)/8 — fill the
+        // block with one rounded byte instead of 4096 multiplies.
+        // Photographic JPEGs hit this on smooth regions; the flat
+        // oracle fixtures hit it on every block.
+        val px = math.round(coefBuf(0) / 8.0 + 128.0)
+        val b = (if (px < 0) 0 else if (px > 255) 255 else px.toInt).toByte
+        var y = 0
+        while (y < 8) {
+          java.util.Arrays.fill(plane, (by * 8 + y) * pw + bx * 8,
+            (by * 8 + y) * pw + bx * 8 + 8, b)
+          y += 1
+        }
+        return true
+      }
       var y = 0
       while (y < 8) {
         var x = 0
@@ -1599,8 +1639,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Codec-dispatching gray block means: BMP through the stride walk,
+    * baseline JPEG through [[decodeJpegCore]] (luma plane for
+    * grayscale; integer (R+G+B)/3 after BT.601 conversion for color —
+    * the BMP gray rule, so hashes are comparable across codecs). Dims
+    * must divide the grid (integer-exact means, the oracle contract).
+    * The perceptual-hash family accepts every codec this returns
+    * Some for — JPEG was the one real-corpus majority codec the
+    * hashes silently excluded before round 8. */
+  private[graft] def grayBlockMeans(bytes0: Array[Byte], grid: Int)
+      : Option[(Int, Int, Array[Long])] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      bmpBlockMeans(bytes, grid)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpegCore(bytes).flatMap { d =>
+        if (d.width % grid != 0 || d.height % grid != 0) None
+        else {
+          val bw = d.width / grid; val bh = d.height / grid
+          val sums = new Array[Long](grid * grid)
+          def cl(v: Double): Int = {
+            val r = math.round(v); if (r < 0) 0 else if (r > 255) 255 else r.toInt
+          }
+          var y = 0
+          while (y < d.height) {
+            val bj = y / bh
+            var x = 0
+            while (x < d.width) {
+              val gray =
+                if (d.planes.length == 1) d.planes(0)(y * d.planeW(0) + x) & 0xff
+                else {
+                  val yy = d.planes(0)((y * d.compV(0) / d.vmax) * d.planeW(0)
+                    + x * d.compH(0) / d.hmax) & 0xff
+                  val cb = (d.planes(1)((y * d.compV(1) / d.vmax) * d.planeW(1)
+                    + x * d.compH(1) / d.hmax) & 0xff) - 128
+                  val cr = (d.planes(2)((y * d.compV(2) / d.vmax) * d.planeW(2)
+                    + x * d.compH(2) / d.hmax) & 0xff) - 128
+                  (cl(yy + 1.402 * cr) + cl(yy - 0.344136 * cb - 0.714136 * cr)
+                    + cl(yy + 1.772 * cb)) / 3
+                }
+              sums(bj * grid + x / bw) += gray
+              x += 1
+            }
+            y += 1
+          }
+          val block = bw.toLong * bh
+          var i = 0
+          while (i < grid * grid) { sums(i) /= block; i += 1 }
+          Some((d.width, d.height, sums))
+        }
+      }
+    else None
+  }
+
   private[graft] def bmpAHash(bytes0: Array[Byte], grid: Int): Option[(Int, Int, Long)] =
-    bmpBlockMeans(bytes0, grid).map { case (w, h, sums) =>
+    grayBlockMeans(bytes0, grid).map { case (w, h, sums) =>
       var total = 0L
       var i = 0
       while (i < grid * grid) { total += sums(i); i += 1 }
@@ -1640,7 +1733,7 @@ object Multimodal {
   }
 
   private[graft] def bmpDHash(bytes: Array[Byte], grid: Int): Option[(Int, Int, Long)] =
-    bmpBlockMeans(bytes, grid).map { case (w, h, m) =>
+    grayBlockMeans(bytes, grid).map { case (w, h, m) =>
       var hash = 0L
       var i = 0
       while (i < grid * grid) {

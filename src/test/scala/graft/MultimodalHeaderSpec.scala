@@ -849,6 +849,48 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.decodeJpegPixels(Multimodal.gifBytes(3L, 4, 4)).isEmpty)
   }
 
+  test("perceptual hashes accept JPEG blobs: luma block means, brightness " +
+    "invariance, refusal on non-grid dims") {
+    // identical structure, +20 gray uniform shift (dc +10): both
+    // hashes must be invariant through the JPEG decode path
+    def mk(shift: Int): Array[Byte] = {
+      def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+        val a = new Array[Int](64)
+        a(0) = ((3 * bx - 2 * by + 7) % 25) + shift
+        a
+      }
+      Multimodal.jpegAssemble(64, 64, 0, blk)
+    }
+    val means = Multimodal.grayBlockMeans(mk(0), 8)
+    assert(means.isDefined, "JPEG must decode into the gray block mesh")
+    // flat one-block-per-cell fixture: every mean IS the block value
+    for (by <- 0 until 8; bx <- 0 until 8)
+      assert(means.get._3(by * 8 + bx) === 2 * ((3 * bx - 2 * by + 7) % 25) + 128L,
+        s"cell ($bx,$by)")
+    val (a1, a2) = (Multimodal.bmpAHash(mk(0), 8), Multimodal.bmpAHash(mk(10), 8))
+    assert(a1.isDefined && a2.isDefined && a1.get._3 === a2.get._3,
+      "aHash must be brightness-shift invariant on the JPEG path")
+    val (d1, d2) = (Multimodal.bmpDHash(mk(0), 8), Multimodal.bmpDHash(mk(10), 8))
+    assert(d1.isDefined && d2.isDefined && d1.get._3 === d2.get._3,
+      "dHash must be brightness-shift invariant on the JPEG path")
+    assert(a1.get._3 != 0L && a1.get._3 != -1L, "hash must carry structure")
+    // dims not divisible by the grid refuse (integer-exact means only)
+    assert(Multimodal.grayBlockMeans(Multimodal.jpegBaselineBytes(0L), 8).isEmpty,
+      "non-grid-aligned JPEG must refuse the block mesh")
+    // a color (4:2:0) JPEG with zero chroma hashes like its gray twin
+    def mkColor(): Array[Byte] = {
+      def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+        val a = new Array[Int](64)
+        if (c == 0) a(0) = ((3 * bx - 2 * by + 7) % 25)
+        a
+      }
+      Multimodal.jpegAssemble(64, 64, 2, blk)
+    }
+    val ac = Multimodal.bmpAHash(mkColor(), 8)
+    assert(ac.isDefined && ac.get._3 === a1.get._3,
+      "zero-chroma color JPEG must hash identically to its gray twin")
+  }
+
   test("distributed round-trip: syntheticJpegBlobs → decodeJpeg recovers every doc") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
