@@ -1211,6 +1211,43 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("ahash"))
         .orderBy(col("doc_id"))),
 
+    // WHOLE image-curation pipeline as ONE query (the corpus_e2e
+    // discipline on the multimodal side): JPEG decode gate → aHash →
+    // pigeonhole near-dup pairs (hamming ≤ 1) → connected components → keep the
+    // smallest id per cluster. The fixture's dc grid cycles mod 121,
+    // so ids ≡ (mod 121) are EXACT duplicates — ~121 clusters over
+    // 500 docs, a real curation signal, all replayed by the oracle
+    // (analytic hashes → hamming pairs → recursive-CTE closure).
+    "mm_e2e_curate" -> ((s, d) => {
+      val hashes = Multimodal.imageAHash(
+        Multimodal.syntheticJpegAHashBlobs(Tables.documents(s, d)))
+      val pairs = Multimodal.aHashPairs(hashes, maxDistance = 1)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val nDocs = hashes.agg(count(lit(1)).as("n_docs"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+      val cstats = comps.agg(
+        countDistinct(col("component")).as("n_clusters"),
+        count(lit(1)).as("__clustered"))
+      nDocs.crossJoin(nPairs).crossJoin(cstats)
+        .select(col("n_docs"), col("n_dup_pairs"), col("n_clusters"),
+          (col("__clustered") - col("n_clusters")).as("n_removed"),
+          (col("n_docs") - (col("__clustered") - col("n_clusters"))).as("n_kept"))
+    }),
+
+    // Resize over JPEG blobs — the vision-preprocessing step on the
+    // majority web codec (previously BMP-only): same operator, codec
+    // dispatch samples the decoded planes at the identical integer NN
+    // rule; flat fixture blocks make every resized pixel analytic.
+    "mm_image_resize_jpeg" -> ((s, d) =>
+      Multimodal.imageResize(Multimodal.syntheticJpegBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("checksum"))
+        .orderBy(col("doc_id"))),
+
     // The perceptual hash over JPEG blobs — the majority web codec the
     // hash family previously skipped: same aHash operator, codec
     // dispatch decodes the JPEG luma plane into the gray block mesh.
@@ -5114,13 +5151,88 @@ object SparkEntry {
         |       ahash
         |FROM ah ORDER BY doc_id""".stripMargin),
 
+    // The whole image-curation chain replayed: analytic hashes →
+    // hamming pairs (pigeonhole banding is COMPLETE for d < bands, so
+    // the plain ≤3 filter is the same pair set) → recursive-CTE
+    // closure → cluster survivor arithmetic.
+    "mm_e2e_curate" ->
+      """WITH RECURSIVE
+        |c AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM documents),
+        |m AS (SELECT doc_id, cell,
+        |        2 * ((doc_id * (1 + cell % 8) + (doc_id + 5) * (cell // 8) * (cell // 8)
+        |              + 3 * (cell % 8) * (cell // 8)) % 121 - 60)
+        |          + 128 AS m
+        |      FROM c),
+        |mn AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS mean
+        |       FROM m GROUP BY 1),
+        |b AS (SELECT m.doc_id, m.cell,
+        |        CASE WHEN m.m > mn.mean THEN 1 ELSE 0 END AS bit
+        |      FROM m JOIN mn ON m.doc_id = mn.doc_id),
+        |ah AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN cell < 63
+        |               THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+        |               ELSE 0 END)
+        |           + sum(CASE WHEN cell = 63 AND bit = 1
+        |                 THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM b GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS u, bb.doc_id AS v
+        |          FROM ah a JOIN ah bb
+        |            ON a.doc_id < bb.doc_id
+        |           AND bit_count(xor(a.ahash, bb.ahash)) <= 1),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |reach AS (
+        |  SELECT node, node AS label FROM nodes
+        |  UNION
+        |  SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+        |comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+        |cs AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_clusters,
+        |         CAST(count(*) AS BIGINT) AS clustered FROM comp),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs FROM pairs),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ah)
+        |SELECT n_docs, n_dup_pairs, n_clusters,
+        |  clustered - n_clusters AS n_removed,
+        |  n_docs - (clustered - n_clusters) AS n_kept
+        |FROM nd CROSS JOIN np CROSS JOIN cs""".stripMargin,
+
+    // JPEG resize replay: source pixel (sx,sy) = (x·w div 16,
+    // y·h div 16) lands in block (sx div 8, sy div 8), flat at
+    // 2·dc+128; zero chroma ⇒ r=g=b=p, so the positional checksum
+    // weight collapses to p·65793 (1 + 2⁸ + 2¹⁶).
+    "mm_image_resize_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 21
+        |                    WHEN 1 THEN 1 + doc_id % 19
+        |                    ELSE 1 + doc_id % 23 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 13
+        |                    WHEN 1 THEN 1 + doc_id % 11
+        |                    ELSE 1 + doc_id % 17 END AS h
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, 16)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, 16)) AS y FROM gx),
+        |sv AS (SELECT doc_id, w, h, x, y,
+        |         (x * w) // 16 AS sx, (y * h) // 16 AS sy FROM px),
+        |pv AS (SELECT doc_id, w, h, x, y,
+        |         2 * ((doc_id + 3 * (sx // 8) + 5 * (sy // 8)) % 121 - 60)
+        |           + 128 AS p
+        |       FROM sv)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |  CAST(sum(p) AS BIGINT) AS sum_r,
+        |  CAST(sum(p) AS BIGINT) AS sum_g,
+        |  CAST(sum(p) AS BIGINT) AS sum_b,
+        |  CAST(sum((y * 16 + x + 1) * p * 65793) AS BIGINT) AS checksum
+        |FROM pv GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
     // JPEG aHash replay: cell (bx,by) = one flat JPEG block at
     // 2·dc+128, mean = truncating sum/64, bit = m > mean, bit 63 via
     // the signed min-value term (the aHash oracle convention).
     "mm_image_ahash_jpeg" ->
       """WITH c AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM documents),
         |m AS (SELECT doc_id, cell,
-        |        2 * ((doc_id + 3 * (cell % 8) + 5 * (cell // 8)) % 121 - 60)
+        |        2 * ((doc_id * (1 + cell % 8) + (doc_id + 5) * (cell // 8) * (cell // 8)
+        |              + 3 * (cell % 8) * (cell // 8)) % 121 - 60)
         |          + 128 AS m
         |      FROM c),
         |mn AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS mean

@@ -338,13 +338,62 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
       it.flatMap { r =>
-        bmpResizeNn(r.getAs[Array[Byte]](1), outW, outH).map {
-          case (w, h, sr, sg, sb, ck) =>
-            Row(r.getLong(0), w, h, outW, outH, sr, sg, sb, ck)
+        val bytes = r.getAs[Array[Byte]](1)
+        // codec dispatch: BMP stride walk or baseline-JPEG planes —
+        // the same NN index rule either way
+        val resized =
+          if (bytes != null && bytes.length >= 2
+              && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+            jpegResizeNn(bytes, outW, outH)
+          else bmpResizeNn(bytes, outW, outH)
+        resized.map { case (w, h, sr, sg, sb, ck) =>
+          Row(r.getLong(0), w, h, outW, outH, sr, sg, sb, ck)
         }
       }
     }(enc)
   }
+
+  /** [[imageResize]]'s JPEG kernel: [[decodeJpegCore]] planes sampled
+    * at the SAME integer NN rule as the BMP walk (src = (dst·srcDim)
+    * div out; JPEG rows are always stored top-first). Grayscale
+    * replicates into all three channels so the positional checksum is
+    * codec-comparable; color converts BT.601 like [[decodeJpegPixels]]. */
+  private[graft] def jpegResizeNn(bytes: Array[Byte], outW: Int, outH: Int)
+      : Option[(Int, Int, Long, Long, Long, Long)] =
+    decodeJpegCore(bytes).map { d =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
+      def cl(v: Double): Int = {
+        val r = math.round(v); if (r < 0) 0 else if (r > 255) 255 else r.toInt
+      }
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * d.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * d.width / outW).toInt
+          var r = 0; var g = 0; var b = 0
+          if (d.planes.length == 1) {
+            val v = d.planes(0)(sy * d.planeW(0) + sx) & 0xff
+            r = v; g = v; b = v
+          } else {
+            val yy = d.planes(0)((sy * d.compV(0) / d.vmax) * d.planeW(0)
+              + sx * d.compH(0) / d.hmax) & 0xff
+            val cb = (d.planes(1)((sy * d.compV(1) / d.vmax) * d.planeW(1)
+              + sx * d.compH(1) / d.hmax) & 0xff) - 128
+            val cr = (d.planes(2)((sy * d.compV(2) / d.vmax) * d.planeW(2)
+              + sx * d.compH(2) / d.hmax) & 0xff) - 128
+            r = cl(yy + 1.402 * cr)
+            g = cl(yy - 0.344136 * cb - 0.714136 * cr)
+            b = cl(yy + 1.772 * cb)
+          }
+          sumR += r; sumG += g; sumB += b
+          ck += (y.toLong * outW + x + 1) * (b + (g << 8) + (r << 16))
+          x += 1
+        }
+        y += 1
+      }
+      (d.width, d.height, sumR, sumG, sumB, ck)
+    }
 
   /** [[imageResize]]'s per-blob kernel: header walk + bounds checks
     * identical to [[decodeBmpPixels]] (BI_RGB 24/32 bpp only; foreign
@@ -1006,9 +1055,13 @@ object Multimodal {
     docs.select(col("doc_id")).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
+        // NON-LINEAR dc field (a linear gradient thresholds the same
+        // way for every id, collapsing the hash space); everything
+        // depends on id only through id mod 121, so ids ≡ (mod 121)
+        // stay EXACT duplicates — the curation signal
         def blk(c: Int, bx: Int, by: Int): Array[Int] = {
           val a = new Array[Int](64)
-          a(0) = (((id + 3L * bx + 5L * by) % 121) - 60).toInt
+          a(0) = (((id * (1 + bx) + (id + 5) * by * by + 3L * bx * by) % 121) - 60).toInt
           a
         }
         Row(id, jpegAssemble(64, 64, 0, blk))
