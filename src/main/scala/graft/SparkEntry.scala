@@ -1211,6 +1211,35 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("ahash"))
         .orderBy(col("doc_id"))),
 
+    // Delta-vs-corpus image dedup against the STORED hash index (the
+    // dedupeAgainstIndex contract on the multimodal axis): the index
+    // holds docs < 100 (built < 50, one appended segment, compacted
+    // through the planner — the full lifecycle runs in the cached
+    // build); the probe is docs ≥ 400. Residues mod 121 make the
+    // verdict mix analytic: probe residues covered by the index dup,
+    // the rest read unique — storage must be transparent to results,
+    // so the oracle replays hashes for BOTH sides and joins on
+    // hamming ≤ 1 with no knowledge of segments or compaction.
+    "mm_index_probe" -> ((s, d) => {
+      val idx = Multimodal.readImageIndex(s, storedImageIndexDir(s, d))
+      val probe = Multimodal.imageAHash(Multimodal.syntheticJpegAHashBlobs(
+          Tables.documents(s, d).filter(col("doc_id") >= 400)))
+        .select(col("doc_id"), col("ahash"))
+      val m = Multimodal.aHashProbe(probe, idx, maxDistance = 1)
+        .groupBy(col("probe_id")).agg(
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("__ne"),
+          sum(when(col("hamming") > 0, 1L).otherwise(0L)).as("__nn"))
+      probe.select(col("doc_id"))
+        .join(m, col("doc_id") === col("probe_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__ne"), lit(0L)).as("n_exact"),
+          coalesce(col("__nn"), lit(0L)).as("n_near"),
+          when(coalesce(col("__ne"), lit(0L)) > 0, "dup_exact_image")
+            .when(coalesce(col("__nn"), lit(0L)) > 0, "dup_near_image")
+            .otherwise("unique").as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WHOLE image-curation pipeline as ONE query (the corpus_e2e
     // discipline on the multimodal side): JPEG decode gate → aHash →
     // pigeonhole near-dup pairs (hamming ≤ 1) → connected components → keep the
@@ -3047,8 +3076,26 @@ object SparkEntry {
         Similarity.annIndexBuild(Tables.embeddings(s, d),
           coarseK = 4, m = 4, pqK = 4, iters = 2), tmp))
 
+  /** [[storedIndexDir]] keyed off documents.parquet — for stored
+    * indexes built from the documents table (the image-hash index). */
+  private def storedImageIndexDir(s: SparkSession, d: String): String =
+    storedIndexDir(s, d, tag = "imgidx_g8", doneMarker = "seg=base",
+      build = tmp => {
+        import graft.operators.Multimodal
+        val docs = graft.sources.Tables.documents(s, d)
+        // exercise the full lifecycle in the build: base < 50, one
+        // appended segment 50..99, then fold through the planner
+        Multimodal.buildImageIndex(
+          Multimodal.syntheticJpegAHashBlobs(docs.filter(col("doc_id") < 50)), tmp)
+        Multimodal.appendImageIndex(
+          Multimodal.syntheticJpegAHashBlobs(
+            docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)), tmp, "d1")
+        Multimodal.compactImageIndex(s, tmp)
+      }, srcFile = "documents.parquet")
+
   private def storedIndexDir(s: SparkSession, d: String, tag: String,
-                             doneMarker: String, build: String => Unit): String = {
+                             doneMarker: String, build: String => Unit,
+                             srcFile: String = "embeddings.parquet"): String = {
     // the cache key is a CONTENT fingerprint of the embeddings parquet
     // (file name + length + mtime), recomputed PER CALL (a cheap FS
     // stat): testdata regenerated at the same path invalidates the
@@ -3056,7 +3103,7 @@ object SparkEntry {
     // the memo by the directory path would serve a stale index to the
     // second read and hash-diverge from an oracle on the current data
     val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val src = new org.apache.hadoop.fs.Path(s"$d/$srcFile")
     val sfs = src.getFileSystem(conf)
     val stat = sfs.getFileStatus(src)
     val parts =
@@ -5150,6 +5197,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(dim AS BIGINT) AS width, CAST(dim AS BIGINT) AS height,
         |       ahash
         |FROM ah ORDER BY doc_id""".stripMargin),
+
+    // Stored-index probe replay: hashes for BOTH sides from the
+    // analytic dc field (the oracle knows nothing of segments,
+    // appends or compaction — storage must be transparent), hamming
+    // join at ≤ 1 (pigeonhole-complete), per-probe verdict arithmetic.
+    "mm_index_probe" ->
+      """WITH c AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM documents),
+        |m AS (SELECT doc_id, cell,
+        |        2 * ((doc_id * (1 + cell % 8) + (doc_id + 5) * (cell // 8) * (cell // 8)
+        |              + 3 * (cell % 8) * (cell // 8)) % 121 - 60)
+        |          + 128 AS m
+        |      FROM c),
+        |mn AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS mean
+        |       FROM m GROUP BY 1),
+        |b AS (SELECT m.doc_id, m.cell,
+        |        CASE WHEN m.m > mn.mean THEN 1 ELSE 0 END AS bit
+        |      FROM m JOIN mn ON m.doc_id = mn.doc_id),
+        |ah AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN cell < 63
+        |               THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+        |               ELSE 0 END)
+        |           + sum(CASE WHEN cell = 63 AND bit = 1
+        |                 THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM b GROUP BY doc_id),
+        |idx AS (SELECT doc_id, ahash FROM ah WHERE doc_id < 100),
+        |pr AS (SELECT doc_id, ahash FROM ah WHERE doc_id >= 400),
+        |mt AS (SELECT pr.doc_id,
+        |         CAST(sum(CASE WHEN bit_count(xor(pr.ahash, idx.ahash)) = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |         CAST(sum(CASE WHEN bit_count(xor(pr.ahash, idx.ahash)) = 1
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+        |       FROM pr JOIN idx
+        |         ON bit_count(xor(pr.ahash, idx.ahash)) <= 1
+        |       GROUP BY 1)
+        |SELECT pr.doc_id, coalesce(mt.n_exact, 0) AS n_exact,
+        |  coalesce(mt.n_near, 0) AS n_near,
+        |  CASE WHEN coalesce(mt.n_exact, 0) > 0 THEN 'dup_exact_image'
+        |       WHEN coalesce(mt.n_near, 0) > 0 THEN 'dup_near_image'
+        |       ELSE 'unique' END AS verdict
+        |FROM pr LEFT JOIN mt ON pr.doc_id = mt.doc_id
+        |ORDER BY pr.doc_id""".stripMargin,
 
     // The whole image-curation chain replayed: analytic hashes →
     // hamming pairs (pigeonhole banding is COMPLETE for d < bands, so

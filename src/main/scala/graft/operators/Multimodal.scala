@@ -1834,6 +1834,84 @@ object Multimodal {
     Some((width, height, sums))
   }
 
+  // ------------------------------------------------------------------
+  // PERSISTENT image-hash index — the DedupIndex/AnnIndex lifecycle
+  // discipline for perceptual near-dup: build once, append deltas with
+  // the exactly-once segment overwrite, fold segments through the
+  // shared compaction planner, probe read-only from batch or stream
+  // (graft.streaming.ImageProbeStream). State is 16 bytes/doc — a
+  // 100 TB image corpus indexes into ~GB-scale parquet.
+  // ------------------------------------------------------------------
+
+  /** Create the index at `dir` from scratch: (doc_id, ahash) under
+    * seg=base. Non-decodable blobs simply don't index (the stub seam). */
+  def buildImageIndex(blobs: DataFrame, dir: String, grid: Int = 8): Unit =
+    imageAHash(blobs, grid).select(col("doc_id"), col("ahash"))
+      .withColumn("seg", lit("base"))
+      .write.mode("overwrite").partitionBy("seg").parquet(dir)
+
+  /** Append a delta as one segment — idempotent under at-least-once
+    * replays (dynamic partition overwrite on `seg`, the
+    * [[graft.sinks.Sinks.upsertPartitions]] idiom): re-appending a
+    * segment id overwrites itself, never double-counts. */
+  def appendImageIndex(blobs: DataFrame, dir: String, segment: String,
+                       grid: Int = 8): Unit =
+    graft.sinks.Sinks.upsertPartitions(
+      imageAHash(blobs, grid).select(col("doc_id"), col("ahash"))
+        .withColumn("seg", lit(segment)),
+      dir, Seq("seg"))
+
+  /** Fold every segment into one deduplicated seg=base generation,
+    * sized through the shared compaction planner
+    * ([[Partitioning.plannedFileCount]]) and swapped in by rename.
+    * Replay barrier: folded segment ids are retired (the
+    * [[graft.operators.Dedup.compactWinnowIndex]] discipline). */
+  def compactImageIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long = 128L << 20): Unit = {
+    val nFiles = Partitioning.plannedFileCount(spark, dir, targetBytes)
+    val folded = spark.read.parquet(dir).select(col("doc_id"), col("ahash"))
+      .distinct().repartition(nFiles).localCheckpoint()
+    Partitioning.swapInDir(spark, dir)(tmp =>
+      folded.withColumn("seg", lit("base"))
+        .write.mode("overwrite").partitionBy("seg").parquet(tmp))
+  }
+
+  /** The stored hash set (segments unioned, replayed appends folded
+    * by distinct — ahash is a pure function of the blob, so replays
+    * are exact duplicates). */
+  def readImageIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("doc_id"), col("ahash")).distinct()
+
+  /** Cross-frame pigeonhole probe — [[aHashPairs]]' two-sided twin:
+    * every (probe, indexed) pair within `maxDistance` Hamming bits,
+    * COMPLETE for maxDistance < bands (the same pigeonhole proof).
+    * Shuffle ∝ probe + collision candidates; the index side meets the
+    * probe only on (band, slice) keys — the delta-vs-corpus contract. */
+  def aHashProbe(probe: DataFrame, index: DataFrame, maxDistance: Int,
+                 bands: Int = 4, idCol: String = "doc_id"): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0 && maxDistance < bands,
+      s"pigeonhole needs maxDistance < bands and bands | 64, got d=$maxDistance b=$bands")
+    import graft.functions.HammingDistance.hamming64
+    graft.plans.GraftExtensions.register(probe.sparkSession)
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    def banded(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"${side}_id"), col("ahash").as(s"sig_$side"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * w).bitwiseAND(lit(mask)).as("bv"))): _*)).as("x"))
+      .select(col(s"${side}_id"), col(s"sig_$side"),
+        col("x.band").as(s"band_$side"), col("x.bv").as(s"bv_$side"))
+    banded(probe, "probe").join(banded(index, "index"),
+        col("band_probe") === col("band_index") && col("bv_probe") === col("bv_index"))
+      .select(col("probe_id"), col("index_id"), col("sig_probe"), col("sig_index"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_probe"), col("sig_index")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("probe_id"), col("index_id"), col("hamming"))
+  }
+
   /** Near-dup image pairs from [[imageAHash]] hashes by the Hamming
     * PIGEONHOLE blocking: the 64-bit hash splits into `bands` equal
     * slices and a candidate pair must agree on at least one slice —

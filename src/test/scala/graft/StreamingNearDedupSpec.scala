@@ -408,4 +408,83 @@ class StreamingNearDedupSpec extends SparkSpec {
     }
     assert(streamed.nonEmpty)
   }
+
+  test("image probe: perceptual duplicates of INDEXED images caught in-stream, " +
+    "lifecycle (append replay + compact) transparent, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Multimodal
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("img_probe").toString
+    val (indexDir, outDir) = (s"$dir/index", s"$dir/out")
+    // lifecycle: base segment ids < 50, appended segment 50..99
+    // (appended TWICE — at-least-once replay must fold away), compact
+    val ids = (0L until 100L).toDF("doc_id")
+    Multimodal.buildImageIndex(
+      Multimodal.syntheticJpegAHashBlobs(ids.filter(col("doc_id") < 50)), indexDir)
+    val delta = Multimodal.syntheticJpegAHashBlobs(
+      ids.filter(col("doc_id") >= 50))
+    Multimodal.appendImageIndex(delta, indexDir, "d1")
+    Multimodal.appendImageIndex(delta, indexDir, "d1") // replay
+    Multimodal.compactImageIndex(spark, indexDir)
+    val stored = Multimodal.readImageIndex(spark, indexDir)
+    assert(stored.count() === 100L, "replayed append must fold away")
+    assert(spark.read.parquet(indexDir).select("seg").distinct()
+      .as[String].collect().toSeq === Seq("base"), "compact must fold segments")
+    // probe payloads: id 500 ≡ 16 (mod 121) — its fixture bytes are
+    // IDENTICAL to indexed id 16 (the dc field cycles mod 121), a
+    // guaranteed exact dup; a hand-made checkerboard JPEG whose
+    // verdict the BATCH probe adjudicates (stream must agree); and a
+    // garbage payload the decode gate refuses
+    val dup = Multimodal.syntheticJpegAHashBlobs(Seq(500L).toDF("doc_id"))
+      .select("blob").head().getAs[Array[Byte]](0)
+    def checker(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = if ((bx + by) % 2 == 0) 50 else -50
+      a
+    }
+    val board = Multimodal.jpegAssemble(64, 64, 0, checker)
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 5).toByte)
+    // batch adjudication of the checkerboard's expected verdict
+    val boardHash = Multimodal.bmpAHash(board, 8).get._3
+    val boardMatches = Multimodal.aHashProbe(
+      Seq((600L, boardHash)).toDF("doc_id", "ahash"), stored, maxDistance = 1)
+    val expectBoard =
+      if (boardMatches.filter(col("hamming") === 0).count() > 0) "dup_exact_image"
+      else if (boardMatches.count() > 0) "dup_near_image"
+      else "unique"
+    def verdicts(): Map[Long, String] =
+      spark.read.parquet(outDir).select("doc_id", "verdict")
+        .as[(Long, String)].collect().toMap
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.ImageProbeStream.start(
+      mem.toDF().toDF("doc_id", "blob"), "r1", indexDir, outDir,
+      s"$dir/ckpt", maxDistance = 1)
+    try {
+      mem.addData((500L, dup), (600L, board), (700L, junk))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(verdicts() === Map(500L -> "dup_exact_image", 600L -> expectBoard,
+      700L -> "undecodable"), s"got ${verdicts()}")
+    // exactly-once: replaying the SAME (run, batch) — a post-crash
+    // restart — overwrites its own partition, never double-appends
+    graft.streaming.ImageProbeStream.process(
+      Seq((500L, dup), (600L, board), (700L, junk)).toDF("doc_id", "blob"),
+      "r1", batchId = 0L, indexDir, outDir, maxDistance = 1)
+    val rows = spark.read.parquet(outDir).select("doc_id").as[Long].collect()
+    assert(rows.length === 3 && rows.toSet === Set(500L, 600L, 700L),
+      s"replayed batch must not double-append, got ${rows.toSeq.sorted}")
+    // a fresh run against the same out dir: new verdicts join old ones
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = graft.streaming.ImageProbeStream.start(
+      mem2.toDF().toDF("doc_id", "blob"), "r2", indexDir, outDir,
+      s"$dir/ckpt2", maxDistance = 1)
+    try {
+      // id 621 ≡ 16 (mod 121): another guaranteed exact dup
+      mem2.addData((621L, Multimodal.syntheticJpegAHashBlobs(
+        Seq(621L).toDF("doc_id")).select("blob").head().getAs[Array[Byte]](0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = verdicts()
+    assert(all(621L) === "dup_exact_image" && all.size === 4, s"got $all")
+  }
 }
