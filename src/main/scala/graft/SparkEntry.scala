@@ -1202,6 +1202,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PROGRESSIVE (SOF2) decode: the same coefficients as
+    // mm_decode_jpeg in multi-scan encoding (DC first + refinement +
+    // per-component AC scans) — the query shares the baseline oracle
+    // VERBATIM, so the hash match proves encoding is transparent to
+    // decoded pixels, cross-engine.
+    "mm_decode_jpeg_progressive" -> ((s, d) => {
+      Multimodal.decodeJpeg(
+          Multimodal.syntheticJpegProgressiveBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual average-hash over DECODED pixels (gray → 8×8 block
     // means → shift-invariant threshold → 64-bit pack) — image
     // near-dup detection on the real decode path.
@@ -2584,6 +2600,34 @@ object SparkEntry {
         |  (coalesce(n_late, 0) * 1000) // n_events AS late_permille
         |FROM tot LEFT JOIN ls ON tot.event_type = ls.event_type
         |ORDER BY tot.event_type""".stripMargin
+
+  // analytic JPEG pixel replay, shared by the baseline and the
+  // progressive decode queries (identical coefficients by fixture
+  // construction — encoding must be transparent to pixels)
+  private val jpegDecodeOracle: String =
+    """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 21
+        |                    WHEN 1 THEN 1 + doc_id % 19
+        |                    ELSE 1 + doc_id % 23 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 13
+        |                    WHEN 1 THEN 1 + doc_id % 11
+        |                    ELSE 1 + doc_id % 17 END AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS y FROM gx),
+        |pv AS (SELECT doc_id, w, h, ch,
+        |         2 * ((doc_id + 3 * (x // 8) + 5 * (y // 8)) % 121 - 60) + 128 AS p
+        |       FROM px)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum(p) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
+        |       CAST(0 AS BIGINT) AS sum_a
+        |FROM pv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin
 
   private val rateTrendOracle: String =
     """WITH h AS (SELECT event_type,
@@ -5164,30 +5208,11 @@ object SparkEntry {
     // visible pixel, so a hash match proves the huffman scan, DC
     // prediction chain, MCU interleave (incl. 4:2:0), dequantize,
     // IDCT, color convert and edge crop all read back correctly.
-    "mm_decode_jpeg" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 21
-        |                    WHEN 1 THEN 1 + doc_id % 19
-        |                    ELSE 1 + doc_id % 23 END AS w,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 13
-        |                    WHEN 1 THEN 1 + doc_id % 11
-        |                    ELSE 1 + doc_id % 17 END AS h,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 ELSE 3 END AS ch
-        |  FROM documents),
-        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
-        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS y FROM gx),
-        |pv AS (SELECT doc_id, w, h, ch,
-        |         2 * ((doc_id + 3 * (x // 8) + 5 * (y // 8)) % 121 - 60) + 128 AS p
-        |       FROM px)
-        |SELECT doc_id,
-        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |       CAST(ch AS BIGINT) AS channels,
-        |       CAST(count(*) AS BIGINT) AS n_pixels,
-        |       CAST(sum(p) AS BIGINT) AS sum_r,
-        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_g,
-        |       CAST(sum(CASE WHEN ch >= 3 THEN p ELSE 0 END) AS BIGINT) AS sum_b,
-        |       CAST(0 AS BIGINT) AS sum_a
-        |FROM pv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    "mm_decode_jpeg" -> jpegDecodeOracle,
+
+    // progressive encoding must be invisible: SAME oracle (the
+    // rel_disorder_bucketed same-oracle equivalence idiom).
+    "mm_decode_jpeg_progressive" -> jpegDecodeOracle,
 
     // aHash replay: analytic gray grid → integer block means →
     // floor-mean threshold → bit pack (bit 63 emitted as the signed

@@ -360,7 +360,7 @@ object Multimodal {
     * codec-comparable; color converts BT.601 like [[decodeJpegPixels]]. */
   private[graft] def jpegResizeNn(bytes: Array[Byte], outW: Int, outH: Int)
       : Option[(Int, Int, Long, Long, Long, Long)] =
-    decodeJpegCore(bytes).map { d =>
+    decodeJpegAny(bytes).map { d =>
       var sumR = 0L; var sumG = 0L; var sumB = 0L; var ck = 0L
       def cl(v: Double): Int = {
         val r = math.round(v); if (r < 0) 0 else if (r > 255) 255 else r.toInt
@@ -877,11 +877,12 @@ object Multimodal {
   /** Fixture huffman declarations — deliberately COMPACT custom tables
     * (DHT permits any canonical table; using non-Annex-K tables makes
     * the decoder's table builder do real work): DC covers categories
-    * 0..11, AC covers EOB, (0,1), (1,1), ZRL. No code is all-ones. */
+    * 0..11, AC covers EOB, (run 0/1, size 1/2), ZRL. No code is
+    * all-ones. */
   private[graft] val JpegDcBits = Array(0, 2, 2, 2, 2, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private[graft] val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
-  private[graft] val JpegAcBits = Array(1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-  private[graft] val JpegAcVals = Array(0x00, 0x01, 0x11, 0xf0)
+  private[graft] val JpegAcBits = Array(1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private[graft] val JpegAcVals = Array(0x00, 0x01, 0x11, 0xf0, 0x02, 0x12)
 
   /** MSB-first entropy bit writer with T.81 byte stuffing (a data
     * 0xFF is followed by 0x00) and 1-fill to the byte boundary. */
@@ -1001,6 +1002,160 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A COMPLETE progressive (SOF2) JFIF file carrying the SAME
+    * quantized coefficients as [[jpegAssemble]] would — a conformant
+    * decoder must produce identical pixels from either encoding.
+    * Scan script: interleaved DC first (Al=1) → DC refinement →
+    * per-component AC first (Ss=1..63 at `acAl`) → per-component AC
+    * refinement when acAl = 1 (newly-significant insertion +
+    * correction bits — the full T.81 G.1.2.3 surface). The fixture
+    * AC table constrains coefficients: |v| >> acAl ∈ {0, 1} and zero
+    * runs ≡ 0/1 (mod 16) — enforced with require, never silently
+    * mis-encoded. */
+  private[graft] def jpegAssembleProgressive(width: Int, height: Int, mode: Int,
+      coef: (Int, Int, Int) => Array[Int], acAl: Int = 0): Array[Byte] = {
+    require(acAl == 0 || acAl == 1, "one successive-approximation level supported")
+    val out = new java.io.ByteArrayOutputStream()
+    def m(code: Int): Unit = { out.write(0xff); out.write(code) }
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    m(0xd8)
+    m(0xe0); w16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); w16(1); w16(1); out.write(0); out.write(0)
+    val nComp = if (mode == 0) 1 else 3
+    val nQt = if (mode == 0) 1 else 2
+    m(0xdb); w16(2 + 65 * nQt)
+    for (t <- 0 until nQt) { out.write(t); for (_ <- 0 until 64) out.write(16) }
+    m(0xc2); w16(8 + 3 * nComp) // SOF2: progressive
+    out.write(8); w16(height); w16(width); out.write(nComp)
+    val samp: Array[(Int, Int)] = mode match {
+      case 0 => Array((1, 1))
+      case 1 => Array((1, 1), (1, 1), (1, 1))
+      case _ => Array((2, 2), (1, 1), (1, 1))
+    }
+    for (c <- 0 until nComp) {
+      out.write(c + 1)
+      out.write((samp(c)._1 << 4) | samp(c)._2)
+      out.write(if (c == 0) 0 else 1)
+    }
+    val nHt = if (mode == 0) 1 else 2
+    for (tid <- 0 until nHt; cls <- 0 to 1) {
+      val (bits, vals) = if (cls == 0) (JpegDcBits, JpegDcVals) else (JpegAcBits, JpegAcVals)
+      m(0xc4); w16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | tid)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    val dcCodes = jpegCanonicalCodes(JpegDcBits, JpegDcVals)
+      .map { case (sy, l, c) => sy -> ((l, c)) }.toMap
+    val acCodes = jpegCanonicalCodes(JpegAcBits, JpegAcVals)
+      .map { case (sy, l, c) => sy -> ((l, c)) }.toMap
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    def trueBW(c: Int) = ((width * samp(c)._1 + hmax - 1) / hmax + 7) / 8
+    def trueBH(c: Int) = ((height * samp(c)._2 + vmax - 1) / vmax + 7) / 8
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xda); w16(6 + 2 * comps.length)
+      out.write(comps.length)
+      for (c <- comps) {
+        out.write(c + 1)
+        val t = if (c == 0) 0 else 1
+        out.write((t << 4) | t)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    def interleavedBlocks(f: (Int, Int, Int) => Unit): Unit =
+      for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
+           v <- 0 until samp(c)._2; h <- 0 until samp(c)._1)
+        f(c, mx * samp(c)._1 + h, my * samp(c)._2 + v)
+    // scan 1: DC first, Al = 1 (diffs of the arithmetic-shifted DC)
+    sos(0 until nComp, 0, 0, 0, 1)
+    locally {
+      val bw = new JpegBitWriter(out)
+      val pred = new Array[Int](nComp)
+      interleavedBlocks { (c, bx, by) =>
+        val dc = coef(c, bx, by)(0) >> 1
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val s = category(diff)
+        val (dl, dcd) = dcCodes(s)
+        bw.put(dcd, dl)
+        if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+      bw.flush()
+    }
+    // scan 2: DC refinement, the low bit of each DC (two's complement)
+    sos(0 until nComp, 0, 0, 1, 0)
+    locally {
+      val bw = new JpegBitWriter(out)
+      interleavedBlocks { (c, bx, by) => bw.put(coef(c, bx, by)(0) & 1, 1) }
+      bw.flush()
+    }
+    // per component: AC first at acAl, then AC refinement when acAl = 1
+    for (c <- 0 until nComp) {
+      sos(Seq(c), 1, 63, 0, acAl)
+      val bw = new JpegBitWriter(out)
+      for (by <- 0 until trueBH(c); bx <- 0 until trueBW(c)) {
+        val blk = coef(c, bx, by)
+        var zeroRun = 0
+        var lastK = 0
+        for (k <- 1 to 63) {
+          val v = blk(JpegZigzag(k))
+          val t = if (v >= 0) math.abs(v) >> acAl else -(math.abs(v) >> acAl)
+          if (t == 0) zeroRun += 1
+          else {
+            while (zeroRun > 15) {
+              val (zl, zc) = acCodes(0xf0); bw.put(zc, zl); zeroRun -= 16
+            }
+            require(zeroRun <= 1 && math.abs(t) == 1,
+              s"fixture AC layout outside the 4-symbol table (run=$zeroRun t=$t)")
+            val (al2, ac2) = acCodes((zeroRun << 4) | 1)
+            bw.put(ac2, al2)
+            bw.put(if (t > 0) 1 else 0, 1)
+            zeroRun = 0; lastK = k
+          }
+        }
+        if (lastK < 63) { val (el, ec) = acCodes(0x00); bw.put(ec, el) }
+      }
+      bw.flush()
+    }
+    if (acAl == 1) for (c <- 0 until nComp) {
+      sos(Seq(c), 1, 63, 1, 0)
+      val bw = new JpegBitWriter(out)
+      for (by <- 0 until trueBH(c); bx <- 0 until trueBW(c)) {
+        val blk = coef(c, bx, by)
+        val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flush(): Unit = { bits.foreach(b => bw.put(b, 1)); bits.clear() }
+        var r = 0
+        var lastPlaced = 0
+        for (k <- 1 to 63) {
+          val v = blk(JpegZigzag(k))
+          if ((math.abs(v) >> 1) != 0) bits += (math.abs(v) & 1)
+          else if (math.abs(v) == 1) {
+            while (r > 15) {
+              val (zl, zc) = acCodes(0xf0); bw.put(zc, zl); flush(); r -= 16
+            }
+            require(r <= 1, s"refine run $r outside the 4-symbol table")
+            val (al2, ac2) = acCodes((r << 4) | 1)
+            bw.put(ac2, al2)
+            bw.put(if (v > 0) 1 else 0, 1)
+            flush()
+            r = 0; lastPlaced = k
+          } else r += 1
+        }
+        if (lastPlaced < 63) {
+          val (el, ec) = acCodes(0x00); bw.put(ec, el); flush()
+        } else require(bits.isEmpty, "corrections after a band-final insertion")
+      }
+      bw.flush()
+    }
+    m(0xd9)
+    out.toByteArray
+  }
+
   /** The oracle-exact fixture (see the section comment): mode id%3,
     * dims per mode, luma DC(bx,by) = ((id + 3bx + 5by) % 121) − 60 ⇒
     * decoded pixel(x,y) = 2·DC(x div 8, y div 8) + 128 ∈ [8, 248]
@@ -1018,6 +1173,35 @@ object Multimodal {
       a
     }
     jpegAssemble(w, h, mode, blk)
+  }
+
+  /** [[jpegBaselineBytes]]' coefficients in PROGRESSIVE encoding —
+    * identical decoded pixels by construction, so the progressive
+    * query shares the baseline oracle verbatim. */
+  private[graft] def jpegProgressiveBytes(id: Long): Array[Byte] = {
+    val mode = (id % 3).toInt
+    val (w, h) = mode match {
+      case 0 => ((1 + id % 21).toInt, (1 + id % 13).toInt)
+      case 1 => ((1 + id % 19).toInt, (1 + id % 11).toInt)
+      case _ => ((1 + id % 23).toInt, (1 + id % 17).toInt)
+    }
+    def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      if (c == 0) a(0) = (((id + 3L * bx + 5L * by) % 121) - 60).toInt
+      a
+    }
+    jpegAssembleProgressive(w, h, mode, blk)
+  }
+
+  /** Deterministic complete PROGRESSIVE JPEGs keyed on doc_id. */
+  def syntheticJpegProgressiveBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), jpegProgressiveBytes(r.getLong(0))) }
+    }(enc)
   }
 
   /** Deterministic complete baseline JPEGs keyed on doc_id — the
@@ -1387,6 +1571,489 @@ object Multimodal {
     else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Entropy bit reader shared by the progressive scans: MSB-first,
+    * 0xFF00 unstuffed, stops (without consuming) at any real marker.
+    * `pos` tracks the byte position so the marker walk resumes after
+    * the scan. */
+  private final class JpegBitReader(bytes: Array[Byte], start: Int) {
+    var pos: Int = start
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var hitMarker = false
+    private def fill(): Boolean = {
+      if (pos >= bytes.length) return false
+      val b = bytes(pos) & 0xff
+      if (b == 0xff) {
+        if (pos + 1 >= bytes.length) return false
+        if ((bytes(pos + 1) & 0xff) == 0x00) pos += 2
+        else { hitMarker = true; return false }
+      } else pos += 1
+      bitBuf = (bitBuf << 8) | b; bitCnt += 8
+      true
+    }
+    def readBit(): Int = {
+      if (bitCnt == 0 && !fill()) return -1
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val b = readBit(); if (b < 0) return Int.MinValue
+        v = (v << 1) | b; i += 1
+      }
+      v
+    }
+    def align(): Unit = bitCnt = 0
+    def decodeHuff(mn: Array[Int], mx: Array[Int], vi: Array[Int],
+                   vals: Array[Int]): Int = {
+      if (mn == null) return -1
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val b = readBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        if (mn(l) <= mx(l) && code >= mn(l) && code <= mx(l))
+          return vals(vi(l) + code - mn(l))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG decode — the multi-scan mode ~10–20% of
+    * real web JPEGs use: quantized coefficients accumulate across
+    * scans (DC first + successive-approximation refinement; per-
+    * component AC spectral-selection scans with EOB-run coding and
+    * refinement correction bits — the T.81 G.1.2 algorithms, ported
+    * with libjpeg's EOBRUN bookkeeping since that is what every other
+    * decoder interoperates with), then one dequantize + IDCT pass
+    * builds the planes. Arithmetic coding, hierarchical and 12-bit
+    * refuse; same untrusted-byte discipline as the baseline walk. */
+  private[graft] def decodeJpegProgressive(bytes0: Array[Byte]): Option[JpegDecoded] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    val quant = new Array[Array[Int]](4)
+    val huffMin = Array.ofDim[Array[Int]](2, 4)
+    val huffMax = Array.ofDim[Array[Int]](2, 4)
+    val huffValIdx = Array.ofDim[Array[Int]](2, 4)
+    val huffVals = Array.ofDim[Array[Int]](2, 4)
+    var width = 0; var height = 0
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compTq: Array[Int] = null
+    var restartInterval = 0
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
+    // MCU-padded coefficient grids (quantized, natural order per block)
+    var coefs: Array[Array[Int]] = null
+    var gridW: Array[Int] = null; var gridH: Array[Int] = null
+    var trueBW: Array[Int] = null; var trueBH: Array[Int] = null
+    var p = 2
+    var sawEoi = false
+    var sawScan = false
+    while (!sawEoi) {
+      if (p < bytes.length && (bytes(p) & 0xff) != 0xff) return None
+      while (p < bytes.length && (bytes(p) & 0xff) == 0xff) p += 1
+      if (p >= bytes.length) return None
+      val code = bytes(p) & 0xff; p += 1
+      if (code == 0xd9) { sawEoi = true }
+      else {
+        if (p + 2 > bytes.length) return None
+        val len = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        if (len < 2 || p + len > bytes.length) return None
+        val seg = p + 2
+        val segEnd = p + len
+        var nextP = segEnd
+        code match {
+          case 0xdb =>
+            var q = seg
+            while (q < segEnd) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              q += 1
+              val tbl = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                if (pq == 1) {
+                  if (q + 1 >= segEnd) return None
+                  tbl(JpegZigzag(k)) = ((bytes(q) & 0xff) << 8) | (bytes(q + 1) & 0xff)
+                  q += 2
+                } else {
+                  if (q >= segEnd) return None
+                  tbl(JpegZigzag(k)) = bytes(q) & 0xff
+                  q += 1
+                }
+                k += 1
+              }
+              quant(tq) = tbl
+            }
+          case 0xc4 =>
+            var q = seg
+            while (q < segEnd) {
+              val cls = (bytes(q) & 0xff) >> 4
+              val tid = bytes(q) & 0x0f
+              if (cls > 1 || tid > 3) return None
+              q += 1
+              if (q + 16 > segEnd) return None
+              val bits = Array.tabulate(16)(i => bytes(q + i) & 0xff)
+              q += 16
+              val total = bits.sum
+              if (total > 256 || q + total > segEnd) return None
+              val vals = Array.tabulate(total)(i => bytes(q + i) & 0xff)
+              q += total
+              val mn = new Array[Int](17); val mx = new Array[Int](17)
+              val vi = new Array[Int](17)
+              var codeAcc = 0; var vidx = 0
+              var l = 1
+              while (l <= 16) {
+                if (bits(l - 1) > 0) {
+                  vi(l) = vidx; mn(l) = codeAcc
+                  codeAcc += bits(l - 1); vidx += bits(l - 1)
+                  mx(l) = codeAcc - 1
+                } else { mn(l) = 1; mx(l) = 0 }
+                codeAcc <<= 1
+                l += 1
+              }
+              huffMin(cls)(tid) = mn; huffMax(cls)(tid) = mx
+              huffValIdx(cls)(tid) = vi; huffVals(cls)(tid) = vals
+            }
+          case 0xc2 =>
+            if (segEnd - seg < 6) return None
+            if ((bytes(seg) & 0xff) != 8) return None
+            height = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+            width = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+            val nc = bytes(seg + 5) & 0xff
+            if (width <= 0 || height <= 0 || width > (1 << 13) || height > (1 << 13))
+              return None
+            // tighter cap than baseline: progressive must HOLD every
+            // coefficient until the last scan (4 B/sample/component)
+            if (width.toLong * height > (1L << 24)) return None
+            if (nc < 1 || nc > 4 || segEnd - seg < 6 + 3 * nc) return None
+            compId = new Array[Int](nc); compH = new Array[Int](nc)
+            compV = new Array[Int](nc); compTq = new Array[Int](nc)
+            for (c <- 0 until nc) {
+              compId(c) = bytes(seg + 6 + 3 * c) & 0xff
+              val hv = bytes(seg + 7 + 3 * c) & 0xff
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4)
+                return None
+              compTq(c) = bytes(seg + 8 + 3 * c) & 0xff
+              if (compTq(c) > 3) return None
+            }
+            hmax = compH.max; vmax = compV.max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            gridW = Array.tabulate(nc)(c => mcusX * compH(c))
+            gridH = Array.tabulate(nc)(c => mcusY * compV(c))
+            trueBW = Array.tabulate(nc)(c =>
+              ((width * compH(c) + hmax - 1) / hmax + 7) / 8)
+            trueBH = Array.tabulate(nc)(c =>
+              ((height * compV(c) + vmax - 1) / vmax + 7) / 8)
+            coefs = Array.tabulate(nc)(c => new Array[Int](gridW(c) * gridH(c) * 64))
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // this path is SOF2-only
+          case 0xdd =>
+            if (segEnd - seg < 2) return None
+            restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+          case 0xda =>
+            if (coefs == null) return None
+            val ns = bytes(seg) & 0xff
+            if (ns < 1 || ns > 4 || segEnd - seg < 1 + 2 * ns + 3) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            for (s <- 0 until ns) {
+              val cid = bytes(seg + 1 + 2 * s) & 0xff
+              val ci = compId.indexOf(cid)
+              if (ci < 0) return None
+              scanComp(s) = ci
+              val tt = bytes(seg + 2 + 2 * s) & 0xff
+              scanDc(s) = tt >> 4; scanAc(s) = tt & 0x0f
+              if (scanDc(s) > 3 || scanAc(s) > 3) return None
+            }
+            val ss = bytes(seg + 1 + 2 * ns) & 0xff
+            val se = bytes(seg + 2 + 2 * ns) & 0xff
+            val ahal = bytes(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (ss > 63 || se > 63 || se < ss || al > 13) return None
+            if (ss == 0 && se != 0) return None       // DC scan is band [0,0]
+            if (ss > 0 && ns != 1) return None        // AC scans: one component
+            if (ah != 0 && ah != al + 1) return None  // successive approx step
+            val br = new JpegBitReader(bytes, segEnd)
+            if (!progressiveScan(br, coefs, scanComp, scanDc, scanAc,
+                ss, se, ah, al, compH, compV, gridW, trueBW, trueBH,
+                huffMin, huffMax, huffValIdx, huffVals,
+                mcusX, mcusY, restartInterval, bytes))
+              return None
+            sawScan = true
+            nextP = br.pos
+          case _ => ()
+        }
+        p = nextP
+      }
+    }
+    if (coefs == null || !sawScan) return None
+    for (c <- compId.indices)
+      if (quant(compTq(c)) == null) return None
+    // one dequantize + IDCT pass over the accumulated coefficients
+    val nComp = compId.length
+    val planeW = Array.tabulate(nComp)(c => gridW(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * gridH(c) * 8))
+    val cosT = Array.tabulate(8, 8) { (x, u) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    for (c <- 0 until nComp) {
+      val q = quant(compTq(c))
+      val arr = coefs(c)
+      val pw = planeW(c)
+      var by = 0
+      while (by < gridH(c)) {
+        var bx = 0
+        while (bx < gridW(c)) {
+          val off = (by * gridW(c) + bx) * 64
+          var anyAc = false
+          var i = 1
+          while (i < 64 && !anyAc) { if (arr(off + i) != 0) anyAc = true; i += 1 }
+          if (!anyAc) {
+            val px = math.round(arr(off) * q(0) / 8.0 + 128.0)
+            val b = (if (px < 0) 0 else if (px > 255) 255 else px.toInt).toByte
+            var y = 0
+            while (y < 8) {
+              java.util.Arrays.fill(planes(c), (by * 8 + y) * pw + bx * 8,
+                (by * 8 + y) * pw + bx * 8 + 8, b)
+              y += 1
+            }
+          } else {
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    val cv = arr(off + v * 8 + u)
+                    if (cv != 0) acc += cv.toDouble * q(v * 8 + u) * cosT(x)(u) * cosT(y)(v)
+                    v += 1
+                  }
+                  u += 1
+                }
+                val px = math.round(acc / 4.0 + 128.0)
+                planes(c)((by * 8 + y) * pw + bx * 8 + x) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px.toInt).toByte
+                x += 1
+              }
+              y += 1
+            }
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (nComp == 1 || nComp == 3)
+      Some(JpegDecoded(width, height, planes, planeW, compH, compV, hmax, vmax))
+    else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One progressive scan into the coefficient grids. Returns false on
+    * any malformed shape. DC scans may be interleaved; AC scans are
+    * single-component over the TRUE (unpadded) block grid. */
+  private def progressiveScan(br: JpegBitReader, coefs: Array[Array[Int]],
+      scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      compH: Array[Int], compV: Array[Int], gridW: Array[Int],
+      trueBW: Array[Int], trueBH: Array[Int],
+      huffMin: Array[Array[Array[Int]]], huffMax: Array[Array[Array[Int]]],
+      huffValIdx: Array[Array[Array[Int]]], huffVals: Array[Array[Array[Int]]],
+      mcusX: Int, mcusY: Int, restartInterval: Int,
+      bytes: Array[Byte]): Boolean = {
+    val pred = new Array[Int](coefs.length)
+    var eobrun = 0
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    def huff(cls: Int, tid: Int): Int =
+      br.decodeHuff(huffMin(cls)(tid), huffMax(cls)(tid),
+        huffValIdx(cls)(tid), huffVals(cls)(tid))
+    def restart(): Boolean = {
+      br.align()
+      if (!br.hitMarker) {
+        if (br.pos + 1 >= bytes.length || (bytes(br.pos) & 0xff) != 0xff) return false
+      }
+      val rc = bytes(br.pos + 1) & 0xff
+      if (rc < 0xd0 || rc > 0xd7) return false
+      br.pos += 2; br.hitMarker = false
+      java.util.Arrays.fill(pred, 0)
+      eobrun = 0
+      true
+    }
+    def dcBlock(c: Int, s: Int, off: Int): Boolean = {
+      val arr = coefs(c)
+      if (ah == 0) {
+        val sz = huff(0, scanDc(s))
+        if (sz < 0 || sz > 11) return false
+        val dv = br.receive(sz); if (dv == Int.MinValue) return false
+        pred(c) += extend(dv, sz)
+        arr(off) = pred(c) << al
+      } else {
+        val b = br.readBit(); if (b < 0) return false
+        if (b == 1) arr(off) |= 1 << al
+      }
+      true
+    }
+    // T.81 G.1.2.2 / libjpeg decode_mcu_AC_first
+    def acFirstBlock(c: Int, s: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val arr = coefs(c)
+      var k = ss
+      while (k <= se) {
+        val rs = huff(1, scanAc(s)); if (rs < 0) return false
+        val r = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16
+          else {
+            eobrun = 1 << r
+            if (r > 0) {
+              val b = br.receive(r); if (b == Int.MinValue) return false
+              eobrun += b
+            }
+            eobrun -= 1 // this block is consumed
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false
+          val v = br.receive(sz); if (v == Int.MinValue) return false
+          arr(off + JpegZigzag(k)) = extend(v, sz) << al
+          k += 1
+        }
+      }
+      true
+    }
+    // T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: corrections for
+    // already-nonzero coefficients ride inline with the run coding
+    def acRefineBlock(c: Int, s: Int, off: Int): Boolean = {
+      val arr = coefs(c)
+      val p1 = 1 << al; val m1 = -1 << al
+      var k = ss
+      def correct(z: Int): Boolean = {
+        val b = br.readBit(); if (b < 0) return false
+        if (b == 1 && (arr(off + z) & p1) == 0)
+          arr(off + z) += (if (arr(off + z) >= 0) p1 else m1)
+        true
+      }
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val rs = huff(1, scanAc(s)); if (rs < 0) return false
+          var r = rs >> 4; val sz = rs & 15
+          var newval = 0
+          if (sz == 0) {
+            if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) {
+                val b = br.receive(r); if (b == Int.MinValue) return false
+                eobrun += b
+              }
+              broke = true
+            }
+            // r == 15 (ZRL): skip 16 zero-history slots below
+          } else {
+            if (sz != 1) return false
+            val b = br.readBit(); if (b < 0) return false
+            newval = if (b == 1) p1 else m1
+          }
+          if (!broke) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = JpegZigzag(k)
+              if (arr(off + z) != 0) {
+                if (!correct(z)) return false
+              } else {
+                r -= 1
+                if (r < 0) placed = true
+              }
+              if (!placed) k += 1
+            }
+            if (!placed) return false // run overran the band
+            if (newval != 0) {
+              if (k > se) return false
+              arr(off + JpegZigzag(k)) = newval
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = JpegZigzag(k)
+          if (arr(off + z) != 0 && !correct(z)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def block(c: Int, s: Int, bx: Int, by: Int): Boolean = {
+      val off = (by * gridW(c) + bx) * 64
+      if (ss == 0) dcBlock(c, s, off)
+      else if (ah == 0) acFirstBlock(c, s, off)
+      else acRefineBlock(c, s, off)
+    }
+    if (scanComp.length > 1 || (ss == 0 && scanComp.length == coefs.length)) {
+      // interleaved MCU traversal (DC scans)
+      var count = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && count > 0 && count % restartInterval == 0
+              && !restart()) return false
+          var s = 0
+          while (s < scanComp.length) {
+            val c = scanComp(s)
+            var v = 0
+            while (v < compV(c)) {
+              var h = 0
+              while (h < compH(c)) {
+                if (!block(c, s, mx * compH(c) + h, my * compV(c) + v)) return false
+                h += 1
+              }
+              v += 1
+            }
+            s += 1
+          }
+          count += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved: the component's true block grid, raster order
+      val c = scanComp(0)
+      var count = 0
+      var by = 0
+      while (by < trueBH(c)) {
+        var bx = 0
+        while (bx < trueBW(c)) {
+          if (restartInterval > 0 && count > 0 && count % restartInterval == 0
+              && !restart()) return false
+          if (!block(c, 0, bx, by)) return false
+          count += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    true
+  }
+
+  /** Baseline OR progressive decode — the public seam every JPEG
+    * consumer (pixels, gray mesh, resize) goes through. */
+  private[graft] def decodeJpegAny(bytes: Array[Byte]): Option[JpegDecoded] =
+    decodeJpegCore(bytes).orElse(decodeJpegProgressive(bytes))
+
   /** [[decodeJpegCore]] sampled to per-channel byte sums: (w, h,
     * channels, nPixels, sumR, sumG, sumB, 0); grayscale reports
     * channels=1 with the gray sum in sumR (the PNG grey convention).
@@ -1394,7 +2061,7 @@ object Multimodal {
     * planes index-scaled by the sampling ratio (box upsampling). */
   private[graft] def decodeJpegPixels(bytes0: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] =
-    decodeJpegCore(bytes0).map { d =>
+    decodeJpegAny(bytes0).map { d =>
       import d._
       val nPixels = width.toLong * height
       var sumR = 0L; var sumG = 0L; var sumB = 0L
@@ -1432,7 +2099,7 @@ object Multimodal {
   /** Visible gray plane of a single-component JPEG, row-major —
     * the per-pixel differential hook (MultimodalHeaderSpec). */
   private[graft] def decodeJpegGray(bytes: Array[Byte]): Option[Array[Int]] =
-    decodeJpegCore(bytes).collect {
+    decodeJpegAny(bytes).collect {
       case d if d.planes.length == 1 =>
         val out = new Array[Int](d.width * d.height)
         var y = 0
@@ -1706,7 +2373,7 @@ object Multimodal {
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       bmpBlockMeans(bytes, grid)
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
-      decodeJpegCore(bytes).flatMap { d =>
+      decodeJpegAny(bytes).flatMap { d =>
         if (d.width % grid != 0 || d.height % grid != 0) None
         else {
           val bw = d.width / grid; val bh = d.height / grid

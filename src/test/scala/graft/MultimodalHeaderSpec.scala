@@ -849,6 +849,82 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.decodeJpegPixels(Multimodal.gifBytes(3L, 4, 4)).isEmpty)
   }
 
+  test("progressive JPEG: DC-only fixtures decode EXACTLY like their baseline " +
+    "twins and like javax.imageio (all three modes)") {
+    for (id <- 0L until 60L) {
+      val prog = Multimodal.jpegProgressiveBytes(id)
+      val base = Multimodal.jpegBaselineBytes(id)
+      val pp = Multimodal.decodeJpegPixels(prog)
+      val bp = Multimodal.decodeJpegPixels(base)
+      assert(pp.isDefined, s"progressive fixture must decode, id=$id")
+      assert(pp === bp, s"progressive ≠ baseline pixels, id=$id")
+      // independent referee: ImageIO decodes SOF2 via libjpeg
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      assert(img != null, s"ImageIO must accept the progressive fixture id=$id")
+      assert(img.getWidth === pp.get._1 && img.getHeight === pp.get._2)
+      if (pp.get._3 == 1) {
+        var er = 0L
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          er += img.getRaster.getSample(x, y, 0)
+        assert(pp.get._5 === er, s"gray sum vs ImageIO, id=$id")
+      } else {
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+        }
+        assert((pp.get._5, pp.get._6, pp.get._7) === ((er, eg, eb)),
+          s"channel sums vs ImageIO, id=$id")
+      }
+    }
+  }
+
+  test("progressive JPEG AC refinement: newly-significant insertion, ZRL with " +
+    "inline corrections, correction bits — vs baseline twin and ImageIO") {
+    // values chosen to exercise every refine-path branch under the
+    // 4-symbol fixture table: zigzag 1 = +3 (significant in the first
+    // AC scan at Al=1, correction bit 1), zigzag 3 = -2 (run-1 symbol,
+    // correction bit 0), zigzag 20 = ±1 (INVISIBLE to the first scan,
+    // newly significant in refinement behind a 16-zero ZRL run)
+    val w = 24; val h = 16
+    def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      a(0) = (7 * bx - 5 * by) % 30
+      a(Multimodal.jpegZigzagAt(1)) = 3
+      a(Multimodal.jpegZigzagAt(3)) = -2
+      a(Multimodal.jpegZigzagAt(20)) = if ((bx + by) % 2 == 0) 1 else -1
+      a
+    }
+    val prog = Multimodal.jpegAssembleProgressive(w, h, 0, blk, acAl = 1)
+    val base = Multimodal.jpegAssemble(w, h, 0, blk)
+    val pg = Multimodal.decodeJpegGray(prog)
+    val bg = Multimodal.decodeJpegGray(base)
+    assert(pg.isDefined, "AC-refinement fixture must decode")
+    assert(pg.get.toSeq === bg.get.toSeq,
+      "progressive scans must reconstruct the exact baseline coefficients")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(img != null, "ImageIO must accept the AC-refinement fixture")
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(img.getRaster.getSample(x, y, 0) - pg.get(y * w + x)))
+    assert(maxDiff <= 1, s"per-pixel divergence $maxDiff > 1 vs ImageIO")
+  }
+
+  test("progressive JPEG decoder refuses malformed input, never throws or spins") {
+    val good = Multimodal.jpegProgressiveBytes(7L)
+    assert(Multimodal.decodeJpegPixels(good).isDefined)
+    for (cut <- 0 until good.length - 2 by 3)
+      assert(Multimodal.decodeJpegPixels(good.take(cut)).isEmpty, s"cut=$cut")
+    for (i <- (good.length - 16) until good.length) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      Multimodal.decodeJpegPixels(mut) // must not throw
+    }
+    // a progressive file is NOT accepted by the baseline-only core
+    assert(Multimodal.decodeJpegCore(good).isEmpty,
+      "baseline core must keep refusing SOF2 (the Any seam dispatches)")
+  }
+
   test("perceptual hashes accept JPEG blobs: luma block means, brightness " +
     "invariance, refusal on non-grid dims") {
     // identical structure, +20 gray uniform shift (dc +10): both
