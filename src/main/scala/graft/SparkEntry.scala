@@ -1143,6 +1143,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MP4/ISO-BMFF box walk: duration, track inventory, codec fourcc
+    // and display dims off the typed box tree — video-corpus curation
+    // metadata without decoding a frame. Complete analytic fixtures
+    // (ftyp/moov/mvhd/trak/tkhd/mdhd/hdlr/stsd/mdat, real box sizes).
+    "mm_video_meta" -> ((s, d) =>
+      Multimodal.mp4Metadata(Multimodal.syntheticMp4Blobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // G.711 (µ-law even ids / A-law odd) expanded to linear samples —
+    // the 8-bit companded telephony codecs a voice corpus actually
+    // ships: exact integer expansion (complement/XOR, segment-scaled
+    // mantissa), so the oracle replays the decode byte for byte.
+    "mm_audio_g711" -> ((s, d) =>
+      Multimodal.g711Stats(Multimodal.syntheticG711Audio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // Per-channel stereo PCM16 stats: samples deinterleaved by the fmt
     // chunk's channel count, exact integer energy/peak/crossings per
     // channel — channel-imbalance detection; analytic-sequence oracle.
@@ -5125,6 +5141,54 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    // the box tree's encoded values recomputed analytically — a hash
+    // match proves the walk read every offset back (sizes, nesting,
+    // 16.16 dims, the truncating duration→ms rule).
+    "mm_video_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |    600 * (1 + doc_id % 5) AS ts,
+        |    600 + (doc_id * 7) % 100000 AS du,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hvc1' END AS video_codec,
+        |    16 * (1 + doc_id % 80) AS w,
+        |    16 * (1 + doc_id % 45) AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS na
+        |  FROM documents)
+        |SELECT doc_id, brand, CAST(ts AS BIGINT) AS timescale,
+        |  CAST(du * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(1 + na AS BIGINT) AS n_tracks, CAST(1 AS BIGINT) AS n_video,
+        |  CAST(na AS BIGINT) AS n_audio, video_codec,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the exact G.711 expansion rules in SQL: µ-law u = 255−b,
+    // ((man·8+132)·2^exp)−132, sign from u≥128 (negative); A-law
+    // a = b XOR 85, segment-scaled mantissa, sign from a≥128 (POSITIVE
+    // — A-law's inverted sign convention).
+    "mm_audio_g711" ->
+      """WITH d AS (SELECT doc_id, 48 + doc_id % 48 AS n FROM documents),
+        |sj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+        |bt AS (SELECT doc_id, n, (doc_id * 29 + j * 23) % 256 AS b FROM sj),
+        |sm AS (SELECT doc_id, n,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END) *
+        |      ((((255 - b) % 16) * 8 + 132) * (1 << (((255 - b) // 16) % 8)) - 132)
+        |  ELSE
+        |    (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+        |            THEN (xor(b, 85) % 16) * 16 + 8
+        |            ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |                   * (1 << (((xor(b, 85) // 16) % 8) - 1)) END)
+        |  END AS s
+        |FROM bt)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS fmt,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(s) AS BIGINT) AS sum_samples,
+        |  CAST(sum(s * s) // max(n) AS BIGINT) AS energy
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_audio_channels" ->
       """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),

@@ -2833,6 +2833,291 @@ object Multimodal {
     b.array()
   }
 
+  // ------------------------------------------------------------------
+  // G.711 (µ-law / A-law) — the 8-bit companded telephony codecs: a
+  // voice corpus (call-center audio, VoIP captures) ships these, not
+  // PCM16. Expansion is an EXACT integer rule (no float anywhere), so
+  // the decode oracle replays byte for byte in SQL.
+  // ------------------------------------------------------------------
+
+  /** µ-law byte → linear 16-bit (G.711 / the classic ulaw2linear):
+    * complement, then ((man·8 + 0x84) << exp) − 0x84, sign from the
+    * complemented bit 7. Range ±32124. */
+  private[graft] def mulawExpand(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -t else t
+  }
+
+  /** A-law byte → linear 16-bit (G.711 / alaw2linear): XOR 0x55, then
+    * segment-scaled mantissa; bit 7 SET means positive. Range ±32256. */
+  private[graft] def alawExpand(b: Int): Int = {
+    val a = (b & 0xff) ^ 0x55
+    val seg = (a >> 4) & 7
+    val man = a & 0x0f
+    val t =
+      if (seg == 0) (man << 4) + 8
+      else ((man << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** WAV container for 8-bit G.711 payloads: format code 7 = µ-law,
+    * 6 = A-law (the WAVE_FORMAT_MULAW/ALAW registry values). */
+  private[graft] def wavG711Bytes(formatCode: Int, sampleRate: Int,
+                                  data: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(formatCode.toShort)
+    b.putShort(1)
+    b.putInt(sampleRate)
+    b.putInt(sampleRate)                 // byte rate (1 ch × 1 B)
+    b.putShort(1)                        // block align
+    b.putShort(8)
+    b.put("data".getBytes).putInt(data.length)
+    b.put(data)
+    b.array()
+  }
+
+  /** Locate an 8-bit G.711 data chunk: (dataOffset, nBytes, format)
+    * where format is 6 (A-law) or 7 (µ-law); anything else refuses. */
+  private def locateG711Data(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var p = 12L
+    var fmtCode = 0
+    while (p + 8 <= bytes.length) {
+      val size = i32le(bytes, p.toInt + 4)
+      if (size < 0) return None
+      val t = tag(bytes, p.toInt)
+      if (t == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
+        val code = u16le(bytes, p.toInt + 8)
+        if ((code == 6 || code == 7) && u16le(bytes, p.toInt + 22) == 8)
+          fmtCode = code
+      } else if (t == "data") {
+        if (fmtCode == 0 || p + 8 + size > bytes.length) return None
+        return Some(((p + 8).toInt, size, fmtCode))
+      }
+      p += 8L + size.toLong + (size & 1)
+    }
+    None
+  }
+
+  /** Per-doc stats over expanded G.711 samples: exact integer peak /
+    * sample sum / energy (Σs² div n) on the decoded linear values —
+    * the telephony twin of the PCM16 family. Non-G.711 payloads drop
+    * (the codec seam). */
+  def g711Stats(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fmt", StringType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        locateG711Data(if (bytes == null) Array.emptyByteArray else bytes).map {
+          case (off, n, code) =>
+            var peak = 0L; var sum = 0L; var en = 0L
+            var i = 0
+            while (i < n) {
+              val s = if (code == 7) mulawExpand(bytes(off + i) & 0xff)
+                      else alawExpand(bytes(off + i) & 0xff)
+              peak = math.max(peak, math.abs(s))
+              sum += s
+              en += s.toLong * s
+              i += 1
+            }
+            Row(r.getLong(0), if (code == 7) "ulaw" else "alaw",
+              n.toLong, peak, sum, if (n > 0) en / n else 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic G.711 WAVs keyed on doc_id: even ids µ-law, odd
+    * A-law; byte j = (id·29 + j·23) % 256 — every segment/mantissa/
+    * sign combination appears across the corpus. */
+  def syntheticG711Audio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (48 + id % 48).toInt
+        val data = Array.tabulate[Byte](n)(j => ((id * 29 + j * 23) % 256).toByte)
+        Row(id, wavG711Bytes(if (id % 2 == 0) 7 else 6, 8000, data))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // MP4 / ISO-BMFF box walk — video-container metadata: a video corpus
+  // is opaque mdat payloads under a typed box tree; curation needs the
+  // tree (duration, track inventory, codec fourcc, display dims)
+  // WITHOUT decoding a single frame. Pure byte walk, bounds-checked,
+  // depth-capped — the JPEG/WAV untrusted-byte discipline.
+  // ------------------------------------------------------------------
+
+  private def writeBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(8 + payload.length)
+    b.put(typ.getBytes("US-ASCII"))
+    b.put(payload)
+    b.array()
+  }
+
+  /** A COMPLETE minimal MP4: ftyp + moov(mvhd, one video trak with
+    * tkhd dims + mdhd + hdlr('vide') + stbl/stsd(codec entry), and an
+    * audio trak when `audio`) + an empty mdat. Every field analytic. */
+  private[graft] def mp4Bytes(brand: String, timescale: Int, duration: Long,
+      videoCodec: String, width: Int, height: Int, audio: Boolean): Array[Byte] = {
+    def u32(vs: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    val ftyp = writeBox("ftyp",
+      brand.getBytes("US-ASCII") ++ u32(0) ++ "isom".getBytes("US-ASCII"))
+    val mvhd = writeBox("mvhd",
+      u32(0, 0, 0, timescale, duration) ++ u32(0x00010000L, 0) ++
+        new Array[Byte](4 * 12) ++ u32(3)) // rate/volume pad, matrix pad, next id
+    def hdlr(kind: String) = writeBox("hdlr",
+      u32(0, 0) ++ kind.getBytes("US-ASCII") ++ new Array[Byte](12) ++ Array[Byte](0))
+    def mdhd(ts: Int, du: Long) = writeBox("mdhd", u32(0, 0, 0, ts, du) ++ u32(0))
+    def stsd(fourcc: String) = writeBox("stsd",
+      u32(0, 1) ++ writeBox(fourcc, new Array[Byte](8)))
+    def tkhd(id: Int, w: Int, h: Int) = writeBox("tkhd",
+      u32(0, 0, 0, id, 0, duration) ++ new Array[Byte](4 * 13) ++
+        u32(w.toLong << 16, h.toLong << 16))
+    def trak(id: Int, kind: String, fourcc: String, w: Int, h: Int) =
+      writeBox("trak", tkhd(id, w, h) ++ writeBox("mdia",
+        mdhd(timescale, duration) ++ hdlr(kind) ++
+          writeBox("minf", writeBox("stbl", stsd(fourcc)))))
+    val traks = trak(1, "vide", videoCodec, width, height) ++
+      (if (audio) trak(2, "soun", "mp4a", 0, 0) else Array.emptyByteArray)
+    ftyp ++ writeBox("moov", mvhd ++ traks) ++ writeBox("mdat", Array.emptyByteArray)
+  }
+
+  /** Deterministic MP4s keyed on doc_id: brand isom/mp42, timescale
+    * 600·(1+id%5), duration 600+(id·7)%100000, video avc1/hvc1 at
+    * 16·(1+id%80) × 16·(1+id%45), an audio track unless id%3 = 0. */
+  def syntheticMp4Blobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, mp4Bytes(
+          if (id % 2 == 0) "isom" else "mp42",
+          (600 * (1 + id % 5)).toInt,
+          600 + (id * 7) % 100000,
+          if (id % 2 == 0) "avc1" else "hvc1",
+          (16 * (1 + id % 80)).toInt,
+          (16 * (1 + id % 45)).toInt,
+          id % 3 != 0))
+      }
+    }(enc)
+  }
+
+  /** The walked metadata: (brand, timescale, durationMs, nTracks,
+    * nVideo, nAudio, videoCodec, width, height). durationMs is
+    * truncating integer division (oracle-replayable). */
+  private[graft] def mp4Meta(bytes0: Array[Byte])
+      : Option[(String, Long, Long, Long, Long, Long, String, Long, Long)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 16) return None
+    var brand: String = null
+    var timescale = 0L; var duration = -1L
+    var nTracks = 0L; var nVideo = 0L; var nAudio = 0L
+    var videoCodec: String = null
+    var vw = 0L; var vh = 0L
+    // per-trak scratch, committed at trak end via the hdlr kind
+    var trakKind: String = null
+    var trakCodec: String = null
+    var trakW = 0L; var trakH = 0L
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var p = from
+      while (p + 8 <= to) {
+        val size = i32be(bytes, p)
+        if (size < 8 || p.toLong + size > to) return false
+        val typ = tag(bytes, p + 4)
+        val body = p + 8
+        typ match {
+          case "ftyp" =>
+            if (size < 12) return false
+            brand = tag(bytes, body)
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, p + size, depth + 1)) return false
+          case "trak" =>
+            trakKind = null; trakCodec = null; trakW = 0; trakH = 0
+            if (!walk(body, p + size, depth + 1)) return false
+            nTracks += 1
+            if (trakKind == "vide") {
+              nVideo += 1
+              if (videoCodec == null) { videoCodec = trakCodec; vw = trakW; vh = trakH }
+            } else if (trakKind == "soun") nAudio += 1
+          case "mvhd" =>
+            if (size < 8 + 20) return false
+            if ((bytes(body) & 0xff) != 0) return false // v1 (64-bit) unsupported
+            timescale = i32be(bytes, body + 12) & 0xffffffffL
+            duration = i32be(bytes, body + 16) & 0xffffffffL
+          case "tkhd" =>
+            if (size < 8 + 84) return false
+            trakW = (i32be(bytes, body + 76) & 0xffffffffL) >> 16
+            trakH = (i32be(bytes, body + 80) & 0xffffffffL) >> 16
+          case "hdlr" =>
+            if (size < 8 + 12) return false
+            trakKind = tag(bytes, body + 8)
+          case "stsd" =>
+            if (size < 8 + 16) return false
+            trakCodec = tag(bytes, body + 12)
+          case _ => () // mdat, free, unknown leaves: skip
+        }
+        p += size
+      }
+      p == to
+    }
+    if (!walk(0, bytes.length, 0)) return None
+    if (brand == null || timescale <= 0 || duration < 0) return None
+    Some((brand, timescale, duration * 1000 / timescale, nTracks, nVideo,
+      nAudio, if (videoCodec == null) "" else videoCodec, vw, vh))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[mp4Meta]] at scale: per-partition walk, non-MP4 payloads drop. */
+  def mp4Metadata(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", LongType, nullable = false),
+      StructField("n_video", LongType, nullable = false),
+      StructField("n_audio", LongType, nullable = false),
+      StructField("video_codec", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        mp4Meta(r.getAs[Array[Byte]](1)).map {
+          case (br, ts, du, nt, nv, na, vc, w, h) =>
+            Row(r.getLong(0), br, ts, du, nt, nv, na, vc, w, h)
+        }
+      }
+    }(enc)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),

@@ -849,6 +849,74 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.decodeJpegPixels(Multimodal.gifBytes(3L, 4, 4)).isEmpty)
   }
 
+  test("G.711 expansion matches the published table anchors; stats walk refuses " +
+    "non-G.711 payloads") {
+    // µ-law anchors (G.711 table): 0xFF → 0 (positive zero), 0x7F → 0
+    // (negative zero), 0x00 → −32124 (most negative), 0x80 → +32124
+    assert(Multimodal.mulawExpand(0xff) === 0)
+    assert(Multimodal.mulawExpand(0x7f) === 0)
+    assert(Multimodal.mulawExpand(0x00) === -32124)
+    assert(Multimodal.mulawExpand(0x80) === 32124)
+    // A-law anchors: 0x55 → −8, 0xD5 → +8, 0x2A → −32256, 0xAA → +32256
+    assert(Multimodal.alawExpand(0x55) === -8)
+    assert(Multimodal.alawExpand(0xd5) === 8)
+    assert(Multimodal.alawExpand(0x2a) === -32256)
+    assert(Multimodal.alawExpand(0xaa) === 32256)
+    // expansion is odd-symmetric under the sign bit for every code
+    for (b <- 0 until 128) {
+      assert(Multimodal.mulawExpand(b) === -Multimodal.mulawExpand(b | 0x80),
+        f"mulaw sign symmetry at $b%02x")
+      assert(Multimodal.alawExpand(b) === -Multimodal.alawExpand(b | 0x80),
+        f"alaw sign symmetry at $b%02x")
+    }
+    // the stats walk accepts only format 6/7 at 8 bits
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val got = Multimodal.g711Stats(Multimodal.syntheticG711Audio(docs)).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === (if (id % 2 == 0) "ulaw" else "alaw"))
+      assert(r.getLong(2) === 48 + id % 48)
+      assert(r.getLong(3) <= 32256)
+    }
+    // PCM16 WAVs and garbage refuse (the codec seam)
+    val pcm = Multimodal.wavPcm16Bytes(1, 8000, Array[Short](1, 2, 3))
+    assert(Multimodal.g711Stats(
+      Seq((1L, pcm)).toDF("doc_id", "blob")).count() === 0)
+    assert(Multimodal.g711Stats(
+      Seq((2L, Array.fill[Byte](50)(7))).toDF("doc_id", "blob")).count() === 0)
+  }
+
+  test("MP4 box walk: hand-checked tree, refusal on malformed sizes/nesting, " +
+    "never throws on fuzz") {
+    val good = Multimodal.mp4Bytes("isom", 600, 1234L, "avc1", 640, 480, audio = true)
+    val m = Multimodal.mp4Meta(good)
+    assert(m === Some(("isom", 600L, 1234L * 1000 / 600, 2L, 1L, 1L, "avc1", 640L, 480L)))
+    // no audio track
+    val va = Multimodal.mp4Meta(
+      Multimodal.mp4Bytes("mp42", 90000, 90000L, "hvc1", 1920, 1080, audio = false))
+    assert(va === Some(("mp42", 90000L, 1000L, 1L, 1L, 0L, "hvc1", 1920L, 1080L)))
+    // truncations refuse, never throw
+    for (cut <- 0 until good.length by 7)
+      assert(Multimodal.mp4Meta(good.take(cut)).isEmpty, s"cut=$cut")
+    // a corrupted box size (points past the end) refuses
+    val bad = good.clone()
+    bad(0) = 0x7f.toByte // ftyp size becomes enormous
+    assert(Multimodal.mp4Meta(bad).isEmpty)
+    // a size below the 8-byte header refuses (no infinite loop)
+    val tiny = good.clone()
+    tiny(0) = 0; tiny(1) = 0; tiny(2) = 0; tiny(3) = 4
+    assert(Multimodal.mp4Meta(tiny).isEmpty)
+    // byte-flip fuzz must never throw
+    for (i <- good.indices by 5) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      Multimodal.mp4Meta(mut)
+    }
+    assert(Multimodal.mp4Meta(null).isEmpty)
+    assert(Multimodal.mp4Meta("not an mp4 at all, just text bytes".getBytes).isEmpty)
+  }
+
   test("progressive JPEG: DC-only fixtures decode EXACTLY like their baseline " +
     "twins and like javax.imageio (all three modes)") {
     for (id <- 0L until 60L) {
