@@ -1143,6 +1143,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Modality inventory of a mixed-blob corpus (the corpus-management
+    // face of the header walk): per detected format, doc count, byte
+    // volume and corpus share — what a multimodal ingest reports
+    // before routing each modality to its pipeline.
+    "corpus_modality_mix" -> ((s, d) => {
+      val hdr = Multimodal.decodeHeaders(
+        Multimodal.syntheticBlobs(Tables.documents(s, d)))
+      val mix = hdr.groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+      val tot = hdr.agg(count(lit(1)).as("__n"))
+      mix.crossJoin(broadcast(tot))
+        .withColumn("share_permille", expr("(n_docs * 1000) div __n"))
+        .drop("__n")
+        .orderBy(col("format"))
+    }),
+
     // MP4/ISO-BMFF box walk: duration, track inventory, codec fourcc
     // and display dims off the typed box tree — video-corpus curation
     // metadata without decoding a frame. Complete analytic fixtures
@@ -5141,6 +5157,24 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
         |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    // the id-class arithmetic of the mixed-blob fixture grouped per
+    // format (byte sizes are the analytic header-only blob lengths).
+    "corpus_modality_mix" ->
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' WHEN doc_id % 4 = 1 THEN 'wav'
+        |         WHEN doc_id % 8 = 3 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CASE WHEN doc_id % 2 = 0 THEN 54 WHEN doc_id % 4 = 1 THEN 44
+        |         WHEN doc_id % 8 = 3 THEN 33
+        |         ELSE 32 + 3 * (CASE (doc_id // 8) % 2 WHEN 0 THEN 1 ELSE 3 END)
+        |    END AS nb
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+        |SELECT f.format, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(f.nb) AS BIGINT) AS total_bytes,
+        |  (CAST(count(*) AS BIGINT) * 1000) // t.n AS share_permille
+        |FROM f CROSS JOIN t GROUP BY f.format, t.n
+        |ORDER BY f.format""".stripMargin,
 
     // the box tree's encoded values recomputed analytically — a hash
     // match proves the walk read every offset back (sizes, nesting,

@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "rel_ams_join_size" -> "single-row exact-count frame crossed with the single-row sketch estimate (two scalar aggregates, the dedup_governor_clones shape)",
     "rel_fk_audit" -> "single-row per-edge aggregates unioned into the report",
     "rel_funnel" -> "single-row per-stage counts chained into conversion rates",
-    "mm_e2e_curate" -> "three single-row summary aggregates crossJoined (the dedup_governor_clones shape)")
+    "mm_e2e_curate" -> "three single-row summary aggregates crossJoined (the dedup_governor_clones shape)",
+    "corpus_modality_mix" -> "single-row corpus-total frame under the per-format counts (the rel_skew_profile shape)")
 
   test("no query plans a CartesianProduct; BNLJ only with a model-small broadcast reason") {
     // building the frame runs the eager parts of iterative queries
