@@ -803,6 +803,16 @@ object SparkEntry {
       Graph.pageRank(pairs, iters = 3).orderBy(col("doc_id"))
     }),
 
+    // HITS hubs/authorities over the same near-dup graph, 2 rounds of
+    // all-integer mutual reinforcement with L∞ rescaling — the
+    // canonical template in a mirror farm scores 10000, copies
+    // proportionally less; complements pageRank's damped walk.
+    "graph_hits" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairsBanded(Tables.documents(s, d), Seq("source", "lang"),
+        thresholdPermille = 900)
+      Graph.hits(pairs, iters = 2).orderBy(col("doc_id"))
+    }),
+
     // Exact triangle census + clustering coefficient over the same
     // near-dup graph (degree-ordered wedge join, O(m^1.5) bound):
     // high cc = mirror clique, high degree + low cc = shared template.
@@ -1159,6 +1169,25 @@ object SparkEntry {
         .orderBy(col("format"))
     }),
 
+    // Orientation-AWARE aHash: the same upright 64×64 scene stored
+    // under all 8 EXIF orientations (block grid physically permuted
+    // in the scan) must hash to the upright value — the oracle has NO
+    // orientation dependence, so a hash match proves the EXIF read +
+    // inverse display transform + decode all compose correctly.
+    "mm_image_ahash_oriented" -> ((s, d) =>
+      Multimodal.imageAHashOriented(
+          Multimodal.syntheticOrientedJpegBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // EXIF metadata walk: APP1 → TIFF IFD graph in BOTH byte orders
+    // (II even ids / MM odd), Make via ASCII offset indirection,
+    // Orientation inline SHORT, capture dims behind the ExifIFD
+    // pointer — the rotate/slice metadata an image corpus needs
+    // before hashing. Fixtures stay fully pixel-decodable.
+    "mm_exif" -> ((s, d) =>
+      Multimodal.exifMetadata(Multimodal.syntheticExifJpegBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // MP4/ISO-BMFF box walk: duration, track inventory, codec fourcc
     // and display dims off the typed box tree — video-corpus curation
     // metadata without decoding a frame. Complete analytic fixtures
@@ -1173,6 +1202,16 @@ object SparkEntry {
     // mantissa), so the oracle replays the decode byte for byte.
     "mm_audio_g711" -> ((s, d) =>
       Multimodal.g711Stats(Multimodal.syntheticG711Audio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // IMA ADPCM (WAVE 0x11) decode: per-block header-seeded adaptive
+    // 4-bit recurrence through the 89-entry step table — exact
+    // integer, so the oracle REPLAYS the whole decoder in SQL with a
+    // recursive CTE (seed → nibble step → clamp → table hop), and a
+    // hash match proves every intermediate sample, both clamp walls,
+    // nibble order, and the multi-block header restart.
+    "mm_audio_adpcm" -> ((s, d) =>
+      Multimodal.adpcmStats(Multimodal.syntheticAdpcmAudio(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
     // Per-channel stereo PCM16 stats: samples deinterleaved by the fmt
@@ -1581,6 +1620,16 @@ object SparkEntry {
           budgetPermille = 900, maxEpochsPermille = 900)
         .orderBy(col("source"))),
 
+    // Repeated-epoch value curve (data-constrained scaling): epoch k
+    // of a source priced at the exact integer decay recurrence
+    // v₁ = U, v_k = v_{k−1}·700 div 1000, with running effective
+    // tokens and per-epoch marginal permille — the table that chooses
+    // UniMax's epoch cap. Oracle replays the recurrence with a
+    // recursive CTE.
+    "corpus_repeat_curve" -> ((s, d) =>
+      Corpus.repeatValueCurve(Tables.documents(s, d))
+        .orderBy(col("source"), col("epochs"))),
+
     // Topic-mixture audit: per-(source × k-means cluster) counts +
     // permille shares under the integer-exact trained quantizer — the
     // "what does each source actually contribute" curation table.
@@ -1866,6 +1915,33 @@ object SparkEntry {
         .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
         .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))
         .select(col("doc_id"), col("norm_md5"), col("n_norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Longest repeated substring per doc (suffix array + Kasai LCP):
+    // the any-grain repetition screen — looped generation and pasted
+    // boilerplate surface as one long repeat that fixed-n-gram
+    // signals straddle. Capped at 200 chars ONLY so the brute-force
+    // SQL oracle (all O(n²) substrings, grouped) stays replayable.
+    "text_longest_repeat" -> ((s, d) =>
+      TextAnalysis.longestRepeat(Tables.documents(s, d), maxChars = 200)
+        .orderBy(col("doc_id"))),
+
+    // Unicode NFC audit: injected combining-mark suffixes (decomposed
+    // e+acute on id%4=0, precomposed on 1, katakana + voiced mark on
+    // 2, pure ASCII on 3) — is_nfc flag, codepoint deltas, and the
+    // md5 of the NFC form pin the JDK normalizer against DuckDB's
+    // utf8proc byte for byte.
+    "text_nfc_audit" -> ((s, d) => {
+      val injected = Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" café"))
+            .when(col("doc_id") % 4 === 1, lit(" café"))
+            .when(col("doc_id") % 4 === 2, lit(" ガ"))
+            .otherwise(lit(""))))
+      TextAnalysis.nfcAudit(injected)
+        .withColumn("nfc_md5", md5(col("nfc_text").cast("binary")))
+        .drop("nfc_text")
         .orderBy(col("doc_id"))
     }),
 
@@ -4173,6 +4249,30 @@ object SparkEntry {
          |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
     },
 
+    // HITS replay: two unrolled rounds, each = edge-join sum + the
+    // scalar-max L∞ rescale as integer floor division.
+    "graph_hits" -> {
+      val rounds = (1 to 2).map { it =>
+        s"""h${it}r AS (SELECT e.u AS node, sum(a.score) AS raw
+           |  FROM edges e JOIN a${it - 1} a ON a.node = e.v GROUP BY e.u),
+           |h$it AS (SELECT node, raw * 10000 // (SELECT max(raw) FROM h${it}r) AS score
+           |  FROM h${it}r),
+           |a${it}r AS (SELECT e.v AS node, sum(h.score) AS raw
+           |  FROM edges e JOIN h$it h ON h.node = e.u GROUP BY e.v),
+           |a$it AS (SELECT node, raw * 10000 // (SELECT max(raw) FROM a${it}r) AS score
+           |  FROM a${it}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bandedPairsCtes(tokSql, "", 900)},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS node FROM edges),
+         |a0 AS (SELECT node, CAST(10000 AS BIGINT) AS score FROM nodes),
+         |$rounds
+         |SELECT h2.node AS doc_id, CAST(h2.score AS BIGINT) AS hub,
+         |       CAST(a2.score AS BIGINT) AS auth
+         |FROM h2 JOIN a2 ON a2.node = h2.node ORDER BY doc_id""".stripMargin
+    },
+
     // char-5-gram banded candidates over the title slice at the
     // default cap, length prefilter, engine levenshtein verification
     "dedup_edit_distance" ->
@@ -5179,6 +5279,38 @@ object SparkEntry {
     // the box tree's encoded values recomputed analytically — a hash
     // match proves the walk read every offset back (sizes, nesting,
     // 16.16 dims, the truncating duration→ms rule).
+    // upright-scene aHash with NO orientation term: cell mean =
+    // 2·DC+128 exactly (flat blocks, quantizer 16), the 63rd bit via
+    // the signed-min trick (1<<63 overflows BIGINT).
+    "mm_image_ahash_oriented" ->
+      """WITH rr AS (SELECT doc_id, unnest(range(0, 8)) AS r FROM documents),
+        |cells AS (SELECT doc_id, r, unnest(range(0, 8)) AS c FROM rr),
+        |m AS (SELECT doc_id, r, c,
+        |        2 * ((doc_id + 3 * c + 5 * r) % 121 - 60) + 128 AS m FROM cells),
+        |gm AS (SELECT doc_id, CAST(sum(m) // 64 AS BIGINT) AS gmean
+        |       FROM m GROUP BY doc_id),
+        |hb AS (SELECT m.doc_id, r * 8 + c AS cell,
+        |         CASE WHEN m.m > gm.gmean THEN 1 ELSE 0 END AS bit
+        |       FROM m JOIN gm ON gm.doc_id = m.doc_id),
+        |ah AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN cell < 63
+        |                       THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+        |                       ELSE 0 END)
+        |           + sum(CASE WHEN cell = 63 AND bit = 1
+        |                      THEN -9223372036854775808 ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM hb GROUP BY doc_id)
+        |SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS orientation, ahash
+        |FROM ah ORDER BY doc_id""".stripMargin,
+
+    "mm_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+        |  'CAM-' || CAST(doc_id % 10 AS VARCHAR) AS make,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |  CAST(16 * (1 + doc_id % 80) AS BIGINT) AS pixel_x,
+        |  CAST(16 * (1 + doc_id % 45) AS BIGINT) AS pixel_y
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_video_meta" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
@@ -5223,6 +5355,72 @@ object SparkEntry {
         |  CAST(sum(s) AS BIGINT) AS sum_samples,
         |  CAST(sum(s * s) // max(n) AS BIGINT) AS energy
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The ENTIRE IMA ADPCM decoder in SQL: a recursive CTE carries
+    // (predictor, step index, running sum/peak/energy) through every
+    // nibble of every block — diff = step>>3 (+step>>2/+step>>1/+step
+    // per mantissa bit) as floor divisions, both clamps as
+    // GREATEST/LEAST, the step table as a literal list. Terminal rows
+    // (j = nnib) aggregate per doc; the last block's terminal state
+    // is the final_predictor/final_index pin.
+    "mm_audio_adpcm" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 16 + doc_id % 24 AS nbytes, 1 + doc_id % 3 AS nblk FROM documents),
+        |blk AS (
+        |  SELECT doc_id, nbytes, unnest(range(0, nblk)) AS b FROM d),
+        |seed AS (
+        |  SELECT doc_id, b, 2 * nbytes AS nnib,
+        |    CAST((doc_id * 211 + b * 97) % 4096 - 2048 AS BIGINT) AS pred,
+        |    CAST((doc_id + 31 * b) % 89 AS BIGINT) AS idx
+        |  FROM blk),
+        |dec AS (
+        |  SELECT doc_id, b, nnib, 0 AS j, pred, idx,
+        |    CAST(pred AS BIGINT) AS s_sum, CAST(abs(pred) AS BIGINT) AS s_peak,
+        |    CAST(pred * pred AS BIGINT) AS s_en
+        |  FROM seed
+        |  UNION ALL
+        |  SELECT doc_id, b, nnib, j + 1, np, ni,
+        |    s_sum + np, GREATEST(s_peak, abs(np)), s_en + np * np
+        |  FROM (
+        |    SELECT doc_id, b, nnib, j, s_sum, s_peak, s_en,
+        |      GREATEST(-32768, LEAST(32767,
+        |        pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS np,
+        |      GREATEST(0, LEAST(88, idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1])) AS ni
+        |    FROM (
+        |      SELECT *, (step // 8)
+        |        + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+        |        + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+        |        + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+        |      FROM (
+        |        SELECT doc_id, b, nnib, j, pred, idx, s_sum, s_peak, s_en,
+        |          (doc_id * 7 + b * 11 + j * 5) % 16 AS nib,
+        |          ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+        |            50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+        |            230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+        |            876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+        |            2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+        |            7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+        |            20350,22385,24623,27086,29794,32767])[idx + 1] AS step
+        |        FROM dec WHERE j < nnib)))
+        |),
+        |fin AS (SELECT * FROM dec WHERE j = nnib),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(nnib + 1) AS BIGINT) AS n_samples,
+        |    CAST(max(s_peak) AS BIGINT) AS peak,
+        |    CAST(sum(s_sum) AS BIGINT) AS sum_samples,
+        |    CAST(sum(s_en) // sum(nnib + 1) AS BIGINT) AS energy
+        |  FROM fin GROUP BY doc_id),
+        |lastb AS (
+        |  SELECT f.doc_id, CAST(f.pred AS BIGINT) AS final_predictor,
+        |         CAST(f.idx AS BIGINT) AS final_index
+        |  FROM fin f JOIN (SELECT doc_id, max(b) AS mb FROM fin GROUP BY doc_id) m
+        |    ON m.doc_id = f.doc_id AND m.mb = f.b)
+        |SELECT agg.doc_id, agg.n_blocks, agg.n_samples, agg.peak, agg.sum_samples,
+        |       agg.energy, lastb.final_predictor, lastb.final_index
+        |FROM agg JOIN lastb ON lastb.doc_id = agg.doc_id
+        |ORDER BY agg.doc_id""".stripMargin,
 
     "mm_audio_channels" ->
       """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),
@@ -5850,6 +6048,26 @@ object SparkEntry {
     // UniMax waterfill replayed as a recursive CTE: one row per fold
     // step, ordered ascending by (n_tokens, source); remaining budget
     // threads through the recursion in exact integers.
+    // epoch-value recurrence replayed level by level: the recursive
+    // member carries (epoch_value, effective) and steps both with the
+    // same floor rule the Spark fold applies.
+    "corpus_repeat_curve" ->
+      s"""WITH RECURSIVE u AS (
+         |  SELECT source, CAST(sum(len($tokSql)) AS BIGINT) AS ut
+         |  FROM documents GROUP BY source),
+         |v AS (
+         |  SELECT source, ut, CAST(1 AS BIGINT) AS epochs,
+         |         ut AS epoch_value, ut AS eff FROM u
+         |  UNION ALL
+         |  SELECT source, ut, epochs + 1, (epoch_value * 700) // 1000,
+         |         eff + (epoch_value * 700) // 1000
+         |  FROM v WHERE epochs < 8)
+         |SELECT source, ut AS unique_tokens, epochs, epoch_value,
+         |  eff AS effective_tokens,
+         |  CAST(CASE WHEN ut > 0 THEN (epoch_value * 1000) // ut
+         |            ELSE 0 END AS BIGINT) AS marginal_permille
+         |FROM v ORDER BY source, epochs""".stripMargin,
+
     "corpus_unimax" ->
       s"""WITH RECURSIVE per AS (SELECT source,
          |        CAST(sum(len($tokSql)) AS BIGINT) AS n_tokens
@@ -6227,6 +6445,47 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS BIGINT) AS n_norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // LRS replay by brute force: every substring of the 200-char
+    // slice, grouped; repeats (count ≥ 2, overlaps included) ranked
+    // by length DESC then lexicographically — the suffix-array
+    // result must match the exhaustive enumeration exactly.
+    "text_longest_repeat" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 200) AS s FROM documents),
+        |pos AS (SELECT doc_id, s, length(s) AS n,
+        |          unnest(range(1, length(s) + 1)) AS i FROM t),
+        |ss AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), CAST(L AS INTEGER)) AS sub, L
+        |       FROM (SELECT doc_id, s, i, unnest(range(1, n - i + 2)) AS L FROM pos)),
+        |rep AS (SELECT doc_id, sub, L FROM ss
+        |        GROUP BY doc_id, sub, L HAVING count(*) >= 2),
+        |best AS (SELECT doc_id, L, sub,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY L DESC, sub ASC) AS rn
+        |         FROM rep)
+        |SELECT t.doc_id, CAST(coalesce(b.L, 0) AS BIGINT) AS lrs_len,
+        |       coalesce(b.sub, '') AS lrs
+        |FROM t LEFT JOIN (SELECT doc_id, L, sub FROM best WHERE rn = 1) b
+        |  ON b.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // NFC audit replay: the same injected suffixes built from chr()
+    // codepoints (769 = combining acute, 233 = precomposed e-acute,
+    // 12459/12441 = katakana KA + combining voiced mark), normalized
+    // by DuckDB's utf8proc — md5 of the NFC form must match the JDK
+    // normalizer's output byte for byte.
+    "text_nfc_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || CASE doc_id % 4
+        |    WHEN 0 THEN ' cafe' || chr(769)
+        |    WHEN 1 THEN ' caf' || chr(233)
+        |    WHEN 2 THEN ' ' || chr(12459) || chr(12441)
+        |    ELSE '' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN s = nfc_normalize(s) THEN 1 ELSE 0 END AS BIGINT) AS is_nfc,
+        |  CAST(length(s) AS BIGINT) AS cp_raw,
+        |  CAST(length(nfc_normalize(s)) AS BIGINT) AS cp_nfc,
+        |  md5(nfc_normalize(s)) AS nfc_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "sim_ann_ivf_trained" ->
       s"""${ivfCtes(k = 4, iters = 2)},

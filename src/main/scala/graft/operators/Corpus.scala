@@ -743,6 +743,51 @@ object Corpus {
     out.toSeq.toDF(strataCol, "n_tokens", "quota_tokens", "epochs_permille")
   }
 
+  /** Repeated-epoch VALUE curve (the data-constrained-scaling readout,
+    * after Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models": repeated data decays in value roughly geometrically):
+    * per stratum, epoch k of the same tokens is priced at
+    *
+    *   v₁ = U,   v_k = (v_{k−1} · decayPermille) div 1000
+    *
+    * (exact integer recurrence, engine-portable), with the running
+    * effective-token total and each epoch's marginal value in permille
+    * of U — the decision table for "how many epochs is this source
+    * worth before fresh data beats repeating". Complements
+    * [[unimaxAllocation]]: UniMax splits a budget ACROSS sources under
+    * an epoch cap; this prices repetition WITHIN a source so the cap
+    * itself can be chosen (read the knee where marginal_permille drops
+    * below taste).
+    *
+    * Scale shape: one token-count aggregate per stratum, then
+    * `maxEpochs` rows per stratum with ≤8-step integer folds and one
+    * tiny per-stratum window — everything after the corpus scan is
+    * stratum-grain (thousands of rows, not documents). */
+  def repeatValueCurve(docs: DataFrame, maxEpochs: Int = 8,
+                       decayPermille: Int = 700,
+                       strataCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 64, "maxEpochs in [1, 64]")
+    require(decayPermille >= 0 && decayPermille <= 1000, "decayPermille in [0, 1000]")
+    val u = Partitioning.fanOut(docs)
+      .groupBy(col(strataCol))
+      .agg(sum(size(Dedup.tokens(col(textCol))).cast("long")).as("unique_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("epochs"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.select(col(strataCol), col("unique_tokens"),
+        explode(sequence(lit(1L), lit(maxEpochs.toLong))).as("epochs"))
+      // sequence(2, 1) is DESCENDING in Spark — guard the 1-epoch row
+      .withColumn("epoch_value",
+        when(col("epochs") === 1, col("unique_tokens")).otherwise(
+          expr(s"aggregate(sequence(2L, epochs), unique_tokens, " +
+            s"(acc, x) -> (acc * ${decayPermille}L) div 1000L)")))
+      .withColumn("effective_tokens", sum(col("epoch_value")).over(w))
+      .withColumn("marginal_permille",
+        when(col("unique_tokens") > 0,
+          expr("(epoch_value * 1000) div unique_tokens")).otherwise(lit(0L)))
+  }
+
   def temperatureMixture(docs: DataFrame, strataCol: String = "source",
                          textCol: String = "text"): DataFrame = {
     val per = Partitioning.fanOut(docs)

@@ -134,6 +134,55 @@ object Graph {
     pr.select(col("node").as("doc_id"), col("pr"))
   }
 
+  /** Deterministic HITS (Kleinberg hubs/authorities) over the
+    * undirected pair graph, `iters` fixed rounds, all-integer
+    * fixed-point: per round
+    *
+    *   hub'(u)  = Σ_{u→v} auth(v),  then rescale so max = 10000
+    *   auth'(v) = Σ_{u→v} hub'(u),  then rescale so max = 10000
+    *
+    * (rescaling is `raw·10⁴ DIV max` — the integer twin of HITS' L∞
+    * normalization, exact and engine-portable). On the symmetrized
+    * near-dup graph hubs ≈ authorities ≈ eigenvector centrality: the
+    * canonical template a mirror farm copies from scores 10000, its
+    * copies proportionally less — [[pageRank]]'s damped walk weights
+    * by reachability, HITS by mutual reinforcement, and the PAIR of
+    * scores separates "links to everything" from "everything links
+    * to it" on directed inputs.
+    *
+    * Scale shape per round: two shuffle-joins of the edge list with
+    * the score table plus map-side-combinable sums — [[pageRank]]'s
+    * round shape twice — and the max is ONE scalar aggregate
+    * broadcast back (no window over all nodes). Same
+    * `localCheckpoint`-per-round lineage discipline; release the
+    * result with [[Caching.releaseLocalCheckpoints]] once consumed. */
+  def hits(pairs: DataFrame, iters: Int,
+           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val edges = symmetric(pairs, aCol, bCol).localCheckpoint()
+    val nodes = edges.select(col("u").as("node")).distinct()
+    def sumOver(scores: DataFrame, inCol: String, outCol: String): DataFrame =
+      edges.join(scores.select(col("node").as(inCol), col("score")), inCol)
+        .groupBy(col(outCol).as("node")).agg(sum(col("score")).as("raw"))
+    def normalized(raw: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("__mx"))))
+        .select(col("node"), expr("(raw * 10000) DIV __mx").as("score"))
+    var auth = nodes.withColumn("score", lit(10000L)).localCheckpoint()
+    var hub = auth
+    for (_ <- 1 to iters) {
+      val h2 = normalized(sumOver(auth, "v", "u")).localCheckpoint()
+      if (hub ne auth) Caching.releaseLocalCheckpoints(hub)
+      hub = h2
+      val a2 = normalized(sumOver(hub, "u", "v")).localCheckpoint()
+      Caching.releaseLocalCheckpoints(auth)
+      auth = a2
+    }
+    val out = hub.select(col("node").as("doc_id"), col("score").as("hub"))
+      .join(auth.select(col("node").as("doc_id"), col("score").as("auth")), "doc_id")
+    Caching.releaseLocalCheckpoints(edges)
+    out
+  }
+
   /** k-core decomposition by iterative peeling to the FIXPOINT:
     * repeatedly delete every node of degree < k (with its edges)
     * until none remains; the survivors are the k-core — the standard

@@ -2971,6 +2971,445 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // IMA ADPCM (WAVE format 0x11, "DVI/IMA") — the 4-bit differential
+  // codec dictation/game/telephony corpora actually ship when they
+  // aren't G.711: each block restarts from a 4-byte header (seed
+  // predictor + step index), then every nibble steps an adaptive
+  // predictor through the 89-entry step table. Pure integer
+  // recurrence — the oracle replays it in SQL with a recursive CTE,
+  // so a hash match proves the block walk, header seeds, nibble
+  // order, clamps and table steps are all exact.
+  // ------------------------------------------------------------------
+
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val AdpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM step: (nibble, predictor, stepIndex) → (predictor',
+    * stepIndex'). The diff is the shift-composed form (step>>3 plus
+    * step>>2/step>>1/step per mantissa bit); bit 3 is the sign. */
+  private[graft] def adpcmStep(nib: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = AdpcmStepTable(idx)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = math.max(-32768, math.min(32767,
+      if ((nib & 8) != 0) pred - diff else pred + diff))
+    val i = math.max(0, math.min(88, idx + AdpcmIndexTable(nib & 7)))
+    (p, i)
+  }
+
+  /** WAV container for mono IMA ADPCM: format code 0x11, 4-bit, the
+    * registry-mandated cbSize=2 extension carrying wSamplesPerBlock;
+    * `blocks` are (seedPredictor, seedIndex, nibbleBytes). */
+  private[graft] def wavAdpcmBytes(sampleRate: Int, samplesPerBlock: Int,
+      blocks: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    val blockAlign = 4 + blocks.head._3.length
+    val dataLen = blocks.length * blockAlign
+    val b = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(4 + 8 + 20 + 8 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(20)
+    b.putShort(0x11)                        // WAVE_FORMAT_IMA_ADPCM
+    b.putShort(1)                           // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * blockAlign / samplesPerBlock) // nominal byte rate
+    b.putShort(blockAlign.toShort)
+    b.putShort(4)                           // bits per (encoded) sample
+    b.putShort(2)                           // cbSize
+    b.putShort(samplesPerBlock.toShort)
+    b.put("data".getBytes).putInt(dataLen)
+    blocks.foreach { case (pred, idx, nibBytes) =>
+      b.putShort(pred.toShort).put(idx.toByte).put(0.toByte).put(nibBytes)
+    }
+    b.array()
+  }
+
+  /** Locate a mono IMA ADPCM data chunk: (dataOffset, dataLen,
+    * blockAlign, samplesPerBlock). Refuses non-0x11 format codes,
+    * multi-channel streams and malformed chunk walks — the codec
+    * seam, same discipline as [[locateG711Data]]. */
+  private def locateAdpcmData(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var p = 12L
+    var blockAlign = 0
+    var samplesPerBlock = 0
+    var ok = false
+    while (p + 8 <= bytes.length) {
+      val size = i32le(bytes, p.toInt + 4)
+      if (size < 0) return None
+      val t = tag(bytes, p.toInt)
+      if (t == "fmt " && size >= 20 && p + 8 + 20 <= bytes.length) {
+        val o = p.toInt + 8
+        if (u16le(bytes, o) == 0x11 && u16le(bytes, o + 2) == 1 &&
+            u16le(bytes, o + 14) == 4) {
+          blockAlign = u16le(bytes, o + 12)
+          samplesPerBlock = u16le(bytes, o + 18)
+          ok = blockAlign > 4 && samplesPerBlock == 1 + 2 * (blockAlign - 4)
+        }
+      } else if (t == "data") {
+        if (!ok || p + 8 + size > bytes.length) return None
+        return Some(((p + 8).toInt, size, blockAlign, samplesPerBlock))
+      }
+      p += 8L + size.toLong + (size & 1)
+    }
+    None
+  }
+
+  /** Decode + per-doc stats over mono IMA ADPCM: every full block
+    * restarts the predictor from its own header (the seed IS sample
+    * one), then each nibble (low first, per spec) advances the
+    * adaptive recurrence. Emits exact integer peak / sum / energy
+    * over ALL decoded samples plus the LAST block's terminal
+    * (predictor, step index) — the terminal state pins every
+    * intermediate step, so one wrong clamp or table hop anywhere in
+    * the stream flips the row. Non-ADPCM payloads drop. */
+  def adpcmStats(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_blocks", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("final_predictor", LongType, nullable = false),
+      StructField("final_index", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        locateAdpcmData(if (bytes == null) Array.emptyByteArray else bytes).map {
+          case (off, len, blockAlign, _) =>
+            val nBlocks = len / blockAlign
+            var peak = 0L; var sum = 0L; var en = 0L; var n = 0L
+            var lastPred = 0; var lastIdx = 0
+            var b = 0
+            while (b < nBlocks) {
+              val base = off + b * blockAlign
+              var pred = ((bytes(base) & 0xff) | (bytes(base + 1) << 8)).toShort.toInt
+              var idx = math.max(0, math.min(88, bytes(base + 2) & 0xff))
+              def emit(s: Int): Unit = {
+                peak = math.max(peak, math.abs(s.toLong)); sum += s
+                en += s.toLong * s; n += 1
+              }
+              emit(pred)
+              var j = 0
+              val nNib = 2 * (blockAlign - 4)
+              while (j < nNib) {
+                val byte = bytes(base + 4 + (j >> 1)) & 0xff
+                val nib = if ((j & 1) == 0) byte & 0x0f else byte >> 4
+                val (p2, i2) = adpcmStep(nib, pred, idx)
+                pred = p2; idx = i2
+                emit(pred)
+                j += 1
+              }
+              lastPred = pred; lastIdx = idx
+              b += 1
+            }
+            Row(r.getLong(0), nBlocks.toLong, n, peak, sum,
+              if (n > 0) en / n else 0L, lastPred.toLong, lastIdx.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic IMA ADPCM WAVs keyed on doc_id: 1 + id%3 blocks of
+    * 16 + id%24 nibble-bytes; block b seeds predictor
+    * ((id·211 + b·97) mod 4096) − 2048 and index (id + 31·b) mod 89;
+    * nibble j of block b is (id·7 + b·11 + j·5) mod 16 — every
+    * mantissa/sign pattern and both index-clamp walls appear across
+    * the corpus, and multi-block docs exercise the header restart. */
+  def syntheticAdpcmAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nBytes = (16 + id % 24).toInt
+        val nBlocks = (1 + id % 3).toInt
+        val blocks = (0 until nBlocks).map { b =>
+          val nib = Array.tabulate(2 * nBytes)(j => ((id * 7 + b * 11 + j * 5) % 16).toInt)
+          val packed = Array.tabulate[Byte](nBytes)(k =>
+            ((nib(2 * k) & 0x0f) | (nib(2 * k + 1) << 4)).toByte)
+          (((id * 211 + b * 97) % 4096 - 2048).toInt, ((id + 31 * b) % 89).toInt, packed)
+        }
+        Row(id, wavAdpcmBytes(8000, 1 + 2 * nBytes, blocks))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // EXIF (JPEG APP1 → TIFF IFD walk) — camera metadata: Orientation
+  // decides whether perceptual hashes need a rotate, PixelX/YDimension
+  // and the maker string drive corpus slicing. TIFF is a typed offset
+  // graph in EITHER byte order — a real IFD walk with bounds-checked
+  // value indirection (ASCII values live behind offsets), not fixed
+  // offsets. Untrusted-byte discipline as everywhere: refuse, never
+  // throw.
+  // ------------------------------------------------------------------
+
+  /** Assemble an APP1 Exif payload: TIFF header + IFD0 (Make = ASCII
+    * behind an offset, Orientation = inline SHORT, ExifIFD = LONG
+    * pointer) + the Exif sub-IFD (PixelXDimension, PixelYDimension),
+    * in the requested byte order. Layout: IFD0 @8, sub-IFD @50,
+    * maker string @80. */
+  private[graft] def exifApp1(bigEndian: Boolean, make: String,
+      orientation: Int, pixelX: Int, pixelY: Int): Array[Byte] = {
+    val mk = make.getBytes("US-ASCII") :+ 0.toByte
+    val tiff = java.nio.ByteBuffer.allocate(80 + mk.length)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    tiff.putShort(42).putInt(8)
+    def entry(tag: Int, typ: Int, count: Int)(value: java.nio.ByteBuffer => Unit): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = tiff.position()
+      value(tiff)
+      while (tiff.position() < before + 4) tiff.put(0.toByte) // left-justified pad
+    }
+    tiff.putShort(3)                                     // IFD0: 3 entries
+    // TIFF rule: values that FIT the 4-byte field are inline; larger
+    // ones live behind an offset (the reader honors both)
+    if (mk.length > 4) entry(0x010f, 2, mk.length)(_.putInt(80))
+    else entry(0x010f, 2, mk.length)(_.put(mk))
+    entry(0x0112, 3, 1)(_.putShort(orientation.toShort)) // Orientation SHORT
+    entry(0x8769, 4, 1)(_.putInt(50))                    // ExifIFD pointer
+    tiff.putInt(0)                                       // next IFD: none
+    tiff.putShort(2)                                     // sub-IFD: 2 entries
+    entry(0xa002, 4, 1)(_.putInt(pixelX))
+    entry(0xa003, 4, 1)(_.putInt(pixelY))
+    tiff.putInt(0)
+    tiff.put(mk)
+    val t = tiff.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + 6 + t.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    seg.put(0xff.toByte).put(0xe1.toByte).putShort((2 + 6 + t.length).toShort)
+    seg.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte).put(t)
+    seg.array()
+  }
+
+  /** Splice an APP1 segment directly after SOI — the canonical EXIF
+    * position; the pixel decoders skip APPn, so the blob stays fully
+    * decodable. */
+  private[graft] def withExif(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] =
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+
+  /** Walk a JPEG's APP1/TIFF metadata: (byteOrder "II"|"MM", make,
+    * orientation, pixelX, pixelY). A general IFD walk — entries in any
+    * order, SHORT-or-LONG dimension types, value-vs-offset decided by
+    * the typed byte size, every indirection bounds-checked. Returns
+    * None (never throws) on anything malformed or EXIF-less. */
+  private[graft] def exifMeta(bytes: Array[Byte])
+      : Option[(String, String, Long, Long, Long)] = try {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    // marker walk to the Exif APP1 (stop at SOS: metadata precedes scan)
+    var p = 2
+    var tiffOff = -1; var tiffLen = 0
+    while (tiffOff < 0 && p + 4 <= bytes.length && (bytes(p) & 0xff) == 0xff) {
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return None
+      val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > bytes.length) return None
+      if (m == 0xe1 && len >= 2 + 6 + 8 &&
+          tag(bytes, p + 4) == "Exif" && bytes(p + 8) == 0 && bytes(p + 9) == 0) {
+        tiffOff = p + 10; tiffLen = len - 8
+      }
+      p += 2 + len
+    }
+    if (tiffOff < 0) return None
+    val big = tag(bytes, tiffOff).take(2) match {
+      case "MM" => true
+      case "II" => false
+      case _ => return None
+    }
+    def ru16(o: Int): Int = {
+      if (o < 0 || o + 2 > tiffLen) throw new IndexOutOfBoundsException
+      val a = bytes(tiffOff + o) & 0xff; val b = bytes(tiffOff + o + 1) & 0xff
+      if (big) (a << 8) | b else (b << 8) | a
+    }
+    def ru32(o: Int): Long = {
+      if (o < 0 || o + 4 > tiffLen) throw new IndexOutOfBoundsException
+      if (big) (ru16(o).toLong << 16) | ru16(o + 2)
+      else (ru16(o + 2).toLong << 16) | ru16(o)
+    }
+    if (ru16(2) != 42) return None
+    var make: String = null
+    var orientation = -1L; var px = -1L; var py = -1L
+    def shortOrLong(typ: Int, valOff: Int): Long =
+      if (typ == 3) ru16(valOff).toLong
+      else if (typ == 4) ru32(valOff)
+      else -1L
+    def walkIfd(ifdOff: Int, sub: Boolean): Unit = {
+      val n = ru16(ifdOff)
+      var i = 0
+      while (i < n) {
+        val e = ifdOff + 2 + 12 * i
+        val etag = ru16(e); val typ = ru16(e + 2); val cnt = ru32(e + 4)
+        val valOff = e + 8
+        (etag, sub) match {
+          case (0x010f, false) if typ == 2 && cnt >= 1 && cnt <= 256 =>
+            val off = if (cnt > 4) ru32(valOff).toInt else valOff
+            if (off < 0 || off + cnt > tiffLen) throw new IndexOutOfBoundsException
+            val raw = new String(bytes, tiffOff + off, cnt.toInt, "US-ASCII")
+            make = raw.takeWhile(_ != 0.toChar)
+          case (0x0112, false) if typ == 3 && cnt == 1 =>
+            orientation = ru16(valOff).toLong
+          case (0x8769, false) if typ == 4 && cnt == 1 =>
+            walkIfd(ru32(valOff).toInt, sub = true)
+          case (0xa002, true) if cnt == 1 => px = shortOrLong(typ, valOff)
+          case (0xa003, true) if cnt == 1 => py = shortOrLong(typ, valOff)
+          case _ => () // unknown tags: skip — a real walk tolerates them
+        }
+        i += 1
+      }
+    }
+    walkIfd(ru32(4).toInt, sub = false)
+    if (make == null || orientation < 0 || px < 0 || py < 0) None
+    else Some((if (big) "MM" else "II", make, orientation, px, py))
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[exifMeta]] at scale: constant-memory per-partition iteration,
+    * EXIF-less payloads dropped (the metadata seam). */
+  def exifMetadata(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("endian", StringType, nullable = false),
+      StructField("make", StringType, nullable = false),
+      StructField("orientation", LongType, nullable = false),
+      StructField("pixel_x", LongType, nullable = false),
+      StructField("pixel_y", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        exifMeta(r.getAs[Array[Byte]](1)).map { case (en, mk, o, x, y) =>
+          Row(r.getLong(0), en, mk, o, x, y)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic EXIF'd JPEGs keyed on doc_id: the [[jpegBaselineBytes]]
+    * fixture with an APP1 spliced after SOI — byte order II/MM by
+    * parity, Make "CAM-"+(id%10), Orientation 1+id%8, capture dims
+    * 16·(1+id%80) × 16·(1+id%45). Still fully pixel-decodable. */
+  def syntheticExifJpegBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, withExif(jpegBaselineBytes(id),
+          exifApp1(id % 2 == 1, "CAM-" + (id % 10),
+            (1 + id % 8).toInt, (16 * (1 + id % 80)).toInt,
+            (16 * (1 + id % 45)).toInt)))
+      }
+    }(enc)
+  }
+
+  /** Stored-grid cell feeding UPRIGHT cell (r, c) of a g×g mesh under
+    * EXIF orientation `o` (1 = as stored, 2 mirror-H, 3 rot180,
+    * 4 mirror-V, 5 transpose, 6 rot90CW, 7 transverse, 8 rot270CW —
+    * the transform that DISPLAYS the stored image upright). */
+  private[graft] def orientIndex(o: Int, g: Int, r: Int, c: Int): Int = {
+    val g1 = g - 1
+    val (sr, sc) = o match {
+      case 2 => (r, g1 - c)
+      case 3 => (g1 - r, g1 - c)
+      case 4 => (g1 - r, c)
+      case 5 => (c, r)
+      case 6 => (g1 - c, r)
+      case 7 => (g1 - c, g1 - r)
+      case 8 => (c, g1 - r)
+      case _ => (r, c)
+    }
+    sr * g + sc
+  }
+
+  /** Orientation-aware average-hash: [[imageAHash]] with the EXIF
+    * Orientation tag honored — block means are read back through the
+    * inverse display transform BEFORE thresholding, so a camera image
+    * and its rotated/mirrored re-save hash IDENTICALLY (without this,
+    * every orientation lands in a different near-dup bucket; the
+    * mean threshold itself is permutation-invariant, so only the bit
+    * ORDER needs the remap). No/invalid EXIF → orientation 1. Same
+    * narrow per-partition decode, zero shuffle. */
+  def imageAHashOriented(blobs: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 2 && grid * grid <= 64, s"grid² must fit 64 bits, got $grid")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("orientation", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](1)
+        val o = exifMeta(bytes).map(_._3.toInt).filter(v => v >= 1 && v <= 8)
+          .getOrElse(1)
+        grayBlockMeans(bytes, grid).map { case (_, _, means) =>
+          var total = 0L
+          var i = 0
+          while (i < grid * grid) { total += means(i); i += 1 }
+          val gmean = total / (grid * grid)
+          var hash = 0L
+          i = 0
+          while (i < grid * grid) {
+            if (means(orientIndex(o, grid, i / grid, i % grid)) > gmean)
+              hash |= 1L << i
+            i += 1
+          }
+          Row(row.getLong(0), o.toLong, hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic oriented JPEGs: ONE upright 64×64 grayscale scene
+    * per doc (flat 8×8 blocks, DC(bx,by) = ((id + 3bx + 5by) % 121) −
+    * 60) STORED under orientation 1 + id%8 (the block grid is
+    * physically permuted/rotated in the encoded scan) with the
+    * matching EXIF tag — so [[imageAHashOriented]] must recover the
+    * SAME upright hash for every orientation, which is exactly what
+    * the (orientation-free) oracle asserts. */
+  def syntheticOrientedJpegBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val o = (1 + id % 8).toInt
+        // stored(orientIndex(o, r, c)) = upright(r, c) — decode inverts
+        val stored = new Array[Int](64)
+        for (row0 <- 0 until 8; c <- 0 until 8)
+          stored(orientIndex(o, 8, row0, c)) =
+            (((id + 3L * c + 5L * row0) % 121) - 60).toInt
+        val jpeg = jpegAssemble(64, 64, 0, (_, bx, by) => {
+          val a = new Array[Int](64)
+          a(0) = stored(by * 8 + bx)
+          a
+        })
+        Row(id, withExif(jpeg,
+          exifApp1(id % 2 == 1, "CAM-" + (id % 10), o, 64, 64)))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // MP4 / ISO-BMFF box walk — video-container metadata: a video corpus
   // is opaque mdat payloads under a typed box tree; curation needs the
   // tree (duration, track inventory, codec fourcc, display dims)

@@ -1797,4 +1797,142 @@ object TextAnalysis {
       .withColumn("stale_permille",
         floor(col("n_stale") * lit(1000L) / col("n_grams")).cast("long"))
   }
+
+  /** Suffix array by prefix doubling (Manber–Myers, O(n log² n)):
+    * ranks start as char codes and double the compared prefix each
+    * round — no O(n²) suffix comparisons, so full documents (not just
+    * oracle-capped slices) are fine. */
+  private[graft] def suffixArray(s: String): Array[Int] = {
+    val n = s.length
+    if (n == 0) return Array.emptyIntArray
+    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    var sa = Array.range(0, n)
+    var k = 1
+    while (k < n) {
+      val kk = k
+      val r = rank
+      def key(i: Int): (Int, Int) = (r(i), if (i + kk < n) r(i + kk) else -1)
+      sa = sa.sortBy(key)
+      val next = new Array[Int](n)
+      next(sa(0)) = 0
+      var i = 1
+      while (i < n) {
+        next(sa(i)) = next(sa(i - 1)) + (if (key(sa(i)) == key(sa(i - 1))) 0 else 1)
+        i += 1
+      }
+      rank = next
+      if (rank(sa(n - 1)) == n - 1) k = n // all ranks distinct: done
+      else k <<= 1
+    }
+    sa
+  }
+
+  /** Kasai's LCP array: lcp(i) = longest common prefix of suffixes
+    * sa(i−1) and sa(i), O(n) total. */
+  private[graft] def lcpArray(s: String, sa: Array[Int]): Array[Int] = {
+    val n = s.length
+    val lcp = new Array[Int](n)
+    val inv = new Array[Int](n)
+    var i = 0
+    while (i < n) { inv(sa(i)) = i; i += 1 }
+    var h = 0
+    i = 0
+    while (i < n) {
+      if (inv(i) > 0) {
+        val j = sa(inv(i) - 1)
+        while (i + h < n && j + h < n && s.charAt(i + h) == s.charAt(j + h)) h += 1
+        lcp(inv(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    lcp
+  }
+
+  /** Longest repeated substring of `s` (occurrences may overlap):
+    * (length, lexicographically smallest repeat of that length), or
+    * (0, "") when every substring is unique. Max over the LCP array;
+    * every maximal repeat surfaces as an adjacent suffix pair. */
+  private[graft] def longestRepeatOf(s: String): (Int, String) = {
+    val n = s.length
+    if (n < 2) return (0, "")
+    val sa = suffixArray(s)
+    val lcp = lcpArray(s, sa)
+    var maxL = 0
+    var i = 1
+    while (i < n) { if (lcp(i) > maxL) maxL = lcp(i); i += 1 }
+    if (maxL == 0) return (0, "")
+    var best: String = null
+    i = 1
+    while (i < n) {
+      if (lcp(i) == maxL) {
+        val cand = s.substring(sa(i), sa(i) + maxL)
+        if (best == null || cand < best) best = cand
+      }
+      i += 1
+    }
+    (maxL, best)
+  }
+
+  /** Degenerate-repetition screen: per document, the longest substring
+    * that occurs at least twice (overlaps count) within the first
+    * `maxChars` characters — the sharpest form of the Gopher/RefinedWeb
+    * repetition signals (those count duplicated LINES or n-grams at a
+    * fixed grain; the LRS finds the repeat at ANY grain, catching
+    * looped generation and copy-pasted boilerplate a fixed-n screen
+    * straddles). Suffix array + Kasai LCP per row — O(len·log² len),
+    * narrow, ZERO shuffle; `maxChars` exists so the brute-force SQL
+    * oracle stays replayable, not as an algorithmic cap (pass
+    * Int.MaxValue for whole documents). */
+  def longestRepeat(docs: DataFrame, maxChars: Int = 200,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("lrs_len", LongType, nullable = false),
+      StructField("lrs", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col(idCol), col(textCol)).mapPartitions { it =>
+      it.map { r =>
+        val s0 = if (r.isNullAt(1)) "" else r.getString(1)
+        val s = if (s0.length > maxChars) s0.substring(0, maxChars) else s0
+        val (len, lrs) = longestRepeatOf(s)
+        org.apache.spark.sql.Row(r.getLong(0), len.toLong, lrs)
+      }
+    }(enc)
+  }
+
+  /** Unicode NFC normalization audit: per document, whether the text
+    * is already NFC, codepoint counts before/after, and the NFC form
+    * itself (hash it downstream to pin the normalized BYTES). A web
+    * corpus mixes precomposed and combining-mark encodings of the
+    * same visible text — exact dedup, shingle hashes and tokenizers
+    * all fracture on the difference, so normalize-or-flag is a
+    * standard ingest gate (and the audit measures how much of a
+    * corpus needs it).
+    *
+    * Scale shape: narrow per-row JVM map, zero shuffle — composes
+    * into any scan. Uses `java.text.Normalizer` (the JDK's Unicode
+    * NFC, stable across versions for assigned codepoints; DuckDB's
+    * utf8proc agrees — the oracle hash-checks that cross-engine). */
+  def nfcAudit(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("is_nfc", LongType, nullable = false),
+      StructField("cp_raw", LongType, nullable = false),
+      StructField("cp_nfc", LongType, nullable = false),
+      StructField("nfc_text", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col(idCol), col(textCol)).mapPartitions { it =>
+      it.map { r =>
+        val s = if (r.isNullAt(1)) "" else r.getString(1)
+        val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        org.apache.spark.sql.Row(r.getLong(0), if (s == nfc) 1L else 0L,
+          s.codePointCount(0, s.length).toLong,
+          nfc.codePointCount(0, nfc.length).toLong, nfc)
+      }
+    }(enc)
+  }
 }

@@ -590,4 +590,34 @@ class CorpusSpec extends SparkSpec {
     assert(real.map(_._3).sum <= totalTok * 900 / 1000)
     assert(real.forall { case (_, c, q, e) => q <= c * 900 / 1000 && e <= 900 })
   }
+
+  test("repeatValueCurve: exact decay recurrence, running effective total, " +
+    "zero-token guard") {
+    // source a: 10 whitespace tokens → v = 10,7,4,2,1,0,0,0 (each step
+    // (v·700) div 1000), eff = 10,17,21,23,24,24,24,24,
+    // marginal‰ = 1000,700,400,200,100,0,0,0; source z: empty text
+    val docs = Seq(
+      (1L, "one two three four five six", "a"),
+      (2L, "seven eight nine ten", "a"),
+      (3L, "", "z")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.repeatValueCurve(docs)
+      .orderBy($"source", $"epochs")
+      .select("source", "unique_tokens", "epochs", "epoch_value",
+        "effective_tokens", "marginal_permille")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got.filter(_._1 == "a")
+    assert(a.map(_._4) === Seq(10L, 7L, 4L, 2L, 1L, 0L, 0L, 0L))
+    assert(a.map(_._5) === Seq(10L, 17L, 21L, 23L, 24L, 24L, 24L, 24L))
+    assert(a.map(_._6) === Seq(1000L, 700L, 400L, 200L, 100L, 0L, 0L, 0L))
+    assert(a.forall(_._2 === 10L))
+    val z = got.filter(_._1 == "z")
+    assert(z.length === 8 && z.forall(r => r._2 === 0L && r._4 === 0L && r._6 === 0L),
+      "zero-token stratum rides the guard, never divides by zero")
+    // decay 1000 = lossless repetition; maxEpochs honored
+    val flat = Corpus.repeatValueCurve(docs.filter($"source" === "a"),
+      maxEpochs = 3, decayPermille = 1000)
+      .select("epoch_value").as[Long].collect()
+    assert(flat.toSeq === Seq(10L, 10L, 10L))
+  }
 }

@@ -43,6 +43,30 @@ class GraphSpec extends SparkSpec {
     assert(t2(1L) === 3L && t2(5L) === 0L)
   }
 
+  test("hits: exact hand-walked path graph; star hub peaks at 10000; " +
+    "reversed dups collapse") {
+    // path 1-2-3, hand-walked:
+    //   h1 raw (10000, 20000, 10000) → rescale (5000, 10000, 5000)
+    //   a1 raw (10000, 10000, 10000) → all 10000
+    //   round 2 repeats the same values — the fixed point
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val h = Graph.hits(path, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h === Map(1L -> ((5000L, 10000L)), 2L -> ((10000L, 10000L)),
+      3L -> ((5000L, 10000L))))
+    // star: the hub saturates at 10000, leaves tie below it
+    val hs = Graph.hits(star, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(hs(1L) === 10000L)
+    assert((2L to 5L).map(hs).toSet.size === 1, "leaves tie")
+    assert(hs(2L) < 10000L)
+    // duplicate + reversed edges must not change scores (symmetrize dedups)
+    val dup = path.union(Seq((2L, 1L), (2L, 3L)).toDF("doc_a", "doc_b"))
+    val h2 = Graph.hits(dup, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(h2 === h)
+  }
+
   test("pageRank: exact fixed-point values on the star; 2-cycle is the conservation fixed point") {
     // hand-computed: pr0=10000 all; hub ← 4 leaf contribs, leaf ← hub/4
     //   iter1: hub 35500, leaf 3625

@@ -936,6 +936,157 @@ class MultimodalHeaderSpec extends SparkSpec {
       Seq((2L, Array.fill[Byte](50)(7))).toDF("doc_id", "blob")).count() === 0)
   }
 
+  test("IMA ADPCM: hand-walked block, nibble order, clamps, block restart, " +
+    "refusals") {
+    // hand-computed: pred0=100 idx0=10 (step 19), nibbles [0x3, 0x8]
+    //   nib 3: diff = 2+4+9 = 15 → pred 115, idx 9
+    //   nib 8: step 17, diff = 2, sign → pred 113, idx 8
+    assert(Multimodal.adpcmStep(3, 100, 10) === ((115, 9)))
+    assert(Multimodal.adpcmStep(8, 115, 9) === ((113, 8)))
+    // clamp walls: index pinned at both ends, predictor saturates
+    assert(Multimodal.adpcmStep(0, 0, 0)._2 === 0)      // idx 0 + (−1) → 0
+    assert(Multimodal.adpcmStep(7, 0, 88)._2 === 88)    // idx 88 + 8 → 88
+    assert(Multimodal.adpcmStep(7, 32000, 88)._1 === 32767)
+    assert(Multimodal.adpcmStep(15, -32000, 88)._1 === -32768)
+    // one-block WAV: nibble byte 0x83 = LOW nibble 3 first, then 8 —
+    // samples [100, 115, 113]; high-first would give [100, 98, 112]
+    val one = Multimodal.wavAdpcmBytes(8000, 3, Seq((100, 10, Array(0x83.toByte))))
+    val r1 = Multimodal.adpcmStats(Seq((1L, one)).toDF("doc_id", "blob")).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5), r1.getLong(6), r1.getLong(7)) ===
+      ((1L, 3L, 115L, 328L, 11998L, 113L, 8L)))
+    // two blocks: the SECOND header reseeds — final state must be the
+    // second block's independent walk, not a continuation of the first
+    val two = Multimodal.wavAdpcmBytes(8000, 3,
+      Seq((30000, 88, Array(0x77.toByte)), (100, 10, Array(0x83.toByte))))
+    val r2 = Multimodal.adpcmStats(Seq((2L, two)).toDF("doc_id", "blob")).head()
+    assert((r2.getLong(1), r2.getLong(6), r2.getLong(7)) === ((2L, 113L, 8L)))
+    assert(r2.getLong(2) === 6L)
+    assert(r2.getLong(3) === 32767L) // first block saturated the clamp
+    // corpus fixtures decode with the expected shape
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+    val got = Multimodal.adpcmStats(Multimodal.syntheticAdpcmAudio(docs)).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1 + id % 3)
+      assert(r.getLong(2) === (1 + id % 3) * (1 + 2 * (16 + id % 24)))
+      assert(r.getLong(7) >= 0 && r.getLong(7) <= 88)
+    }
+    // refusals: PCM16, G.711, truncation mid-data, inconsistent
+    // samplesPerBlock, garbage — all drop, never throw
+    val pcm = Multimodal.wavPcm16Bytes(1, 8000, Array[Short](1, 2, 3))
+    assert(Multimodal.adpcmStats(Seq((3L, pcm)).toDF("doc_id", "blob")).count() === 0)
+    val g711 = Multimodal.wavG711Bytes(7, 8000, Array.fill[Byte](8)(1))
+    assert(Multimodal.adpcmStats(Seq((4L, g711)).toDF("doc_id", "blob")).count() === 0)
+    for (cut <- 0 until one.length by 3)
+      assert(Multimodal.adpcmStats(
+        Seq((5L, one.take(cut))).toDF("doc_id", "blob")).count() === 0, s"cut=$cut")
+    val badSpb = Multimodal.wavAdpcmBytes(8000, 5, Seq((0, 0, Array(0x00.toByte))))
+    assert(Multimodal.adpcmStats(Seq((6L, badSpb)).toDF("doc_id", "blob")).count() === 0)
+    assert(Multimodal.adpcmStats(
+      Seq((7L, Array.fill[Byte](64)(0x11))).toDF("doc_id", "blob")).count() === 0)
+  }
+
+  test("EXIF walk: both byte orders, offset indirection, decodability " +
+    "preserved, refusals on malformed TIFF") {
+    for (big <- Seq(false, true)) {
+      val jpeg = Multimodal.withExif(Multimodal.jpegBaselineBytes(9L),
+        Multimodal.exifApp1(big, "ACME Corp", 6, 4032, 3024))
+      assert(Multimodal.exifMeta(jpeg) ===
+        Some((if (big) "MM" else "II", "ACME Corp", 6L, 4032L, 3024L)))
+      // the spliced APP1 must not break pixel decode (APPn skip path)
+      assert(Multimodal.decodeJpegPixels(jpeg).isDefined)
+      assert(Multimodal.decodeJpegPixels(jpeg) ===
+        Multimodal.decodeJpegPixels(Multimodal.jpegBaselineBytes(9L)))
+    }
+    // EXIF-less JPEG → None (not an error)
+    assert(Multimodal.exifMeta(Multimodal.jpegBaselineBytes(3L)).isEmpty)
+    // malformed: bad TIFF magic, truncations, corrupt offsets — refuse,
+    // never throw. "X" fits the 4-byte value field → exercises the
+    // INLINE ASCII path (the corpus fixtures exercise the offset path).
+    val app1 = Multimodal.exifApp1(bigEndian = false, "X", 1, 100, 200)
+    val good = Multimodal.withExif(Multimodal.jpegBaselineBytes(4L), app1)
+    val badMagic = good.clone()
+    // TIFF header starts after SOI(2) + marker/len(4) + "Exif\0\0"(6)
+    badMagic(2 + 4 + 6 + 2) = 99.toByte
+    assert(Multimodal.exifMeta(badMagic).isEmpty)
+    // any truncation before the APP1 completes refuses; once the APP1
+    // is whole the walk succeeds (metadata precedes the scan)
+    for (cut <- 0 until (2 + app1.length) by 5)
+      assert(Multimodal.exifMeta(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.exifMeta(good.take(2 + app1.length)) ===
+      Some(("II", "X", 1L, 100L, 200L)))
+    for (i <- (2 + 4 + 6) until (2 + 4 + 6 + 60)) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x7f).toByte
+      Multimodal.exifMeta(mut) // must not throw, whatever it reads
+    }
+    assert(Multimodal.exifMeta(null).isEmpty)
+    assert(Multimodal.exifMeta(Array.emptyByteArray).isEmpty)
+    // corpus fixtures round-trip the analytic values
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(24)
+    val got = Multimodal.exifMetadata(Multimodal.syntheticExifJpegBlobs(docs))
+      .orderBy(col("doc_id")).collect()
+    assert(got.length === 24)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === (if (id % 2 == 1) "MM" else "II"))
+      assert(r.getString(2) === "CAM-" + (id % 10))
+      assert(r.getLong(3) === 1 + id % 8)
+      assert(r.getLong(4) === 16 * (1 + id % 80))
+      assert(r.getLong(5) === 16 * (1 + id % 45))
+    }
+  }
+
+  test("orientation-aware aHash: all 8 EXIF orientations of one scene hash " +
+    "identically; no-EXIF falls back to as-stored") {
+    import spark.implicits._
+    // one upright scene, stored under each orientation via the fixture rule
+    def storedJpeg(o: Int): Array[Byte] = {
+      val stored = new Array[Int](64)
+      for (r <- 0 until 8; c <- 0 until 8)
+        stored(Multimodal.orientIndex(o, 8, r, c)) =
+          (((42 + 3 * c + 5 * r) % 121) - 60)
+      val jpeg = Multimodal.jpegAssemble(64, 64, 0, (_, bx, by) => {
+        val a = new Array[Int](64); a(0) = stored(by * 8 + bx); a
+      })
+      Multimodal.withExif(jpeg, Multimodal.exifApp1(o % 2 == 0, "T", o, 64, 64))
+    }
+    // orientIndex is a permutation of 0..63 for every orientation
+    for (o <- 1 to 8)
+      assert((for (r <- 0 until 8; c <- 0 until 8)
+        yield Multimodal.orientIndex(o, 8, r, c)).toSet.size === 64, s"o=$o")
+    // rot180 is self-inverse; transpose is self-inverse
+    for (o <- Seq(3, 5); r <- 0 until 8; c <- 0 until 8) {
+      val i = Multimodal.orientIndex(o, 8, r, c)
+      assert(Multimodal.orientIndex(o, 8, i / 8, i % 8) === r * 8 + c)
+    }
+    val blobs = (1 to 8).map(o => (o.toLong, storedJpeg(o))).toDF("doc_id", "blob")
+    val hashes = Multimodal.imageAHashOriented(blobs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hashes.size === 8)
+    assert((1 to 8).forall(o => hashes(o.toLong)._1 === o.toLong), "EXIF read back")
+    assert(hashes.values.map(_._2).toSet.size === 1,
+      "every orientation must hash to the upright value")
+    // the stored bytes really differ (the scan is physically permuted)
+    assert((2 to 8).forall(o => !storedJpeg(o).sameElements(storedJpeg(1))))
+    // sanity: orientation actually matters — hashing WITHOUT the remap
+    // (plain aHash on the stored pixels) diverges for some orientation
+    val plain = Multimodal.imageAHash(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(plain.values.toSet.size > 1, "fixture must be orientation-sensitive")
+    // no EXIF → as-stored (orientation 1), equal to plain aHash
+    val bare = Multimodal.jpegAssemble(64, 64, 0, (_, bx, by) => {
+      val a = new Array[Int](64); a(0) = ((7 * bx + 11 * by) % 121) - 60; a
+    })
+    val both = Seq((9L, bare)).toDF("doc_id", "blob")
+    val or9 = Multimodal.imageAHashOriented(both).head()
+    assert(or9.getLong(1) === 1L)
+    assert(or9.getLong(2) === Multimodal.imageAHash(both).head().getLong(3))
+  }
+
   test("MP4 box walk: hand-checked tree, refusal on malformed sizes/nesting, " +
     "never throws on fuzz") {
     val good = Multimodal.mp4Bytes("isom", 600, 1234L, "avc1", 640, 480, audio = true)

@@ -470,4 +470,5 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got === Set(("p1", "v1")))
     q.stop()
   }
+
 }

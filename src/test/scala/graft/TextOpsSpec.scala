@@ -609,4 +609,71 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L) === ((7L, 2L, 8L, (390L * 7 / 2) + (11800L * 8 / 7) - 15590L)))
     assert(m(2L)._2 === 1L, "no terminal punctuation floors at 1 sentence")
   }
+
+  test("longest repeated substring: hand cases, overlap semantics, fuzz vs " +
+    "brute force, zero shuffle") {
+    import graft.operators.TextAnalysis.longestRepeatOf
+    assert(longestRepeatOf("banana") === ((3, "ana")))     // overlapping "ana"
+    assert(longestRepeatOf("aaaa") === ((3, "aaa")))       // max overlap
+    assert(longestRepeatOf("abcdef") === ((0, "")))        // all unique
+    assert(longestRepeatOf("abcabcab") === ((5, "abcab"))) // overlap at 0 and 3
+    assert(longestRepeatOf("") === ((0, "")))
+    assert(longestRepeatOf("x") === ((0, "")))
+    // tie at max length → lexicographically smallest: "xy" vs "ab" both
+    // repeat with length 2
+    assert(longestRepeatOf("xy1xy2ab3ab") === ((2, "ab")))
+    // fuzz: suffix-array answer ≡ brute force on small random strings
+    val rnd = new scala.util.Random(42)
+    def brute(s: String): (Int, String) = {
+      val reps = for {
+        l <- (s.length - 1) to 1 by -1
+        subs = (0 to s.length - l).map(i => s.substring(i, i + l))
+        counts = subs.groupBy(identity).filter(_._2.size >= 2)
+        if counts.nonEmpty
+      } yield (l, counts.keys.min)
+      reps.headOption.getOrElse((0, ""))
+    }
+    for (trial <- 1 to 120) {
+      val n = 1 + rnd.nextInt(40)
+      val alpha = 2 + rnd.nextInt(4)
+      val s = Array.fill(n)(('a' + rnd.nextInt(alpha)).toChar).mkString
+      assert(longestRepeatOf(s) === brute(s), s"trial=$trial s=$s")
+    }
+    // frame form: null-safe, capped, narrow (no Exchange)
+    import spark.implicits._
+    val docs = Seq((1L, "banana"), (2L, null.asInstanceOf[String]),
+      (3L, "zz" + ("uniq" * 1))).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.longestRepeat(docs, maxChars = 4)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(m(1L) === ((1L, "a")), "cap at 4 chars: 'bana' repeats only 'a'")
+    assert(m(2L) === ((0L, "")))
+    assert(m(3L) === ((1L, "z")))
+  }
+
+  test("NFC audit: decomposed flags + composes, precomposed passes through, " +
+    "zero shuffle, null-safe") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "café"),          // decomposed: e + combining acute
+      (2L, "café"),           // precomposed
+      (3L, "ガ"),        // KA + voiced mark → composes to GA
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.nfcAudit(docs)
+    // narrow: no Exchange in the plan — composes into any scan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "nfcAudit must not shuffle")
+    val m = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(m(1L) === ((0L, 5L, 4L, "café")), "decomposed must compose")
+    assert(m(2L) === ((1L, 4L, 4L, "café")), "precomposed is already NFC")
+    assert(m(3L) === ((0L, 2L, 1L, "ガ")), "KA + voiced mark → GA")
+    assert(m(4L) === ((1L, 11L, 11L, "plain ascii")))
+    assert(m(5L) === ((1L, 0L, 0L, "")), "null text reads as empty")
+    // the two encodings of é dedup to ONE key after normalization —
+    // the ingest-gate property the audit exists for
+    assert(out.filter($"doc_id" <= 2).select("nfc_text").distinct().count() === 1)
+  }
 }
