@@ -1153,6 +1153,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ANIMATED GIF frame inventory: block-grammar walk (NETSCAPE loop
+    // + per-frame GCE + sub-rectangle image descriptors), each frame
+    // LZW-decoded for real — frame count, geometry, delay pacing and
+    // per-frame pixel sums, the video-adjacent curation readout.
+    "mm_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrames(Multimodal.syntheticAnimatedGifBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // ADAM7-INTERLACED decode: the same pixels as mm_decode_png in
+    // seven-pass interlaced encoding (each sub-image independently
+    // filtered) — the query shares the sequential oracle VERBATIM,
+    // so the hash match proves the pass walk is transparent.
+    "mm_decode_png_interlaced" -> ((s, d) => {
+      Multimodal.decodePng(Multimodal.syntheticInterlacedPngBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Modality inventory of a mixed-blob corpus (the corpus-management
     // face of the header walk): per detected format, doc count, byte
     // volume and corpus share — what a multimodal ingest reports
@@ -2712,6 +2734,26 @@ object SparkEntry {
   // analytic JPEG pixel replay, shared by the baseline and the
   // progressive decode queries (identical coefficients by fixture
   // construction — encoding must be transparent to pixels)
+  /** Sequential-PNG pixel replay — shared VERBATIM by mm_decode_png
+    * and mm_decode_png_interlaced (Adam7 must be invisible). */
+  private val pngDecodeOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    1 + doc_id % 13 AS w,
+      |    1 + doc_id % 9 AS h,
+      |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+      |  FROM documents),
+      |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx)
+      |SELECT doc_id,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(ch AS BIGINT) AS channels,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum((doc_id + 2 * x + 3 * r) % 256) AS BIGINT) AS sum_r,
+      |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + 5 * x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
+      |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
+      |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
+      |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin
+
   private val jpegDecodeOracle: String =
     """WITH d AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 21
@@ -5240,23 +5282,44 @@ object SparkEntry {
         |       CAST(sum((y * 16 + x + 1) * (b + 256 * g + 65536 * r)) AS BIGINT) AS checksum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
-    "mm_decode_png" ->
-      """WITH d AS (SELECT doc_id,
-        |    1 + doc_id % 13 AS w,
-        |    1 + doc_id % 9 AS h,
-        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
-        |  FROM documents),
-        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
-        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx)
+    // frame-walk replay: geometry from the analytic sub-rectangle
+    // rule, sums by substituting the palette formula into each
+    // frame's LOCAL index grid, delays from the GCE formula.
+    "mm_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 9 AS cw, 2 + doc_id % 6 AS chh,
+        |             1 + doc_id % 4 AS nf FROM documents),
+        |fr AS (SELECT doc_id, cw, chh, unnest(range(0, nf)) AS f FROM d),
+        |geo AS (SELECT doc_id, cw, chh, f,
+        |         CASE WHEN f = 0 THEN cw ELSE 1 + (doc_id + f) % cw END AS w,
+        |         CASE WHEN f = 0 THEN chh ELSE 1 + (doc_id + 2 * f) % chh END AS h
+        |       FROM fr),
+        |geo2 AS (SELECT doc_id, cw, chh, f, w, h,
+        |          CASE WHEN f = 0 THEN 0 ELSE (doc_id + 3 * f) % (cw - w + 1) END AS x0,
+        |          CASE WHEN f = 0 THEN 0 ELSE (doc_id + 5 * f) % (chh - h + 1) END AS y0
+        |        FROM geo),
+        |gx AS (SELECT doc_id, cw, chh, f, w, h, x0, y0, unnest(range(0, w)) AS x FROM geo2),
+        |px AS (SELECT doc_id, cw, chh, f, w, h, x0, y0, x, unnest(range(0, h)) AS r FROM gx),
+        |pj AS (SELECT doc_id, cw, chh, f, w, h, x0, y0,
+        |         (doc_id + x + 3 * r + 5 * f) % 16 AS j FROM px)
         |SELECT doc_id,
-        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |       CAST(ch AS BIGINT) AS channels,
-        |       CAST(count(*) AS BIGINT) AS n_pixels,
-        |       CAST(sum((doc_id + 2 * x + 3 * r) % 256) AS BIGINT) AS sum_r,
-        |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + 5 * x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_g,
-        |       CAST(sum(CASE WHEN ch >= 3 THEN (doc_id + x + 7 * r) % 256 ELSE 0 END) AS BIGINT) AS sum_b,
-        |       CAST(sum(CASE WHEN ch = 4 THEN (doc_id + x + r) % 256 ELSE 0 END) AS BIGINT) AS sum_a
-        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+        |  CAST(cw AS BIGINT) AS canvas_w, CAST(chh AS BIGINT) AS canvas_h,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(3 + (doc_id + 7 * f) % 50 AS BIGINT) AS delay_cs,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum((doc_id + 3 * j) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id + 5 * j) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id + 7 * j) % 256) AS BIGINT) AS sum_b
+        |FROM pj GROUP BY doc_id, cw, chh, f, w, h, x0, y0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_decode_png" -> pngDecodeOracle,
+
+    // ADAM7 must be invisible: SAME oracle (the sequential pixel
+    // grid), so the hash match proves the seven-pass de-interlace
+    // reads back exactly the pixels the sequential encoding carries.
+    "mm_decode_png_interlaced" -> pngDecodeOracle,
 
     // the id-class arithmetic of the mixed-blob fixture grouped per
     // format (byte sizes are the analytic header-only blob lengths).

@@ -462,7 +462,9 @@ object Multimodal {
     * buffer is sized so a malicious IHDR cannot allocate unbounded
     * memory; a truncated or corrupt deflate stream, a short inflate, or
     * an out-of-range filter byte all yield `None`, never a throw or a
-    * spin. Palette/16-bit/interlaced PNGs stay on the stub seam. */
+    * spin. ADAM7-interlaced images decode via the seven-pass walk
+    * (each sub-image filtered independently; sums are placement-free).
+    * 16-bit-depth PNGs stay on the stub seam. */
   private[graft] def decodePngPixels(bytes0: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
@@ -475,7 +477,7 @@ object Multimodal {
     val compression = bytes(26) & 0xff
     val filterMethod = bytes(27) & 0xff
     val interlace = bytes(28) & 0xff
-    if (depth != 8 || compression != 0 || filterMethod != 0 || interlace != 0) return None
+    if (depth != 8 || compression != 0 || filterMethod != 0 || interlace > 1) return None
     // colorType 3 = palette: 1 index byte per pixel, colors resolved
     // through the PLTE chunk (captured in the walk below)
     val channels = colorType match {
@@ -506,8 +508,18 @@ object Multimodal {
     if (idat.size() == 0) return None
     if (colorType == 3 && palette == null) return None // indexed with no PLTE
     val bpx = channels
-    val stride = width * bpx
-    val rawLen = height * (stride + 1) // +1: the per-row filter byte
+    // scanline layout: one sub-image for sequential PNGs, the seven
+    // Adam7 sub-images (each filtered INDEPENDENTLY, empty passes
+    // contribute no scanlines — PNG spec §8.2) for interlace 1. The
+    // channel sums are placement-free, so de-interlacing reduces to
+    // walking the passes in order.
+    val passes: Seq[(Int, Int)] =
+      if (interlace == 0) Seq((width, height))
+      else Adam7Passes.map { case (x0, y0, dx, dy) =>
+        (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+         if (height > y0) (height - y0 + dy - 1) / dy else 0)
+      }.filter(p => p._1 > 0 && p._2 > 0)
+    val rawLen = passes.map { case (w0, h0) => h0 * (w0 * bpx + 1) }.sum
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
     try {
@@ -524,44 +536,50 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     // Reconstruct rows in place (the filter predictors read already-
-    // reconstructed bytes — left, up, up-left), accumulating channel
-    // sums in the same pass.
+    // reconstructed bytes — left, up, up-left) one sub-image at a
+    // time (filters never reach across a pass boundary), accumulating
+    // channel sums in the same sweep.
     val sums = new Array[Long](4)
-    var r = 0
-    while (r < height) {
-      val base = r * (stride + 1) + 1
-      val prevBase = base - (stride + 1)
-      val f = raw(base - 1) & 0xff
-      if (f > 4) return None
-      var i = 0
-      while (i < stride) {
-        val x = raw(base + i) & 0xff
-        val a = if (i >= bpx) raw(base + i - bpx) & 0xff else 0
-        val b = if (r > 0) raw(prevBase + i) & 0xff else 0
-        val c = if (r > 0 && i >= bpx) raw(prevBase + i - bpx) & 0xff else 0
-        val rec = f match {
-          case 0 => x
-          case 1 => (x + a) & 0xff
-          case 2 => (x + b) & 0xff
-          case 3 => (x + (a + b) / 2) & 0xff
-          case _ => // Paeth
-            val pp = a + b - c
-            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            (x + pred) & 0xff
+    var passOff = 0
+    for ((w0, h0) <- passes) {
+      val stride0 = w0 * bpx
+      var r = 0
+      while (r < h0) {
+        val base = passOff + r * (stride0 + 1) + 1
+        val prevBase = base - (stride0 + 1)
+        val f = raw(base - 1) & 0xff
+        if (f > 4) return None
+        var i = 0
+        while (i < stride0) {
+          val x = raw(base + i) & 0xff
+          val a = if (i >= bpx) raw(base + i - bpx) & 0xff else 0
+          val b = if (r > 0) raw(prevBase + i) & 0xff else 0
+          val c = if (r > 0 && i >= bpx) raw(prevBase + i - bpx) & 0xff else 0
+          val rec = f match {
+            case 0 => x
+            case 1 => (x + a) & 0xff
+            case 2 => (x + b) & 0xff
+            case 3 => (x + (a + b) / 2) & 0xff
+            case _ => // Paeth
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              (x + pred) & 0xff
+          }
+          raw(base + i) = rec.toByte
+          if (colorType == 3) {
+            // indexed: resolve through the palette; an index past the
+            // PLTE is out of the PNG domain → refuse, never misread
+            if (rec * 3 + 2 >= palette.length) return None
+            sums(0) += palette(rec * 3) & 0xff
+            sums(1) += palette(rec * 3 + 1) & 0xff
+            sums(2) += palette(rec * 3 + 2) & 0xff
+          } else sums(i % bpx) += rec
+          i += 1
         }
-        raw(base + i) = rec.toByte
-        if (colorType == 3) {
-          // indexed: resolve through the palette; an index past the
-          // PLTE is out of the PNG domain → refuse, never misread
-          if (rec * 3 + 2 >= palette.length) return None
-          sums(0) += palette(rec * 3) & 0xff
-          sums(1) += palette(rec * 3 + 1) & 0xff
-          sums(2) += palette(rec * 3 + 2) & 0xff
-        } else sums(i % bpx) += rec
-        i += 1
+        r += 1
       }
-      r += 1
+      passOff += h0 * (stride0 + 1)
     }
     val (outCh, sr, sg, sb, sa) =
       if (colorType == 3) (3, sums(0), sums(1), sums(2), 0L)
@@ -637,6 +655,21 @@ object Multimodal {
     val nPixels = width.toLong * height
     if (nPixels > (1L << 26)) return None
     p += 10
+    gifLzwImage(bytes, p, nPixels, palette).map { case (sr, sg, sb, _) =>
+      (width, height, 3, nPixels, sr, sg, sb, 0L)
+    }
+  }
+
+  /** Decode ONE GIF image's LZW payload (min-code-size byte +
+    * sub-block chain) starting at `p0`, resolving indices through
+    * `palette` into channel sums; returns (sumR, sumG, sumB,
+    * offsetAfterTerminator) or None on any malformation — the shared
+    * engine of [[decodeGifPixels]] and [[decodeGifFrames]]. General
+    * variable-width LZW (clear/end, dictionary rebuild, KwKwK),
+    * LSB-first bit order, exact pixel-count accounting. */
+  private def gifLzwImage(bytes: Array[Byte], p0: Int, nPixels: Long,
+                          palette: Array[Byte]): Option[(Long, Long, Long, Int)] = {
+    var p = p0
     if (p >= bytes.length) return None
     val mcs = bytes(p) & 0xff
     if (mcs < 2 || mcs > 8) return None
@@ -717,7 +750,191 @@ object Multimodal {
       }
     }
     if (outCount != nPixels) return None
-    Some((width, height, 3, nPixels, sums(0), sums(1), sums(2), 0L))
+    Some((sums(0), sums(1), sums(2), p))
+  }
+
+  /** ANIMATED GIF frame walk: canvas dims + one record per frame —
+    * geometry (x, y, w, h against the logical screen), the preceding
+    * Graphic Control Extension's delay in centiseconds (0 if none),
+    * and the REAL decoded per-frame channel sums (each frame is its
+    * own LZW stream). Extensions other than GCE (NETSCAPE loop,
+    * comments, plain text) are length-walked and skipped — the block
+    * grammar, not a fixed layout. Refusals: no global color table,
+    * local tables/interlace (the [[decodeGifPixels]] seam), frame
+    * rectangles escaping the canvas, malformed sub-block chains, a
+    * missing trailer, zero frames — None, never a throw or spin.
+    * Returns (canvasW, canvasH, frames = (idx, x, y, w, h, delayCs,
+    * nPixels, sumR, sumG, sumB)). */
+  private[graft] def decodeGifFrames(bytes0: Array[Byte])
+      : Option[(Int, Int, Vector[(Int, Int, Int, Int, Int, Int, Long, Long, Long, Long)])] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 14) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val canvasW = u16le(bytes, 6)
+    val canvasH = u16le(bytes, 8)
+    if (canvasW <= 0 || canvasH <= 0 || canvasW > (1 << 14) || canvasH > (1 << 14))
+      return None
+    val gctFlag = (bytes(10) & 0x80) != 0
+    val gctBits = (bytes(10) & 0x07) + 1
+    if (!gctFlag) return None
+    val gctLen = 3 * (1 << gctBits)
+    var p = 13
+    if (p + gctLen > bytes.length) return None
+    val palette = java.util.Arrays.copyOfRange(bytes, p, p + gctLen)
+    p += gctLen
+    val frames = Vector.newBuilder[(Int, Int, Int, Int, Int, Int, Long, Long, Long, Long)]
+    var nFrames = 0
+    var pendingDelay = 0
+    var sawTrailer = false
+    while (!sawTrailer) {
+      if (p >= bytes.length) return None
+      (bytes(p) & 0xff) match {
+        case 0x21 => // extension: introducer, label, length-walked sub-blocks
+          if (p + 2 > bytes.length) return None
+          val label = bytes(p + 1) & 0xff
+          if (label == 0xf9 && p + 7 <= bytes.length && (bytes(p + 2) & 0xff) >= 4)
+            pendingDelay = u16le(bytes, p + 4)
+          p += 2
+          var doneExt = false
+          while (!doneExt) {
+            if (p >= bytes.length) return None
+            val len = bytes(p) & 0xff
+            if (len == 0) { doneExt = true; p += 1 }
+            else {
+              if (p + 1 + len > bytes.length) return None
+              p += 1 + len
+            }
+          }
+        case 0x2c => // image descriptor
+          if (p + 10 > bytes.length) return None
+          val x0 = u16le(bytes, p + 1); val y0 = u16le(bytes, p + 3)
+          val w = u16le(bytes, p + 5); val h = u16le(bytes, p + 7)
+          val imgPacked = bytes(p + 9) & 0xff
+          if ((imgPacked & 0x80) != 0 || (imgPacked & 0x40) != 0) return None
+          if (w <= 0 || h <= 0 || x0 + w > canvasW || y0 + h > canvasH) return None
+          val nPix = w.toLong * h
+          if (nPix > (1L << 26)) return None
+          gifLzwImage(bytes, p + 10, nPix, palette) match {
+            case Some((sr, sg, sb, pNext)) =>
+              frames += ((nFrames, x0, y0, w, h, pendingDelay, nPix, sr, sg, sb))
+              nFrames += 1
+              pendingDelay = 0
+              p = pNext
+            case None => return None
+          }
+        case 0x3b => sawTrailer = true
+        case _ => return None
+      }
+    }
+    if (nFrames == 0) None else Some((canvasW, canvasH, frames.result()))
+  }
+
+  /** [[decodeGifFrames]] at scale: one output row per frame,
+    * constant-memory per-partition iteration, non-animated-decodable
+    * payloads dropped. The video-adjacent curation readout: frame
+    * count, per-frame geometry/delay (scene pacing), real pixel sums
+    * per frame (content drift across the animation). */
+  def gifFrames(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("canvas_w", LongType, nullable = false),
+      StructField("canvas_h", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("x", LongType, nullable = false),
+      StructField("y", LongType, nullable = false),
+      StructField("w", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("delay_cs", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeGifFrames(r.getAs[Array[Byte]](1)).toSeq.flatMap {
+          case (cw, ch, frames) =>
+            frames.map { case (fi, x0, y0, w, h, d, np, sr, sg, sb) =>
+              Row(r.getLong(0), cw.toLong, ch.toLong, fi.toLong, x0.toLong,
+                y0.toLong, w.toLong, h.toLong, d.toLong, np, sr, sg, sb)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE animated GIF89a: NETSCAPE loop extension, then per
+    * frame a Graphic Control Extension (delay (3 + (id+7f) mod 50) cs)
+    * + image descriptor + its own LZW stream. Frame 0 is full-canvas;
+    * frames f ≥ 1 are SUB-RECTANGLES (w = 1+(id+f) mod W, h =
+    * 1+(id+2f) mod H at x = (id+3f) mod (W−w+1), y = (id+5f) mod
+    * (H−h+1)) — the partial-update shape real animations ship. Frame
+    * pixels index (id + x + 3r + 5f) mod 16 in frame-LOCAL coords
+    * through the standard 16-entry analytic palette. */
+  private[graft] def animatedGifBytes(id: Long, canvasW: Int, canvasH: Int,
+                                      nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(canvasW); w16(canvasH)
+    out.write(0x80 | 0x03); out.write(0); out.write(0)
+    for (j <- 0 until 16) {
+      out.write((((id + 3 * j) % 256) + 256).toInt % 256)
+      out.write((((id + 5 * j) % 256) + 256).toInt % 256)
+      out.write((((id + 7 * j) % 256) + 256).toInt % 256)
+    }
+    // NETSCAPE 2.0 looping application extension (walked, not parsed)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); w16(0) // loop forever
+    out.write(0)
+    for (f <- 0 until nFrames) {
+      val (w, h, x0, y0) =
+        if (f == 0) (canvasW, canvasH, 0, 0)
+        else {
+          val w = (1 + (id + f) % canvasW).toInt
+          val h = (1 + (id + 2L * f) % canvasH).toInt
+          ((w, h, ((id + 3L * f) % (canvasW - w + 1)).toInt,
+            ((id + 5L * f) % (canvasH - h + 1)).toInt))
+        }
+      // GCE: block size 4, packed 0, delay, no transparent index
+      out.write(0x21); out.write(0xf9); out.write(4); out.write(0)
+      w16((3 + (id + 7L * f) % 50).toInt); out.write(0); out.write(0)
+      out.write(0x2c); w16(x0); w16(y0); w16(w); w16(h); out.write(0)
+      out.write(4)
+      val idx = Array.tabulate(w * h) { k =>
+        val x = k % w; val r = k / w
+        ((((id + x + 3L * r + 5L * f) % 16) + 16) % 16).toInt
+      }
+      val lzw = gifLzwEncode(idx, 4)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Deterministic animated GIFs keyed on doc_id: canvas (2+id%9) ×
+    * (2+id%6), 1 + id%4 frames. */
+  def syntheticAnimatedGifBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, animatedGifBytes(id, (2 + id % 9).toInt, (2 + id % 6).toInt,
+          (1 + id % 4).toInt))
+      }
+    }(enc)
   }
 
   /** [[decodeGifPixels]] at scale: constant-memory per-partition
@@ -2164,6 +2381,12 @@ object Multimodal {
     * is split across two IDAT chunks to exercise concatenation. */
   /** Forward-filter reconstructed rows (filter type per row from
     * `rowFilter`) into the filter-byte-prefixed raw scanline stream. */
+  /** Adam7 pass grid (PNG spec §8.2): (xStart, yStart, xStep, yStep)
+    * per pass; the seven passes partition every pixel exactly once. */
+  private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   private def pngFilterRows(recon: Array[Array[Int]], bpx: Int,
                             rowFilter: Int => Int): Array[Byte] = {
     val height = recon.length
@@ -2208,12 +2431,13 @@ object Multimodal {
   /** Assemble a complete PNG: IHDR, optional PLTE, the zlib stream
     * split across TWO IDATs (exercising concatenation), IEND. */
   private def pngAssemble(width: Int, height: Int, colorType: Int,
-                          z: Array[Byte], plte: Option[Array[Byte]]): Array[Byte] = {
+                          z: Array[Byte], plte: Option[Array[Byte]],
+                          interlace: Int = 0): Array[Byte] = {
     val ihdrPayload = {
       val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
       b.putInt(width).putInt(height)
       b.put(8.toByte).put(colorType.toByte)
-      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.put(0.toByte).put(0.toByte).put(interlace.toByte)
       b.array()
     }
     val cut = z.length / 2
@@ -2236,6 +2460,49 @@ object Multimodal {
     val recon = Array.tabulate(height, stride) { (r, i) => px(i / channels, r, i % channels) }
     val raw = pngFilterRows(recon, channels, r => ((id + r) % 5).toInt)
     pngAssemble(width, height, colorType, deflateBytes(raw), None)
+  }
+
+  /** [[pngPixelBytes]]' pixels in ADAM7 INTERLACED encoding: the same
+    * analytic (x, row) grid extracted into the seven pass sub-images,
+    * each forward-filtered independently (filter (id + pass + row) % 5
+    * so every filter type appears INSIDE passes), one zlib stream.
+    * Decoded sums must equal the sequential twin's — the progressive-
+    * JPEG trick: the interlaced query shares the sequential oracle
+    * verbatim, so a hash match proves the pass walk is transparent. */
+  private[graft] def pngInterlacedPixelBytes(id: Long, width: Int, height: Int,
+                                             colorType: Int): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val mk = Array(2, 5, 1, 1); val nk = Array(3, 1, 7, 1)
+    def px(x: Int, r: Int, k: Int): Int = (((id + mk(k) * x + nk(k) * r) % 256) + 256).toInt % 256
+    val out = new java.io.ByteArrayOutputStream()
+    Adam7Passes.zipWithIndex.foreach { case ((x0, y0, dx, dy), pi) =>
+      val w0 = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val h0 = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (w0 > 0 && h0 > 0) {
+        val recon = Array.tabulate(h0, w0 * channels) { (ry, i) =>
+          px(x0 + (i / channels) * dx, y0 + ry * dy, i % channels)
+        }
+        out.write(pngFilterRows(recon, channels, r => ((id + pi + r) % 5).toInt))
+      }
+    }
+    pngAssemble(width, height, colorType, deflateBytes(out.toByteArray),
+      None, interlace = 1)
+  }
+
+  /** Deterministic ADAM7-interlaced PNGs — [[syntheticPngBlobs]]' dims,
+    * color types and pixels exactly, in interlaced encoding. */
+  def syntheticInterlacedPngBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val colorType = Array(0, 2, 6)((id % 3).toInt)
+        Row(id, pngInterlacedPixelBytes(id, (1 + id % 13).toInt, (1 + id % 9).toInt, colorType))
+      }
+    }(enc)
   }
 
   /** A COMPLETE indexed (colorType 3) PNG: 16-entry palette with

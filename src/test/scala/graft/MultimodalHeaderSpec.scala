@@ -1040,6 +1040,108 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF frames: block-grammar walk, per-frame LZW + geometry + " +
+    "delays, ImageIO differential, refusals") {
+    // hand-checked 2-frame animation: id=5, canvas 6×4
+    //   frame 0: full canvas, delay 3 + 5%50 = 8
+    //   frame 1: w = 1+(5+1)%6 = 1, h = 1+(5+2)%4 = 4,
+    //            x = (5+3)%(6-1+1) = 2, y = (5+5)%(4-4+1) = 0, delay 3+12 = 15
+    val two = Multimodal.animatedGifBytes(5L, 6, 4, 2)
+    val got = Multimodal.decodeGifFrames(two).get
+    assert(got._1 === 6 && got._2 === 4)
+    val fs = got._3
+    assert(fs.map(f => (f._1, f._2, f._3, f._4, f._5, f._6)) ===
+      Vector((0, 0, 0, 6, 4, 8), (1, 2, 0, 1, 4, 15)))
+    // plain single-frame GIF87a (no GCE): 1 frame, delay 0, sums match
+    // the single-image decoder
+    val plain = Multimodal.gifBytes(9L, 5, 3)
+    val pf = Multimodal.decodeGifFrames(plain).get
+    val single = Multimodal.decodeGifPixels(plain).get
+    assert(pf._3.length === 1)
+    assert((pf._3.head._6, pf._3.head._8, pf._3.head._9, pf._3.head._10) ===
+      ((0, single._5, single._6, single._7)))
+    // ImageIO differential across fixture ids: frame count, dims, sums
+    for (id <- 0L until 24L) {
+      val bytes = Multimodal.animatedGifBytes(id, (2 + id % 9).toInt,
+        (2 + id % 6).toInt, (1 + id % 4).toInt)
+      val frames = Multimodal.decodeGifFrames(bytes).get._3
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) === frames.length, s"frame count id=$id")
+      for (fi <- frames.indices) {
+        val img = reader.read(fi)
+        val f = frames(fi)
+        assert((img.getWidth, img.getHeight) === ((f._4, f._5)), s"dims id=$id f=$fi")
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+        }
+        assert((er, eg, eb) === ((f._8, f._9, f._10)), s"sums id=$id f=$fi")
+      }
+      reader.dispose(); iis.close()
+    }
+    // refusals: truncation never throws; a frame escaping the canvas
+    // refuses; an unknown block type refuses
+    for (cut <- 0 until two.length by 3)
+      assert(Multimodal.decodeGifFrames(two.take(cut)).isEmpty, s"cut=$cut")
+    val esc = two.clone()
+    // first image descriptor starts after header(13) + GCT(48) +
+    // NETSCAPE ext(19) + GCE(8); widen its width beyond the canvas
+    val desc = 13 + 48 + 19 + 8
+    assert((esc(desc) & 0xff) === 0x2c, "fixture layout sanity")
+    esc(desc + 5) = 99.toByte
+    assert(Multimodal.decodeGifFrames(esc).isEmpty, "frame escaping canvas")
+    val junk = two.clone()
+    junk(desc) = 0x55.toByte
+    assert(Multimodal.decodeGifFrames(junk).isEmpty, "unknown block type")
+  }
+
+  test("Adam7 interlaced PNG: decode ≡ sequential twin on every dim/color " +
+    "combo, ImageIO differential, refusals") {
+    // the seven passes partition every pixel once — sums must match
+    // the sequential encoding exactly, including edge dims where
+    // several passes are EMPTY (w or h ≤ 4) and the 1×1 corner where
+    // only pass 1 exists
+    for (id <- 0L until 48L) {
+      val (w, h) = ((1 + id % 13).toInt, (1 + id % 9).toInt)
+      val colorType = Array(0, 2, 6)((id % 3).toInt)
+      val seqPng = Multimodal.pngPixelBytes(id, w, h, colorType)
+      val intPng = Multimodal.pngInterlacedPixelBytes(id, w, h, colorType)
+      assert(!seqPng.sameElements(intPng), "encodings must actually differ")
+      assert(Multimodal.decodePngPixels(intPng) === Multimodal.decodePngPixels(seqPng),
+        s"id=$id ${w}x$h ct=$colorType")
+      // independent referee: ImageIO de-interlaces too
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(intPng))
+      assert(img != null, s"ImageIO must accept interlaced fixture id=$id")
+      assert(img.getWidth === w && img.getHeight === h)
+      // raw raster samples, NOT getRGB — getRGB routes TYPE_BYTE_GRAY
+      // through a colorspace conversion (gamma) and corrupts the sums
+      val raster = img.getRaster
+      val nb = raster.getNumBands
+      val bands = Array.tabulate(math.min(nb, 3)) { b =>
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += raster.getSample(x, y, b)
+        s
+      }
+      val (_, _, ch, _, sr, sg, sb, _) = Multimodal.decodePngPixels(intPng).get
+      if (ch === 1) assert(bands.toSeq === Seq(sr), s"gray id=$id")
+      else assert(bands.toSeq === Seq(sr, sg, sb), s"rgb id=$id")
+    }
+    // truncations refuse, never throw — any cut into the IDAT payload
+    // (everything before the trailing 12-byte IEND) loses deflate
+    // bytes; cuts that only drop IEND still decode (lenient trailer,
+    // same as the sequential path)
+    val good = Multimodal.pngInterlacedPixelBytes(7L, 8, 6, 2)
+    for (cut <- 0 until good.length - 12 by 7)
+      assert(Multimodal.decodePngPixels(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.decodePngPixels(good.take(good.length - 12)).isDefined)
+    val bad = good.clone(); bad(28) = 2.toByte
+    assert(Multimodal.decodePngPixels(bad).isEmpty, "interlace 2 is out of spec")
+  }
+
   test("orientation-aware aHash: all 8 EXIF orientations of one scene hash " +
     "identically; no-EXIF falls back to as-stored") {
     import spark.implicits._
