@@ -1153,6 +1153,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Baseline TIFF decode: standalone-file IFD walk in both byte
+    // orders (gray/RGB, multi-strip with offset-indirected
+    // StripOffsets/ByteCounts arrays), strips concatenated into
+    // channel sums — the scan/document-corpus container.
+    "mm_decode_tiff" -> ((s, d) =>
+      Multimodal.decodeTiff(Multimodal.syntheticTiffBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // 16-BIT PNG decode: bytewise unfilter at the 2-byte sample
+    // stride, big-endian sample assembly — channel sums are of the
+    // 16-bit VALUES, so one byte-order or stride slip anywhere flips
+    // the row.
+    "mm_decode_png16" -> ((s, d) => {
+      Multimodal.decodePng(Multimodal.syntheticPng16Blobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANIMATED GIF frame inventory: block-grammar walk (NETSCAPE loop
     // + per-frame GCE + sub-rectangle image descriptors), each frame
     // LZW-decoded for real — frame count, geometry, delay pacing and
@@ -5281,6 +5303,44 @@ object SparkEntry {
         |       CAST(sum(b) AS BIGINT) AS sum_b,
         |       CAST(sum((y * 16 + x + 1) * (b + 256 * g + 65536 * r)) AS BIGINT) AS checksum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_tiff" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS w, 1 + doc_id % 8 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx),
+        |ks AS (SELECT doc_id, w, h, ch, x, r, unnest(range(0, ch)) AS k FROM px),
+        |sv AS (SELECT doc_id, w, h, ch, k,
+        |         (doc_id + 2 * x + 3 * r + 5 * k) % 256 AS v FROM ks)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM sv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_png16" ->
+      """WITH d AS (SELECT doc_id,
+        |    1 + doc_id % 10 AS w,
+        |    1 + doc_id % 7 AS h,
+        |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx),
+        |ks AS (SELECT doc_id, w, h, ch, x, r, unnest(range(0, ch)) AS k FROM px),
+        |sv AS (SELECT doc_id, w, h, ch, k,
+        |         (doc_id * 131 + 257 * x + 509 * r + 769 * k) % 65536 AS v FROM ks)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |       CAST(sum(CASE WHEN k = 3 THEN v ELSE 0 END) AS BIGINT) AS sum_a
+        |FROM sv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
 
     // frame-walk replay: geometry from the analytic sub-rectangle
     // rule, sums by substituting the palette formula into each

@@ -464,7 +464,9 @@ object Multimodal {
     * an out-of-range filter byte all yield `None`, never a throw or a
     * spin. ADAM7-interlaced images decode via the seven-pass walk
     * (each sub-image filtered independently; sums are placement-free).
-    * 16-bit-depth PNGs stay on the stub seam. */
+    * 16-bit-depth images decode too (bytewise unfilter at the wider
+    * pixel stride, big-endian sample assembly; sums are of 16-bit
+    * sample VALUES); 16-bit indexed refuses (out of spec). */
   private[graft] def decodePngPixels(bytes0: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
@@ -477,12 +479,16 @@ object Multimodal {
     val compression = bytes(26) & 0xff
     val filterMethod = bytes(27) & 0xff
     val interlace = bytes(28) & 0xff
-    if (depth != 8 || compression != 0 || filterMethod != 0 || interlace > 1) return None
+    if ((depth != 8 && depth != 16) || compression != 0 || filterMethod != 0 ||
+        interlace > 1) return None
     // colorType 3 = palette: 1 index byte per pixel, colors resolved
-    // through the PLTE chunk (captured in the walk below)
+    // through the PLTE chunk (captured in the walk below); palette
+    // images are 8-bit-max by spec — 16-bit indexed refuses
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return None
     }
+    if (depth == 16 && colorType == 3) return None
+    val sampleBytes = depth / 8
     if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
     if (width.toLong * height * channels > (1L << 26)) return None
     // chunk walk after IHDR (signature 8 + IHDR chunk 25 = 33):
@@ -507,7 +513,9 @@ object Multimodal {
     }
     if (idat.size() == 0) return None
     if (colorType == 3 && palette == null) return None // indexed with no PLTE
-    val bpx = channels
+    // filter distance = BYTES per pixel (PNG spec: ceil(depth/8) per
+    // sample × channels) — 16-bit rows unfilter bytewise at stride 2
+    val bpx = channels * sampleBytes
     // scanline layout: one sub-image for sequential PNGs, the seven
     // Adam7 sub-images (each filtered INDEPENDENTLY, empty passes
     // contribute no scanlines — PNG spec §8.2) for interlace 1. The
@@ -574,7 +582,9 @@ object Multimodal {
             sums(0) += palette(rec * 3) & 0xff
             sums(1) += palette(rec * 3 + 1) & 0xff
             sums(2) += palette(rec * 3 + 2) & 0xff
-          } else sums(i % bpx) += rec
+          } else if (sampleBytes == 1) sums(i % bpx) += rec
+          else if ((i & 1) == 1) // low byte completes a big-endian 16-bit sample
+            sums((i / 2) % channels) += (((raw(base + i - 1) & 0xff) << 8) | rec).toLong
           i += 1
         }
         r += 1
@@ -2432,11 +2442,11 @@ object Multimodal {
     * split across TWO IDATs (exercising concatenation), IEND. */
   private def pngAssemble(width: Int, height: Int, colorType: Int,
                           z: Array[Byte], plte: Option[Array[Byte]],
-                          interlace: Int = 0): Array[Byte] = {
+                          interlace: Int = 0, depth: Int = 8): Array[Byte] = {
     val ihdrPayload = {
       val b = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
       b.putInt(width).putInt(height)
-      b.put(8.toByte).put(colorType.toByte)
+      b.put(depth.toByte).put(colorType.toByte)
       b.put(0.toByte).put(0.toByte).put(interlace.toByte)
       b.array()
     }
@@ -2460,6 +2470,41 @@ object Multimodal {
     val recon = Array.tabulate(height, stride) { (r, i) => px(i / channels, r, i % channels) }
     val raw = pngFilterRows(recon, channels, r => ((id + r) % 5).toInt)
     pngAssemble(width, height, colorType, deflateBytes(raw), None)
+  }
+
+  /** A COMPLETE 16-bit-depth PNG (the scientific/scanner-pipeline
+    * depth): big-endian sample v(x,r,k) = (id·131 + 257x + 509r +
+    * 769k) mod 65536, rows forward-filtered BYTEWISE at the 2-byte
+    * sample stride with filter (id + r) % 5 — one encoding step past
+    * the 8-bit twins; the oracle re-enumerates the 16-bit values. */
+  private[graft] def pngPixel16Bytes(id: Long, width: Int, height: Int,
+                                     colorType: Int): Array[Byte] = {
+    val channels = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    def v(x: Int, r: Int, k: Int): Int =
+      ((id * 131 + 257L * x + 509L * r + 769L * k) % 65536).toInt
+    val recon = Array.tabulate(height, width * channels * 2) { (r, i) =>
+      val s = i / 2
+      val value = v(s / channels, r, s % channels)
+      if (i % 2 == 0) (value >> 8) & 0xff else value & 0xff
+    }
+    val raw = pngFilterRows(recon, channels * 2, r => ((id + r) % 5).toInt)
+    pngAssemble(width, height, colorType, deflateBytes(raw), None, depth = 16)
+  }
+
+  /** Deterministic 16-bit PNGs keyed on doc_id (grey/RGB/RGBA by
+    * id%3, dims arithmetic in doc_id). */
+  def syntheticPng16Blobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val colorType = Array(0, 2, 6)((id % 3).toInt)
+        Row(id, pngPixel16Bytes(id, (1 + id % 10).toInt, (1 + id % 7).toInt, colorType))
+      }
+    }(enc)
   }
 
   /** [[pngPixelBytes]]' pixels in ADAM7 INTERLACED encoding: the same
@@ -3672,6 +3717,216 @@ object Multimodal {
         })
         Row(id, withExif(jpeg,
           exifApp1(id % 2 == 1, "CAM-" + (id % 10), o, 64, 64)))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // TIFF (baseline, uncompressed strips) — the scan/document-corpus
+  // container: a standalone-file TIFF IFD walk (either byte order)
+  // reading the baseline tag set (dims, BitsPerSample, Compression,
+  // Photometric, strip offsets/counts, SamplesPerPixel, RowsPerStrip),
+  // strips concatenated row-major into channel sums. Distinct from
+  // [[exifMeta]] (an APP1-EMBEDDED TIFF carrying camera tags): this
+  // reads the IMAGE. Same untrusted-byte discipline.
+  // ------------------------------------------------------------------
+
+  /** Decode a baseline uncompressed striped TIFF: (width, height,
+    * channels, nPixels, sumR, sumG, sumB). Accepts 8-bit gray
+    * (photometric 1, spp 1) and RGB (photometric 2, spp 3), any
+    * RowsPerStrip; refuses compression, other photometrics, depths,
+    * short/overlong strips, or any out-of-bounds indirection — None,
+    * never a throw. */
+  private[graft] def decodeTiffPixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 8) return None
+    val big = tag(bytes, 0).take(2) match {
+      case "MM" => true
+      case "II" => false
+      case _ => return None
+    }
+    def ru16(o: Int): Int = {
+      if (o < 0 || o + 2 > bytes.length) throw new IndexOutOfBoundsException
+      val a = bytes(o) & 0xff; val b = bytes(o + 1) & 0xff
+      if (big) (a << 8) | b else (b << 8) | a
+    }
+    def ru32(o: Int): Long = {
+      if (o < 0 || o + 4 > bytes.length) throw new IndexOutOfBoundsException
+      if (big) (ru16(o).toLong << 16) | ru16(o + 2)
+      else (ru16(o + 2).toLong << 16) | ru16(o)
+    }
+    if (ru16(2) != 42) return None
+    val ifd = ru32(4).toInt
+    val n = ru16(ifd)
+    if (n <= 0 || n > 256) return None
+    // typed value reader: SHORT (3) / LONG (4) arrays, inline if they
+    // fit the 4-byte field, behind an offset otherwise
+    def values(typ: Int, cnt: Long, valOff: Int): Array[Long] = {
+      val size = typ match { case 3 => 2; case 4 => 4; case _ => return Array.emptyLongArray }
+      if (cnt <= 0 || cnt > (1 << 20)) throw new IndexOutOfBoundsException
+      val base = if (cnt * size <= 4) valOff else ru32(valOff).toInt
+      Array.tabulate(cnt.toInt)(i =>
+        if (typ == 3) ru16(base + 2 * i).toLong else ru32(base + 4 * i))
+    }
+    var width = -1L; var height = -1L; var spp = 1L
+    var rps = -1L; var compression = 1L; var photometric = -1L
+    var bps: Array[Long] = Array(8L)
+    var stripOffs: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      val etag = ru16(e); val typ = ru16(e + 2); val cnt = ru32(e + 4)
+      val valOff = e + 8
+      def one: Long = values(typ, 1, valOff)(0)
+      etag match {
+        case 256 => width = one
+        case 257 => height = one
+        case 258 => bps = values(typ, cnt, valOff)
+        case 259 => compression = one
+        case 262 => photometric = one
+        case 273 => stripOffs = values(typ, cnt, valOff)
+        case 277 => spp = one
+        case 278 => rps = one
+        case 279 => stripCounts = values(typ, cnt, valOff)
+        case _ => () // baseline readers tolerate unknown tags
+      }
+      i += 1
+    }
+    if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
+    if (compression != 1) return None
+    val channels = photometric match {
+      case 1 => 1
+      case 2 => 3
+      case _ => return None
+    }
+    if (spp != channels) return None
+    if (bps.length != channels || bps.exists(_ != 8L)) return None
+    if (stripOffs == null || stripCounts == null ||
+        stripOffs.length != stripCounts.length) return None
+    val rowsPer = if (rps <= 0) height else rps
+    val nStrips = ((height + rowsPer - 1) / rowsPer).toInt
+    if (stripOffs.length != nStrips) return None
+    if (width * height * channels > (1L << 26)) return None
+    val rowBytes = width * channels
+    val sums = new Array[Long](3)
+    var s = 0
+    var rowsLeft = height
+    while (s < nStrips) {
+      val rows = math.min(rowsPer, rowsLeft)
+      if (stripCounts(s) != rows * rowBytes) return None
+      val off = stripOffs(s)
+      if (off < 0 || off + stripCounts(s) > bytes.length) return None
+      var j = 0
+      val lim = (rows * rowBytes).toInt
+      val o0 = off.toInt
+      while (j < lim) {
+        sums(j % channels) += bytes(o0 + j) & 0xff
+        j += 1
+      }
+      rowsLeft -= rows
+      s += 1
+    }
+    Some((width.toInt, height.toInt, channels, width * height,
+      sums(0), if (channels == 3) sums(1) else 0L,
+      if (channels == 3) sums(2) else 0L))
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[decodeTiffPixels]] at scale: constant-memory per-partition
+    * iteration, non-TIFF payloads dropped. */
+  def decodeTiff(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeTiffPixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sr, sg, sb) =>
+            Row(r.getLong(0), w.toLong, h.toLong, ch.toLong, np, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE baseline striped TIFF in either byte order: 9-entry
+    * IFD (dims, per-channel BitsPerSample, Compression 1, Photometric,
+    * StripOffsets/ByteCounts as LONG arrays — inline when one strip,
+    * behind offsets otherwise — SamplesPerPixel, RowsPerStrip),
+    * pixel sample v(x,r,k) = (id + 2x + 3r + 5k) mod 256. */
+  private[graft] def tiffBytes(id: Long, width: Int, height: Int,
+      channels: Int, bigEndian: Boolean, rowsPerStrip: Int): Array[Byte] = {
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val rowBytes = width * channels
+    // layout: header 8 | IFD 2+9·12+4 | values area | strips
+    val ifdLen = 2 + 9 * 12 + 4
+    var extra = 0
+    val bpsOff = 8 + ifdLen + extra
+    if (channels == 3) extra += 6
+    val soOff = 8 + ifdLen + extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val scOff = 8 + ifdLen + extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val dataOff = 8 + ifdLen + extra
+    val total = dataOff + height * rowBytes
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(9)
+    def entry(tag: Int, typ: Int, cnt: Int)(value: java.nio.ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    def stripOff(s: Int): Int = dataOff + s * rowsPerStrip * rowBytes
+    def stripCount(s: Int): Int =
+      math.min(rowsPerStrip, height - s * rowsPerStrip) * rowBytes
+    entry(256, 4, 1)(_.putInt(width))
+    entry(257, 4, 1)(_.putInt(height))
+    if (channels == 3) entry(258, 3, 3)(_.putInt(bpsOff))
+    else entry(258, 3, 1)(_.putShort(8))
+    entry(259, 3, 1)(_.putShort(1))
+    entry(262, 3, 1)(_.putShort(if (channels == 3) 2 else 1))
+    if (nStrips > 1) entry(273, 4, nStrips)(_.putInt(soOff))
+    else entry(273, 4, 1)(_.putInt(stripOff(0)))
+    entry(277, 3, 1)(_.putShort(channels.toShort))
+    entry(278, 4, 1)(_.putInt(rowsPerStrip))
+    if (nStrips > 1) entry(279, 4, nStrips)(_.putInt(scOff))
+    else entry(279, 4, 1)(_.putInt(stripCount(0)))
+    b.putInt(0) // next IFD: none
+    if (channels == 3) { b.putShort(8); b.putShort(8); b.putShort(8) }
+    if (nStrips > 1) {
+      for (s <- 0 until nStrips) b.putInt(stripOff(s))
+      for (s <- 0 until nStrips) b.putInt(stripCount(s))
+    }
+    for (r <- 0 until height; x <- 0 until width; k <- 0 until channels)
+      b.put((((id + 2L * x + 3L * r + 5L * k) % 256)).toByte)
+    b.array()
+  }
+
+  /** Deterministic baseline TIFFs keyed on doc_id: gray (id%3 = 0) or
+    * RGB, byte order by id parity, RowsPerStrip 1 + id%3 (so most
+    * docs are MULTI-strip with offset-indirected arrays). */
+  def syntheticTiffBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, tiffBytes(id, (1 + id % 12).toInt, (1 + id % 8).toInt,
+          if (id % 3 == 0) 1 else 3, id % 2 == 1, (1 + id % 3).toInt))
       }
     }(enc)
   }

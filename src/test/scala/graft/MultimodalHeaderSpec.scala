@@ -1040,6 +1040,92 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("baseline TIFF: both byte orders, multi-strip offset arrays, ImageIO " +
+    "differential, refusals") {
+    for (id <- 0L until 30L) {
+      val (w, h) = ((1 + id % 12).toInt, (1 + id % 8).toInt)
+      val ch = if (id % 3 == 0) 1 else 3
+      val tiff = Multimodal.tiffBytes(id, w, h, ch, id % 2 == 1, (1 + id % 3).toInt)
+      val got = Multimodal.decodeTiffPixels(tiff)
+      assert(got.isDefined, s"id=$id")
+      val (gw, gh, gch, np, sr, sg, sb) = got.get
+      assert((gw, gh, gch, np) === ((w, h, ch, w.toLong * h)))
+      def v(x: Int, r: Int, k: Int): Long = (id + 2L * x + 3L * r + 5L * k) % 256
+      val exp = Array.tabulate(ch)(k =>
+        (for (x <- 0 until w; r <- 0 until h) yield v(x, r, k)).sum)
+      assert(sr === exp(0), s"id=$id")
+      if (ch == 3) assert((sg, sb) === ((exp(1), exp(2))), s"id=$id")
+      // independent referee: the JDK's TIFF plugin (Java 9+)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+      assert(img != null, s"ImageIO must accept id=$id")
+      assert(img.getWidth === w && img.getHeight === h)
+      val raster = img.getRaster
+      for (k <- 0 until math.min(raster.getNumBands, ch)) {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += raster.getSample(x, y, k)
+        assert(s === exp(k), s"ImageIO band $k id=$id")
+      }
+    }
+    // refusals: truncation fuzz never throws; compressed/16-bit/planar
+    // variants refuse via the tag checks; EXIF's APP1 TIFF is not a file
+    val good = Multimodal.tiffBytes(5L, 6, 5, 3, bigEndian = false, rowsPerStrip = 2)
+    for (cut <- 0 until good.length by 5)
+      assert(Multimodal.decodeTiffPixels(good.take(cut)).isEmpty, s"cut=$cut")
+    for (i <- 0 until math.min(good.length, 140)) {
+      val mut = good.clone(); mut(i) = (mut(i) ^ 0x3c).toByte
+      Multimodal.decodeTiffPixels(mut) // must never throw
+    }
+    assert(Multimodal.decodeTiffPixels(null).isEmpty)
+    assert(Multimodal.decodeTiffPixels(Multimodal.jpegBaselineBytes(3L)).isEmpty)
+    // compression != 1 refuses: entry 4 (tag 259) value field —
+    // header 8 + count 2 + 3 entries of 12 + tag/type/count 8 = byte 54
+    val comp = good.clone()
+    assert(((comp(54) & 0xff) | ((comp(55) & 0xff) << 8)) === 1, "layout sanity")
+    comp(54) = 5.toByte // LZW
+    assert(Multimodal.decodeTiffPixels(comp).isEmpty, "compressed must refuse")
+  }
+
+  test("16-bit PNG: big-endian sample sums vs ImageIO, filters at the wide " +
+    "stride, 16-bit indexed refuses") {
+    for (id <- 0L until 30L) {
+      val (w, h) = ((1 + id % 10).toInt, (1 + id % 7).toInt)
+      val colorType = Array(0, 2, 6)((id % 3).toInt)
+      val png = Multimodal.pngPixel16Bytes(id, w, h, colorType)
+      val got = Multimodal.decodePngPixels(png)
+      assert(got.isDefined, s"id=$id")
+      val (gw, gh, ch, np, sr, sg, sb, sa) = got.get
+      assert((gw, gh, np) === ((w, h, w.toLong * h)))
+      // analytic expectation
+      def v(x: Int, r: Int, k: Int): Long =
+        (id * 131 + 257L * x + 509L * r + 769L * k) % 65536
+      val nch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val exp = Array.tabulate(nch)(k =>
+        (for (x <- 0 until w; r <- 0 until h) yield v(x, r, k)).sum)
+      assert(ch === nch)
+      assert(sr === exp(0), s"id=$id sum_r")
+      if (nch >= 3) { assert(sg === exp(1)); assert(sb === exp(2)) }
+      if (nch == 4) assert(sa === exp(3))
+      // independent referee: ImageIO reads 16-bit rasters natively
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO must accept id=$id")
+      val raster = img.getRaster
+      for (k <- 0 until math.min(raster.getNumBands, nch)) {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += raster.getSample(x, y, k)
+        assert(s === exp(k), s"ImageIO band $k id=$id")
+      }
+    }
+    // 16-bit indexed is out of spec → refuse (flip depth on a palette PNG)
+    val pal = Multimodal.pngPalettePixelBytes(3L, 5, 4)
+    assert(Multimodal.decodePngPixels(pal).isDefined)
+    val bad = pal.clone(); bad(24) = 16.toByte
+    assert(Multimodal.decodePngPixels(bad).isEmpty, "16-bit indexed must refuse")
+    // truncations refuse (same trailer leniency as the 8-bit paths)
+    val good = Multimodal.pngPixel16Bytes(4L, 6, 5, 2)
+    for (cut <- 0 until good.length - 12 by 9)
+      assert(Multimodal.decodePngPixels(good.take(cut)).isEmpty, s"cut=$cut")
+  }
+
   test("animated GIF frames: block-grammar walk, per-frame LZW + geometry + " +
     "delays, ImageIO differential, refusals") {
     // hand-checked 2-frame animation: id=5, canvas 6×4
