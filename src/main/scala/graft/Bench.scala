@@ -154,14 +154,19 @@ object Bench {
     val exceedsPrior = results.count { case (_, (m, _)) =>
       m.flags.contains("exceeds_prior_steady") ||
         m.flags.contains("steady_exceeds_prior") }
-    val (steadySum, refSum) = results.toSeq.foldLeft((0.0, 0.0)) {
-      case ((a, b), (k, (m, _))) =>
-        (for (s <- m.steady; r <- ref.get(k)) yield (a + s, b + r))
-          .getOrElse((a, b))
+    val (steadySum, refSum, nCovered) = results.toSeq.foldLeft((0.0, 0.0, 0)) {
+      case ((a, b, c), (k, (m, _))) =>
+        (for (s <- m.steady; r <- ref.get(k)) yield (a + s, b + r, c + 1))
+          .getOrElse((a, b, c))
     }
+    // the ratio is reported whenever computable but only counts toward
+    // degraded_host with enough committed entries behind it (a dev
+    // subset of new queries must not indict the host on one entry)
     val aggRatio = if (refSum > 0) Some(steadySum / refSum) else None
+    val aggRatioForVerdict =
+      if (nCovered >= BenchPolicy.MinAggCoverage) aggRatio else None
     val degraded = BenchPolicy.degradedHost(results.size, attention, extraRuns,
-      exceedsPrior, aggRatio)
+      exceedsPrior, aggRatioForVerdict)
     if (degraded)
       System.err.println("[bench] DEGRADED_HOST: " +
         s"$attention queries flagged, $extraRuns defensive re-runs, " +

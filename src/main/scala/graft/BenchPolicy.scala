@@ -136,6 +136,15 @@ object BenchPolicy {
     * all of them as host weather. */
   val AggSteadyRatio = 1.5
 
+  /** Minimum ref-covered queries for the aggregate-ratio tripwire to
+    * be meaningful: over 1–4 queries the "aggregate" is just one or
+    * two short queries' jitter (a SPARK_GRAFT_BENCH_ONLY dev subset
+    * of brand-new queries tripped it on a single 0.3 s entry), so the
+    * ratio only indicts the session when at least this many committed
+    * entries back it. Full driver runs cover the whole table and are
+    * unaffected. */
+  val MinAggCoverage = 5
+
   /** Unresolved prior-excess flags in one run at which the session is
     * suspect: ONE such flag can be a real regression; five at once on
     * zero commits touching those plans is host weather. */

@@ -159,4 +159,16 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!BenchPolicy.degradedHost(nQueries = 213, nFlagged = 0, extraRuns = 0,
       nExceedsPrior = 0, aggSteadyRatio = None))
   }
+
+  test("aggregate tripwire needs MinAggCoverage committed entries behind it") {
+    // Bench passes aggSteadyRatio=None to the verdict when fewer than
+    // MinAggCoverage ref-covered queries ran (a dev subset of new
+    // queries tripped degraded_host on a SINGLE 0.3 s committed entry
+    // reading 1.75x — one short query's jitter is not a session
+    // verdict). The policy constant is what Bench keys the gate on.
+    assert(BenchPolicy.MinAggCoverage === 5)
+    // and with the gate applied (None reaches the verdict), nothing trips
+    assert(!BenchPolicy.degradedHost(nQueries = 8, nFlagged = 0, extraRuns = 0,
+      nExceedsPrior = 0, aggSteadyRatio = None))
+  }
 }
