@@ -1153,6 +1153,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MP3 metadata walk: ID3v2.3 text frames (syncsafe container,
+    // per-frame sizes) + the first MPEG1 Layer III header through the
+    // real bitrate/samplerate tables — title/artist/bitrate/rate/
+    // frame-length stream facts without decoding audio.
+    "mm_audio_mp3_meta" -> ((s, d) =>
+      Multimodal.mp3Metadata(Multimodal.syntheticMp3Blobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // ZIP entry inventory with VERIFIED decode: EOCD scan → central
+    // directory → per-entry stored/raw-deflate decode, CRC32 + size
+    // checked against the directory's claims — the epub/docx/jar
+    // document-container ingest.
+    "mm_zip_entries" -> ((s, d) =>
+      Multimodal.zipInventory(Multimodal.syntheticZipBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("entry_idx"))),
+
     // Baseline TIFF decode: standalone-file IFD walk in both byte
     // orders (gray/RGB, multi-strip with offset-indirected
     // StripOffsets/ByteCounts arrays), strips concatenated into
@@ -5303,6 +5319,40 @@ object SparkEntry {
         |       CAST(sum(b) AS BIGINT) AS sum_b,
         |       CAST(sum((y * 16 + x + 1) * (b + 256 * g + 65536 * r)) AS BIGINT) AS checksum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // table replay: the MPEG1 Layer III bitrate/samplerate tables as
+    // literal lists, frame length by the 144000·kbps // hz rule.
+    "mm_audio_mp3_meta" ->
+      """WITH t AS (SELECT doc_id,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+        |      [CAST(1 + doc_id % 14 AS INTEGER)] AS kbps,
+        |    ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1] AS hz
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Track ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+        |  'Artist ' || CAST(doc_id % 10 AS VARCHAR) AS artist,
+        |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+        |  CAST(hz AS BIGINT) AS sample_rate,
+        |  CAST(144000 * kbps // hz AS BIGINT) AS frame_bytes
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // inventory replay: names/methods from the entry-parity rule,
+    // sizes and payload byte-sums from the analytic formula — the
+    // CRC verification itself is decoder-side (corruption refusals
+    // spec-pinned; a wrong CRC drops the whole archive, so every
+    // emitted row IS a verified decode).
+    "mm_zip_entries" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+        |en AS (SELECT doc_id, unnest(range(0, n)) AS e FROM d),
+        |sz AS (SELECT doc_id, e, 10 + (doc_id + e) % 40 AS usize FROM en),
+        |bj AS (SELECT doc_id, e, usize, unnest(range(0, usize)) AS j FROM sz)
+        |SELECT doc_id, CAST(e AS BIGINT) AS entry_idx,
+        |  'doc_' || CAST(doc_id AS VARCHAR) || '_' || CAST(e AS VARCHAR) ||
+        |    CASE WHEN e % 2 = 0 THEN '.txt' ELSE '.json' END AS name,
+        |  CAST(CASE WHEN e % 2 = 0 THEN 0 ELSE 8 END AS BIGINT) AS method,
+        |  CAST(usize AS BIGINT) AS n_bytes,
+        |  CAST(sum((doc_id + 7 * e + j) % 256) AS BIGINT) AS sum_bytes
+        |FROM bj GROUP BY doc_id, e, usize ORDER BY doc_id, entry_idx""".stripMargin,
 
     "mm_decode_tiff" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS w, 1 + doc_id % 8 AS h,

