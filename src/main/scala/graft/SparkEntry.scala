@@ -1153,6 +1153,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC record walk — Common Crawl's container, THE training-data
+    // ingest format: version line + CRLF header block +
+    // Content-Length-framed payload per record, framing VERIFIED
+    // (any slack refuses the file); odd ids arrive as the wild
+    // transport — one gzip member per record, concatenated.
+    "mm_warc_records" -> ((s, d) =>
+      Multimodal.warcInventory(Multimodal.syntheticWarcBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("rec_idx"))),
+
     // MP3 metadata walk: ID3v2.3 text frames (syncsafe container,
     // per-frame sizes) + the first MPEG1 Layer III header through the
     // real bitrate/samplerate tables — title/artist/bitrate/rate/
@@ -5319,6 +5328,29 @@ object SparkEntry {
         |       CAST(sum(b) AS BIGINT) AS sum_b,
         |       CAST(sum((y * 16 + x + 1) * (b + 256 * g + 65536 * r)) AS BIGINT) AS checksum
         |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // record replay: warcinfo + response geometry/sums from the
+    // analytic payload rules — identical for plain and gzip transport
+    // (the transport must be invisible, which the parity of doc_id
+    // deliberately exercises).
+    "mm_warc_records" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS nresp FROM documents),
+        |info AS (SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type, '' AS uri,
+        |           10 + doc_id % 5 AS len, 0 AS base FROM d),
+        |resp AS (SELECT doc_id, 1 + r AS rec_idx, 'response' AS rec_type,
+        |           'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |             CAST(r AS VARCHAR) AS uri,
+        |           20 + (doc_id + 3 * r) % 30 AS len,
+        |           11 * (r + 1) AS base
+        |         FROM (SELECT doc_id, unnest(range(0, nresp)) AS r FROM d)),
+        |recs AS (SELECT * FROM info UNION ALL SELECT * FROM resp),
+        |bj AS (SELECT doc_id, rec_idx, rec_type, uri, len, base,
+        |         unnest(range(0, len)) AS j FROM recs)
+        |SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx, rec_type, uri,
+        |  CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(sum((doc_id + base + j) % 256) AS BIGINT) AS sum_bytes
+        |FROM bj GROUP BY doc_id, rec_idx, rec_type, uri, len, base
+        |ORDER BY doc_id, rec_idx""".stripMargin,
 
     // table replay: the MPEG1 Layer III bitrate/samplerate tables as
     // literal lists, frame length by the 144000·kbps // hz rule.

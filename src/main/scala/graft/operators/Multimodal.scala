@@ -3901,6 +3901,162 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // WARC (ISO 28500) — THE training-data container: Common Crawl and
+  // every serious web corpus ship WARC files (version line, CRLF
+  // header block, Content-Length-framed payload, CRLF CRLF record
+  // separator; in the wild each record is its own gzip member,
+  // concatenated). Record walk + verified payload framing, plain or
+  // member-gzip transport. Untrusted-byte discipline as everywhere.
+  // ------------------------------------------------------------------
+
+  /** Walk a WARC file (plain or concatenated-gzip-members): one tuple
+    * per record — (recIdx, warcType, targetUri ("" when absent),
+    * nBytes, sumBytes). Framing is VERIFIED: every record must carry
+    * Content-Length, the payload must be fully present, and the
+    * CRLF CRLF record separator must follow it exactly; any slack,
+    * truncation, or a malformed header block refuses the whole file
+    * (mis-framed WARCs silently corrupt every downstream record). */
+  private[graft] def warcRecords(bytes0: Array[Byte])
+      : Option[Vector[(Int, String, String, Long, Long)]] = try {
+    var bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 2) return None
+    if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      // gzip transport: JDK GZIPInputStream reads concatenated members
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size() > (1 << 26)) return None // decompression bomb cap
+        n = in.read(buf)
+      }
+      in.close()
+      bytes = out.toByteArray
+    }
+    val out = Vector.newBuilder[(Int, String, String, Long, Long)]
+    var p = 0
+    var idx = 0
+    def line(from: Int): Option[(String, Int)] = {
+      var i = from
+      while (i + 1 < bytes.length &&
+             !((bytes(i) & 0xff) == 0x0d && (bytes(i + 1) & 0xff) == 0x0a)) i += 1
+      if (i + 1 >= bytes.length) None
+      else Some((new String(bytes, from, i - from, "UTF-8"), i + 2))
+    }
+    while (p < bytes.length) {
+      val (ver, p1) = line(p).getOrElse(return None)
+      if (ver != "WARC/1.0" && ver != "WARC/1.1") return None
+      var q = p1
+      var warcType = ""; var uri = ""; var clen = -1L
+      var headersDone = false
+      while (!headersDone) {
+        val (h, qn) = line(q).getOrElse(return None)
+        q = qn
+        if (h.isEmpty) headersDone = true
+        else {
+          val colon = h.indexOf(':')
+          if (colon <= 0) return None
+          val key = h.substring(0, colon).trim.toLowerCase
+          val value = h.substring(colon + 1).trim
+          key match {
+            case "warc-type" => warcType = value
+            case "warc-target-uri" => uri = value
+            case "content-length" =>
+              clen = try value.toLong catch { case _: NumberFormatException => return None }
+            case _ => () // other headers tolerated, per spec
+          }
+        }
+      }
+      if (warcType.isEmpty || clen < 0 || clen > (1L << 26)) return None
+      if (q + clen + 4 > bytes.length) return None
+      var sum = 0L
+      var j = 0
+      while (j < clen) { sum += bytes(q + j.toInt) & 0xff; j += 1 }
+      val sep = q + clen.toInt
+      if ((bytes(sep) & 0xff) != 0x0d || (bytes(sep + 1) & 0xff) != 0x0a ||
+          (bytes(sep + 2) & 0xff) != 0x0d || (bytes(sep + 3) & 0xff) != 0x0a)
+        return None
+      out += ((idx, warcType, uri, clen, sum))
+      idx += 1
+      p = sep + 4
+    }
+    if (idx == 0) None else Some(out.result())
+  } catch {
+    case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+    case _: java.io.IOException => None // corrupt gzip transport
+  }
+
+  /** [[warcRecords]] at scale: one row per verified record,
+    * constant-memory per-partition iteration, non-WARC payloads
+    * dropped. */
+  def warcInventory(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("rec_type", StringType, nullable = false),
+      StructField("uri", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        warcRecords(r.getAs[Array[Byte]](1)).toSeq.flatMap { recs =>
+          recs.map { case (i, t, u, n, s) =>
+            Row(r.getLong(0), i.toLong, t, u, n, s)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE WARC keyed on doc_id: one warcinfo record (payload
+    * length 10 + id%5, byte j = (id + j) mod 256) followed by
+    * 1 + id%3 response records (URI https://ex.com/<id>/<r>, payload
+    * length 20 + (id + 3r) mod 30, byte j = (id + 11(r+1) + j) mod
+    * 256). Odd ids ship the REAL wild transport: each record its own
+    * gzip member, members concatenated. */
+  private[graft] def warcBytes(id: Long): Array[Byte] = {
+    def record(warcType: String, uri: Option[String], payload: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder()
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $warcType\r\n")
+      sb.append(s"WARC-Record-ID: <urn:graft:$id:$warcType>\r\n")
+      uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+      sb.append(s"Content-Length: ${payload.length}\r\n")
+      sb.append("\r\n")
+      sb.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val info = record("warcinfo", None,
+      Array.tabulate[Byte]((10 + id % 5).toInt)(j => ((id + j) % 256).toByte))
+    val responses = (0 until (1 + id % 3).toInt).map { r =>
+      record("response", Some(s"https://ex.com/$id/$r"),
+        Array.tabulate[Byte]((20 + (id + 3 * r) % 30).toInt)(j =>
+          ((id + 11 * (r + 1) + j) % 256).toByte))
+    }
+    val recs = info +: responses
+    if (id % 2 == 0) recs.reduce(_ ++ _)
+    else recs.map { rec => // one gzip member per record, concatenated
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.close()
+      bos.toByteArray
+    }.reduce(_ ++ _)
+  }
+
+  /** Deterministic WARCs keyed on doc_id (odd ids member-gzipped). */
+  def syntheticWarcBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), warcBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // MP3 (ID3v2 tag walk + MPEG frame header) — the music/podcast
   // corpus metadata: title/artist from the ID3v2.3 text frames
   // (syncsafe container size, per-frame walk), then the FIRST MPEG

@@ -1040,6 +1040,49 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  test("WARC walk: framed records plain + member-gzip, transport invisible, " +
+    "framing lies refuse") {
+    // hand-check id=4 (plain): warcinfo + 2 responses
+    val plain = Multimodal.warcBytes(4L)
+    val recs = Multimodal.warcRecords(plain).get
+    assert(recs.map(r => (r._1, r._2, r._3, r._4)) === Vector(
+      (0, "warcinfo", "", 14L),                       // 10 + 4%5
+      (1, "response", "https://ex.com/4/0", 24L),     // 20 + 4%30
+      (2, "response", "https://ex.com/4/1", 27L)))    // 20 + 7%30
+    assert(recs(0)._5 === (0 until 14).map(j => (4 + j) % 256).sum.toLong)
+    // member-gzip transport (id=5 is odd): same record structure
+    val gz = Multimodal.warcRecords(Multimodal.warcBytes(5L)).get
+    assert(gz.map(_._2) === Vector("warcinfo", "response", "response", "response"))
+    // single-member gzip of the whole plain stream parses identically
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(plain); g.close()
+    assert(Multimodal.warcRecords(bos.toByteArray) === Some(recs))
+    // framing lies refuse the whole file:
+    // (a) truncations never throw
+    for (cut <- 0 until plain.length by 7)
+      assert(Multimodal.warcRecords(plain.take(cut)).isEmpty, s"cut=$cut")
+    // (b) slack between payload and separator
+    val firstSep = {
+      // locate first record's separator: headers end + payload
+      val hdrEnd = new String(plain, "ISO-8859-1").indexOf("\r\n\r\n") + 4
+      hdrEnd + 14
+    }
+    val slack = plain.take(firstSep) ++ Array[Byte]('x') ++ plain.drop(firstSep)
+    assert(Multimodal.warcRecords(slack).isEmpty, "slack byte must refuse")
+    // (c) a lying Content-Length (header says more than the payload)
+    val lie = new String(plain, "ISO-8859-1")
+      .replaceFirst("Content-Length: 14", "Content-Length: 15")
+      .getBytes("ISO-8859-1")
+    assert(Multimodal.warcRecords(lie).isEmpty)
+    // (d) wrong version line / non-WARC / corrupt gzip
+    assert(Multimodal.warcRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    assert(Multimodal.warcRecords(null).isEmpty)
+    val badGz = bos.toByteArray.clone()
+    badGz(badGz.length / 2) = (badGz(badGz.length / 2) ^ 0x7f).toByte
+    Multimodal.warcRecords(badGz) // must never throw
+  }
+
   test("MP3 walk: ID3v2.3 frames + MPEG header tables, padding/flag rules, " +
     "refusals") {
     // hand-check id=7: bIdx = 8 → 112 kbps, sIdx = 1 → 48000 Hz,
