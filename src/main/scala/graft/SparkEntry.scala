@@ -1273,6 +1273,27 @@ object SparkEntry {
       Multimodal.g711Stats(Multimodal.syntheticG711Audio(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // BMP RLE8 decode: cursor-driven run-length decoding (encoded
+    // runs on even file rows, word-padded ABSOLUTE mode on odd rows,
+    // EOL/EOB escapes) resolved through the 16-entry palette — the
+    // legacy-tooling BMP variant the plain stride walk can't read.
+    "mm_decode_bmp_rle" -> ((s, d) => {
+      Multimodal.decodeBmpRle(Multimodal.syntheticRleBmpBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"), col("sum_a"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // 24-bit PCM decode: 3-byte little-endian signed samples at the
+    // studio depth — full-range fixture values make a dropped sign
+    // extension or byte-order slip flip every stat.
+    "mm_audio_pcm24" -> ((s, d) =>
+      Multimodal.pcm24Stats(Multimodal.syntheticPcm24Audio(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // IMA ADPCM (WAVE 0x11) decode: per-block header-seeded adaptive
     // 4-bit recurrence through the 89-entry step table — exact
     // integer, so the oracle REPLAYS the whole decoder in SQL with a
@@ -5556,6 +5577,37 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS fmt,
         |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(s) AS BIGINT) AS sum_samples,
+        |  CAST(sum(s * s) // max(n) AS BIGINT) AS energy
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // RLE replay: the analytic palette substituted into the period-3
+    // index grid — encoded/absolute row parity is an ENCODING choice
+    // the oracle never sees, so the hash match proves both decode
+    // paths and the escape walk reconstruct the same grid.
+    "mm_decode_bmp_rle" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 14 AS w, 1 + doc_id % 9 AS h
+        |           FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS fr FROM gx),
+        |pj AS (SELECT doc_id, w, h, (doc_id + x // 3 + 3 * fr) % 16 AS j FROM px)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(3 AS BIGINT) AS channels,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum((doc_id + 3 * j) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((doc_id + 5 * j) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((doc_id + 7 * j) % 256) AS BIGINT) AS sum_b,
+        |       CAST(0 AS BIGINT) AS sum_a
+        |FROM pj GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_pcm24" ->
+      """WITH d AS (SELECT doc_id, 40 + doc_id % 40 AS n FROM documents),
+        |sj AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |sm AS (SELECT doc_id, n,
+        |         (doc_id * 9973 + i * 5501) % 16777216 - 8388608 AS s FROM sj)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
         |  CAST(max(abs(s)) AS BIGINT) AS peak,
         |  CAST(sum(s) AS BIGINT) AS sum_samples,
         |  CAST(sum(s * s) // max(n) AS BIGINT) AS energy

@@ -3283,6 +3283,263 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // BMP RLE8 (BI_RLE8, compression 1) — the run-length variant legacy
+  // tooling still emits: 8-bit palette indices as (count, value)
+  // pairs with escape codes (end-of-line, end-of-bitmap, delta skip,
+  // absolute mode with word padding). A real cursor-driven decoder —
+  // every escape moves a (x, y) position over the bottom-up grid.
+  // ------------------------------------------------------------------
+
+  /** Decode a BI_RLE8 BMP into channel sums: (width, height, 3,
+    * nPixels, sumR, sumG, sumB, 0). Pixels never written by the
+    * stream (delta skips, early end-of-bitmap) read as palette entry
+    * 0, the de-facto convention. Cursor escapes are bounds-checked;
+    * overruns past the row or the grid refuse. */
+  private[graft] def decodeBmpRle8Pixels(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long, Long, Long, Long, Long)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = i32le(bytes, 10)
+    val width = i32le(bytes, 18)
+    val height = i32le(bytes, 22) // RLE8 bitmaps are bottom-up only (h > 0)
+    if (u16le(bytes, 28) != 8 || i32le(bytes, 30) != 1) return None // bpp 8, BI_RLE8
+    if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14))
+      return None
+    if (width.toLong * height > (1L << 26)) return None
+    val nColors = { val c = i32le(bytes, 46); if (c == 0) 256 else c }
+    if (nColors < 1 || nColors > 256) return None
+    val palOff = 54
+    if (palOff + 4 * nColors > bytes.length || dataOff < palOff + 4 * nColors)
+      return None
+    // indices resolved at the end — fill the grid first (delta skips
+    // may be back-filled only by nothing; unwritten stays 0)
+    val grid = new Array[Byte](width * height)
+    var p = dataOff
+    var x = 0; var y = 0 // y counts FILE rows (bottom-up)
+    var ended = false
+    while (!ended) {
+      if (p + 2 > bytes.length) return None
+      val a = bytes(p) & 0xff; val b = bytes(p + 1) & 0xff
+      p += 2
+      if (a > 0) { // encoded run
+        if (y >= height || x + a > width) return None
+        var i = 0
+        while (i < a) { grid(y * width + x + i) = b.toByte; i += 1 }
+        x += a
+      } else b match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => ended = true  // end of bitmap
+        case 2 => // delta: unsigned dx, dy skip
+          if (p + 2 > bytes.length) return None
+          x += bytes(p) & 0xff; y += bytes(p + 1) & 0xff
+          p += 2
+          if (x > width || y > height) return None
+        case n => // absolute mode: n literal indices, word-aligned
+          if (y >= height || x + n > width) return None
+          if (p + n > bytes.length) return None
+          var i = 0
+          while (i < n) { grid(y * width + x + i) = bytes(p + i); i += 1 }
+          x += n
+          p += n + (n & 1) // pad to 2-byte boundary
+      }
+    }
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < grid.length) {
+      val idx = grid(i) & 0xff
+      if (idx >= nColors) return None
+      // palette entries are B, G, R, reserved
+      sums(2) += bytes(palOff + 4 * idx) & 0xff
+      sums(1) += bytes(palOff + 4 * idx + 1) & 0xff
+      sums(0) += bytes(palOff + 4 * idx + 2) & 0xff
+      i += 1
+    }
+    Some((width, height, 3, width.toLong * height, sums(0), sums(1), sums(2), 0L))
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[decodeBmpRle8Pixels]] at scale (stub seam for non-RLE8). */
+  def decodeBmpRle(blobs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(pngPixelSchema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmpRle8Pixels(r.getAs[Array[Byte]](1)).map {
+          case (w, h, ch, np, sr, sg, sb, sa) =>
+            Row(r.getLong(0), w, h, ch, np, sr, sg, sb, sa)
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE BI_RLE8 BMP: 16-entry analytic palette (B,G,R =
+    * (id+7j, id+5j, id+3j) mod 256), index (id + x div 3 + 3·fr) mod
+    * 16 over file rows fr (period-3 runs so ENCODED mode uses real
+    * counts); even file rows use encoded runs, odd rows ABSOLUTE mode
+    * (word-padded) — both decode paths exercised in every image. */
+  private[graft] def bmpRle8Bytes(id: Long, width: Int, height: Int): Array[Byte] = {
+    def idx(x: Int, fr: Int): Int = (((id + x / 3 + 3L * fr) % 16) + 16).toInt % 16
+    val data = new java.io.ByteArrayOutputStream()
+    for (fr <- 0 until height) {
+      if (fr % 2 == 0 || width < 3) { // encoded runs (count <= 3 by grid period)
+        var x = 0
+        while (x < width) {
+          val v = idx(x, fr)
+          var n = 1
+          while (x + n < width && n < 255 && idx(x + n, fr) == v) n += 1
+          data.write(n); data.write(v)
+          x += n
+        }
+      } else { // absolute mode
+        data.write(0); data.write(width)
+        for (x <- 0 until width) data.write(idx(x, fr))
+        if ((width & 1) == 1) data.write(0) // word padding
+      }
+      if (fr < height - 1) { data.write(0); data.write(0) } // EOL
+    }
+    data.write(0); data.write(1) // EOB
+    val rle = data.toByteArray
+    val dataOff = 54 + 4 * 16
+    val b = java.nio.ByteBuffer.allocate(dataOff + rle.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(dataOff + rle.length)
+    b.putInt(0)
+    b.putInt(dataOff)
+    b.putInt(40)
+    b.putInt(width).putInt(height)
+    b.putShort(1)
+    b.putShort(8)
+    b.putInt(1)              // BI_RLE8
+    b.putInt(rle.length)
+    b.putInt(2835).putInt(2835)
+    b.putInt(16).putInt(0)   // biClrUsed = 16
+    for (j <- 0 until 16) {
+      b.put((((id + 7 * j) % 256)).toByte) // B
+      b.put((((id + 5 * j) % 256)).toByte) // G
+      b.put((((id + 3 * j) % 256)).toByte) // R
+      b.put(0.toByte)
+    }
+    b.put(rle)
+    b.array()
+  }
+
+  /** Deterministic RLE8 BMPs keyed on doc_id. */
+  def syntheticRleBmpBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, bmpRle8Bytes(id, (1 + id % 14).toInt, (1 + id % 9).toInt))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // PCM24 (WAVE format 1, 24-bit) — the studio/pro-audio depth: 3-byte
+  // little-endian signed samples; one sign-extension or byte-order
+  // slip shifts every value by 256×, so exact integer stats catch it.
+  // ------------------------------------------------------------------
+
+  /** WAV container with a REAL 24-bit PCM data chunk (mono). */
+  private[graft] def wavPcm24Bytes(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataBytes = samples.length * 3
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1)                      // PCM
+    b.putShort(1)                      // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 3)
+    b.putShort(3)                      // block align
+    b.putShort(24)
+    b.put("data".getBytes).putInt(dataBytes)
+    samples.foreach { s =>
+      b.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+        .put(((s >> 16) & 0xff).toByte)
+    }
+    b.array()
+  }
+
+  /** Locate a mono 24-bit PCM data chunk: (dataOffset, nBytes). */
+  private def locatePcm24Data(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var p = 12L
+    var ok = false
+    while (p + 8 <= bytes.length) {
+      val size = i32le(bytes, p.toInt + 4)
+      if (size < 0) return None
+      val t = tag(bytes, p.toInt)
+      if (t == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length) {
+        if (u16le(bytes, p.toInt + 8) == 1 && u16le(bytes, p.toInt + 10) == 1 &&
+            u16le(bytes, p.toInt + 22) == 24) ok = true
+      } else if (t == "data") {
+        if (!ok || size % 3 != 0 || p + 8 + size > bytes.length) return None
+        return Some(((p + 8).toInt, size))
+      }
+      p += 8L + size.toLong + (size & 1)
+    }
+    None
+  }
+
+  /** Per-doc stats over decoded 24-bit PCM: exact integer peak /
+    * sample sum / mean square (Σs² div n — s² reaches 2⁴⁶, still
+    * exact in Long). Non-PCM24 payloads drop (the codec seam). */
+  def pcm24Stats(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        locatePcm24Data(if (bytes == null) Array.emptyByteArray else bytes).map {
+          case (off, nb) =>
+            val n = nb / 3
+            var peak = 0L; var sum = 0L; var en = 0L
+            var i = 0
+            while (i < n) {
+              val o = off + 3 * i
+              // 3-byte LE, sign via the <<8 >>8 arithmetic-shift trick
+              val s = (((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+                ((bytes(o + 2) & 0xff) << 16)) << 8) >> 8
+              peak = math.max(peak, math.abs(s.toLong))
+              sum += s
+              en += s.toLong * s
+              i += 1
+            }
+            Row(r.getLong(0), n.toLong, peak, sum, if (n > 0) en / n else 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic 24-bit PCM WAVs keyed on doc_id: 40 + id%40 mono
+    * samples of s_i = (id·9973 + i·5501) mod 2²⁴ − 2²³ — full-range
+    * values, so a dropped sign extension is impossible to miss. */
+  def syntheticPcm24Audio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val n = (40 + id % 40).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 9973 + i.toLong * 5501) % (1 << 24)) - (1 << 23)).toInt)
+        Row(id, wavPcm24Bytes(48000, samples))
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // IMA ADPCM (WAVE format 0x11, "DVI/IMA") — the 4-bit differential
   // codec dictation/game/telephony corpora actually ship when they
   // aren't G.711: each block restarts from a 4-byte header (seed

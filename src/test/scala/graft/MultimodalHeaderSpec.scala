@@ -936,6 +936,93 @@ class MultimodalHeaderSpec extends SparkSpec {
       Seq((2L, Array.fill[Byte](50)(7))).toDF("doc_id", "blob")).count() === 0)
   }
 
+  test("BMP RLE8: hand-walked escapes (EOL, EOB, delta, absolute padding), " +
+    "ImageIO differential, refusals") {
+    // hand-built 4×2 bottom-up: row 0 = run(3, idx1) + abs(0,3 →
+    // illegal at 1 left) — use run(1, idx2); row 1 via DELTA skip
+    // (2 right) then run(2, idx3); skipped pixels read as palette 0
+    def header(w: Int, h: Int, rle: Array[Byte]): Array[Byte] = {
+      val dataOff = 54 + 4 * 16
+      val b = java.nio.ByteBuffer.allocate(dataOff + rle.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(dataOff + rle.length).putInt(0)
+      b.putInt(dataOff).putInt(40).putInt(w).putInt(h)
+      b.putShort(1).putShort(8).putInt(1).putInt(rle.length)
+      b.putInt(0).putInt(0).putInt(16).putInt(0)
+      for (j <- 0 until 16) { // palette entry j: B=10j, G=20+j, R=j²%256
+        b.put((10 * j).toByte).put((20 + j).toByte).put(((j * j) % 256).toByte)
+          .put(0.toByte)
+      }
+      b.put(rle)
+      b.array()
+    }
+    val rle = Array[Int](
+      3, 1, 1, 2,      // file row 0: idx1 ×3, idx2 ×1
+      0, 0,            // EOL
+      0, 2, 2, 0,      // delta: skip 2 right (stay on row 1)
+      2, 3,            // idx3 ×2
+      0, 1             // EOB
+    ).map(_.toByte)
+    val got = Multimodal.decodeBmpRle8Pixels(header(4, 2, rle)).get
+    // pixels: row0 = [1,1,1,2]; row1 = [0,0,3,3] (delta-skipped → 0)
+    val counts = Map(0 -> 2, 1 -> 3, 2 -> 1, 3 -> 2)
+    def s(f: Int => Int) = counts.map { case (j, c) => f(j).toLong * c }.sum
+    assert((got._1, got._2, got._4) === ((4, 2, 8L)))
+    assert(got._5 === s(j => (j * j) % 256), "sum_r")
+    assert(got._6 === s(j => 20 + j), "sum_g")
+    assert(got._7 === s(j => 10 * j), "sum_b")
+    // fixture corpus + ImageIO differential (the JDK reads RLE8)
+    for (id <- 0L until 24L) {
+      val (w, h) = ((1 + id % 14).toInt, (1 + id % 9).toInt)
+      val bytes = Multimodal.bmpRle8Bytes(id, w, h)
+      val mine = Multimodal.decodeBmpRle8Pixels(bytes).get
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept id=$id")
+      assert(img.getWidth === w && img.getHeight === h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (yy <- 0 until h; xx <- 0 until w) {
+        val rgb = img.getRGB(xx, yy)
+        er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+      }
+      assert((er, eg, eb) === ((mine._5, mine._6, mine._7)), s"sums id=$id")
+    }
+    // refusals: run past the row end, index past biClrUsed, truncation
+    val overrun = Array[Int](5, 1, 0, 1).map(_.toByte) // 5 > width 4
+    assert(Multimodal.decodeBmpRle8Pixels(header(4, 2, overrun)).isEmpty)
+    val badIdx = Array[Int](1, 200, 0, 1).map(_.toByte) // idx 200 >= 16
+    assert(Multimodal.decodeBmpRle8Pixels(header(4, 2, badIdx)).isEmpty)
+    val good = Multimodal.bmpRle8Bytes(6L, 7, 5)
+    for (cut <- 0 until good.length by 4)
+      assert(Multimodal.decodeBmpRle8Pixels(good.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.decodeBmpRle8Pixels(null).isEmpty)
+    // a plain (BI_RGB) BMP refuses on this path — the stride walk owns it
+    assert(Multimodal.decodeBmpRle8Pixels(
+      Multimodal.bmpPixelBytes(3L, 4, 4, 24)).isEmpty)
+  }
+
+  test("PCM24: full-range sign extension, hand-computed stats, codec-seam " +
+    "refusals") {
+    import spark.implicits._
+    val wav = Multimodal.wavPcm24Bytes(48000, Array(1, -1, 8388607, -8388608))
+    val r = Multimodal.pcm24Stats(Seq((1L, wav)).toDF("doc_id", "blob")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 8388608L, -1L)))
+    assert(r.getLong(4) === (1L + 1L + 8388607L * 8388607L + 8388608L * 8388608L) / 4)
+    // corpus fixtures decode with the expected count
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
+    val got = Multimodal.pcm24Stats(Multimodal.syntheticPcm24Audio(docs)).collect()
+    assert(got.length === 10)
+    got.foreach(row => assert(row.getLong(1) === 40 + row.getLong(0) % 40))
+    // refusals: 16-bit PCM, G.711, truncation, garbage
+    val pcm16 = Multimodal.wavPcm16Bytes(1, 8000, Array[Short](1, 2))
+    assert(Multimodal.pcm24Stats(Seq((2L, pcm16)).toDF("doc_id", "blob")).count() === 0)
+    val g711 = Multimodal.wavG711Bytes(7, 8000, Array.fill[Byte](8)(1))
+    assert(Multimodal.pcm24Stats(Seq((3L, g711)).toDF("doc_id", "blob")).count() === 0)
+    for (cut <- 0 until wav.length by 5)
+      assert(Multimodal.pcm24Stats(
+        Seq((4L, wav.take(cut))).toDF("doc_id", "blob")).count() === 0, s"cut=$cut")
+  }
+
   test("IMA ADPCM: hand-walked block, nibble order, clamps, block restart, " +
     "refusals") {
     // hand-computed: pred0=100 idx0=10 (step 19), nibbles [0x3, 0x8]
