@@ -1273,6 +1273,26 @@ object SparkEntry {
       Multimodal.g711Stats(Multimodal.syntheticG711Audio(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // CAPSTONE modality router: one mixed corpus (id%8 picks TIFF /
+    // WARC / ZIP / MP3 / ADPCM / animated GIF / EXIF'd JPEG / 16-bit
+    // PNG), every blob routed by magic to its VERIFIED parser — per
+    // format: doc count, verified count, and the payload-grain sum
+    // (pixels/records/entries/frames/samples). One query exercising
+    // every container decoder in the engine.
+    "corpus_modality_mix2" -> ((s, d) =>
+      Multimodal.routeInventory(Multimodal.syntheticMixedBlobs(Tables.documents(s, d)))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("verified")).as("n_verified"),
+          sum(col("units")).as("units_sum"))
+        .orderBy(col("format"))),
+
+    // FLAC STREAMINFO: typed metadata-block walk + the non-byte-
+    // aligned bit unpack (20-bit rate | 3-bit channels | 5-bit bits |
+    // 36-bit total samples) — lossless-audio corpus facts.
+    "mm_audio_flac_meta" -> ((s, d) =>
+      Multimodal.flacMetadata(Multimodal.syntheticFlacBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // BMP RLE8 decode: cursor-driven run-length decoding (encoded
     // runs on even file rows, word-padded ABSOLUTE mode on odd rows,
     // EOL/EOB escapes) resolved through the 16-entry palette — the
@@ -5581,6 +5601,41 @@ object SparkEntry {
         |  CAST(sum(s) AS BIGINT) AS sum_samples,
         |  CAST(sum(s * s) // max(n) AS BIGINT) AS energy
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // router replay: format + payload grain per id class, verified ≡
+    // counted (every fixture parses — the refusal paths are the
+    // specs' job; here the hash pins that NOTHING silently dropped).
+    "corpus_modality_mix2" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'tiff' WHEN 1 THEN 'warc' WHEN 2 THEN 'zip'
+        |    WHEN 3 THEN 'mp3' WHEN 4 THEN 'adpcm' WHEN 5 THEN 'gif'
+        |    WHEN 6 THEN 'jpeg' ELSE 'png' END AS format,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN (1 + doc_id % 12) * (1 + doc_id % 8)
+        |    WHEN 1 THEN 2 + doc_id % 3
+        |    WHEN 2 THEN 1 + doc_id % 4
+        |    WHEN 3 THEN 1
+        |    WHEN 4 THEN (1 + doc_id % 3) * (1 + 2 * (16 + doc_id % 24))
+        |    WHEN 5 THEN 1 + doc_id % 4
+        |    WHEN 6 THEN CASE doc_id % 3
+        |      WHEN 0 THEN (1 + doc_id % 21) * (1 + doc_id % 13)
+        |      WHEN 1 THEN (1 + doc_id % 19) * (1 + doc_id % 11)
+        |      ELSE (1 + doc_id % 23) * (1 + doc_id % 17) END
+        |    ELSE (1 + doc_id % 10) * (1 + doc_id % 7) END AS units
+        |  FROM documents)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_verified,
+        |  CAST(sum(units) AS BIGINT) AS units_sum
+        |FROM u GROUP BY format ORDER BY format""".stripMargin,
+
+    "mm_audio_flac_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id * 37) % 90000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+        |  CAST(16 + doc_id % 9 AS BIGINT) AS bits,
+        |  CAST((doc_id * 1009) % 1073741824 AS BIGINT) AS total_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // RLE replay: the analytic palette substituted into the period-3
     // index grid — encoded/absolute row parity is an ENCODING choice

@@ -3283,6 +3283,105 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // FLAC STREAMINFO — lossless-audio corpus metadata: the fLaC
+  // marker, then typed metadata blocks (1-byte header: last-flag +
+  // type, 3-byte BE length); STREAMINFO packs rate/channels/bits/
+  // total-samples into non-byte-aligned bit fields — a real bit
+  // unpacker, not fixed offsets.
+  // ------------------------------------------------------------------
+
+  /** Walk a FLAC file's metadata blocks to STREAMINFO: (sampleRate,
+    * channels, bitsPerSample, totalSamples). Non-STREAMINFO blocks
+    * (padding, vorbis comments, …) are length-walked and skipped;
+    * a missing STREAMINFO, a block overrunning the file, or an
+    * out-of-domain field (rate 0) refuses. */
+  private[graft] def flacStreamInfo(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Long)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 8 || tag(bytes, 0) != "fLaC") return None
+    var p = 4
+    var last = false
+    while (!last) {
+      if (p + 4 > bytes.length) return None
+      val hdr = bytes(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      if (p + 4 + len > bytes.length) return None
+      if (typ == 0) {
+        if (len < 34) return None
+        val o = p + 4
+        // bit layout after the four 16/16/24/24 size fields (10 bytes):
+        // 20 bits rate | 3 bits channels-1 | 5 bits bits-1 | 36 bits samples
+        def u8(i: Int): Long = bytes(o + i) & 0xffL
+        val rate = ((u8(10) << 12) | (u8(11) << 4) | (u8(12) >> 4)).toInt
+        val channels = (((u8(12) >> 1) & 0x7) + 1).toInt
+        val bits = ((((u8(12) & 0x1) << 4) | (u8(13) >> 4)) + 1).toInt
+        val total = ((u8(13) & 0xf) << 32) | (u8(14) << 24) | (u8(15) << 16) |
+          (u8(16) << 8) | u8(17)
+        if (rate == 0) return None // 0 is invalid per spec
+        return Some((rate, channels, bits, total))
+      }
+      p += 4 + len
+    }
+    None // no STREAMINFO before the last block
+  } catch { case _: IndexOutOfBoundsException => None }
+
+  /** [[flacStreamInfo]] at scale. */
+  def flacMetadata(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("channels", LongType, nullable = false),
+      StructField("bits", LongType, nullable = false),
+      StructField("total_samples", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        flacStreamInfo(r.getAs[Array[Byte]](1)).map { case (sr, ch, b, t) =>
+          Row(r.getLong(0), sr.toLong, ch.toLong, b.toLong, t)
+        }
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE minimal FLAC: STREAMINFO (rate 8000 + (id·37) mod
+    * 90000, channels 1 + id%8, bits 16 + id%9, total samples
+    * (id·1009) mod 2³⁰) followed by a small last-flagged PADDING
+    * block — the walk must skip past types it does not parse. */
+  private[graft] def flacBytes(id: Long): Array[Byte] = {
+    val rate = (8000 + (id * 37) % 90000).toInt
+    val channels = (1 + id % 8).toInt
+    val bits = (16 + id % 9).toInt
+    val total = (id * 1009) % (1L << 30)
+    val si = new Array[Byte](34)
+    // block sizes / frame sizes: legal constants (4096 blocks)
+    si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bits - 1).toLong << 36) | total
+    for (i <- 0 until 8) si(10 + i) = ((packed >> (8 * (7 - i))) & 0xff).toByte
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x00); out.write(0); out.write(0); out.write(34) // STREAMINFO
+    out.write(si, 0, 34)
+    out.write(0x81); out.write(0); out.write(0); out.write(4)  // last PADDING
+    out.write(new Array[Byte](4), 0, 4)
+    out.toByteArray
+  }
+
+  /** Deterministic minimal FLACs keyed on doc_id. */
+  def syntheticFlacBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), flacBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
   // BMP RLE8 (BI_RLE8, compression 1) — the run-length variant legacy
   // tooling still emits: 8-bit palette indices as (count, value)
   // pairs with escape codes (end-of-line, end-of-bitmap, delta skip,
@@ -5118,6 +5217,114 @@ object Multimodal {
             jpegBytes((1 + id % 96).toInt, (1 + id % 48).toInt,
               if ((id / 8) % 2 == 0) 1 else 3)
         Row(id, bytes)
+      }
+    }(enc)
+  }
+
+  /** Route ONE blob by magic bytes to its verified parser: (format,
+    * verified, units) — units is the format's natural payload grain
+    * (pixels / records / entries / frames / samples / 1 for pure
+    * metadata). Detection is format-first (magic), verification is
+    * the REAL parse; a recognized magic whose parse refuses reports
+    * verified = false — exactly the triage an ingest wants. Unknown
+    * magics → None. */
+  private[graft] def routeBlob(bytes0: Array[Byte]): Option[(String, Boolean, Long)] = {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (bytes.length < 4) return None
+    def b(i: Int): Int = bytes(i) & 0xff
+    val t4 = if (bytes.length >= 4) tag(bytes, 0) else ""
+    if (t4.startsWith("II") || t4.startsWith("MM")) {
+      val p = decodeTiffPixels(bytes)
+      Some(("tiff", p.isDefined, p.map(_._4).getOrElse(0L)))
+    } else if (b(0) == 0x50 && b(1) == 0x4b) {
+      val p = zipEntries(bytes)
+      Some(("zip", p.isDefined, p.map(_.length.toLong).getOrElse(0L)))
+    } else if (t4 == "GIF8") {
+      val p = decodeGifFrames(bytes)
+      Some(("gif", p.isDefined, p.map(_._3.length.toLong).getOrElse(0L)))
+    } else if (b(0) == 0xff && b(1) == 0xd8) {
+      val p = decodeJpegPixels(bytes)
+      Some(("jpeg", p.isDefined, p.map(_._4).getOrElse(0L)))
+    } else if (b(0) == 0x89 && t4.drop(1) == "PNG") {
+      val p = decodePngPixels(bytes)
+      Some(("png", p.isDefined, p.map(_._4).getOrElse(0L)))
+    } else if (t4.take(3) == "ID3") {
+      val p = mp3Meta(bytes)
+      Some(("mp3", p.isDefined, if (p.isDefined) 1L else 0L))
+    } else if (t4 == "fLaC") {
+      val p = flacStreamInfo(bytes)
+      Some(("flac", p.isDefined, if (p.isDefined) 1L else 0L))
+    } else if (t4 == "WARC" || (b(0) == 0x1f && b(1) == 0x8b)) {
+      val p = warcRecords(bytes)
+      Some(("warc", p.isDefined, p.map(_.length.toLong).getOrElse(0L)))
+    } else if (t4 == "RIFF") {
+      // WAV family: the fmt code decides which decoder owns it
+      val p = locateAdpcmData(bytes)
+        .map { case (_, len, blockAlign, spb) =>
+          ("adpcm", (len / blockAlign).toLong * spb) }
+        .orElse(locateG711Data(bytes).map { case (_, n, _) => ("g711", n.toLong) })
+        .orElse(locatePcm24Data(bytes).map { case (_, nb) => ("pcm24", nb / 3L) })
+      Some((p.map(_._1).getOrElse("wav"), p.isDefined, p.map(_._2).getOrElse(0L)))
+    } else None
+  }
+
+  /** [[routeBlob]] at scale: the modality-router inventory over a
+    * mixed corpus — one row per recognized blob with its verified
+    * payload grain. */
+  def routeInventory(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("verified", LongType, nullable = false),
+      StructField("units", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        routeBlob(r.getAs[Array[Byte]](1)).map { case (f, v, u) =>
+          Row(r.getLong(0), f, if (v) 1L else 0L, u)
+        }
+      }
+    }(enc)
+  }
+
+  /** A mixed corpus exercising EVERY router branch: id%8 picks the
+    * container (0 TIFF, 1 WARC, 2 ZIP, 3 MP3, 4 ADPCM WAV, 5 animated
+    * GIF, 6 EXIF'd JPEG, 7 16-bit PNG), each built by its own fixture
+    * rule — the one-corpus ingest shape [[routeInventory]] triages. */
+  def syntheticMixedBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blob = (id % 8).toInt match {
+          case 0 => tiffBytes(id, (1 + id % 12).toInt, (1 + id % 8).toInt,
+            if (id % 3 == 0) 1 else 3, id % 2 == 1, (1 + id % 3).toInt)
+          case 1 => warcBytes(id)
+          case 2 => zipBytes(id)
+          case 3 => mp3Bytes(id)
+          case 4 =>
+            val nBytes = (16 + id % 24).toInt
+            val blocks = (0 until (1 + id % 3).toInt).map { bk =>
+              val nib = Array.tabulate(2 * nBytes)(j =>
+                ((id * 7 + bk * 11 + j * 5) % 16).toInt)
+              val packed = Array.tabulate[Byte](nBytes)(k =>
+                ((nib(2 * k) & 0x0f) | (nib(2 * k + 1) << 4)).toByte)
+              (((id * 211 + bk * 97) % 4096 - 2048).toInt,
+                ((id + 31 * bk) % 89).toInt, packed)
+            }
+            wavAdpcmBytes(8000, 1 + 2 * nBytes, blocks)
+          case 5 => animatedGifBytes(id, (2 + id % 9).toInt, (2 + id % 6).toInt,
+            (1 + id % 4).toInt)
+          case 6 => withExif(jpegBaselineBytes(id),
+            exifApp1(id % 2 == 1, "CAM-" + (id % 10), (1 + id % 8).toInt,
+              (16 * (1 + id % 80)).toInt, (16 * (1 + id % 45)).toInt))
+          case _ => pngPixel16Bytes(id, (1 + id % 10).toInt, (1 + id % 7).toInt,
+            Array(0, 2, 6)((id % 3).toInt))
+        }
+        Row(id, blob)
       }
     }(enc)
   }

@@ -936,6 +936,80 @@ class MultimodalHeaderSpec extends SparkSpec {
       Seq((2L, Array.fill[Byte](50)(7))).toDF("doc_id", "blob")).count() === 0)
   }
 
+  test("modality router: every branch detected + verified, corrupt blobs " +
+    "report unverified, unknown magics drop") {
+    import spark.implicits._
+    // one of each class through the mixed fixture
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(16)
+    val got = Multimodal.routeInventory(Multimodal.syntheticMixedBlobs(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === 16)
+    val expected = Map(0 -> "tiff", 1 -> "warc", 2 -> "zip", 3 -> "mp3",
+      4 -> "adpcm", 5 -> "gif", 6 -> "jpeg", 7 -> "png")
+    got.foreach { case (id, (fmt, v, units)) =>
+      assert(fmt === expected((id % 8).toInt), s"id=$id")
+      assert(v === 1L, s"id=$id must verify")
+      assert(units > 0L, s"id=$id units")
+    }
+    // jpeg units = pixels of the baseline fixture (id=6: mode 0 dims)
+    assert(got(6L)._3 === (1 + 6 % 21).toLong * (1 + 6 % 13))
+    // recognized magic + corrupt body → detected, UNVERIFIED
+    val corrupt = Multimodal.zipBytes(5L)
+    val at = 30 + "doc_5_0.txt".length
+    corrupt(at) = (corrupt(at) ^ 0x55).toByte
+    assert(Multimodal.routeBlob(corrupt) === Some(("zip", false, 0L)))
+    // g711 and pcm24 ride the RIFF branch
+    val g711 = Multimodal.wavG711Bytes(7, 8000, Array.fill[Byte](8)(1))
+    assert(Multimodal.routeBlob(g711) === Some(("g711", true, 8L)))
+    val p24 = Multimodal.wavPcm24Bytes(48000, Array(1, 2, 3))
+    assert(Multimodal.routeBlob(p24) === Some(("pcm24", true, 3L)))
+    // unknown magic drops; null-safe
+    assert(Multimodal.routeBlob("plain text, no container".getBytes).isEmpty)
+    assert(Multimodal.routeBlob(null).isEmpty)
+    assert(Multimodal.routeBlob(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("FLAC STREAMINFO: bit-field unpack at every boundary, block-walk skip, " +
+    "refusals") {
+    // hand-check: the packed fields round-trip for boundary values
+    for ((id, rate, ch, bits) <- Seq((0L, 8000, 1, 16), (7L, 8259, 8, 23),
+        (2431L, (8000 + 2431 * 37 % 90000).toInt, 8, 17))) {
+      val got = Multimodal.flacStreamInfo(Multimodal.flacBytes(id)).get
+      assert(got._1 === rate, s"rate id=$id")
+      assert(got._2 === ch && got._3 === bits, s"ch/bits id=$id")
+      assert(got._4 === (id * 1009) % (1L << 30))
+    }
+    // the walk skips the padding block (STREAMINFO found first), and a
+    // FLAC whose STREAMINFO comes AFTER another block still parses:
+    // build padding-first by hand
+    val orig = Multimodal.flacBytes(3L)
+    val si = orig.slice(4, 4 + 4 + 34)   // STREAMINFO block w/ header
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes); out.write(0x01); out.write(0); out.write(0); out.write(2)
+    out.write(new Array[Byte](2))        // padding FIRST (not last-flagged)
+    out.write(si(0) | 0x80); out.write(si, 1, si.length - 1) // SI, last-flagged
+    assert(Multimodal.flacStreamInfo(out.toByteArray) ===
+      Multimodal.flacStreamInfo(orig))
+    // refusals: truncation never throws; no STREAMINFO; zero rate.
+    // Cuts inside the STREAMINFO block (first 4 + 4 + 34 bytes)
+    // refuse; once it is whole the walk returns without needing the
+    // trailing blocks (early exit at the block it wants).
+    for (cut <- 0 until (4 + 4 + 34) by 3)
+      assert(Multimodal.flacStreamInfo(orig.take(cut)).isEmpty, s"cut=$cut")
+    assert(Multimodal.flacStreamInfo(orig.take(4 + 4 + 34)).isDefined)
+    val noSi = new java.io.ByteArrayOutputStream()
+    noSi.write("fLaC".getBytes); noSi.write(0x81); noSi.write(0); noSi.write(0); noSi.write(2)
+    noSi.write(new Array[Byte](2))
+    assert(Multimodal.flacStreamInfo(noSi.toByteArray).isEmpty)
+    val zeroRate = orig.clone()
+    zeroRate(4 + 4 + 10) = 0; zeroRate(4 + 4 + 11) = 0
+    zeroRate(4 + 4 + 12) = (zeroRate(4 + 4 + 12) & 0x0f).toByte
+    assert(Multimodal.flacStreamInfo(zeroRate).isEmpty, "rate 0 is invalid")
+    assert(Multimodal.flacStreamInfo(null).isEmpty)
+    assert(Multimodal.flacStreamInfo(Multimodal.mp3Bytes(1L)).isEmpty)
+  }
+
   test("BMP RLE8: hand-walked escapes (EOL, EOB, delta, absolute padding), " +
     "ImageIO differential, refusals") {
     // hand-built 4×2 bottom-up: row 0 = run(3, idx1) + abs(0,3 →
