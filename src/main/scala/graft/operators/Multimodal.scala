@@ -3755,7 +3755,13 @@ object Multimodal {
     blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        locateAdpcmData(if (bytes == null) Array.emptyByteArray else bytes).map {
+        locateAdpcmData(if (bytes == null) Array.emptyByteArray else bytes).filter {
+          // strict framing, matching the WARC/ZIP walks: a data chunk
+          // that is not a whole number of blocks is truncation, and a
+          // truncated payload refuses wholesale rather than decoding
+          // the prefix that happens to parse
+          case (_, len, blockAlign, _) => len % blockAlign == 0
+        }.map {
           case (off, len, blockAlign, _) =>
             val nBlocks = len / blockAlign
             var peak = 0L; var sum = 0L; var en = 0L; var n = 0L
@@ -4113,6 +4119,14 @@ object Multimodal {
     val cdOff = i32le(bytes, eocd + 16)
     if (nEntries == 0 || nEntries > 65535 || cdOff < 0 || cdOff >= eocd) return None
     val out = Vector.newBuilder[(Int, String, Int, Long, Long)]
+    // Anti-zip-bomb discipline: (a) the DECODED bytes across the whole
+    // archive share one 2^26 budget (a 3 MB archive whose 65535
+    // directory entries all point at one high-ratio deflate stream
+    // would otherwise force ~4 TB of inflate work); (b) entries may
+    // not share or overlap local records — each [local header, data
+    // end) interval must be disjoint from every other.
+    var decodedBudget = 1L << 26
+    val spans = new java.util.TreeMap[Long, Long]() // local-record start -> end
     var p = cdOff
     var e = 0
     while (e < nEntries) {
@@ -4136,6 +4150,16 @@ object Multimodal {
       val lExtraLen = u16le(bytes, lho + 28)
       val dataOff = lho + 30 + lNameLen + lExtraLen
       if (dataOff + csize > bytes.length) return None
+      if (usize > decodedBudget) return None
+      decodedBudget -= usize
+      // overlap probe: nearest span at-or-before lho must end by lho;
+      // nearest span after lho must start at-or-after this data end
+      val spanEnd = dataOff + csize
+      val below = spans.floorEntry(lho.toLong)
+      if (below != null && below.getValue > lho) return None
+      val above = spans.ceilingEntry(lho.toLong)
+      if (above != null && above.getKey < spanEnd) return None
+      spans.put(lho.toLong, spanEnd)
       val payload: Array[Byte] = method match {
         case 0 =>
           if (csize != usize) return None
@@ -4153,8 +4177,15 @@ object Multimodal {
               got += n
             }
             if (got != buf.length) return None
-            // an overlong stream hiding data past the claimed size refuses
-            if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return None
+            // an overlong stream hiding data past the claimed size
+            // refuses; so does a TRUNCATED stream that produced
+            // exactly usize bytes without ever reaching the final-
+            // block terminator — the directory's sizes must describe
+            // a complete deflate stream, not a prefix of one
+            if (!inf.finished()) {
+              if (inf.inflate(new Array[Byte](1)) > 0) return None
+              if (!inf.finished()) return None
+            }
             buf
           } catch {
             case _: java.util.zip.DataFormatException => return None

@@ -1798,14 +1798,17 @@ object TextAnalysis {
         floor(col("n_stale") * lit(1000L) / col("n_grams")).cast("long"))
   }
 
-  /** Suffix array by prefix doubling (Manber–Myers, O(n log² n)):
-    * ranks start as char codes and double the compared prefix each
+  /** Suffix array by prefix doubling (Manber–Myers, O(n log² n)) over
+    * a CODEPOINT array (not UTF-16 code units — surrogate-pair slicing
+    * and lone-surrogate ordering would desync the oracle's
+    * codepoint-based substr/length/ordering on non-BMP text): ranks
+    * start as codepoint values and double the compared prefix each
     * round — no O(n²) suffix comparisons, so full documents (not just
     * oracle-capped slices) are fine. */
-  private[graft] def suffixArray(s: String): Array[Int] = {
+  private[graft] def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     if (n == 0) return Array.emptyIntArray
-    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    var rank = Array.tabulate(n)(i => s(i))
     var sa = Array.range(0, n)
     var k = 1
     while (k < n) {
@@ -1829,7 +1832,7 @@ object TextAnalysis {
 
   /** Kasai's LCP array: lcp(i) = longest common prefix of suffixes
     * sa(i−1) and sa(i), O(n) total. */
-  private[graft] def lcpArray(s: String, sa: Array[Int]): Array[Int] = {
+  private[graft] def lcpArray(s: Array[Int], sa: Array[Int]): Array[Int] = {
     val n = s.length
     val lcp = new Array[Int](n)
     val inv = new Array[Int](n)
@@ -1840,7 +1843,7 @@ object TextAnalysis {
     while (i < n) {
       if (inv(i) > 0) {
         val j = sa(inv(i) - 1)
-        while (i + h < n && j + h < n && s.charAt(i + h) == s.charAt(j + h)) h += 1
+        while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
         lcp(inv(i)) = h
         if (h > 0) h -= 1
       } else h = 0
@@ -1852,26 +1855,42 @@ object TextAnalysis {
   /** Longest repeated substring of `s` (occurrences may overlap):
     * (length, lexicographically smallest repeat of that length), or
     * (0, "") when every substring is unique. Max over the LCP array;
-    * every maximal repeat surfaces as an adjacent suffix pair. */
-  private[graft] def longestRepeatOf(s: String): (Int, String) = {
-    val n = s.length
+    * every maximal repeat surfaces as an adjacent suffix pair.
+    * Length, slicing and tie-break ordering are all in CODEPOINTS so
+    * non-BMP text (surrogate pairs) agrees with the oracle's
+    * codepoint semantics. */
+  private[graft] def longestRepeatOf(s: String): (Int, String) =
+    longestRepeatOfCps(s.codePoints().toArray)
+
+  private[graft] def longestRepeatOfCps(cps: Array[Int]): (Int, String) = {
+    val n = cps.length
     if (n < 2) return (0, "")
-    val sa = suffixArray(s)
-    val lcp = lcpArray(s, sa)
+    val sa = suffixArray(cps)
+    val lcp = lcpArray(cps, sa)
     var maxL = 0
     var i = 1
     while (i < n) { if (lcp(i) > maxL) maxL = lcp(i); i += 1 }
     if (maxL == 0) return (0, "")
-    var best: String = null
+    var bestOff = -1
     i = 1
     while (i < n) {
       if (lcp(i) == maxL) {
-        val cand = s.substring(sa(i), sa(i) + maxL)
-        if (best == null || cand < best) best = cand
+        val off = sa(i)
+        if (bestOff < 0) bestOff = off
+        else {
+          // codepoint-lexicographic compare of cps[off,off+maxL) vs best
+          var j = 0
+          var cmp = 0
+          while (cmp == 0 && j < maxL) {
+            cmp = Integer.compare(cps(off + j), cps(bestOff + j))
+            j += 1
+          }
+          if (cmp < 0) bestOff = off
+        }
       }
       i += 1
     }
-    (maxL, best)
+    (maxL, new String(cps, bestOff, maxL))
   }
 
   /** Degenerate-repetition screen: per document, the longest substring
@@ -1895,8 +1914,12 @@ object TextAnalysis {
     docs.select(col(idCol), col(textCol)).mapPartitions { it =>
       it.map { r =>
         val s0 = if (r.isNullAt(1)) "" else r.getString(1)
-        val s = if (s0.length > maxChars) s0.substring(0, maxChars) else s0
-        val (len, lrs) = longestRepeatOf(s)
+        // the cap counts CODEPOINTS (oracle substr semantics) — a
+        // UTF-16 slice could split a surrogate pair at the boundary
+        val cps0 = s0.codePoints().toArray
+        val cps = if (cps0.length > maxChars)
+          java.util.Arrays.copyOf(cps0, maxChars) else cps0
+        val (len, lrs) = longestRepeatOfCps(cps)
         org.apache.spark.sql.Row(r.getLong(0), len.toLong, lrs)
       }
     }(enc)

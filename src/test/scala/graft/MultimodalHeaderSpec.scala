@@ -1328,6 +1328,127 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.zipEntries(Multimodal.jpegBaselineBytes(2L)).isEmpty)
   }
 
+  test("ZIP hardening: overlapping entries, aggregate decode budget, and " +
+    "unterminated deflate streams all refuse") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-rolled minimal archive builder: local records, then a CD
+    // whose (lho, csize, usize, crc) we fully control, then EOCD
+    def build(locals: Array[Byte],
+              cd: Seq[(String, Int, Long, Long, Long, Int)]): Array[Byte] = {
+      val cdBuf = ByteBuffer.allocate(cd.map(46 + _._1.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      cd.foreach { case (name, method, crc, csize, usize, lho) =>
+        cdBuf.putInt(0x02014b50).putShort(20).putShort(20).putShort(0)
+          .putShort(method.toShort).putShort(0).putShort(0)
+          .putInt(crc.toInt).putInt(csize.toInt).putInt(usize.toInt)
+          .putShort(name.length.toShort).putShort(0).putShort(0)
+          .putShort(0).putShort(0).putInt(0).putInt(lho)
+        cdBuf.put(name.getBytes("UTF-8"))
+      }
+      val cdBytes = cdBuf.array()
+      val eocd = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+      eocd.putInt(0x06054b50).putShort(0).putShort(0)
+        .putShort(cd.size.toShort).putShort(cd.size.toShort)
+        .putInt(cdBytes.length).putInt(locals.length).putShort(0)
+      locals ++ cdBytes ++ eocd.array()
+    }
+    def localStored(name: String, payload: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32(); c.update(payload)
+      val b = ByteBuffer.allocate(30 + name.length + payload.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0x04034b50).putShort(20).putShort(0).putShort(0)
+        .putShort(0).putShort(0).putInt(c.getValue.toInt)
+        .putInt(payload.length).putInt(payload.length)
+        .putShort(name.length.toShort).putShort(0)
+      b.put(name.getBytes("UTF-8")).put(payload)
+      b.array()
+    }
+    val pay = "hello".getBytes("UTF-8")
+    val crc = { val c = new java.util.zip.CRC32(); c.update(pay); c.getValue }
+    // sanity: a well-formed single-entry archive still parses
+    val goodOne = build(localStored("a", pay),
+      Seq(("a", 0, crc, 5L, 5L, 0)))
+    assert(Multimodal.zipEntries(goodOne).get.map(_._2) === Vector("a"))
+    // two well-formed entries back to back still parse (disjoint spans)
+    val l1 = localStored("a", pay)
+    val twoGood = build(l1 ++ localStored("b", pay),
+      Seq(("a", 0, crc, 5L, 5L, 0), ("b", 0, crc, 5L, 5L, l1.length)))
+    assert(Multimodal.zipEntries(twoGood).get.map(_._2) === Vector("a", "b"))
+    // (a) overlap: two CD entries sharing one local record — the
+    // zip-bomb shape (65535 entries × one high-ratio stream) — refuses
+    val overlap = build(localStored("a", pay),
+      Seq(("a", 0, crc, 5L, 5L, 0), ("b", 0, crc, 5L, 5L, 0)))
+    assert(Multimodal.zipEntries(overlap).isEmpty, "shared local record")
+    // partial overlap (second lho inside the first record) also refuses
+    val partial = build(localStored("a", pay) ++ localStored("b", pay),
+      Seq(("a", 0, crc, 5L, 5L, 0), ("b", 0, crc, 5L, 5L, 10)))
+    assert(Multimodal.zipEntries(partial).isEmpty, "partial overlap")
+    // (b) aggregate budget: entry 2's CLAIMED usize pushes the archive
+    // past the 2^26 decoded-bytes budget → refused BEFORE any inflate
+    val bomb = build(localStored("a", pay) ++ localStored("b", pay),
+      Seq(("a", 0, crc, 5L, 5L, 0),
+          ("b", 0, crc, 5L, 1L << 26, l1.length)))
+    assert(Multimodal.zipEntries(bomb).isEmpty, "aggregate budget")
+    // (c) a deflate stream that yields exactly usize bytes but never
+    // reaches the final-block terminator (SYNC_FLUSH, no finish) must
+    // refuse even though size and CRC both match
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(pay)
+    val obuf = new Array[Byte](256)
+    val m = d.deflate(obuf, 0, obuf.length, java.util.zip.Deflater.SYNC_FLUSH)
+    d.end()
+    val unterminated = java.util.Arrays.copyOf(obuf, m)
+    // verify the probe: it must inflate to the full payload w/o finishing
+    val inf0 = new java.util.zip.Inflater(true)
+    inf0.setInput(unterminated)
+    val chk = new Array[Byte](16)
+    assert(inf0.inflate(chk) === 5 && !inf0.finished()); inf0.end()
+    val lb = ByteBuffer.allocate(30 + 1 + unterminated.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    lb.putInt(0x04034b50).putShort(20).putShort(0).putShort(8)
+      .putShort(0).putShort(0).putInt(crc.toInt)
+      .putInt(unterminated.length).putInt(5).putShort(1).putShort(0)
+    lb.put("a".getBytes("UTF-8")).put(unterminated)
+    val trunc = build(lb.array(),
+      Seq(("a", 8, crc, unterminated.length.toLong, 5L, 0)))
+    assert(Multimodal.zipEntries(trunc).isEmpty, "unterminated deflate")
+    // control: the same payload PROPERLY finished parses fine
+    val d2 = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d2.setInput(pay); d2.finish()
+    val m2 = d2.deflate(obuf); d2.end()
+    val finished = java.util.Arrays.copyOf(obuf, m2)
+    val lb2 = ByteBuffer.allocate(30 + 1 + finished.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    lb2.putInt(0x04034b50).putShort(20).putShort(0).putShort(8)
+      .putShort(0).putShort(0).putInt(crc.toInt)
+      .putInt(finished.length).putInt(5).putShort(1).putShort(0)
+    lb2.put("a".getBytes("UTF-8")).put(finished)
+    val fin = build(lb2.array(),
+      Seq(("a", 8, crc, finished.length.toLong, 5L, 0)))
+    assert(Multimodal.zipEntries(fin).get.map(e => (e._2, e._4)) ===
+      Vector(("a", 5L)))
+  }
+
+  test("ADPCM strict framing: a data chunk that is not a whole number of " +
+    "blocks refuses instead of decoding the prefix") {
+    val good = Multimodal.wavAdpcmBytes(8000, 3, Seq((100, 10, Array(0x83.toByte))))
+    // find the data chunk and shrink its declared size by one byte —
+    // now len % blockAlign != 0 (blockAlign = 5)
+    val bad = good.clone()
+    var dataAt = -1
+    for (i <- 0 until bad.length - 4)
+      if (dataAt < 0 && bad(i) == 'd' && bad(i + 1) == 'a' &&
+          bad(i + 2) == 't' && bad(i + 3) == 'a') dataAt = i
+    assert(dataAt > 0)
+    val oldSize = java.nio.ByteBuffer.wrap(bad, dataAt + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    java.nio.ByteBuffer.wrap(bad, dataAt + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(oldSize - 1)
+    assert(Multimodal.adpcmStats(Seq((1L, good)).toDF("doc_id", "blob")).count() === 1)
+    assert(Multimodal.adpcmStats(Seq((1L, bad)).toDF("doc_id", "blob")).count() === 0,
+      "partial trailing block must refuse the whole payload")
+  }
+
   test("baseline TIFF: both byte orders, multi-strip offset arrays, ImageIO " +
     "differential, refusals") {
     for (id <- 0L until 30L) {

@@ -651,6 +651,35 @@ class TextOpsSpec extends SparkSpec {
     assert(m(3L) === ((1L, "z")))
   }
 
+  test("longest repeated substring: codepoint semantics on non-BMP text " +
+    "(surrogate pairs never split, lengths and ties count codepoints)") {
+    import graft.operators.TextAnalysis.longestRepeatOf
+    val cat = new String(Character.toChars(0x1F408))  // 🐈 U+1F408, 2 chars
+    val dog = new String(Character.toChars(0x1F415))  // 🐕 U+1F415
+    // 🐈a🐈a: the repeat is "🐈a" — 2 CODEPOINTS (4 UTF-16 units)
+    assert(longestRepeatOf(cat + "a" + cat + "a") === ((2, cat + "a")))
+    // tie-break is by codepoint value: U+1F408 (cat) > 'z' (0x7A) in
+    // codepoint order even though its lead surrogate 0xD83D > 'z' too;
+    // but vs a BMP char above the surrogate range, e.g. U+FFFD (�),
+    // codepoint order says 🐈 (0x1F408) sorts AFTER U+FFFD while raw
+    // UTF-16 unit order would sort the surrogate 0xD83D BEFORE 0xFFFD
+    val rep = "�"
+    val s = cat + cat + "1" + rep + rep  // repeats: "🐈" and "�", both len 1
+    assert(longestRepeatOf(s) === ((1, rep)),
+      "codepoint order: U+FFFD < U+1F408; UTF-16 unit order would flip this")
+    // the maxChars cap slices codepoints: cap 3 over 🐈🐈🐈 keeps all
+    // three cats (6 UTF-16 units), so the repeat is 🐈🐈 (len 2)
+    import spark.implicits._
+    val docs = Seq((1L, cat * 3), (2L, dog + cat + dog + cat + "tail"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.longestRepeat(docs, maxChars = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((2L, cat * 2)),
+      "a UTF-16 cap of 3 would have split the second cat's surrogate pair")
+    assert(out(2L) === ((1L, dog)),
+      "cap 3 keeps 🐕🐈🐕 — the repeat is 🐕, and 🐕 vs 🐈 tie never arises")
+  }
+
   test("NFC audit: decomposed flags + composes, precomposed passes through, " +
     "zero shuffle, null-safe") {
     import spark.implicits._
