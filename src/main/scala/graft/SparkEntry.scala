@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{Cdc, Corpus, Dedup, Graph, Multimodal, Partitioning, Relational, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Corpus, Dedup, Graph, Multimodal, Partitioning, Relational, Similarity, TextAnalysis, WebExtract}
 import graft.sources.Tables
 
 /** Driver contract (see SURVEY.md §2 for the operator inventory each
@@ -1661,6 +1661,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-quality frontier gate: integer-permille score from path
+    // depth / param count / session-ids / media extensions / spam-TLD
+    // classes, computed by BOTH engines from the raw URL string with
+    // their own regex engines — a genuine cross-engine parse, not a
+    // fixture replay. The varied fixture sweeps every signal.
+    "text_url_quality" -> ((s, d) => {
+      Corpus.urlQuality(withVariedUrls(Tables.documents(s, d)))
+        .select(col("doc_id"), col("host"), col("path_depth"), col("n_params"),
+          col("has_session"), col("bad_ext"), col("bad_tld"), col("long_path"),
+          col("url_score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Anti-domination cap: at most 10 docs per registered domain,
     // hash-order deterministic within the domain.
     "corpus_domain_cap" -> ((s, d) => {
@@ -2027,6 +2040,17 @@ object SparkEntry {
         .select(col("doc_id"), col("norm_md5"), col("n_norm_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // HTML main-content extraction — the WARC-payload → training-text
+    // seam: block segmentation on full synthetic pages (head/script/
+    // style subtrees, link-list header+nav, mid-article ad block,
+    // gap-filled short figure label, odd-id aside, footer), exact-
+    // integer jusText classification (link-density / stopword-share /
+    // length permille), kept-run text hashed whole — entity decode,
+    // subtree skips and the two-sided gap-fill all pinned by the hash.
+    "text_html_extract" -> ((s, d) =>
+      WebExtract.htmlExtract(WebExtract.syntheticHtmlDocs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
 
     // Longest repeated substring per doc (suffix array + Kasai LCP):
     // the any-grain repetition screen — looped generation and pasted
@@ -2934,6 +2958,33 @@ object SparkEntry {
         lit(".COM/Doc/"), col("doc_id").cast("string"),
         lit("?utm_source=Feed&id="), col("doc_id").cast("string"),
         lit("&utm_campaign=X#Frag")))
+
+  /** Varied crawl-URL fixture sweeping every [[Corpus.urlQuality]]
+    * signal: TLD class, path depth 2–8, media extensions, param count
+    * 1–5, periodic session ids. Twin of [[variedUrlSql]]. */
+  private def withVariedUrls(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("url",
+      concat(lit("https://www.site"), (col("doc_id") % 23).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".click"), lit(".info")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        expr("repeat('/sub', CAST(doc_id % 7 AS INT) + 1)"),
+        lit("/page"), (col("doc_id") % 50).cast("string"),
+        element_at(array(lit(".jpg"), lit(".html"), lit(""), lit(""), lit("")),
+          (col("doc_id") % 5 + 1).cast("int")),
+        lit("?q="), (col("doc_id") % 9).cast("string"),
+        expr("repeat('&p=1', CAST(doc_id % 4 AS INT))"),
+        when(col("doc_id") % 6 === 1, lit("&sid=deadbeefcafe1234"))
+          .otherwise(lit(""))))
+
+  private val variedUrlSql: String =
+    """'https://www.site' || CAST(doc_id % 23 AS VARCHAR) ||
+      |      (['.com','.org','.click','.info'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+      |      repeat('/sub', CAST(doc_id % 7 AS INTEGER) + 1) ||
+      |      '/page' || CAST(doc_id % 50 AS VARCHAR) ||
+      |      (['.jpg','.html','','',''])[CAST(doc_id % 5 AS INTEGER) + 1] ||
+      |      '?q=' || CAST(doc_id % 9 AS VARCHAR) ||
+      |      repeat('&p=1', CAST(doc_id % 4 AS INTEGER)) ||
+      |      CASE WHEN doc_id % 6 = 1 THEN '&sid=deadbeefcafe1234' ELSE '' END""".stripMargin
 
   private val urlInjectSql: String =
     """'HTTPS://WWW.Example' || CAST(doc_id % 37 AS VARCHAR) || '.COM/Doc/' ||
@@ -6265,6 +6316,41 @@ object SparkEntry {
          |       regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain, url_norm
          |FROM h ORDER BY doc_id""".stripMargin,
 
+    // Independent re-parse of the same URL string with DuckDB's RE2 —
+    // both engines extract host/path/query and score with the same
+    // integer penalty table; nothing is replayed from fixture rules.
+    "text_url_quality" ->
+      s"""WITH u AS (SELECT doc_id, $variedUrlSql AS url FROM documents),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pth,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS qry
+         |  FROM u),
+         |f AS (SELECT doc_id, host,
+         |    CAST(length(pth) - length(replace(pth, '/', '')) AS BIGINT) AS path_depth,
+         |    CAST(CASE WHEN qry = '' THEN 0
+         |              ELSE len(string_split(qry, '&')) END AS BIGINT) AS n_params,
+         |    CAST(CASE WHEN regexp_matches(lower(qry),
+         |             '(^|&)(sid|sessionid|phpsessid|jsessionid)=')
+         |           OR regexp_matches(lower(pth), '[0-9a-f]{24}')
+         |         THEN 1 ELSE 0 END AS BIGINT) AS has_session,
+         |    CAST(CASE WHEN regexp_matches(lower(pth),
+         |             '[.](jpg|jpeg|png|gif|zip|exe|css|js|ico|svg|mp4|mp3)$$')
+         |         THEN 1 ELSE 0 END AS BIGINT) AS bad_ext,
+         |    CAST(CASE WHEN regexp_matches(lower(host), '[.](click|top|xxx|gq|tk|loan)$$')
+         |         THEN 1 ELSE 0 END AS BIGINT) AS bad_tld,
+         |    CAST(CASE WHEN length(pth) > 80 THEN 1 ELSE 0 END AS BIGINT) AS long_path
+         |  FROM p),
+         |s AS (SELECT *, greatest(0,
+         |    1000 - (CASE WHEN path_depth > 4 THEN 150 ELSE 0 END)
+         |         - (CASE WHEN n_params >= 3 THEN 150 ELSE 0 END)
+         |         - has_session * 300 - bad_ext * 400 - bad_tld * 300
+         |         - long_path * 100) AS sc FROM f)
+         |SELECT doc_id, host, path_depth, n_params, has_session, bad_ext,
+         |       bad_tld, long_path, CAST(sc AS BIGINT) AS url_score,
+         |       CAST(CASE WHEN sc >= 500 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     // The strata shortcut ('example{N}.com') is valid because
     // text_url_normalize independently pins the extraction chain; this
     // oracle checks the CAP semantics (hash-order k per domain).
@@ -6757,6 +6843,35 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, md5(nt) AS norm_md5, CAST(length(nt) AS BIGINT) AS n_norm_chars
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Extraction replay from the fixture's analytic rules: the kept
+    // set is exactly the 2+id%4 paragraphs (+ the gap-filled figure
+    // label for even ids, ordinal 1 between paragraphs 0 and 1); the
+    // block census counts header(1) + nav(3) + paragraphs + ad(1) +
+    // figure(even) or tags+aside(odd) + footer(1). The paragraph text
+    // is re-spelled verbatim — including the decoded '&' — so the
+    // string_agg comparison proves tokenizer, entity decode, subtree
+    // skips, classification and gap-fill end to end.
+    "text_html_extract" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS np FROM documents),
+        |paras AS (SELECT doc_id, p * 2 AS ord,
+        |    'the quick data point ' || CAST((doc_id * 7 + p) % 1000 AS VARCHAR) ||
+        |    ' is on the record & file and the value ' ||
+        |    CAST((doc_id + p) % 100 AS VARCHAR) ||
+        |    ' stays in the set for now .' AS txt,
+        |    22 AS words
+        |  FROM (SELECT doc_id, unnest(range(0, np)) AS p FROM d)),
+        |figs AS (SELECT doc_id, 1 AS ord,
+        |    'Figure ' || CAST(doc_id % 10 AS VARCHAR) AS txt, 2 AS words
+        |  FROM d WHERE doc_id % 2 = 0),
+        |kept AS (SELECT * FROM paras UNION ALL SELECT * FROM figs)
+        |SELECT doc_id,
+        |  CAST(9 + doc_id % 4 + doc_id % 2 AS BIGINT) AS n_blocks,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(length(txt)) AS BIGINT) AS n_chars,
+        |  CAST(sum(words) AS BIGINT) AS n_words,
+        |  string_agg(txt, chr(10) ORDER BY ord) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // LRS replay by brute force: every substring of the 200-char
     // slice, grouped; repeats (count ≥ 2, overlaps included) ranked

@@ -320,6 +320,62 @@ object Corpus {
       .withColumn("domain",
         regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1))
 
+  /** URL-quality gate — the crawl-frontier heuristic every web-corpus
+    * build runs BEFORE fetching/keeping a page (robots-adjacent
+    * hygiene: the URL alone predicts junk with high precision). Exact
+    * integer scoring so the DuckDB oracle replays it bit-for-bit:
+    * start at 1000 permille and subtract fixed penalties for
+    *  - deep paths (> 4 segments: calendar/faceted-navigation traps),
+    *  - parameter explosions (≥ 3 query params: search/filter pages),
+    *  - session-id patterns (infinite URL spaces for one document),
+    *  - non-document extensions (media/binary/asset payloads),
+    *  - spam-heavy TLD classes,
+    *  - over-long paths (> 80 chars — generated link mazes),
+    * clamped at 0; `keep` = score ≥ 500. Every regex is a literal
+    * alternation / char class (Java == RE2 semantics), every signal
+    * is also emitted so downstream policies can re-weight without
+    * re-parsing. Pure narrow expressions — composes with the frontier
+    * scan at zero shuffles. */
+  def urlQuality(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u = col(urlCol)
+    val host = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val out = docs
+      .withColumn("host", host)
+      .withColumn("__path", path)
+      .withColumn("__query", query)
+      .withColumn("path_depth",
+        (length(col("__path")) -
+          length(regexp_replace(col("__path"), "/", ""))).cast("long"))
+      .withColumn("n_params",
+        when(col("__query") === "", lit(0L))
+          .otherwise(size(org.apache.spark.sql.functions.split(
+            col("__query"), "&")).cast("long")))
+      .withColumn("has_session",
+        (lower(col("__query")).rlike("(^|&)(sid|sessionid|phpsessid|jsessionid)=") ||
+          lower(col("__path")).rlike("[0-9a-f]{24}")).cast("long"))
+      .withColumn("bad_ext",
+        lower(col("__path"))
+          .rlike("[.](jpg|jpeg|png|gif|zip|exe|css|js|ico|svg|mp4|mp3)$")
+          .cast("long"))
+      .withColumn("bad_tld",
+        col("host").rlike("[.](click|top|xxx|gq|tk|loan)$").cast("long"))
+      .withColumn("long_path",
+        (length(col("__path")) > 80).cast("long"))
+      .withColumn("url_score",
+        greatest(lit(0L),
+          lit(1000L)
+            - when(col("path_depth") > 4, 150L).otherwise(0L)
+            - when(col("n_params") >= 3, 150L).otherwise(0L)
+            - col("has_session") * 300L
+            - col("bad_ext") * 400L
+            - col("bad_tld") * 300L
+            - col("long_path") * 100L))
+      .withColumn("keep", (col("url_score") >= 500L).cast("long"))
+    out.drop("__path", "__query")
+  }
+
   /** Per-domain document cap — the anti-domination rule of web corpora
     * ("no single site exceeds k docs"): deterministic hash-order
     * selection within each registered domain, stable under corpus

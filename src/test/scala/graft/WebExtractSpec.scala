@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.WebExtract
+import graft.operators.WebExtract.Block
+
+/** HTML main-content extraction: tokenizer edge cases, block
+  * segmentation, classification + gap-fill semantics, fixture
+  * hand-checks, nulls/fuzz, zero-shuffle plan shape. */
+class WebExtractSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def texts(html: String): Vector[String] =
+    WebExtract.blocks(html).map(_.text)
+
+  test("block walk: tags segment, head/script/style subtrees vanish, " +
+    "comments and CDATA vanish, entities decode, quoted '>' survives") {
+    val html =
+      """<!DOCTYPE html><html><head><title>T</title>
+        |<style>p > a { color: red }</style></head><body>
+        |<!-- a comment <p>not a block</p> -->
+        |<p>alpha &amp; beta &lt;tag&gt; &#65;&#x42;</p>
+        |<script>if (1 < 2) { document.write("<p>js</p>"); }</script>
+        |<![CDATA[ not text ]]>
+        |<p>second</p>
+        |<a href="a>b"><p>inside</p></a>
+        |</body></html>""".stripMargin
+    assert(texts(html) ===
+      Vector("alpha & beta <tag> AB", "second", "inside"))
+  }
+
+  test("block walk: nested boilerplate ancestors flag, anchors count link " +
+    "chars, br is a space, unknown entities pass through") {
+    val html =
+      "<body><nav><div><a href='/x'>one link</a> plain</div></nav>" +
+        "<p>text&bogus; a<br>b</p>" +
+        "<footer><p>foot</p></footer></body>"
+    val bs = WebExtract.blocks(html)
+    assert(bs.map(b => (b.text, b.boiler)) ===
+      Vector(("one link plain", true), ("text&bogus; a b", false),
+        ("foot", true)))
+    assert(bs(0).linkChars === 8) // "one link"
+    assert(bs(1).linkChars === 0)
+  }
+
+  test("block walk: whitespace collapses, words and stopwords count, " +
+    "uppercase tags, unclosed document, self-closing skip tag") {
+    val bs = WebExtract.blocks(
+      "<BODY><P>  The   cat \n\t sat on the   mat </P><script/><P>tail")
+    assert(bs.map(_.text) === Vector("The cat sat on the mat", "tail"))
+    assert(bs(0).words === 6)
+    assert(bs(0).stopWords === 3) // the, on, the
+    assert(bs(0).chars === 22)
+  }
+
+  test("classification: boiler bad, short gap-fill needs GOOD on both " +
+    "sides, link density and stopword thresholds") {
+    def b(text: String, linkChars: Int = 0, boiler: Boolean = false): Block = {
+      val words = text.split(' ')
+      Block(text, text.length, words.length,
+        words.count(w => Set("the", "is", "on", "and", "in", "for", "a",
+          "of", "to", "it", "with", "at").contains(w.toLowerCase)),
+        linkChars, boiler)
+    }
+    val good = b("the quick value is on the record and it stays in the set for now")
+    val short = b("Fig 1")
+    val linky = b("click all of these links to win prizes now today friend",
+      linkChars = 56)
+    val data = b("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val boil = b("the quick value is on the record and it stays here now",
+      boiler = true)
+    // GOOD, SHORT, GOOD → gap-filled
+    assert(WebExtract.keepFlags(Vector(good, short, good), 25, 300, 150) ===
+      Vector(true, true, true))
+    // GOOD, SHORT, BAD-link → short drops
+    assert(WebExtract.keepFlags(Vector(good, short, linky), 25, 300, 150) ===
+      Vector(true, false, false))
+    // SHORT at the document edge drops (no non-short neighbour)
+    assert(WebExtract.keepFlags(Vector(short, good), 25, 300, 150) ===
+      Vector(false, true))
+    // stopword-free listing is BAD; boiler is BAD even with prose stats
+    assert(WebExtract.keepFlags(Vector(data, boil), 25, 300, 150) ===
+      Vector(false, false))
+    // consecutive shorts between goods: all kept (nearest non-short
+    // neighbours are the flanking goods for each)
+    assert(WebExtract.keepFlags(Vector(good, short, short, good), 25, 300, 150) ===
+      Vector(true, true, true, true))
+  }
+
+  test("fixture hand-check: even id keeps figure between paragraphs, odd " +
+    "id drops tags block; ad/header/nav/aside/footer always drop") {
+    import spark.implicits._
+    val docs = Seq(4L, 7L).toDF("doc_id")
+    val out = WebExtract.htmlExtract(WebExtract.syntheticHtmlDocs(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    // id=4: np=6? no — np = 2 + 4%4 = 2; n_blocks = 9 + 4%4 + 4%2 = 9
+    val (nb4, nk4, nc4, nw4, t4) = out(4L)
+    assert(nb4 === 9L)
+    assert(nk4 === 3L) // 2 paragraphs + gap-filled figure
+    assert(t4 === WebExtract.paraText(4, 0) + "\nFigure 4\n" +
+      WebExtract.paraText(4, 1))
+    assert(nw4 === 22L + 2L + 22L)
+    assert(nc4 === (WebExtract.paraText(4, 0).length + 8 +
+      WebExtract.paraText(4, 1).length).toLong)
+    // id=7: np = 2 + 7%4 = 5; n_blocks = 9 + 3 + 1 = 13; kept = 5 paras
+    val (nb7, nk7, _, nw7, t7) = out(7L)
+    assert(nb7 === 13L)
+    assert(nk7 === 5L)
+    assert(t7 === (0 until 5).map(p => WebExtract.paraText(7, p)).mkString("\n"))
+    assert(nw7 === 5L * 22L)
+  }
+
+  test("nulls, empties and binary garbage never throw; zero shuffle") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "<"),
+      (4L, "plain text with no tags at all but the words are here and the story is told for you"),
+      (5L, new String(Array.tabulate[Byte](64)(i => (i * 37).toByte), "ISO-8859-1")),
+      (6L, "<p>" + ("a" * 100000) + "</p>")).toDF("doc_id", "html")
+    val out = WebExtract.htmlExtract(docs)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) === 0L && m(2L) === 0L)
+    // bare prose with stopwords is one GOOD block
+    assert(m(4L) === 1L)
+    // 100k 'a' run: one block, zero stopwords → dropped, but walk is O(n)
+    assert(m(6L) === 0L)
+  }
+}
