@@ -1162,6 +1162,19 @@ object SparkEntry {
       Multimodal.warcInventory(Multimodal.syntheticWarcBlobs(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("rec_idx"))),
 
+    // WARC → HTTP envelope → Content-Encoding body decode: response
+    // records carrying full HTTP responses (identity / gzip /
+    // zlib-deflate bodies by id%3, member-gzip TRANSPORT on odd ids —
+    // the content-coding × transport-coding matrix). The body md5
+    // pins every decoded byte; a lying inner Content-Length or an
+    // unterminated stream drops the record.
+    "mm_warc_http" -> ((s, d) =>
+      Multimodal.warcHttpBodies(Multimodal.syntheticWebWarcBlobs(Tables.documents(s, d)))
+        .select(col("doc_id"), col("rec_idx"), col("uri"), col("status"),
+          col("content_type"), col("content_encoding"), col("n_body"),
+          md5(col("body_text").cast("binary")).as("body_md5"))
+        .orderBy(col("doc_id"), col("rec_idx"))),
+
     // MP3 metadata walk: ID3v2.3 text frames (syncsafe container,
     // per-frame sizes) + the first MPEG1 Layer III header through the
     // real bitrate/samplerate tables — title/artist/bitrate/rate/
@@ -1534,6 +1547,29 @@ object SparkEntry {
     // benchmark-member docs themselves drop too). One DuckDB CTE
     // program replays the whole chain — the hash match proves the
     // production pipeline end-to-end, not per-stage.
+    // The WEB ingest seam end to end: crawl WARC → verified framing →
+    // HTTP envelope + Content-Encoding decode → HTML main-content
+    // extraction → Gopher quality features + keep — one narrow chain,
+    // ZERO shuffles from raw archive bytes to gated training text.
+    // The text md5 pins the extracted bytes; every feature is
+    // recomputed independently by the oracle on the analytically
+    // rebuilt kept text.
+    "corpus_e2e_web" -> ((s, d) => {
+      val bodies = Multimodal.warcHttpBodies(
+          Multimodal.syntheticWebWarcBlobs(Tables.documents(s, d)))
+        .filter(col("content_type") === "text/html")
+      val extracted = WebExtract.htmlExtract(bodies, htmlCol = "body_text",
+        passCols = Seq("content_encoding"))
+      val flat = extracted.withColumn("flat",
+        regexp_replace(col("text"), "\n", " "))
+      TextAnalysis.gopherFeatures(flat, textCol = "flat")
+        .select(col("doc_id"), col("content_encoding"), col("n_blocks"),
+          col("n_kept"), col("n_words"), col("mean_word_len_permille"),
+          col("symbol_permille"), col("alpha_word_permille"), col("n_stop"),
+          col("keep"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_e2e_curate2" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gated = TextAnalysis.gopherGate(docs)
@@ -2985,6 +3021,40 @@ object SparkEntry {
       |      '?q=' || CAST(doc_id % 9 AS VARCHAR) ||
       |      repeat('&p=1', CAST(doc_id % 4 AS INTEGER)) ||
       |      CASE WHEN doc_id % 6 = 1 THEN '&sid=deadbeefcafe1234' ELSE '' END""".stripMargin
+
+  /** CTE chain rebuilding [[graft.operators.WebExtract.htmlFor]]'s
+    * page verbatim (defines `wpage(doc_id, html)` over `documents`) —
+    * the md5 comparison in `mm_warc_http` proves the HTTP +
+    * Content-Encoding decode returned every byte. */
+  private val webPageCtesSql: String =
+    """wnp AS (SELECT doc_id, 2 + doc_id % 4 AS np FROM documents),
+      |wpf AS (SELECT doc_id, p,
+      |    '<p>the quick data point ' || CAST((doc_id * 7 + p) % 1000 AS VARCHAR) ||
+      |    ' is on the record &amp; file and the value ' ||
+      |    CAST((doc_id + p) % 100 AS VARCHAR) ||
+      |    ' stays in the set for now .</p>' ||
+      |    CASE WHEN p = 0 AND doc_id % 2 = 0
+      |         THEN '<div>Figure ' || CAST(doc_id % 10 AS VARCHAR) || '</div>'
+      |         ELSE '' END ||
+      |    CASE WHEN p = 1
+      |         THEN '<div class="ad"><a href="/buy">Buy cheap deals now and click here to win ' ||
+      |              CAST(doc_id % 7 AS VARCHAR) || ' prizes today</a></div>'
+      |         ELSE '' END AS frag
+      |  FROM (SELECT doc_id, unnest(range(0, np)) AS p FROM wnp)),
+      |wpage AS (SELECT doc_id,
+      |    '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>body { margin: 0; } .ad > a { color: red; }</style><script>var n = ' ||
+      |    CAST(doc_id AS VARCHAR) || '; if (n < 2) { n = 2; }</script></head><body>' ||
+      |    '<header><a href="/">Home ' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    '</a> <a href="/about">About us</a></header>' ||
+      |    '<nav><ul><li><a href="/c1">cat one</a></li><li><a href="/c2">cat two</a></li><li><a href="/c3">cat three</a></li></ul></nav>' ||
+      |    '<article>' || string_agg(frag, '' ORDER BY p) || '</article>' ||
+      |    CASE WHEN doc_id % 2 = 1 THEN '<div>Tags: x' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '</div><aside>related stories you may like <a href="/r">read more</a></aside>'
+      |      ELSE '' END ||
+      |    '<footer>(c) ' || CAST(2000 + doc_id % 20 AS VARCHAR) ||
+      |    ' Example Corp all rights reserved <a href="/terms">terms</a></footer></body></html>' AS html
+      |  FROM wpf GROUP BY doc_id)""".stripMargin
 
   private val urlInjectSql: String =
     """'HTTPS://WWW.Example' || CAST(doc_id % 37 AS VARCHAR) || '.COM/Doc/' ||
@@ -5444,6 +5514,20 @@ object SparkEntry {
         |FROM bj GROUP BY doc_id, rec_idx, rec_type, uri, len, base
         |ORDER BY doc_id, rec_idx""".stripMargin,
 
+    // Byte-exact replay: the page is rebuilt verbatim in SQL and
+    // md5-compared — the only way a row matches is if the HTTP
+    // envelope parse, the Content-Encoding decode (identity/gzip/
+    // zlib-deflate) and the transport gunzip all returned every byte.
+    "mm_warc_http" ->
+      s"""WITH $webPageCtesSql
+         |SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx,
+         |  'https://ex.com/web/' || CAST(doc_id AS VARCHAR) AS uri,
+         |  CAST(200 AS BIGINT) AS status, 'text/html' AS content_type,
+         |  (['identity','gzip','deflate'])[CAST(doc_id % 3 AS INTEGER) + 1]
+         |    AS content_encoding,
+         |  CAST(length(html) AS BIGINT) AS n_body, md5(html) AS body_md5
+         |FROM wpage ORDER BY doc_id, rec_idx""".stripMargin,
+
     // table replay: the MPEG1 Layer III bitrate/samplerate tables as
     // literal lists, frame length by the 144000·kbps // hz rule.
     "mm_audio_mp3_meta" ->
@@ -6094,6 +6178,55 @@ object SparkEntry {
 
     // v1's chain + the winnow excerpt screen + embedding-space
     // decontamination, replayed as one program.
+    // Kept-set replay (same analytic rules as text_html_extract) +
+    // independent recomputation of every Gopher feature on the
+    // rebuilt text — both engines derive the keep decision from
+    // their own parse of the same strings.
+    "corpus_e2e_web" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS np FROM documents),
+        |paras AS (SELECT doc_id, p * 2 AS ord,
+        |    'the quick data point ' || CAST((doc_id * 7 + p) % 1000 AS VARCHAR) ||
+        |    ' is on the record & file and the value ' ||
+        |    CAST((doc_id + p) % 100 AS VARCHAR) ||
+        |    ' stays in the set for now .' AS txt
+        |  FROM (SELECT doc_id, unnest(range(0, np)) AS p FROM d)),
+        |figs AS (SELECT doc_id, 1 AS ord,
+        |    'Figure ' || CAST(doc_id % 10 AS VARCHAR) AS txt
+        |  FROM d WHERE doc_id % 2 = 0),
+        |kept AS (SELECT * FROM paras UNION ALL SELECT * FROM figs),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(txt, chr(10) ORDER BY ord) AS text
+        |        FROM kept GROUP BY doc_id),
+        |fl AS (SELECT doc_id, n_kept, text,
+        |         replace(text, chr(10), ' ') AS flat FROM agg),
+        |ft AS (SELECT doc_id, n_kept, text,
+        |    CAST(len(list_filter(string_split(flat, ' '), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(flat, ' ', '')) AS BIGINT) AS nospace,
+        |    CAST(len(regexp_extract_all(flat, '#|[.][.][.]')) AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(string_split(flat, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(string_split(flat, ' '),
+        |      w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in'))) AS BIGINT) AS n_stop
+        |  FROM fl),
+        |g AS (SELECT doc_id, n_kept, text, n_words,
+        |    nospace * 1000 // n_words AS mwl,
+        |    n_sym * 1000 // n_words AS sym,
+        |    n_alpha * 1000 // n_words AS alw, n_stop FROM ft)
+        |SELECT doc_id,
+        |  (['identity','gzip','deflate'])[CAST(doc_id % 3 AS INTEGER) + 1]
+        |    AS content_encoding,
+        |  CAST(9 + doc_id % 4 + doc_id % 2 AS BIGINT) AS n_blocks,
+        |  n_kept, n_words,
+        |  CAST(mwl AS BIGINT) AS mean_word_len_permille,
+        |  CAST(sym AS BIGINT) AS symbol_permille,
+        |  CAST(alw AS BIGINT) AS alpha_word_permille, n_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |             AND mwl BETWEEN 3000 AND 10000 AND sym <= 100
+        |             AND alw >= 800 AND n_stop >= 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  md5(text) AS text_md5
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     "corpus_e2e_curate2" ->
       s"""WITH RECURSIVE gf AS (SELECT doc_id,
          |    CAST(len($tokSql) AS BIGINT) AS n_words,

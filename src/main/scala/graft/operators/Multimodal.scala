@@ -4304,7 +4304,23 @@ object Multimodal {
     * truncation, or a malformed header block refuses the whole file
     * (mis-framed WARCs silently corrupt every downstream record). */
   private[graft] def warcRecords(bytes0: Array[Byte])
-      : Option[Vector[(Int, String, String, Long, Long)]] = try {
+      : Option[Vector[(Int, String, String, Long, Long)]] =
+    warcWalk(bytes0).map { case (bytes, slices) =>
+      slices.map { case (idx, warcType, uri, off, len) =>
+        var sum = 0L
+        var j = 0
+        while (j < len) { sum += bytes(off + j) & 0xff; j += 1 }
+        (idx, warcType, uri, len.toLong, sum)
+      }
+    }
+
+  /** The core framing walk behind [[warcRecords]]: returns the
+    * transport-decoded buffer plus one (recIdx, warcType, targetUri,
+    * payloadOffset, payloadLen) slice per record — callers that need
+    * the payload BYTES (HTTP envelope decode) share the exact same
+    * verified framing as the inventory. */
+  private[graft] def warcWalk(bytes0: Array[Byte])
+      : Option[(Array[Byte], Vector[(Int, String, String, Int, Int)])] = try {
     var bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
     if (bytes.length < 2) return None
     if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
@@ -4322,7 +4338,7 @@ object Multimodal {
       in.close()
       bytes = out.toByteArray
     }
-    val out = Vector.newBuilder[(Int, String, String, Long, Long)]
+    val out = Vector.newBuilder[(Int, String, String, Int, Int)]
     var p = 0
     var idx = 0
     def line(from: Int): Option[(String, Int)] = {
@@ -4358,18 +4374,15 @@ object Multimodal {
       }
       if (warcType.isEmpty || clen < 0 || clen > (1L << 26)) return None
       if (q + clen + 4 > bytes.length) return None
-      var sum = 0L
-      var j = 0
-      while (j < clen) { sum += bytes(q + j.toInt) & 0xff; j += 1 }
       val sep = q + clen.toInt
       if ((bytes(sep) & 0xff) != 0x0d || (bytes(sep + 1) & 0xff) != 0x0a ||
           (bytes(sep + 2) & 0xff) != 0x0d || (bytes(sep + 3) & 0xff) != 0x0a)
         return None
-      out += ((idx, warcType, uri, clen, sum))
+      out += ((idx, warcType, uri, q, clen.toInt))
       idx += 1
       p = sep + 4
     }
-    if (idx == 0) None else Some(out.result())
+    if (idx == 0) None else Some((bytes, out.result()))
   } catch {
     case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
     case _: java.io.IOException => None // corrupt gzip transport
@@ -4440,6 +4453,208 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     docs.select(col("doc_id")).mapPartitions { it =>
       it.map(r => Row(r.getLong(0), warcBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Parse an HTTP/1.x response envelope out of a WARC response
+    * payload and decode the body through its Content-Encoding:
+    * (status, contentType, contentEncoding, rawBodyLen, decodedBody).
+    * Strict on everything the bytes can prove:
+    *  - status line must be `HTTP/1.0|1.1 NNN ...`;
+    *  - an HTTP Content-Length that disagrees with the actual body
+    *    length refuses (the WARC record length already frames the
+    *    body — a lying inner length is corruption);
+    *  - `gzip` bodies must be one complete member with no trailing
+    *    slack; `deflate` accepts zlib-wrapped or raw (both exist in
+    *    the wild) but must reach the final-block terminator;
+    *  - decoded output shares the 2^26 budget discipline.
+    * Content-Type is lowercased and cut at ';' (charset parameters
+    * are presentation, not identity). */
+  private[graft] def httpResponse(bytes: Array[Byte], off: Int, len: Int)
+      : Option[(Int, String, String, Int, Array[Byte])] = try {
+    val end = off + len
+    def line(from: Int): Option[(String, Int)] = {
+      var i = from
+      while (i + 1 < end &&
+             !((bytes(i) & 0xff) == 0x0d && (bytes(i + 1) & 0xff) == 0x0a)) i += 1
+      if (i + 1 >= end) None
+      else Some((new String(bytes, from, i - from, "ISO-8859-1"), i + 2))
+    }
+    val (status0, p1) = line(off).getOrElse(return None)
+    if (!(status0.startsWith("HTTP/1.0 ") || status0.startsWith("HTTP/1.1 ")))
+      return None
+    val codeStr = status0.substring(9).takeWhile(_.isDigit)
+    if (codeStr.length != 3) return None
+    val status = codeStr.toInt
+    var q = p1
+    var ctype = ""
+    var cenc = "identity"
+    var hlen = -1L
+    var headersDone = false
+    while (!headersDone) {
+      val (h, qn) = line(q).getOrElse(return None)
+      q = qn
+      if (h.isEmpty) headersDone = true
+      else {
+        val colon = h.indexOf(':')
+        if (colon <= 0) return None
+        val key = h.substring(0, colon).trim.toLowerCase
+        val value = h.substring(colon + 1).trim
+        key match {
+          case "content-type" =>
+            val semi = value.indexOf(';')
+            ctype = (if (semi >= 0) value.substring(0, semi) else value)
+              .trim.toLowerCase
+          case "content-encoding" => cenc = value.toLowerCase
+          case "content-length" =>
+            hlen = try value.toLong catch { case _: NumberFormatException => return None }
+          case _ => ()
+        }
+      }
+    }
+    val rawLen = end - q
+    if (hlen >= 0 && hlen != rawLen) return None
+    val body: Array[Byte] = cenc match {
+      case "identity" =>
+        java.util.Arrays.copyOfRange(bytes, q, end)
+      case "gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes, q, rawLen))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size() > (1 << 26)) return None
+          n = in.read(buf)
+        }
+        in.close()
+        out.toByteArray
+      case "deflate" =>
+        // zlib-wrapped per RFC; raw-deflate servers exist — try both
+        def inflateWith(raw: Boolean): Option[Array[Byte]] = {
+          val inf = new java.util.zip.Inflater(raw)
+          try {
+            inf.setInput(bytes, q, rawLen)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var stalled = false
+            while (!inf.finished() && !stalled) {
+              val n = inf.inflate(buf)
+              if (n > 0) {
+                out.write(buf, 0, n)
+                if (out.size() > (1 << 26)) return None
+              } else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+            }
+            if (!inf.finished()) None else Some(out.toByteArray)
+          } catch {
+            case _: java.util.zip.DataFormatException => None
+          } finally inf.end()
+        }
+        inflateWith(raw = false).orElse(inflateWith(raw = true))
+          .getOrElse(return None)
+      case _ => return None // unknown codings refuse, not pass-through
+    }
+    Some((status, ctype, cenc, rawLen, body))
+  } catch {
+    case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+    case _: java.io.IOException => None
+  }
+
+  /** WARC → HTTP → decoded-body inventory: one row per `response`
+    * record whose payload is a well-formed HTTP response — doc_id,
+    * rec_idx, uri, status, content_type, content_encoding, n_raw
+    * (body bytes on the wire), n_body (after Content-Encoding
+    * decode), body_text (decoded bytes as UTF-8). This is the seam
+    * that lets the HTML extractor see text inside crawl archives
+    * whose bodies are gzip/deflate-compressed (most of Common Crawl).
+    * Non-response records and malformed/lying envelopes drop.
+    * Narrow per-partition walk, zero shuffle. */
+  def warcHttpBodies(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("rec_idx", LongType, nullable = false),
+      StructField("uri", StringType, nullable = false),
+      StructField("status", LongType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("content_encoding", StringType, nullable = false),
+      StructField("n_raw", LongType, nullable = false),
+      StructField("n_body", LongType, nullable = false),
+      StructField("body_text", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        warcWalk(r.getAs[Array[Byte]](1)).toSeq.flatMap { case (buf, slices) =>
+          slices.collect { case (i, "response", uri, off, len) => (i, uri, off, len) }
+            .flatMap { case (i, uri, off, len) =>
+              httpResponse(buf, off, len).map { case (st, ct, ce, nRaw, body) =>
+                Row(r.getLong(0), i.toLong, uri, st.toLong, ct, ce,
+                  nRaw.toLong, body.length.toLong,
+                  new String(body, java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** A web-crawl WARC keyed on doc_id: warcinfo + ONE response record
+    * whose payload is a full HTTP/1.1 response carrying the
+    * [[WebExtract.htmlFor]] page, body Content-Encoding by id%3
+    * (identity / gzip / zlib-deflate); odd ids additionally ship the
+    * member-gzip TRANSPORT — the content-coding × transport-coding
+    * matrix in one fixture family. */
+  private[graft] def webWarcBytes(id: Long): Array[Byte] = {
+    def record(warcType: String, uri: Option[String], payload: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder()
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $warcType\r\n")
+      sb.append(s"WARC-Record-ID: <urn:graft:web:$id:$warcType>\r\n")
+      uri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+      sb.append(s"Content-Length: ${payload.length}\r\n")
+      sb.append("\r\n")
+      sb.toString.getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val html = WebExtract.htmlFor(id).getBytes("UTF-8")
+    val (cenc, body) = (id % 3) match {
+      case 0 => ("identity", html)
+      case 1 =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(html); gz.close()
+        ("gzip", bos.toByteArray)
+      case _ =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(html); d.finish()
+        val buf = new Array[Byte](html.length + 64)
+        val m = d.deflate(buf)
+        d.end()
+        ("deflate", java.util.Arrays.copyOf(buf, m))
+    }
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      (if (cenc == "identity") "" else s"Content-Encoding: $cenc\r\n") +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+    val info = record("warcinfo", None,
+      Array.tabulate[Byte]((10 + id % 5).toInt)(j => ((id + j) % 256).toByte))
+    val resp = record("response", Some(s"https://ex.com/web/$id"), http)
+    val recs = Vector(info, resp)
+    if (id % 2 == 0) recs.reduce(_ ++ _)
+    else recs.map { rec =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.close()
+      bos.toByteArray
+    }.reduce(_ ++ _)
+  }
+
+  /** Deterministic web-crawl WARCs (HTTP + content-coding matrix). */
+  def syntheticWebWarcBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), webWarcBytes(r.getLong(0))))
     }(enc)
   }
 

@@ -933,6 +933,13 @@ object TextAnalysis {
       .drop("n_words", "mean_word_len_permille", "symbol_permille",
         "alpha_word_permille", "n_stop", "keep")
 
+  /** [[gopherRules]] with every input column retained (features +
+    * `keep` appended, no filter) — the composition form for pipelines
+    * that report the decision alongside upstream columns. Narrow. */
+  def gopherFeatures(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    gopherRulesOn(docs, idCol, textCol, keepInput = true)
+
   private def gopherRulesOn(docs: DataFrame, idCol: String,
                             textCol: String, keepInput: Boolean): DataFrame = {
     val toks = tokens(col(textCol))

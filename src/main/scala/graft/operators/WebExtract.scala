@@ -282,25 +282,30 @@ object WebExtract {
     */
   def htmlExtract(docs: DataFrame, htmlCol: String = "html",
       idCol: String = "doc_id", minChars: Int = 25,
-      maxLinkPermille: Int = 300, minStopPermille: Int = 150): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_blocks", LongType, nullable = false),
-      StructField("n_kept", LongType, nullable = false),
-      StructField("n_chars", LongType, nullable = false),
-      StructField("n_words", LongType, nullable = false),
-      StructField("text", StringType, nullable = false)))
+      maxLinkPermille: Int = 300, minStopPermille: Int = 150,
+      passCols: Seq[String] = Nil): DataFrame = {
+    val passFields = passCols.map(c => docs.schema(c))
+    val schema = StructType(
+      StructField("doc_id", LongType, nullable = false) +: passFields :+
+      StructField("n_blocks", LongType, nullable = false) :+
+      StructField("n_kept", LongType, nullable = false) :+
+      StructField("n_chars", LongType, nullable = false) :+
+      StructField("n_words", LongType, nullable = false) :+
+      StructField("text", StringType, nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    docs.select(col(idCol), col(htmlCol)).mapPartitions { it =>
-      it.map { r =>
-        val bs = blocks(if (r.isNullAt(1)) "" else r.getString(1))
-        val keep = keepFlags(bs, minChars, maxLinkPermille, minStopPermille)
-        val kept = bs.zip(keep).collect { case (b, true) => b }
-        Row(r.getLong(0), bs.length.toLong, kept.length.toLong,
-          kept.map(_.chars.toLong).sum, kept.map(_.words.toLong).sum,
-          kept.map(_.text).mkString("\n"))
-      }
-    }(enc)
+    val nPass = passCols.length
+    docs.select((col(idCol) +: col(htmlCol) +: passCols.map(col)): _*)
+      .mapPartitions { it =>
+        it.map { r =>
+          val bs = blocks(if (r.isNullAt(1)) "" else r.getString(1))
+          val keep = keepFlags(bs, minChars, maxLinkPermille, minStopPermille)
+          val kept = bs.zip(keep).collect { case (b, true) => b }
+          val pass = (0 until nPass).map(k => r.get(2 + k))
+          Row.fromSeq(r.getLong(0) +: pass :+ bs.length.toLong :+
+            kept.length.toLong :+ kept.map(_.chars.toLong).sum :+
+            kept.map(_.words.toLong).sum :+ kept.map(_.text).mkString("\n"))
+        }
+      }(enc)
   }
 
   /** The analytic paragraph `p` of document `id` — shared between the
@@ -323,38 +328,40 @@ object WebExtract {
       StructField("html", StringType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     docs.select(col("doc_id")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val np = 2 + id % 4
-        val sb = new StringBuilder
-        sb ++= "<!DOCTYPE html><html><head><title>Doc " + id + "</title>"
-        sb ++= "<style>body { margin: 0; } .ad > a { color: red; }</style>"
-        sb ++= "<script>var n = " + id + "; if (n < 2) { n = 2; }</script></head><body>"
-        sb ++= "<header><a href=\"/\">Home " + (id % 3) + "</a> <a href=\"/about\">About us</a></header>"
-        sb ++= "<nav><ul><li><a href=\"/c1\">cat one</a></li><li><a href=\"/c2\">cat two</a></li>" +
-          "<li><a href=\"/c3\">cat three</a></li></ul></nav>"
-        sb ++= "<article>"
-        var p = 0L
-        while (p < np) {
-          sb ++= "<p>" + paraText(id, p).replace("&", "&amp;") + "</p>"
-          // the short figure label sits BETWEEN two good paragraphs
-          // (gap-fill keeps it); the link-dense ad comes after the
-          // second paragraph (and is never gap-filled around)
-          if (p == 0 && id % 2 == 0)
-            sb ++= "<div>Figure " + (id % 10) + "</div>"
-          if (p == 1)
-            sb ++= "<div class=\"ad\"><a href=\"/buy\">Buy cheap deals now and click here to win " +
-              (id % 7) + " prizes today</a></div>"
-          p += 1
-        }
-        sb ++= "</article>"
-        if (id % 2 == 1) sb ++= "<div>Tags: x" + (id % 5) + "</div>"
-        if (id % 2 == 1)
-          sb ++= "<aside>related stories you may like <a href=\"/r\">read more</a></aside>"
-        sb ++= "<footer>(c) " + (2000 + id % 20) + " Example Corp all rights reserved " +
-          "<a href=\"/terms\">terms</a></footer></body></html>"
-        Row(id, sb.toString)
-      }
+      it.map(r => Row(r.getLong(0), htmlFor(r.getLong(0))))
     }(enc)
+  }
+
+  /** The analytic page of document `id` (see [[syntheticHtmlDocs]]). */
+  private[graft] def htmlFor(id: Long): String = {
+    val np = 2 + id % 4
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>Doc " + id + "</title>"
+    sb ++= "<style>body { margin: 0; } .ad > a { color: red; }</style>"
+    sb ++= "<script>var n = " + id + "; if (n < 2) { n = 2; }</script></head><body>"
+    sb ++= "<header><a href=\"/\">Home " + (id % 3) + "</a> <a href=\"/about\">About us</a></header>"
+    sb ++= "<nav><ul><li><a href=\"/c1\">cat one</a></li><li><a href=\"/c2\">cat two</a></li>" +
+      "<li><a href=\"/c3\">cat three</a></li></ul></nav>"
+    sb ++= "<article>"
+    var p = 0L
+    while (p < np) {
+      sb ++= "<p>" + paraText(id, p).replace("&", "&amp;") + "</p>"
+      // the short figure label sits BETWEEN two good paragraphs
+      // (gap-fill keeps it); the link-dense ad comes after the
+      // second paragraph (and is never gap-filled around)
+      if (p == 0 && id % 2 == 0)
+        sb ++= "<div>Figure " + (id % 10) + "</div>"
+      if (p == 1)
+        sb ++= "<div class=\"ad\"><a href=\"/buy\">Buy cheap deals now and click here to win " +
+          (id % 7) + " prizes today</a></div>"
+      p += 1
+    }
+    sb ++= "</article>"
+    if (id % 2 == 1) sb ++= "<div>Tags: x" + (id % 5) + "</div>"
+    if (id % 2 == 1)
+      sb ++= "<aside>related stories you may like <a href=\"/r\">read more</a></aside>"
+    sb ++= "<footer>(c) " + (2000 + id % 20) + " Example Corp all rights reserved " +
+      "<a href=\"/terms\">terms</a></footer></body></html>"
+    sb.toString
   }
 }

@@ -1449,6 +1449,83 @@ class MultimodalHeaderSpec extends SparkSpec {
       "partial trailing block must refuse the whole payload")
   }
 
+  test("WARC HTTP bodies: transport × content-encoding matrix, decoded " +
+    "body equals the page, lying envelopes refuse") {
+    import graft.operators.WebExtract
+    // ids 0..5 cover (identity|gzip|deflate) × (plain|gzip transport)
+    val docs = (0L to 5L).toDF("doc_id")
+    val rows = Multimodal.warcHttpBodies(Multimodal.syntheticWebWarcBlobs(docs))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getString(4), r.getString(5), r.getLong(6),
+          r.getLong(7), r.getString(8)))).toMap
+    assert(rows.size === 6)
+    for (id <- 0L to 5L) {
+      val (status, ctype, cenc, nRaw, nBody, body) = rows(id)
+      val html = WebExtract.htmlFor(id)
+      assert(status === 200L && ctype === "text/html")
+      assert(cenc === Seq("identity", "gzip", "deflate")((id % 3).toInt))
+      assert(body === html, s"id=$id")
+      assert(nBody === html.getBytes("UTF-8").length.toLong)
+      if (cenc == "identity") assert(nRaw === nBody)
+      else assert(nRaw < nBody, "compressed body should be smaller here")
+    }
+    // refusal fuzz on the PAYLOAD: flip the inner HTTP Content-Length
+    // of an identity-body doc → record drops (plain transport: patch
+    // the raw bytes directly)
+    val plain = Multimodal.webWarcBytes(0L)
+    val s0 = new String(plain, "ISO-8859-1")
+    val clAt = s0.indexOf("Content-Length: ", s0.indexOf("HTTP/1.1"))
+    val lied = s0.substring(0, clAt + 16) + "9" + s0.substring(clAt + 16)
+    // (warc outer length now disagrees too — framing refuses whole file)
+    assert(Multimodal.warcHttpBodies(
+      Seq((0L, lied.getBytes("ISO-8859-1"))).toDF("doc_id", "blob")).count() === 0)
+    // unknown content-coding refuses the record (not pass-through) —
+    // asserted on a hand-built single-record WARC with correct framing
+    val httpBr = ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      "Content-Length: 5\r\n\r\nhello").getBytes("UTF-8")
+    def warcOf(payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+    assert(Multimodal.warcHttpBodies(
+      Seq((1L, warcOf(httpBr))).toDF("doc_id", "blob")).count() === 0)
+    // inner Content-Length lie with CORRECT outer framing
+    val httpLie = ("HTTP/1.1 200 OK\r\nContent-Length: 6\r\n\r\nhello")
+      .getBytes("UTF-8")
+    assert(Multimodal.warcHttpBodies(
+      Seq((2L, warcOf(httpLie))).toDF("doc_id", "blob")).count() === 0)
+    // truncated gzip body (complete outer framing) refuses
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("hello world hello world".getBytes("UTF-8")); gz.close()
+    val gzBytes = bos.toByteArray
+    val cut = java.util.Arrays.copyOf(gzBytes, gzBytes.length - 3)
+    val httpCut = (s"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      s"Content-Length: ${cut.length}\r\n\r\n").getBytes("UTF-8") ++ cut
+    assert(Multimodal.warcHttpBodies(
+      Seq((3L, warcOf(httpCut))).toDF("doc_id", "blob")).count() === 0)
+    // control: the untruncated gzip body decodes
+    val httpOk = (s"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      s"Content-Length: ${gzBytes.length}\r\n\r\n").getBytes("UTF-8") ++ gzBytes
+    val ok = Multimodal.warcHttpBodies(
+      Seq((4L, warcOf(httpOk))).toDF("doc_id", "blob")).collect()
+    assert(ok.length === 1 && ok(0).getString(8) === "hello world hello world")
+    // raw-deflate body (wild servers) also decodes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput("raw deflate body".getBytes("UTF-8")); d.finish()
+    val rb = new Array[Byte](256)
+    val rn = d.deflate(rb); d.end()
+    val httpRaw = (s"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+      s"Content-Length: $rn\r\n\r\n").getBytes("UTF-8") ++ rb.take(rn)
+    val okRaw = Multimodal.warcHttpBodies(
+      Seq((5L, warcOf(httpRaw))).toDF("doc_id", "blob")).collect()
+    assert(okRaw.length === 1 && okRaw(0).getString(8) === "raw deflate body")
+    // warcinfo records never surface; garbage payload drops record only
+    val httpJunk = "not http at all".getBytes("UTF-8")
+    assert(Multimodal.warcHttpBodies(
+      Seq((6L, warcOf(httpJunk))).toDF("doc_id", "blob")).count() === 0)
+  }
+
   test("baseline TIFF: both byte orders, multi-strip offset arrays, ImageIO " +
     "differential, refusals") {
     for (id <- 0L until 30L) {
