@@ -1199,6 +1199,18 @@ object SparkEntry {
       Multimodal.decodeTiff(Multimodal.syntheticTiffBlobs(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // COMPRESSED TIFF decode — what scanned-document corpora actually
+    // carry: per-row PackBits packets and per-strip early-change LZW
+    // (MSB-first 9→12-bit codes), with Predictor-2 horizontal
+    // differencing on a third of the corpus; strip offset/count
+    // arrays are genuinely variable (compressed sizes). Channel sums
+    // of the analytic pixel grid pin every packet walk, code width
+    // transition and predictor undo.
+    "mm_decode_tiff_compressed" -> ((s, d) =>
+      Multimodal.decodeTiff(
+          Multimodal.syntheticTiffCompressedBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // 16-BIT PNG decode: bytewise unfilter at the 2-byte sample
     // stride, big-endian sample assembly — channel sums are of the
     // 16-bit VALUES, so one byte-order or stride slip anywhere flips
@@ -5565,6 +5577,27 @@ object SparkEntry {
     "mm_decode_tiff" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS w, 1 + doc_id % 8 AS h,
         |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
+        |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx),
+        |ks AS (SELECT doc_id, w, h, ch, x, r, unnest(range(0, ch)) AS k FROM px),
+        |sv AS (SELECT doc_id, w, h, ch, k,
+        |         (doc_id + 2 * x + 3 * r + 5 * k) % 256 AS v FROM ks)
+        |SELECT doc_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(ch AS BIGINT) AS channels,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN k = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN k = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN k = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM sv GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+
+    // Same analytic pixel replay — compression/predictor are
+    // decoder-side concerns the oracle must be blind to: a row can
+    // only hash-match if PackBits/LZW/predictor reconstructed every
+    // sample the uncompressed rule prescribes.
+    "mm_decode_tiff_compressed" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 12 AS w, 1 + doc_id % 8 AS h,
+        |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS ch FROM documents),
         |gx AS (SELECT doc_id, w, h, ch, unnest(range(0, w)) AS x FROM d),
         |px AS (SELECT doc_id, w, h, ch, x, unnest(range(0, h)) AS r FROM gx),
         |ks AS (SELECT doc_id, w, h, ch, x, r, unnest(range(0, ch)) AS k FROM px),

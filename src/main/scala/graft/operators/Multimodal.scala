@@ -4800,12 +4800,202 @@ object Multimodal {
   // reads the IMAGE. Same untrusted-byte discipline.
   // ------------------------------------------------------------------
 
-  /** Decode a baseline uncompressed striped TIFF: (width, height,
-    * channels, nPixels, sumR, sumG, sumB). Accepts 8-bit gray
-    * (photometric 1, spp 1) and RGB (photometric 2, spp 3), any
-    * RowsPerStrip; refuses compression, other photometrics, depths,
-    * short/overlong strips, or any out-of-bounds indirection — None,
-    * never a throw. */
+  /** PackBits (TIFF compression 32773, the Macintosh RLE): n ≥ 0 →
+    * copy n+1 literal bytes; −127 ≤ n ≤ −1 → repeat next byte 1−n
+    * times; −128 is a no-op. Strict: the strip must decode to EXACTLY
+    * `expected` bytes and consume every input byte (trailing no-ops
+    * tolerated — Photoshop emits them) — slack either way refuses. */
+  private[graft] def packbitsDecode(bytes: Array[Byte], off: Int, len: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var i = off
+    var o = 0
+    val end = off + len
+    while (i < end && o < expected) {
+      val n = bytes(i)
+      i += 1
+      if (n >= 0) {
+        val c = n + 1
+        if (i + c > end || o + c > expected) return None
+        System.arraycopy(bytes, i, out, o, c)
+        i += c; o += c
+      } else if (n != -128) {
+        val c = 1 - n
+        if (i >= end || o + c > expected) return None
+        java.util.Arrays.fill(out, o, o + c, bytes(i))
+        i += 1; o += c
+      }
+    }
+    while (i < end && bytes(i) == -128) i += 1
+    if (o == expected && i == end) Some(out) else None
+  }
+
+  /** TIFF LZW (compression 5): MSB-first variable-width codes 9→12
+    * bits with the spec's EARLY CHANGE (both sides widen one code
+    * sooner than strictly necessary — the defining difference from
+    * GIF's LSB-first late-change LZW), Clear 256 / EOI 257, table
+    * from 258. Strict: must reach EOI, decode to exactly `expected`
+    * bytes, and leave under one byte of padding — anything else
+    * refuses. Flat-array string table (prefix/suffix/length), O(out)
+    * total. */
+  private[graft] def tiffLzwDecode(bytes: Array[Byte], off: Int, len: Int,
+      expected: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expected)
+    var o = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val strLen = new Array[Int](4096)
+    var c0 = 0
+    while (c0 < 256) { prefix(c0) = -1; suffix(c0) = c0.toByte; strLen(c0) = 1; c0 += 1 }
+    var nextFree = 258
+    var width = 9
+    var bitPos = 0L
+    val totalBits = len.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) -1
+      else {
+        var v = 0
+        var k = 0
+        while (k < width) {
+          val p = bitPos + k
+          v = (v << 1) | ((bytes(off + (p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
+          k += 1
+        }
+        bitPos += width
+        v
+      }
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (prefix(c) >= 0) c = prefix(c)
+      suffix(c)
+    }
+    def emit(code: Int): Boolean = {
+      val l = strLen(code)
+      if (o + l > expected) false
+      else {
+        var c = code
+        var j = o + l - 1
+        while (c >= 0) { out(j) = suffix(c); c = prefix(c); j -= 1 }
+        o += l
+        true
+      }
+    }
+    var prev = -1
+    var sawEoi = false
+    while (!sawEoi) {
+      val code = read()
+      if (code < 0) return None
+      if (code == 257) sawEoi = true
+      else if (code == 256) { nextFree = 258; width = 9; prev = -1 }
+      else if (prev == -1) {
+        if (code > 255) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (nextFree >= 4096) return None
+        if (code < nextFree) {
+          prefix(nextFree) = prev
+          suffix(nextFree) = firstByte(code)
+          strLen(nextFree) = strLen(prev) + 1
+          if (!emit(code)) return None
+        } else if (code == nextFree) { // KwKwK
+          prefix(nextFree) = prev
+          suffix(nextFree) = firstByte(prev)
+          strLen(nextFree) = strLen(prev) + 1
+          if (!emit(code)) return None
+        } else return None
+        nextFree += 1
+        prev = code
+        // early-change boundary, decoder side (libtiff/JDK convention,
+        // verified against the JDK writer): widen when the table
+        // reaches 511/1023/2047 — one code before the width is full
+        if (nextFree == 511 || nextFree == 1023 || nextFree == 2047) width += 1
+      }
+    }
+    if (o != expected || totalBits - bitPos >= 8) None else Some(out)
+  }
+
+  /** TIFF LZW encoder (the [[tiffLzwDecode]] twin, used by the fixture
+    * builder): emits Clear, hash-chained string matches, early-change
+    * width growth at table sizes 511/1023/2047, a fresh Clear at 4094
+    * (the libtiff boundary), final code + EOI, MSB-first packing. */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var accBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    val table = new java.util.HashMap[Integer, Integer]()
+    var nextFree = 258
+    put(256)
+    var omega = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = Integer.valueOf((omega << 8) | k)
+        val e = table.get(key)
+        if (e != null) omega = e.intValue()
+        else {
+          put(omega)
+          table.put(key, Integer.valueOf(nextFree))
+          nextFree += 1
+          // encoder side sits one entry ahead of the decoder at each
+          // read, so it widens at 512/1024/2048 and clears at 4094
+          // (the libtiff boundary) — the decoder's 511-family rule
+          // then reads every code at the width it was written
+          if (nextFree == 512 || nextFree == 1024 || nextFree == 2048) width += 1
+          else if (nextFree == 4094) {
+            put(256)
+            table.clear()
+            nextFree = 258
+            width = 9
+          }
+          omega = k
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) put(omega)
+    put(257)
+    if (accBits > 0)
+      out.write((((acc & ((1L << accBits) - 1)) << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Undo TIFF Predictor 2 (horizontal differencing) in place: each
+    * sample adds its left neighbour in the same channel, per row. */
+  private def undoHorizontalPredictor(strip: Array[Byte], rows: Int,
+      rowBytes: Int, channels: Int): Unit = {
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var j = channels
+      while (j < rowBytes) {
+        strip(base + j) = ((strip(base + j) + strip(base + j - channels)) & 0xff).toByte
+        j += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Decode a baseline striped TIFF: (width, height, channels,
+    * nPixels, sumR, sumG, sumB). Accepts 8-bit gray (photometric 1,
+    * spp 1) and RGB (photometric 2, spp 3), any RowsPerStrip,
+    * compression 1 (none), 5 (LZW — what scanned-document corpora
+    * actually carry) or 32773 (PackBits), Predictor 1 or 2
+    * (horizontal differencing, the usual LZW companion); refuses
+    * other photometrics, depths, short/overlong/unterminated strips,
+    * or any out-of-bounds indirection — None, never a throw. */
   private[graft] def decodeTiffPixels(bytes0: Array[Byte])
       : Option[(Int, Int, Int, Long, Long, Long, Long)] = try {
     val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
@@ -4840,6 +5030,7 @@ object Multimodal {
     }
     var width = -1L; var height = -1L; var spp = 1L
     var rps = -1L; var compression = 1L; var photometric = -1L
+    var predictor = 1L
     var bps: Array[Long] = Array(8L)
     var stripOffs: Array[Long] = null
     var stripCounts: Array[Long] = null
@@ -4859,12 +5050,14 @@ object Multimodal {
         case 277 => spp = one
         case 278 => rps = one
         case 279 => stripCounts = values(typ, cnt, valOff)
+        case 317 => predictor = one
         case _ => () // baseline readers tolerate unknown tags
       }
       i += 1
     }
     if (width <= 0 || height <= 0 || width > (1 << 14) || height > (1 << 14)) return None
-    if (compression != 1) return None
+    if (compression != 1 && compression != 5 && compression != 32773) return None
+    if (predictor != 1 && predictor != 2) return None
     val channels = photometric match {
       case 1 => 1
       case 2 => 3
@@ -4884,14 +5077,27 @@ object Multimodal {
     var rowsLeft = height
     while (s < nStrips) {
       val rows = math.min(rowsPer, rowsLeft)
-      if (stripCounts(s) != rows * rowBytes) return None
+      val expected = (rows * rowBytes).toInt
       val off = stripOffs(s)
-      if (off < 0 || off + stripCounts(s) > bytes.length) return None
+      val cnt = stripCounts(s)
+      if (off < 0 || cnt < 0 || cnt > (1L << 26) ||
+          off + cnt > bytes.length) return None
+      val strip: Array[Byte] = compression match {
+        case 1 =>
+          if (cnt != expected) return None
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
+        case 5 =>
+          tiffLzwDecode(bytes, off.toInt, cnt.toInt, expected)
+            .getOrElse(return None)
+        case _ => // 32773
+          packbitsDecode(bytes, off.toInt, cnt.toInt, expected)
+            .getOrElse(return None)
+      }
+      if (predictor == 2)
+        undoHorizontalPredictor(strip, rows.toInt, rowBytes.toInt, channels)
       var j = 0
-      val lim = (rows * rowBytes).toInt
-      val o0 = off.toInt
-      while (j < lim) {
-        sums(j % channels) += bytes(o0 + j) & 0xff
+      while (j < expected) {
+        sums(j % channels) += strip(j) & 0xff
         j += 1
       }
       rowsLeft -= rows
@@ -4996,6 +5202,126 @@ object Multimodal {
         val id = r.getLong(0)
         Row(id, tiffBytes(id, (1 + id % 12).toInt, (1 + id % 8).toInt,
           if (id % 3 == 0) 1 else 3, id % 2 == 1, (1 + id % 3).toInt))
+      }
+    }(enc)
+  }
+
+  /** PackBits encoder (fixture twin of [[packbitsDecode]]): replicate
+    * packets for runs ≥ 2, literal packets otherwise, 128-byte packet
+    * cap — each ROW packed separately per the TIFF spec. */
+  private[graft] def packbitsEncode(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = row.length
+    while (i < n) {
+      var j = i + 1
+      while (j < n && row(j) == row(i) && j - i < 128) j += 1
+      val run = j - i
+      if (run >= 2) {
+        out.write(1 - run)
+        out.write(row(i))
+        i = j
+      } else {
+        var k = i + 1
+        while (k < n && k - i < 128 &&
+               !(k + 1 < n && row(k) == row(k + 1))) k += 1
+        out.write(k - i - 1)
+        out.write(row, i, k - i)
+        i = k
+      }
+    }
+    out.toByteArray
+  }
+
+  /** A COMPLETE COMPRESSED striped TIFF in either byte order —
+    * Compression 5 (LZW, per-strip state) or 32773 (PackBits, per-row
+    * packets), optional Predictor 2 (horizontal differencing applied
+    * before compression), same analytic pixel rule as [[tiffBytes]]:
+    * v(x,r,k) = (id + 2x + 3r + 5k) mod 256. Strip offset/count
+    * arrays are genuinely variable (compressed sizes), so the reader
+    * must trust NOTHING about layout. */
+  private[graft] def tiffCompressedBytes(id: Long, width: Int, height: Int,
+      channels: Int, bigEndian: Boolean, rowsPerStrip: Int,
+      compression: Int, predictor: Int): Array[Byte] = {
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val rowBytes = width * channels
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = new Array[Byte](rows * rowBytes)
+      for (r <- 0 until rows; x <- 0 until width; k <- 0 until channels)
+        raw(r * rowBytes + x * channels + k) =
+          ((id + 2L * x + 3L * (s * rowsPerStrip + r) + 5L * k) % 256).toByte
+      if (predictor == 2)
+        for (r <- 0 until rows; j <- (rowBytes - 1) to channels by -1)
+          raw(r * rowBytes + j) =
+            ((raw(r * rowBytes + j) - raw(r * rowBytes + j - channels)) & 0xff).toByte
+      if (compression == 5) tiffLzwEncode(raw)
+      else (0 until rows).map(r => packbitsEncode(
+        java.util.Arrays.copyOfRange(raw, r * rowBytes, (r + 1) * rowBytes)))
+        .reduce(_ ++ _)
+    }
+    val nEntries = if (predictor == 2) 10 else 9
+    val ifdLen = 2 + nEntries * 12 + 4
+    var extra = 0
+    val bpsOff = 8 + ifdLen + extra
+    if (channels == 3) extra += 6
+    val soOff = 8 + ifdLen + extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val scOff = 8 + ifdLen + extra
+    if (nStrips > 1) extra += 4 * nStrips
+    val dataOff = 8 + ifdLen + extra
+    val total = dataOff + strips.map(_.length).sum
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int)(value: java.nio.ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt)
+      val before = b.position()
+      value(b)
+      while (b.position() < before + 4) b.put(0.toByte)
+    }
+    def stripOff(s: Int): Int = dataOff + strips.take(s).map(_.length).sum
+    entry(256, 4, 1)(_.putInt(width))
+    entry(257, 4, 1)(_.putInt(height))
+    if (channels == 3) entry(258, 3, 3)(_.putInt(bpsOff))
+    else entry(258, 3, 1)(_.putShort(8))
+    entry(259, 3, 1)(_.putShort(compression.toShort))
+    entry(262, 3, 1)(_.putShort(if (channels == 3) 2 else 1))
+    if (nStrips > 1) entry(273, 4, nStrips)(_.putInt(soOff))
+    else entry(273, 4, 1)(_.putInt(stripOff(0)))
+    entry(277, 3, 1)(_.putShort(channels.toShort))
+    entry(278, 4, 1)(_.putInt(rowsPerStrip))
+    if (nStrips > 1) entry(279, 4, nStrips)(_.putInt(scOff))
+    else entry(279, 4, 1)(_.putInt(strips(0).length))
+    if (predictor == 2) entry(317, 3, 1)(_.putShort(2))
+    b.putInt(0) // next IFD: none
+    if (channels == 3) { b.putShort(8); b.putShort(8); b.putShort(8) }
+    if (nStrips > 1) {
+      for (s <- 0 until nStrips) b.putInt(stripOff(s))
+      for (s <- 0 until nStrips) b.putInt(strips(s).length)
+    }
+    strips.foreach(b.put)
+    b.array()
+  }
+
+  /** Deterministic COMPRESSED TIFFs keyed on doc_id: PackBits (id%3=0)
+    * or LZW (id%3=1) or LZW+Predictor2 (id%3=2); gray when id%5=0;
+    * byte order by parity; RowsPerStrip 1 + id%4. */
+  def syntheticTiffCompressedBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val comp = if (id % 3 == 0) 32773 else 5
+        val pred = if (id % 3 == 2) 2 else 1
+        Row(id, tiffCompressedBytes(id, (1 + id % 12).toInt, (1 + id % 8).toInt,
+          if (id % 5 == 0) 1 else 3, id % 2 == 1, (1 + id % 4).toInt, comp, pred))
       }
     }(enc)
   }

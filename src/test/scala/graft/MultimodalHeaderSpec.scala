@@ -1563,12 +1563,120 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
     assert(Multimodal.decodeTiffPixels(null).isEmpty)
     assert(Multimodal.decodeTiffPixels(Multimodal.jpegBaselineBytes(3L)).isEmpty)
-    // compression != 1 refuses: entry 4 (tag 259) value field —
+    // unsupported compression refuses: entry 4 (tag 259) value field —
     // header 8 + count 2 + 3 entries of 12 + tag/type/count 8 = byte 54
     val comp = good.clone()
     assert(((comp(54) & 0xff) | ((comp(55) & 0xff) << 8)) === 1, "layout sanity")
-    comp(54) = 5.toByte // LZW
-    assert(Multimodal.decodeTiffPixels(comp).isEmpty, "compressed must refuse")
+    comp(54) = 7.toByte // JPEG-in-TIFF: out of scope
+    assert(Multimodal.decodeTiffPixels(comp).isEmpty, "unknown codec must refuse")
+  }
+
+  test("compressed TIFF: PackBits + early-change LZW + Predictor 2, ImageIO " +
+    "differential, LZW width growth and Clear boundary, refusal fuzz") {
+    // fixture matrix (30 ids: all of comp × predictor × gray/rgb × endian)
+    for (id <- 0L until 30L) {
+      val (w, h) = ((1 + id % 12).toInt, (1 + id % 8).toInt)
+      val ch = if (id % 5 == 0) 1 else 3
+      val comp = if (id % 3 == 0) 32773 else 5
+      val pred = if (id % 3 == 2) 2 else 1
+      val tiff = Multimodal.tiffCompressedBytes(id, w, h, ch, id % 2 == 1,
+        (1 + id % 4).toInt, comp, pred)
+      val got = Multimodal.decodeTiffPixels(tiff)
+      assert(got.isDefined, s"id=$id")
+      val (gw, gh, gch, np, sr, sg, sb) = got.get
+      def v(x: Int, r: Int, k: Int): Long = (id + 2L * x + 3L * r + 5L * k) % 256
+      val exp = Array.tabulate(ch)(k =>
+        (for (x <- 0 until w; r <- 0 until h) yield v(x, r, k)).sum)
+      assert((gw, gh, gch, np) === ((w, h, ch, w.toLong * h)), s"id=$id")
+      assert(sr === exp(0), s"id=$id")
+      if (ch == 3) assert((sg, sb) === ((exp(1), exp(2))), s"id=$id")
+      // independent referee: the JDK TIFF plugin decodes PackBits, LZW
+      // and the predictor — band sums must agree
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiff))
+      assert(img != null, s"ImageIO must accept id=$id comp=$comp pred=$pred")
+      val raster = img.getRaster
+      for (k <- 0 until math.min(raster.getNumBands, ch)) {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) s += raster.getSample(x, y, k)
+        assert(s === exp(k), s"ImageIO band $k id=$id comp=$comp pred=$pred")
+      }
+    }
+    // LZW code-width growth (9→10→11→12) and the 4094 Clear boundary:
+    // a 300×200 RGB image (180k high-entropy samples) pushes the table
+    // through every width and past the reset; ImageIO must agree
+    val big = Multimodal.tiffCompressedBytes(7L, 300, 200, 3,
+      bigEndian = false, rowsPerStrip = 200, compression = 5, predictor = 1)
+    val gotBig = Multimodal.decodeTiffPixels(big)
+    assert(gotBig.isDefined)
+    val imgBig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    assert(imgBig != null)
+    for (k <- 0 until 3) {
+      var s = 0L
+      for (y <- 0 until 200; x <- 0 until 300) s += imgBig.getRaster.getSample(x, y, k)
+      assert(s === (k match {
+        case 0 => gotBig.get._5
+        case 1 => gotBig.get._6
+        case _ => gotBig.get._7
+      }), s"big LZW band $k")
+    }
+    // codec-level twins: encode→decode round-trip at awkward sizes
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 40) {
+      val n = rnd.nextInt(600)
+      val data = Array.fill[Byte](n)(
+        if (rnd.nextBoolean()) rnd.nextInt(4).toByte else rnd.nextInt(256).toByte)
+      val lzw = Multimodal.tiffLzwEncode(data)
+      assert(Multimodal.tiffLzwDecode(lzw, 0, lzw.length, n)
+        .exists(java.util.Arrays.equals(_, data)), s"lzw trial=$trial n=$n")
+      val pb = Multimodal.packbitsEncode(data)
+      assert(Multimodal.packbitsDecode(pb, 0, pb.length, n)
+        .exists(java.util.Arrays.equals(_, data)), s"pb trial=$trial n=$n")
+      // strictness: wrong expected length refuses both codecs
+      if (n > 0) {
+        assert(Multimodal.tiffLzwDecode(lzw, 0, lzw.length, n - 1).isEmpty)
+        assert(Multimodal.packbitsDecode(pb, 0, pb.length, n + 1).isEmpty)
+        // truncated LZW stream (no EOI) refuses
+        assert(Multimodal.tiffLzwDecode(lzw, 0, lzw.length - 1, n).isEmpty ||
+          n == 0)
+      }
+    }
+    // REVERSE differential: a TIFF written by the JDK's LZW COMPRESSOR
+    // (multi-strip, its own strip geometry and extra tags) must decode
+    // to the same channel sums through OUR walk
+    val jimg = new java.awt.image.BufferedImage(120, 90,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var jsum = Array(0L, 0L, 0L)
+    for (y <- 0 until 90; x <- 0 until 120) {
+      val r = ((7 + 2 * x + 3 * y) % 256)
+      val g = ((7 + 2 * x + 3 * y + 5) % 256)
+      val bb = ((7 + 2 * x + 3 * y + 10) % 256)
+      jsum = Array(jsum(0) + r, jsum(1) + g, jsum(2) + bb)
+      jimg.setRGB(x, y, (r << 16) | (g << 8) | bb)
+    }
+    val jwr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val jp = jwr.getDefaultWriteParam
+    jp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    jp.setCompressionType("LZW")
+    val jbos = new java.io.ByteArrayOutputStream()
+    val jos = javax.imageio.ImageIO.createImageOutputStream(jbos)
+    jwr.setOutput(jos)
+    jwr.write(null, new javax.imageio.IIOImage(jimg, null, null), jp)
+    jos.close()
+    val jdkTiff = jbos.toByteArray
+    val jdkGot = Multimodal.decodeTiffPixels(jdkTiff)
+    assert(jdkGot.isDefined, "must read the JDK compressor's output")
+    assert((jdkGot.get._1, jdkGot.get._2, jdkGot.get._3) === ((120, 90, 3)))
+    assert((jdkGot.get._5, jdkGot.get._6, jdkGot.get._7) ===
+      ((jsum(0), jsum(1), jsum(2))), "JDK-written LZW strips, our decode")
+    // whole-file truncation/corruption fuzz never throws
+    val fz = Multimodal.tiffCompressedBytes(11L, 9, 6, 3, bigEndian = true,
+      rowsPerStrip = 2, compression = 5, predictor = 2)
+    for (cut <- 0 until fz.length by 4)
+      assert(Multimodal.decodeTiffPixels(fz.take(cut)).isEmpty, s"cut=$cut")
+    for (i <- 0 until fz.length) {
+      val mut = fz.clone(); mut(i) = (mut(i) ^ 0x5a).toByte
+      Multimodal.decodeTiffPixels(mut) // must never throw
+    }
   }
 
   test("16-bit PNG: big-endian sample sums vs ImageIO, filters at the wide " +
