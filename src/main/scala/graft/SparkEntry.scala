@@ -1183,6 +1183,16 @@ object SparkEntry {
       Multimodal.mp3Metadata(Multimodal.syntheticMp3Blobs(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // ALL-frames MP3 census — the first-header walk reports the wrong
+    // duration on VBR files; this walks every frame (header-stride
+    // hops, strict framing, optional ID3v2 lead / ID3v1 trail), exact
+    // 1152-samples-per-frame duration, min/max/mode bitrate, VBR flag,
+    // padding count, total audio bytes.
+    "mm_audio_mp3_frames" -> ((s, d) =>
+      Multimodal.mp3FrameInventory(
+          Multimodal.syntheticMp3VbrBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
     // ZIP entry inventory with VERIFIED decode: EOCD scan → central
     // directory → per-entry stored/raw-deflate decode, CRC32 + size
     // checked against the directory's claims — the epub/docx/jar
@@ -5555,6 +5565,38 @@ object SparkEntry {
         |  CAST(hz AS BIGINT) AS sample_rate,
         |  CAST(144000 * kbps // hz AS BIGINT) AS frame_bytes
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Frame-grain replay: every frame's bitrate/padding from the
+    // analytic rule, mode via count-then-rank (ties to the LOWER
+    // bitrate), duration by the 1152-samples rule — integer-exact.
+    "mm_audio_mp3_frames" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS n,
+        |    ([44100,48000,32000])[CAST(doc_id % 3 AS INTEGER) + 1] AS hz
+        |  FROM documents),
+        |fr AS (SELECT doc_id, n, hz, f,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+        |      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 14
+        |                ELSE 1 + (doc_id + 3 * f) % 14 END AS INTEGER)] AS kbps,
+        |    (doc_id + f) % 2 AS pad
+        |  FROM (SELECT doc_id, n, hz, unnest(range(0, n)) AS f FROM d)),
+        |m AS (SELECT doc_id, kbps, count(*) AS c FROM fr GROUP BY doc_id, kbps),
+        |md AS (SELECT doc_id, kbps AS kmode,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY c DESC, kbps ASC) AS rn FROM m),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(min(hz) AS BIGINT) AS sample_rate,
+        |    CAST(min(kbps) AS BIGINT) AS kbps_min,
+        |    CAST(max(kbps) AS BIGINT) AS kbps_max,
+        |    CAST(sum(pad) AS BIGINT) AS n_padded,
+        |    CAST(sum(144000 * kbps // hz + pad) AS BIGINT) AS n_audio_bytes
+        |  FROM fr GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id, n_frames, sample_rate,
+        |  CAST(1152000 * n_frames // sample_rate AS BIGINT) AS duration_ms,
+        |  kbps_min, kbps_max, CAST(kmode AS BIGINT) AS kbps_mode,
+        |  CAST(CASE WHEN kbps_min <> kbps_max THEN 1 ELSE 0 END AS BIGINT) AS is_vbr,
+        |  n_padded, n_audio_bytes
+        |FROM agg a JOIN md ON md.doc_id = a.doc_id AND md.rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // inventory replay: names/methods from the entry-parity rule,
     // sizes and payload byte-sums from the analytic formula — the

@@ -4779,6 +4779,159 @@ object Multimodal {
     header ++ frames ++ audio
   }
 
+  /** ALL-frames MP3 census — [[mp3Meta]] reads only the first header,
+    * which reports the WRONG duration for VBR files (most podcast/
+    * rip encoders): walk every MPEG1 Layer III frame by header-stride
+    * hops and return (nFrames, sampleRate, kbpsMin, kbpsMax, kbpsMode,
+    * nPadded, audioBytes). Strict framing: an optional leading ID3v2.3
+    * tag and an optional trailing 128-byte ID3v1 block are the only
+    * non-frame bytes allowed; every hop must land on a valid sync; a
+    * sample-rate change mid-stream or any slack refuses (that is a
+    * broken file, not a VBR one). Mode ties break toward the LOWER
+    * bitrate. */
+  private[graft] def mp3FrameCensus(bytes0: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = try {
+    val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
+    var p = 0
+    if (bytes.length >= 10 && tag(bytes, 0).take(3) == "ID3") {
+      if ((bytes(3) & 0xff) != 3 || (bytes(4) & 0xff) != 0) return None
+      if ((bytes(5) & 0xff) != 0) return None
+      if (((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) != 0) return None
+      p = 10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+      if (p > bytes.length) return None
+    }
+    val counts = new Array[Int](15)
+    var hz = -1
+    var nPadded = 0
+    var audioBytes = 0L
+    var nFrames = 0
+    var done = false
+    while (!done && p < bytes.length) {
+      if (bytes.length - p == 128 && tag(bytes, p).take(3) == "TAG") {
+        p = bytes.length // trailing ID3v1 block
+        done = true
+      } else {
+        if (p + 4 > bytes.length) return None
+        val h0 = bytes(p) & 0xff; val h1 = bytes(p + 1) & 0xff
+        val h2 = bytes(p + 2) & 0xff
+        if (h0 != 0xff || (h1 & 0xe0) != 0xe0) return None
+        if (((h1 >> 3) & 3) != 3 || ((h1 >> 1) & 3) != 1) return None
+        val bIdx = (h2 >> 4) & 0xf
+        val sIdx = (h2 >> 2) & 3
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) return None
+        val fhz = Mp3SampleRates(sIdx)
+        if (hz < 0) hz = fhz
+        else if (hz != fhz) return None // sample-rate change = corruption
+        val padding = (h2 >> 1) & 1
+        val fb = 144000 * Mp3BitrateKbps(bIdx) / fhz + padding
+        if (p + fb > bytes.length) return None
+        counts(bIdx) += 1
+        nPadded += padding
+        audioBytes += fb
+        nFrames += 1
+        p += fb
+      }
+    }
+    if (nFrames == 0 || p != bytes.length) return None
+    var kMin = 0; var kMax = 0; var kMode = 0; var best = 0
+    var i = 1
+    while (i < 15) {
+      if (counts(i) > 0) {
+        val k = Mp3BitrateKbps(i)
+        if (kMin == 0) kMin = k
+        kMax = k
+        if (counts(i) > best) { best = counts(i); kMode = k }
+      }
+      i += 1
+    }
+    Some((nFrames, hz, kMin, kMax, kMode, nPadded, audioBytes))
+  } catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None }
+
+  /** [[mp3FrameCensus]] at scale: one row per parseable MP3 —
+    * doc_id, n_frames, sample_rate, duration_ms (exact: MPEG1 Layer
+    * III is 1152 samples/frame), kbps min/max/mode, is_vbr, n_padded,
+    * n_audio_bytes. Narrow, zero shuffle. */
+  def mp3FrameInventory(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("kbps_min", LongType, nullable = false),
+      StructField("kbps_max", LongType, nullable = false),
+      StructField("kbps_mode", LongType, nullable = false),
+      StructField("is_vbr", LongType, nullable = false),
+      StructField("n_padded", LongType, nullable = false),
+      StructField("n_audio_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        mp3FrameCensus(r.getAs[Array[Byte]](1)).map {
+          case (n, hz, kMin, kMax, kMode, nPad, aBytes) =>
+            Row(r.getLong(0), n.toLong, hz.toLong,
+              1152000L * n / hz, kMin.toLong, kMax.toLong, kMode.toLong,
+              if (kMin != kMax) 1L else 0L, nPad.toLong, aBytes)
+        }
+      }
+    }(enc)
+  }
+
+  /** Multi-frame MP3s keyed on doc_id: 3 + id%6 frames; even ids CBR
+    * (bitrate index 1 + id%14), odd ids VBR (frame f uses index
+    * 1 + (id + 3f)%14); samplerate index id%3; padding bit (id+f)%2;
+    * leading ID3v2.3 tag except when id%4 = 0; trailing ID3v1 block
+    * when id%5 = 0 — the tag × VBR × padding matrix. */
+  private[graft] def mp3VbrBytes(id: Long): Array[Byte] = {
+    val nFrames = (3 + id % 6).toInt
+    val sIdx = (id % 3).toInt
+    val hz = Mp3SampleRates(sIdx)
+    val frames = (0 until nFrames).map { f =>
+      val bIdx = if (id % 2 == 0) (1 + id % 14).toInt
+                 else (1 + (id + 3 * f) % 14).toInt
+      val padding = ((id + f) % 2).toInt
+      val fb = 144000 * Mp3BitrateKbps(bIdx) / hz + padding
+      val a = new Array[Byte](fb)
+      a(0) = 0xff.toByte
+      a(1) = 0xfb.toByte
+      a(2) = ((bIdx << 4) | (sIdx << 2) | (padding << 1)).toByte
+      a(3) = 0
+      a
+    }.reduce(_ ++ _)
+    val lead: Array[Byte] =
+      if (id % 4 == 0) Array.emptyByteArray
+      else {
+        val t = s"VBR ${id % 50}".getBytes("ISO-8859-1")
+        val fr = java.nio.ByteBuffer.allocate(11 + t.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        fr.put("TIT2".getBytes("US-ASCII")).putInt(1 + t.length)
+        fr.putShort(0).put(0.toByte).put(t)
+        val body = fr.array()
+        val sz = body.length
+        Array[Byte]('I', 'D', '3', 3, 0, 0,
+          ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+          ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+      }
+    val trail: Array[Byte] =
+      if (id % 5 == 0) {
+        val v1 = new Array[Byte](128)
+        v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+        v1
+      } else Array.emptyByteArray
+    lead ++ frames ++ trail
+  }
+
+  /** Deterministic multi-frame (CBR + VBR) MP3s keyed on doc_id. */
+  def syntheticMp3VbrBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), mp3VbrBytes(r.getLong(0))))
+    }(enc)
+  }
+
   /** Deterministic minimal MP3s keyed on doc_id. */
   def syntheticMp3Blobs(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(

@@ -1281,6 +1281,69 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.mp3Meta(Multimodal.zipBytes(3L)).isEmpty)
   }
 
+  test("MP3 all-frames census: CBR vs VBR duration, mode tie-break, tag " +
+    "matrix, strict hop framing refuses slack and rate changes") {
+    // fixture hand-checks across the tag × VBR × padding matrix
+    for (id <- 0L until 40L) {
+      val got = Multimodal.mp3FrameCensus(Multimodal.mp3VbrBytes(id))
+      assert(got.isDefined, s"id=$id")
+      val (n, hz, kMin, kMax, kMode, nPad, aBytes) = got.get
+      val expN = (3 + id % 6).toInt
+      val expHz = Array(44100, 48000, 32000)((id % 3).toInt)
+      val table = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val ks = (0 until expN).map { f =>
+        if (id % 2 == 0) table((1 + id % 14).toInt)
+        else table((1 + (id + 3 * f) % 14).toInt)
+      }
+      val pads = (0 until expN).map(f => ((id + f) % 2).toInt)
+      assert((n, hz) === ((expN, expHz)), s"id=$id")
+      assert((kMin, kMax) === ((ks.min, ks.max)), s"id=$id")
+      // mode: max count, tie to lower kbps
+      val expMode = ks.groupBy(identity).toSeq
+        .sortBy { case (k, v) => (-v.size, k) }.head._1
+      assert(kMode === expMode, s"id=$id")
+      assert(nPad === pads.sum, s"id=$id")
+      assert(aBytes === ks.zip(pads).map { case (k, p) =>
+        (144000 * k / expHz + p).toLong }.sum, s"id=$id")
+      // CBR files are never VBR-flagged, odd ids almost always are
+      if (id % 2 == 0) assert(kMin === kMax, s"id=$id")
+    }
+    // the first-header walk would misreport this VBR file's rate; the
+    // census sees all frames (the reason this operator exists)
+    val vbr = Multimodal.mp3FrameCensus(Multimodal.mp3VbrBytes(1L)).get
+    assert(vbr._3 !== vbr._4, "id=1 is VBR by construction")
+    // strict framing: one slack byte after the last frame refuses
+    val good = Multimodal.mp3VbrBytes(2L)
+    assert(Multimodal.mp3FrameCensus(good :+ 0.toByte).isEmpty)
+    // truncation fuzz never throws
+    for (cut <- 0 until good.length by 7)
+      assert(Multimodal.mp3FrameCensus(good.take(cut)).isEmpty, s"cut=$cut")
+    // a sample-rate change mid-stream refuses: hand-build two frames
+    def frame(bIdx: Int, sIdx: Int): Array[Byte] = {
+      val table = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+      val hz = Array(44100, 48000, 32000)(sIdx)
+      val fb = 144000 * table(bIdx) / hz
+      val a = new Array[Byte](fb)
+      a(0) = 0xff.toByte; a(1) = 0xfb.toByte
+      a(2) = ((bIdx << 4) | (sIdx << 2)).toByte
+      a
+    }
+    assert(Multimodal.mp3FrameCensus(frame(5, 0) ++ frame(5, 1)).isEmpty,
+      "sample-rate change must refuse")
+    assert(Multimodal.mp3FrameCensus(frame(5, 0) ++ frame(7, 0)).isDefined,
+      "bitrate change is just VBR")
+    // trailing ID3v1 must be exactly 128 bytes at the very end
+    val v1short = good ++ "TAG".getBytes("US-ASCII") ++ new Array[Byte](100)
+    assert(Multimodal.mp3FrameCensus(v1short).isEmpty)
+    assert(Multimodal.mp3FrameCensus(null).isEmpty)
+    assert(Multimodal.mp3FrameCensus(Multimodal.zipBytes(3L)).isEmpty)
+    // frame-level DataFrame op drops non-MP3 rows
+    import spark.implicits._
+    val mixed = Seq((1L, Multimodal.mp3VbrBytes(1L)), (2L, Multimodal.zipBytes(2L)))
+      .toDF("doc_id", "blob")
+    assert(Multimodal.mp3FrameInventory(mixed).count() === 1)
+  }
+
   test("ZIP walk: JDK two-way differential, CRC verification refuses lies, " +
     "truncation fuzz") {
     // fixture hand-check: id=5 → 2 entries
