@@ -122,11 +122,26 @@ object Bench {
     }
     // The measurement schedule and outlier defense live in
     // BenchPolicy.measure (pure, unit-tested in BenchPolicySpec).
-    val results = selected.map { case (name, fn) =>
+    val rawResults = selected.map { case (name, fn) =>
       val gc0 = gcMs
       val m = BenchPolicy.measure(() => once(fn, name), steadyMode, ref.get(name))
       val gcSec = (gcMs - gc0) / 1000.0
       name -> ((m, gcSec))
+    }
+    // Session-ratio normalization (round-9 protocol fix): a committed
+    // table taken on a fast host produced phantom prior-excess flags
+    // two rounds running. Estimate the run-wide host factor as the
+    // MEDIAN steady-vs-prior ratio and re-judge prior-excess flags
+    // against the scaled prior — entries the host factor explains
+    // demote to informational host_scaled_ok; real regressions (which
+    // exceed even the scaled bar, or sit in a session whose median is
+    // clean) keep their flags.
+    val sessionScale = BenchPolicy.sessionMedianRatio(
+      rawResults.toSeq.flatMap { case (k, (m, _)) =>
+        for (s <- m.steady; p <- ref.get(k)) yield (s, p)
+      })
+    val results = rawResults.map { case (k, (m, g)) =>
+      k -> ((BenchPolicy.normalizeFlags(m, ref.get(k), sessionScale), g))
     }
     val extraRuns = results.values.map(_._1.extraRuns).sum
     def fmt(m: Iterable[(String, Double)]): String =
@@ -165,6 +180,8 @@ object Bench {
     val aggRatio = if (refSum > 0) Some(steadySum / refSum) else None
     val aggRatioForVerdict =
       if (nCovered >= BenchPolicy.MinAggCoverage) aggRatio else None
+    val scalePart = sessionScale
+      .map(sc => f""","session_scale":$sc%.3f""").getOrElse("")
     val degraded = BenchPolicy.degradedHost(results.size, attention, extraRuns,
       exceedsPrior, aggRatioForVerdict)
     if (degraded)
@@ -175,7 +192,7 @@ object Bench {
         "host contention corrupted this session; re-take the numbers.")
     val ratioPart = aggRatio.map(r => f""","agg_steady_ratio":$r%.3f""").getOrElse("")
     val defendPart =
-      s""","remeasured":$extraRuns,"degraded_host":$degraded$ratioPart,"flags":${flagged.mkString("{", ",", "}")}""" +
+      s""","remeasured":$extraRuns,"degraded_host":$degraded$ratioPart$scalePart,"flags":${flagged.mkString("{", ",", "}")}""" +
         s""","flag_detail":${flagDetails.mkString("{", ",", "}")}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$steadyPart$gcPart$defendPart,"sf":"$sfDir"}"""

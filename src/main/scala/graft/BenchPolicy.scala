@@ -36,11 +36,71 @@ object BenchPolicy {
     * regressions. */
   val JitterMinRatio = 1.25
 
+  /** Flag a prior-excess entry is demoted to when the SESSION-level
+    * normalization explains it: the whole run read uniformly slow vs
+    * the committed table (host speed delta, not a plan change), and
+    * under the session-median scale the entry is back inside
+    * [[PriorRatio]]. Rounds 7 AND 8 each produced phantom flags from a
+    * committed table taken on a 0.85×-fast host; this closes that
+    * protocol hole without re-taking tables every round. */
+  val HostScaledFlag = "host_scaled_ok"
+
+  /** Cap on the session-median scale used to demote prior-excess
+    * flags: a wholesale ≥2× host is re-take territory (and trips the
+    * aggregate tripwire anyway) — normalization must explain drift,
+    * never mask a uniform real regression beyond it. */
+  val MaxSessionScale = 2.0
+
   /** Flags that are auto-adjudicated informational markers: they ride
     * the artifact (with both numbers in the detail) but demand no
     * human adjudication and don't count toward [[degradedHost]]'s
     * flagged-query tally. */
-  val AutoAdjudicated: Set[String] = Set("steady_jitter_auto")
+  val AutoAdjudicated: Set[String] = Set("steady_jitter_auto", HostScaledFlag)
+
+  /** Session-median steady-vs-prior ratio over the ref-covered
+    * queries, clamped to [1, [[MaxSessionScale]]]: the run-wide host
+    * speed estimate that prior-excess flags are re-judged against.
+    * None when fewer than [[MinAggCoverage]] entries back it (a dev
+    * subset must not self-normalize) — same bar as the aggregate
+    * tripwire. The MEDIAN is the right estimator: a handful of real
+    * regressions can't move it, a uniformly slow host defines it. */
+  def sessionMedianRatio(steadyVsPrior: Seq[(Double, Double)]): Option[Double] = {
+    val valid = steadyVsPrior.filter { case (s, p) => s > 0 && p > 0 }
+    if (valid.size < MinAggCoverage) None
+    else {
+      val rs = valid.map { case (s, p) => s / p }.sorted
+      val m =
+        if (rs.size % 2 == 1) rs(rs.size / 2)
+        else (rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2
+      Some(math.min(MaxSessionScale, math.max(1.0, m)))
+    }
+  }
+
+  /** Re-judge one measurement's prior-excess flags against the
+    * session-scaled prior: an `exceeds_prior_steady` whose best run —
+    * or a `steady_exceeds_prior` whose steady — is inside
+    * [[PriorRatio]] × (prior × sessionScale) demotes to
+    * [[HostScaledFlag]] (informational, with the scale recorded in the
+    * detail). Entries that exceed even the scaled prior keep their
+    * flags: those are the real candidates. */
+  def normalizeFlags(m: Measurement, prior: Option[Double],
+                     sessionScale: Option[Double]): Measurement =
+    (prior, sessionScale) match {
+      case (Some(p), Some(sc)) if sc > 1.0 &&
+          (m.flags.contains("exceeds_prior_steady") ||
+           m.flags.contains("steady_exceeds_prior")) =>
+        val bar = PriorRatio * p * sc
+        val newFlags = m.flags.map {
+          case "exceeds_prior_steady" if m.value <= bar => HostScaledFlag
+          case "steady_exceeds_prior" if m.steady.exists(_ <= bar) => HostScaledFlag
+          case f => f
+        }.distinct
+        if (newFlags == m.flags) m
+        else m.copy(flags = newFlags,
+          flagDetail = Some(m.flagDetail.fold("")(_ + ",") +
+            f"session_scale=$sc%.2f"))
+      case _ => m
+    }
 
   /** True when a measurement's flags include at least one that needs
     * human attention (anything not in [[AutoAdjudicated]]). */

@@ -171,4 +171,54 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!BenchPolicy.degradedHost(nQueries = 8, nFlagged = 0, extraRuns = 0,
       nExceedsPrior = 0, aggSteadyRatio = None))
   }
+
+  test("sessionMedianRatio: median of steady/prior, clamped to [1, 2], " +
+    "needs MinAggCoverage entries") {
+    // a 1.4x-slow session with one real 4x regression: the median
+    // reads the host, not the regression
+    val pairs = Seq((1.4, 1.0), (2.8, 2.0), (14.0, 10.0), (0.7, 0.5), (4.0, 1.0))
+    assert(BenchPolicy.sessionMedianRatio(pairs) === Some(1.4))
+    // fast sessions clamp UP to 1 (never scale priors down)
+    assert(BenchPolicy.sessionMedianRatio(
+      Seq((0.8, 1.0), (1.6, 2.0), (8.0, 10.0), (0.4, 0.5), (0.9, 1.0))) === Some(1.0))
+    // wholesale ≥2x clamps at MaxSessionScale (re-take territory; the
+    // aggregate tripwire fires anyway)
+    assert(BenchPolicy.sessionMedianRatio(
+      Seq((3.0, 1.0), (6.0, 2.0), (30.0, 10.0), (1.5, 0.5), (3.0, 1.0))) === Some(2.0))
+    // a dev subset must not self-normalize
+    assert(BenchPolicy.sessionMedianRatio(Seq((1.4, 1.0), (2.8, 2.0))) === None)
+    // zero/negative priors are ignored, and can drop below coverage
+    assert(BenchPolicy.sessionMedianRatio(
+      Seq((1.0, 0.0), (1.4, 1.0), (2.8, 2.0), (1.4, 1.0))) === None)
+  }
+
+  test("normalizeFlags: host-explained prior-excess demotes to host_scaled_ok; " +
+    "real regressions keep their flag") {
+    import BenchPolicy.Measurement
+    // the r8 shape: graph_bfs best 3.57 vs prior 2.41 on a 1.45x
+    // session — 3.57 > 2.5×2.41 is false... use the driver numbers:
+    // best 8.53 vs prior 2.41 flagged; a 1.45x session scale gives bar
+    // 2.5×2.41×1.45 = 8.74 → demoted
+    val flagged = Measurement(8.53, Some(8.6), 1,
+      List("exceeds_prior_steady"), Some("best=8.530,prior_steady=2.410"))
+    val demoted = BenchPolicy.normalizeFlags(flagged, Some(2.41), Some(1.45))
+    assert(demoted.flags === List(BenchPolicy.HostScaledFlag))
+    assert(!BenchPolicy.needsAttention(demoted.flags))
+    assert(demoted.flagDetail.get.contains("session_scale=1.45"))
+    // a REAL 10x regression exceeds even the scaled bar → flag kept
+    val real = Measurement(24.1, Some(24.5), 1,
+      List("exceeds_prior_steady"), Some("best=24.100,prior_steady=2.410"))
+    assert(BenchPolicy.normalizeFlags(real, Some(2.41), Some(1.45)).flags ===
+      List("exceeds_prior_steady"))
+    // steady-side flag demotes on the steady value
+    val steadyFlag = Measurement(2.5, Some(7.9), 1, List("steady_exceeds_prior"))
+    assert(BenchPolicy.normalizeFlags(steadyFlag, Some(2.41), Some(1.45)).flags ===
+      List(BenchPolicy.HostScaledFlag))
+    // no session scale (dev subset) or clean session (scale 1.0):
+    // untouched
+    assert(BenchPolicy.normalizeFlags(flagged, Some(2.41), None).flags ===
+      List("exceeds_prior_steady"))
+    assert(BenchPolicy.normalizeFlags(flagged, Some(2.41), Some(1.0)).flags ===
+      List("exceeds_prior_steady"))
+  }
 }
