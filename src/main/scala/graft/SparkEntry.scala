@@ -1722,6 +1722,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt gate — crawl compliance over the same frontier: RFC
+    // 9309 longest-match (Allow wins ties, '$' anchors, decoy bad-bot
+    // group ignored, no-match default-allow) with the per-host rule
+    // arrays broadcast into the scan (the frontier never shuffles).
+    "text_robots_gate" -> ((s, d) => {
+      WebExtract.robotsGate(withVariedUrls(Tables.documents(s, d)),
+          WebExtract.syntheticRobots(s))
+        .select(col("doc_id"), col("host"), col("allowed"), col("rule_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Anti-domination cap: at most 10 docs per registered domain,
     // hash-order deterministic within the domain.
     "corpus_domain_cap" -> ((s, d) => {
@@ -6566,6 +6577,31 @@ object SparkEntry {
          |       bad_tld, long_path, CAST(sc AS BIGINT) AS url_score,
          |       CAST(CASE WHEN sc >= 500 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Analytic decision-table replay (the strata-shortcut precedent:
+    // the PARSER itself is pinned by WebExtractSpec's hand fixtures —
+    // group selection, tie-breaks, '$' anchor, wildcards-skipped; this
+    // oracle checks the longest-match DECISION and rule-length per
+    // frontier URL against the fixture's m%3 rule families).
+    "text_robots_gate" ->
+      """WITH u AS (SELECT doc_id, doc_id % 23 AS m, 1 + doc_id % 7 AS d
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |    'www.site' || CAST(m AS VARCHAR) ||
+        |    (['.com','.org','.click','.info'])[CAST(doc_id % 4 AS INTEGER) + 1]
+        |      AS host,
+        |    CASE CAST(m % 3 AS INTEGER)
+        |      WHEN 0 THEN CASE WHEN d = 3 THEN 0 ELSE 1 END
+        |      WHEN 1 THEN CASE WHEN d >= 6 THEN 0 ELSE 1 END
+        |      ELSE CASE WHEN d >= 5 THEN 0 ELSE 1 END END AS allowed,
+        |    CASE CAST(m % 3 AS INTEGER)
+        |      WHEN 0 THEN CASE WHEN d = 3 THEN 12 WHEN d >= 4 THEN 16 ELSE 0 END
+        |      WHEN 1 THEN CASE WHEN d >= 6 THEN 24 ELSE 0 END
+        |      ELSE CASE WHEN d >= 5 THEN 20 ELSE 4 END END AS rule_len
+        |  FROM u)
+        |SELECT doc_id, host, CAST(allowed AS BIGINT) AS allowed,
+        |       CAST(rule_len AS BIGINT) AS rule_len
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // The strata shortcut ('example{N}.com') is valid because
     // text_url_normalize independently pins the extraction chain; this

@@ -308,6 +308,177 @@ object WebExtract {
       }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // robots.txt gate — crawl compliance, the other half of the URL
+  // frontier (text_url_quality scores junk; this enforces the site's
+  // own exclusion rules). RFC 9309 longest-match semantics over the
+  // `*` user-agent group: among matching Allow/Disallow path rules the
+  // LONGEST prefix wins, Allow wins length ties, no match = allowed.
+  // Supported rule subset (documented): literal path prefixes + the
+  // trailing '$' exact-match anchor; rules containing '*' wildcards
+  // are skipped (refused loudly at parse, not silently mis-matched).
+  // ------------------------------------------------------------------
+
+  /** Parse a robots.txt body into the `*` group's (path, isAllow)
+    * rules, in file order. Group selection per RFC 9309: consecutive
+    * `User-agent` lines stack onto the group that follows; only groups
+    * naming `*` contribute. Comments (#) stripped, keys
+    * case-insensitive, empty Disallow discarded (explicit allow-all),
+    * '*'-wildcard rules skipped. Never throws. */
+  private[graft] def robotsRules(txt0: String): Vector[(String, Boolean)] = {
+    val txt = if (txt0 == null) "" else txt0
+    val out = Vector.newBuilder[(String, Boolean)]
+    var inStarGroup = false
+    var collectingAgents = false
+    var groupHasStar = false
+    txt.split('\n').foreach { line0 =>
+      val hash = line0.indexOf('#')
+      val line = (if (hash >= 0) line0.substring(0, hash) else line0).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!collectingAgents) { collectingAgents = true; groupHasStar = false }
+              if (value == "*") groupHasStar = true
+            case "allow" | "disallow" =>
+              if (collectingAgents) { inStarGroup = groupHasStar; collectingAgents = false }
+              if (inStarGroup && value.nonEmpty && !value.contains('*'))
+                out += ((value, key == "allow"))
+            case _ => () // crawl-delay, sitemap, unknown keys: ignored
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Longest-match decision for one path against parsed rules:
+    * (allowed, matchedRuleLen — 0 when no rule matches). A rule
+    * matches as a literal prefix, or exactly when '$'-anchored; ties
+    * on length go to Allow. */
+  private[graft] def robotsDecide(path: String,
+      rules: Vector[(String, Boolean)]): (Boolean, Int) = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (rule, isAllow) =>
+      val anchored = rule.endsWith("$")
+      val body = if (anchored) rule.dropRight(1) else rule
+      val matches = if (anchored) path == body else path.startsWith(body)
+      if (matches) {
+        val l = body.length
+        if (l > bestLen || (l == bestLen && isAllow && !bestAllow)) {
+          bestLen = l
+          bestAllow = isAllow
+        }
+      }
+    }
+    if (bestLen < 0) (true, 0) else (bestAllow, bestLen)
+  }
+
+  /** Gate a URL frontier against per-host robots.txt bodies:
+    * (doc_id, host, allowed, rule_len) per URL. The robots side is
+    * model-small (one row per registered host — KB per million docs):
+    * rules parse narrowly, aggregate into one array PER HOST, and
+    * BROADCAST into the URL scan; the longest-match fold runs as a
+    * higher-order `aggregate` over that tiny array, so the frontier
+    * itself never shuffles — at 100 TB the gate rides the scan. */
+  def robotsGate(urls: DataFrame, robots: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val rulesSchema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("body", StringType, nullable = false),
+      StructField("blen", LongType, nullable = false),
+      StructField("anchor", LongType, nullable = false),
+      StructField("allow", LongType, nullable = false)))
+    val rulesEnc = org.apache.spark.sql.Encoders.row(rulesSchema)
+    val rules = robots.select(col("host"), col("robots_txt"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val host = r.getString(0)
+          robotsRules(if (r.isNullAt(1)) "" else r.getString(1)).map {
+            case (p, a) =>
+              val anchored = p.endsWith("$")
+              val body = if (anchored) p.dropRight(1) else p
+              Row(host, body, body.length.toLong,
+                if (anchored) 1L else 0L, if (a) 1L else 0L)
+          }
+        }
+      }(rulesEnc)
+      // per-host rule array: the shuffle happens on the KB-scale
+      // robots side only, once
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("body"), col("blen"), col("anchor"),
+        col("allow"))).as("__rules"))
+    val u = urls.withColumn("host",
+        lower(regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
+      .withColumn("__path",
+        regexp_extract(col(urlCol),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1))
+    val best = expr(
+      """aggregate(
+        |  coalesce(__rules, array()),
+        |  named_struct('rlen', CAST(-1 AS BIGINT), 'allow', CAST(1 AS BIGINT)),
+        |  (acc, r) -> IF(
+        |    (CASE WHEN r.anchor = 1 THEN __path = r.body
+        |          ELSE startswith(__path, r.body) END)
+        |    AND (r.blen > acc.rlen OR (r.blen = acc.rlen AND r.allow > acc.allow)),
+        |    named_struct('rlen', r.blen, 'allow', r.allow),
+        |    acc))""".stripMargin)
+    u.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("__best", best)
+      .select(col(idCol), col("host"),
+        when(col("__best.rlen") < 0, lit(1L))
+          .otherwise(col("__best.allow")).as("allowed"),
+        when(col("__best.rlen") < 0, lit(0L))
+          .otherwise(col("__best.rlen")).as("rule_len"))
+  }
+
+  /** Deterministic per-host robots.txt keyed on the host's site
+    * number `m` (fixture twin of the analytic decision table in the
+    * oracle): a decoy `bad-bot` deny-all group that must be ignored,
+    * a `/private` rule that never matches the frontier, and an
+    * m%3-selected rule family exercising longest-match, Allow-over-
+    * Disallow ties, the '$' anchor and the no-match default. */
+  private[graft] def robotsTxtFor(m: Long): String = {
+    val base = "# synthetic robots for site " + m + "\n" +
+      "User-agent: bad-bot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\n"
+    base + ((m % 3) match {
+      case 0 =>
+        // depth-3 pages denied; depth >= 4 re-allowed by the longer rule
+        "Disallow: /sub/sub/sub\nAllow: /sub/sub/sub/sub\n"
+      case 1 =>
+        // the '$' rule matches nothing in the frontier (paths carry a
+        // page suffix); depth >= 6 denied
+        "Disallow: /sub/page$\nDisallow: /sub/sub/sub/sub/sub/sub\n"
+      case _ =>
+        // deny-all + allow /sub (ties: every path matches both; /sub
+        // is longer) with a deeper deny for depth >= 5
+        "Disallow: /\nAllow: /sub\nDisallow: /sub/sub/sub/sub/sub\n"
+    })
+  }
+
+  /** One robots.txt row per distinct host in the varied-URL fixture
+    * (hosts are www.site{m}{tld} for m in 0..22). */
+  def syntheticRobots(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("robots_txt", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.range(0, 23 * 4).toDF("i").mapPartitions { it =>
+      it.map { r =>
+        val i = r.getLong(0)
+        val m = i / 4
+        val tld = Seq(".com", ".org", ".click", ".info")((i % 4).toInt)
+        Row(s"www.site$m$tld", robotsTxtFor(m))
+      }
+    }(enc)
+  }
+
   /** The analytic paragraph `p` of document `id` — shared between the
     * fixture builder and (re-spelled in SQL) the DuckDB oracle. */
   private[graft] def paraText(id: Long, p: Long): String =

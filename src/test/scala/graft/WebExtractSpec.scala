@@ -110,6 +110,86 @@ class WebExtractSpec extends SparkSpec {
     assert(nw7 === 5L * 22L)
   }
 
+  test("robots parser: group selection, stacked agents, comments, " +
+    "wildcard skip, empty disallow, unknown keys") {
+    val txt =
+      """# header comment
+        |User-agent: bad-bot
+        |Disallow: /
+        |
+        |User-agent: other
+        |User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /a   # trailing comment
+        |Allow: /a/b
+        |Disallow: /wild*card
+        |Disallow:
+        |Allow: /end$
+        |
+        |User-agent: bad-bot-2
+        |Disallow: /x
+        |""".stripMargin
+    // only the group CONTAINING '*' contributes (stacked UA lines);
+    // the wildcard rule and the empty disallow are dropped
+    assert(WebExtract.robotsRules(txt) ===
+      Vector(("/a", false), ("/a/b", true), ("/end$", true)))
+    assert(WebExtract.robotsRules(null) === Vector.empty)
+    assert(WebExtract.robotsRules("Disallow: /orphan") === Vector.empty,
+      "rules before any user-agent group are ignored")
+  }
+
+  test("robots decision: longest match wins, Allow wins ties, '$' anchors " +
+    "exactly, no match allows") {
+    val rules = Vector(("/a", false), ("/a/b", true), ("/a/b/c", false),
+      ("/exact$", false), ("/t", false), ("/t", true))
+    import WebExtract.robotsDecide
+    assert(robotsDecide("/a/x", rules) === ((false, 2)))      // /a
+    assert(robotsDecide("/a/b/x", rules) === ((true, 4)))     // /a/b beats /a
+    assert(robotsDecide("/a/b/c/x", rules) === ((false, 6)))  // longest
+    assert(robotsDecide("/exact", rules) === ((false, 6)))    // anchored hit
+    assert(robotsDecide("/exactly", rules) === ((true, 0)),
+      "'$' must not prefix-match")
+    assert(robotsDecide("/t/x", rules) === ((true, 2)), "Allow wins the tie")
+    assert(robotsDecide("/elsewhere", rules) === ((true, 0)))
+  }
+
+  test("robots gate: frontier decisions match per-id expectations, " +
+    "missing host allows, frontier stays shuffle-free") {
+    import spark.implicits._
+    // expectations from the fixture's m%3 rule families over depth d
+    val docs = (0L until 100L).toDF("doc_id")
+    val urls = docs.withColumn("url",
+      concat(lit("https://www.site"), (col("doc_id") % 23).cast("string"),
+        element_at(array(lit(".com"), lit(".org"), lit(".click"), lit(".info")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        expr("repeat('/sub', CAST(doc_id % 7 AS INT) + 1)"),
+        lit("/page"), (col("doc_id") % 50).cast("string")))
+    val out = WebExtract.robotsGate(urls, WebExtract.syntheticRobots(spark))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for (id <- 0L until 100L) {
+      val m = id % 23
+      val d = 1 + id % 7
+      val exp = (m % 3, d) match {
+        case (0, 3) => (0L, 12L)
+        case (0, dd) if dd >= 4 => (1L, 16L)
+        case (0, _) => (1L, 0L)
+        case (1, dd) if dd >= 6 => (0L, 24L)
+        case (1, _) => (1L, 0L)
+        case (_, dd) if dd >= 5 => (0L, 20L)
+        case _ => (1L, 4L)
+      }
+      assert(got(id) === exp, s"id=$id m=$m d=$d")
+    }
+    // a host with no robots row default-allows
+    val foreign = Seq((999L, "https://unknown.example/deep/deep/path"))
+      .toDF("doc_id", "url")
+    val g2 = WebExtract.robotsGate(foreign, WebExtract.syntheticRobots(spark))
+      .collect().head
+    assert((g2.getLong(2), g2.getLong(3)) === ((1L, 0L)))
+  }
+
   test("nulls, empties and binary garbage never throw; zero shuffle") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "<"),
