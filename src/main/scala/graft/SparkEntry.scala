@@ -7118,6 +7118,7 @@ object SparkEntry {
         |  FROM d WHERE doc_id % 2 = 0),
         |kept AS (SELECT * FROM paras UNION ALL SELECT * FROM figs)
         |SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
         |  CAST(9 + doc_id % 4 + doc_id % 2 AS BIGINT) AS n_blocks,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(length(txt)) AS BIGINT) AS n_chars,

@@ -115,6 +115,49 @@ object WebExtract {
     n
   }
 
+  /** The document title — the one piece of head content extraction
+    * keeps (the block walk skips the head subtree wholesale): first
+    * `<title>` element's text, entity-decoded, whitespace-normalized,
+    * capped at 512 codepoints; "" when absent/empty. Never throws. */
+  private[graft] def htmlTitle(html0: String): String = {
+    val s = if (html0 == null) "" else html0
+    var i = 0
+    val n = s.length
+    var at = -1
+    while (at < 0 && i + 7 <= n) {
+      if (s.regionMatches(true, i, "<title", 0, 6) &&
+          (s.charAt(i + 6) == '>' || s.charAt(i + 6).isWhitespace)) {
+        val gt = s.indexOf('>', i + 6)
+        at = if (gt < 0) n else gt + 1
+      }
+      i += 1
+    }
+    if (at < 0 || at >= n) return ""
+    var end = at
+    var close = -1
+    while (close < 0 && end + 8 <= n) {
+      if (s.regionMatches(true, end, "</title", 0, 7)) close = end
+      end += 1
+    }
+    if (close < 0) close = n
+    // decode + normalize through the block machinery on the slice
+    val inner = s.substring(at, close)
+    val sb = new java.lang.StringBuilder(inner.length)
+    var j = 0
+    while (j < inner.length) {
+      val c = inner.charAt(j)
+      if (c == '&') {
+        val (dec, used) = entity(inner, j)
+        sb.append(dec)
+        j += used
+      } else { sb.append(c); j += 1 }
+    }
+    val t = sb.toString.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty).mkString(" ")
+    if (t.codePointCount(0, t.length) > 512)
+      t.substring(0, t.offsetByCodePoints(0, 512))
+    else t
+  }
+
   /** Segment an HTML document into text blocks. Total O(n); never
     * throws on arbitrary bytes-as-string input. */
   private[graft] def blocks(html0: String): Vector[Block] = {
@@ -287,6 +330,7 @@ object WebExtract {
     val passFields = passCols.map(c => docs.schema(c))
     val schema = StructType(
       StructField("doc_id", LongType, nullable = false) +: passFields :+
+      StructField("title", StringType, nullable = false) :+
       StructField("n_blocks", LongType, nullable = false) :+
       StructField("n_kept", LongType, nullable = false) :+
       StructField("n_chars", LongType, nullable = false) :+
@@ -297,13 +341,15 @@ object WebExtract {
     docs.select((col(idCol) +: col(htmlCol) +: passCols.map(col)): _*)
       .mapPartitions { it =>
         it.map { r =>
-          val bs = blocks(if (r.isNullAt(1)) "" else r.getString(1))
+          val html = if (r.isNullAt(1)) "" else r.getString(1)
+          val bs = blocks(html)
           val keep = keepFlags(bs, minChars, maxLinkPermille, minStopPermille)
           val kept = bs.zip(keep).collect { case (b, true) => b }
           val pass = (0 until nPass).map(k => r.get(2 + k))
-          Row.fromSeq(r.getLong(0) +: pass :+ bs.length.toLong :+
-            kept.length.toLong :+ kept.map(_.chars.toLong).sum :+
-            kept.map(_.words.toLong).sum :+ kept.map(_.text).mkString("\n"))
+          Row.fromSeq(r.getLong(0) +: pass :+ htmlTitle(html) :+
+            bs.length.toLong :+ kept.length.toLong :+
+            kept.map(_.chars.toLong).sum :+ kept.map(_.words.toLong).sum :+
+            kept.map(_.text).mkString("\n"))
         }
       }(enc)
   }

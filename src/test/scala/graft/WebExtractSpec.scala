@@ -92,9 +92,11 @@ class WebExtractSpec extends SparkSpec {
     val docs = Seq(4L, 7L).toDF("doc_id")
     val out = WebExtract.htmlExtract(WebExtract.syntheticHtmlDocs(docs))
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
     // id=4: np=6? no — np = 2 + 4%4 = 2; n_blocks = 9 + 4%4 + 4%2 = 9
-    val (nb4, nk4, nc4, nw4, t4) = out(4L)
+    val (ti4, nb4, nk4, nc4, nw4, t4) = out(4L)
+    assert(ti4 === "Doc 4")
     assert(nb4 === 9L)
     assert(nk4 === 3L) // 2 paragraphs + gap-filled figure
     assert(t4 === WebExtract.paraText(4, 0) + "\nFigure 4\n" +
@@ -103,11 +105,25 @@ class WebExtractSpec extends SparkSpec {
     assert(nc4 === (WebExtract.paraText(4, 0).length + 8 +
       WebExtract.paraText(4, 1).length).toLong)
     // id=7: np = 2 + 7%4 = 5; n_blocks = 9 + 3 + 1 = 13; kept = 5 paras
-    val (nb7, nk7, _, nw7, t7) = out(7L)
+    val (_, nb7, nk7, _, nw7, t7) = out(7L)
     assert(nb7 === 13L)
     assert(nk7 === 5L)
     assert(t7 === (0 until 5).map(p => WebExtract.paraText(7, p)).mkString("\n"))
     assert(nw7 === 5L * 22L)
+  }
+
+  test("title extraction: entities, attributes, absence, unterminated, " +
+    "lookalike tags, codepoint cap") {
+    import WebExtract.htmlTitle
+    assert(htmlTitle("<html><head><title>A &amp; B  c</title></head>") === "A & B c")
+    assert(htmlTitle("<TITLE lang=\"en\">Caps</TITLE>") === "Caps")
+    assert(htmlTitle("<body>no head</body>") === "")
+    assert(htmlTitle("<title>unterminated run") === "unterminated run")
+    assert(htmlTitle("<titlefoo>not a title</titlefoo>") === "")
+    assert(htmlTitle(null) === "")
+    val cat = new String(Character.toChars(0x1F408))
+    assert(htmlTitle("<title>" + cat * 600 + "</title>") === cat * 512,
+      "cap counts codepoints, never splits a surrogate pair")
   }
 
   test("robots parser: group selection, stacked agents, comments, " +
@@ -198,7 +214,7 @@ class WebExtractSpec extends SparkSpec {
       (6L, "<p>" + ("a" * 100000) + "</p>")).toDF("doc_id", "html")
     val out = WebExtract.htmlExtract(docs)
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
-    val m = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(m(1L) === 0L && m(2L) === 0L)
     // bare prose with stopwords is one GOOD block
     assert(m(4L) === 1L)
