@@ -1722,6 +1722,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line-level rules (Raffel et al. 2020) — the line-grain
+    // complement to the Gopher word-grain gate: terminal-punctuation +
+    // min-words line survival, lorem-ipsum / brace page tells, kept
+    // text md5-pinned. The injected 5-line fixture sweeps every rule
+    // (always-kept lead, too-short line, lorem vs clean, brace vs
+    // clean, a punctuation-less slice of the real document text).
+    "text_c4_rules" -> ((s, d) => {
+      TextAnalysis.c4Rules(withLines(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt gate — crawl compliance over the same frontier: RFC
     // 9309 longest-match (Allow wins ties, '$' anchors, decoy bad-bot
     // group ignored, no-match default-allow) with the per-host rule
@@ -3096,6 +3107,34 @@ object SparkEntry {
       |    '<footer>(c) ' || CAST(2000 + doc_id % 20 AS VARCHAR) ||
       |    ' Example Corp all rights reserved <a href="/terms">terms</a></footer></body></html>' AS html
       |  FROM wpf GROUP BY doc_id)""".stripMargin
+
+  /** Five analytic lines per doc for the C4 rule sweep — twin of
+    * [[linesInjectSql]]. */
+  private def withLines(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("text", concat(
+      lit("The quick study of item "), (col("doc_id") % 97).cast("string"),
+      lit(" was complete.\nshort line\n"),
+      when(col("doc_id") % 5 === 0, lit("this page uses lorem ipsum filler text."))
+        .otherwise(concat(lit("A clean line about value "),
+          (col("doc_id") % 13).cast("string"), lit(" appears here!"))),
+      lit("\n"),
+      when(col("doc_id") % 7 === 0, concat(lit("function f() { return "),
+          (col("doc_id") % 9).cast("string"), lit("; }")))
+        .otherwise(concat(lit("Numbers like "),
+          (col("doc_id") % 11).cast("string"), lit(" close the case?"))),
+      lit("\n"), substring(col("text"), 1, 40)))
+
+  private val linesInjectSql: String =
+    """'The quick study of item ' || CAST(doc_id % 97 AS VARCHAR) ||
+      |      ' was complete.' || chr(10) || 'short line' || chr(10) ||
+      |      CASE WHEN doc_id % 5 = 0 THEN 'this page uses lorem ipsum filler text.'
+      |           ELSE 'A clean line about value ' || CAST(doc_id % 13 AS VARCHAR) ||
+      |                ' appears here!' END || chr(10) ||
+      |      CASE WHEN doc_id % 7 = 0 THEN 'function f() { return ' ||
+      |                CAST(doc_id % 9 AS VARCHAR) || '; }'
+      |           ELSE 'Numbers like ' || CAST(doc_id % 11 AS VARCHAR) ||
+      |                ' close the case?' END || chr(10) ||
+      |      substr(text, 1, 40)""".stripMargin
 
   private val urlInjectSql: String =
     """'HTTPS://WWW.Example' || CAST(doc_id % 37 AS VARCHAR) || '.COM/Doc/' ||
@@ -6577,6 +6616,43 @@ object SparkEntry {
          |       bad_tld, long_path, CAST(sc AS BIGINT) AS url_score,
          |       CAST(CASE WHEN sc >= 500 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Line-grain replay with SINGLE-LEVEL lambdas only (the DuckDB
+    // nested-lambda-capture bug forces the flat unnest-with-subscripts
+    // form — see text_wordpiece_encode's oracle note): every line
+    // classified as a plain column, kept text re-joined in subscript
+    // order.
+    "text_c4_rules" ->
+      s"""WITH t AS (SELECT doc_id, $linesInjectSql AS tx FROM documents),
+         |f AS (SELECT doc_id, tx, string_split(tx, chr(10)) AS ls FROM t),
+         |ln AS (SELECT doc_id, unnest(ls) AS l,
+         |         generate_subscripts(ls, 1) AS i FROM f),
+         |lk AS (SELECT doc_id, l, i,
+         |         CASE WHEN len(list_filter(string_split(l, ' '), w -> w <> '')) >= 4
+         |               AND substr(l, length(l), 1) IN ('.', '!', '?', '"')
+         |              THEN 1 ELSE 0 END AS k,
+         |         len(list_filter(string_split(l, ' '), w -> w <> '')) AS nw
+         |       FROM ln),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |          CAST(sum(k) AS BIGINT) AS n_kept_lines,
+         |          CAST(coalesce(sum(CASE WHEN k = 1 THEN nw END), 0) AS BIGINT)
+         |            AS n_kept_words,
+         |          md5(coalesce(string_agg(CASE WHEN k = 1 THEN l END,
+         |                chr(10) ORDER BY i), '')) AS kept_md5
+         |        FROM lk GROUP BY doc_id),
+         |pg AS (SELECT doc_id,
+         |         CAST(CASE WHEN position('lorem ipsum' IN lower(tx)) > 0
+         |              THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+         |         CAST(CASE WHEN position('{' IN tx) > 0
+         |              THEN 1 ELSE 0 END AS BIGINT) AS has_brace
+         |       FROM t)
+         |SELECT agg.doc_id AS doc_id, n_lines, n_kept_lines, n_kept_words,
+         |  has_lorem, has_brace,
+         |  CAST(CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept_lines >= 3
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  kept_md5
+         |FROM agg JOIN pg ON pg.doc_id = agg.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Analytic decision-table replay (the strata-shortcut precedent:
     // the PARSER itself is pinned by WebExtractSpec's hand fixtures —

@@ -933,6 +933,48 @@ object TextAnalysis {
       .drop("n_words", "mean_word_len_permille", "symbol_permille",
         "alpha_word_permille", "n_stop", "keep")
 
+  /** C4's line-level filtering rules (Raffel et al. 2020, the recipe
+    * behind the C4/mC4 corpora) — the LINE-grain complement to the
+    * word-grain [[gopherRules]]: a line survives iff it ends in
+    * terminal punctuation (. ! ? ") AND carries ≥ `minWords` words;
+    * the PAGE drops outright on code/boilerplate tells ("lorem ipsum",
+    * '{') or when fewer than `minKeptLines` lines survive. Emits the
+    * per-page census (n_lines, n_kept_lines, n_kept_words, flags,
+    * keep) plus the md5 of the kept text so the gate's exact output is
+    * pinned, not just its counts.
+    *
+    * Scale shape: pure narrow higher-order expressions over the text
+    * column — zero shuffle, composes with the WARC → HTML extraction
+    * chain (whose '\n'-joined block output is exactly this operator's
+    * input grain). */
+  def c4Rules(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minWords: Int = 4,
+              minKeptLines: Int = 3): DataFrame = {
+    val keptExpr = expr(
+      s"""filter(split($textCol, '\n'),
+         |  l -> size(filter(split(l, ' '), w -> w <> '')) >= $minWords
+         |       AND substr(l, -1, 1) IN ('.', '!', '?', '"'))""".stripMargin)
+    docs
+      .withColumn("__kept", keptExpr)
+      .withColumn("n_lines", size(split(col(textCol), "\n")).cast("long"))
+      .withColumn("n_kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("n_kept_words",
+        expr("""aggregate(__kept, 0L,
+               |  (acc, l) -> acc + size(filter(split(l, ' '), w -> w <> '')))"""
+          .stripMargin))
+      .withColumn("has_lorem",
+        (instr(lower(col(textCol)), "lorem ipsum") > 0).cast("long"))
+      .withColumn("has_brace", (instr(col(textCol), "{") > 0).cast("long"))
+      .withColumn("keep",
+        (col("has_lorem") === 0L && col("has_brace") === 0L &&
+          col("n_kept_lines") >= minKeptLines).cast("long"))
+      .withColumn("kept_md5",
+        md5(concat_ws("\n", col("__kept")).cast("binary")))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("n_kept_words"), col("has_lorem"), col("has_brace"),
+        col("keep"), col("kept_md5"))
+  }
+
   /** [[gopherRules]] with every input column retained (features +
     * `keep` appended, no filter) — the composition form for pipelines
     * that report the decision alongside upstream columns. Narrow. */

@@ -651,6 +651,37 @@ class TextOpsSpec extends SparkSpec {
     assert(m(3L) === ((1L, "z")))
   }
 
+  test("C4 line rules: terminal punctuation + min words per line, lorem/" +
+    "brace page tells, kept-text md5, empty and null safe, zero shuffle") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "Good first line stays here.\nbad line\nAnother keeper asks a question?\nQuoted line ends \"\nFinal one is also complete!"),
+      (2L, "Only one good line survives today.\nno\nnope again"),
+      (3L, "This page uses Lorem Ipsum filler.\nGood line number two stands tall.\nGood line number three stands tall.\nGood line four is also quite fine."),
+      (4L, "var x = { a: 1 }\nGood line number two stands tall.\nGood line number three stands tall.\nGood line four is also quite fine."),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(docs.na.fill(Map("text" -> "")))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))).toMap
+    // doc 1: 5 lines; kept = 1 (5w '.'), 3 (5w '?'), 4 (4w '"'), 5 (5w '!')
+    assert(m(1L) === ((5L, 4L, 19L, 0L, 0L, 1L)))
+    // doc 2: only 1 kept < 3 → page dropped
+    assert(m(2L) === ((3L, 1L, 6L, 0L, 0L, 0L)))
+    // doc 3: 4 kept lines but lorem tell (case-insensitive) kills it
+    assert(m(3L)._4 === 1L && m(3L)._6 === 0L)
+    // doc 4: brace tell kills it despite 3 kept lines
+    assert(m(4L)._5 === 1L && m(4L)._6 === 0L)
+    // empty text: one empty line, nothing kept, md5('') pins the form
+    assert(m(5L) === ((1L, 0L, 0L, 0L, 0L, 0L)))
+    val md5s = out.collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(md5s(5L) === java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("longest repeated substring: codepoint semantics on non-BMP text " +
     "(surrogate pairs never split, lengths and ties count codepoints)") {
     import graft.operators.TextAnalysis.longestRepeatOf
