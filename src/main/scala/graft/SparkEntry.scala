@@ -1583,6 +1583,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The web seam composed one stage further: extraction's '\n'-joined
+    // block output IS the C4 gate's line grain, so the chain
+    // WARC → HTTP → extract → C4 line rules runs with zero impedance
+    // (and still zero shuffles). Paragraph blocks end '.', figure/
+    // title-less fragments don't — the line gate's survival varies
+    // within one page, which the kept-text md5 pins.
+    "corpus_e2e_web2" -> ((s, d) => {
+      val bodies = Multimodal.warcHttpBodies(
+          Multimodal.syntheticWebWarcBlobs(Tables.documents(s, d)))
+        .filter(col("content_type") === "text/html")
+      val extracted = WebExtract.htmlExtract(bodies, htmlCol = "body_text")
+      TextAnalysis.c4Rules(extracted)
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_e2e_curate2" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gated = TextAnalysis.gopherGate(docs)
@@ -6311,6 +6326,39 @@ object SparkEntry {
 
     // v1's chain + the winnow excerpt screen + embedding-space
     // decontamination, replayed as one program.
+    // Block-grain replay: the extractor's kept blocks ARE the C4
+    // gate's lines, so the oracle classifies each analytic block with
+    // the same (single-level-lambda) line rules — paragraph blocks
+    // survive (≥4 words, terminal '.'), figure labels don't, and the
+    // page keep flips on np ≥ 3.
+    "corpus_e2e_web2" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS np FROM documents),
+        |paras AS (SELECT doc_id, p * 2 AS ord,
+        |    'the quick data point ' || CAST((doc_id * 7 + p) % 1000 AS VARCHAR) ||
+        |    ' is on the record & file and the value ' ||
+        |    CAST((doc_id + p) % 100 AS VARCHAR) ||
+        |    ' stays in the set for now .' AS txt
+        |  FROM (SELECT doc_id, unnest(range(0, np)) AS p FROM d)),
+        |figs AS (SELECT doc_id, 1 AS ord,
+        |    'Figure ' || CAST(doc_id % 10 AS VARCHAR) AS txt
+        |  FROM d WHERE doc_id % 2 = 0),
+        |kept AS (SELECT * FROM paras UNION ALL SELECT * FROM figs),
+        |lk AS (SELECT doc_id, txt, ord,
+        |    CASE WHEN len(list_filter(string_split(txt, ' '), w -> w <> '')) >= 4
+        |          AND substr(txt, length(txt), 1) IN ('.', '!', '?', '"')
+        |         THEN 1 ELSE 0 END AS k,
+        |    len(list_filter(string_split(txt, ' '), w -> w <> '')) AS nw
+        |  FROM kept)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(k) AS BIGINT) AS n_kept_lines,
+        |  CAST(coalesce(sum(CASE WHEN k = 1 THEN nw END), 0) AS BIGINT)
+        |    AS n_kept_words,
+        |  CAST(0 AS BIGINT) AS has_lorem, CAST(0 AS BIGINT) AS has_brace,
+        |  CAST(CASE WHEN sum(k) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  md5(coalesce(string_agg(CASE WHEN k = 1 THEN txt END,
+        |        chr(10) ORDER BY ord), '')) AS kept_md5
+        |FROM lk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Kept-set replay (same analytic rules as text_html_extract) +
     // independent recomputation of every Gopher feature on the
     // rebuilt text — both engines derive the keep decision from

@@ -206,6 +206,33 @@ class WebExtractSpec extends SparkSpec {
     assert((g2.getLong(2), g2.getLong(3)) === ((1L, 0L)))
   }
 
+  test("property fuzz: random tag soup never throws; census invariants " +
+    "hold; blocks/keepFlags/htmlExtract agree") {
+    val rnd = new scala.util.Random(1234)
+    val atoms = Array("<p>", "</p>", "<div>", "</div>", "<a href='x'>",
+      "</a>", "<nav>", "</nav>", "<script>", "</script>", "<br>", "<!--",
+      "-->", "<![CDATA[", "]]>", "&amp;", "&#65;", "&bogus;", "&", "<",
+      ">", "\"", "the ", "data ", "point. ", "x9 ", " \n\t", "<title>",
+      "</title>", "<TITLE >", "</head>", "<head>", "word ",
+      "<p attr=\"a>b\">", "é中🐈 ")
+    for (trial <- 1 to 300) {
+      val n = rnd.nextInt(60)
+      val html = Seq.fill(n)(atoms(rnd.nextInt(atoms.length))).mkString
+      // never throws, and the pieces agree with each other
+      val bs = WebExtract.blocks(html)
+      val keep = WebExtract.keepFlags(bs, 25, 300, 150)
+      assert(keep.length === bs.length, s"trial=$trial")
+      val kept = bs.zip(keep).collect { case (b, true) => b }
+      assert(kept.forall(b => !b.boiler), s"trial=$trial boiler leaked")
+      bs.foreach { b =>
+        assert(b.chars > 0 && b.words > 0, s"trial=$trial empty block emitted")
+        assert(b.stopWords <= b.words && b.linkChars >= 0, s"trial=$trial")
+        assert(b.text === b.text.trim, s"trial=$trial unnormalized")
+      }
+      WebExtract.htmlTitle(html) // never throws
+    }
+  }
+
   test("nulls, empties and binary garbage never throw; zero shuffle") {
     import spark.implicits._
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "<"),
