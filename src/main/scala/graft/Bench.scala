@@ -34,7 +34,13 @@ import org.apache.spark.sql.SparkSession
   *    1.76×/42-re-measure session slipped the old volume-only bars) —
   *    the whole line carries `"degraded_host":true` and a loud
   *    DEGRADED_HOST marker goes to stderr: the round's numbers should
-  *    be re-taken, not graded.
+  *    be re-taken, not graded;
+  *  - prior-excess flags are re-judged against the SESSION-median
+  *    host factor (`session_scale` in the line, BenchPolicy
+  *    `sessionMedianRatio`/`normalizeFlags`): a committed table taken
+  *    on a fast host produced phantom flags two rounds running —
+  *    flags the run-wide factor explains demote to informational
+  *    `host_scaled_ok`; real regressions exceed even the scaled bar.
   */
 object Bench {
 
