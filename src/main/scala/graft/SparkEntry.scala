@@ -1174,6 +1174,22 @@ object SparkEntry {
       Multimodal.mp3Metadata(Multimodal.syntheticMp3Blobs(Tables.documents(s, d)))
         .orderBy(col("doc_id"))),
 
+    // PDF document walk — the papers/books/scans container: classic
+    // xref (strict 20-byte entries, mis-pointed offsets refuse), COS
+    // object parse, Catalog→Pages tree with /Count cross-check, /Info
+    // producer readback.
+    "mm_pdf_meta" -> ((s, d) =>
+      Multimodal.pdfMetadata(Multimodal.syntheticPdfBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))),
+
+    // PDF text extraction — per-page Tj / TJ show-operator strings in
+    // stream order (kerning numbers ignored), through plain AND
+    // FlateDecode content streams (the filter must be invisible), with
+    // the \( \) \\ escape family exercised on a third of the corpus.
+    "mm_pdf_text" -> ((s, d) =>
+      Multimodal.pdfTextPages(Multimodal.syntheticPdfBlobs(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("page"))),
+
     // ALL-frames MP3 census — the first-header walk reports the wrong
     // duration on VBR files; this walks every frame (header-stride
     // hops, strict framing, optional ID3v2 lead / ID3v1 trail), exact
@@ -5638,6 +5654,33 @@ object SparkEntry {
         |  CAST(hz AS BIGINT) AS sample_rate,
         |  CAST(144000 * kbps // hz AS BIGINT) AS frame_bytes
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Fixture replay: object census 4 + 2·pages (catalog, page tree,
+    // font, info + page/content pairs), analytic producer.
+    "mm_pdf_meta" ->
+      """SELECT doc_id, '1.4' AS version,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS n_pages,
+        |  CAST(4 + 2 * (1 + doc_id % 4) AS BIGINT) AS n_objects,
+        |  'graft ' || CAST(doc_id % 10 AS VARCHAR) AS producer
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Text replay from the analytic chunk rules — the filter
+    // (FlateDecode on odd ids) and the escape family never appear in
+    // the oracle, so a hash match proves both are transparent.
+    "mm_pdf_text" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents),
+        |pg AS (SELECT doc_id, unnest(range(0, np)) AS p FROM d),
+        |t AS (SELECT doc_id, p,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' page ' || CAST(p AS VARCHAR) ||
+        |    ' body ' || CAST((doc_id * 3 + p) % 50 AS VARCHAR) || ' and ' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'tail (' || CAST((doc_id + p) % 7 AS VARCHAR) || ') \ done.'
+        |         ELSE 'tail ' || CAST((doc_id + p) % 7 AS VARCHAR) || ' done.' END
+        |      AS text
+        |  FROM pg)
+        |SELECT doc_id, CAST(p AS BIGINT) AS page, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id, page""".stripMargin,
 
     // Frame-grain replay: every frame's bitrate/padding from the
     // analytic rule, mode via count-then-rank (ties to the LOWER

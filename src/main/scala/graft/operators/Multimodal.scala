@@ -5976,6 +5976,10 @@ object Multimodal {
     } else if (t4.take(3) == "ID3") {
       val p = mp3Meta(bytes)
       Some(("mp3", p.isDefined, if (p.isDefined) 1L else 0L))
+    } else if (bytes.length >= 5 &&
+        new String(bytes, 0, 5, "US-ASCII") == "%PDF-") {
+      val p = pdfWalk(bytes).flatMap { case (_, tr, objs) => pdfPages(objs, tr) }
+      Some(("pdf", p.isDefined, p.map(_.length.toLong).getOrElse(0L)))
     } else if (t4 == "fLaC") {
       val p = flacStreamInfo(bytes)
       Some(("flac", p.isDefined, if (p.isDefined) 1L else 0L))
@@ -6106,4 +6110,559 @@ object Multimodal {
       .filter(col("frame_idx") * frameSize < length(col("p")))
       .select(col("doc_id"), col("frame_idx"),
         md5(expr(s"substring(p, frame_idx * $frameSize + 1, $frameSize)").cast("binary")).as("frame_md5"))
+
+  // ------------------------------------------------------------------
+  // PDF — THE document-corpus container (papers, books, scans): a
+  // classic-xref walk (header, startxref, 20-byte xref entries,
+  // trailer), a minimal COS object parser (dicts/arrays/names/strings/
+  // numbers/refs, depth-capped), the Catalog → Pages → Kids page-tree
+  // recursion, per-page content streams (plain or FlateDecode), and
+  // text extraction from the Tj / TJ / ' show operators inside BT..ET.
+  // Untrusted-byte discipline throughout: a lying /Length, a
+  // mis-pointed xref offset, an unterminated deflate stream or any
+  // malformed token refuses the whole file. Cross-reference STREAMS
+  // (PDF 1.5+ compressed xref) and encryption refuse loudly — the
+  // classic-xref subset is what analytic fixtures and most generated
+  // corpora carry; the seam is the same documented one as every codec.
+  // ------------------------------------------------------------------
+
+  private[graft] sealed trait PVal
+  private[graft] case class PNum(v: Double) extends PVal
+  private[graft] case class PName(v: String) extends PVal
+  private[graft] case class PStr(v: String) extends PVal
+  private[graft] case class PRef(num: Int) extends PVal
+  private[graft] case class PArr(vs: Vector[PVal]) extends PVal
+  private[graft] case class PDict(m: Map[String, PVal]) extends PVal
+  private[graft] case object PMisc extends PVal // true/false/null
+
+  private def isPdfWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0
+  private def isPdfDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Parse one COS value at `pos`; returns (value, posAfter). Throws
+    * IndexOutOfBoundsException on malformation (the walk's catch-all
+    * turns it into a refusal). Depth-capped. */
+  private def pdfValue(b: Array[Byte], pos0: Int, depth: Int): (PVal, Int) = {
+    if (depth > 16) throw new IndexOutOfBoundsException("depth")
+    var p = pos0
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (p < b.length && isPdfWs(b(p) & 0xff)) p += 1
+        if (p < b.length && b(p) == '%') { // comment to EOL
+          while (p < b.length && b(p) != '\n' && b(p) != '\r') p += 1
+        } else go = false
+      }
+    }
+    skipWs()
+    if (p >= b.length) throw new IndexOutOfBoundsException("eof")
+    val c = b(p) & 0xff
+    if (c == '<' && p + 1 < b.length && b(p + 1) == '<') {
+      // dictionary
+      p += 2
+      val m = Map.newBuilder[String, PVal]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (p + 1 < b.length && b(p) == '>' && b(p + 1) == '>') {
+          p += 2; done = true
+        } else {
+          if (b(p) != '/') throw new IndexOutOfBoundsException("key")
+          val (k, p2) = pdfValue(b, p, depth + 1)
+          p = p2
+          val (v, p3) = pdfValue(b, p, depth + 1)
+          p = p3
+          m += (k.asInstanceOf[PName].v -> v)
+        }
+      }
+      (PDict(m.result()), p)
+    } else if (c == '[') {
+      p += 1
+      val vs = Vector.newBuilder[PVal]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (p < b.length && b(p) == ']') { p += 1; done = true }
+        else {
+          val (v, p2) = pdfValue(b, p, depth + 1)
+          vs += v; p = p2
+        }
+      }
+      (PArr(vs.result()), p)
+    } else if (c == '/') {
+      p += 1
+      val sb = new java.lang.StringBuilder
+      while (p < b.length && !isPdfWs(b(p) & 0xff) && !isPdfDelim(b(p) & 0xff)) {
+        sb.append((b(p) & 0xff).toChar); p += 1
+      }
+      (PName(sb.toString), p)
+    } else if (c == '(') {
+      // literal string with escapes and balanced parens
+      p += 1
+      val sb = new java.lang.StringBuilder
+      var nest = 1
+      while (nest > 0) {
+        if (p >= b.length) throw new IndexOutOfBoundsException("str")
+        val ch = b(p) & 0xff
+        if (ch == '\\') {
+          if (p + 1 >= b.length) throw new IndexOutOfBoundsException("esc")
+          val e = b(p + 1) & 0xff
+          e match {
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case '(' => sb.append('('); case ')' => sb.append(')')
+            case '\\' => sb.append('\\')
+            case _ => sb.append(e.toChar) // unknown escape: literal char
+          }
+          p += 2
+        } else if (ch == '(') { nest += 1; sb.append('('); p += 1 }
+        else if (ch == ')') {
+          nest -= 1
+          if (nest > 0) sb.append(')')
+          p += 1
+        } else { sb.append(ch.toChar); p += 1 }
+      }
+      (PStr(sb.toString), p)
+    } else if (c == '<') {
+      // hex string
+      p += 1
+      val sb = new java.lang.StringBuilder
+      while (p < b.length && b(p) != '>') {
+        val ch = (b(p) & 0xff).toChar
+        if (!isPdfWs(ch)) sb.append(ch)
+        p += 1
+      }
+      if (p >= b.length) throw new IndexOutOfBoundsException("hex")
+      p += 1
+      val h = if (sb.length % 2 == 1) sb.toString + "0" else sb.toString
+      val out = new java.lang.StringBuilder
+      var i = 0
+      while (i < h.length) {
+        out.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+        i += 2
+      }
+      (PStr(out.toString), p)
+    } else if (c == 't' && b.length >= p + 4 &&
+        new String(b, p, 4, "US-ASCII") == "true") (PMisc, p + 4)
+    else if (c == 'f' && b.length >= p + 5 &&
+        new String(b, p, 5, "US-ASCII") == "false") (PMisc, p + 5)
+    else if (c == 'n' && b.length >= p + 4 &&
+        new String(b, p, 4, "US-ASCII") == "null") (PMisc, p + 4)
+    else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+      val start = p
+      p += 1
+      while (p < b.length && ((b(p) >= '0' && b(p) <= '9') || b(p) == '.')) p += 1
+      val numEnd = p
+      // indirect reference lookahead: "<int> <gen> R"
+      var q = p
+      while (q < b.length && isPdfWs(b(q) & 0xff)) q += 1
+      val genStart = q
+      while (q < b.length && b(q) >= '0' && b(q) <= '9') q += 1
+      if (q > genStart) {
+        var r = q
+        while (r < b.length && isPdfWs(b(r) & 0xff)) r += 1
+        if (r < b.length && b(r) == 'R' &&
+            (r + 1 >= b.length || isPdfWs(b(r + 1) & 0xff) ||
+              isPdfDelim(b(r + 1) & 0xff))) {
+          val num = new String(b, start, numEnd - start, "US-ASCII")
+          return (PRef(num.toDouble.toInt), r + 1)
+        }
+      }
+      val s = new String(b, start, numEnd - start, "US-ASCII")
+      (PNum(s.toDouble), p)
+    } else throw new IndexOutOfBoundsException("token " + c)
+  }
+
+  /** Walk a classic-xref PDF: (version, trailer dict, objects) where
+    * each object is (dict-or-value, decoded stream bytes or null).
+    * Strict: the xref entry count must match, every in-use offset must
+    * land on its own "num gen obj", /Length must frame the stream
+    * exactly ("endstream" follows), FlateDecode must reach the
+    * final-block terminator under the 2^26 budget, /Encrypt and
+    * cross-reference streams refuse. */
+  private[graft] def pdfWalk(bytes0: Array[Byte])
+      : Option[(String, Map[String, PVal], Map[Int, (PVal, Array[Byte])])] = try {
+    val b = if (bytes0 == null) Array.emptyByteArray else bytes0
+    if (b.length < 20 || new String(b, 0, 5, "US-ASCII") != "%PDF-") return None
+    val version = new String(b, 5, 3, "US-ASCII")
+    // the %%EOF sentinel is part of the framing: a truncated tail
+    // refuses wholesale, same discipline as the WARC/ZIP walks
+    var eofAt = b.length - 1
+    while (eofAt >= 0 && isPdfWs(b(eofAt) & 0xff)) eofAt -= 1
+    if (eofAt < 4 || new String(b, eofAt - 4, 5, "US-ASCII") != "%%EOF")
+      return None
+    // startxref: scan the tail
+    val tail = new String(b, math.max(0, b.length - 128),
+      math.min(128, b.length), "ISO-8859-1")
+    val sxAt = tail.lastIndexOf("startxref")
+    if (sxAt < 0) return None
+    val after = tail.substring(sxAt + 9).trim
+    val xrefOff = after.takeWhile(_.isDigit) match {
+      case "" => return None
+      case s => s.toLong.toInt
+    }
+    if (xrefOff < 0 || xrefOff + 4 > b.length) return None
+    if (new String(b, xrefOff, 4, "US-ASCII") != "xref") return None
+    var p = xrefOff + 4
+    def skipWs(): Unit = { while (p < b.length && isPdfWs(b(p) & 0xff)) p += 1 }
+    def readInt(): Int = {
+      skipWs()
+      val s = p
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+      if (p == s) throw new IndexOutOfBoundsException("int")
+      new String(b, s, p - s, "US-ASCII").toInt
+    }
+    // subsection(s) until "trailer"
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    var atTrailer = false
+    while (!atTrailer) {
+      skipWs()
+      if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
+        p += 7; atTrailer = true
+      } else {
+        val first = readInt()
+        val count = readInt()
+        if (count < 0 || count > 65536) return None
+        skipWs()
+        var i = 0
+        while (i < count) {
+          // 20-byte entries: 10-digit offset, 5-digit gen, f/n
+          if (p + 18 > b.length) return None
+          val off = new String(b, p, 10, "US-ASCII").toInt
+          val kind = (b(p + 17) & 0xff).toChar
+          if (kind == 'n') offsets(first + i) = off
+          else if (kind != 'f') return None
+          p += 18
+          while (p < b.length && isPdfWs(b(p) & 0xff) &&
+            (b(p) == '\r' || b(p) == '\n' || b(p) == ' ')) p += 1
+          i += 1
+        }
+      }
+    }
+    val (trailerV, _) = pdfValue(b, p, 0)
+    val trailer = trailerV match {
+      case PDict(m) => m
+      case _ => return None
+    }
+    if (trailer.contains("Encrypt")) return None
+    // parse every in-use object at its claimed offset
+    val objs = Map.newBuilder[Int, (PVal, Array[Byte])]
+    offsets.foreach { case (num, off) =>
+      if (off < 0 || off + 4 > b.length) return None
+      var q = off
+      def qInt(): Int = {
+        while (q < b.length && isPdfWs(b(q) & 0xff)) q += 1
+        val s = q
+        while (q < b.length && b(q) >= '0' && b(q) <= '9') q += 1
+        if (q == s) throw new IndexOutOfBoundsException("objint")
+        new String(b, s, q - s, "US-ASCII").toInt
+      }
+      val claimed = qInt()
+      if (claimed != num) return None // a mis-pointed xref is a lie
+      qInt() // generation
+      while (q < b.length && isPdfWs(b(q) & 0xff)) q += 1
+      if (q + 3 > b.length || new String(b, q, 3, "US-ASCII") != "obj") return None
+      q += 3
+      val (v, q2) = pdfValue(b, q, 0)
+      q = q2
+      while (q < b.length && isPdfWs(b(q) & 0xff)) q += 1
+      var stream: Array[Byte] = null
+      if (q + 6 <= b.length && new String(b, q, 6, "US-ASCII") == "stream") {
+        q += 6
+        if (q < b.length && b(q) == '\r') q += 1
+        if (q < b.length && b(q) == '\n') q += 1
+        val dict = v match {
+          case PDict(m) => m
+          case _ => return None
+        }
+        val len = dict.get("Length") match {
+          case Some(PNum(l)) => l.toInt
+          case _ => return None // indirect /Length out of fixture scope
+        }
+        if (len < 0 || len > (1 << 26) || q + len > b.length) return None
+        val raw = java.util.Arrays.copyOfRange(b, q, q + len)
+        q += len
+        while (q < b.length && isPdfWs(b(q) & 0xff)) q += 1
+        if (q + 9 > b.length ||
+            new String(b, q, 9, "US-ASCII") != "endstream") return None
+        stream = dict.get("Filter") match {
+          case None => raw
+          case Some(PName("FlateDecode")) =>
+            val inf = new java.util.zip.Inflater()
+            try {
+              inf.setInput(raw)
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var stalled = false
+              while (!inf.finished() && !stalled) {
+                val n = inf.inflate(buf)
+                if (n > 0) {
+                  out.write(buf, 0, n)
+                  if (out.size() > (1 << 26)) return None
+                } else if (inf.needsInput() || inf.needsDictionary()) stalled = true
+              }
+              if (!inf.finished()) return None
+              out.toByteArray
+            } catch {
+              case _: java.util.zip.DataFormatException => return None
+            } finally inf.end()
+          case _ => return None // other filters refuse loudly
+        }
+      }
+      objs += (num -> ((v, stream)))
+    }
+    Some((version, trailer, objs.result()))
+  } catch {
+    case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+         _: NumberFormatException => None
+  }
+
+  /** Resolve the page list (document order) from the Catalog's page
+    * tree; nested /Pages nodes recurse, depth-capped. Returns page
+    * dicts. */
+  private def pdfPages(objs: Map[Int, (PVal, Array[Byte])],
+      trailer: Map[String, PVal]): Option[Vector[Map[String, PVal]]] = {
+    def dictOf(r: PVal): Option[Map[String, PVal]] = r match {
+      case PRef(n) => objs.get(n).map(_._1).flatMap {
+        case PDict(m) => Some(m); case _ => None
+      }
+      case PDict(m) => Some(m)
+      case _ => None
+    }
+    def walk(node: Map[String, PVal], depth: Int): Option[Vector[Map[String, PVal]]] = {
+      if (depth > 8) return None
+      node.get("Type") match {
+        case Some(PName("Page")) => Some(Vector(node))
+        case Some(PName("Pages")) =>
+          node.get("Kids") match {
+            case Some(PArr(kids)) =>
+              kids.foldLeft(Option(Vector.empty[Map[String, PVal]])) {
+                (acc, kid) => for {
+                  a <- acc
+                  kd <- dictOf(kid)
+                  sub <- walk(kd, depth + 1)
+                } yield a ++ sub
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    for {
+      root <- trailer.get("Root").flatMap(dictOf)
+      pages <- root.get("Pages").flatMap(dictOf)
+      list <- walk(pages, 0)
+      // the tree's /Count must agree with the leaves found
+      ok = pages.get("Count") match {
+        case Some(PNum(c)) => c.toInt == list.length
+        case _ => false
+      }
+      if ok
+    } yield list
+  }
+
+  /** Extract shown text from one content stream: string operands of
+    * Tj / ' and the string elements of TJ arrays, inside BT..ET, in
+    * stream order, concatenated verbatim (no spacing synthesis). */
+  private[graft] def pdfContentText(stream: Array[Byte]): Option[String] = try {
+    val out = new java.lang.StringBuilder
+    var p = 0
+    var btDepth = 0
+    var lastStr: String = null
+    var lastArr: Vector[PVal] = null
+    while (p < stream.length) {
+      val c = stream(p) & 0xff
+      if (isPdfWs(c)) p += 1
+      else if (c == '(' || c == '[' || c == '/' || c == '<' ||
+               c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        val (v, p2) = pdfValue(stream, p, 0)
+        v match {
+          case PStr(s) => lastStr = s; lastArr = null
+          case PArr(vs) => lastArr = vs; lastStr = null
+          case _ => ()
+        }
+        p = p2
+      } else {
+        // operator token
+        val s = p
+        while (p < stream.length && !isPdfWs(stream(p) & 0xff) &&
+               !isPdfDelim(stream(p) & 0xff)) p += 1
+        if (p == s) p += 1 // lone delimiter (e.g. stray ')'): skip
+        else {
+          val op = new String(stream, s, p - s, "US-ASCII")
+          op match {
+            case "BT" => btDepth += 1
+            case "ET" => btDepth = math.max(0, btDepth - 1)
+            case "Tj" | "'" if btDepth > 0 && lastStr != null =>
+              out.append(lastStr)
+            case "TJ" if btDepth > 0 && lastArr != null =>
+              lastArr.foreach {
+                case PStr(x) => out.append(x)
+                case _ => () // kerning numbers interleave: ignored
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+    Some(out.toString)
+  } catch {
+    case _: IndexOutOfBoundsException | _: NumberFormatException => None
+  }
+
+  /** PDF document facts: doc_id, version, n_pages, n_objects,
+    * producer (from /Info, "" when absent). Non-PDF and malformed
+    * payloads drop. Narrow, zero shuffle. */
+  def pdfMetadata(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("version", StringType, nullable = false),
+      StructField("n_pages", LongType, nullable = false),
+      StructField("n_objects", LongType, nullable = false),
+      StructField("producer", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        pdfWalk(r.getAs[Array[Byte]](1)).flatMap { case (ver, trailer, objs) =>
+          pdfPages(objs, trailer).map { pages =>
+            val producer = trailer.get("Info") match {
+              case Some(PRef(n)) => objs.get(n).map(_._1) match {
+                case Some(PDict(m)) => m.get("Producer") match {
+                  case Some(PStr(s)) => s
+                  case _ => ""
+                }
+                case _ => ""
+              }
+              case _ => ""
+            }
+            Row(r.getLong(0), ver, pages.length.toLong, objs.size.toLong, producer)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-page extracted text: doc_id, page (0-based), text, n_chars.
+    * A page whose /Contents is missing, mis-typed, or whose stream
+    * refuses drops the WHOLE document (a partially-readable PDF is
+    * corruption, not data). Narrow, zero shuffle. */
+  def pdfTextPages(blobs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("page", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    blobs.select(col("doc_id"), col("blob")).mapPartitions { it =>
+      it.flatMap { r =>
+        val rows = for {
+          (_, trailer, objs) <- pdfWalk(r.getAs[Array[Byte]](1))
+          pages <- pdfPages(objs, trailer)
+          texts <- pages.foldLeft(Option(Vector.empty[String])) { (acc, pg) =>
+            for {
+              a <- acc
+              ref <- pg.get("Contents")
+              n <- ref match { case PRef(x) => Some(x); case _ => None }
+              (_, stream) <- objs.get(n)
+              if stream != null
+              t <- pdfContentText(stream)
+            } yield a :+ t
+          }
+        } yield texts.zipWithIndex.map { case (t, i) =>
+          Row(r.getLong(0), i.toLong, t,
+            t.codePointCount(0, t.length).toLong)
+        }
+        rows.getOrElse(Vector.empty)
+      }
+    }(enc)
+  }
+
+  /** A COMPLETE classic-xref PDF keyed on doc_id: catalog, page tree
+    * (1 + id%4 pages), Helvetica font, /Info with an analytic
+    * /Producer, one content stream per page — FlateDecode on odd ids,
+    * plain on even (the filter must be invisible to extracted text) —
+    * each showing three chunks via Tf/Td positioning: a Tj string, a
+    * TJ array with an interleaved kerning number, and (on id%3 = 0) a
+    * Tj string exercising the \( \) \\ escapes. Real xref offsets,
+    * correct /Count, correct /Length per stream. */
+  private[graft] def pdfBytes(id: Long): Array[Byte] = {
+    val np = (1 + id % 4).toInt
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def pageText(p: Int): (String, String, String) = {
+      val c1 = s"Doc $id page $p "
+      val c2 = s"body ${(id * 3 + p) % 50} and "
+      val c3 = if (id % 3 == 0) s"tail (${(id + p) % 7}) \\ done."
+               else s"tail ${(id + p) % 7} done."
+      (c1, c2, c3)
+    }
+    val contents: Vector[Array[Byte]] = (0 until np).map { p =>
+      val (c1, c2, c3) = pageText(p)
+      val body = (s"BT /F1 12 Tf 72 720 Td (${esc(c1)}) Tj " +
+        s"0 -14 Td [(${esc(c2)}) -250 (${esc(c3)})] TJ ET").getBytes("ISO-8859-1")
+      if (id % 2 == 1) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(body); d.finish()
+        val buf = new Array[Byte](body.length + 64)
+        val m = d.deflate(buf)
+        d.end()
+        java.util.Arrays.copyOf(buf, m)
+      } else body
+    }.toVector
+    // object numbering: 1 Catalog, 2 Pages, 3 Font, 4 Info,
+    // 5..4+np Page dicts, 5+np..4+2np content streams
+    val objBodies = scala.collection.mutable.ArrayBuffer[String]()
+    objBodies += "<< /Type /Catalog /Pages 2 0 R >>"
+    objBodies += ("<< /Type /Pages /Kids [" +
+      (0 until np).map(p => s"${5 + p} 0 R").mkString(" ") +
+      s"] /Count $np >>")
+    objBodies += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    objBodies += s"<< /Producer (graft ${id % 10}) /Title (Doc $id) >>"
+    for (p <- 0 until np)
+      objBodies += (s"<< /Type /Page /Parent 2 0 R /Contents ${5 + np + p} 0 R " +
+        "/MediaBox [0 0 612 792] /Resources << /Font << /F1 3 0 R >> >> >>")
+    val header = s"%PDF-1.4\n%âãÏÓ\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def writeObj(num: Int, body: String, stream: Array[Byte]): Unit = {
+      offsets += out.size()
+      out.write(s"$num 0 obj\n$body\n".getBytes("ISO-8859-1"))
+      if (stream != null) {
+        out.write("stream\n".getBytes("ISO-8859-1"))
+        out.write(stream)
+        out.write("\nendstream\n".getBytes("ISO-8859-1"))
+      }
+      out.write("endobj\n".getBytes("ISO-8859-1"))
+    }
+    objBodies.zipWithIndex.foreach { case (bdy, i) => writeObj(i + 1, bdy, null) }
+    contents.zipWithIndex.foreach { case (cs, p) =>
+      val filter = if (id % 2 == 1) " /Filter /FlateDecode" else ""
+      writeObj(5 + np + p, s"<< /Length ${cs.length}$filter >>", cs)
+    }
+    val xrefOff = out.size()
+    val n = objBodies.length + contents.length
+    val sb = new StringBuilder
+    sb ++= s"xref\n0 ${n + 1}\n"
+    sb ++= "0000000000 65535 f \n"
+    offsets.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= s"trailer\n<< /Size ${n + 1} /Root 1 0 R /Info 4 0 R >>\n"
+    sb ++= s"startxref\n$xrefOff\n%%EOF\n"
+    out.write(sb.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Deterministic classic-xref PDFs keyed on doc_id. */
+  def syntheticPdfBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), pdfBytes(r.getLong(0))))
+    }(enc)
+  }
 }

@@ -1344,6 +1344,66 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.mp3FrameInventory(mixed).count() === 1)
   }
 
+  test("PDF walk: fixture hand-checks, filter transparency, escapes, " +
+    "lying xref/Length/Count refuse, truncation fuzz") {
+    import spark.implicits._
+    // hand-check: id=6 (even: plain streams, %3=0: escape chunk), 3 pages
+    val even = Multimodal.pdfBytes(6L)
+    val metaRows = Multimodal.pdfMetadata(Seq((6L, even)).toDF("doc_id", "blob"))
+      .collect()
+    assert(metaRows.length === 1)
+    val m6 = metaRows.head
+    assert((m6.getString(1), m6.getLong(2), m6.getLong(3), m6.getString(4)) ===
+      (("1.4", 3L, 10L, "graft 6")))
+    val t6 = Multimodal.pdfTextPages(Seq((6L, even)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(t6(0L) === "Doc 6 page 0 body 18 and tail (6) \\ done.",
+      "escape family must round-trip")
+    assert(t6(2L) === "Doc 6 page 2 body 20 and tail (1) \\ done.")
+    // filter transparency: odd id (FlateDecode) extracts by the same rule
+    val odd = Multimodal.pdfBytes(7L)
+    assert(new String(odd, "ISO-8859-1").contains("/Filter /FlateDecode"))
+    val t7 = Multimodal.pdfTextPages(Seq((7L, odd)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(t7(0L) === "Doc 7 page 0 body 21 and tail 0 done.")
+    // router: '%PDF' magic dispatches, verified, page-grain units
+    assert(Multimodal.routeBlob(even) === Some(("pdf", true, 3L)))
+    // lying xref: corrupt the first in-use entry's offset digits
+    val s0 = new String(even, "ISO-8859-1")
+    val lied = even.clone()
+    val firstEntry = s0.indexOf("0000000000 65535 f") + 20
+    lied(firstEntry + 9) = '9'
+    assert(Multimodal.pdfMetadata(Seq((1L, lied)).toDF("doc_id", "blob"))
+      .count() === 0, "mis-pointed xref must refuse")
+    // lying /Length on a content stream refuses
+    val lenAt = s0.indexOf("/Length ")
+    val lenLie = even.clone()
+    lenLie(lenAt + 8) = (lenLie(lenAt + 8) + 1).toByte
+    assert(Multimodal.pdfTextPages(Seq((2L, lenLie)).toDF("doc_id", "blob"))
+      .count() === 0)
+    // lying /Count refuses (the tree must agree with its leaves)
+    val cntAt = s0.indexOf("/Count 3")
+    val cntLie = even.clone()
+    cntLie(cntAt + 7) = '2'
+    assert(Multimodal.pdfMetadata(Seq((3L, cntLie)).toDF("doc_id", "blob"))
+      .count() === 0)
+    // encryption marker refuses loudly
+    val enc = new String(even, "ISO-8859-1")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    assert(Multimodal.pdfWalk(enc.getBytes("ISO-8859-1")).isEmpty)
+    // truncation fuzz: any cut loses the %%EOF sentinel → refuses
+    for (cut <- 0 until even.length - 1 by 17)
+      assert(Multimodal.pdfWalk(even.take(cut)).isEmpty, s"cut=$cut")
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 200) {
+      val mut = even.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Multimodal.pdfWalk(mut) // must never throw
+    }
+    assert(Multimodal.pdfWalk(null).isEmpty)
+    assert(Multimodal.pdfWalk(Multimodal.zipBytes(4L)).isEmpty)
+  }
+
   test("ZIP walk: JDK two-way differential, CRC verification refuses lies, " +
     "truncation fuzz") {
     // fixture hand-check: id=5 → 2 entries
