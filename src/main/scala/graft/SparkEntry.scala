@@ -1599,6 +1599,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The PDF ingest seam: container walk → per-page Tj/TJ text →
+    // pages joined at line grain → C4 line rules. One shuffle total
+    // (the per-doc page join), the rest narrow; page text ends '.'
+    // so pages survive the line gate and the page COUNT drives keep.
+    "corpus_e2e_pdf" -> ((s, d) => {
+      val pages = Multimodal.pdfTextPages(
+        Multimodal.syntheticPdfBlobs(Tables.documents(s, d)))
+      val docsTx = pages.groupBy(col("doc_id"))
+        .agg(concat_ws("\n",
+          org.apache.spark.sql.functions.array_sort(
+            collect_list(struct(col("page"), col("text"))))
+            .getField("text")).as("text"))
+      TextAnalysis.c4Rules(docsTx).orderBy(col("doc_id"))
+    }),
+
     // The web seam composed one stage further: extraction's '\n'-joined
     // block output IS the C4 gate's line grain, so the chain
     // WARC → HTTP → extract → C4 line rules runs with zero impedance
@@ -6369,6 +6384,46 @@ object SparkEntry {
 
     // v1's chain + the winnow excerpt screen + embedding-space
     // decontamination, replayed as one program.
+    // Page-grain replay: rebuild each page's analytic text, classify
+    // with the same single-level-lambda line rules, join in page
+    // order — the PDF walk, Flate transparency and page ordering are
+    // all upstream of the md5.
+    "corpus_e2e_pdf" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents),
+        |pg AS (SELECT doc_id, unnest(range(0, np)) AS p FROM d),
+        |t AS (SELECT doc_id, p,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' page ' || CAST(p AS VARCHAR) ||
+        |    ' body ' || CAST((doc_id * 3 + p) % 50 AS VARCHAR) || ' and ' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'tail (' || CAST((doc_id + p) % 7 AS VARCHAR) || ') \ done.'
+        |         ELSE 'tail ' || CAST((doc_id + p) % 7 AS VARCHAR) || ' done.' END
+        |      AS text
+        |  FROM pg),
+        |lk AS (SELECT doc_id, p, text,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS nw,
+        |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) >= 4
+        |          AND substr(text, length(text), 1) IN ('.', '!', '?', '"')
+        |         THEN 1 ELSE 0 END AS k
+        |  FROM t),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(k) AS BIGINT) AS n_kept_lines,
+        |    CAST(coalesce(sum(CASE WHEN k = 1 THEN nw END), 0) AS BIGINT)
+        |      AS n_kept_words,
+        |    string_agg(text, chr(10) ORDER BY p) AS fulltext,
+        |    md5(coalesce(string_agg(CASE WHEN k = 1 THEN text END,
+        |          chr(10) ORDER BY p), '')) AS kept_md5
+        |  FROM lk GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept_lines, n_kept_words,
+        |  CAST(CASE WHEN position('lorem ipsum' IN lower(fulltext)) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+        |  CAST(CASE WHEN position('{' IN fulltext) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS has_brace,
+        |  CAST(CASE WHEN position('lorem ipsum' IN lower(fulltext)) = 0
+        |        AND position('{' IN fulltext) = 0 AND n_kept_lines >= 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  kept_md5
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
     // Block-grain replay: the extractor's kept blocks ARE the C4
     // gate's lines, so the oracle classifies each analytic block with
     // the same (single-level-lambda) line rules — paragraph blocks
