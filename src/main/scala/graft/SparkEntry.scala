@@ -1190,6 +1190,20 @@ object SparkEntry {
       Multimodal.pdfTextPages(Multimodal.syntheticPdfBlobs(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("page"))),
 
+    // PDF INCREMENTAL saves — the /Prev xref chain editors write: the
+    // newest section overrides the original's /Info and page-0 content
+    // stream; a reader that ignores the chain (or resolves oldest-
+    // first, or resurrects freed numbers) shows stale values.
+    "mm_pdf_incremental" -> ((s, d) => {
+      val blobs = Multimodal.syntheticPdfIncrementalBlobs(Tables.documents(s, d))
+      Multimodal.pdfMetadata(blobs)
+        .select(col("doc_id"), col("n_pages"), col("n_objects"), col("producer"))
+        .join(Multimodal.pdfTextPages(blobs), Seq("doc_id"))
+        .select(col("doc_id"), col("n_pages"), col("n_objects"),
+          col("producer"), col("page"), col("text"))
+        .orderBy(col("doc_id"), col("page"))
+    }),
+
     // ALL-frames MP3 census — the first-header walk reports the wrong
     // duration on VBR files; this walks every frame (header-stride
     // hops, strict framing, optional ID3v2 lead / ID3v1 trail), exact
@@ -5695,6 +5709,30 @@ object SparkEntry {
         |  FROM pg)
         |SELECT doc_id, CAST(p AS BIGINT) AS page, text,
         |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM t ORDER BY doc_id, page""".stripMargin,
+
+    // The update's analytic values for page 0, the ORIGINAL rule for
+    // the rest — only a correct newest-wins chain walk matches both.
+    "mm_pdf_incremental" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS np FROM documents),
+        |pg AS (SELECT doc_id, np, unnest(range(0, np)) AS p FROM d),
+        |t AS (SELECT doc_id, np, p,
+        |    CASE WHEN p = 0
+        |      THEN 'UPDATED page 0 of doc ' || CAST(doc_id AS VARCHAR) ||
+        |           ' rev ' || CAST(doc_id % 5 AS VARCHAR) || ' .'
+        |      ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' page ' ||
+        |           CAST(p AS VARCHAR) ||
+        |           ' body ' || CAST((doc_id * 3 + p) % 50 AS VARCHAR) || ' and ' ||
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN 'tail (' || CAST((doc_id + p) % 7 AS VARCHAR) ||
+        |                     ') \ done.'
+        |                ELSE 'tail ' || CAST((doc_id + p) % 7 AS VARCHAR) ||
+        |                     ' done.' END END AS text
+        |  FROM pg)
+        |SELECT doc_id, CAST(np AS BIGINT) AS n_pages,
+        |  CAST(4 + 2 * np AS BIGINT) AS n_objects,
+        |  'graft-v2 ' || CAST(doc_id % 10 AS VARCHAR) AS producer,
+        |  CAST(p AS BIGINT) AS page, text
         |FROM t ORDER BY doc_id, page""".stripMargin,
 
     // Frame-grain replay: every frame's bitrate/padding from the

@@ -6304,48 +6304,71 @@ object Multimodal {
       case "" => return None
       case s => s.toLong.toInt
     }
-    if (xrefOff < 0 || xrefOff + 4 > b.length) return None
-    if (new String(b, xrefOff, 4, "US-ASCII") != "xref") return None
-    var p = xrefOff + 4
-    def skipWs(): Unit = { while (p < b.length && isPdfWs(b(p) & 0xff)) p += 1 }
-    def readInt(): Int = {
-      skipWs()
-      val s = p
-      while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
-      if (p == s) throw new IndexOutOfBoundsException("int")
-      new String(b, s, p - s, "US-ASCII").toInt
-    }
-    // subsection(s) until "trailer"
+    // xref-section chain: the startxref section is the NEWEST; its
+    // trailer's /Prev points at the previous save's section, and so
+    // on — incremental updates override older entries, so a newer
+    // section's offset wins for a shared object number. Capped chain.
     val offsets = scala.collection.mutable.Map[Int, Int]()
-    var atTrailer = false
-    while (!atTrailer) {
-      skipWs()
-      if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
-        p += 7; atTrailer = true
-      } else {
-        val first = readInt()
-        val count = readInt()
-        if (count < 0 || count > 65536) return None
+    // a number FREED by a newer section must not resurrect from an
+    // older one — track every number the newer sections have spoken for
+    val seen = scala.collection.mutable.Set[Int]()
+    var trailer: Map[String, PVal] = null
+    var xOff = xrefOff
+    var sections = 0
+    while (xOff >= 0) {
+      sections += 1
+      if (sections > 16) return None
+      if (xOff + 4 > b.length ||
+          new String(b, xOff, 4, "US-ASCII") != "xref") return None
+      var p = xOff + 4
+      def skipWs(): Unit = { while (p < b.length && isPdfWs(b(p) & 0xff)) p += 1 }
+      def readInt(): Int = {
         skipWs()
-        var i = 0
-        while (i < count) {
-          // 20-byte entries: 10-digit offset, 5-digit gen, f/n
-          if (p + 18 > b.length) return None
-          val off = new String(b, p, 10, "US-ASCII").toInt
-          val kind = (b(p + 17) & 0xff).toChar
-          if (kind == 'n') offsets(first + i) = off
-          else if (kind != 'f') return None
-          p += 18
-          while (p < b.length && isPdfWs(b(p) & 0xff) &&
-            (b(p) == '\r' || b(p) == '\n' || b(p) == ' ')) p += 1
-          i += 1
+        val s = p
+        while (p < b.length && b(p) >= '0' && b(p) <= '9') p += 1
+        if (p == s) throw new IndexOutOfBoundsException("int")
+        new String(b, s, p - s, "US-ASCII").toInt
+      }
+      // subsection(s) until "trailer"
+      var atTrailer = false
+      while (!atTrailer) {
+        skipWs()
+        if (p + 7 <= b.length && new String(b, p, 7, "US-ASCII") == "trailer") {
+          p += 7; atTrailer = true
+        } else {
+          val first = readInt()
+          val count = readInt()
+          if (count < 0 || count > 65536) return None
+          skipWs()
+          var i = 0
+          while (i < count) {
+            // 20-byte entries: 10-digit offset, 5-digit gen, f/n
+            if (p + 18 > b.length) return None
+            val off = new String(b, p, 10, "US-ASCII").toInt
+            val kind = (b(p + 17) & 0xff).toChar
+            // newest-first walk: only fill numbers not spoken for yet
+            if (kind == 'n') {
+              if (seen.add(first + i)) offsets(first + i) = off
+            } else if (kind == 'f') seen.add(first + i)
+            else return None
+            p += 18
+            while (p < b.length && isPdfWs(b(p) & 0xff) &&
+              (b(p) == '\r' || b(p) == '\n' || b(p) == ' ')) p += 1
+            i += 1
+          }
         }
       }
-    }
-    val (trailerV, _) = pdfValue(b, p, 0)
-    val trailer = trailerV match {
-      case PDict(m) => m
-      case _ => return None
+      val (trailerV, _) = pdfValue(b, p, 0)
+      val t = trailerV match {
+        case PDict(m) => m
+        case _ => return None
+      }
+      if (trailer == null) trailer = t
+      xOff = t.get("Prev") match {
+        case Some(PNum(v)) => v.toInt
+        case None => -1
+        case _ => return None
+      }
     }
     if (trailer.contains("Encrypt")) return None
     // parse every in-use object at its claimed offset
@@ -6653,6 +6676,53 @@ object Multimodal {
     sb ++= s"startxref\n$xrefOff\n%%EOF\n"
     out.write(sb.toString.getBytes("ISO-8859-1"))
     out.toByteArray
+  }
+
+  /** [[pdfBytes]] plus one INCREMENTAL SAVE — the way editors actually
+    * write PDFs: the original file untouched, an updated /Info
+    * (new /Producer) and a REPLACED page-0 content stream appended,
+    * then a second xref section whose trailer /Prev chains to the
+    * original. A reader that ignores the chain (or resolves it
+    * oldest-first) shows the stale producer/text. */
+  private[graft] def pdfIncrementalBytes(id: Long): Array[Byte] = {
+    val base = pdfBytes(id)
+    val np = (1 + id % 4).toInt
+    val baseStr = new String(base, "ISO-8859-1")
+    val sx = baseStr.lastIndexOf("startxref")
+    val baseXref = baseStr.substring(sx + 9).trim.takeWhile(_.isDigit).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    val infoOff = out.size()
+    out.write((s"4 0 obj\n<< /Producer (graft-v2 ${id % 10}) " +
+      s"/Title (Doc $id) >>\nendobj\n").getBytes("ISO-8859-1"))
+    val newText = s"UPDATED page 0 of doc $id rev ${id % 5} ."
+    val cBytes = s"BT /F1 12 Tf 72 720 Td ($newText) Tj ET".getBytes("ISO-8859-1")
+    val cNum = 5 + np
+    val cOff = out.size()
+    out.write((s"$cNum 0 obj\n<< /Length ${cBytes.length} >>\nstream\n")
+      .getBytes("ISO-8859-1"))
+    out.write(cBytes, 0, cBytes.length)
+    out.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+    val xref2 = out.size()
+    val sb = new StringBuilder
+    sb ++= "xref\n0 1\n0000000000 65535 f \n"
+    sb ++= f"4 1\n$infoOff%010d 00000 n \n"
+    sb ++= f"$cNum 1\n$cOff%010d 00000 n \n"
+    sb ++= s"trailer\n<< /Size ${5 + 2 * np} /Root 1 0 R /Info 4 0 R " +
+      s"/Prev $baseXref >>\nstartxref\n$xref2\n%%EOF\n"
+    out.write(sb.toString.getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Deterministic incrementally-saved PDFs keyed on doc_id. */
+  def syntheticPdfIncrementalBlobs(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), pdfIncrementalBytes(r.getLong(0))))
+    }(enc)
   }
 
   /** Deterministic classic-xref PDFs keyed on doc_id. */

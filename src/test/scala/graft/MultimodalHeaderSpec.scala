@@ -1404,6 +1404,42 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.pdfWalk(Multimodal.zipBytes(4L)).isEmpty)
   }
 
+  test("PDF incremental saves: newest xref section wins, freed numbers " +
+    "never resurrect, a /Prev loop refuses") {
+    import spark.implicits._
+    val inc = Multimodal.pdfIncrementalBytes(6L)
+    val meta = Multimodal.pdfMetadata(Seq((6L, inc)).toDF("doc_id", "blob")).head()
+    assert(meta.getString(4) === "graft-v2 6", "updated /Info must win")
+    assert((meta.getLong(2), meta.getLong(3)) === ((3L, 10L)),
+      "overrides must not inflate the object census")
+    val texts = Multimodal.pdfTextPages(Seq((6L, inc)).toDF("doc_id", "blob"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(texts(0L) === "UPDATED page 0 of doc 6 rev 1 .",
+      "replaced content stream must win")
+    assert(texts(1L) === "Doc 6 page 1 body 19 and tail (0) \\ done.",
+      "untouched pages read the original")
+    // freeing the /Info object in a THIRD save: the old in-use entry
+    // must not resurrect — producer reads back empty
+    val s1 = new String(inc, "ISO-8859-1")
+    val prevOff = s1.lastIndexOf("startxref")
+    val prev2 = s1.substring(prevOff + 9).trim.takeWhile(_.isDigit).toInt
+    val free = s1 +
+      "xref\n0 1\n0000000000 65535 f \n4 1\n0000000000 00001 f \n" +
+      s"trailer\n<< /Size 11 /Root 1 0 R /Info 4 0 R /Prev $prev2 >>\n" +
+      s"startxref\n${inc.length}\n%%EOF\n"
+    val freed = Multimodal.pdfMetadata(
+      Seq((7L, free.getBytes("ISO-8859-1"))).toDF("doc_id", "blob")).head()
+    assert(freed.getString(4) === "", "freed number must not resurrect")
+    // a /Prev loop (the newest section pointing at ITSELF) refuses,
+    // never hangs: the incremental file's own last xref offset is the
+    // startxref value
+    val selfOff = s1.substring(s1.lastIndexOf("startxref") + 9).trim
+      .takeWhile(_.isDigit)
+    val loop = s1.replaceFirst("/Prev \\d+", "/Prev " + selfOff)
+    assert(Multimodal.pdfWalk(loop.getBytes("ISO-8859-1")).isEmpty,
+      "xref self-loop must refuse via the section cap")
+  }
+
   test("ZIP walk: JDK two-way differential, CRC verification refuses lies, " +
     "truncation fuzz") {
     // fixture hand-check: id=5 → 2 entries
