@@ -264,7 +264,16 @@ object Dedup {
     // Caching.releaseLocalCheckpoints when looping)
     val (cands0, hot) = bandedCandidatesOn(base, strataCols, idCol,
       numHashes, rowsPerBand, maxBucket)
-    val cands = cands0.localCheckpoint()
+    // repartition BEFORE the checkpoint: AQE coalesces the distinct
+    // output to its (small) byte size, but the checkpoint is the
+    // STREAM side of the pair-expansion joins below — the query's
+    // CPU-heaviest stage (each candidate pair fans out to the token
+    // rows of both docs and partially aggregates), and a 2-task
+    // checkpoint caps it at 2 cores (guide §2.5: AQE sizes by bytes,
+    // not downstream CPU). Round-robin to the session's parallelism.
+    val cands = cands0
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val tok = base.select(col(idCol), explode(col("tset")).as("t"))
     // N is one scalar off the doc spine (the model-small precedent)
     val nDocs = base.select(col(idCol)).distinct().count()
@@ -272,21 +281,27 @@ object Dedup {
       .withColumn("w", expr(s"(1000 * (2 * ($nDocs - df) + 1)) DIV (2 * df + 1)"))
       .select(col("t"), col("w"))
     val tw = tok.join(w, "t").localCheckpoint()
+    // Verification in ONE union-grain pass (guide §2.3/§2.4 — fewer
+    // shuffles, same exact integers): a (pair, token) row appears once
+    // per side holding the token, so after a (pair, token) count the
+    // row multiplicity IS the set membership — c = 2 ⇔ t ∈ A∩B, and
+    // every row is a distinct member of A∪B. w_union = Σ_{A∪B} w and
+    // w_inter = Σ_{c=2} w replace the old three aggregations
+    // (Σ_A, Σ_B, Σ_{A∩B} via a 3-key self-join) plus two pair-grain
+    // joins: 6 exchanges → 2 on the exploded pair-token stream, and
+    // the widest shuffle (the (pair, t, w) self-join) is gone.
     val pa = tw.join(cands, col(idCol) === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("t"), col("w").as("wa"))
+      .select(col("doc_a"), col("doc_b"), col("t"), col("w"))
     val pb = tw.join(cands, col(idCol) === col("doc_b"))
-      .select(col("doc_a").as("__ba"), col("doc_b").as("__bb"),
-        col("t").as("__bt"), col("w").as("wb"))
-    val sa = pa.groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa")).as("swa"))
-    val sb = pb.groupBy(col("__ba").as("doc_a"), col("__bb").as("doc_b"))
-      .agg(sum(col("wb")).as("swb"))
-    val si = pa.join(pb, col("doc_a") === col("__ba") &&
-        col("doc_b") === col("__bb") && col("t") === col("__bt"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa")).as("swi"))
-    val pairs = sa.join(sb, Seq("doc_a", "doc_b"))
-      .join(si, Seq("doc_a", "doc_b"), "left")
-      .withColumn("w_inter", coalesce(col("swi"), lit(0L)))
-      .withColumn("w_union", col("swa") + col("swb") - col("w_inter"))
+      .select(col("doc_a"), col("doc_b"), col("t"), col("w"))
+    val pairs = pa.unionByName(pb)
+      .groupBy(col("doc_a"), col("doc_b"), col("t"))
+      // tset is distinct per doc, so c ∈ {1, 2}; w is functionally
+      // dependent on t (min = the value)
+      .agg(count(lit(1)).as("c"), min(col("w")).as("w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("c") === 2, col("w")).otherwise(0L)).as("w_inter"),
+        sum(col("w")).as("w_union"))
       .withColumn("idfjac_permille",
         floor(col("w_inter") * 1000 / col("w_union")).cast("long"))
       .filter(col("idfjac_permille") >= thresholdPermille)

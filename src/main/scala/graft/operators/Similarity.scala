@@ -201,14 +201,25 @@ object Similarity {
     val q = Partitioning.fanOut(emb)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
       .cache()
-    val seeds = q.orderBy(col("__id")).limit(k)
-      // unpartitioned window over the k seed rows only (limit already
-      // applied) — WindowExec's single-partition warning is bounded by
-      // k, not data size
-      .withColumn("cell", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1).cast("long"))
-      .select(col("cell"), col("qv").as("cv"))
-    val trained = lloydRounds(q, seeds, iters)
+    // seeds: the k smallest ids, COLLECTED (k×dims — the model-small
+    // precedent this file uses everywhere) instead of a TakeOrdered +
+    // window subplan. The rows provide `dims` for the fused Lloyd
+    // update for free, and round 1's broadcast builds from a
+    // LocalTableScan instead of re-planning the seed subtree — two
+    // fewer jobs per train call, identical seed set and order.
+    val seedRows = q.orderBy(col("__id")).limit(k).collect()
+    val dims = seedRows.headOption.map(_.getSeq[Long](1).length).getOrElse(1)
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    val seeds = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i.toLong, r.getSeq[Long](1)) }.toSeq, 1), seedSchema)
+    val trained = lloydRounds(q, seeds, iters, dims)
     // centroids are k×dims values — materialize on the driver (the
     // k-means model IS driver-small by construction) so downstream
     // broadcast reuse doesn't lazily replay the whole Lloyd lineage
@@ -217,19 +228,36 @@ object Similarity {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
   }
 
+  /** Static vector width of an array column, read from one row (the
+    * [[subvectorsOf]] precedent — one 1-row job, paid once per train
+    * call). 1 on an empty frame: the value is never read there (every
+    * aggregate below it runs over zero rows), it only keeps the
+    * generated per-dim expressions well-typed. */
+  private def vecDims(df: DataFrame, c: String): Int =
+    df.select(size(col(c))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
   /** `iters` Lloyd assign+update rounds from an explicit seed frame —
     * the shared engine behind [[ivfTrain]] (min-id seeds) and
-    * [[ivfTrainPP]] (k-means|| seeds). */
-  private def lloydRounds(q: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    * [[ivfTrainPP]] (k-means|| seeds). The centroid update is ONE
+    * map-side-combinable aggregation of per-dim sums (k rows ×
+    * (dims+1) longs of aggregate state) instead of the posexplode →
+    * (cell, dim) shuffle → (cell) collect_list re-shuffle — guide
+    * §2.3/§2.4: per round one exchange of k×(dims+1) longs replaces
+    * two exchanges, one of them carrying n×dims exploded rows. Same
+    * exact integers: count is per cell either way (every vector
+    * carries all dims), floor(Σv/n) unchanged, and the generated
+    * array is in dim order like the sorted collect_list was. */
+  private def lloydRounds(q: DataFrame, seeds: DataFrame, iters: Int,
+                          dims: Int): DataFrame =
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assignCells(q, cents)
-      assigned
-        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim").cast("long").as("dim"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cq"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
-          x => x.getField("cq")).as("cv"))
+      assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dims).map(i => sum(col("qv")(i)).as(s"__s$i")): _*)
+        .select(col("cell"),
+          array((0 until dims).map(i =>
+            floor(col(s"__s$i") / col("__n")).cast("long")): _*).as("cv"))
     }
 
   /** Deterministic k-means|| initialization (Bahmani et al., VLDB
@@ -289,25 +317,33 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     val dec = "decimal(20,0)"
     for (r <- 1 to rounds) {
-      val d2 = d2min(cands)
-      val sumD2 = d2.agg(coalesce(sum(col("d2")), lit(0L))).head().getLong(0)
-      if (sumD2 > 0) {
-        val u = hex_slice_long(
-          md5(concat(lit(s"pp$r|"), col("__id").cast("string")).cast("binary")), 0)
-        val sel = q.join(d2, "__id")
-          .filter(u.cast(dec) * lit(sumD2).cast(dec) <
-            col("d2").cast(dec) * lit(l * 4294967296L).cast(dec))
-          .select(col("__id"), col("qv")).collect()
-          .map(r0 => (r0.getLong(0), r0.getSeq[Long](1)))
-        val known = cands.map(_._1).toSet
-        cands = cands ++ sel.filterNot(c => known(c._1)).sortBy(_._1)
-        // the oversample is l·d²-proportional: expected ~l per round.
-        // A corpus engineered to pass the coin everywhere would make
-        // the "model" data-sized — refuse loudly rather than OOM the
-        // driver.
-        require(cands.size <= math.max(64, 16 * l * rounds),
-          s"k-means|| oversample exploded to ${cands.size} candidates")
-      }
+      // the per-round d² frame feeds TWO actions (the Σd² scalar and
+      // the coin-filtered candidate collect) — materialize it once
+      // (localCheckpoint, released at end of round: the
+      // connectedComponents loop discipline) instead of re-paying the
+      // crossJoin + per-id min aggregation for each action (guide §5:
+      // reuse beats recompute when the recompute is a full pass)
+      val d2 = d2min(cands).localCheckpoint()
+      try {
+        val sumD2 = d2.agg(coalesce(sum(col("d2")), lit(0L))).head().getLong(0)
+        if (sumD2 > 0) {
+          val u = hex_slice_long(
+            md5(concat(lit(s"pp$r|"), col("__id").cast("string")).cast("binary")), 0)
+          val sel = q.join(d2, "__id")
+            .filter(u.cast(dec) * lit(sumD2).cast(dec) <
+              col("d2").cast(dec) * lit(l * 4294967296L).cast(dec))
+            .select(col("__id"), col("qv")).collect()
+            .map(r0 => (r0.getLong(0), r0.getSeq[Long](1)))
+          val known = cands.map(_._1).toSet
+          cands = cands ++ sel.filterNot(c => known(c._1)).sortBy(_._1)
+          // the oversample is l·d²-proportional: expected ~l per round.
+          // A corpus engineered to pass the coin everywhere would make
+          // the "model" data-sized — refuse loudly rather than OOM the
+          // driver.
+          require(cands.size <= math.max(64, 16 * l * rounds),
+            s"k-means|| oversample exploded to ${cands.size} candidates")
+        }
+      } finally Caching.releaseLocalCheckpoints(d2)
     }
     // weight candidates by assignment count (ties toward smaller
     // cand_id), then greedy top-k by (weight desc, id)
@@ -333,7 +369,8 @@ object Similarity {
         org.apache.spark.sql.types.StructField("cv",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false), nullable = false))))
-    val trained = lloydRounds(q, seeds, iters)
+    val trained = lloydRounds(q, seeds, iters,
+      cands.headOption.map(_._2.length).getOrElse(1))
     val rows = trained.collect().toSeq
     q.unpersist()
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
@@ -883,14 +920,17 @@ object Similarity {
       .partitionBy(col("sub")).orderBy(col("__id"))
     val seeds = sub.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("sub"), (col("rn") - 1).cast("long").as("cell"), col("sqv").as("cv"))
+    // per-dim-sum centroid update, one exchange per round — the
+    // [[lloydRounds]] rewrite applied per subspace (see its scaladoc)
+    val sd = vecDims(sub, "sqv")
     val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
       assignPq(sub, cents)
-        .select(col("sub"), col("cell"), posexplode(col("sqv")).as(Seq("dim", "v")))
-        .groupBy(col("sub"), col("cell"), col("dim").cast("long").as("dim"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cq"))
         .groupBy(col("sub"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cq")))),
-          x => x.getField("cq")).as("cv"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until sd).map(i => sum(col("sqv")(i)).as(s"__s$i")): _*)
+        .select(col("sub"), col("cell"),
+          array((0 until sd).map(i =>
+            floor(col(s"__s$i") / col("__n")).cast("long")): _*).as("cv"))
     }
     val rows = trained.collect().toSeq
     sub.unpersist()
@@ -961,10 +1001,40 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
                 coarse: DataFrame, codebook: DataFrame, m: Int, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfPqScore(queries,
-      ivfAssign(candidates, coarse, idCol, vecCol)
-        .join(pqEncode(candidates, codebook, m, idCol, vecCol), idCol),
-      coarse, codebook, m, k, idCol, vecCol)
+    ivfPqScore(queries, annEncode(candidates, AnnModel(coarse, codebook, m),
+      idCol, vecCol), coarse, codebook, m, k, idCol, vecCol)
+
+  /** PQ codes from an ALREADY-ASSIGNED quantized frame
+    * (`__id`, cell, qv): inline subvector explode carrying the coarse
+    * cell, per-subspace argmin against the broadcast codebook, codes
+    * assembled in sub order. This is [[annEncode]]'s whole
+    * candidate-side cost in ONE pass over the vectors — the previous
+    * shape paid a SECOND quantize scan (pqEncode) plus an id join of
+    * the two halves (guide §2.4: two operations keyed the same way
+    * share one pass; the join disappears because the coarse cell rides
+    * the groupBy key, on which it is functionally dependent). Argmin
+    * struct ordering and the sub-sorted code assembly are identical to
+    * [[assignPq]]/[[pqEncodeSub]], so codes are bit-equal. Subspace
+    * width comes off the codebook row ([[ivfPqResidualScore]]'s
+    * precedent) — model-small, no data-sized job. */
+  private def pqCodesWithCell(withCell: DataFrame, codebook: DataFrame,
+                              m: Int): DataFrame = {
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val subs = withCell.select(col("__id"), col("cell").as("__ccell"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("qv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
+      .select(col("__id"), col("__ccell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+    val cb = codebook.withColumn("csq", dot(col("cv"), col("cv")))
+    subs.join(broadcast(cb), "sub")
+      .withColumn("s", col("csq") - lit(2d) * dot(col("sqv"), col("cv")))
+      .groupBy(col("__id"), col("__ccell"), col("sub"))
+      .agg(min(struct(col("s"), col("cell"))).as("m"))
+      .groupBy(col("__id"), col("__ccell"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("m.cell").as("cell")))),
+        x => x.getField("cell")).as("codes"))
+      .select(col("__id"), col("__ccell").as("cell"), col("codes"))
+  }
 
   /** The query-time half of IVF-ADC: score `queries` against an
     * ALREADY-ENCODED candidate frame (`idCol`, cell, codes) — what a
@@ -1049,9 +1119,13 @@ object Similarity {
     * pass over `emb`; used by the full build (over the corpus) and by
     * incremental appends (over a delta only). */
   def annEncode(emb: DataFrame, model: AnnModel,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfAssign(emb, model.coarse, idCol, vecCol)
-      .join(pqEncode(emb, model.codebook, model.m, idCol, vecCol), idCol)
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
+    val q = Partitioning.fanOut(emb)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+    pqCodesWithCell(assignCells(q, model.coarse), model.codebook, model.m)
+      .withColumnRenamed("__id", idCol)
+  }
 
   /** Train both quantizers AND encode the corpus. */
   def annIndexBuild(emb: DataFrame, coarseK: Int, m: Int, pqK: Int, iters: Int,
@@ -1232,13 +1306,13 @@ object Similarity {
     * residual model are meaningless to the raw scorers (and vice
     * versa) — serve a residual index with [[ivfPqResidualScore]]. */
   def annEncodeResidual(emb: DataFrame, model: AnnModel,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val r = residuals(emb, model.coarse, idCol, vecCol)
-    r.select(col("__id"), col("cell"))
-      .join(pqEncodeSub(subvectorsOf(r.select(col("__id"), col("qv")), model.m),
-        model.codebook), "__id")
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // one pass: the residual frame already carries (cell, residual qv);
+    // [[pqCodesWithCell]] replaces the old self-join of that frame
+    // (each side re-paying the residual assignment) — guide §2.4
+    pqCodesWithCell(residuals(emb, model.coarse, idCol, vecCol),
+        model.codebook, model.m)
       .select(col("__id").as(idCol), col("cell"), col("codes"))
-  }
 
   /** Query-time ADC over a residual-encoded candidate frame. Each
     * query probes its `nprobe` nearest coarse cells; within a probed
