@@ -80,7 +80,79 @@ case class FpSet(child: Expression)
   override def prettyName: String = "fp32_set"
 }
 
+/** `fp_inter_count(a, b)` — |A ∩ B| of two SORTED DISTINCT sets
+  * (`array<long>` as [[FpSet]] emits, or `array<string>` as
+  * `array_sort(array_distinct(...))` emits — Spark's `array_sort`
+  * on strings is UTF8 binary order, the same comparator used here)
+  * as BIGINT, by a two-pointer merge: one O(|A|+|B|) pass, zero
+  * allocation.
+  *
+  * Why an expression: `size(array_intersect(a, b))` is the per-pair
+  * hot path of containment / Jaccard verification — it builds a hash
+  * set AND materializes the intersection array per candidate pair
+  * just to take its length (measured as the dominant cost of the
+  * verification stages). Sortedness makes both allocations
+  * unnecessary; the count over sorted-distinct inputs is identical
+  * to `array_intersect`'s by definition. The [[BagOverlap]] merge
+  * discipline on plain sets. */
+case class FpInterCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"fp_inter_count expects two ARRAY<BIGINT> or two ARRAY<STRING>, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+
+  private lazy val isString = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(la: Any, ra: Any): Any = {
+    val a = la.asInstanceOf[ArrayData]
+    val b = ra.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    if (isString) {
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
+        if (cmp == 0) { cnt += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    }
+    cnt
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FpInterCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "fp_inter_count"
+}
+
 object FpSet {
   /** Column-API form. Requires graft.plans.GraftExtensions.register. */
   def fp32_set(arr: Column): Column = call_function("fp32_set", arr)
+  /** Column-API form. Requires graft.plans.GraftExtensions.register. */
+  def fp_inter_count(a: Column, b: Column): Column =
+    call_function("fp_inter_count", a, b)
 }

@@ -639,7 +639,13 @@ object Dedup {
         col("hsz").as("sza")), "doc_a")
       .join(hsets.select(col(idCol).as("doc_b"), col("hs").as("hb"),
         col("hsz").as("szb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      // per-pair hot path: `hs` is sorted-distinct by construction
+      // (fp32_set), so |A∩B| is the zero-allocation two-pointer
+      // fp_inter_count — size(array_intersect(...)) built a hash set
+      // AND materialized the intersection array per candidate pair
+      // just to take its length (measured as the dominant cost of the
+      // verification stage). Identical count on sorted-distinct input.
+      .withColumn("inter", graft.functions.FpSet.fp_inter_count(col("ha"), col("hb")))
       .withColumn("minsz", least(col("sza"), col("szb")))
       .withColumn("cont_permille", floor(col("inter") * 1000 / col("minsz")).cast("long"))
       .filter(col("cont_permille") >= thresholdPermille)
@@ -889,20 +895,23 @@ object Dedup {
       "jaccardPairs needs at least one blocking column — an unblocked " +
         "self-join is O(n²) and will not survive scale. For an explicit " +
         "candidate-pair set (e.g. LSH candidates) use jaccardVerify.")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", tsetExpr)
       .withColumn("tsz", size(col("tset")).cast("long"))
       .select((idCol +: "tset" +: "tsz" +: blockCols).map(col): _*)
-    val a = base.select(col(idCol).as("doc_a") +: col("tset").as("ta") +:
+    // per-doc array_sort at the projection → zero-allocation
+    // fp_inter_count per pair (see jaccardVerifySetsFull)
+    val a = base.select(col(idCol).as("doc_a") +: array_sort(col("tset")).as("ta") +:
       col("tsz").as("sza") +: blockCols.map(col): _*)
-    val b = base.select(col(idCol).as("doc_b") +: col("tset").as("tb") +:
+    val b = base.select(col(idCol).as("doc_b") +: array_sort(col("tset")).as("tb") +:
       col("tsz").as("szb") +: blockCols.map(c => col(c).as(s"__b_$c")): _*)
     val cond = blockCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _) &&
       col("doc_a") < col("doc_b")
     a.join(b, cond)
       .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
               col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", graft.functions.FpSet.fp_inter_count(col("ta"), col("tb")))
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
@@ -989,10 +998,10 @@ object Dedup {
       .select(col(tsCol), col(idCol), col("tset"), col("tsz"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     val a = banded.select(col(tsCol).as("ts_a"), col(idCol).as("doc_a"),
-        col("tset").as("ta"), col("tsz").as("sza"), col("band"), col("bv"))
+        array_sort(col("tset")).as("ta"), col("tsz").as("sza"), col("band"), col("bv"))
       .withWatermark("ts_a", maxLateness)
     val b = banded.select(col(tsCol).as("ts_b"), col(idCol).as("doc_b"),
-        col("tset").as("tb"), col("tsz").as("szb"),
+        array_sort(col("tset")).as("tb"), col("tsz").as("szb"),
         col("band").as("band_b"), col("bv").as("bv_b"))
       .withWatermark("ts_b", maxLateness)
     a.join(b,
@@ -1004,7 +1013,9 @@ object Dedup {
       // PPJoin length filter before the O(|A|+|B|) intersection
       .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
               col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      // ta/tb are array_sort-ed at the banded projection — per-pair
+      // zero-allocation merge count (see jaccardVerifySetsFull)
+      .withColumn("inter", graft.functions.FpSet.fp_inter_count(col("ta"), col("tb")))
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)
@@ -1253,15 +1264,22 @@ object Dedup {
   private def jaccardVerifySetsFull(withSets: DataFrame, pairs: DataFrame,
                                     thresholdPermille: Int,
                                     idCol: String = "doc_id"): DataFrame = {
+    graft.plans.GraftExtensions.register(withSets.sparkSession)
+    // sets are sorted ONCE PER DOC at the projection (array_sort =
+    // UTF8 binary order) so the per-pair intersection is the
+    // zero-allocation fp_inter_count two-pointer merge instead of
+    // array_intersect's per-pair hash set + materialized array —
+    // identical count on distinct inputs, and the verification stage
+    // was the measured hot path (guide §1.2 step 2: per-task work)
     pairs
-      .join(withSets.select(col(idCol).as("doc_a"), col("tset").as("ta"),
-        col("tsz").as("sza")), "doc_a")
-      .join(withSets.select(col(idCol).as("doc_b"), col("tset").as("tb"),
-        col("tsz").as("szb")), "doc_b")
+      .join(withSets.select(col(idCol).as("doc_a"),
+        array_sort(col("tset")).as("ta"), col("tsz").as("sza")), "doc_a")
+      .join(withSets.select(col(idCol).as("doc_b"),
+        array_sort(col("tset")).as("tb"), col("tsz").as("szb")), "doc_b")
       // PPJoin length filter: prune before the O(|A|+|B|) intersection
       .filter(col("sza") * 1000 >= lit(thresholdPermille) * col("szb") &&
               col("szb") * 1000 >= lit(thresholdPermille) * col("sza"))
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("inter", graft.functions.FpSet.fp_inter_count(col("ta"), col("tb")))
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jac_permille", floor(col("inter") * 1000 / col("uni")).cast("long"))
       .filter(col("jac_permille") >= thresholdPermille)

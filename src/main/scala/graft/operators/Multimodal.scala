@@ -2921,7 +2921,16 @@ object Multimodal {
     graft.plans.GraftExtensions.register(hashes.sparkSession)
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
-    def banded(side: String) = hashes.select(
+    // fan the hash frame out BEFORE banding: `hashes` usually arrives
+    // as a narrow single-partition decode chain (one input file), and
+    // the planner broadcasts one banded side — so the join's pair
+    // output AND the distinct's partial aggregate would otherwise run
+    // inside that one map task (measured 5.8 s of the neardup query's
+    // 6.7 s; the hash pass itself is 0.17 s). One round-robin exchange
+    // of 16-byte hash rows buys session-wide parallelism for the pair
+    // expansion; a no-op on real multi-partition inputs (guide §2.5).
+    val fanned = Partitioning.fanOut(hashes)
+    def banded(side: String) = fanned.select(
       col(idCol).as(s"doc_$side"), col("ahash").as(s"sig_$side"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FpInterCount, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tokenCountsDescriptor)
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
+    ext.injectFunction(GraftExtensions.fpInterCountDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
@@ -108,6 +109,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FpSet].getName, "fp32_set"),
     (children: Seq[Expression]) => FpSet(children.head))
 
+  val fpInterCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fp_inter_count"),
+    new ExpressionInfo(classOf[FpInterCount].getName, "fp_inter_count"),
+    (children: Seq[Expression]) => FpInterCount(children.head, children(1)))
+
   val hammingWordsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("hamming_words"),
     new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
@@ -149,6 +155,7 @@ object GraftExtensions {
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
+        fpInterCountDescriptor,
         hammingWordsDescriptor, winnowFpDescriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
         hilbertIndexDescriptor).foreach { d =>
