@@ -1346,20 +1346,25 @@ object Dedup {
       return labels.select(col("node").as("doc_id"), col("component"))
     }
     // convergence by the monotone label sum: labels only ever decrease,
-    // so an unchanged sum IS the fixpoint — one cheap agg per round
-    // instead of a join + filter + count. sum over ZERO rows is SQL
-    // null — coalesce (the empty case above never reaches here, but
-    // keep the guard so labelSum is safe on any input).
+    // so an unchanged sum IS the fixpoint. The sum rides the round's
+    // OWN checkpoint materialization as an observed metric (guide §1 /
+    // Spark Observation API — no second scan, no extra job per round);
+    // the old form paid a separate agg job after every checkpoint.
+    // sum over ZERO rows is SQL null — coalesce (the empty case above
+    // never reaches here, but keep the guard).
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var done = false
+    var round = 0
     while (!done) {
+      round += 1
       val neighborMin = sym
         .join(labels.select(col("node").as("v"), col("component").as("vl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nmin"))
       val labelOfLabel = labels
         .select(col("node").as("component"), col("component").as("ll"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .join(labelOfLabel, Seq("component"), "left")
@@ -1367,8 +1372,9 @@ object Dedup {
           col("component"),
           coalesce(col("nmin"), col("component")),
           coalesce(col("ll"), col("component"))).as("component"))
+        .observe(obs, coalesce(sum(col("component")), lit(0L)).as("label_sum"))
         .localCheckpoint() // eager — materialized before the release below
-      val s = labelSum(next)
+      val s = obs.get("label_sum").asInstanceOf[Long]
       done = s == prevSum
       prevSum = s
       Caching.releaseLocalCheckpoints(labels)

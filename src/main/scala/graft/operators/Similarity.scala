@@ -209,23 +209,14 @@ object Similarity {
     // fewer jobs per train call, identical seed set and order.
     val seedRows = q.orderBy(col("__id")).limit(k).collect()
     val dims = seedRows.headOption.map(_.getSeq[Long](1).length).getOrElse(1)
-    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cell",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cv",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
-    val seeds = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        seedRows.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row(i.toLong, r.getSeq[Long](1)) }.toSeq, 1), seedSchema)
+    val seeds = seedRows.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
     val trained = lloydRounds(q, seeds, iters, dims)
-    // centroids are k×dims values — materialize on the driver (the
-    // k-means model IS driver-small by construction) so downstream
-    // broadcast reuse doesn't lazily replay the whole Lloyd lineage
-    val rows = trained.collect().toSeq
     q.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+    // centroids are k×dims values on the driver (the k-means model IS
+    // driver-small by construction) — downstream broadcast reuse never
+    // replays the Lloyd lineage
+    centroidFrame(spark, trained)
   }
 
   /** Static vector width of an array column, read from one row (the
@@ -248,17 +239,42 @@ object Similarity {
     * exact integers: count is per cell either way (every vector
     * carries all dims), floor(Σv/n) unchanged, and the generated
     * array is in dim order like the sorted collect_list was. */
-  private def lloydRounds(q: DataFrame, seeds: DataFrame, iters: Int,
-                          dims: Int): DataFrame =
+  private def lloydRounds(q: DataFrame, seeds: Seq[(Long, Seq[Long])], iters: Int,
+                          dims: Int): Seq[(Long, Seq[Long])] = {
+    // Per-round DRIVER materialization of the k×dims centroids (the
+    // model-small precedent — [[ivfTrainPP]] already collects its
+    // candidate set every round, and the final centroids are collected
+    // anyway): each round is ONE job — the narrow nearest_cell
+    // assignment plus the fused per-dim-sum update aggregation over
+    // the cached vectors — instead of a nested
+    // crossJoin/SortAggregate/broadcast chain that AQE re-plans and
+    // schedules per level. Values are identical: the collected rows
+    // ARE the round's exact aggregation output, sorted by cell for a
+    // deterministic table. */
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val assigned = assignCells(q, cents)
-      assigned.groupBy(col("cell"))
+      assignCellsLocal(q, cents).groupBy(col("cell"))
         .agg(count(lit(1)).as("__n"),
           (0 until dims).map(i => sum(col("qv")(i)).as(s"__s$i")): _*)
         .select(col("cell"),
           array((0 until dims).map(i =>
             floor(col(s"__s$i") / col("__n")).cast("long")): _*).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
     }
+  }
+
+  /** (cell, cv) driver rows → the canonical centroid frame. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            rows: Seq[(Long, Seq[Long])]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (c, v) => org.apache.spark.sql.Row(c, v) }, 1), schema)
+  }
 
   /** Deterministic k-means|| initialization (Bahmani et al., VLDB
     * 2012) + Lloyd refinement — the scalable seeding that replaces
@@ -346,50 +362,64 @@ object Similarity {
       } finally Caching.releaseLocalCheckpoints(d2)
     }
     // weight candidates by assignment count (ties toward smaller
-    // cand_id), then greedy top-k by (weight desc, id)
+    // cand_id), then greedy top-k by (weight desc, id). The argmin is
+    // the narrow nearest_cell scan (cell := cand_id): ‖v‖² is
+    // per-vector constant, so ranking by ‖c‖² − 2v·c equals ranking by
+    // the old full ‖v−c‖², and the ascending-id strict-improvement
+    // scan IS the (dd, cand_id) struct-min tie-break — which
+    // previously planned a SortAggregate over n×|cands| crossJoin rows
     val wts: Map[Long, Long] =
-      q.crossJoin(broadcast(candDf(cands)))
-        .withColumn("dd", (dot(col("qv"), col("qv")) - lit(2d) * dot(col("qv"), col("cv"))
-          + dot(col("cv"), col("cv"))).cast("long"))
-        .groupBy(col("__id"))
-        .agg(min(struct(col("dd"), col("cand_id"))).as("m"))
-        .groupBy(col("m.cand_id").as("cand_id")).agg(count(lit(1)).as("wt"))
+      assignCellsLocal(q, cands)
+        .groupBy(col("cell").as("cand_id")).agg(count(lit(1)).as("wt"))
         .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
     val chosen = cands
       .map { case (id, v) => (id, v, wts.getOrElse(id, 0L)) }
       .sortBy { case (id, _, wt) => (-wt, id) }
       .take(k)
-    val seeds = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        chosen.zipWithIndex.map { case ((_, v, _), i) =>
-          org.apache.spark.sql.Row(i.toLong, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("cv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType, containsNull = false), nullable = false))))
+    val seeds = chosen.zipWithIndex.map { case ((_, v, _), i) => (i.toLong, v) }
     val trained = lloydRounds(q, seeds, iters,
       cands.headOption.map(_._2.length).getOrElse(1))
-    val rows = trained.collect().toSeq
     q.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+    centroidFrame(spark, trained)
   }
 
   /** Nearest-centroid assignment: argmin over k of ‖v−c‖² via the
     * dot-product identity ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² — ‖v‖² is
-    * constant per vector, so the argmin needs only ‖c‖² − 2v·c
-    * (codegen'd vec_dot; all values exact integers in double).
-    * min(struct(score, cell, qv)) is map-side combinable — the
-    * embedding side never shuffles whole rows per centroid. */
-  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame = {
-    val c = cents.withColumn("csq", dot(col("cv"), col("cv")))
-    q.crossJoin(broadcast(c))
-      .withColumn("s", col("csq") - lit(2d) * dot(col("qv"), col("cv")))
-      .groupBy(col("__id"))
-      .agg(min(struct(col("s"), col("cell"), col("qv"))).as("m"))
-      .select(col("__id"), col("m.cell").as("cell"), col("m.qv").as("qv"))
+    * constant per vector, so the argmin needs only ‖c‖² − 2v·c.
+    * NARROW since the round-9 optimization: the centroid table is
+    * model-small (every trainer collects it), so assignment is the
+    * per-row [[graft.functions.NearestCell]] expression against a
+    * foldable centroid literal — zero exchange, zero aggregate. The
+    * previous crossJoin(broadcast) + min(struct(s, cell, qv)) form
+    * planned a SORTAGGREGATE (struct-typed buffers are not
+    * hash-aggregable): a per-partition sort of n×k rows per call.
+    * Same argmin, same tie-break (ascending-cell scan with strict
+    * improvement ≡ the struct min), bit-equal values (exact
+    * integers). Rows with no candidate (empty table) are filtered —
+    * the old join dropped them identically. */
+  private def assignCells(q: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsLocal(q,
+      cents.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq)
+
+  /** [[assignCells]] from driver-side centroid rows (cell, cv) —
+    * skips the collect when the caller already holds them. */
+  private def assignCellsLocal(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import graft.functions.NearestCell.nearest_cell
+    graft.plans.GraftExtensions.register(q.sparkSession)
+    q.withColumn("cell",
+        nearest_cell(lit(0L), col("qv"), centsLit(cents.map(c => (0L, c._1, c._2)))))
+      .filter(col("cell").isNotNull)
+      .select(col("__id"), col("cell"), col("qv"))
   }
+
+  /** Foldable centroid-table literal for [[graft.functions.NearestCell]]:
+    * array<struct<sub, cell, cv>> built from driver rows. */
+  private def centsLit(rows: Seq[(Long, Long, Seq[Long])]): Column =
+    if (rows.isEmpty)
+      lit(null).cast("array<struct<sub:bigint,cell:bigint,cv:array<bigint>>>")
+    else array(rows.map { case (s, cell, cv) =>
+      struct(lit(s).as("sub"), lit(cell).as("cell"),
+        array(cv.map(lit): _*).as("cv")) }: _*)
 
   /** Final cell assignment under trained centroids: (id, cell). */
   def ivfAssign(emb: DataFrame, cents: DataFrame,
@@ -884,17 +914,14 @@ object Similarity {
   }
 
   /** (id, sub) → nearest codebook cell within its subspace. Codebook
-    * (m×k rows) broadcasts; score is csq − 2·dot (monotone-equal to
-    * the squared distance, exact integers in doubles), ties toward the
-    * smaller cell — identical to [[assignCells]] per subspace. */
-  private def assignPq(sub: DataFrame, codebook: DataFrame): DataFrame = {
-    val c = codebook.withColumn("csq", dot(col("cv"), col("cv")))
-    sub.join(broadcast(c), "sub")
-      .withColumn("s", col("csq") - lit(2d) * dot(col("sqv"), col("cv")))
-      .groupBy(col("__id"), col("sub"))
-      .agg(min(struct(col("s"), col("cell"), col("sqv"))).as("m"))
-      .select(col("__id"), col("sub"), col("m.cell").as("cell"), col("m.sqv").as("sqv"))
-  }
+    * (m×k rows, model-small) is collected and scanned by the narrow
+    * nearest_cell expression (score csq − 2·dot, monotone-equal to the
+    * squared distance, ties toward the smaller cell) — identical
+    * values and tie-break to [[assignCells]] per subspace, no join, no
+    * aggregate. */
+  private def assignPq(sub: DataFrame, codebook: DataFrame): DataFrame =
+    assignPqLocal(sub,
+      codebook.collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq)
 
   /** Product-quantization codebook: `m` INDEPENDENT quantized k-means
     * (one per contiguous dim subspace) trained as a single frame keyed
@@ -918,23 +945,53 @@ object Similarity {
     val sub = subIn.cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub")).orderBy(col("__id"))
+    // seeds collected once (m×k rows — model-small); rounds then run
+    // with narrow nearest_cell assignment + the fused per-dim-sum
+    // update, one exchange and one job per round (the [[lloydRounds]]
+    // shape applied per subspace — see its scaladoc)
     val seeds = sub.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("sub"), (col("rn") - 1).cast("long").as("cell"), col("sqv").as("cv"))
-    // per-dim-sum centroid update, one exchange per round — the
-    // [[lloydRounds]] rewrite applied per subspace (see its scaladoc)
-    val sd = vecDims(sub, "sqv")
-    val trained = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      assignPq(sub, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val sd = seeds.headOption.map(_._3.length).getOrElse(1)
+    val trained = (1 to iters).foldLeft(seeds) { (book, _) =>
+      assignPqLocal(sub, book)
         .groupBy(col("sub"), col("cell"))
         .agg(count(lit(1)).as("__n"),
           (0 until sd).map(i => sum(col("sqv")(i)).as(s"__s$i")): _*)
         .select(col("sub"), col("cell"),
           array((0 until sd).map(i =>
             floor(col(s"__s$i") / col("__n")).cast("long")): _*).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
     }
-    val rows = trained.collect().toSeq
     sub.unpersist()
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), trained.schema)
+    codebookFrame(spark, trained)
+  }
+
+  /** (sub, cell, cv) driver rows → the canonical codebook frame. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession,
+                            rows: Seq[(Long, Long, Seq[Long])]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (s, c, v) => org.apache.spark.sql.Row(s, c, v) }, 1), schema)
+  }
+
+  /** [[assignPq]] from driver-side codebook rows (sub, cell, cv) —
+    * the narrow nearest_cell form per subspace. */
+  private def assignPqLocal(sub: DataFrame, book: Seq[(Long, Long, Seq[Long])]): DataFrame = {
+    import graft.functions.NearestCell.nearest_cell
+    graft.plans.GraftExtensions.register(sub.sparkSession)
+    sub.withColumn("cell", nearest_cell(col("sub"), col("sqv"), centsLit(book)))
+      .filter(col("cell").isNotNull)
+      .select(col("__id"), col("sub"), col("cell"), col("sqv"))
   }
 
   /** PQ codes per vector: `codes[s]` = nearest cell in subspace s.
@@ -1019,19 +1076,24 @@ object Similarity {
     * precedent) — model-small, no data-sized job. */
   private def pqCodesWithCell(withCell: DataFrame, codebook: DataFrame,
                               m: Int): DataFrame = {
-    val sd = codebook.select(size(col("cv"))).head().getInt(0)
-    val subs = withCell.select(col("__id"), col("cell").as("__ccell"),
+    import graft.functions.NearestCell.nearest_cell
+    // codebook is model-small (m×k rows) — collected once; each
+    // subvector's code is then the NARROW nearest_cell argmin, so the
+    // only non-narrow step left in encoding is the per-id code
+    // assembly aggregate
+    val book = codebook.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    val sd = book.headOption.map(_._3.length).getOrElse(1)
+    val bookCol = centsLit(book)
+    withCell.select(col("__id"), col("cell").as("__ccell"),
         explode(array((0 until m).map(s =>
           struct(lit(s.toLong).as("sub"),
             slice(col("qv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
       .select(col("__id"), col("__ccell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
-    val cb = codebook.withColumn("csq", dot(col("cv"), col("cv")))
-    subs.join(broadcast(cb), "sub")
-      .withColumn("s", col("csq") - lit(2d) * dot(col("sqv"), col("cv")))
-      .groupBy(col("__id"), col("__ccell"), col("sub"))
-      .agg(min(struct(col("s"), col("cell"))).as("m"))
+      .withColumn("code", nearest_cell(col("sub"), col("sqv"), bookCol))
+      .filter(col("code").isNotNull)
       .groupBy(col("__id"), col("__ccell"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("m.cell").as("cell")))),
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code").as("cell")))),
         x => x.getField("cell")).as("codes"))
       .select(col("__id"), col("__ccell").as("cell"), col("codes"))
   }
@@ -1044,10 +1106,27 @@ object Similarity {
   def ivfPqScore(queries: DataFrame, encodedCands: DataFrame,
                  coarse: DataFrame, codebook: DataFrame, m: Int, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qcells = ivfAssign(queries, coarse, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col("cell").as("qcell"))
-    val dt = adcTable(queries, codebook, m, idCol, vecCol)
-      .join(qcells, "query_id") // adds qcell; still queries×m×k rows
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    // query side in ONE pass (the [[pqCodesWithCell]] discipline): the
+    // coarse-cell argmin carries the quantized vector, so the ADC
+    // distance table is built from its output directly — the old form
+    // paid a second quantize scan (adcTable's subvector pass) plus a
+    // query-id join to attach the cell. Still queries×m×k rows.
+    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val q = Partitioning.fanOut(queries)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
+    val cb = codebook.withColumn("__cbsq", dot(col("cv"), col("cv")))
+    val dt = assignCells(q, coarse)
+      .select(col("__id").as("query_id"), col("cell").as("qcell"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("qv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
+      .select(col("query_id"), col("qcell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("d",
+        (dot(col("sqv"), col("sqv")) - lit(2d) * dot(col("sqv"), col("cv")) +
+          col("__cbsq")).cast("long"))
+      .select(col("query_id"), col("qcell"), col("sub"), col("cell"), col("d"))
     val cexp = encodedCands.select(col(idCol).as("cand_id"), col("cell").as("ccell"),
       posexplode(col("codes")).as(Seq("csub", "code")))
     val scored = cexp.join(broadcast(dt),
@@ -1203,17 +1282,31 @@ object Similarity {
                              vecCol: String = "embedding"): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    val m = index.model.m
+    val sd = index.model.codebook.select(size(col("cv"))).head().getInt(0)
     val c = index.model.coarse.withColumn("__csq", dot(col("cv"), col("cv")))
+    // the quantized query vector RIDES probe selection, so the ADC
+    // table builds straight off the probe set — the old form re-paid
+    // a quantize/subvector scan of the queries (adcTable) plus a
+    // query-id join to attach the probes (the ivfPqScore discipline)
     val probes = Partitioning.fanOut(queries)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))
       .crossJoin(broadcast(c))
       .withColumn("__s", col("__csq") - lit(2d) * dot(col("__qqv"), col("cv")))
-      .select(col("query_id"), col("cell"), col("__s"))
-    val probeSet = Relational.topNPerGroup(probes, Seq(col("query_id")),
+      .select(col("query_id"), col("cell"), col("__s"), col("__qqv"))
+    val cb = index.model.codebook.withColumn("__cbsq", dot(col("cv"), col("cv")))
+    val dt = Relational.topNPerGroup(probes, Seq(col("query_id")),
         Seq(col("__s"), col("cell")), nprobe, rankCol = "__rn")
-      .select(col("query_id"), col("cell").as("qcell"))
-    val dt = adcTable(queries, index.model.codebook, index.model.m, idCol, vecCol)
-      .join(probeSet, "query_id") // ×nprobe; still broadcast-small
+      .select(col("query_id"), col("cell").as("qcell"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("__qqv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
+      .select(col("query_id"), col("qcell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+      .join(broadcast(cb), "sub")
+      .withColumn("d",
+        (dot(col("sqv"), col("sqv")) - lit(2d) * dot(col("sqv"), col("cv")) +
+          col("__cbsq")).cast("long"))
+      .select(col("query_id"), col("qcell"), col("sub"), col("cell"), col("d"))
     val cexp = index.encoded.select(col(idCol).as("cand_id"),
       col("cell").as("ccell"), posexplode(col("codes")).as(Seq("csub", "code")))
     val scored = cexp.join(broadcast(dt),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FpInterCount, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
+import graft.functions.{BagOverlap, CharShingles, FpInterCount, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, NearestCell, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
     ext.injectFunction(GraftExtensions.fpInterCountDescriptor)
+    ext.injectFunction(GraftExtensions.nearestCellDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
@@ -114,6 +115,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FpInterCount].getName, "fp_inter_count"),
     (children: Seq[Expression]) => FpInterCount(children.head, children(1)))
 
+  val nearestCellDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_cell"),
+    new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+    (children: Seq[Expression]) => NearestCell(children.head, children(1), children(2)))
+
   val hammingWordsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("hamming_words"),
     new ExpressionInfo(classOf[HammingWords].getName, "hamming_words"),
@@ -155,7 +161,7 @@ object GraftExtensions {
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
-        fpInterCountDescriptor,
+        fpInterCountDescriptor, nearestCellDescriptor,
         hammingWordsDescriptor, winnowFpDescriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
         hilbertIndexDescriptor).foreach { d =>
