@@ -202,18 +202,37 @@ object Bench {
         s""","flag_detail":${flagDetails.mkString("{", ",", "}")}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$steadyPart$gcPart$defendPart,"sf":"$sfDir"}"""
-    println(line)
-    // The stdout line is the driver contract, but both BENCH_r03 and
-    // BENCH_r04 show the driver's capture truncating it mid-JSON
-    // ("parsed": null) — persist the full artifact to a file so the
-    // per-query map always survives parseable. Overwritten per run;
-    // tools/refresh_steady_ref.py derives bench_steady_ref.json from
-    // it in one step.
-    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    // The stdout line is the driver contract, but every BENCH_r0N so
+    // far shows the capture keeping only a ~2000-char TAIL of it
+    // ("parsed": null since round 3) — the ~18 KB four-map line never
+    // survives whole. Repo-side fix (round-10): stdout carries ONE
+    // COMPACT line — the contract keys only (metric/value/unit/
+    // queries/sf), per-query seconds trimmed to 3 decimals with
+    // trailing zeros stripped — and the full four-map artifact
+    // (steady/gc/flags/flag_detail at fixed precision) goes to the
+    // file only. The compact line is still ~6 KB (256 query names
+    // alone are ~4 KB — no line carrying every declared name can fit
+    // a 2000-char tail), so it is printed LAST with nothing after it:
+    // the largest possible suffix of it lands in any tail capture,
+    // and any whole-stdout parser gets a complete, small JSON line.
+    def compactNum(v: Double): String = {
+      val s = f"$v%.3f"
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    val qsCompact = results
+      .map { case (k, (m, _)) => "\"" + k + "\":" + compactNum(m.value) }
+      .mkString("{", ",", "}")
+    // Per-cpus artifact name by default: round 9's 8-core verification
+    // run overwrote the 32-core run's map because both defaulted to
+    // the same path — the round's primary per-query table was lost.
+    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"tools/bench_last_c$cpus.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(lastPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $lastPath: ${e.getMessage}")
     }
+    println(
+      s"""{"metric":"total","value":${compactNum(total)},"unit":"sec","queries":$qsCompact,"sf":"$sfDir","detail":"$lastPath"}""")
     spark.stop()
   }
 }

@@ -1501,9 +1501,15 @@ object SparkEntry {
     // 500 docs, a real curation signal, all replayed by the oracle
     // (analytic hashes → hamming pairs → recursive-CTE closure).
     "mm_e2e_curate" -> ((s, d) => {
+      // hashes feed the pair stage AND the doc count; pairs feed the
+      // component loop AND the pair count — materialize each once
+      // (round-10, the corpus_e2e_curate discipline) instead of
+      // re-running the JPEG decode + hash chain per consumer
       val hashes = Multimodal.imageAHash(
         Multimodal.syntheticJpegAHashBlobs(Tables.documents(s, d)))
+        .localCheckpoint()
       val pairs = Multimodal.aHashPairs(hashes, maxDistance = 1)
+        .localCheckpoint()
       val comps = graft.operators.Dedup.connectedComponents(pairs)
       val nDocs = hashes.agg(count(lit(1)).as("n_docs"))
       val nPairs = pairs.agg(count(lit(1)).as("n_dup_pairs"))
@@ -1569,8 +1575,13 @@ object SparkEntry {
     "corpus_e2e_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gated = TextAnalysis.gopherGate(docs) // narrow gate, no shuffle
+      // the gate→exact prefix feeds the near-dup pair stage AND the
+      // final survivor anti-join — materialize it once (round-10, the
+      // curate2 discipline) instead of re-running the gate + exact
+      // dedup join per consumer
       val afterExact = gated.join(
         Dedup.exact(gated).select(col("keep_id").as("doc_id")), "doc_id")
+        .localCheckpoint()
       val pairs = Dedup.jaccardPairsBanded(afterExact, Seq("source", "lang"),
         thresholdPermille = 900)
       val dropNear = Dedup.connectedComponents(pairs)

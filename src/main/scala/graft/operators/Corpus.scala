@@ -571,41 +571,28 @@ object Corpus {
     * first appears in an earlier document ([[TextAnalysis
     * .ngramNovelty]]'s first-seen discipline at chunk grain).
     *
-    * Shape: boundary flags are computed IN-ROW (one windowed
-    * fingerprint per token — narrow), the running chunk index is one
-    * per-doc window sum, chunk assembly is one groupBy(doc, chunk),
-    * and the stale marker is one groupBy(chunk_md5) + equi-join —
-    * two keyed shuffles total, both map-side combinable. */
+    * Shape (round-10): chunking is ONE NARROW pass — the native
+    * [[graft.functions.CdcChunks]] expression streams each doc's
+    * tokens through the windowed fingerprint and the running chunk
+    * hash in-row and emits the chunk table directly (the posexplode
+    * position is the chunk index), so the token-grain explode, the
+    * per-doc window-sum SORT and the (doc, chunk) re-assembly
+    * aggregation of the previous composed form are gone from the
+    * plan. The only shuffles left are chunk-grain: the stale-marker
+    * groupBy(chunk_md5) + equi-join. */
   def cdcChunks(docs: DataFrame, window: Int = 4, modulus: Int = 32,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && modulus >= 2, "need window >= 1 and modulus >= 2")
-    import graft.functions.HexSliceLong.hex_slice_long
+    import graft.functions.CdcChunks.cdc_chunks
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val tk = col("__tk")
-    val n = size(tk)
-    // flag(i) = 1 iff a boundary closes after 1-based token i
-    val flags = transform(sequence(lit(1), n), i =>
-      when(i >= window &&
-          hex_slice_long(md5(array_join(slice(tk, i - (window - 1), lit(window)), " ")
-            .cast("binary")), 0) % modulus === 0, 1L)
-        .otherwise(0L))
-    val pe = Partitioning.fanOut(docs)
+    val ch = Partitioning.fanOut(docs)
       .withColumn("__tk", Dedup.tokens(col(textCol)))
-      .filter(n >= 1)
-      .withColumn("__fl", flags)
-      .withColumn("__z", arrays_zip(col("__tk"), col("__fl")))
-      .select(col(idCol), posexplode(col("__z")).as(Seq("pos", "zf")))
-      .select(col(idCol), col("pos"),
-        col("zf.__tk").as("tok"), col("zf.__fl").as("flag"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ch = pe
-      .withColumn("chunk_idx", coalesce(sum(col("flag")).over(w), lit(0L)))
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(count(lit(1)).as("n_chunk_tokens"),
-        md5(array_join(transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
-          p => p.getField("tok")), " ").cast("binary")).as("chunk_md5"))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol),
+        posexplode(cdc_chunks(col("__tk"), window, modulus)).as(Seq("chunk_idx", "__ch")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__ch.n_chunk_tokens").as("n_chunk_tokens"),
+        col("__ch.chunk_md5").as("chunk_md5"))
     val owner = ch.groupBy(col("chunk_md5")).agg(min(col(idCol)).as("__owner"))
     ch.join(owner, "chunk_md5")
       .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"), col("chunk_md5"),
@@ -696,12 +683,16 @@ object Corpus {
     * the raw estimate too, as in the paper's raw = full-corpus
     * denominator).
     *
-    * Scale shape: one explode + groupBy(doc, bucket) for the per-doc
-    * feature counts (map-side combinable, the only corpus-sized
-    * shuffle); the two global bucket tables are `buckets` rows —
-    * broadcast, never shuffled; scoring is a broadcast join + narrow
-    * fold. The global totals ride the broadcast table (max over a
-    * 64-row side), not a driver collect.
+    * Scale shape (round-10, guide §2.3): one explode +
+    * groupBy(doc, bucket) for the per-doc feature counts — the ONLY
+    * corpus-sized shuffle and the only corpus scan: the global bucket
+    * distributions are DERIVED from the materialized (doc, bucket)
+    * table (Σ per-doc counts ≡ the token-grain count, exactly),
+    * where the previous form re-scanned and re-shuffled the whole
+    * token stream a second time for them. The two global tables are
+    * `buckets` rows — broadcast, never shuffled; scoring is a
+    * broadcast join + narrow fold. The global totals ride the
+    * broadcast table (max over a 64-row side), not a driver collect.
     *
     * Determinism: `ln` arguments are integers only (counts + 1,
     * totals + buckets — ratios decomposed as ln differences), the
@@ -716,9 +707,18 @@ object Corpus {
       .select(col(idCol), isTarget.as("__t"),
         explode(Dedup.tokens(col(textCol))).as("w"))
       .select(col(idCol), col("__t"), hashBucket(col("w"), buckets, "dsir|").as("f"))
-    val perDoc = tok.groupBy(col(idCol), col("f")).agg(count(lit(1)).as("c"))
-    val global = tok.groupBy(col("f"))
-      .agg(count(lit(1)).as("cr"), sum(col("__t").cast("long")).as("ct"))
+    // __t is functionally dependent on the doc id, so the extra
+    // grouping key does not change the grain; materialized once — it
+    // feeds both the global-bucket derivation and the scoring join
+    val perDoc = tok.groupBy(col(idCol), col("__t"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // Σ of per-doc counts per bucket ≡ the token-grain counts (same
+    // integers); null __t contributes 0 to ct exactly as the previous
+    // sum(cast(null as long)) skipped it
+    val global = perDoc.groupBy(col("f"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("__t"), col("c")).otherwise(0L)).as("ct"))
     import org.apache.spark.sql.expressions.Window
     val totals = global
       .withColumn("tr", sum(col("cr")).over(Window.partitionBy()))

@@ -257,20 +257,14 @@ object Dedup {
     val base = Partitioning.fanOut(docs)
       .withColumn("tset", array_distinct(tokens(col("text"))))
       .select(col(idCol) +: col("tset") +: strataCols.map(col): _*)
-    // the candidate list and the weighted postings each feed BOTH
-    // pair sides (and the intersection join) — materialize once
-    // (pair-list- and posting-list-sized respectively, the
-    // containment-index discipline; release via
-    // Caching.releaseLocalCheckpoints when looping)
     val (cands0, hot) = bandedCandidatesOn(base, strataCols, idCol,
       numHashes, rowsPerBand, maxBucket)
-    // repartition BEFORE the checkpoint: AQE coalesces the distinct
-    // output to its (small) byte size, but the checkpoint is the
-    // STREAM side of the pair-expansion joins below — the query's
-    // CPU-heaviest stage (each candidate pair fans out to the token
-    // rows of both docs and partially aggregates), and a 2-task
-    // checkpoint caps it at 2 cores (guide §2.5: AQE sizes by bytes,
-    // not downstream CPU). Round-robin to the session's parallelism.
+    // Materialize the candidate list once (pair-list-sized, the
+    // containment-index discipline), repartitioned BEFORE the
+    // checkpoint: AQE coalesces the distinct output to its (small)
+    // byte size, and a 2-task checkpoint would cap the per-pair
+    // verification merges below at 2 cores (guide §2.5: AQE sizes by
+    // bytes, not downstream CPU).
     val cands = cands0
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
@@ -280,28 +274,37 @@ object Dedup {
     val w = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .withColumn("w", expr(s"(1000 * (2 * ($nDocs - df) + 1)) DIV (2 * df + 1)"))
       .select(col("t"), col("w"))
-    val tw = tok.join(w, "t").localCheckpoint()
-    // Verification in ONE union-grain pass (guide §2.3/§2.4 — fewer
-    // shuffles, same exact integers): a (pair, token) row appears once
-    // per side holding the token, so after a (pair, token) count the
-    // row multiplicity IS the set membership — c = 2 ⇔ t ∈ A∩B, and
-    // every row is a distinct member of A∪B. w_union = Σ_{A∪B} w and
-    // w_inter = Σ_{c=2} w replace the old three aggregations
-    // (Σ_A, Σ_B, Σ_{A∩B} via a 3-key self-join) plus two pair-grain
-    // joins: 6 exchanges → 2 on the exploded pair-token stream, and
-    // the widest shuffle (the (pair, t, w) self-join) is gone.
-    val pa = tw.join(cands, col(idCol) === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("t"), col("w"))
-    val pb = tw.join(cands, col(idCol) === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("t"), col("w"))
-    val pairs = pa.unionByName(pb)
-      .groupBy(col("doc_a"), col("doc_b"), col("t"))
-      // tset is distinct per doc, so c ∈ {1, 2}; w is functionally
-      // dependent on t (min = the value)
-      .agg(count(lit(1)).as("c"), min(col("w")).as("w"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(when(col("c") === 2, col("w")).otherwise(0L)).as("w_inter"),
-        sum(col("w")).as("w_union"))
+    // Verification IN-ROW (round-10, guide §2.3/§2.4 — the exploded
+    // pair-token stream leaves the plan entirely): each doc carries
+    // its SORTED (t, w) table (sort_array(collect_list(struct)) — t
+    // distinct per doc, so the sort key is t in UTF8 binary order,
+    // the fp_weighted_inter merge comparator) plus its total weight,
+    // built in ONE doc-grain aggregation of the weighted postings.
+    // Attached to the pair by the two equi-joins every other verifier
+    // uses, the intersection weight is one zero-allocation two-pointer
+    // merge per pair and the union weight is inclusion-exclusion:
+    // w_union = Σ_A w + Σ_B w − w_inter — the same exact integers as
+    // the previous union-grain pass (tset distinct per doc, w
+    // functionally dependent on t), without shuffling Σ(|A|+|B|)
+    // (pair, token, w) rows per candidate through a union-grain
+    // exchange and two aggregations.
+    // materialized once: the doc table feeds BOTH pair sides, and
+    // without the checkpoint the whole tok ⋈ df-agg subtree plans
+    // twice (the tw-checkpoint discipline of the previous form, moved
+    // to the smaller doc grain)
+    val docw = tok.join(w, "t")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("tws"),
+        sum(col("w")).as("wsum"))
+      .localCheckpoint()
+    val pairs = cands
+      .join(docw.select(col(idCol).as("doc_a"), col("tws").as("twa"),
+        col("wsum").as("wsa")), "doc_a")
+      .join(docw.select(col(idCol).as("doc_b"), col("tws").as("twb"),
+        col("wsum").as("wsb")), "doc_b")
+      .withColumn("w_inter",
+        graft.functions.FpSet.fp_weighted_inter(col("twa"), col("twb")))
+      .withColumn("w_union", col("wsa") + col("wsb") - col("w_inter"))
       .withColumn("idfjac_permille",
         floor(col("w_inter") * 1000 / col("w_union")).cast("long"))
       .filter(col("idfjac_permille") >= thresholdPermille)

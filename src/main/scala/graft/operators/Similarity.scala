@@ -219,15 +219,6 @@ object Similarity {
     centroidFrame(spark, trained)
   }
 
-  /** Static vector width of an array column, read from one row (the
-    * [[subvectorsOf]] precedent — one 1-row job, paid once per train
-    * call). 1 on an empty frame: the value is never read there (every
-    * aggregate below it runs over zero rows), it only keeps the
-    * generated per-dim expressions well-typed. */
-  private def vecDims(df: DataFrame, c: String): Int =
-    df.select(size(col(c))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(1)
-
   /** `iters` Lloyd assign+update rounds from an explicit seed frame —
     * the shared engine behind [[ivfTrain]] (min-id seeds) and
     * [[ivfTrainPP]] (k-means|| seeds). The centroid update is ONE
@@ -404,22 +395,46 @@ object Similarity {
   /** [[assignCells]] from driver-side centroid rows (cell, cv) —
     * skips the collect when the caller already holds them. */
   private def assignCellsLocal(q: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    import graft.functions.NearestCell.nearest_cell
     graft.plans.GraftExtensions.register(q.sparkSession)
     q.withColumn("cell",
-        nearest_cell(lit(0L), col("qv"), centsLit(cents.map(c => (0L, c._1, c._2)))))
+        nearestCellCol(q, lit(0L), col("qv"), cents.map(c => (0L, c._1, c._2))))
       .filter(col("cell").isNotNull)
       .select(col("__id"), col("cell"), col("qv"))
   }
 
   /** Foldable centroid-table literal for [[graft.functions.NearestCell]]:
-    * array<struct<sub, cell, cv>> built from driver rows. */
+    * array<struct<sub, cell, cv>> as ONE pre-evaluated Literal node
+    * (`typedlit`) built from driver rows — the previous
+    * CreateArray/CreateStruct tree put k×(dims+2) expression nodes in
+    * the plan, so analyzer/optimizer cost grew linearly in k·dims per
+    * Lloyd round. Struct field access in [[graft.functions.NearestCell]]
+    * is positional, so the tuple field names are irrelevant. */
   private def centsLit(rows: Seq[(Long, Long, Seq[Long])]): Column =
     if (rows.isEmpty)
       lit(null).cast("array<struct<sub:bigint,cell:bigint,cv:array<bigint>>>")
-    else array(rows.map { case (s, cell, cv) =>
-      struct(lit(s).as("sub"), lit(cell).as("cell"),
-        array(cv.map(lit): _*).as("cv")) }: _*)
+    else typedlit(rows.map { case (s, cell, cv) => (s, cell, cv) })
+
+  /** The assignment argmin column with size-adaptive model transport
+    * (round-10): below `spark.graft.nearestCell.maxLiteralValues`
+    * longs (default 2¹⁶ — every benchmarked model is k≤256 × dims≤64
+    * ≈ 2¹⁴) the centroid table rides the plan as a foldable literal
+    * (zero per-executor coordination; the shape proven in round 9);
+    * above it — a realistic 100 TB IVF runs k ~ 2¹⁶ at high dims —
+    * the same argmin kernel reads a BROADCAST variable
+    * ([[graft.functions.NearestCellBcast]]), fetched once per
+    * executor instead of riding every serialized task closure.
+    * Differential parity between the two transports is pinned in
+    * NearestCellSpec. */
+  private def nearestCellCol(df: DataFrame, sub: Column, vec: Column,
+                             rows: Seq[(Long, Long, Seq[Long])]): Column = {
+    import graft.functions.NearestCell.{nearest_cell, nearest_cell_bcast}
+    val spark = df.sparkSession
+    val nValues = rows.iterator.map(_._3.length + 2L).sum
+    val maxLit = spark.conf.get("spark.graft.nearestCell.maxLiteralValues", "65536").toLong
+    if (rows.isEmpty || nValues <= maxLit) nearest_cell(sub, vec, centsLit(rows))
+    else nearest_cell_bcast(sub, vec, spark.sparkContext.broadcast(
+      rows.map { case (s, c, v) => (s, c, v.toArray) }.toArray))
+  }
 
   /** Final cell assignment under trained centroids: (id, cell). */
   def ivfAssign(emb: DataFrame, cents: DataFrame,
@@ -987,9 +1002,8 @@ object Similarity {
   /** [[assignPq]] from driver-side codebook rows (sub, cell, cv) —
     * the narrow nearest_cell form per subspace. */
   private def assignPqLocal(sub: DataFrame, book: Seq[(Long, Long, Seq[Long])]): DataFrame = {
-    import graft.functions.NearestCell.nearest_cell
     graft.plans.GraftExtensions.register(sub.sparkSession)
-    sub.withColumn("cell", nearest_cell(col("sub"), col("sqv"), centsLit(book)))
+    sub.withColumn("cell", nearestCellCol(sub, col("sub"), col("sqv"), book))
       .filter(col("cell").isNotNull)
       .select(col("__id"), col("sub"), col("cell"), col("sqv"))
   }
@@ -1076,7 +1090,6 @@ object Similarity {
     * precedent) — model-small, no data-sized job. */
   private def pqCodesWithCell(withCell: DataFrame, codebook: DataFrame,
                               m: Int): DataFrame = {
-    import graft.functions.NearestCell.nearest_cell
     // codebook is model-small (m×k rows) — collected once; each
     // subvector's code is then the NARROW nearest_cell argmin, so the
     // only non-narrow step left in encoding is the per-id code
@@ -1084,18 +1097,36 @@ object Similarity {
     val book = codebook.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
     val sd = book.headOption.map(_._3.length).getOrElse(1)
-    val bookCol = centsLit(book)
     withCell.select(col("__id"), col("cell").as("__ccell"),
         explode(array((0 until m).map(s =>
           struct(lit(s.toLong).as("sub"),
             slice(col("qv"), s * sd + 1, sd).as("sqv"))): _*)).as("x"))
       .select(col("__id"), col("__ccell"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
-      .withColumn("code", nearest_cell(col("sub"), col("sqv"), bookCol))
+      .withColumn("code", nearestCellCol(withCell, col("sub"), col("sqv"), book))
       .filter(col("code").isNotNull)
       .groupBy(col("__id"), col("__ccell"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code").as("cell")))),
         x => x.getField("cell")).as("codes"))
       .select(col("__id"), col("__ccell").as("cell"), col("codes"))
+  }
+
+  /** Subspace width off the codebook row (model-small, one 1-row job),
+    * with fail-fast guards (round-10, from ADVICE): an empty codebook
+    * is an explicit error instead of a bare NoSuchElementException,
+    * and the query width must be exactly m·sd — the slice expressions
+    * at the call sites would otherwise mis-score silently (short
+    * slices, min-length dots inside nearest_cell). The width check is
+    * one 1-row job over the QUERY frame (the broadcast-small side). */
+  private def subWidth(codebook: DataFrame, m: Int,
+                       queries: DataFrame, vecCol: String): Int = {
+    val head = codebook.select(size(col("cv"))).limit(1).collect()
+    require(head.nonEmpty, "empty PQ codebook — train it before scoring")
+    val sd = head.head.getInt(0)
+    queries.select(size(col(vecCol))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == m * sd,
+        s"query width ${r.getInt(0)} != m*sd = ${m * sd} (wrong m or codebook)")
+    }
+    sd
   }
 
   /** The query-time half of IVF-ADC: score `queries` against an
@@ -1112,7 +1143,7 @@ object Similarity {
     // distance table is built from its output directly — the old form
     // paid a second quantize scan (adcTable's subvector pass) plus a
     // query-id join to attach the cell. Still queries×m×k rows.
-    val sd = codebook.select(size(col("cv"))).head().getInt(0)
+    val sd = subWidth(codebook, m, queries, vecCol)
     val q = Partitioning.fanOut(queries)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("qv"))
     val cb = codebook.withColumn("__cbsq", dot(col("cv"), col("cv")))
@@ -1283,7 +1314,7 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     val m = index.model.m
-    val sd = index.model.codebook.select(size(col("cv"))).head().getInt(0)
+    val sd = subWidth(index.model.codebook, m, queries, vecCol)
     val c = index.model.coarse.withColumn("__csq", dot(col("cv"), col("cv")))
     // the quantized query vector RIDES probe selection, so the ADC
     // table builds straight off the probe set — the old form re-paid
@@ -1422,7 +1453,7 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be >= 1")
     graft.plans.GraftExtensions.register(queries.sparkSession)
     val m = model.m
-    val sd = model.codebook.select(size(col("cv"))).head().getInt(0)
+    val sd = subWidth(model.codebook, m, queries, vecCol)
     val c = model.coarse.withColumn("__csq", dot(col("cv"), col("cv")))
     val probes = Partitioning.fanOut(queries)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("__qqv"))

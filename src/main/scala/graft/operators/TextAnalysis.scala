@@ -293,7 +293,13 @@ object TextAnalysis {
     * training pass, shared); scoring shuffles once to the
     * (doc, window, lang) grain; the island windows partition by
     * (doc, lang) — bounded by a document's window count, never
-    * corpus-wide. All-integer decisions → hash-exact oracle. */
+    * corpus-wide. All-integer decisions → hash-exact oracle.
+    *
+    * Round-10 (guide §2.4): the window spine is DERIVED narrowly —
+    * win_idx 0 … (n_tokens−1) div W is exactly the set the previous
+    * `distinct` over the exploded token stream produced (window
+    * indices are contiguous by construction), so the token stream is
+    * shuffled once (the hits aggregation), not twice. */
   def langSpans(docs: DataFrame, profileSize: Int = 20,
                 windowTokens: Int = 10): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
@@ -301,7 +307,12 @@ object TextAnalysis {
     val tok = Partitioning.fanOut(docs)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
       .withColumn("win_idx", expr(s"CAST(pos AS LONG) DIV $windowTokens"))
-    val wins = tok.select(col("doc_id"), col("win_idx")).distinct()
+    val wins = Partitioning.fanOut(docs)
+      .select(col("doc_id"), size(tokens(col("text"))).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((__n - 1) DIV $windowTokens AS LONG)"))).as("win_idx"))
     val hits = tok.join(broadcast(profile), Seq("t"))
       .groupBy(col("doc_id"), col("win_idx"), col("cand_lang"))
       .agg(count(lit(1)).as("hits"))
@@ -1188,14 +1199,19 @@ object TextAnalysis {
     * both pinned at 4 decimals. Docs with < 2 tokens have no
     * transitions and are dropped ([[bigramFluency]] policy).
     *
-    * Shuffle shape (the honest LM-score shape, same class as
-    * [[tfIdfTopTerms]]): one groupBy(bigram) and one groupBy(token)
-    * for the counts, the two equi-joins keyed on bigram/token, one
-    * groupBy(doc) for the fold. Neither count table is broadcast —
-    * both grow with the corpus (Heaps' law). At 100 TB you'd
-    * Zipf-truncate the LM to its top-K n-grams and broadcast THAT
-    * (the backoff mass is a constant); the exact-join form here is
-    * the oracle-checkable reference semantics.
+    * Shuffle shape (round-10, guide §2.3 — the [[stupidBackoff]]
+    * discipline): ONE count aggregation over one corpus pass covers
+    * both orders (bigrams and unigrams ride one union stream,
+    * order-prefixed "2:"/"1:" so they can never collide), replacing
+    * two corpus scans + two aggregations; the per-bigram (c₁₂, c₁)
+    * tuple is assembled at bigram-TYPE grain (one type-grain join on
+    * w₁), so the heavy bigram TOKEN stream is shuffled once (its
+    * single equi-join on b) instead of riding two consecutive joins;
+    * then one groupBy(doc) fold. No model table is broadcast — both
+    * grow with the corpus (Heaps' law). At 100 TB you'd Zipf-truncate
+    * the LM to its top-K n-grams and broadcast THAT (the backoff mass
+    * is a constant); the exact-join form here is the oracle-checkable
+    * reference semantics.
     *
     * Determinism: all `ln` arguments are integers (c₁₂+1, c₁+V — the
     * ratio is decomposed as ln a − ln b so no float division feeds
@@ -1208,18 +1224,29 @@ object TextAnalysis {
     val fanned = Partitioning.fanOut(docs)
     val bg = fanned
       .select(col(idCol), explode(word_shingles(col("text"), 2)).as("b"))
-    val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
-    val uniCounts = fanned
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    // vocabulary size: one scalar off the already-aggregated unigram
-    // table, inlined as a literal (the k-means-centroid pattern —
+    // one pass over the corpus, both orders; materialized once (feeds
+    // the V scalar, the bigram table and the unigram table)
+    val grams = fanned.select(explode(concat(
+        transform(word_shingles(col("text"), 2), g => concat(lit("2:"), g)),
+        transform(tokens(col("text")), w => concat(lit("1:"), w)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bgCounts = grams.filter(col("g").startsWith("2:"))
+      .select(substring(col("g"), 3, Int.MaxValue).as("b"), col("c").as("c12"))
+    val uniCounts = grams.filter(col("g").startsWith("1:"))
+      .select(substring(col("g"), 3, Int.MaxValue).as("w"), col("c").as("c1"))
+    // vocabulary size: one scalar off the already-aggregated table,
+    // inlined as a literal (the k-means-centroid pattern —
     // model-small by construction)
     val v = uniCounts.count()
-    bg
-      .join(bgCounts, "b")
+    // full per-type tuple assembled at TYPE grain (w₁ of every bigram
+    // type is a seen token, so the inner join keeps all types)
+    val model = bgCounts
       .withColumn("w1", element_at(split(col("b"), " "), 1))
       .join(uniCounts, col("w1") === col("w"))
+      .select(col("b"), col("c12"), col("c1"))
+    bg
+      .join(model, "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sort_array(collect_list(struct(col("c12"), col("c1")))).as("__p"))
@@ -1257,13 +1284,19 @@ object TextAnalysis {
     * `ln` arguments exact integers — folded over the struct-sorted
     * count tuples in one canonical order on every engine.
     *
-    * Shuffle shape: one groupBy(bigram) for the type table; the
-    * context and continuation tables aggregate THAT table (type
-    * grain, not token grain — no second corpus scan); two equi-joins
-    * keyed on w₁/w₂; one groupBy(doc) fold. B is one scalar off the
-    * aggregated type table (model-small pattern). Neither model
-    * table is broadcast — both grow with the corpus (Heaps' law);
-    * at 100 TB you'd Zipf-truncate to top-K types and broadcast that
+    * Shuffle shape (round-10, guide §2.3): one groupBy(bigram) over
+    * the token stream for the type table, MATERIALIZED once (it
+    * feeds the context/continuation aggregations, the B scalar and
+    * the model join); the context/continuation tables aggregate THAT
+    * table and join back at TYPE grain, assembling the full
+    * per-bigram tuple (c₁₂, c₁, N₁₊(w₁·), N₁₊(·w₂)) into one model
+    * table — so the heavy bigram TOKEN stream is shuffled exactly
+    * once more (its single equi-join on b) instead of riding three
+    * consecutive joins (b, then w₁, then w₂) as before; then one
+    * groupBy(doc) fold. B is one scalar off the aggregated type
+    * table (model-small pattern). Neither model table is broadcast —
+    * both grow with the corpus (Heaps' law); at 100 TB you'd
+    * Zipf-truncate to top-K types and broadcast that
     * ([[bigramPerplexity]] note). */
   def knPerplexity(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     import graft.functions.WordShingles.word_shingles
@@ -1274,16 +1307,21 @@ object TextAnalysis {
     val bgCounts = bg.groupBy(col("b")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", element_at(split(col("b"), " "), 1))
       .withColumn("w2", element_at(split(col("b"), " "), 2))
+      .localCheckpoint()
     val ctx = bgCounts.groupBy(col("w1").as("cw1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val cont = bgCounts.groupBy(col("w2").as("cw2"))
       .agg(count(lit(1)).as("n1p"))
     // total bigram types: one scalar off the aggregated type table
     val bTypes = bgCounts.count()
-    bg
-      .join(bgCounts.select(col("b"), col("c12"), col("w1"), col("w2")), "b")
+    // full per-type tuple assembled at TYPE grain (ctx/cont cover
+    // every w1/w2 the type table holds, so the inner joins keep all)
+    val model = bgCounts
       .join(ctx, col("w1") === col("cw1"))
       .join(cont, col("w2") === col("cw2"))
+      .select(col("b"), col("c12"), col("c1"), col("n1f"), col("n1p"))
+    bg
+      .join(model, "b")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sort_array(collect_list(
@@ -1328,52 +1366,72 @@ object TextAnalysis {
     * counts encoded as the −1 sentinel (nulls would sort
     * engine-dependently).
     *
-    * Shuffle shape: three count aggregations over the training half
-    * (trigram/bigram/unigram grain), three LEFT equi-joins from the
-    * scored trigram stream (plus one more for the w₂ context count),
-    * one groupBy(doc) fold. No model table is broadcast (Heaps' law;
-    * Zipf-truncate and broadcast at 100 TB — [[bigramPerplexity]]
-    * note); N is a scalar off the aggregated unigram table. */
+    * Shuffle shape (round-10, guide §2.3): ONE count aggregation over
+    * the training half covers all three n-gram orders — the grams of
+    * the three orders ride one union stream, order-prefixed ("3:g",
+    * "2:g", "1:w") so grams of different orders can never collide —
+    * replacing three full train-half scans + three aggregations. The
+    * five per-trigram lookups (t, both bigrams, both unigrams) run at
+    * scored-trigram TYPE grain: each distinct trigram explodes to its
+    * five (slot, key) probes, LEFT-joins the unified count table
+    * once, and one pivot aggregation re-assembles the
+    * (c₁₂₃, c₁₂, c₂₃, c₂, c₃) tuple — so the scored trigram TOKEN
+    * stream is shuffled once (its single equi-join on t) instead of
+    * riding five consecutive joins, then one groupBy(doc) fold. No
+    * model table is broadcast (Heaps' law; Zipf-truncate and
+    * broadcast at 100 TB — [[bigramPerplexity]] note); N is a scalar
+    * off the aggregated count table. */
   def stupidBackoff(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     import graft.functions.WordShingles.word_shingles
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val fanned = Partitioning.fanOut(docs)
     val train = fanned.filter(col(idCol) % 2 === 0)
     val score = fanned.filter(col(idCol) % 2 === 1)
-    val t3 = train.select(explode(word_shingles(col("text"), 3)).as("g3"))
-      .groupBy(col("g3")).agg(count(lit(1)).as("c123"))
-    val t2 = train.select(explode(word_shingles(col("text"), 2)).as("g2"))
-      .groupBy(col("g2")).agg(count(lit(1)).as("c2g"))
-    val t1 = train.select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // one pass over the training half, all three orders; materialized
+    // once (feeds the N scalar and the model join)
+    val cnt = train.select(explode(concat(
+        transform(word_shingles(col("text"), 3), g => concat(lit("3:"), g)),
+        transform(word_shingles(col("text"), 2), g => concat(lit("2:"), g)),
+        transform(tokens(col("text")), w => concat(lit("1:"), w)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // empty training half: sum aggregates to NULL, and a 0 would put
     // ln(0) in the OOV tier — floor at 1 (ln 1 = 0: the OOV penalty
     // degenerates to the pure backoff factor, every scored trigram
     // tier-4, finite and deterministic)
     val n = math.max(1L,
-      t1.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0))
+      cnt.filter(col("g").startsWith("1:"))
+        .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0))
     val tg = score.select(col(idCol), explode(word_shingles(col("text"), 3)).as("t"))
+    val probes = tg.select(col("t")).distinct()
       .withColumn("__ws", split(col("t"), " "))
-      .withColumn("__b12", concat_ws(" ", element_at(col("__ws"), 1), element_at(col("__ws"), 2)))
-      .withColumn("__b23", concat_ws(" ", element_at(col("__ws"), 2), element_at(col("__ws"), 3)))
-      .withColumn("__w2", element_at(col("__ws"), 2))
-      .withColumn("__w3", element_at(col("__ws"), 3))
-    val joined = tg
-      .join(t3, col("t") === col("g3"), "left")
-      .join(t2.select(col("g2").as("__g12"), col("c2g").as("c12")),
-        col("__b12") === col("__g12"), "left")
-      .join(t2.select(col("g2").as("__g23"), col("c2g").as("c23")),
-        col("__b23") === col("__g23"), "left")
-      .join(t1.select(col("w").as("__u2"), col("c1").as("c2")),
-        col("__w2") === col("__u2"), "left")
-      .join(t1.select(col("w").as("__u3"), col("c1").as("c3")),
-        col("__w3") === col("__u3"), "left")
-      .select(col(idCol),
-        coalesce(col("c123"), lit(-1L)).as("c123"),
-        coalesce(col("c12"), lit(-1L)).as("c12"),
-        coalesce(col("c23"), lit(-1L)).as("c23"),
-        coalesce(col("c2"), lit(-1L)).as("c2"),
-        coalesce(col("c3"), lit(-1L)).as("c3"))
+      .select(col("t"), explode(array(
+        struct(lit(1).as("slot"), concat(lit("3:"), col("t")).as("g")),
+        struct(lit(2).as("slot"), concat(lit("2:"), concat_ws(" ",
+          element_at(col("__ws"), 1), element_at(col("__ws"), 2))).as("g")),
+        struct(lit(3).as("slot"), concat(lit("2:"), concat_ws(" ",
+          element_at(col("__ws"), 2), element_at(col("__ws"), 3))).as("g")),
+        struct(lit(4).as("slot"), concat(lit("1:"),
+          element_at(col("__ws"), 2)).as("g")),
+        struct(lit(5).as("slot"), concat(lit("1:"),
+          element_at(col("__ws"), 3)).as("g")))).as("kv"))
+      .select(col("t"), col("kv.slot").as("slot"), col("kv.g").as("g"))
+    // pivot the five probes back to one row per scored trigram type;
+    // each slot matches at most one count row, so max(when) IS the
+    // looked-up value and the -1 sentinel marks a miss exactly like
+    // the previous per-slot LEFT joins
+    val model = probes.join(cnt, Seq("g"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(max(when(col("slot") === 1, col("c"))), lit(-1L)).as("c123"),
+        coalesce(max(when(col("slot") === 2, col("c"))), lit(-1L)).as("c12"),
+        coalesce(max(when(col("slot") === 3, col("c"))), lit(-1L)).as("c23"),
+        coalesce(max(when(col("slot") === 4, col("c"))), lit(-1L)).as("c2"),
+        coalesce(max(when(col("slot") === 5, col("c"))), lit(-1L)).as("c3"))
+    // inner join: `model` holds every scored trigram type by
+    // construction, so rows match the previous left-join chain 1:1
+    val joined = tg.join(model, "t")
+      .select(col(idCol), col("c123"), col("c12"), col("c23"),
+        col("c2"), col("c3"))
     val bo = log(lit(5.0)) - log(lit(2.0))
     def contrib(p: Column): Column = {
       val c123 = p.getField("c123"); val c12 = p.getField("c12")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BagOverlap, CharShingles, FpInterCount, FpSet, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, NearestCell, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
+import graft.functions.{BagOverlap, CdcChunks, CharShingles, FpInterCount, FpSet, FpWeightedInter, FreqTopK, HammingDistance, HammingWords, HexPrefix16, HexSliceLong, HilbertIndex, MergePair, NearestCell, TokenCounts, TopKRows, VectorDot, WinnowFp, WordShingles}
 
 /** SQL-surface registration for graft's native expressions:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bagOverlapDescriptor)
     ext.injectFunction(GraftExtensions.fp32SetDescriptor)
     ext.injectFunction(GraftExtensions.fpInterCountDescriptor)
+    ext.injectFunction(GraftExtensions.fpWeightedInterDescriptor)
+    ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.nearestCellDescriptor)
     ext.injectFunction(GraftExtensions.hammingWordsDescriptor)
     ext.injectFunction(GraftExtensions.winnowFpDescriptor)
@@ -115,6 +117,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[FpInterCount].getName, "fp_inter_count"),
     (children: Seq[Expression]) => FpInterCount(children.head, children(1)))
 
+  val fpWeightedInterDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fp_weighted_inter"),
+    new ExpressionInfo(classOf[FpWeightedInter].getName, "fp_weighted_inter"),
+    (children: Seq[Expression]) => FpWeightedInter(children.head, children(1)))
+
+  val cdcChunksDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+    (children: Seq[Expression]) => CdcChunks(children.head, children(1), children(2)))
+
   val nearestCellDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nearest_cell"),
     new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
@@ -161,7 +173,8 @@ object GraftExtensions {
         topkRowsDescriptor, hexPrefix16Descriptor, hexSliceLongDescriptor,
         freqTopKDescriptor, charShinglesDescriptor, mergePairDescriptor,
         tokenCountsDescriptor, bagOverlapDescriptor, fp32SetDescriptor,
-        fpInterCountDescriptor, nearestCellDescriptor,
+        fpInterCountDescriptor, fpWeightedInterDescriptor, cdcChunksDescriptor,
+        nearestCellDescriptor,
         hammingWordsDescriptor, winnowFpDescriptor,
         bloomAggDescriptor, bloomMightContainDescriptor,
         hilbertIndexDescriptor).foreach { d =>

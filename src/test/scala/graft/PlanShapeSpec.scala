@@ -459,6 +459,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("ANN family plan budget: the round-9 structural wins stay pinned " +
+    "(zero sort-aggregates, bounded exchanges)") {
+    // sim_ann_ivfpq went 32 → 16 Exchanges / 12 → 0 SortAggregates in
+    // round 9 (narrow nearest_cell assignment, fused encode);
+    // sim_ivf_assign 8 → 4 / 4 → 0. Pin the budgets so a planner or
+    // operator regression fails here instead of silently rotting the
+    // wins (round-10, per the round-9 verdict).
+    val ivfpq = graft.SparkEntry.queries("sim_ann_ivfpq")(spark, sf)
+    val v1 = graft.plans.PlanLint.violations(ivfpq, maxExchanges = 16,
+      allowSortAggregate = false)
+    assert(v1.isEmpty, v1.mkString("; "))
+    val assign = graft.SparkEntry.queries("sim_ivf_assign")(spark, sf)
+    val v2 = graft.plans.PlanLint.violations(assign, maxExchanges = 4,
+      allowSortAggregate = false)
+    assert(v2.isEmpty, v2.mkString("; "))
+  }
+
   test("ivfFlatScore: the cell table never shuffles — probe set broadcasts into it") {
     import graft.operators.Similarity
     import spark.implicits._

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Refresh tools/bench_steady_ref.json from the last bench artifact.
 
-Bench writes its full JSON line to tools/bench_last.json (stdout is the
-driver contract but has been observed truncated in capture). This tool
+Bench writes its full JSON line to tools/bench_last_c<cpus>.json
+(stdout is the driver contract but has been observed truncated in
+capture; the artifact is per-cpus since round 10 so a low-core
+verification run cannot clobber the primary run's map). This tool
 derives the prior-steady reference from it in one step:
 
-    python3 tools/refresh_steady_ref.py [bench_last.json] [bench_steady_ref.json]
+    python3 tools/refresh_steady_ref.py [bench_last_c32.json] [bench_steady_ref.json]
 
 The reference format is COMPACT on purpose — Bench's sf guard is an
 exact '"sf":"<dir>"' substring match (no spaces after colons).
@@ -15,7 +17,7 @@ import sys
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "tools/bench_last.json"
+    src = sys.argv[1] if len(sys.argv) > 1 else "tools/bench_last_c32.json"
     dst = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_steady_ref.json"
     with open(src) as f:
         bench = json.load(f)
