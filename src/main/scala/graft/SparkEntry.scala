@@ -2413,16 +2413,12 @@ object SparkEntry {
     // all three self-trained tokenizers (BPE merge-order, WordPiece
     // greedy, unigram optimal) — the fertility comparison a tokenizer
     // choice is actually made on. One oracle replays all three chains.
-    "corpus_tokenizer_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bpe = TextAnalysis.bpeEncode(docs, TextAnalysis.bpeMerges(docs, merges = 3))
-        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe_tokens"))
-      val wp = TextAnalysis.wordpieceEncode(docs, TextAnalysis.wordpieceVocab(docs))
-        .select(col("doc_id"), col("n_wp_tokens"))
-      val uni = TextAnalysis.unigramEncode(docs, TextAnalysis.unigramVocab(docs))
-        .select(col("doc_id"), col("n_pieces").as("n_uni_pieces"))
-      bpe.join(wp, "doc_id").join(uni, "doc_id").orderBy(col("doc_id"))
-    }),
+    // One shared (doc, word) spine feeds all three trainers and all
+    // three encode folds (round-10) — identical rows/values to
+    // joining the three standalone operators, one corpus pass instead
+    // of six.
+    "corpus_tokenizer_eval" -> ((s, d) =>
+      TextAnalysis.tokenizerEval(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // ──────────── LLM pipeline: retrieval / span dedup / diagnostics ────────────
 

@@ -658,16 +658,25 @@ object TextAnalysis {
     * [[Similarity.ivfTrain]]. Returns a local k-row frame
     * (merge_rank, left, right, merged, cnt) that downstream apply
     * ([[bpeEncode]]) constant-folds into its scan. */
-  def bpeMerges(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame = {
+  def bpeMerges(docs: DataFrame, merges: Int, textCol: String = "text"): DataFrame =
+    bpeMergesFromWords(
+      Partitioning.fanOut(docs)
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt")),
+      merges)
+
+  /** [[bpeMerges]] from a prepared (word, wcnt) count table — the
+    * shared-spine form [[tokenizerEval]] uses so the trio of trainers
+    * pays ONE corpus token pass instead of one each. Identical output
+    * (same counts, same argmax tie-break). */
+  private[graft] def bpeMergesFromWords(words: DataFrame, merges: Int): DataFrame = {
     require(merges >= 1 && merges <= 8,
       s"merges must be in [1, 8] (statically unrolled folds), got $merges")
     import graft.functions.CharShingles.char_shingles
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     graft.plans.GraftExtensions.register(spark)
-    val vocab = Partitioning.fanOut(docs)
-      .select(explode(tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), char_shingles(col("word"), 1).as("syms"))
+    val vocab = words
+      .select(col("wcnt").as("cnt"), char_shingles(col("word"), 1).as("syms"))
       .cache()
     try {
       val out = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -1513,12 +1522,19 @@ object TextAnalysis {
     * sublinear in corpus), one hash-agg on the piece, and the top-k is
     * TakeOrderedAndProject — never a full sort. */
   def wordpieceVocab(docs: DataFrame, k: Int = 48, maxLen: Int = 4,
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    wordpieceVocabFromWords(
+      Partitioning.fanOut(docs)
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt")),
+      k, maxLen)
+
+  /** [[wordpieceVocab]] from a prepared (word, wcnt) count table —
+    * the shared-spine form ([[tokenizerEval]]). Identical output. */
+  private[graft] def wordpieceVocabFromWords(words: DataFrame, k: Int,
+                                             maxLen: Int): DataFrame = {
     require(k > 0 && maxLen >= 1, s"bad wordpiece params k=$k maxLen=$maxLen")
-    graft.plans.GraftExtensions.register(docs.sparkSession)
-    val words = Partitioning.fanOut(docs)
-      .select(explode(tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    graft.plans.GraftExtensions.register(words.sparkSession)
     val pieces = words
       .select(col("word"), col("wcnt"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
@@ -1744,13 +1760,20 @@ object TextAnalysis {
     * (Heaps-law sublinear), one piece hash-agg, top-v as
     * TakeOrderedAndProject. */
   def unigramVocab(docs: DataFrame, v: Int = 64, maxLen: Int = 4,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    unigramVocabFromWords(
+      Partitioning.fanOut(docs)
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wcnt")),
+      v, maxLen)
+
+  /** [[unigramVocab]] from a prepared (word, wcnt) count table — the
+    * shared-spine form ([[tokenizerEval]]). Identical output. */
+  private[graft] def unigramVocabFromWords(words: DataFrame, v: Int,
+                                           maxLen: Int): DataFrame = {
     require(v > 0 && maxLen >= 1 && maxLen <= 8,
       s"bad unigram params v=$v maxLen=$maxLen")
-    graft.plans.GraftExtensions.register(docs.sparkSession)
-    val words = Partitioning.fanOut(docs)
-      .select(explode(tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    graft.plans.GraftExtensions.register(words.sparkSession)
     val pieces = words
       .select(col("word"), col("wcnt"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
@@ -1873,6 +1896,70 @@ object TextAnalysis {
         when(col("n_pieces") > 0,
           floor(col("n_chars") * 1000 / col("n_pieces")).cast("long"))
           .otherwise(lit(0L)))
+  }
+
+  /** The tokenizer BAKE-OFF (BPE merge-order, WordPiece greedy,
+    * unigram optimal) over ONE shared spine (round-10, guide §2.3/
+    * §2.4): the three standalone chains each rebuilt the same
+    * (doc, word, n) table and the same (word, wcnt) vocabulary from
+    * their own corpus token pass — six corpus-grain passes and six
+    * token-grain shuffles for one bake-off. Here the corpus is
+    * tokenized ONCE into a materialized (doc, word, n) table; the
+    * word-count vocabulary derives from it (Σ per-doc n ≡ the direct
+    * count, exactly), all three trainers run off that shared table
+    * ([[bpeMergesFromWords]] / [[wordpieceVocabFromWords]] /
+    * [[unigramVocabFromWords]] — identical models by construction),
+    * and all three per-word length folds land in ONE pass over the
+    * distinct-word frame with ONE join-back + per-doc aggregation.
+    * Output rows/values are identical to joining the three standalone
+    * operators (same folds, same integers, same all-docs
+    * left-join + coalesce-0 semantics), proven by the
+    * corpus_tokenizer_eval oracle hash. */
+  def tokenizerEval(docs: DataFrame, merges: Int = 3, wpK: Int = 48,
+                    uniV: Int = 64, maxLen: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    import graft.functions.CharShingles.char_shingles
+    import graft.functions.MergePair.merge_pair
+    // ONE corpus token pass; the table feeds the vocabulary rollup,
+    // the encode join-back, and (through the rollup) all trainers
+    val dw = Partitioning.fanOut(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val words = dw.groupBy(col("word")).agg(sum(col("n")).as("wcnt"))
+      .localCheckpoint()
+    // trainers (each driver-materializes its model-small table)
+    val ranked = bpeMergesFromWords(words, merges)
+      .select(col("merge_rank"), col("left"), col("right"))
+      .collect().sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2)))
+    val wpPieces = wordpieceVocabFromWords(words, wpK, maxLen)
+      .select(col("piece")).collect().map(_.getString(0)).sorted.toSeq
+    val uniScores = unigramVocabFromWords(words, uniV, maxLen)
+      .select(col("piece"), col("score")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all three per-word folds in one distinct-word pass
+    val bpeLen = ranked.foldLeft(char_shingles(col("word"), 1)) {
+      case (inner, (l, r)) => merge_pair(inner, l, r)
+    }
+    val wordLen = words.select(col("word"))
+      .withColumn("bpe_len", size(bpeLen).cast("long"))
+      .withColumn("wp_len", wpFoldLen(col("word"), typedlit(wpPieces), maxLen))
+      .withColumn("uni_np",
+        unigramViterbi(col("word"), typedlit(uniScores), maxLen).getField("np"))
+    val perDoc = dw.join(wordLen, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("bpe_len")).as("n_bpe_tokens"),
+        sum(col("n") * col("wp_len")).as("n_wp_tokens"),
+        sum(col("n") * col("uni_np")).as("n_uni_pieces"))
+    docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long").as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_wp_tokens"), lit(0L)).as("n_wp_tokens"),
+        coalesce(col("n_uni_pieces"), lit(0L)).as("n_uni_pieces"))
   }
 
   /** N-gram novelty: per document, how many of its distinct word
